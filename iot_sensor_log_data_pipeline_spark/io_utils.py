@@ -1,0 +1,78 @@
+"""Readers over the test corpus and generic file sources.
+
+All batch scans are plain ``spark.read.parquet`` so Catalyst gets
+predicate pushdown + column pruning at the reader level for free
+(SURVEY.md §4).  At 100 TB the same call reads a partitioned table
+directory; nothing here assumes single files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schemas import TABLE_SCHEMAS
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLES = tuple(TABLE_SCHEMAS)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one corpus table (columnar parquet, pushdown-capable).
+
+    The corpus stores timestamps as TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` they arrive as raw nanos
+    longs, converted here with ``timestamp_micros(c div 1000)`` --
+    integer division, so no double-precision drift, and exactly the
+    nanos->micros truncation DuckDB (the oracle) applies.  The cast is
+    monotonic, so time-range predicates still prune row groups on the
+    underlying long column.
+    """
+    if name not in TABLE_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; have {sorted(TABLE_SCHEMAS)}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    expected = TABLE_SCHEMAS[name]
+    read_types = dict(df.dtypes)
+    for field in expected.fields:
+        if (
+            isinstance(field.dataType, T.TimestampType)
+            and read_types.get(field.name) == "bigint"
+        ):
+            df = df.withColumn(
+                field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in names}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Expose corpus tables to ``spark.sql`` under their bare names."""
+    for name in names or TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_json_logs(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines scan with an explicit schema (Table A10/A14 input shape).
+
+    Mirrors the Athena source table over Firehose's ``logs/`` prefix
+    (``sensor-log-compactor.py:34-35``) -- but schema-explicit, because
+    inference re-reads the whole input (unacceptable at scale) and
+    streaming sources require it anyway.
+    """
+    return spark.read.schema(schema).json(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema, header: bool = True) -> DataFrame:
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)

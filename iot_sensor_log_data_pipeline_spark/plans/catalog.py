@@ -1,0 +1,99 @@
+"""Registry pairing each engine query with its DuckDB oracle SQL.
+
+The driver contract (``__spark_entry__.py``) wants two dicts:
+``queries()`` (name -> callable(spark, sf_dir) -> DataFrame) and
+``oracle_sql()`` (name -> ANSI SQL).  Keeping both sides of each pair in
+one ``@register`` site makes drift between Spark plan and oracle SQL a
+code-review-visible bug instead of a cross-file hunt.
+
+Float discipline (SURVEY.md §7 risk register): the driver hash-compares
+values, and double aggregation order differs between Spark partial
+aggregation and DuckDB.  Every floating-point output column is therefore
+rounded identically on BOTH sides, with the rounding precision chosen so
+that accumulated summation error (~1e-12 relative) sits far below the
+rounding step for that column's magnitude.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import apply_runtime_confs
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: Modules that register queries on import (order = SURVEY.md §7 build plan).
+_QUERY_MODULES = (
+    "iot_sensor_log_data_pipeline_spark.plans.reference_queries",
+    "iot_sensor_log_data_pipeline_spark.plans.relational_queries",
+    "iot_sensor_log_data_pipeline_spark.plans.window_queries",
+    "iot_sensor_log_data_pipeline_spark.plans.function_queries",
+    "iot_sensor_log_data_pipeline_spark.plans.dedup_queries",
+    "iot_sensor_log_data_pipeline_spark.plans.similarity_queries",
+    "iot_sensor_log_data_pipeline_spark.plans.text_queries",
+)
+
+
+@dataclass(frozen=True)
+class CatalogEntry:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None => non-SQL-expressible; driver does rows-only
+    tags: tuple[str, ...] = field(default=())
+    doc: str = ""
+
+
+_REGISTRY: dict[str, CatalogEntry] = {}
+_LOADED = False
+
+
+def register(
+    name: str, oracle: str | None, tags: tuple[str, ...] = ()
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a catalog query.  ``oracle`` is DuckDB-runnable ANSI SQL
+    over the pre-registered corpus views, or None for rows-only checks."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate catalog query {name!r}")
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_runtime_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = CatalogEntry(
+            name=name, fn=wrapped, oracle=oracle, tags=tuple(tags), doc=fn.__doc__ or ""
+        )
+        return fn
+
+    return deco
+
+
+def _load() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    _LOADED = True
+
+
+def all_entries() -> dict[str, CatalogEntry]:
+    _load()
+    return dict(_REGISTRY)
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {name: e.fn for name, e in all_entries().items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {
+        name: e.oracle for name, e in all_entries().items() if e.oracle is not None
+    }

@@ -1,0 +1,313 @@
+"""Reference-parity analytics queries (SURVEY.md §2 Table A) over ``events``.
+
+The reference's entire published query surface is four Kibana/OpenSearch
+aggregations plus the producer/compactor row transforms.  ``events``
+(timestamped numeric measurements + JSON props) is the driver corpus's
+sensor-stream analogue, so each Table-A operator is expressed here over
+it as a one-pass DataFrame plan:
+
+- A20/A21 hourly averages  -> groupBy(hour-bucket).agg(avg)
+- A22/A23 histogram max    -> groupBy(floor(id/500)*500).agg(max)
+- A24 ascending group sort -> orderBy on the group key
+- A25 correlation          -> corr() (the reference eyeballed this)
+- A2/A3/A5 row transforms  -> struct flatten, ts format, to_json
+- A4 monotonic counter     -> row_number
+- A6-fix dedup             -> dropDuplicates on the natural key
+- A14 compaction SELECT    -> column projection
+
+Scale notes: every aggregation here is a partial+final hash aggregate
+(map-side combine, one shuffle on the group key); group-key cardinality
+is bounded (hours, 500-wide buckets), so state stays tiny at any data
+volume.  No collects, no cartesian products, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_utils import load
+from .catalog import register
+
+#: Reference hourly-index naming: OpenSearch rotation "Every hour"
+#: produces ``sensor-log-YYYY-MM-DD-HH`` (README.md:110); we keep the
+#: same ``YYYY-MM-DD-HH`` bucket as a partition-friendly string.
+HOUR_FMT_SPARK = "yyyy-MM-dd-HH"
+HOUR_FMT_DUCK = "%Y-%m-%d-%H"
+
+
+def log_hour(col: str = "ts") -> F.Column:
+    """Event-ingest-hour partition key (Table A11 rotation analogue)."""
+    return F.date_format(F.col(col), HOUR_FMT_SPARK).alias("log_hour")
+
+
+@register(
+    "hourly_avg_value",
+    oracle=f"""
+    SELECT strftime(ts, '{HOUR_FMT_DUCK}') AS log_hour,
+           round(avg(value), 6) AS avg_value,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    ORDER BY log_hour
+    """,
+    tags=("reference", "A20", "aggregation"),
+)
+def hourly_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly AVG -- the reference's headline chart (Table A20/A21,
+    ``assets/220715_average_temperature_bar.png``), ascending hour (A24)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(log_hour())
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("log_hour")
+    )
+
+
+@register(
+    "hourly_avg_by_type",
+    oracle=f"""
+    SELECT strftime(ts, '{HOUR_FMT_DUCK}') AS log_hour,
+           event_type,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY log_hour, event_type
+    """,
+    tags=("reference", "A20", "A21", "aggregation"),
+)
+def hourly_avg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20/A21 generalized to multiple measures: hourly average per
+    event_type (the reference ran one chart per metric; one grouped
+    plan covers all metrics in a single shuffle)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(log_hour(), F.col("event_type"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("log_hour", "event_type")
+    )
+
+
+@register(
+    "histogram_max_value",
+    oracle="""
+    SELECT CAST(floor(event_id / 500) * 500 AS BIGINT) AS bucket,
+           max(value) AS max_value,
+           min(value) AS min_value
+    FROM events
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    tags=("reference", "A22", "A23", "aggregation"),
+)
+def histogram_max_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-bucket MAX (Table A22/A23): the reference's Kibana line
+    chart buckets the monotonic ``count`` field into ~500-wide bins and
+    plots max(temperature).  ``event_id`` is the corpus's monotonic
+    counter.  min/max need no float rounding (no accumulation)."""
+    events = load(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("event_id") / 500) * 500).cast("long").alias("bucket")
+    return (
+        events.groupBy(bucket)
+        .agg(F.max("value").alias("max_value"), F.min("value").alias("min_value"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "value_props_corr",
+    oracle="""
+    SELECT round(corr(value, CAST(props ->> '$.k' AS DOUBLE)), 6) AS corr_value_k,
+           count(*) AS n
+    FROM events
+    """,
+    tags=("reference", "A25", "aggregation", "json"),
+)
+def value_props_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation (Table A25): the reference's stated analytic
+    objective (temp/humidity inverse relation, README.md:122-123) was
+    eyeballed from charts; the engine computes it.  Also exercises JSON
+    extraction from ``props`` (Table A5 inverse)."""
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return events.agg(
+        F.round(F.corr(F.col("value"), k), 6).alias("corr_value_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "hourly_corr",
+    oracle=f"""
+    SELECT strftime(ts, '{HOUR_FMT_DUCK}') AS log_hour,
+           round(corr(value, CAST(props ->> '$.k' AS DOUBLE)), 6) AS corr_value_k
+    FROM events
+    GROUP BY 1
+    HAVING count(*) >= 5
+    ORDER BY log_hour
+    """,
+    tags=("reference", "A25", "aggregation"),
+)
+def hourly_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour correlation (A25 x A20): what the reference would have
+    needed to actually quantify its hourly temp/humidity claim."""
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(log_hour())
+        .agg(
+            F.round(F.corr(F.col("value"), k), 6).alias("corr_value_k"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where(F.col("_n") >= 5)
+        .drop("_n")
+        .orderBy("log_hour")
+    )
+
+
+@register(
+    "row_transform_flatten",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           event_type,
+           value,
+           CAST(props ->> '$.k' AS BIGINT) AS prop_k,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("reference", "A2", "A3", "A5", "projection"),
+)
+def row_transform_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Producer row construction (Table A2/A3/A5): nest measurements into
+    a struct (the SenseHAT ``orientation`` dict analogue), then flatten
+    by struct-field projection -- exactly the ``sensor_publish.py:59-75``
+    un-nesting -- plus the ``'%Y-%m-%d %H:%M:%S'`` event-time formatting
+    of ``sensor_publish.py:62-63``.  Pure narrow projection: no shuffle."""
+    events = load(spark, sf_dir, "events")
+    nested = events.select(
+        "event_id",
+        F.struct(
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        ).alias("payload"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+    return nested.select(
+        "event_id",
+        F.col("payload.user_id").alias("user_id"),
+        F.col("payload.event_type").alias("event_type"),
+        F.col("payload.value").alias("value"),
+        F.col("payload.prop_k").alias("prop_k"),
+        "ts_str",
+    ).orderBy("event_id")
+
+
+@register(
+    "json_serialize",
+    oracle="""
+    SELECT event_id,
+           '{"event_type":"' || event_type || '","user_id":' || user_id || '}'
+               AS payload_json
+    FROM events
+    WHERE event_type IN ('purchase', 'error')
+    ORDER BY event_id
+    """,
+    tags=("reference", "A5", "json"),
+)
+def json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON sink-encode (Table A5, ``json.dumps`` at sensor_publish.py:80):
+    ``to_json(struct(...))`` -- the JVM-side serializer, not a Python UDF.
+    Filter comes first so Catalyst pushes it into the parquet scan."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.where(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "event_id",
+            F.to_json(F.struct("event_type", "user_id")).alias("payload_json"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "monotonic_sequence",
+    oracle="""
+    SELECT event_id,
+           row_number() OVER (ORDER BY ts, event_id) - 1 AS seq
+    FROM events
+    WHERE user_id = 7
+    ORDER BY event_id
+    """,
+    tags=("reference", "A4", "window"),
+)
+def monotonic_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic publish counter (Table A4, ``count`` at
+    sensor_publish.py:47,74,83) as a batch sequence: row_number over
+    event time.  Filtered to one device/user first -- a global
+    unpartitioned window is a single-task sort, so the scalable form
+    always sequences per device (as the producer does)."""
+    events = load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("ts", "event_id")
+    return (
+        events.where(F.col("user_id") == 7)
+        .select("event_id", (F.row_number().over(w) - 1).alias("seq"))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "dedup_at_least_once",
+    oracle="""
+    WITH doubled AS (SELECT * FROM events UNION ALL SELECT * FROM events)
+    SELECT count(*) AS n_after_dedup,
+           (SELECT count(*) FROM doubled) AS n_before_dedup
+    FROM (SELECT DISTINCT event_id FROM doubled)
+    """,
+    tags=("reference", "A6", "dedup"),
+)
+def dedup_at_least_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once correction (Table A6): MQTT QoS1
+    (``sensor_publish.py:81``) admits duplicate deliveries; the reference
+    never dedups.  Simulate redelivery (union with self) and collapse on
+    the natural key with dropDuplicates -- the batch analogue of
+    streaming ``dropDuplicatesWithinWatermark``."""
+    events = load(spark, sf_dir, "events")
+    doubled = events.unionByName(events)
+    n_before = doubled.count()
+    deduped = doubled.dropDuplicates(["event_id"])
+    return deduped.agg(
+        F.count(F.lit(1)).alias("n_after_dedup"),
+        F.lit(n_before).alias("n_before_dedup"),
+    )
+
+
+@register(
+    "compaction_projection",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("reference", "A14", "projection"),
+)
+def compaction_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CTAS compaction's ``SELECT {columns}`` projection (Table A14,
+    ``sensor-log-compactor.py:24,34-35``): column-pruned scan -- the
+    parquet reader reads only these columns (check ReadSchema in
+    explain).  The write/coalesce half lives in
+    ``operators/compaction.py`` and is exercised by tests."""
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )

@@ -1,0 +1,103 @@
+"""Local replica of the driver's DuckDB correctness gate.
+
+Runs a catalog query on Spark and its oracle SQL on DuckDB over the
+same parquet tables, then compares row count, column names/dtypes, and
+an order-insensitive canonical value set -- strictly (exact equality of
+canonicalized cells), which is the conservative approximation of the
+driver's value hash.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from iot_sensor_log_data_pipeline_spark.io_utils import TABLES, table_path
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+            )
+        return con.sql(sql).df()
+    finally:
+        con.close()
+
+
+def _canon_cell(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "<nan>"
+        if f == 0.0:
+            f = 0.0  # collapse -0.0
+        return repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return f"bool:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"int:{int(v)}"
+    if isinstance(v, (pd.Timestamp, datetime)):
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return "ts:" + ts.isoformat()
+    if isinstance(v, date):
+        return "date:" + v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return "bytes:" + v.hex()
+    if pd.isna(v):
+        return "<null>"
+    return "str:" + str(v)
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = [
+        tuple(_canon_cell(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
+    return sorted(rows)
+
+
+def compare_frames(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty == pass)."""
+    problems: list[str] = []
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        problems.append(
+            f"columns differ: spark={sorted(spark_df.columns)} "
+            f"oracle={sorted(oracle_df.columns)}"
+        )
+        return problems
+    if len(spark_df) != len(oracle_df):
+        problems.append(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
+    s_rows = canonical_rows(spark_df)
+    o_rows = canonical_rows(oracle_df)
+    if s_rows != o_rows:
+        diff_s = [r for r in s_rows if r not in set(o_rows)][:5]
+        diff_o = [r for r in o_rows if r not in set(s_rows)][:5]
+        problems.append(
+            f"values differ; spark-only (≤5): {diff_s}; oracle-only (≤5): {diff_o}"
+        )
+    return problems
+
+
+def check_query(spark, name: str, sf_dir: str) -> list[str]:
+    from iot_sensor_log_data_pipeline_spark.plans import catalog
+
+    entry = catalog.all_entries()[name]
+    spark_pdf = entry.fn(spark, sf_dir).toPandas()
+    if entry.oracle is None:
+        return [] if len(spark_pdf) >= 0 else ["spark query failed"]
+    oracle_pdf = run_oracle(entry.oracle, sf_dir)
+    return compare_frames(spark_pdf, oracle_pdf)

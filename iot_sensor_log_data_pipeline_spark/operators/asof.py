@@ -1,0 +1,107 @@
+"""As-of join: for each left row, the most recent right row at or
+before it (per key).  SURVEY.md §2 Table B ("as-of (nearest prior)").
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do), so this implements
+the union+window formulation:
+
+    union(left tagged, right tagged)
+      -> window per key ordered by (ts, side)        [rights first]
+      -> last(right_col, ignorenulls) over rows unbounded-preceding..current
+      -> keep left rows
+
+Why this beats the alternatives at 100 TB:
+- One shuffle on the join key + one in-partition sort -- identical cost
+  shape to the sort-merge join Spark would run for an equi-join.
+- No range-bucketing guesswork, no ``applyInPandas`` (which would move
+  every byte through Arrow into Python).
+- Skewed keys behave exactly like a skewed sort-merge join and are
+  handled by AQE the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_on: str,
+    right_on: str,
+    right_cols: dict[str, str],
+    *,
+    strict: bool = False,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Left as-of join.
+
+    Parameters
+    ----------
+    by : equality key columns (present in both sides).
+    left_on / right_on : event-time columns.
+    right_cols : mapping {right column -> output alias} to carry over.
+    strict : if True match strictly-before (``<``); default at-or-before
+        (``<=``, DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` semantics).
+    tolerance_seconds : if set, matches older than this are nulled out.
+    """
+    # Tag: right rows sort before left rows at equal ts for `<=`
+    # semantics, after for strict `<`.
+    right_tag, left_tag = (0, 1) if not strict else (1, 0)
+
+    left_payload = [c for c in left.columns if c not in by and c != left_on]
+    r_src = list(right_cols)
+
+    l_tagged = left.select(
+        *[F.col(c) for c in by],
+        F.col(left_on).alias("__ts"),
+        F.lit(left_tag).alias("__side"),
+        *[F.col(c) for c in left_payload],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in r_src],
+    )
+    r_tagged = right.select(
+        *[F.col(c) for c in by],
+        F.col(right_on).alias("__ts"),
+        F.lit(right_tag).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        *[F.col(c).alias(f"__r_{c}") for c in r_src],
+    )
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    unioned = l_tagged.unionByName(r_tagged)
+    matched = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in r_src
+        ],
+        F.last(
+            F.when(F.col("__side") == right_tag, F.col("__ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("__m_ts"),
+    ).where(F.col("__side") == F.lit(left_tag))
+
+    def _gate(col: Column) -> Column:
+        if tolerance_seconds is None:
+            return col
+        in_tol = (
+            F.col("__ts").cast("long") - F.col("__m_ts").cast("long")
+        ) <= F.lit(tolerance_seconds)
+        return F.when(in_tol, col)
+
+    out_cols = (
+        [F.col(c) for c in by]
+        + [F.col("__ts").alias(left_on)]
+        + [F.col(c) for c in left_payload]
+        + [_gate(F.col(f"__m_{c}")).alias(alias) for c, alias in right_cols.items()]
+        + [_gate(F.col("__m_ts")).alias(f"matched_{right_on}")]
+    )
+    return matched.select(*out_cols)

@@ -1,1 +1,766 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7)."""
+"""Relational surface (SURVEY.md §2 Table B): joins of every flavor,
+full aggregate set, rollup/cube/grouping-sets, set ops, top-k, pivot,
+sessionization -- over the TPC-H-ish corpus.
+
+Every query is a declarative DataFrame/SQL plan: Catalyst gets filter
+pushdown, column pruning and join selection; dimension joins broadcast
+explicitly (``F.broadcast``); fact-fact joins shuffle on their keys and
+are AQE-managed.  Float outputs are rounded per catalog policy
+(sums -> 2dp, ratios/avgs -> 6dp) identically in Spark and oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io_utils import load, load_tables
+from ..operators.asof import asof_join
+from .catalog import register
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "aggregation", "tpch"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical wide aggregate -- 8 measures in ONE
+    partial+final hash aggregate over a 4-group key (map-side combine
+    does ~all the work; the shuffle moves 4 rows per task at any SF)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("relational", "join", "tpch", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact join -> top-k.
+    ``customer`` (filtered) broadcasts; orders⋈lineitem shuffles on the
+    orderkey; LIMIT after ORDER BY is a TakeOrderedAndProject (no global
+    sort materialization).  Deterministic tiebreak on orderkey."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].where(
+        F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    li = t["lineitem"].where(
+        F.col("l_shipdate") > F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join.  All dimensions (customer, supplier,
+    nation, region) broadcast -- only orders⋈lineitem is a shuffle join,
+    so the plan stays one big-table pass at any scale."""
+    t = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    asia_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+    tags=("relational", "aggregation", "tpch", "pushdown"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate.  All three predicates
+    push to the parquet reader (row-group stats pruning on l_shipdate);
+    the aggregate is a single scalar -- the minimum-IO query shape."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount").between(0.02, 0.06))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r.r_name, n.n_name, count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r_name, n_name
+    """,
+    tags=("relational", "join", "broadcast"),
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension join (Table B): nation+region are tiny at ANY
+    scale factor (25/5 rows) -- broadcasting them removes both shuffles;
+    the plan is a single pass over customer."""
+    t = load_tables(spark, sf_dir, "customer", "nation", "region")
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "join_left_order_counts",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, count(*) AS n_customers
+    FROM per_cust
+    GROUP BY n_orders
+    ORDER BY n_orders
+    """,
+    tags=("relational", "join", "outer"),
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders (count(col)
+    skips the nulls the outer join introduces -- the SQL-correct zero)."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+@register(
+    "join_semi_anti_balance",
+    oracle="""
+    SELECT 'with_open_order' AS cohort, count(*) AS n_customers,
+           round(avg(c_acctbal), 6) AS avg_acctbal
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    UNION ALL
+    SELECT 'without_open_order' AS cohort, count(*) AS n_customers,
+           round(avg(c_acctbal), 6) AS avg_acctbal
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    ORDER BY cohort
+    """,
+    tags=("relational", "join", "semi", "anti"),
+)
+def join_semi_anti_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (existence / non-existence) -- the
+    planner turns both into broadcast hash joins with no row
+    duplication, unlike an equi-join + distinct."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    open_orders = t["orders"].where(F.col("o_orderstatus") == "O").select("o_custkey")
+    on = F.col("c_custkey") == F.col("o_custkey")
+
+    def cohort(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("cohort"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        ).select("cohort", "n_customers", "avg_acctbal")
+
+    semi = cohort(t["customer"].join(open_orders, on, "left_semi"), "with_open_order")
+    anti = cohort(
+        t["customer"].join(open_orders, on, "left_anti"), "without_open_order"
+    )
+    return semi.unionByName(anti).orderBy("cohort")
+
+
+@register(
+    "join_full_outer_nations",
+    oracle="""
+    WITH cust AS (
+      SELECT c_nationkey AS nationkey, count(*) AS n_customers
+      FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+    ),
+    supp AS (
+      SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT coalesce(cust.nationkey, supp.nationkey) AS nationkey,
+           coalesce(n_customers, 0) AS n_customers,
+           coalesce(n_suppliers, 0) AS n_suppliers
+    FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+    ORDER BY nationkey
+    """,
+    tags=("relational", "join", "outer"),
+)
+def join_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregated sides with coalesced keys --
+    the standard reconciliation shape (both sides pre-aggregated, so the
+    join input is tiny regardless of fact-table size)."""
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    cust = (
+        t["customer"]
+        .where(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        t["supplier"]
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, F.col("c_nk") == F.col("s_nk"), "full_outer")
+        .select(
+            F.coalesce("c_nk", "s_nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "join_theta_size_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('tiny', 1, 10), ('small', 11, 20), ('medium', 21, 35), ('large', 36, 50)
+    )
+    SELECT b.band, count(*) AS n_parts,
+           round(avg(p.p_retailprice), 6) AS avg_price
+    FROM part p JOIN bands b ON p.p_size BETWEEN b.lo AND b.hi
+    GROUP BY b.band
+    ORDER BY band
+    """,
+    tags=("relational", "join", "theta"),
+)
+def join_theta_size_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join against an inline band dimension: Spark
+    plans BroadcastNestedLoopJoin -- correct here because the broadcast
+    side is 4 rows; the fact side streams through once."""
+    part = load(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("tiny", 1, 10), ("small", 11, 20), ("medium", 21, 35), ("large", 36, 50)],
+        "band string, lo int, hi int",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (F.col("p_size") >= F.col("lo")) & (F.col("p_size") <= F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "join_asof_purchase_click",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           p.ts,
+           p.value,
+           c.value AS last_click_value,
+           c.ts AS matched_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+    tags=("relational", "join", "asof"),
+)
+def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (nearest prior event): for every purchase, the user's
+    most recent click at-or-before it.  Union+window implementation
+    (operators/asof.py) -- one shuffle + sort on user_id, the same cost
+    shape as a sort-merge join.  Oracle uses DuckDB's native ASOF JOIN."""
+    events = load(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_on="ts",
+        right_on="ts",
+        right_cols={"value": "last_click_value"},
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "value", "last_click_value", "matched_ts"
+    ).orderBy("event_id")
+
+
+@register(
+    "setops_user_cohorts",
+    oracle="""
+    SELECT 'purchasers_or_errorers' AS cohort, count(*) AS n_users FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      UNION
+      SELECT user_id FROM events WHERE event_type = 'error'
+    )
+    UNION ALL
+    SELECT 'purchasers_and_errorers', count(*) FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'error'
+    )
+    UNION ALL
+    SELECT 'purchasers_not_errorers', count(*) FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'error'
+    )
+    ORDER BY cohort
+    """,
+    tags=("relational", "setops"),
+)
+def setops_user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: union (distinct), intersect, except -- each plans
+    as an aggregate / semi / anti join respectively."""
+    events = load(spark, sf_dir, "events")
+    purch = events.where(F.col("event_type") == "purchase").select("user_id")
+    err = events.where(F.col("event_type") == "error").select("user_id")
+
+    def tally(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("cohort"), F.count(F.lit(1)).alias("n_users")
+        ).select("cohort", "n_users")
+
+    return (
+        tally(purch.union(err).distinct(), "purchasers_or_errorers")
+        .unionByName(tally(purch.intersect(err), "purchasers_and_errorers"))
+        .unionByName(tally(purch.subtract(err), "purchasers_not_errorers"))
+        .orderBy("cohort")
+    )
+
+
+@register(
+    "agg_full_set",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers,
+           round(sum(o_totalprice), 2) AS sum_price,
+           round(avg(o_totalprice), 6) AS avg_price,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           round(stddev_samp(o_totalprice), 6) AS stddev_price,
+           round(var_samp(o_totalprice), 0) AS var_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("relational", "aggregation"),
+)
+def agg_full_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full aggregate battery incl. exact count-distinct (which plans as
+    an expand + two-phase aggregate) and sample stddev/variance."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.round(F.stddev_samp("o_totalprice"), 6).alias("stddev_price"),
+            F.round(F.var_samp("o_totalprice"), 0).alias("var_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("relational", "aggregation", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``).  The approximate production path at 100 TB is
+    ``percentile_approx`` (t-digest-style sketch, mergeable map-side) --
+    exposed by agg_approx (rows-only, sketches are engine-specific)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", 0.5), 6).alias("median_qty"),
+            F.round(F.percentile("l_extendedprice", 0.25), 6).alias("p25_price"),
+            F.round(F.percentile("l_extendedprice", 0.75), 6).alias("p75_price"),
+            F.round(F.percentile("l_extendedprice", 0.95), 6).alias("p95_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_approx_sketches",
+    oracle=None,  # HLL++/GK sketches are engine-specific; rows-only check.
+    tags=("relational", "aggregation", "approx"),
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates -- the 100 TB path: HLL++ count-distinct
+    and quantile sketches are mergeable map-side, so the shuffle carries
+    kilobyte sketches instead of distinct values.  No oracle: sketch
+    results are engine-specific by design."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "rollup_order_status_priority",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+    """,
+    tags=("relational", "aggregation", "rollup"),
+)
+def rollup_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals; grouping() flags disambiguate the
+    all-group row from genuine nulls.  Plans as a single Expand +
+    aggregate -- one shuffle for all three grouping levels."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_priority",
+            "n_orders", "sum_price",
+        )
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "cube_lineitem_flags",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
+    tags=("relational", "aggregation", "cube"),
+)
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^n grouping combinations in one Expand+aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n")
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "grouping_sets_part",
+    oracle="""
+    SELECT p_brand,
+           p_type,
+           CAST(grouping(p_brand) AS BIGINT) AS g_brand,
+           CAST(grouping(p_type) AS BIGINT) AS g_type,
+           count(*) AS n_parts,
+           round(avg(p_retailprice), 6) AS avg_price
+    FROM part
+    GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+    ORDER BY g_brand, g_type, p_brand, p_type
+    """,
+    tags=("relational", "aggregation", "grouping-sets", "sql"),
+)
+def grouping_sets_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (the engine's SQL surface
+    is first-class: temp views over the same pushdown-capable scans)."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               p_type,
+               CAST(grouping(p_brand) AS BIGINT) AS g_brand,
+               CAST(grouping(p_type) AS BIGINT) AS g_type,
+               count(*) AS n_parts,
+               round(avg(p_retailprice), 6) AS avg_price
+        FROM part
+        GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+        ORDER BY g_brand, g_type, p_brand, p_type
+        """
+    )
+
+
+@register(
+    "pivot_daily_event_values",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS "day",
+           round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 4) AS "click",
+           round(sum(CASE WHEN event_type = 'error' THEN value ELSE 0 END), 4) AS "error",
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4) AS "purchase",
+           round(sum(CASE WHEN event_type = 'signup' THEN value ELSE 0 END), 4) AS "signup",
+           round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 4) AS "view"
+    FROM events
+    GROUP BY 1
+    ORDER BY "day"
+    """,
+    tags=("relational", "pivot"),
+)
+def pivot_daily_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no extra distinct-scan job;
+    mandatory at scale where a surprise high-cardinality pivot column
+    would explode the schema)."""
+    events = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.sum("value"))
+    )
+    return pivoted.select(
+        "day", *[F.round(F.coalesce(t, F.lit(0.0)), 4).alias(t) for t in types]
+    ).orderBy("day")
+
+
+@register(
+    "topk_orders_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("relational", "topk"),
+)
+def topk_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject --
+    per-partition heaps + driver merge of k rows, NOT a global sort.
+    Raw (unaggregated) doubles, so no rounding needed for the oracle."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           count(DISTINCT session_id) AS n_sessions,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("relational", "window", "sessionization"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap): lag + cumulative
+    sum of session-start flags.  One shuffle on user_id serves both
+    windows; the streaming twin is ``session_window`` (streaming layer)."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.select(
+        "user_id", F.sum("new_session").over(cum).alias("session_id")
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -43,13 +43,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     expected = TABLE_SCHEMAS[name]
     read_types = dict(df.dtypes)
     for field in expected.fields:
-        if (
-            isinstance(field.dataType, T.TimestampType)
-            and read_types.get(field.name) == "bigint"
-        ):
-            df = df.withColumn(
-                field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
-            )
+        if isinstance(field.dataType, T.TimestampType):
+            read_type = read_types.get(field.name)
+            if read_type == "bigint":
+                df = df.withColumn(
+                    field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
+                )
+            elif read_type == "timestamp_ntz":
+                # Session TZ is pinned to UTC, so NTZ -> LTZ is a pure
+                # type change (no instant shift) and matches the
+                # oracle's naive-UTC timestamps.
+                df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -1,1 +1,263 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7)."""
+"""Window-function surface (SURVEY.md §2 Table B): ranking, analytic,
+and frame-based windows.
+
+Every window here partitions by a real key (customer/user) -- a window
+without PARTITION BY collapses to a single task and is forbidden in
+this engine outside deliberately-filtered small inputs (see
+``monotonic_sequence``).  One shuffle per distinct partitioning serves
+all windows sharing it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io_utils import load
+from .catalog import register
+
+
+@register(
+    "window_top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    tags=("window", "topk"),
+)
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number -- the scalable top-k: per-group
+    state is k rows, no global sort.  Deterministic tiebreak on key."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "window_rank_functions",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_orderstatus, rnk
+    LIMIT 500
+    """,
+    tags=("window", "ranking"),
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking battery over one shared window spec (single sort)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        )
+        .orderBy("o_orderstatus", "rnk")
+        .limit(500)
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           value - lag(value) OVER w AS delta
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "analytic"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead (Table B analytic): event-over-event deltas per device --
+    the engine form of the reference's 'change of temperature over time'
+    chart (A22).  Subtraction of raw doubles is exact; no rounding."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.where(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+               AS moving_avg_7,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_in_frame
+    FROM events
+    WHERE user_id < 10
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "frame"),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row trailing moving average (rowsBetween frame) -- the natural
+    smoothing extension of the reference's hourly-average charts."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return (
+        events.where(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.avg("value").over(w), 6).alias("moving_avg_7"),
+            F.count(F.lit(1)).over(w).alias("n_in_frame"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "window_cumulative",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER w, 4) AS running_total,
+           count(*) OVER w AS running_count,
+           max(value) OVER w AS running_max
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "frame"),
+)
+def window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative (running) aggregates over an unbounded-preceding frame."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.where(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 4).alias("running_total"),
+            F.count(F.lit(1)).over(w).alias("running_count"),
+            F.max("value").over(w).alias("running_max"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "window_range_trailing_hour",
+    oracle="""
+    SELECT user_id, event_id,
+           count(*) OVER w AS events_last_hour,
+           round(sum(value) OVER w, 4) AS value_last_hour
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "frame", "range"),
+)
+def window_range_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on event time: per row, activity in the trailing hour
+    (epoch-second order key so Spark and the oracle share the exact
+    frame boundary semantics)."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return (
+        events.where(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("events_last_hour"),
+            F.round(F.sum("value").over(w), 4).alias("value_last_hour"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value)  OVER w AS last_val,
+           nth_value(value, 2) OVER w AS second_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY user_id
+    """,
+    tags=("window", "analytic"),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over the full-partition frame (the frame
+    must be explicit: Spark's default frame stops at CURRENT ROW, which
+    silently breaks last_value)."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        events.select(
+            "user_id",
+            F.first("value").over(w).alias("first_val"),
+            F.last("value").over(w).alias("last_val"),
+            F.nth_value("value", 2).over(w).alias("second_val"),
+        )
+        .distinct()
+        .orderBy("user_id")
+    )

@@ -1,0 +1,271 @@
+"""Deduplication operators (BASELINE.json north star: exact,
+MinHash+LSH, SimHash, n-gram Jaccard) over document tables.
+
+Scale design (the whole point of these operators at 100 TB):
+
+- Exact dedup never compares documents pairwise: hash-groupBy on the
+  text (or its md5) -- one shuffle keyed by content hash.
+- Near-dup NEVER does the O(n^2) cross join.  Candidate generation is
+  either a shared-shingle equi-join with stop-shingle frequency capping
+  (n-gram Jaccard) or a MinHash-LSH band equi-join (candidates ~ only
+  真 near-dups + tunable false positives); exact Jaccard verification
+  runs only on the candidate set.
+- All hashing is md5-based (content-derived, engine-portable) so the
+  DuckDB oracle can replay every stage bit-for-bit -- deliberately NOT
+  Spark's internal ``hash()``/``xxhash64`` (seeded differently across
+  engines; fine in production, unverifiable here).
+
+SimHash is the one operator kept Spark-side only (64 nested bit
+expressions make an oracle SQL unreadable); it gets a hand-computed
+pytest oracle instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+#: MinHash configuration: 16 permutations grouped into 4 bands of 4.
+#: With band-match probability ~ s^4 per band, the LSH S-curve crosses
+#: ~0.7 Jaccard -- tuned for "near-dup" detection.
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4
+ROWS_PER_BAND = MINHASH_PERMS // MINHASH_BANDS
+
+#: Shingles occurring in more than this many documents are dropped from
+#: candidate generation (classic stop-shingle pruning: a shingle shared
+#: by half the corpus carries no dedup signal but quadratic join cost).
+DEFAULT_MAX_SHINGLE_DF = 50
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``text`` (empty if < n tokens).
+
+    NB: guarded with ``when`` because ``sequence(0, -1)`` in Spark
+    produces a *descending* [0, -1], not an empty array.
+    """
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(df: DataFrame, cols: list[str], key_col: str) -> DataFrame:
+    """Keep exactly one row (minimum ``key_col``) per distinct ``cols``
+    combination.  Aggregation, not dropDuplicates: min-key survivor
+    choice is deterministic (dropDuplicates keeps an arbitrary row)."""
+    survivors = df.groupBy(*cols).agg(F.min(key_col).alias(key_col))
+    return df.join(survivors, on=[*cols, key_col], how="left_semi")
+
+
+def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Exploded (id, shingle) pairs -- the base relation for both
+    n-gram-Jaccard and MinHash paths."""
+    return docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Document pairs with shingle-set Jaccard >= threshold.
+
+    candidates: equi-join on shared shingles (stop-shingles dropped),
+    intersection size = count of shared shingles per pair, union via
+    |A| + |B| - |A∩B|.  One wide shuffle keyed by shingle, one keyed by
+    pair -- no cross join anywhere.
+    """
+    sh = shingle_table(docs, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_shingle_df)
+        .select("shingle")
+    )
+    sh_pruned = sh.join(rare, "shingle")
+
+    a = sh_pruned.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh_pruned.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    perms: int = MINHASH_PERMS,
+) -> DataFrame:
+    """(id, seed, min_hash) -- MinHash via seed-salted md5: the minimum
+    of ``md5(shingle || '#' || seed)`` over a doc's shingles is a valid
+    min-wise hash per seed (md5 hex compares lexicographically like the
+    underlying 128-bit integer).  Map-side: one explode + partial min."""
+    sh = shingle_table(docs, id_col, text_col, n)
+    seeded = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(perms - 1))).alias("seed"),
+        "shingle",
+    ).select(
+        id_col,
+        "seed",
+        F.md5(
+            F.concat_ws("#", F.col("shingle"), F.col("seed").cast("string")).cast(
+                "binary"
+            )
+        ).alias("h"),
+    )
+    return seeded.groupBy(id_col, "seed").agg(F.min("h").alias("min_hash"))
+
+
+def minhash_bands(
+    signatures: DataFrame, id_col: str = "doc_id", rows_per_band: int = ROWS_PER_BAND
+) -> DataFrame:
+    """(id, band_id, band_val): concatenate each band's ordered min-hashes
+    and re-hash -- the LSH bucket key."""
+    banded = signatures.withColumn("band_id", (F.col("seed") / rows_per_band).cast("int"))
+    return banded.groupBy(id_col, "band_id").agg(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("seed"), F.col("min_hash")))
+                    ),
+                    lambda s: s.getField("min_hash"),
+                ),
+            ).cast("binary")
+        ).alias("band_val")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH candidates + exact-Jaccard
+    verification.  The band equi-join emits ~only true near-dups; exact
+    Jaccard (shared-shingle counting, restricted to candidates) removes
+    LSH false positives.  No frequency cap needed -- banding already
+    bounds candidate volume."""
+    bands = minhash_bands(minhash_signatures(docs, id_col, text_col, n), id_col)
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    sh = shingle_table(docs, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(text: Column | str) -> Column:
+    """64-bit SimHash as a 64-char '0'/'1' bit-string.
+
+    Per distinct token: md5 -> first 16 hex chars -> 64 bits; each bit
+    votes +1/-1 into its lane; the final sign per lane is the SimHash
+    bit.  Entirely JVM-side via higher-order array functions (the
+    accumulator is a 64-long array folded with zip_with)."""
+    toks = F.array_distinct(tokens(text))
+    lanes = F.sequence(F.lit(0), F.lit(63))
+
+    def token_votes(t: Column) -> Column:
+        hx = F.substring(F.md5(t.cast("binary")), 1, 16)
+
+        def lane_bit(i: Column) -> Column:
+            nibble = F.conv(F.substring(hx, (i / 4).cast("int") + 1, 1), 16, 10).cast(
+                "int"
+            )
+            # mask = 2^(3 - i%4); pow is exact for these tiny exponents.
+            mask = F.pow(F.lit(2.0), (F.lit(3) - (i % 4)).cast("double")).cast("int")
+            return F.when(nibble.bitwiseAND(mask) > 0, F.lit(1)).otherwise(F.lit(-1))
+
+        return F.transform(lanes, lane_bit)
+
+    votes = F.aggregate(
+        toks,
+        F.transform(lanes, lambda _: F.lit(0)),
+        lambda acc, t: F.zip_with(acc, token_votes(t), lambda a, b: a + b),
+    )
+    bits = F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat_ws("", bits)
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two simhash bit-strings (0..64)."""
+    pairs = F.zip_with(
+        F.split(a, ""), F.split(b, ""), lambda x, y: (x != y).cast("int")
+    )
+    return F.aggregate(pairs, F.lit(0), lambda acc, v: acc + v).cast("long")

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (BASELINE.json north star:
+brute-force cosine top-k baseline + LSH-bucketed ANN scale path).
+
+Scale design:
+- Brute force is broadcast-queries x one-pass-over-corpus: the corpus
+  side NEVER shuffles its vectors; per (query, vector) the dot product
+  runs JVM-side (zip_with + aggregate fold -- sequential, so the oracle
+  reproduces the exact double summation order).  Top-k per query via
+  window row_number (per-partition heaps, no global sort).
+- The ANN path hashes vectors into random-hyperplane sign buckets
+  (classic SRP-LSH): candidates = vectors sharing at least one band's
+  bucket with the query; exact cosine re-ranks candidates only.  At
+  100 TB the bucket join replaces the full scan per query with a
+  fraction ~ (collision rate)^bands of the corpus.
+- Hyperplanes are derived deterministically (seeded NumPy) and shipped
+  as literal arrays in the plan (a few KB) -- no driver-side state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DIM = 64
+
+
+def _dbl(x: Column) -> Column:
+    return x.cast("double")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in doubles (JVM-side, exact order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _dbl(x) * _dbl(y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + _dbl(x) * _dbl(x))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    ``queries`` (small) is broadcast; the big side streams once.
+    Self-matches (same id) are excluded.  Deterministic tiebreak on
+    neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    scored = vectors.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("query_vec"), F.col(vec_col)).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def hyperplanes(n_planes: int, dim: int = DIM, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH (public SRP-LSH
+    construction: Charikar, STOC'02)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def srp_signature(
+    vec: Column, planes: list[list[float]], bands: int, rows_per_band: int
+) -> Column:
+    """Array of per-band bucket strings: each band concatenates the
+    signs of ``rows_per_band`` hyperplane projections."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(v) for v in plane])) >= 0, "1").otherwise("0")
+        for plane in planes
+    ]
+    return F.array(
+        *[
+            F.concat_ws(
+                "", *bits[b * rows_per_band : (b + 1) * rows_per_band]
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+    )
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: SRP-LSH band-bucket candidates, exact
+    cosine re-rank.  Recall grows with ``bands``; cost ~ corpus
+    fraction sharing a bucket (per band ~2^-rows_per_band for random
+    vectors)."""
+    planes = hyperplanes(bands * rows_per_band, seed=seed)
+
+    def with_bands(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            F.posexplode(
+                srp_signature(F.col(vec_col), planes, bands, rows_per_band)
+            ).alias("band_id", "bucket"),
+        )
+
+    vb = with_bands(vectors, "neighbor_id", "vec")
+    qb = with_bands(queries, "query_id", "query_vec")
+
+    cand = (
+        vb.join(F.broadcast(qb), ["band_id", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("query_vec").alias("query_vec"), F.first("vec").alias("vec"))
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("query_vec"), F.col("vec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )

@@ -1,0 +1,147 @@
+"""Text-analysis operators for the LLM-data-pipeline surface
+(BASELINE.json north star: "text analysis" over ``documents``).
+
+Everything here is a pure Column/DataFrame expression built from
+JVM-side functions -- no Python UDFs -- so the operators run inside
+whole-stage codegen and scale linearly with input (no shuffle except
+where aggregation is explicit).
+
+Cross-engine discipline: each expression has an exact DuckDB
+counterpart (see ``plans/text_queries.py``), so regex character
+classes are kept to RE2/Java-common subsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Minimal per-language stopword anchors for the n-gram/stopword
+#: language-ID heuristic.  Deliberately tiny and deterministic -- the
+#: operator's value is its *shape* (per-language token-hit scoring);
+#: swap in real wordlists for production.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "que", "en", "los"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit"),
+    "fr": ("le", "la", "les", "et", "de", "est", "dans"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"),
+}
+
+STOPWORDS: tuple[str, ...] = LANG_MARKERS["en"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (split on 1+ spaces, drop empties)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(col, " +"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text))).cast("long")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: runs of letters, runs of digits, and
+    single other non-space chars -- the regex approximation of a BPE
+    pre-tokenizer (pattern is RE2/Java-regex common subset)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(col, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).cast(
+        "long"
+    )
+
+
+def alpha_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are a-z (ASCII letters)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.length(F.regexp_replace(col, "[^a-z]", "")) / F.length(col)
+
+
+def space_ratio(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.length(F.regexp_replace(col, "[^ ]", "")) / F.length(col)
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Fraction of tokens that are (English) stopwords."""
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_token_length(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: rewards alphabetic
+    content, plausible token length (2..12 chars), and some lexical
+    diversity.  A linear blend so the oracle SQL is expressible."""
+    diversity = distinct_token_count(text) / F.greatest(token_count(text), F.lit(1))
+    len_ok = F.when(mean_token_length(text).between(2.0, 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    return 0.5 * alpha_ratio(text) + 0.3 * diversity + 0.2 * len_ok
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    # NB: a plain closure, not a defaulted lambda arg -- PySpark infers
+    # higher-order-function arity from the lambda signature, so
+    # ``lambda t, m=markers:`` would be called as a two-arg (value,
+    # index) lambda.
+    return F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("long")
+
+
+def language_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts (the language-ID signal)."""
+    toks = tokens(text)
+    return {
+        lang: _marker_hits(toks, markers) for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predicted_language(text: Column | str, default: str = "und") -> Column:
+    """argmax over language marker scores; ``und`` (undetermined) when
+    no marker hits.  Deterministic tie-break: language name order."""
+    scores = language_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(scores)
+        ]
+    )
+    best = F.array_max(F.filter(pairs, lambda p: p.getField("score") > 0))
+    return F.coalesce(best.getField("lang"), F.lit(default))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Canonical document fingerprint: md5 over the sorted distinct
+    token set -- robust to token order and repetition (the standard
+    'fingerprint clustering' key)."""
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text))))
+    return F.md5(canon.cast("binary"))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stats battery as columns (one projection pass)."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        distinct_token_count(t).alias("n_distinct_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.round(alpha_ratio(t), 6).alias("alpha_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(mean_token_length(t), 6).alias("mean_token_len"),
+        F.round(quality_score(t), 6).alias("quality"),
+        predicted_language(t).alias("pred_lang"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,1 +1,150 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7)."""
+"""Deduplication catalog queries (north star: exact, n-gram Jaccard,
+MinHash-LSH, SimHash) over ``documents``.
+
+The MinHash/Jaccard oracles replay the md5-based pipeline stage-for-
+stage in DuckDB SQL, so the correctness gate covers candidate
+generation AND verification, not just the final pair set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_utils import load
+from ..operators import dedup as DD
+from .catalog import register
+
+#: Shared DuckDB fragments: tokenization and distinct 3-gram shingles.
+_TOKS = "list_filter(string_split_regex(text, ' +'), t -> t <> '')"
+_SHINGLES_CTE = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    shingles AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(greatest(len(l) - 2, 0)),
+               i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS shingle
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    JOIN (SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text) s
+      ON d.doc_id = s.doc_id AND d.text = s.text
+    ORDER BY d.doc_id
+    """,
+    tags=("dedup", "north-star", "exact"),
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor (min doc_id) per distinct text via
+    hash-groupBy + semi join -- never a pairwise compare.  At 100 TB
+    group on md5(text) instead of the full text to shrink shuffle keys."""
+    docs = load(spark, sf_dir, "documents")
+    survivors = DD.exact_dedup(docs, ["text"], "doc_id")
+    return survivors.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    rare AS (
+      SELECT shingle FROM shingles GROUP BY shingle
+      HAVING count(*) <= {DD.DEFAULT_MAX_SHINGLE_DF}
+    ),
+    pruned AS (SELECT s.* FROM shingles s JOIN rare r ON s.shingle = r.shingle),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM pruned a JOIN pruned b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.n_common / (sa.set_size + sb.set_size - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_common / (sa.set_size + sb.set_size - i.n_common) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "north-star", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs: shared-shingle candidates with
+    stop-shingle frequency capping, exact Jaccard >= 0.6."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.6)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (
+      SELECT doc_id, seed, min(md5(shingle || '#' || seed)) AS min_hash
+      FROM shingles CROSS JOIN (SELECT unnest(range({DD.MINHASH_PERMS})) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // {DD.ROWS_PER_BAND} AS band_id,
+             md5(string_agg(min_hash, '|' ORDER BY seed)) AS band_val
+      FROM mh GROUP BY doc_id, seed // {DD.ROWS_PER_BAND}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN shingles a ON a.doc_id = c.id_a
+      JOIN shingles b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.n_common / (sa.set_size + sb.set_size - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_common / (sa.set_size + sb.set_size - i.n_common) >= 0.7
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "north-star", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (16 perms, 4 bands x 4): band-bucket
+    equi-join candidates, exact-Jaccard >= 0.7 verification.  The
+    oracle replays every stage (salted-md5 minhash, band re-hash,
+    candidate join, verification) in DuckDB."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.7)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # 64 nested bit expressions; validated by unit test instead.
+    tags=("dedup", "north-star", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 64-bit SimHash (bit-string form), entirely JVM-side
+    via higher-order array folds.  Hamming-distance pairing lives in
+    ``operators.dedup.simhash_hamming``; algorithm verified by a
+    hand-computed pytest oracle (tests/test_operators.py)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", DD.simhash64(F.col("text")).alias("simhash")
+    ).orderBy("doc_id")

@@ -1,1 +1,177 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7)."""
+"""Text-analysis catalog queries (north star: token counting, quality
+scoring, language-ID, fingerprinting) over ``documents``.
+
+Oracle discipline: every Spark expression has a DuckDB twin built from
+the same operand tree (same division operands, same blend order), so
+double results are bit-identical before the shared rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_utils import load
+from ..operators import text as TX
+from .catalog import register
+
+#: DuckDB fragments shared by several oracles.
+_TOKS = "list_filter(string_split_regex(text, ' +'), t -> t <> '')"
+_NTOK = f"len({_TOKS})"
+_NDIS = f"len(list_distinct({_TOKS}))"
+_ALPHA = "length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text)"
+_STOPS = "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
+_MEANLEN = (
+    f"list_sum(list_transform({_TOKS}, t -> CAST(length(t) AS DOUBLE)))"
+    f" / greatest({_NTOK}, 1)"
+)
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           lang,
+           {_NTOK} AS n_tokens,
+           {_NDIS} AS n_distinct_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+           round({_MEANLEN}, 6) AS mean_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "north-star"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, BPE-ish
+    regex tokens, mean token length -- all JVM-side expressions."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        TX.token_count(t).alias("n_tokens"),
+        TX.distinct_token_count(t).alias("n_distinct_tokens"),
+        TX.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.round(TX.mean_token_length(t), 6).alias("mean_token_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round({_ALPHA}, 6) AS alpha_ratio,
+           round(len(list_filter({_TOKS}, t -> list_contains({_STOPS}, t)))
+                 / greatest({_NTOK}, 1), 6) AS stopword_ratio,
+           round(0.5 * ({_ALPHA})
+               + 0.3 * ({_NDIS} / greatest({_NTOK}, 1))
+               + 0.2 * (CASE WHEN {_MEANLEN} BETWEEN 2.0 AND 12.0
+                             THEN 1.0 ELSE 0.0 END), 6) AS quality
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "north-star"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: alpha ratio, stopword ratio, and the blended
+    [0,1] quality heuristic used for corpus filtering."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(TX.alpha_ratio(t), 6).alias("alpha_ratio"),
+        F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(TX.quality_score(t), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+_LANG_SCORE = {
+    lang: (
+        "len(list_filter("
+        + _TOKS
+        + ", t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in markers)
+        + "], t)))"
+    )
+    for lang, markers in TX.LANG_MARKERS.items()
+}
+_LANG_PAIRS = ", ".join(
+    f"{{'score': CAST({_LANG_SCORE[lang]} AS BIGINT), 'lang': '{lang}'}}"
+    for lang in sorted(TX.LANG_MARKERS)
+)
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    SELECT doc_id,
+           lang,
+           coalesce(
+             list_max(list_filter([{_LANG_PAIRS}], p -> p.score > 0)).lang,
+             'und') AS pred_lang
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "north-star", "langid"),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax of per-language stopword-marker
+    hit counts (struct-max gives a deterministic tiebreak)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", TX.predicted_language(F.col("text")).alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint_clusters",
+    oracle=f"""
+    SELECT md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint,
+           count(*) AS n_docs,
+           min(doc_id) AS canonical_doc
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) > 1
+    ORDER BY n_docs DESC, fingerprint
+    """,
+    tags=("text", "north-star", "fingerprint"),
+)
+def text_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the sorted distinct token set
+    clusters docs that are permutations/repetitions of the same
+    vocabulary -- the cheap first pass before MinHash."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), F.asc("fingerprint"))
+    )
+
+
+@register(
+    "text_top_tokens",
+    oracle=f"""
+    SELECT w AS token, count(*) AS n
+    FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+    GROUP BY w
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+    tags=("text", "explode"),
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies (explode -> count -> top-k): the UDTF-
+    shaped operation (Table B: explode of array-producing expression)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )

@@ -1,0 +1,67 @@
+"""Multimodal-column catalog queries (north star): binary media
+columns with typed metadata; metadata stays oracle-checked, the
+Arrow-batched feature/frame paths are rows-only (pandas-UDF output,
+validated structurally in tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_utils import load
+from ..operators import multimodal as MM
+from .catalog import register
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           'image' AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "north-star"),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque media blobs: the query shape that
+    must NEVER read the blob column (parquet prunes it away; only the
+    metadata struct is scanned at 100 TB)."""
+    media = MM.attach_fake_media(load(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        F.col("meta.kind").alias("kind"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_byte_histogram",
+    oracle=None,  # mapInPandas feature path; structure verified in tests.
+    tags=("multimodal", "north-star", "pandas-udf"),
+)
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary media via Arrow-batched
+    ``mapInPandas`` (the stubbed-decode pipeline: real batching, fake
+    features)."""
+    media = MM.attach_fake_media(load(spark, sf_dir, "documents"))
+    return MM.extract_features(media).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,  # mapInPandas explode path; structure verified in tests.
+    tags=("multimodal", "north-star", "pandas-udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over 'video' blobs (every 4th fixed-size frame),
+    one output row per kept frame."""
+    media = MM.attach_fake_media(load(spark, sf_dir, "documents"), kind="video")
+    frames = MM.sample_frames(media, every_k=4)
+    return frames.select(
+        "doc_id", "frame_id", F.octet_length("frame").cast("long").alias("frame_bytes")
+    ).orderBy("doc_id", "frame_id")

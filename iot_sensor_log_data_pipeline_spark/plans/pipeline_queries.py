@@ -1,0 +1,239 @@
+"""Pipeline-lifecycle catalog queries: source-format scans (JSON/CSV
+roundtrips), the compaction job end-to-end, and the sensor simulator's
+golden-shape analytics -- each verified against the DuckDB oracle on
+the ORIGINAL corpus (so the whole write->read->aggregate cycle must be
+lossless to pass).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_utils import load
+from ..operators.compaction import compact_json_logs
+from ..schemas import EVENTS
+from ..sources.sensor import sensor_batch
+from .catalog import register
+
+SCRATCH = os.environ.get("ENGINE_SCRATCH_DIR", "/tmp/engine_scratch")
+
+
+def _scratch(name: str) -> str:
+    path = os.path.join(SCRATCH, name)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+@register(
+    "scan_json_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS min_ts
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("pipeline", "source", "json"),
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+scan (Table A10/A14 storage layout): write the
+    events table as JSON files, scan them back with the explicit schema,
+    aggregate -- must equal aggregating the original parquet, proving
+    the JSON codec is lossless for every column type (timestamps
+    included, micros preserved)."""
+    path = _scratch("json_roundtrip")
+    # Default JSON timestampFormat is millis -- write/read micros
+    # explicitly or the roundtrip silently truncates event times.
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    (
+        load(spark, sf_dir, "events")
+        .write.mode("overwrite")
+        .option("timestampFormat", ts_fmt)
+        .json(path)
+    )
+    back = spark.read.schema(EVENTS).option("timestampFormat", ts_fmt).json(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("min_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("pipeline", "source", "csv"),
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+scan (Table B CSV source): header=true write, explicit-
+    schema read (never inferSchema -- it double-scans the input)."""
+    path = _scratch("csv_roundtrip")
+    (
+        load(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+    from ..schemas import ORDERS
+
+    back = (
+        spark.read.schema(ORDERS)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "compaction_roundtrip",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d-%H') AS log_hour,
+           count(*) AS n,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1
+    ORDER BY log_hour
+    """,
+    tags=("pipeline", "compaction", "A14"),
+)
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's compaction job end-to-end (Table A13-A17): land
+    events as many small JSON files ('logs/', the Firehose flushes),
+    fire the count-gated compactor (parity mode: coalesce(1) + GZIP,
+    timestamped dest), scan the compacted output, and run the A20
+    hourly aggregate -- which must match aggregating the pristine
+    corpus.  Exercises trigger predicate, projection, single-file GZIP
+    write, source truncation, and lossless re-scan in one query."""
+    from datetime import datetime
+
+    logs = _scratch("compaction_logs")
+    dest_root = _scratch("compaction_out")
+
+    events = load(spark, sf_dir, "events")
+    wire = events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    wire.repartition(10).write.mode("overwrite").json(logs)
+
+    import pyspark.sql.types as T
+
+    wire_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    result = compact_json_logs(
+        spark,
+        logs,
+        os.path.join(dest_root, "events_compacted"),
+        run_ts=datetime(2022, 7, 15, 5, 0),  # deterministic dest suffix
+        schema=wire_schema,
+        mode="parity",
+    )
+    back = spark.read.schema(wire_schema).json(result.dest)
+    return (
+        back.select(F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"), "value")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd-HH").alias("log_hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("log_hour")
+    )
+
+
+@register(
+    "sensor_hourly_golden",
+    oracle="""
+    WITH g AS (SELECT unnest(generate_series(0, 49999)) AS id),
+    s AS (
+      SELECT TIMESTAMP '2022-07-14 15:00:00' + to_seconds(id) AS ts,
+             34.0 + 6.0 * sin(CAST(id AS DOUBLE) / 3600.0 * 2 * pi() / 14.0)
+               AS temperature,
+             58.0 - 15.0 * sin(CAST(id AS DOUBLE) / 3600.0 * 2 * pi() / 14.0)
+               AS humidity
+      FROM g
+    )
+    SELECT strftime(ts, '%Y-%m-%d-%H') AS log_hour,
+           round(avg(temperature), 6) AS avg_temperature,
+           round(avg(humidity), 6) AS avg_humidity,
+           count(*) AS n
+    FROM s
+    GROUP BY 1
+    ORDER BY log_hour
+    """,
+    tags=("pipeline", "sensor", "A20", "A21"),
+)
+def sensor_hourly_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's published run, reproduced: ~50,000 messages at
+    1 Hz from 2022-07-14 15:00 UTC (BASELINE.md run volume + index
+    names), aggregated into the A20/A21 hourly bar charts.  The oracle
+    regenerates the same deterministic sensor series in SQL -- engine
+    and oracle must agree on generator AND aggregate."""
+    sensors = sensor_batch(spark, 50_000)
+    return (
+        sensors.groupBy(F.date_format("timestamp", "yyyy-MM-dd-HH").alias("log_hour"))
+        .agg(
+            F.round(F.avg("temperature"), 6).alias("avg_temperature"),
+            F.round(F.avg("humidity"), 6).alias("avg_humidity"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("log_hour")
+    )
+
+
+@register(
+    "sensor_wire_roundtrip",
+    oracle=None,  # wire format is engine-internal; equality asserted in tests.
+    tags=("pipeline", "sensor", "A5", "A6"),
+)
+def sensor_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Producer wire-format cycle (Table A5): rows -> to_json wire ->
+    from_json rows, then the QoS1 dedup (A6 fix) over a doubled stream;
+    returns per-hour counts after dedup (must equal the single-copy
+    counts)."""
+    from ..sources.sensor import from_wire, to_wire
+
+    sensors = sensor_batch(spark, 5_000)
+    wire = to_wire(sensors)
+    decoded = from_wire(wire.unionByName(wire))  # QoS1 redelivery
+    deduped = decoded.dropDuplicates(["client_id", "count"])
+    return (
+        deduped.groupBy(
+            F.date_format("timestamp", "yyyy-MM-dd-HH").alias("log_hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("log_hour")
+    )

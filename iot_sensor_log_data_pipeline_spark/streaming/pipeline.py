@@ -1,0 +1,145 @@
+"""Structured-Streaming pipeline assembly: the reference's cloud path
+(MQTT -> Kinesis fan-out -> {file sink, hourly indices + aggregates})
+as streaming DataFrame queries (SURVEY.md §3.1 Spark restatement).
+
+Kappa layout: ONE source stream, N independent ``writeStream`` queries
+with separate checkpoints = the Kinesis multi-consumer fan-out (Table
+A9).  Watermarks bound state so every windowed aggregate here runs
+indefinitely at any rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def with_log_hour(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
+    """Attach the hourly partition key (Table A11: OpenSearch 'Every
+    hour' index rotation, README.md:110 -> ``partitionBy("log_hour")``)."""
+    return df.withColumn("log_hour", F.date_format(ts_col, "yyyy-MM-dd-HH"))
+
+
+def dedup_qos1(
+    df: DataFrame, ts_col: str = "timestamp", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Correct the reference's at-least-once delivery (Table A6: MQTT
+    QoS1, ``sensor_publish.py:81``): exactly-once-equivalent rows via
+    keyed dedup within a watermark.  State = one entry per (client_id,
+    count) inside the watermark horizon -- bounded, scale-safe."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["client_id", "count"]
+    )
+
+
+def hourly_rollup(
+    df: DataFrame, ts_col: str = "timestamp", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming A20/A21: tumbling 1-hour window avg per device.
+    Partial aggregation happens per micro-batch; the watermark lets
+    Spark emit+evict closed windows (append mode)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 hour").alias("w"), F.col("client_id"))
+        .agg(
+            F.round(F.avg("temperature"), 6).alias("avg_temperature"),
+            F.round(F.avg("humidity"), 6).alias("avg_humidity"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd-HH").alias("log_hour"),
+            "client_id", "avg_temperature", "avg_humidity", "n_rows",
+        )
+    )
+
+
+def sliding_window_stats(
+    df: DataFrame,
+    ts_col: str = "timestamp",
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window extension (Table B): overlapping windows -- the
+    smoothed version of the hourly chart."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(
+            F.round(F.avg("temperature"), 6).alias("avg_temperature"),
+            F.max("temperature").alias("max_temperature"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "avg_temperature",
+            "max_temperature",
+        )
+    )
+
+
+def session_windows(
+    df: DataFrame,
+    ts_col: str = "timestamp",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session-window extension (Table B): activity sessions closed by
+    a 30-minute gap (streaming twin of the batch ``sessionize_events``)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col("client_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "client_id",
+            "n_rows",
+        )
+    )
+
+
+def start_partitioned_file_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "json",
+    trigger_seconds: int = 60,
+) -> StreamingQuery:
+    """Table A10+A11: the Firehose-style micro-batch buffered file sink,
+    partitioned by ingest hour.  Each micro-batch flush = one Firehose
+    buffer flush; ``partitionBy`` = the hourly index rotation."""
+    return (
+        with_log_hour(df)
+        .writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("log_hour")
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .outputMode("append")
+        .start()
+    )
+
+
+def start_memory_sink(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> StreamingQuery:
+    """Dev/test sink (Table B console/memory row)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def start_fanout(
+    df: DataFrame, sinks: list, checkpoints: list[str]
+) -> list[StreamingQuery]:
+    """Table A9: N consumers of one stream = N independent queries with
+    independent checkpoints (their offsets are the consumer positions)."""
+    queries = []
+    for build_sink, _cp in zip(sinks, checkpoints):
+        queries.append(build_sink(df))
+    return queries

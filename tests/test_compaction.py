@@ -1,0 +1,103 @@
+"""Compaction maintenance-job tests (Table A13-A17), including the
+reference's edge cases it crashes on (empty prefix, SURVEY.md §2)."""
+
+from __future__ import annotations
+
+import gzip
+import os
+from datetime import datetime
+
+from iot_sensor_log_data_pipeline_spark.operators.compaction import (
+    compact_json_logs,
+    list_log_files,
+    run_compaction_cycle,
+    should_compact,
+)
+from iot_sensor_log_data_pipeline_spark.schemas import SENSOR_LOG_WIRE
+from iot_sensor_log_data_pipeline_spark.sources.sensor import sensor_batch, to_wire
+
+
+def _land_logs(spark, path, n_rows=300, n_files=5):
+    wire = to_wire(sensor_batch(spark, n_rows))
+    wire.repartition(n_files).write.mode("overwrite").text(path)
+
+
+def test_compaction_parity_gzip_single_file(spark, tmp_path):
+    logs = str(tmp_path / "logs")
+    _land_logs(spark, logs, n_rows=300, n_files=5)
+    assert should_compact(logs, threshold=5)
+
+    res = compact_json_logs(
+        spark,
+        logs,
+        str(tmp_path / "sensor_compacted"),
+        run_ts=datetime(2022, 7, 15, 5, 30),
+        mode="parity",
+    )
+    assert res.dest.endswith("sensor_compacted_202207150530")  # A15 naming
+    assert res.n_rows == 300
+    assert res.n_input_files >= 5
+    gz = [f for f in os.listdir(res.dest) if f.endswith(".json.gz")]
+    assert len(gz) == 1  # bucket_count=1 + GZIP
+    with gzip.open(os.path.join(res.dest, gz[0]), "rt") as fh:
+        assert sum(1 for _ in fh) == 300
+    assert list_log_files(logs) == []  # A17 truncation after commit
+
+
+def test_compaction_column_projection(spark, tmp_path):
+    logs = str(tmp_path / "logs")
+    _land_logs(spark, logs)
+    res = compact_json_logs(
+        spark,
+        logs,
+        str(tmp_path / "out"),
+        columns=["client_id", "timestamp", "temperature"],  # COLUMN_NAMES env analogue
+        run_ts=datetime(2022, 7, 15, 6, 0),
+        mode="parity",
+    )
+    back = spark.read.json(res.dest)
+    assert sorted(back.columns) == ["client_id", "temperature", "timestamp"]
+
+
+def test_compaction_empty_prefix_is_noop(spark, tmp_path):
+    # The reference Lambda crashes here (sensor-log-compactor.py:129).
+    res = compact_json_logs(spark, str(tmp_path / "nope"), str(tmp_path / "out"))
+    assert res.n_rows == 0 and res.n_input_files == 0 and res.dest == ""
+
+
+def test_compaction_below_threshold_does_nothing(spark, tmp_path):
+    logs = str(tmp_path / "logs")
+    _land_logs(spark, logs, n_files=3)
+    assert run_compaction_cycle(spark, logs, str(tmp_path / "out"), threshold=100) is None
+    assert len(list_log_files(logs)) >= 3  # inputs untouched
+
+
+def test_compaction_idiomatic_parquet(spark, tmp_path):
+    logs = str(tmp_path / "logs")
+    _land_logs(spark, logs, n_rows=500)
+    res = compact_json_logs(
+        spark,
+        logs,
+        str(tmp_path / "out"),
+        run_ts=datetime(2022, 7, 15, 7, 0),
+        mode="idiomatic",
+    )
+    back = spark.read.parquet(res.dest)
+    assert back.count() == 500
+    assert dict(back.dtypes)["temperature"] == "double"
+
+
+def test_compaction_many_files_pagination_case(spark, tmp_path):
+    # The reference lists one S3 page (<=1000 keys); verify >1000 files
+    # compact completely (its :128-133 pagination bug case, SURVEY §5).
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    lines = [r["value"] for r in to_wire(sensor_batch(spark, 1200)).collect()]
+    for i, line in enumerate(lines[:1050]):
+        (logs / f"part-{i:05d}.json").write_text(line + "\n")
+    assert len(list_log_files(str(logs))) == 1050
+    res = compact_json_logs(
+        spark, str(logs), str(tmp_path / "out"), run_ts=datetime(2022, 7, 15, 8, 0)
+    )
+    assert res.n_rows == 1050
+    assert list_log_files(str(logs)) == []

@@ -1,0 +1,72 @@
+"""Multimodal plumbing tests: binary columns, metadata structs, and the
+Arrow-batched mapInPandas feature/frame paths (stubbed codecs, real
+Spark mechanics)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_sensor_log_data_pipeline_spark.operators import multimodal as MM
+
+
+@pytest.fixture
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world"), (2, "a" * 200), (3, "mixed 123 !?")],
+        "doc_id long, text string",
+    )
+
+
+def test_attach_fake_media_metadata(spark, docs):
+    media = MM.attach_fake_media(docs)
+    rows = {r["doc_id"]: r for r in media.collect()}
+    assert bytes(rows[1]["media"]) == b"hello world"
+    assert rows[1]["meta"]["n_bytes"] == 11
+    assert rows[1]["meta"]["kind"] == "image"
+    assert rows[1]["meta"]["checksum"] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_extract_features_histogram(spark, docs):
+    feats = {r["doc_id"]: r for r in MM.extract_features(MM.attach_fake_media(docs)).collect()}
+    assert feats[2]["n_bytes"] == 200
+    hist = feats[2]["byte_hist"]
+    assert len(hist) == MM.N_HIST_BINS
+    # 'a' == 0x61 -> bin 6; all mass in one bin.
+    assert hist[0x61 * MM.N_HIST_BINS // 256] == 1.0
+    assert abs(sum(feats[1]["byte_hist"]) - 1.0) < 1e-6
+
+
+def test_sample_frames_chunking(spark, docs):
+    frames = MM.sample_frames(MM.attach_fake_media(docs, kind="video"), every_k=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 2: 200 bytes -> 4 frames of 64 -> keep frames 0, 2.
+    assert sorted(f["frame_id"] for f in by_doc[2]) == [0, 2]
+    f0 = next(f for f in by_doc[2] if f["frame_id"] == 0)
+    assert len(bytes(f0["frame"])) == MM.FRAME_BYTES
+    # doc 1: 11 bytes -> 1 frame, kept.
+    assert [f["frame_id"] for f in by_doc[1]] == [0]
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG...")
+
+
+def test_metadata_query_prunes_blob_column(spark, docs, tmp_path):
+    # The scale property: metadata-only scans must not read the blob.
+    import contextlib
+    import io
+
+    path = str(tmp_path / "media")
+    MM.attach_fake_media(docs).write.mode("overwrite").parquet(path)
+    scan = spark.read.parquet(path).select("doc_id", "meta.n_bytes")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain(mode="formatted")
+    read_schema = buf.getvalue().split("ReadSchema")[-1]
+    assert "media" not in read_schema and "n_bytes" in read_schema

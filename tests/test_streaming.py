@@ -1,0 +1,146 @@
+"""Structured-Streaming semantics tests (SURVEY.md §5 point 5):
+file-source streams driven to completion with memory sinks, the QoS1
+dedup, windowed rollups vs their batch twins, and the count-based
+compaction trigger end-to-end."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_sensor_log_data_pipeline_spark.schemas import SENSOR_LOG
+from iot_sensor_log_data_pipeline_spark.sources.sensor import sensor_batch
+from iot_sensor_log_data_pipeline_spark.streaming import pipeline as P
+from iot_sensor_log_data_pipeline_spark.streaming.trigger import (
+    CountTriggeredCompactor,
+    attach,
+)
+
+
+@pytest.fixture
+def scratch(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("stream"))
+
+
+def _sensor_stream_from_dir(spark, path):
+    return spark.readStream.schema(SENSOR_LOG).parquet(path)
+
+
+def _run_to_memory(df, name, mode="append"):
+    q = P.start_memory_sink(df, name, output_mode=mode)
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_hourly_rollup_matches_batch(spark, scratch):
+    data_dir = os.path.join(scratch, "in")
+    batch = sensor_batch(spark, 10_000)  # ~2.8 hours of 1 Hz data
+    batch.write.mode("overwrite").parquet(data_dir)
+
+    name = f"rollup_{uuid.uuid4().hex[:8]}"
+    stream = _sensor_stream_from_dir(spark, data_dir)
+    _run_to_memory(P.hourly_rollup(stream), name, mode="complete")
+    got = {
+        (r["log_hour"], r["client_id"]): (r["avg_temperature"], r["n_rows"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    expected = {
+        (r["log_hour"], r["client_id"]): (r["avg_temperature"], r["n_rows"])
+        for r in (
+            batch.groupBy(
+                F.date_format("timestamp", "yyyy-MM-dd-HH").alias("log_hour"),
+                "client_id",
+            )
+            .agg(
+                F.round(F.avg("temperature"), 6).alias("avg_temperature"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .collect()
+        )
+    }
+    assert got == expected
+
+
+def test_dedup_qos1_drops_redeliveries(spark, scratch):
+    data_dir = os.path.join(scratch, "in")
+    batch = sensor_batch(spark, 500)
+    doubled = batch.unionByName(batch)  # QoS1 redelivery of every message
+    doubled.write.mode("overwrite").parquet(data_dir)
+
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    stream = _sensor_stream_from_dir(spark, data_dir)
+    _run_to_memory(P.dedup_qos1(stream), name)
+    rows = spark.sql(f"SELECT count(*) AS n, count(DISTINCT count) AS d FROM {name}").collect()[0]
+    assert rows["n"] == 500  # every duplicate dropped
+    assert rows["d"] == 500
+
+
+def test_sliding_and_session_windows_run(spark, scratch):
+    data_dir = os.path.join(scratch, "in")
+    sensor_batch(spark, 3_000).write.mode("overwrite").parquet(data_dir)
+    stream = _sensor_stream_from_dir(spark, data_dir)
+
+    name = f"slide_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(P.sliding_window_stats(stream), name, mode="complete")
+    slide_rows = spark.sql(f"SELECT * FROM {name}").collect()
+    # 3000s of data / 5-min slide -> ~11 overlapping windows
+    assert len(slide_rows) >= 9
+    assert all(r["max_temperature"] >= r["avg_temperature"] for r in slide_rows)
+
+    name2 = f"sess_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(P.session_windows(stream), name2, mode="complete")
+    sess = spark.sql(f"SELECT * FROM {name2}").collect()
+    # Continuous 1 Hz data with a 30-min gap -> exactly one session.
+    assert len(sess) == 1 and sess[0]["n_rows"] == 3_000
+
+
+def test_partitioned_file_sink_layout(spark, scratch):
+    data_dir = os.path.join(scratch, "in")
+    out_dir = os.path.join(scratch, "out")
+    cp = os.path.join(scratch, "cp")
+    sensor_batch(spark, 7_200).write.mode("overwrite").parquet(data_dir)
+
+    stream = _sensor_stream_from_dir(spark, data_dir)
+    q = P.start_partitioned_file_sink(stream, out_dir, cp, trigger_seconds=1)
+    q.processAllAvailable()
+    q.stop()
+
+    # Hourly directory layout (Table A11) + lossless re-read: 7200 s
+    # from 15:00:00 spans exactly hours 15 and 16.
+    parts = sorted(d for d in os.listdir(out_dir) if d.startswith("log_hour="))
+    assert parts == ["log_hour=2022-07-14-15", "log_hour=2022-07-14-16"]
+    back = spark.read.schema(SENSOR_LOG).json(out_dir)
+    assert back.count() == 7_200
+
+
+def test_count_triggered_compactor(spark, scratch):
+    data_dir = os.path.join(scratch, "in")
+    logs = os.path.join(scratch, "logs")
+    dest = os.path.join(scratch, "compacted")
+    cp = os.path.join(scratch, "cp")
+    sensor_batch(spark, 1_000).repartition(6).write.mode("overwrite").parquet(data_dir)
+
+    compactor = CountTriggeredCompactor(
+        logs_dir=logs, dest_base=dest, threshold=3, mode="parity"
+    )
+    stream = _sensor_stream_from_dir(spark, data_dir)
+    q = attach(stream, compactor, cp)
+    q.processAllAvailable()
+    q.stop()
+
+    # The batch landed >=3 files -> the gate fired at least once.
+    assert compactor.results, "count trigger never fired"
+    res = compactor.results[-1]
+    assert res.n_rows == 1_000
+    assert res.cleaned
+    # GZIP single-file parity output (bucket_count=1 + GZIP).
+    gz = [f for f in os.listdir(res.dest) if f.endswith(".json.gz")]
+    assert len(gz) == 1
+    # Input prefix truncated (Table A17) -- no data files remain.
+    from iot_sensor_log_data_pipeline_spark.operators.compaction import list_log_files
+
+    assert list_log_files(logs) == []

@@ -61,6 +61,24 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {name: load(spark, sf_dir, name) for name in names}
 
 
+def parallelize_small(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the scan under-parallelizes.
+
+    The test corpus ships one small parquet file per table -> one input
+    split -> expression-heavy operators (JSON parse, regex, simhash)
+    run on a single core.  At production scale the scan already yields
+    ~one split per 128MB and this is a no-op (the partition check keeps
+    it adaptive); the repartition is only ever applied to inputs small
+    enough that shuffling them is trivially cheap.
+    """
+    from .session import default_parallelism
+
+    target = min_partitions or default_parallelism()
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Expose corpus tables to ``spark.sql`` under their bare names."""
     for name in names or TABLES:

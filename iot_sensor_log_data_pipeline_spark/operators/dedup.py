@@ -79,9 +79,10 @@ def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
     exactly the partitioning every downstream groupBy wants."""
     from pyspark.sql.window import Window
 
+    from ..io_utils import parallelize_small
     from .text import tokens
 
-    toks = docs.select(
+    toks = parallelize_small(docs).select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
     )
     w = Window.partitionBy(id_col).orderBy("pos")

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io_utils import load
+from ..io_utils import load, parallelize_small
 from ..operators import dedup as DD
 from .catalog import register
 
@@ -144,7 +144,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     via higher-order array folds.  Hamming-distance pairing lives in
     ``operators.dedup.simhash_hamming``; algorithm verified by a
     hand-computed pytest oracle (tests/test_operators.py)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", DD.simhash64(F.col("text")).alias("simhash")
     ).orderBy("doc_id")

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io_utils import load
+from ..io_utils import load, parallelize_small
 from ..operators import multimodal as MM
 from .catalog import register
 
@@ -30,7 +30,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over opaque media blobs: the query shape that
     must NEVER read the blob column (parquet prunes it away; only the
     metadata struct is scanned at 100 TB)."""
-    media = MM.attach_fake_media(load(spark, sf_dir, "documents"))
+    media = MM.attach_fake_media(parallelize_small(load(spark, sf_dir, "documents")))
     return media.select(
         "doc_id",
         F.col("meta.kind").alias("kind"),
@@ -48,7 +48,7 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary media via Arrow-batched
     ``mapInPandas`` (the stubbed-decode pipeline: real batching, fake
     features)."""
-    media = MM.attach_fake_media(load(spark, sf_dir, "documents"))
+    media = MM.attach_fake_media(parallelize_small(load(spark, sf_dir, "documents")))
     return MM.extract_features(media).orderBy("doc_id")
 
 
@@ -60,7 +60,7 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over 'video' blobs (every 4th fixed-size frame),
     one output row per kept frame."""
-    media = MM.attach_fake_media(load(spark, sf_dir, "documents"), kind="video")
+    media = MM.attach_fake_media(parallelize_small(load(spark, sf_dir, "documents")), kind="video")
     frames = MM.sample_frames(media, every_k=4)
     return frames.select(
         "doc_id", "frame_id", F.octet_length("frame").cast("long").alias("frame_bytes")

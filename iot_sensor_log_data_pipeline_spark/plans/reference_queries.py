@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io_utils import load
+from ..io_utils import load, parallelize_small
 from .catalog import register
 
 #: Reference hourly-index naming: OpenSearch rotation "Every hour"
@@ -131,7 +131,7 @@ def value_props_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     objective (temp/humidity inverse relation, README.md:122-123) was
     eyeballed from charts; the engine computes it.  Also exercises JSON
     extraction from ``props`` (Table A5 inverse)."""
-    events = load(spark, sf_dir, "events")
+    events = parallelize_small(load(spark, sf_dir, "events"))
     k = F.get_json_object("props", "$.k").cast("double")
     return events.agg(
         F.round(F.corr(F.col("value"), k), 6).alias("corr_value_k"),
@@ -154,10 +154,10 @@ def value_props_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hourly_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-hour correlation (A25 x A20): what the reference would have
     needed to actually quantify its hourly temp/humidity claim."""
-    events = load(spark, sf_dir, "events")
+    events = parallelize_small(load(spark, sf_dir, "events"))
     k = F.get_json_object("props", "$.k").cast("double")
     return (
-        load(spark, sf_dir, "events")
+        events
         .groupBy(log_hour())
         .agg(
             F.round(F.corr(F.col("value"), k), 6).alias("corr_value_k"),

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io_utils import load
+from ..io_utils import load, parallelize_small
 from ..operators import similarity as SIM
 from .catalog import register
 
@@ -53,7 +53,7 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     x single corpus pass, JVM-side zip_with/aggregate dot products,
     per-query row_number top-k.  The exact baseline the ANN path is
     measured against."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 5)
     return SIM.brute_force_topk(emb, queries, k=10).orderBy("query_id", "rank")
 
@@ -68,7 +68,7 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes, deterministic seed): bucket-join candidates, exact
     cosine re-rank.  The scale path -- candidate volume is a tunable
     fraction of the corpus instead of all of it."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 5)
     return SIM.lsh_topk(emb, queries, k=10).orderBy("query_id", "rank")
 
@@ -91,7 +91,7 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding statistics (count + mean L2 norm): the
     grouped-aggregation shape of centroid computation (full centroids
     = per-dimension avg; norms keep the oracle compact)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
     return (
         emb.groupBy("label")
         .agg(

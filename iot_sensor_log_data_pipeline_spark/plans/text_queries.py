@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io_utils import load
+from ..io_utils import load, parallelize_small
 from ..operators import text as TX
 from .catalog import register
 
@@ -44,7 +44,7 @@ _MEANLEN = (
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, BPE-ish
     regex tokens, mean token length -- all JVM-side expressions."""
-    docs = load(spark, sf_dir, "documents")
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -75,7 +75,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: alpha ratio, stopword ratio, and the blended
     [0,1] quality heuristic used for corpus filtering."""
-    docs = load(spark, sf_dir, "documents")
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -117,7 +117,7 @@ _LANG_PAIRS = ", ".join(
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: argmax of per-language stopword-marker
     hit counts (struct-max gives a deterministic tiebreak)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", "lang", TX.predicted_language(F.col("text")).alias("pred_lang")
     ).orderBy("doc_id")
@@ -140,7 +140,7 @@ def text_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over the sorted distinct token set
     clusters docs that are permutations/repetitions of the same
     vocabulary -- the cheap first pass before MinHash."""
-    docs = load(spark, sf_dir, "documents")
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
         .groupBy("fingerprint")
@@ -167,7 +167,7 @@ def text_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequencies (explode -> count -> top-k): the UDTF-
     shaped operation (Table B: explode of array-producing expression)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
         .groupBy("token")

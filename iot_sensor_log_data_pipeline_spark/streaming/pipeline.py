@@ -100,6 +100,31 @@ def session_windows(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join (Table B): pair each left event with
+    right events of the same key within a trailing time window.  Both
+    sides carry watermarks + the time-range predicate, so Spark can
+    bound join state and evict expired rows -- the requirements for an
+    unbounded-safe stream-stream join."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{key} = r.{key} AND r.{right_ts} >= l.{left_ts} - INTERVAL {lookback}"
+            f" AND r.{right_ts} <= l.{left_ts}"
+        ),
+    )
+
+
 def start_partitioned_file_sink(
     df: DataFrame,
     path: str,

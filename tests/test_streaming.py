@@ -117,6 +117,57 @@ def test_partitioned_file_sink_layout(spark, scratch):
     assert back.count() == 7_200
 
 
+def test_stream_stream_interval_join_matches_batch(spark, scratch):
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.schemas import EVENTS
+
+    data_dir = os.path.join(scratch, "events")
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    events.write.mode("overwrite").parquet(data_dir)
+
+    def side(event_type):
+        return (
+            spark.readStream.schema(EVENTS)
+            .parquet(data_dir)
+            .where(F.col("event_type") == event_type)
+            .select("user_id", "ts", "event_id", "value")
+        )
+
+    purchases = side("purchase").withColumnsRenamed(
+        {"ts": "p_ts", "event_id": "p_id", "value": "p_value"}
+    )
+    clicks = side("click").withColumnsRenamed(
+        {"ts": "c_ts", "event_id": "c_id", "value": "c_value"}
+    )
+    joined = P.stream_stream_interval_join(
+        purchases, clicks, key="user_id", left_ts="p_ts", right_ts="c_ts"
+    ).select("l.user_id", "p_id", "c_id")
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(joined, name)
+    got = {
+        (r["p_id"], r["c_id"]) for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    # Batch equivalent of the same interval predicate.
+    p = events.where("event_type = 'purchase'").selectExpr(
+        "user_id", "ts AS p_ts", "event_id AS p_id"
+    )
+    c = events.where("event_type = 'click'").selectExpr(
+        "user_id u2", "ts AS c_ts", "event_id AS c_id"
+    )
+    expected = {
+        (r["p_id"], r["c_id"])
+        for r in p.join(
+            c,
+            F.expr(
+                "user_id = u2 AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+            ),
+        ).collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
 def test_count_triggered_compactor(spark, scratch):
     data_dir = os.path.join(scratch, "in")
     logs = os.path.join(scratch, "logs")

@@ -35,10 +35,14 @@ HEADLINE: tuple[str, ...] = (
     "q5_region_revenue",
     "join_semi_anti_balance",
     "window_top_orders_per_customer",
+    "downsample_ohlc_10min",
     "sessionize_events",
+    "subquery_correlated_q17",
+    "udf_grouped_map_zscore",
     "dedup_exact_documents",
     "dedup_minhash_lsh",
     "similarity_topk_cosine",
+    "similarity_lsh_ann",
     "text_quality_score",
 )
 

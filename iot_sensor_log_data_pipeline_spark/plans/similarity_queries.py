@@ -101,3 +101,17 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").cast("int").alias("label"), "n_vectors", "avg_norm")
         .orderBy("label")
     )
+
+
+@register(
+    "similarity_ivf_ann",
+    oracle=None,  # approximate by design; recall vs brute force checked in tests.
+    tags=("similarity", "north-star", "ivf", "ann"),
+)
+def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-10 for the same 5 queries: 16 inverted
+    cells, 4 probed per query -- the cluster-pruned alternative to the
+    SRP-LSH path (candidates ~ n_probe/n_cells of the corpus)."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.ivf_topk(emb, queries, k=10).orderBy("query_id", "rank")

@@ -261,3 +261,48 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("user_id")
     )
+
+
+@register(
+    "downsample_ohlc_10min",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts)
+             + to_minutes(10 * (minute(ts) // 10)), '%Y-%m-%d %H:%M') AS bucket,
+           event_type,
+           arg_min(value, ts) AS open_value,
+           max(value) AS high_value,
+           min(value) AS low_value,
+           arg_max(value, ts) AS close_value,
+           count(*) AS n
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY 1, 2
+    ORDER BY bucket, event_type
+    """,
+    tags=("window", "downsample", "timeseries"),
+)
+def downsample_ohlc_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket downsampling: 10-minute OHLC bars
+    per series (the continuous-aggregate shape -- the reference's
+    hourly rollup generalized to arbitrary buckets with first/last
+    semantics via min_by/max_by).  Single partial+final aggregate; at
+    scale this is the materialized rollup a retention policy would
+    replace raw data with."""
+    events = load(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    bucket = F.date_format(
+        F.timestamp_seconds((F.col("ts").cast("long") / 600).cast("long") * 600),
+        "yyyy-MM-dd HH:mm",
+    ).alias("bucket")
+    return (
+        events.groupBy(bucket, F.col("event_type"))
+        .agg(
+            F.min_by("value", "ts").alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", "ts").alias("close_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("bucket", "event_type")
+    )

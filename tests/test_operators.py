@@ -172,3 +172,16 @@ def test_shingle_count(spark, n):
     df = spark.createDataFrame([("a b c d e",)], "text: string")
     (row,) = df.select(F.size(DD.word_shingles(F.col("text"), n)).alias("c")).collect()
     assert row["c"] == 5 - n + 1
+
+
+def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = SIM.brute_force_topk(emb, queries, k=10).collect()
+    approx = SIM.ivf_topk(emb, queries, k=10).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    # Every approx result must be a genuine vector pair with sane rank.
+    assert all(1 <= r["rank"] <= 10 for r in approx)

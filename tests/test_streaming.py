@@ -195,3 +195,23 @@ def test_count_triggered_compactor(spark, scratch):
     from iot_sensor_log_data_pipeline_spark.operators.compaction import list_log_files
 
     assert list_log_files(logs) == []
+
+
+def test_stateful_count_trigger(spark, scratch):
+    from iot_sensor_log_data_pipeline_spark.streaming.stateful import (
+        count_trigger_stream,
+    )
+
+    data_dir = os.path.join(scratch, "in")
+    # Two devices, 230 and 170 rows -> with threshold 100: 2 fires + 1.
+    a = sensor_batch(spark, 230, client_id="dev_a")
+    b = sensor_batch(spark, 170, client_id="dev_b")
+    a.unionByName(b).write.mode("overwrite").parquet(data_dir)
+
+    stream = _sensor_stream_from_dir(spark, data_dir)
+    fires = count_trigger_stream(stream, threshold=100)
+    name = f"fires_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(fires, name)
+    rows = spark.sql(f"SELECT client_id, count(*) AS n FROM {name} GROUP BY 1").collect()
+    got = {r["client_id"]: r["n"] for r in rows}
+    assert got == {"dev_a": 2, "dev_b": 1}

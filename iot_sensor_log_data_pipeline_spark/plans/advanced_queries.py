@@ -25,7 +25,7 @@ from .catalog import register
     oracle="""
     SELECT p_brand,
            count(*) AS n_above_avg,
-           round(avg(p_retailprice), 6) AS avg_price_above
+           round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price_above
     FROM part
     WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
     GROUP BY p_brand
@@ -41,7 +41,7 @@ def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT p_brand,
                count(*) AS n_above_avg,
-               round(avg(p_retailprice), 6) AS avg_price_above
+               round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price_above
         FROM part
         WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
         GROUP BY p_brand

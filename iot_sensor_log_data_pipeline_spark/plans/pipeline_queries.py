@@ -17,6 +17,7 @@ from ..io_utils import load
 from ..operators.compaction import compact_json_logs
 from ..schemas import EVENTS
 from ..sources.sensor import sensor_batch
+from ._numeric import dec_avg
 from .catalog import register
 
 SCRATCH = os.environ.get("ENGINE_SCRATCH_DIR", "/tmp/engine_scratch")
@@ -117,7 +118,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(ts, '%Y-%m-%d-%H') AS log_hour,
            count(*) AS n,
-           round(avg(value), 6) AS avg_value
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_value
     FROM events
     GROUP BY 1
     ORDER BY log_hour
@@ -169,7 +170,10 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         back.select(F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"), "value")
         .groupBy(F.date_format("ts", "yyyy-MM-dd-HH").alias("log_hour"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_avg("value").alias("avg_value"),
+        )
         .orderBy("log_hour")
     )
 

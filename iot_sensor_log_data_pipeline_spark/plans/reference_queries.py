@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io_utils import load, parallelize_small
+from ._numeric import dec_avg, dec_avg_sql
 from .catalog import register
 
 #: Reference hourly-index naming: OpenSearch rotation "Every hour"
@@ -45,7 +46,7 @@ def log_hour(col: str = "ts") -> F.Column:
     "hourly_avg_value",
     oracle=f"""
     SELECT strftime(ts, '{HOUR_FMT_DUCK}') AS log_hour,
-           round(avg(value), 6) AS avg_value,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_value,
            count(*) AS n_events
     FROM events
     GROUP BY 1
@@ -60,7 +61,7 @@ def hourly_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events")
         .groupBy(log_hour())
         .agg(
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            dec_avg("value").alias("avg_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("log_hour")
@@ -72,7 +73,7 @@ def hourly_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT strftime(ts, '{HOUR_FMT_DUCK}') AS log_hour,
            event_type,
-           round(avg(value), 6) AS avg_value
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_value
     FROM events
     GROUP BY 1, 2
     ORDER BY log_hour, event_type
@@ -86,7 +87,7 @@ def hourly_avg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "events")
         .groupBy(log_hour(), F.col("event_type"))
-        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(dec_avg("value").alias("avg_value"))
         .orderBy("log_hour", "event_type")
     )
 

@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from ..io_utils import load, load_tables
 from ..operators.asof import asof_join
+from ._numeric import dec_avg
 from .catalog import register
 
 
@@ -27,11 +28,11 @@ from .catalog import register
            l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
            round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
            round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_extendedprice), 6) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -45,18 +46,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final hash aggregate over a 4-group key (map-side combine
     does ~all the work; the shuffle moves 4 rows per task at any SF)."""
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ext_d = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_d = F.col("l_discount").cast("decimal(18,2)")
+    tax_d = F.col("l_tax").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    disc_price = ext_d * (one - disc_d)
     return (
         li.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(disc_price * (one + tax_d)).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            dec_avg("l_extendedprice").alias("avg_price"),
+            dec_avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -67,7 +72,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
            o.o_orderdate,
            o.o_orderpriority
     FROM customer c
@@ -102,9 +107,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double").alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -116,7 +122,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     oracle="""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -156,9 +162,10 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
@@ -167,7 +174,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -188,9 +195,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount").between(0.02, 0.06))
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        ),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_discount").cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -263,12 +273,12 @@ def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_semi_anti_balance",
     oracle="""
     SELECT 'with_open_order' AS cohort, count(*) AS n_customers,
-           round(avg(c_acctbal), 6) AS avg_acctbal
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_acctbal
     FROM customer
     WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
     UNION ALL
     SELECT 'without_open_order' AS cohort, count(*) AS n_customers,
-           round(avg(c_acctbal), 6) AS avg_acctbal
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_acctbal
     FROM customer
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
     ORDER BY cohort
@@ -287,7 +297,7 @@ def join_semi_anti_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.agg(
             F.lit(tag).alias("cohort"),
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+            dec_avg("c_acctbal").alias("avg_acctbal"),
         ).select("cohort", "n_customers", "avg_acctbal")
 
     semi = cohort(t["customer"].join(open_orders, on, "left_semi"), "with_open_order")
@@ -350,7 +360,7 @@ def join_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
       VALUES ('tiny', 1, 10), ('small', 11, 20), ('medium', 21, 35), ('large', 36, 50)
     )
     SELECT b.band, count(*) AS n_parts,
-           round(avg(p.p_retailprice), 6) AS avg_price
+           round(CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price
     FROM part p JOIN bands b ON p.p_size BETWEEN b.lo AND b.hi
     GROUP BY b.band
     ORDER BY band
@@ -374,7 +384,7 @@ def join_theta_size_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+            dec_avg("p_retailprice").alias("avg_price"),
         )
         .orderBy("band")
     )
@@ -472,7 +482,7 @@ def setops_user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_orders,
            count(DISTINCT o_custkey) AS n_customers,
            round(sum(o_totalprice), 2) AS sum_price,
-           round(avg(o_totalprice), 6) AS avg_price,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
            min(o_totalprice) AS min_price,
            max(o_totalprice) AS max_price,
            round(stddev_samp(o_totalprice), 6) AS stddev_price,
@@ -493,7 +503,7 @@ def agg_full_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            dec_avg("o_totalprice").alias("avg_price"),
             F.min("o_totalprice").alias("min_price"),
             F.max("o_totalprice").alias("max_price"),
             F.round(F.stddev_samp("o_totalprice"), 6).alias("stddev_price"),
@@ -632,7 +642,7 @@ def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(grouping(p_brand) AS BIGINT) AS g_brand,
            CAST(grouping(p_type) AS BIGINT) AS g_type,
            count(*) AS n_parts,
-           round(avg(p_retailprice), 6) AS avg_price
+           round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price
     FROM part
     GROUP BY GROUPING SETS ((p_brand), (p_type), ())
     ORDER BY g_brand, g_type, p_brand, p_type
@@ -650,7 +660,7 @@ def grouping_sets_part(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(grouping(p_brand) AS BIGINT) AS g_brand,
                CAST(grouping(p_type) AS BIGINT) AS g_type,
                count(*) AS n_parts,
-               round(avg(p_retailprice), 6) AS avg_price
+               round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price
         FROM part
         GROUP BY GROUPING SETS ((p_brand), (p_type), ())
         ORDER BY g_brand, g_type, p_brand, p_type
@@ -764,3 +774,121 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey,
+           c.c_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("relational", "join", "tpch", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue ranking -- selective fact
+    filter, broadcast dims, single fact shuffle, top-k."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    returned = t["lineitem"].where(F.col("l_returnflag") == "R")
+    return (
+        returned.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double").alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q18_large_volume",
+    oracle="""
+    SELECT o.o_orderkey,
+           o.o_custkey,
+           o.o_orderdate,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250
+    )
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 50
+    """,
+    tags=("relational", "join", "tpch", "subquery"),
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN + grouped HAVING subquery -> planned as an
+    aggregate then semi join (no row-at-a-time subquery execution)."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    li = t["lineitem"].join(big, "l_orderkey", "left_semi")
+    return (
+        li.join(F.broadcast(t["orders"]), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_custkey", "o_orderdate")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+@register(
+    "unpivot_order_measures",
+    oracle="""
+    SELECT o_orderkey, measure, val
+    FROM (
+      SELECT o_orderkey,
+             'totalprice' AS measure, o_totalprice AS val FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+    )
+    WHERE o_orderkey < 1000
+    ORDER BY o_orderkey, measure
+    """,
+    tags=("relational", "unpivot"),
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide measures -> long (measure, value) rows via
+    DataFrame.unpivot -- the inverse of pivot_daily_event_values."""
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    wide = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return wide.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).orderBy("o_orderkey", "measure")

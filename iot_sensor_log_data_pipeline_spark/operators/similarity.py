@@ -19,8 +19,10 @@ Scale design:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 DIM = 64
@@ -106,6 +108,30 @@ def srp_signature(
     )
 
 
+def _srp_bands_udf(planes: list[list[float]], bands: int, rows_per_band: int):
+    """Arrow-batched band-bucket computation: one NumPy matmul per
+    batch instead of a (planes x dim)-literal codegen expression tree.
+    The JVM-expression form (``srp_signature``) is semantically
+    identical but its generated code grows with bands*dim -- measured
+    as multi-second compile overhead; the matmul path is compile-free
+    and vectorized."""
+    P = np.asarray(planes, dtype="float64").T  # (dim, n_planes)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def srp_bands(vecs: pd.Series) -> pd.Series:
+        M = np.vstack(vecs.to_numpy()).astype("float64")  # (n, dim)
+        signs = (M @ P) >= 0.0
+        out = []
+        for row in signs:
+            bits = "".join("1" if b else "0" for b in row)
+            out.append(
+                [bits[b * rows_per_band : (b + 1) * rows_per_band] for b in range(bands)]
+            )
+        return pd.Series(out)
+
+    return srp_bands
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -121,14 +147,13 @@ def lsh_topk(
     fraction sharing a bucket (per band ~2^-rows_per_band for random
     vectors)."""
     planes = hyperplanes(bands * rows_per_band, seed=seed)
+    bands_udf = _srp_bands_udf(planes, bands, rows_per_band)
 
     def with_bands(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias(vec_alias),
-            F.posexplode(
-                srp_signature(F.col(vec_col), planes, bands, rows_per_band)
-            ).alias("band_id", "bucket"),
+            F.posexplode(bands_udf(F.col(vec_col))).alias("band_id", "bucket"),
         )
 
     vb = with_bands(vectors, "neighbor_id", "vec")

@@ -1,0 +1,90 @@
+"""CDC / SCD2 merge emulation (pyspark_guide 'CDC / SCD2': MERGE INTO
+needs a table format; in plain parquet emulate with anti-join + union
++ window).
+
+``merge_upsert`` is the CDC apply: new snapshot wins per key, untouched
+rows carried over -- one anti join (all broadcastable when the delta is
+small).  ``scd2_apply`` maintains slowly-changing-dimension history:
+closing validity intervals on changed keys and appending new current
+rows, entirely as set operations -- no per-row driver logic, one shuffle
+on the business key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Open-ended validity sentinel (avoids NULL-end-date three-valued
+#: logic in downstream range predicates).
+OPEN_END = "9999-12-31 00:00:00"
+
+
+def merge_upsert(current: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """UPSERT (CDC apply): rows from ``updates`` replace same-key rows
+    in ``current``; unmatched current rows survive.  current ANTI-JOIN
+    updates UNION updates -- the standard MERGE emulation without a
+    table format."""
+    untouched = current.join(updates, on=keys, how="left_anti")
+    return untouched.unionByName(updates)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+    effective_ts_col: str,
+) -> DataFrame:
+    """SCD Type-2: version rows with [valid_from, valid_to) intervals.
+
+    ``dim`` columns: ``keys + compare_cols + valid_from + valid_to +
+    is_current``.  ``changes``: ``keys + compare_cols +
+    effective_ts_col``.  Changed keys get their current row closed
+    (valid_to = change ts) and a new current row appended; unchanged
+    keys pass through untouched (a join + filter decides 'changed').
+    """
+    cur = dim.where(F.col("is_current"))
+    hist = dim.where(~F.col("is_current"))
+
+    chg = changes.select(
+        *keys,
+        *[F.col(c).alias(f"__new_{c}") for c in compare_cols],
+        F.col(effective_ts_col).alias("__eff_ts"),
+    )
+    joined = cur.join(chg, on=keys, how="left")
+
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(c).eqNullSafe(F.col(f"__new_{c}"))
+    changed = joined.where(F.col("__eff_ts").isNotNull() & differs)
+    unchanged = joined.where(F.col("__eff_ts").isNull() | ~differs).select(dim.columns)
+
+    closed = changed.select(
+        *keys,
+        *compare_cols,
+        F.col("valid_from"),
+        F.col("__eff_ts").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = changed.select(
+        *keys,
+        *[F.col(f"__new_{c}").alias(c) for c in compare_cols],
+        F.col("__eff_ts").alias("valid_from"),
+        F.lit(OPEN_END).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    inserts = changes.join(cur, on=keys, how="left_anti").select(
+        *keys,
+        *compare_cols,
+        F.col(effective_ts_col).alias("valid_from"),
+        F.lit(OPEN_END).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        hist.select(dim.columns)
+        .unionByName(unchanged)
+        .unionByName(closed.select(dim.columns))
+        .unionByName(opened.select(dim.columns))
+        .unionByName(inserts.select(dim.columns))
+    )

@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "iot_sensor_log_data_pipeline_spark.plans.pipeline_queries",
     "iot_sensor_log_data_pipeline_spark.plans.multimodal_queries",
     "iot_sensor_log_data_pipeline_spark.plans.advanced_queries",
+    "iot_sensor_log_data_pipeline_spark.plans.lifecycle_queries",
 )
 
 

@@ -1,0 +1,213 @@
+"""Mutation-lifecycle and semantics queries: CDC upsert, SCD2 history,
+null-handling semantics, and the extended string-function battery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_utils import load
+from ..operators.scd import merge_upsert, scd2_apply
+from .catalog import register
+
+
+@register(
+    "cdc_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             '0-URGENT-NEW' AS o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    merged AS (
+      SELECT c.* FROM orders c
+      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = c.o_orderkey)
+      UNION ALL
+      SELECT * FROM updates
+    )
+    SELECT o_orderpriority, count(*) AS n
+    FROM merged
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("lifecycle", "cdc", "merge"),
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply / MERGE emulation (anti-join + union,
+    operators/scd.py): every 10th order gets a replacement row; counts
+    by priority prove replaced rows vanish and survivors carry over."""
+    orders = load(spark, sf_dir, "orders")
+    updates = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_orderpriority", F.lit("0-URGENT-NEW")
+    )
+    merged = merge_upsert(orders, updates, keys=["o_orderkey"])
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "scd2_customer_history",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment,
+             TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+             TIMESTAMP '9999-12-31 00:00:00' AS valid_to,
+             true AS is_current
+      FROM customer
+    ),
+    changes AS (
+      SELECT c_custkey, 'RELOCATED' AS c_mktsegment,
+             TIMESTAMP '2000-06-01 00:00:00' AS eff_ts
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    changed AS (
+      SELECT d.c_custkey, d.c_mktsegment AS old_seg, c.c_mktsegment AS new_seg,
+             d.valid_from, c.eff_ts
+      FROM dim d JOIN changes c ON d.c_custkey = c.c_custkey
+      WHERE d.c_mktsegment <> c.c_mktsegment
+    ),
+    result AS (
+      SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to, d.is_current
+      FROM dim d WHERE d.c_custkey NOT IN (SELECT c_custkey FROM changed)
+      UNION ALL
+      SELECT c_custkey, old_seg, valid_from, eff_ts, false FROM changed
+      UNION ALL
+      SELECT c_custkey, new_seg, eff_ts,
+             TIMESTAMP '9999-12-31 00:00:00', true FROM changed
+    )
+    SELECT is_current,
+           c_mktsegment,
+           count(*) AS n,
+           strftime(min(valid_from), '%Y-%m-%d') AS min_from,
+           strftime(max(valid_to), '%Y-%m-%d') AS max_to
+    FROM result
+    GROUP BY is_current, c_mktsegment
+    ORDER BY is_current, c_mktsegment
+    """,
+    tags=("lifecycle", "scd2"),
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history maintenance (operators/scd.py): every third
+    customer relocates segment on 2000-06-01 -- old rows get their
+    validity closed, new current rows open, others pass through.
+    Output: interval summary per (is_current, segment)."""
+    cust = load(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit("9999-12-31 00:00:00").cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = (
+        cust.where(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            F.lit("RELOCATED").alias("c_mktsegment"),
+            F.lit("2000-06-01 00:00:00").cast("timestamp").alias("eff_ts"),
+        )
+    )
+    result = scd2_apply(
+        dim, changes, keys=["c_custkey"], compare_cols=["c_mktsegment"],
+        effective_ts_col="eff_ts",
+    )
+    return (
+        result.groupBy("is_current", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.date_format(F.min("valid_from"), "yyyy-MM-dd").alias("min_from"),
+            F.date_format(F.max("valid_to"), "yyyy-MM-dd").alias("max_to"),
+        )
+        .orderBy("is_current", "c_mktsegment")
+    )
+
+
+@register(
+    "null_semantics",
+    oracle="""
+    WITH lj AS (
+      SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+      FROM customer c
+      LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+        ON c.c_custkey = o.o_custkey
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_rows,
+           count(o_orderkey) AS n_matched,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           count(DISTINCT o_orderkey) AS n_distinct_matched,
+           CAST(sum(CASE WHEN o_totalprice IS NOT DISTINCT FROM NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_null,
+           round(coalesce(max(o_totalprice), 0.0), 2) AS max_price_or_zero
+    FROM lj
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("lifecycle", "nulls", "semantics"),
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic battery over genuine outer-join nulls:
+    count(col) vs count(*), IS NULL tallies, null-safe equality
+    (eqNullSafe == IS NOT DISTINCT FROM), distinct-with-nulls,
+    coalesce defaults."""
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    lj = cust.join(big, cust.c_custkey == big.o_custkey, "left")
+    return (
+        lj.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_matched"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("n_null"),
+            F.countDistinct("o_orderkey").alias("n_distinct_matched"),
+            F.sum(
+                F.when(F.col("o_totalprice").eqNullSafe(F.lit(None).cast("double")), 1)
+                .otherwise(0)
+            ).alias("n_nullsafe_null"),
+            F.round(F.coalesce(F.max("o_totalprice"), F.lit(0.0)), 2).alias(
+                "max_price_or_zero"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "string_functions_extended",
+    oracle="""
+    SELECT s_suppkey,
+           to_base64(encode(s_name)) AS name_b64,
+           lower(hex(encode(s_name))) AS name_hex,
+           translate(s_name, '#0', '_O') AS name_translated,
+           split_part(s_name, '#', 2) AS name_num,
+           levenshtein(s_name, 'Supplier#1') AS lev_to_one,
+           strpos(s_name, '#') AS hash_pos,
+           repeat(left(s_name, 2), 2) AS prefix_twice,
+           right(s_name, 3) AS suffix,
+           ascii(s_name) AS first_code
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    tags=("functions", "string"),
+)
+def string_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string battery: base64/hex codecs, translate, split_part,
+    levenshtein, position, repeat, left/right, ascii."""
+    supp = load(spark, sf_dir, "supplier")
+    name = F.col("s_name")
+    return supp.select(
+        "s_suppkey",
+        F.base64(name.cast("binary")).alias("name_b64"),
+        F.lower(F.hex(name.cast("binary"))).alias("name_hex"),
+        F.translate(name, "#0", "_O").alias("name_translated"),
+        F.split_part(name, F.lit("#"), F.lit(2)).alias("name_num"),
+        F.levenshtein(name, F.lit("Supplier#1")).alias("lev_to_one"),
+        F.instr(name, "#").cast("long").alias("hash_pos"),
+        F.repeat(F.substring(name, 1, 2), 2).alias("prefix_twice"),
+        F.substring(name, -3, 3).alias("suffix"),
+        F.ascii(name).alias("first_code"),
+    ).orderBy("s_suppkey")

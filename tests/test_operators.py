@@ -185,3 +185,24 @@ def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
     # Every approx result must be a genuine vector pair with sane rank.
     assert all(1 <= r["rank"] <= 10 for r in approx)
+
+
+def test_kafka_source_gated(spark):
+    from iot_sensor_log_data_pipeline_spark.sources import kafka as K
+
+    # No broker/connector in this environment: availability must be
+    # False and the readers must fail with a clear gate error.
+    assert K.kafka_available(spark) is False
+    with pytest.raises(ModuleNotFoundError):
+        K.read_sensor_topic(spark, "localhost:9092")
+
+
+def test_merge_upsert_semantics(spark):
+    from iot_sensor_log_data_pipeline_spark.operators.scd import merge_upsert
+
+    cur = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    upd = spark.createDataFrame([(2, "B"), (3, "C")], "k long, v string")
+    got = sorted(
+        (r["k"], r["v"]) for r in merge_upsert(cur, upd, ["k"]).collect()
+    )
+    assert got == [(1, "a"), (2, "B"), (3, "C")]

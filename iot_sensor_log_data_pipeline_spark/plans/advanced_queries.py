@@ -227,3 +227,46 @@ def udf_grouped_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(weighted_avg("value", "k"), 6).alias("weighted_avg_value"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "udtf_tokenize_lateral",
+    oracle="""
+    SELECT doc_id, u.pos AS pos, u.token AS token FROM (
+      SELECT doc_id,
+             unnest(list_transform(toks,
+               (x, i) -> {'pos': CAST(i - 1 AS BIGINT), 'token': x})) AS u
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, ' +'), x -> x <> '') AS toks
+            FROM documents WHERE doc_id < 50)
+    )
+    ORDER BY doc_id, pos
+    """,
+    tags=("advanced", "udtf"),
+)
+def udtf_tokenize_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface: a tokenizer emitting one
+    (pos, token) row per token, applied via SQL LATERAL join -- the
+    full UDTF row of SURVEY §2's UDF table (the JVM-side equivalent is
+    posexplode, used everywhere else; this proves the extension point).
+    Row-based Python execution, so the catalog keeps it on a small
+    deliberate slice."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, token: string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate(text.split()):
+                yield (i, t)
+
+    spark.udtf.register("engine_tokenize", Tokenize)
+    load(spark, sf_dir, "documents").where(F.col("doc_id") < 50).createOrReplaceTempView(
+        "udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, pos, token
+        FROM udtf_docs, LATERAL engine_tokenize(text)
+        ORDER BY doc_id, pos
+        """
+    )

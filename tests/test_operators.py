@@ -206,3 +206,20 @@ def test_merge_upsert_semantics(spark):
         (r["k"], r["v"]) for r in merge_upsert(cur, upd, ["k"]).collect()
     )
     assert got == [(1, "a"), (2, "B"), (3, "C")]
+
+
+def test_functions_module_surface(spark):
+    import iot_sensor_log_data_pipeline_spark.functions as EF
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-05 13:37:00", 1234)], "id int, ts string, cnt int"
+    ).select(F.col("id"), F.to_timestamp("ts").alias("ts"), F.col("cnt"))
+    row = df.select(
+        EF.log_hour("ts").alias("h"),
+        EF.histogram_bucket("cnt", 500).alias("b"),
+        EF.time_bucket("ts", 600).alias("tb"),
+    ).collect()[0]
+    assert row["h"] == "2024-01-05-13"
+    assert row["b"] == 1000
+    assert str(row["tb"]) == "2024-01-05 13:30:00"
+    assert set(EF.__all__) >= {"tokens", "cosine", "simhash64", "log_hour"}

@@ -58,6 +58,15 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             # Conf not settable at runtime on this build -- leave as-is.
             pass
+    try:
+        # Replace only the stock default (200): wrong in both directions
+        # on local sessions; a deliberately configured value is kept.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(default_parallelism())
+            )
+    except Exception:
+        pass
     return spark
 
 

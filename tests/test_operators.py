@@ -223,3 +223,51 @@ def test_functions_module_surface(spark):
     assert row["b"] == 1000
     assert str(row["tb"]) == "2024-01-05 13:30:00"
     assert set(EF.__all__) >= {"tokens", "cosine", "simhash64", "log_hour"}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_asof_join_matches_pandas_merge_asof(spark, seed):
+    """Property check: the union+window as-of join must agree with
+    pandas.merge_asof on randomized (seeded) inputs."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    n_l, n_r = 60, 80
+    base = pd.Timestamp("2024-01-01")
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n_l),
+            "ts": base + pd.to_timedelta(rng.integers(0, 10_000, n_l), unit="s"),
+            "lid": np.arange(n_l),
+        }
+    ).sort_values("ts").reset_index(drop=True)
+    right_pd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n_r),
+            "ts": base + pd.to_timedelta(rng.integers(0, 10_000, n_r), unit="s"),
+            "rv": np.round(rng.uniform(0, 100, n_r), 2),
+        }
+    ).sort_values("ts").reset_index(drop=True)
+    # merge_asof requires unique-ish ordering; drop right ts dupes per key
+    right_pd = right_pd.drop_duplicates(["k", "ts"], keep="last").sort_values("ts")
+
+    expected = pd.merge_asof(
+        left_pd, right_pd, on="ts", by="k", direction="backward"
+    ).set_index("lid")["rv"]
+
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    got = {
+        r["lid"]: r["rv_out"]
+        for r in asof_join(
+            left, right, by=["k"], left_on="ts", right_on="ts",
+            right_cols={"rv": "rv_out"},
+        ).collect()
+    }
+    for lid, exp in expected.items():
+        g = got[lid]
+        if pd.isna(exp):
+            assert g is None, f"seed={seed} lid={lid}: got {g}, want null"
+        else:
+            assert g == exp, f"seed={seed} lid={lid}: got {g}, want {exp}"

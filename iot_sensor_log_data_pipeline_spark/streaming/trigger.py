@@ -38,9 +38,12 @@ class CountTriggeredCompactor:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # Land this micro-batch (one Firehose flush, Table A10): one
-        # file per partition under logs/.
+        # file per partition under logs/.  mode=overwrite on the
+        # per-batch directory makes checkpoint replays idempotent --
+        # a re-delivered batch_id rewrites the same directory instead
+        # of appending duplicates (exactly-once to this sink).
         (
-            batch_df.write.mode("append").json(
+            batch_df.write.mode("overwrite").json(
                 os.path.join(self.logs_dir, f"batch_{batch_id}")
             )
         )

@@ -215,3 +215,19 @@ def test_stateful_count_trigger(spark, scratch):
     rows = spark.sql(f"SELECT client_id, count(*) AS n FROM {name} GROUP BY 1").collect()
     got = {r["client_id"]: r["n"] for r in rows}
     assert got == {"dev_a": 2, "dev_b": 1}
+
+
+def test_foreachbatch_replay_is_idempotent(spark, scratch):
+    """Checkpoint-recovery semantics: re-delivering the same batch_id
+    must not duplicate landed rows (exactly-once to the logs sink)."""
+    logs = os.path.join(scratch, "logs")
+    dest = os.path.join(scratch, "out")
+    batch = sensor_batch(spark, 200)
+
+    compactor = CountTriggeredCompactor(
+        logs_dir=logs, dest_base=dest, threshold=10_000  # never fires
+    )
+    compactor(batch, 7)
+    compactor(batch, 7)  # replay of the SAME batch id
+    landed = spark.read.json(os.path.join(logs, "batch_7"))
+    assert landed.count() == 200

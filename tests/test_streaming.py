@@ -231,3 +231,50 @@ def test_foreachbatch_replay_is_idempotent(spark, scratch):
     compactor(batch, 7)  # replay of the SAME batch id
     landed = spark.read.json(os.path.join(logs, "batch_7"))
     assert landed.count() == 200
+
+
+def test_watermark_drops_late_data(spark, scratch):
+    """Watermark semantics (Table B 'watermark + late data'): a row
+    arriving in a later micro-batch but event-timed far behind the
+    advanced watermark must be dropped by the windowed-aggregation
+    state, and append mode must emit exactly the closed windows."""
+    from datetime import datetime
+
+    data_dir = os.path.join(scratch, "in")
+    os.makedirs(data_dir, exist_ok=True)
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+
+    def write_rows(sub, specs):
+        spark.createDataFrame(
+            [("dev", ts(t), 50.0, 30.0, 1010.0, 0.0, 0.0, 0.0, c) for t, c in specs],
+            SENSOR_LOG,
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(data_dir, sub))
+
+    # Batch 1: one hour of on-time data.
+    write_rows("f0", [("2022-07-14T10:00:00", 0), ("2022-07-14T10:59:00", 1)])
+
+    stream = spark.readStream.schema(SENSOR_LOG).parquet(data_dir + "/*/")
+    agg = (
+        stream.withWatermark("timestamp", "10 minutes")
+        .groupBy(F.window("timestamp", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "HH").alias("hour"), "n")
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = P.start_memory_sink(agg, name, output_mode="append")
+    q.processAllAvailable()  # batch 1 -> watermark advances to 10:49
+
+    # Batch 2 arrives strictly later: fresh row + a VERY late 9:00 row
+    # (its window [09:00,10:00) already ended before the watermark).
+    write_rows("f1", [("2022-07-14T11:30:00", 2), ("2022-07-14T09:00:00", 99)])
+    q.processAllAvailable()
+    # Batch 3: push event time ahead so the [10,11) window also closes.
+    write_rows("f2", [("2022-07-14T12:30:00", 3)])
+    q.processAllAvailable()
+    q.stop()
+
+    emitted = {r["hour"]: r["n"] for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    # [10,11) closed with exactly its 2 on-time rows; the late 9:00 row
+    # was dropped (no '09' window ever emitted, no reopening).
+    assert emitted.get("10") == 2, emitted
+    assert "09" not in emitted, emitted

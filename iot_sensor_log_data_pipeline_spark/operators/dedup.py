@@ -67,34 +67,35 @@ def exact_dedup(df: DataFrame, cols: list[str], key_col: str) -> DataFrame:
     return df.join(survivors, on=[*cols, key_col], how="left_semi")
 
 
+def _shingles_zip(text: Column, n: int) -> Column:
+    """Distinct n-gram shingles via arrays_zip of n shifted slices.
+
+    Formulation matters a lot here: ``element_at(tokens(text), i)``
+    inside a transform re-evaluates the tokenizer per element
+    (quadratic per doc -- measured ~10s for 5k docs), and the
+    posexplode+window-lead alternative pays two shuffles (~5s).  Zipped
+    slices evaluate the tokenizer O(n) times per ROW, need no shuffle
+    at all, and array_distinct dedups within the row (~2s)."""
+    toks = tokens(text)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, k + 1, m) for k in range(n)])
+    grams = F.transform(
+        zipped,
+        lambda s: F.concat_ws(" ", *[s.getField(str(k)) for k in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
 def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Exploded DISTINCT (id, shingle) pairs -- the base relation for
-    both n-gram-Jaccard and MinHash paths.
-
-    Formulated as posexplode(tokens) + window ``lead`` rather than
-    array indexing: ``element_at(tokens(text), i)`` inside a transform
-    re-evaluates the split per element (quadratic per doc -- measured
-    ~10s for 5k docs); the explode+lead form tokenizes each row once
-    and, as a bonus, leaves the relation hash-partitioned by doc id --
-    exactly the partitioning every downstream groupBy wants."""
-    from pyspark.sql.window import Window
-
+    both n-gram-Jaccard and MinHash paths.  Narrow (no shuffle):
+    per-row shingling + explode; distinctness holds because
+    array_distinct runs inside each row."""
     from ..io_utils import parallelize_small
-    from .text import tokens
 
-    toks = parallelize_small(docs).select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
-    full = F.lead("tok", n - 1).over(w).isNotNull() if n > 1 else F.lit(True)
-    return (
-        toks.select(
-            F.col(id_col), F.concat_ws(" ", *parts).alias("shingle"), full.alias("__full")
-        )
-        .where(F.col("__full"))
-        .select(id_col, "shingle")
-        .distinct()
+    return parallelize_small(docs).select(
+        F.col(id_col),
+        F.explode(_shingles_zip(F.col(text_col), n)).alias("shingle"),
     )
 
 

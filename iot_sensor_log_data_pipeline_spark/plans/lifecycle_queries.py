@@ -211,3 +211,84 @@ def string_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(name, -3, 3).alias("suffix"),
         F.ascii(name).alias("first_code"),
     ).orderBy("s_suppkey")
+
+
+@register(
+    "profile_events_table",
+    oracle="""
+    SELECT 'event_type' AS "column", count(*) AS n_rows,
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           count(DISTINCT event_type) AS n_distinct,
+           CAST(min(event_type) AS VARCHAR) AS min_repr,
+           CAST(max(event_type) AS VARCHAR) AS max_repr
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*),
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT user_id),
+           CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'value', count(*),
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT value),
+           CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
+    FROM events
+    ORDER BY "column"
+    """,
+    tags=("lifecycle", "profiling"),
+)
+def profile_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (operators/profiling.py): per-column null rate,
+    exact distinct cardinality, and range -- all columns in ONE scan
+    (the oracle's UNION ALL formulation scans per column; the engine's
+    single-pass plan is the point)."""
+    from ..operators.profiling import profile
+
+    events = load(spark, sf_dir, "events")
+    return profile(events, ["event_type", "user_id", "value"]).orderBy("column")
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS "day",
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+               AS avg_value
+    FROM events
+    GROUP BY 1
+    ORDER BY "day"
+    """,
+    tags=("lifecycle", "incremental", "rollup"),
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: the stored rollup
+    (events before 2024-01-15) is MERGED with the new partition's
+    partial aggregate by re-aggregating mergeable state (sum, count) --
+    never re-scanning history -- and must equal the full recompute (the
+    oracle).  This is the hypertable continuous-aggregate pattern: at
+    100 TB the left input is the tiny rollup table, only the new
+    partition is scanned."""
+    events = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+
+    def partial(df):
+        return df.groupBy(day).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+
+    stored_rollup = partial(events.where(F.col("ts") < cutoff))
+    increment = partial(events.where(F.col("ts") >= cutoff))
+    merged = (
+        stored_rollup.unionByName(increment)
+        .groupBy("day")
+        .agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value"))
+    )
+    return merged.select(
+        "day",
+        "n",
+        F.round(F.col("sum_value").cast("double") / F.col("n"), 6).alias("avg_value"),
+    ).orderBy("day")

@@ -312,3 +312,108 @@ def compaction_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "ts", "user_id", "event_type", "value")
         .orderBy("event_id")
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH stage1 AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    stage2 AS (
+      SELECT e.user_id, min(e.ts) AS click_ts
+      FROM events e JOIN stage1 s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+      GROUP BY e.user_id
+    ),
+    stage3 AS (
+      SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM events e JOIN stage2 s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.click_ts
+      GROUP BY e.user_id
+    )
+    SELECT 'signup' AS stage, count(*) AS n_users FROM stage1
+    UNION ALL SELECT 'signup>click', count(*) FROM stage2
+    UNION ALL SELECT 'signup>click>purchase', count(*) FROM stage3
+    ORDER BY stage
+    """,
+    tags=("analytics", "funnel", "events"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel: users progressing signup -> later click ->
+    later purchase.  Each stage is a keyed min-aggregate semi-joined to
+    the previous stage's earliest-time -- one shuffle per stage, no
+    per-user iteration."""
+    events = load(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev, prev_ts: str, out_ts: str):
+        src = events.where(F.col("event_type") == event_type).select(
+            "user_id", "ts"
+        )
+        if prev is not None:
+            src = src.join(prev, "user_id").where(F.col("ts") > F.col(prev_ts))
+        return src.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+
+    s1 = first_after("signup", None, "", "signup_ts")
+    s2 = first_after("click", s1, "signup_ts", "click_ts")
+    s3 = first_after("purchase", s2, "click_ts", "purchase_ts")
+
+    def tally(df, stage):
+        return df.agg(
+            F.lit(stage).alias("stage"), F.count(F.lit(1)).alias("n_users")
+        ).select("stage", "n_users")
+
+    return (
+        tally(s1, "signup")
+        .unionByName(tally(s2, "signup>click"))
+        .unionByName(tally(s3, "signup>click>purchase"))
+        .orderBy("stage")
+    )
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             strftime(date_trunc('week', f.first_ts), '%Y-%m-%d') AS cohort_week,
+             CAST(date_diff('day', date_trunc('week', f.first_ts),
+                            date_trunc('week', e.ts)) // 7 AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, count(*) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    tags=("analytics", "cohort", "events"),
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity week, counted
+    per subsequent active week -- the standard retention triangle.  One
+    keyed min-aggregate + one distinct per (user, week) + one count."""
+    events = load(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohort_start = F.date_trunc("week", F.col("first_ts"))
+    activity = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.date_format(cohort_start, "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), cohort_start) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -278,3 +278,25 @@ def test_watermark_drops_late_data(spark, scratch):
     # was dropped (no '09' window ever emitted, no reopening).
     assert emitted.get("10") == 2, emitted
     assert "09" not in emitted, emitted
+
+
+def test_stream_static_join(spark, scratch):
+    """Stream-static join (Table B): the streaming side joins a static
+    broadcast dimension per micro-batch (no watermark needed on the
+    static side)."""
+    data_dir = os.path.join(scratch, "in")
+    sensor_batch(spark, 100, client_id="dev_a").unionByName(
+        sensor_batch(spark, 50, client_id="dev_b")
+    ).write.mode("overwrite").parquet(data_dir)
+
+    device_dim = spark.createDataFrame(
+        [("dev_a", "lab"), ("dev_b", "field"), ("dev_c", "unused")],
+        "client_id string, site string",
+    )
+    stream = _sensor_stream_from_dir(spark, data_dir)
+    enriched = stream.join(F.broadcast(device_dim), "client_id").groupBy("site").count()
+
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(enriched, name, mode="complete")
+    got = {r["site"]: r["count"] for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got == {"lab": 100, "field": 50}

@@ -154,18 +154,33 @@ def value_props_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hourly_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-hour correlation (A25 x A20): what the reference would have
-    needed to actually quantify its hourly temp/humidity claim."""
+    needed to actually quantify its hourly temp/humidity claim.
+
+    Pearson r from its sum-form moments with ``try_divide``: groups
+    with zero variance (single-row / constant hours, present at small
+    SFs) yield NULL instead of ANSI-mode division-by-zero -- matching
+    DuckDB's corr() NULL semantics.
+    """
     events = parallelize_small(load(spark, sf_dir, "events"))
     k = F.get_json_object("props", "$.k").cast("double")
+    v = F.col("value")
+    agged = events.groupBy(log_hour()).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(v).alias("_sx"),
+        F.sum(k).alias("_sy"),
+        F.sum(v * v).alias("_sxx"),
+        F.sum(k * k).alias("_syy"),
+        F.sum(v * k).alias("_sxy"),
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.sqrt(F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")) * F.sqrt(
+        F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    )
     return (
-        events
-        .groupBy(log_hour())
-        .agg(
-            F.round(F.corr(F.col("value"), k), 6).alias("corr_value_k"),
-            F.count(F.lit(1)).alias("_n"),
+        agged.where(F.col("_n") >= 5)
+        .select(
+            "log_hour", F.round(F.try_divide(num, den), 6).alias("corr_value_k")
         )
-        .where(F.col("_n") >= 5)
-        .drop("_n")
         .orderBy("log_hour")
     )
 

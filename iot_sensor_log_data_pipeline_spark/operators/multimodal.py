@@ -99,7 +99,9 @@ def extract_features(media_df: DataFrame) -> DataFrame:
                     {
                         "doc_id": int(doc_id),
                         "n_bytes": len(data),
-                        "byte_hist": [round(h / n, 6) for h in hist],
+                        # raw h/n ratios: identical IEEE division on any engine,
+                        # so the DuckDB oracle matches bit-for-bit unrounded.
+                        "byte_hist": [h / n for h in hist],
                     }
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "byte_hist"])

@@ -136,14 +136,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,  # 64 nested bit expressions; validated by unit test instead.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(
+               list_distinct(list_filter(string_split_regex(text, ' +'),
+                                         t -> t <> '')),
+               t -> md5(t)) AS hashes
+      FROM documents
+    )
+    SELECT doc_id,
+           list_aggregate(
+             list_transform(range(64), lane ->
+               CASE WHEN list_sum(list_transform(hashes, h ->
+                 CASE WHEN (strpos('0123456789abcdef',
+                                   substring(h, lane // 4 + 1, 1)) - 1)
+                           // CAST(pow(2, 3 - lane % 4) AS INT) % 2 = 1
+                      THEN 1 ELSE -1 END)) > 0
+               THEN '1' ELSE '0' END),
+             'string_agg', '') AS simhash
+    FROM toks
+    ORDER BY doc_id
+    """,
     tags=("dedup", "north-star", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 64-bit SimHash (bit-string form), entirely JVM-side
-    via higher-order array folds.  Hamming-distance pairing lives in
-    ``operators.dedup.simhash_hamming``; algorithm verified by a
-    hand-computed pytest oracle (tests/test_operators.py)."""
+    via higher-order array folds.  Verified two ways: a hand-computed
+    Python oracle (tests/test_operators.py) AND a full DuckDB SQL
+    oracle that re-derives every lane bit from md5 hex chars."""
     docs = parallelize_small(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", DD.simhash64(F.col("text")).alias("simhash")

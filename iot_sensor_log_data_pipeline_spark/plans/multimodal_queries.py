@@ -41,20 +41,47 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_byte_histogram",
-    oracle=None,  # mapInPandas feature path; structure verified in tests.
+    oracle="""
+    WITH codes AS (
+      SELECT doc_id,
+             length(text) AS n_bytes,
+             list_transform(string_split(text, ''), c -> ascii(c)) AS cs
+      FROM documents
+    )
+    SELECT doc_id,
+           n_bytes,
+           list_transform(range(16),
+             b -> CAST(len(list_filter(cs, c -> c // 16 = b)) AS DOUBLE)
+                  / n_bytes) AS byte_hist
+    FROM codes
+    ORDER BY doc_id
+    """,
     tags=("multimodal", "north-star", "pandas-udf"),
 )
 def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary media via Arrow-batched
     ``mapInPandas`` (the stubbed-decode pipeline: real batching, fake
-    features)."""
+    features).  Oracle re-derives the byte histogram from character
+    codes (valid because the corpus text is pure ASCII; binary media
+    with multibyte provenance keeps the rows-only path)."""
     media = MM.attach_fake_media(parallelize_small(load(spark, sf_dir, "documents")))
     return MM.extract_features(media).orderBy("doc_id")
 
 
 @register(
     "multimodal_frame_sample",
-    oracle=None,  # mapInPandas explode path; structure verified in tests.
+    oracle="""
+    WITH base AS (SELECT doc_id, length(text) AS n FROM documents)
+    SELECT doc_id, u.fid AS frame_id, u.fb AS frame_bytes FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_filter(range((n + 63) // 64), f -> f % 4 = 0),
+               f -> {'fid': CAST(f AS INT),
+                     'fb': CAST(least(64, n - 64 * f) AS BIGINT)})) AS u
+      FROM base
+    )
+    ORDER BY doc_id, frame_id
+    """,
     tags=("multimodal", "north-star", "pandas-udf"),
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

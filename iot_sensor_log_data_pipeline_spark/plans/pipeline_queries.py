@@ -220,14 +220,23 @@ def sensor_hourly_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sensor_wire_roundtrip",
-    oracle=None,  # wire format is engine-internal; equality asserted in tests.
+    oracle="""
+    WITH g AS (SELECT unnest(generate_series(0, 4999)) AS id)
+    SELECT strftime(TIMESTAMP '2022-07-14 15:00:00' + to_seconds(id),
+                    '%Y-%m-%d-%H') AS log_hour,
+           count(*) AS n
+    FROM g
+    GROUP BY 1
+    ORDER BY log_hour
+    """,
     tags=("pipeline", "sensor", "A5", "A6"),
 )
 def sensor_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Producer wire-format cycle (Table A5): rows -> to_json wire ->
     from_json rows, then the QoS1 dedup (A6 fix) over a doubled stream;
-    returns per-hour counts after dedup (must equal the single-copy
-    counts)."""
+    returns per-hour counts after dedup -- the oracle regenerates the
+    undoubled series independently, so any wire-codec loss or dedup
+    failure breaks the match."""
     from ..sources.sensor import from_wire, to_wire
 
     sensors = sensor_batch(spark, 5_000)

@@ -15,9 +15,9 @@ Scale design (the whole point of these operators at 100 TB):
   Spark's internal ``hash()``/``xxhash64`` (seeded differently across
   engines; fine in production, unverifiable here).
 
-SimHash is the one operator kept Spark-side only (64 nested bit
-expressions make an oracle SQL unreadable); it gets a hand-computed
-pytest oracle instead.
+Every stage -- including SimHash's 64 lane bits and the clustering of
+pairs into components -- has a DuckDB oracle; only approximate ANN
+remains rows-only by nature.
 """
 
 from __future__ import annotations
@@ -299,3 +299,57 @@ def simhash_hamming(a: Column, b: Column) -> Column:
         F.split(a, ""), F.split(b, ""), lambda x, y: (x != y).cast("int")
     )
     return F.aggregate(pairs, F.lit(0), lambda acc, v: acc + v).cast("long")
+
+
+def connected_components(
+    edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (node,
+    component) where component = min node id reachable -- the step that
+    turns pairwise matches into dedup clusters with a canonical
+    survivor per cluster.
+
+    Iterative min-label propagation (small-star/large-star style):
+    each round joins labels across edges and keeps the minimum;
+    converges in O(diameter) rounds (near-dup clusters are tiny, so
+    2-3 rounds in practice; ``max_iter`` bounds adversarial chains).
+    Each iteration is two shuffles; intermediate lineage is truncated
+    with localCheckpoint so plans do not grow unboundedly.
+    """
+    both = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    labels = (
+        both.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

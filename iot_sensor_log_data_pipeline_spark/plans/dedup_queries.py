@@ -169,3 +169,59 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", DD.simhash64(F.col("text")).alias("simhash")
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    rare AS (
+      SELECT shingle FROM shingles GROUP BY shingle
+      HAVING count(*) <= {DD.DEFAULT_MAX_SHINGLE_DF}
+    ),
+    pruned AS (SELECT s.* FROM shingles s JOIN rare r ON s.shingle = r.shingle),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM pruned a JOIN pruned b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.n_common / (sa.set_size + sb.set_size - i.n_common) >= 0.4
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    reach(node, r) AS (
+      SELECT s, s FROM sym
+      UNION
+      SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.node
+    )
+    SELECT comp.component AS cluster_id,
+           count(*) AS n_docs
+    FROM (SELECT node, min(r) AS component FROM reach GROUP BY node) comp
+    GROUP BY comp.component
+    ORDER BY cluster_id
+    """,
+    tags=("dedup", "north-star", "clustering"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: pairwise Jaccard matches (>= 0.4) promoted to
+    connected components via iterative min-label propagation
+    (operators/dedup.connected_components) -- the step that turns
+    match pairs into dedup groups with a canonical survivor (min doc
+    id = cluster id).  Oracle computes the same components with a
+    recursive transitive-closure CTE."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.4)
+    comp = DD.connected_components(pairs)
+    return (
+        comp.groupBy(F.col("component").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("cluster_id")
+    )

@@ -303,3 +303,44 @@ def hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("s_name").cast("binary")).alias("name_md5"),
         F.sha2(F.col("s_name").cast("binary"), 256).alias("name_sha256"),
     ).orderBy("s_suppkey")
+
+
+@register(
+    "map_functions",
+    oracle="""
+    SELECT user_id,
+           count(DISTINCT event_type) AS n_types,
+           list_sort(list(DISTINCT event_type)) AS types,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+                AS BIGINT) AS n_purchases,
+           CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0)
+                AS BIGINT) AS n_errors
+    FROM events
+    WHERE user_id < 30
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("functions", "map"),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type battery: build a per-user event_type->count map
+    (map_from_entries over collected structs), then read it back with
+    size/map_keys/element_at.  Output is scalar/array-typed so the
+    oracle (which has no equivalent map literal in pandas) compares
+    exactly; the map itself is the intermediate."""
+    events = load(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("event_type"), F.col("cnt")))
+        ).alias("m")
+    )
+    return mapped.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        F.array_sort(F.map_keys("m")).alias("types"),
+        F.coalesce(F.element_at("m", "purchase"), F.lit(0)).alias("n_purchases"),
+        F.coalesce(F.element_at("m", "error"), F.lit(0)).alias("n_errors"),
+    ).orderBy("user_id")

@@ -69,9 +69,14 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in r_src],
     )
 
+    # Final tiebreak on the carried right columns: when several right
+    # rows share key AND timestamp, ``last()`` must not depend on
+    # partition-internal order -- with the tiebreak the greatest carried
+    # tuple wins deterministically (left rows carry nulls there, which
+    # sort first and never reorder relative to rights).
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col("__ts"), F.col("__side"))
+        .orderBy(F.col("__ts"), F.col("__side"), *[F.col(f"__r_{c}") for c in r_src])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 

@@ -37,7 +37,49 @@ ROWS_PER_BAND = MINHASH_PERMS // MINHASH_BANDS
 #: Shingles occurring in more than this many documents are dropped from
 #: candidate generation (classic stop-shingle pruning: a shingle shared
 #: by half the corpus carries no dedup signal but quadratic join cost).
+#: This is the FLOOR of the effective cap -- the cap scales with corpus
+#: size (``DEFAULT_MAX_SHINGLE_FRAC``) so a fixed 50 doesn't silently
+#: declare every shingle "frequent" at 100x the document count.
 DEFAULT_MAX_SHINGLE_DF = 50
+
+#: Corpus-relative stop-shingle cap: a shingle is a stop-shingle when
+#: its document frequency exceeds max(floor, frac * n_docs).
+DEFAULT_MAX_SHINGLE_FRAC = 0.005
+
+#: Scratch DataFrames cached by the most recent pair-operator call.
+#: Spark's CacheManager holds cached plans until an explicit unpersist,
+#: so in a long-lived session repeated dedup calls would otherwise
+#: accumulate cached shingle tables without bound.  Contract: each new
+#: pair-operator call releases the previous call's scratch caches;
+#: call ``release_caches()`` for a full cleanup.
+_SCRATCH_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist every scratch DataFrame cached by earlier pair-operator
+    calls (``ngram_jaccard_pairs`` / ``minhash_lsh_pairs``)."""
+    while _SCRATCH_CACHES:
+        _SCRATCH_CACHES.pop().unpersist()
+
+
+def _cache_scratch(df: DataFrame) -> DataFrame:
+    """Cache ``df`` for the lifetime of the current operator call,
+    releasing any scratch cached by the previous call first."""
+    release_caches()
+    df = df.cache()
+    _SCRATCH_CACHES.append(df)
+    return df
+
+
+def effective_max_shingle_df(
+    n_docs: int,
+    floor: int = DEFAULT_MAX_SHINGLE_DF,
+    frac: float = DEFAULT_MAX_SHINGLE_FRAC,
+) -> int:
+    """Corpus-relative stop-shingle cap: max(floor, ceil(frac * n_docs))."""
+    import math
+
+    return max(floor, math.ceil(frac * n_docs))
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
@@ -105,16 +147,27 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.6,
-    max_shingle_df: int = DEFAULT_MAX_SHINGLE_DF,
+    max_shingle_df: int | None = None,
+    max_shingle_frac: float = DEFAULT_MAX_SHINGLE_FRAC,
 ) -> DataFrame:
     """Document pairs with shingle-set Jaccard >= threshold.
 
-    candidates: equi-join on shared shingles (stop-shingles dropped),
-    intersection size = count of shared shingles per pair, union via
-    |A| + |B| - |A∩B|.  One wide shuffle keyed by shingle, one keyed by
-    pair -- no cross join anywhere.
+    candidates: equi-join on shared shingles, with stop-shingles
+    (document frequency above ``max(DEFAULT_MAX_SHINGLE_DF,
+    ceil(max_shingle_frac * n_docs))``) dropped from candidate
+    generation ONLY -- the reported Jaccard is then recounted over the
+    FULL shingle table (pruning the intersection but not the set sizes
+    would systematically underestimate Jaccard for documents sharing
+    frequent shingles).  One wide shuffle keyed by shingle for
+    candidates, one keyed by pair for verification -- no cross join.
     """
-    sh = shingle_table(docs, id_col, text_col, n).cache()
+    if max_shingle_df is None:
+        # One metadata-cheap count: makes the cap corpus-relative so a
+        # 100x corpus doesn't silently reclassify every discriminative
+        # shingle as frequent.
+        max_shingle_df = effective_max_shingle_df(docs.count(), frac=max_shingle_frac)
+
+    sh = _cache_scratch(shingle_table(docs, id_col, text_col, n))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
     rare = (
@@ -125,11 +178,20 @@ def ngram_jaccard_pairs(
     )
     sh_pruned = sh.join(rare, "shingle")
 
-    a = sh_pruned.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh_pruned.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
+    cand = (
+        sh_pruned.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(sh_pruned.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # Verification over the UNPRUNED shingle table, candidates only
+    # (mirrors minhash_lsh_pairs): true intersection count.
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -215,7 +277,7 @@ def minhash_lsh_pairs(
     LSH false positives.  No frequency cap needed -- banding already
     bounds candidate volume.  The shingle table is computed once and
     cached: it feeds signatures, sizes, AND verification."""
-    sh = shingle_table(docs, id_col, text_col, n).cache()
+    sh = _cache_scratch(shingle_table(docs, id_col, text_col, n))
     bands = minhash_bands(minhash_signatures_wide(sh, id_col), id_col)
     cand = (
         bands.alias("x")
@@ -309,12 +371,17 @@ def connected_components(
     turns pairwise matches into dedup clusters with a canonical
     survivor per cluster.
 
-    Iterative min-label propagation (small-star/large-star style):
-    each round joins labels across edges and keeps the minimum;
-    converges in O(diameter) rounds (near-dup clusters are tiny, so
-    2-3 rounds in practice; ``max_iter`` bounds adversarial chains).
-    Each iteration is two shuffles; intermediate lineage is truncated
-    with localCheckpoint so plans do not grow unboundedly.
+    Iterative min-label propagation with a pointer-jumping shortcut
+    (component <- label(component) each round), so label distance
+    doubles per iteration and convergence takes O(log diameter) rounds
+    -- ``max_iter=20`` therefore covers chains of ~2^20 hops, and
+    near-dup clusters converge in 2-3 rounds.  Each iteration is three
+    shuffles; intermediate lineage is truncated with localCheckpoint so
+    plans do not grow unboundedly.
+
+    Raises ``RuntimeError`` if labels have not stabilized after
+    ``max_iter`` rounds: unconverged labels would be silently split
+    clusters, which is worse than failing.
     """
     both = edges.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -332,12 +399,25 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        propagated = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("nbr_component", F.col("component"))
+            ).alias("component"),
+        )
+        # Pointer jumping: follow the label one extra hop (a component
+        # id is itself a node id), doubling propagation distance.
+        hop = propagated.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            propagated.join(hop, propagated.component == hop.p_node, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                    F.col("component"), F.coalesce("p_comp", F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
@@ -351,5 +431,8 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations; "
+        "labels would be silently wrong -- raise max_iter"
+    )

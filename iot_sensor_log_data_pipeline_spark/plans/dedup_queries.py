@@ -29,6 +29,38 @@ _SHINGLES_CTE = f"""
     sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id)
 """
 
+#: Corpus-relative stop-shingle cap (mirrors
+#: ``dedup.effective_max_shingle_df``): max(floor, ceil(frac * n_docs)).
+_CAP_SQL = (
+    f"(SELECT greatest({DD.DEFAULT_MAX_SHINGLE_DF}, "
+    f"CAST(ceil({DD.DEFAULT_MAX_SHINGLE_FRAC} * count(*)) AS BIGINT)) "
+    "FROM documents)"
+)
+
+#: Shared-shingle candidate pairs from the stop-shingle-pruned table,
+#: verified by recounting the intersection over the FULL shingle table
+#: (pruning affects candidate generation only, never the reported
+#: Jaccard -- mirrors ``dedup.ngram_jaccard_pairs``).
+_NGRAM_INTER_CTE = f"""
+    rare AS (
+      SELECT shingle FROM shingles GROUP BY shingle
+      HAVING count(*) <= {_CAP_SQL}
+    ),
+    pruned AS (SELECT s.* FROM shingles s JOIN rare r ON s.shingle = r.shingle),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pruned a JOIN pruned b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN shingles a ON a.doc_id = c.id_a
+      JOIN shingles b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+"""
+
 
 @register(
     "dedup_exact_documents",
@@ -54,17 +86,7 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    rare AS (
-      SELECT shingle FROM shingles GROUP BY shingle
-      HAVING count(*) <= {DD.DEFAULT_MAX_SHINGLE_DF}
-    ),
-    pruned AS (SELECT s.* FROM shingles s JOIN rare r ON s.shingle = r.shingle),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM pruned a JOIN pruned b
-        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
+    {_NGRAM_INTER_CTE}
     SELECT i.id_a, i.id_b,
            round(i.n_common / (sa.set_size + sb.set_size - i.n_common), 6) AS jaccard
     FROM inter i
@@ -77,7 +99,8 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs: shared-shingle candidates with
-    stop-shingle frequency capping, exact Jaccard >= 0.6."""
+    corpus-relative stop-shingle capping (candidate generation only);
+    exact Jaccard >= 0.6 recounted over unpruned shingle sets."""
     docs = load(spark, sf_dir, "documents")
     pairs = DD.ngram_jaccard_pairs(docs, threshold=0.6)
     return pairs.select(
@@ -175,17 +198,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_CTE},
-    rare AS (
-      SELECT shingle FROM shingles GROUP BY shingle
-      HAVING count(*) <= {DD.DEFAULT_MAX_SHINGLE_DF}
-    ),
-    pruned AS (SELECT s.* FROM shingles s JOIN rare r ON s.shingle = r.shingle),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM pruned a JOIN pruned b
-        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
+    {_NGRAM_INTER_CTE},
     edges AS (
       SELECT i.id_a, i.id_b
       FROM inter i

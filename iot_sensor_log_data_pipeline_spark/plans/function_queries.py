@@ -47,7 +47,7 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_name").alias("name_upper"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
         F.substring("p_name", 1, 5).alias("name_prefix"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
         F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
         F.size(F.split("p_name", " ")).cast("long").alias("n_words"),

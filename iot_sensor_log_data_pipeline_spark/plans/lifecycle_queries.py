@@ -205,7 +205,7 @@ def string_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex(name.cast("binary"))).alias("name_hex"),
         F.translate(name, "#0", "_O").alias("name_translated"),
         F.split_part(name, F.lit("#"), F.lit(2)).alias("name_num"),
-        F.levenshtein(name, F.lit("Supplier#1")).alias("lev_to_one"),
+        F.levenshtein(name, F.lit("Supplier#1")).cast("long").alias("lev_to_one"),
         F.instr(name, "#").cast("long").alias("hash_pos"),
         F.repeat(F.substring(name, 1, 2), 2).alias("prefix_twice"),
         F.substring(name, -3, 3).alias("suffix"),

@@ -20,7 +20,11 @@ from ..sources.sensor import sensor_batch
 from ._numeric import dec_avg
 from .catalog import register
 
-SCRATCH = os.environ.get("ENGINE_SCRATCH_DIR", "/tmp/engine_scratch")
+# Per-process scratch root: a PID suffix keeps concurrent runs (driver
+# verify alongside pytest/bench) from rmtree-ing each other's inputs.
+SCRATCH = os.path.join(
+    os.environ.get("ENGINE_SCRATCH_DIR", "/tmp/engine_scratch"), f"pid{os.getpid()}"
+)
 
 
 def _scratch(name: str) -> str:

@@ -276,7 +276,7 @@ def monotonic_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("ts", "event_id")
     return (
         events.where(F.col("user_id") == 7)
-        .select("event_id", (F.row_number().over(w) - 1).alias("seq"))
+        .select("event_id", (F.row_number().over(w) - 1).cast("long").alias("seq"))
         .orderBy("event_id")
     )
 
@@ -303,7 +303,7 @@ def dedup_at_least_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.dropDuplicates(["event_id"])
     return deduped.agg(
         F.count(F.lit(1)).alias("n_after_dedup"),
-        F.lit(n_before).alias("n_before_dedup"),
+        F.lit(n_before).cast("long").alias("n_before_dedup"),
     )
 
 

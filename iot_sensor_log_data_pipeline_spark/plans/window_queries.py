@@ -42,7 +42,7 @@ def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return (
         orders.select(
-            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).cast("long").alias("rn")
         )
         .where(F.col("rn") <= 3)
         .orderBy("o_custkey", "rn")
@@ -74,9 +74,9 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_orderstatus",
             "o_orderkey",
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-            F.ntile(4).over(w).alias("quartile"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
             F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         )
         .orderBy("o_orderstatus", "rnk")

@@ -70,6 +70,36 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
     return sorted(rows)
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Canonical dtype class for cross-engine schema comparison: width-
+    aware for numerics (int32 vs int64 drift should fail here, not only
+    in an external schema check), class-level for datetimes (tz/unit
+    normalization happens in value canonicalization) and objects (the
+    value class -- Decimal vs str vs list -- is compared instead)."""
+    kind = s.dtype.kind
+    if kind in "iuf":
+        return f"{kind}{s.dtype.itemsize}"
+    if kind == "b":
+        return "bool"
+    if kind == "M":
+        return "datetime"
+    non_null = s.dropna()
+    if len(non_null) == 0:
+        return "object:empty"
+    v = non_null.iloc[0]
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return "object:decimal"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "object:list"
+    if isinstance(v, bytes):
+        return "object:bytes"
+    if isinstance(v, date) and not isinstance(v, datetime):
+        return "object:date"
+    return "object"
+
+
 def compare_frames(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""
     problems: list[str] = []
@@ -79,6 +109,15 @@ def compare_frames(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]
             f"oracle={sorted(oracle_df.columns)}"
         )
         return problems
+    s_types = {c: _dtype_class(spark_df[c]) for c in spark_df.columns}
+    o_types = {c: _dtype_class(oracle_df[c]) for c in oracle_df.columns}
+    if s_types != o_types:
+        drift = {
+            c: (s_types[c], o_types[c])
+            for c in s_types
+            if s_types[c] != o_types[c]
+        }
+        problems.append(f"dtypes differ (spark, oracle): {drift}")
     if len(spark_df) != len(oracle_df):
         problems.append(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
     s_rows = canonical_rows(spark_df)

@@ -271,3 +271,49 @@ def test_asof_join_matches_pandas_merge_asof(spark, seed):
             assert g is None, f"seed={seed} lid={lid}: got {g}, want null"
         else:
             assert g == exp, f"seed={seed} lid={lid}: got {g}, want {exp}"
+
+
+def test_ngram_jaccard_cap_scales_with_corpus(spark):
+    """A fixed DF cap of 50 prunes every shingle of a 60-document dup
+    cluster (DF=60) and finds nothing; the corpus-relative cap
+    (frac * n_docs) keeps them and recovers the pairs."""
+    dup = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(60)]
+    filler = [(1000 + i, f"unique filler text number {i} alpha beta gamma {i}") for i in range(200)]
+    df = spark.createDataFrame(dup + filler, "doc_id long, text string")
+
+    fixed = DD.ngram_jaccard_pairs(df, threshold=0.9, max_shingle_df=50)
+    assert fixed.count() == 0  # the failure mode at 100x corpus size
+
+    scaled = DD.ngram_jaccard_pairs(df, threshold=0.9, max_shingle_frac=0.25)
+    assert scaled.count() == 60 * 59 // 2  # all dup pairs recovered
+
+
+def test_ngram_jaccard_reports_unpruned_jaccard(spark):
+    """Pruning applies to candidate generation only: the reported
+    jaccard is recounted over FULL shingle sets, so two identical docs
+    score 1.0 even when some of their shingles are stop-shingles."""
+    common = "x y z w v u"  # shared by everyone -> stop-shingles
+    docs = [(i, f"{common} filler{i} a{i} b{i} c{i}") for i in range(30)]
+    docs += [(100, f"{common} same tail here okay fine"), (101, f"{common} same tail here okay fine")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = DD.ngram_jaccard_pairs(df, threshold=0.99, max_shingle_df=10).collect()
+    assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in pairs] == [(100, 101, 1.0)]
+
+
+def test_dedup_releases_scratch_caches(spark):
+    """Repeated pair-operator calls must not accumulate cached RDDs:
+    each call releases the previous call's scratch, and
+    release_caches() drops the last one (ADVICE round 1)."""
+    df = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} q{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    jsc = spark.sparkContext._jsc
+    DD.release_caches()
+    base = jsc.getPersistentRDDs().size()
+    for _ in range(3):
+        DD.minhash_lsh_pairs(df, threshold=0.9).count()
+        DD.ngram_jaccard_pairs(df, threshold=0.9).count()
+        assert jsc.getPersistentRDDs().size() <= base + 1  # at most the live scratch
+    DD.release_caches()
+    assert jsc.getPersistentRDDs().size() <= base

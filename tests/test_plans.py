@@ -24,7 +24,14 @@ SF = "/root/testdata/sf0.001"
 #: and the brute-force cosine baseline (every vector scored against the
 #: broadcast query set IS a deliberate broadcast nested loop; the LSH
 #: path is the equi-join alternative).
-BNLJ_ALLOWED = {"join_theta_size_bands", "similarity_topk_cosine"}
+#: Queries where a BroadcastNestedLoopJoin is the intended plan: theta
+#: join (no equi key), brute-force cosine (broadcast queries x corpus),
+#: and Q22's single-row scalar-average broadcast onto every customer.
+BNLJ_ALLOWED = {
+    "join_theta_size_bands",
+    "similarity_topk_cosine",
+    "q22_dormant_accounts",
+}
 
 #: Queries whose construction has side effects (scratch-dir writes) --
 #: exercised by their oracle tests; skipped in the sweep to keep the

@@ -47,6 +47,31 @@ HEADLINE: tuple[str, ...] = (
 )
 
 
+def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str, float]:
+    """recall@k of the approximate ANN paths vs brute-force cosine on
+    the bench corpus -- printed every round so quantizer/banding work
+    is measurable, not just 'still runs'."""
+    from pyspark.sql import functions as F
+
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import similarity as SIM
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < n_queries)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(emb, queries, k=k).collect()
+    }
+    out = {}
+    for label, fn in (("lsh", SIM.lsh_topk), ("ivf", SIM.ivf_topk)):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in fn(emb, queries, k=k).collect()
+        }
+        out[label] = round(len(exact & approx) / len(exact), 4)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = default_parallelism()
@@ -63,14 +88,22 @@ def main() -> None:
     warm = entries[names[0]].fn(spark, "/root/testdata/sf0.001")
     warm.write.format("noop").mode("overwrite").save()
 
+    # Two full passes in fixed order, min-of-2 per query: the second
+    # pass reuses JIT-compiled codegen and OS page cache, so the min is
+    # the stable plan cost and round-over-round deltas aren't JIT/IO
+    # noise.
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = entries[name].fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name in names:
+            t0 = time.perf_counter()
+            df = entries[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
+    recall = ann_recall(spark, sf_dir)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -85,6 +118,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "cpus": cpus,
+                "ann_recall_at_10": recall,
             }
         )
     )

@@ -209,6 +209,48 @@ def _probe_cells(
     return F.transform(top, lambda s: s.getField("cell"))
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic sampled spherical k-means coarse quantizer.
+
+    Sample: the ``sample_size`` rows with the smallest md5(id) -- a
+    content-derived, partitioning-independent pseudo-random sample that
+    Spark executes as TakeOrderedAndProject (no full sort, KBs to the
+    driver).  Lloyd's iterations then run driver-side on the sample
+    (<= sample_size x dim doubles, trivially cheap) with cosine
+    assignment (rows L2-normalized) and seeded init, so centroids are
+    bit-reproducible run to run.  Empty cells keep their previous
+    centroid.  At 100 TB nothing changes: the sample is still KBs.
+    """
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.asarray([list(r[vec_col]) for r in rows], dtype="float64")
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+    rng = np.random.default_rng(seed)
+    init_idx = rng.choice(len(X), size=min(n_cells, len(X)), replace=False)
+    C = X[np.sort(init_idx)].copy()
+    for _ in range(n_iter):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        assign = (Xn @ Cn.T).argmax(axis=1)
+        for cell in range(len(C)):
+            members = X[assign == cell]
+            if len(members):
+                C[cell] = members.mean(axis=0)
+    return [(i, [float(x) for x in C[i]]) for i in range(len(C))]
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -217,27 +259,32 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_cells: int = 16,
     n_probe: int = 4,
+    sample_size: int = 2048,
+    kmeans_iter: int = 10,
+    seed: int = 42,
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse-quantize the corpus into
     ``n_cells`` inverted lists (nearest-centroid assignment), probe the
     ``n_probe`` closest cells per query, exact cosine re-rank inside
     the probed cells.
 
-    Coarse quantizer: the ``n_cells`` lowest-id corpus vectors serve as
-    deterministic centroids -- a driver-side collect of n_cells rows
-    (KBs), shipped back into the plan as literals; a production build
-    would swap in k-means centroids from a sample without changing the
-    plan shape.  Cost at scale: candidates ~= n_probe/n_cells of the
-    corpus per query (vs all of it for brute force), and the cell
-    assignment column is precomputable/persistable for the whole
+    Coarse quantizer: sampled spherical k-means (``kmeans_centroids``)
+    -- data-dependent centroids from a deterministic md5-ordered sample,
+    Lloyd's on the driver, centroids shipped back into the plan as
+    literals (a few KB).  Cost at scale: candidates ~= n_probe/n_cells
+    of the corpus per query (vs all of it for brute force), and the
+    cell assignment column is precomputable/persistable for the whole
     corpus.
     """
-    cent_rows = (
-        vectors.orderBy(id_col).limit(n_cells).select(id_col, vec_col).collect()
+    centroids = kmeans_centroids(
+        vectors,
+        n_cells,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_size=sample_size,
+        n_iter=kmeans_iter,
+        seed=seed,
     )
-    centroids = [
-        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(cent_rows)
-    ]
 
     assigned = vectors.select(
         F.col(id_col).alias("neighbor_id"),

@@ -317,3 +317,37 @@ def test_dedup_releases_scratch_caches(spark):
         assert jsc.getPersistentRDDs().size() <= base + 1  # at most the live scratch
     DD.release_caches()
     assert jsc.getPersistentRDDs().size() <= base
+
+
+def test_ivf_kmeans_recall_on_clustered_fixture(spark):
+    """A clustered corpus is where quantizer quality shows: first-N-id
+    centroids would land all in whichever clusters the low ids hit,
+    while sampled k-means spreads cells across the real clusters.
+    Recall floor asserted on 8 well-separated Gaussian clusters."""
+    rng = __import__("numpy").random.default_rng(7)
+    np = __import__("numpy")
+    centers = rng.standard_normal((8, 64)) * 10.0
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(50):
+            vec = centers[c] + rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in vec], c))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    queries = emb.where(F.col("vec_id") % 57 == 3)  # a few queries across clusters
+    exact = SIM.brute_force_topk(emb, queries, k=10).collect()
+    approx = SIM.ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"k-means IVF recall on clustered data: {recall}"
+
+
+def test_kmeans_centroids_deterministic(spark):
+    rng = __import__("numpy").random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1 = SIM.kmeans_centroids(emb, 8, sample_size=256)
+    c2 = SIM.kmeans_centroids(emb.repartition(13), 8, sample_size=256)
+    assert c1 == c2  # partitioning-independent and seeded

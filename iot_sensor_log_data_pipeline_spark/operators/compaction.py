@@ -150,3 +150,91 @@ def drop_output(dest: str) -> None:
     """A16 analogue for tests: remove a compaction output directory."""
     if dest and os.path.isdir(dest):
         shutil.rmtree(dest)
+
+
+@dataclass
+class MaintenanceResult:
+    partitions_seen: int
+    partitions_compacted: int
+    files_before: int
+    files_after: int
+
+
+def _partition_dirs(table_dir: str) -> list[str]:
+    """Leaf directories holding data files (hive-style ``key=value``
+    partition layout, or the table root itself for unpartitioned)."""
+    leaves: list[str] = []
+    for root, _dirs, files in os.walk(table_dir):
+        if any(not f.startswith((".", "_")) for f in files):
+            leaves.append(root)
+    return sorted(leaves)
+
+
+def optimize_parquet_table(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 << 20,
+    min_files: int = 4,
+) -> MaintenanceResult:
+    """OPTIMIZE-style maintenance over a partitioned parquet directory:
+    the reference's A14 compaction generalized from one JSON prefix to
+    every partition of a streaming-sink table (micro-batch sinks write
+    one file per trigger per partition -- the small-file problem this
+    exists to fix).
+
+    Per leaf partition: if >= ``min_files`` data files and the current
+    layout has more files than ``ceil(bytes / target_file_bytes)``,
+    rewrite those exact files into the target count (bin-packed by
+    Spark's round-robin repartition) and swap them in.  Rows are
+    preserved exactly -- only the file layout changes.
+
+    Scale notes: each partition rewrite is an independent narrow job
+    (read N small files, write M big ones -- no shuffle wider than the
+    repartition), so a 1000-executor cluster compacts partitions
+    concurrently by looping this per partition or running one job over
+    many partitions.  The delete+rename commit below assumes a
+    filesystem with atomic rename (local/HDFS); on object stores this
+    is exactly the job of a table format's snapshot commit -- see
+    ``sinks/table_format.py`` for the gated Delta path.
+    """
+    parts = _partition_dirs(table_dir)
+    files_before = files_after = compacted = 0
+    for part_dir in parts:
+        files = [
+            os.path.join(part_dir, f)
+            for f in os.listdir(part_dir)
+            if not f.startswith((".", "_"))
+            and os.path.isfile(os.path.join(part_dir, f))
+        ]
+        files_before += len(files)
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, -(-total_bytes // target_file_bytes))
+        if len(files) < min_files or n_out >= len(files):
+            files_after += len(files)
+            continue
+
+        # Rewrite the exact listed snapshot (files arriving mid-run are
+        # untouched), then commit by delete+rename.
+        tmp = os.path.join(part_dir, f"_compact_tmp_{os.getpid()}")
+        df = spark.read.parquet(*files)
+        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+        new_files = sorted(
+            f for f in os.listdir(tmp) if not f.startswith((".", "_"))
+        )
+        for f in files:
+            os.remove(f)
+        stamp = datetime.now(timezone.utc).strftime("%Y%m%d%H%M%S")
+        for i, f in enumerate(new_files):
+            shutil.move(
+                os.path.join(tmp, f),
+                os.path.join(part_dir, f"compacted-{stamp}-{i:05d}.parquet"),
+            )
+        shutil.rmtree(tmp)
+        compacted += 1
+        files_after += len(new_files)
+    return MaintenanceResult(
+        partitions_seen=len(parts),
+        partitions_compacted=compacted,
+        files_before=files_before,
+        files_after=files_after,
+    )

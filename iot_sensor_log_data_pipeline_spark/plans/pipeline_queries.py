@@ -254,3 +254,50 @@ def sensor_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("log_hour")
     )
+
+
+@register(
+    "maintenance_compaction_roundtrip",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d-%H') AS log_hour,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_value
+    FROM events
+    GROUP BY 1
+    ORDER BY log_hour
+    """,
+    tags=("pipeline", "maintenance", "A14"),
+)
+def maintenance_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-format maintenance (A14 generalized): land events as a
+    log_hour-partitioned parquet table with many small files per
+    partition (the micro-batch-sink layout), run the OPTIMIZE-style
+    size-targeted compactor over every partition, then aggregate the
+    compacted table -- which must match aggregating the pristine
+    corpus, proving the rewrite is row-lossless."""
+    from ..operators.compaction import optimize_parquet_table
+
+    path = _scratch("maintenance_roundtrip")
+    events = load(spark, sf_dir, "events")
+    (
+        events.withColumn("log_hour", F.date_format("ts", "yyyy-MM-dd-HH"))
+        .repartition(8)  # 8 small files per hour partition
+        .write.partitionBy("log_hour")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    result = optimize_parquet_table(spark, path, min_files=2)
+    if result.files_after >= result.files_before:
+        raise RuntimeError(f"maintenance compaction did not reduce files: {result}")
+
+    back = spark.read.parquet(path)
+    from ._numeric import dec_avg
+
+    return (
+        back.groupBy("log_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_avg("value").alias("avg_value"),
+        )
+        .orderBy("log_hour")
+    )

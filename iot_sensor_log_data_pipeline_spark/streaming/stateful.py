@@ -83,3 +83,116 @@ def count_trigger_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+#: Sessionizer output: one row per CLOSED session.
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+#: Sessionizer state: the one open session per user (epoch micros --
+#: integer state avoids tz/unit ambiguity across the Arrow boundary).
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _epoch_us(ts: pd.Series) -> list[int]:
+    idx = pd.DatetimeIndex(ts)
+    if idx.tz is not None:
+        idx = idx.tz_convert("UTC").tz_localize(None)
+    # Python ints, not numpy int64: state round-trips through JSON.
+    return [int(x) for x in idx.as_unit("us").asi8]
+
+
+def make_sessionizer(gap_seconds: int = 1800):
+    """Per-user session windows with inactivity-gap timeout -- the
+    streaming twin of the batch lag+cumsum sessionization
+    (``plans/relational_queries.sessionize_events``).
+
+    Sessions close two ways: (a) arrival-driven -- a new event for the
+    user more than ``gap_seconds`` after the last one closes the open
+    session in the same micro-batch; (b) watermark-driven -- event-time
+    timeout fires once the watermark passes last_event + gap, so users
+    who simply stop sending still emit their final session (the case a
+    batch job only handles by rerunning)."""
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int]] = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, last, n = state.get
+                closed.append((s, last, n))
+            state.remove()
+        else:
+            stamps: list[int] = []
+            for pdf in pdfs:
+                stamps.extend(_epoch_us(pdf["ts"]))
+            stamps.sort()
+            if state.exists:
+                s, last, n = state.get
+            else:
+                s, last, n = None, None, 0
+            for t in stamps:
+                if s is not None and t - last > gap_us:
+                    closed.append((s, last, n))
+                    s = None
+                if s is None:
+                    s, n = t, 0
+                n += 1
+                last = t
+            if last is not None:
+                state.update((s, last, n))
+                # Event-time timeout at last+gap; must stay ahead of
+                # the current watermark or the state store rejects it.
+                wm_ms = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(
+                    max(last // 1000 + gap_seconds * 1000, wm_ms + 1)
+                )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": pd.to_datetime([c[0] for c in closed], unit="us"),
+                    "session_end": pd.to_datetime([c[1] for c in closed], unit="us"),
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessionization keyed by user: state is one open-session
+    struct per user (millions of users = millions of tiny state rows,
+    partitioned by key -- the state store's native shape)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            make_sessionizer(gap_seconds),
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

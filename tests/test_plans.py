@@ -36,7 +36,12 @@ BNLJ_ALLOWED = {
 #: Queries whose construction has side effects (scratch-dir writes) --
 #: exercised by their oracle tests; skipped in the sweep to keep the
 #: audit read-only.
-SIDE_EFFECT = {"scan_json_roundtrip", "scan_csv_roundtrip", "compaction_roundtrip"}
+SIDE_EFFECT = {
+    "scan_json_roundtrip",
+    "scan_csv_roundtrip",
+    "compaction_roundtrip",
+    "maintenance_compaction_roundtrip",
+}
 
 
 def plan_of(df) -> str:

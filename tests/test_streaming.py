@@ -10,6 +10,7 @@ import uuid
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from iot_sensor_log_data_pipeline_spark.schemas import SENSOR_LOG
 from iot_sensor_log_data_pipeline_spark.sources.sensor import sensor_batch
@@ -300,3 +301,72 @@ def test_stream_static_join(spark, scratch):
     _run_to_memory(enriched, name, mode="complete")
     got = {r["site"]: r["count"] for r in spark.sql(f"SELECT * FROM {name}").collect()}
     assert got == {"lab": 100, "field": 50}
+
+
+def test_stateful_sessionization_matches_batch(spark, scratch):
+    """Streaming sessionization (applyInPandasWithState, 30-min gap)
+    must emit exactly the sessions the batch lag+cumsum computation
+    finds on the same events: arrival-driven closes within and across
+    micro-batches, and a watermark flush closes the trailing sessions."""
+    from datetime import datetime, timedelta
+
+    from iot_sensor_log_data_pipeline_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    base = datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    # user 1: two sessions (3 events, gap > 30 min, 2 events)
+    for m in (0, 5, 10, 70, 75):
+        rows.append((1, base + timedelta(minutes=m)))
+    # user 2: one long session (gaps < 30 min)
+    for m in (0, 20, 40, 60):
+        rows.append((2, base + timedelta(minutes=m)))
+    # user 3: three single-event sessions
+    for m in (0, 60, 120):
+        rows.append((3, base + timedelta(minutes=m)))
+    data_dir = os.path.join(scratch, "sessions_in")
+    os.makedirs(data_dir, exist_ok=True)
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    df.coalesce(1).write.mode("append").parquet(data_dir)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(data_dir)
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = P.start_memory_sink(sessionize_stream(stream, gap_seconds=1800), name)
+    q.processAllAvailable()
+    # Flush batch: one far-future event per user closes every open
+    # session (arrival-driven) and advances the watermark.
+    flush_ts = base + timedelta(days=2)
+    flush = spark.createDataFrame(
+        [(u, flush_ts) for u in (1, 2, 3)], "user_id long, ts timestamp"
+    )
+    flush.coalesce(1).write.mode("append").parquet(data_dir)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        if r["session_start"] < flush_ts  # exclude the flush session itself
+    }
+
+    # Batch twin: lag+cumsum sessionization over the same (pre-flush) rows.
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = df.select(
+        "user_id", "ts", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_s")
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.select("user_id", "ts", F.sum("new_s").over(cum).alias("sid"))
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessions.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == expected
+    assert len(got) == 6  # 2 + 1 + 3 sessions

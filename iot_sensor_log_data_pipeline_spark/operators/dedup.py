@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._scratch_cache import ScratchCaches
 from .text import tokens
 
 #: MinHash configuration: 16 permutations grouped into 4 bands of 4.
@@ -46,29 +47,20 @@ DEFAULT_MAX_SHINGLE_DF = 50
 #: its document frequency exceeds max(floor, frac * n_docs).
 DEFAULT_MAX_SHINGLE_FRAC = 0.005
 
-#: Scratch DataFrames cached by the most recent pair-operator call.
-#: Spark's CacheManager holds cached plans until an explicit unpersist,
-#: so in a long-lived session repeated dedup calls would otherwise
-#: accumulate cached shingle tables without bound.  Contract: each new
-#: pair-operator call releases the previous call's scratch caches;
-#: call ``release_caches()`` for a full cleanup.
-_SCRATCH_CACHES: list[DataFrame] = []
+#: Scratch cache for the most recent pair-operator call's shingle
+#: table (see ``_scratch_cache.ScratchCaches`` for the lifetime
+#: contract; ``release_caches()`` gives the full cleanup).
+_SCRATCH = ScratchCaches()
 
 
 def release_caches() -> None:
     """Unpersist every scratch DataFrame cached by earlier pair-operator
     calls (``ngram_jaccard_pairs`` / ``minhash_lsh_pairs``)."""
-    while _SCRATCH_CACHES:
-        _SCRATCH_CACHES.pop().unpersist()
+    _SCRATCH.release()
 
 
 def _cache_scratch(df: DataFrame) -> DataFrame:
-    """Cache ``df`` for the lifetime of the current operator call,
-    releasing any scratch cached by the previous call first."""
-    release_caches()
-    df = df.cache()
-    _SCRATCH_CACHES.append(df)
-    return df
+    return _SCRATCH.cache(df)
 
 
 def effective_max_shingle_df(

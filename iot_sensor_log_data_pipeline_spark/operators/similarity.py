@@ -25,7 +25,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from ._scratch_cache import ScratchCaches
+
 DIM = 64
+
+#: Scratch cache for the banded LSH index (lifetime contract in
+#: ``_scratch_cache``; ``release_caches()`` for full cleanup).
+_SCRATCH = ScratchCaches()
+
+
+def release_caches() -> None:
+    """Unpersist scratch cached by earlier ``lsh_topk`` calls."""
+    _SCRATCH.release()
 
 
 def _dbl(x: Column) -> Column:
@@ -134,30 +145,54 @@ def _srp_bands_udf(planes: list[list[float]], bands: int, rows_per_band: int):
 
 def lsh_topk(
     vectors: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | None = None,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bands: int = 8,
     rows_per_band: int = 4,
     seed: int = 42,
+    query_filter: Column | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: SRP-LSH band-bucket candidates, exact
     cosine re-rank.  Recall grows with ``bands``; cost ~ corpus
     fraction sharing a bucket (per band ~2^-rows_per_band for random
-    vectors)."""
+    vectors).
+
+    Pass ``queries`` as a separate DataFrame, OR -- when the queries
+    are a subset of ``vectors`` -- pass ``query_filter`` (a predicate
+    over the corpus columns): the banded signature table is then
+    computed ONCE and cached, and the query side is a filter over it,
+    instead of re-running the signature UDF over both inputs.  At scale
+    this is the "persist the LSH index, probe it" pattern.
+    """
+    if (queries is None) == (query_filter is None):
+        raise ValueError("pass exactly one of queries / query_filter")
     planes = hyperplanes(bands * rows_per_band, seed=seed)
     bands_udf = _srp_bands_udf(planes, bands, rows_per_band)
 
-    def with_bands(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+    def with_bands(df: DataFrame) -> DataFrame:
         return df.select(
-            F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(vec_alias),
+            F.col(id_col),
+            F.col(vec_col),
             F.posexplode(bands_udf(F.col(vec_col))).alias("band_id", "bucket"),
         )
 
-    vb = with_bands(vectors, "neighbor_id", "vec")
-    qb = with_bands(queries, "query_id", "query_vec")
+    def as_side(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            "band_id",
+            "bucket",
+        )
+
+    if query_filter is not None:
+        banded = _SCRATCH.cache(with_bands(vectors))
+        vb = as_side(banded, "neighbor_id", "vec")
+        qb = as_side(banded.where(query_filter), "query_id", "query_vec")
+    else:
+        vb = as_side(with_bands(vectors), "neighbor_id", "vec")
+        qb = as_side(with_bands(queries), "query_id", "query_vec")
 
     cand = (
         vb.join(F.broadcast(qb), ["band_id", "bucket"])
@@ -176,6 +211,72 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )
+
+
+def embedding_cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the vector-space member of the
+    dedup family): all (id_a < id_b) pairs with cosine >= threshold.
+
+    ``method='exact'``: upper-triangle broadcast join with per-row
+    precomputed norms -- O(n^2) dot products, the oracle-checkable
+    baseline (fine when one side broadcasts; at corpus scale this is
+    the per-bucket verifier, not the driver).
+    ``method='lsh'``: SRP-LSH band-bucket candidates (same construction
+    as ``lsh_topk``) + exact cosine verification of candidates only --
+    the subquadratic scale path; recall is the S-curve of the banding,
+    checked in tests against the exact method.
+    """
+    with_norm = vectors.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("nrm")
+    )
+    if method == "exact":
+        a = with_norm.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
+        )
+        b = with_norm.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
+        )
+        scored = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos_sim")
+        )
+    elif method == "lsh":
+        planes = hyperplanes(bands * rows_per_band, seed=seed)
+        bands_udf = _srp_bands_udf(planes, bands, rows_per_band)
+        banded = _SCRATCH.cache(
+            with_norm.select(
+                id_col, vec_col, "nrm",
+                F.posexplode(bands_udf(F.col(vec_col))).alias("band_id", "bucket"),
+            )
+        )
+        x = banded.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+            F.col("nrm").alias("na"), "band_id", "bucket",
+        )
+        y = banded.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+            F.col("nrm").alias("nb"), "band_id", "bucket",
+        )
+        cand = (
+            x.join(y, ["band_id", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        scored = cand.select(
+            "id_a", "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return scored.where(F.col("cos_sim") >= threshold)
 
 
 def _argmax_cell(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:

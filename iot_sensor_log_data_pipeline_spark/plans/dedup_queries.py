@@ -238,3 +238,41 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(64),
+               i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(range(64),
+             i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+             / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(64),
+            i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+          / (a.nrm * b.nrm) >= 0.42
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "north-star", "embedding", "cosine"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (vector-space dedup family):
+    exact upper-triangle pass with precomputed norms -- the
+    oracle-checkable baseline; ``method='lsh'`` in
+    ``operators.similarity.embedding_cosine_pairs`` is the bucketed
+    scale path, recall-tested against this exact output.  Threshold
+    0.42 is tuned to the synthetic corpus (near-uniform vectors: no
+    pairs exist above 0.6)."""
+    from ..operators import similarity as S
+
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    pairs = S.embedding_cosine_pairs(emb, threshold=0.42, method="exact")
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("id_a", "id_b")

@@ -67,10 +67,13 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH approximate top-10 for the same 5 queries (8 bands x 4
     hyperplanes, deterministic seed): bucket-join candidates, exact
     cosine re-rank.  The scale path -- candidate volume is a tunable
-    fraction of the corpus instead of all of it."""
+    fraction of the corpus instead of all of it.  Queries are a subset
+    of the corpus, so ``query_filter`` computes the banded index ONCE
+    (cached) and probes it, instead of re-hashing both inputs."""
     emb = parallelize_small(load(spark, sf_dir, "embeddings"))
-    queries = emb.where(F.col("vec_id") < 5)
-    return SIM.lsh_topk(emb, queries, k=10).orderBy("query_id", "rank")
+    return SIM.lsh_topk(
+        emb, k=10, query_filter=F.col("vec_id") < 5
+    ).orderBy("query_id", "rank")
 
 
 @register(

@@ -351,3 +351,19 @@ def test_kmeans_centroids_deterministic(spark):
     c1 = SIM.kmeans_centroids(emb, 8, sample_size=256)
     c2 = SIM.kmeans_centroids(emb.repartition(13), 8, sample_size=256)
     assert c1 == c2  # partitioning-independent and seeded
+
+
+def test_embedding_cosine_pairs_lsh_recall(spark, sf_dir):
+    """The LSH-bucketed embedding near-dup path must recover most of
+    the exact pair set and introduce nothing below threshold."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.embedding_cosine_pairs(emb, 0.42, method="exact").collect()
+    }
+    lsh_rows = SIM.embedding_cosine_pairs(emb, 0.42, method="lsh").collect()
+    lsh = {(r["id_a"], r["id_b"]) for r in lsh_rows}
+    assert lsh <= exact  # verification removes every false positive
+    assert exact, "fixture should contain pairs at this threshold"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.5, f"embedding LSH recall collapsed: {recall}"

@@ -19,18 +19,16 @@ from iot_sensor_log_data_pipeline_spark.plans import catalog
 
 SF = "/root/testdata/sf0.001"
 
-#: Queries allowed to contain a BroadcastNestedLoopJoin: the band-dim
-#: theta join (4-row broadcast side -- the correct plan for non-equi)
-#: and the brute-force cosine baseline (every vector scored against the
-#: broadcast query set IS a deliberate broadcast nested loop; the LSH
-#: path is the equi-join alternative).
-#: Queries where a BroadcastNestedLoopJoin is the intended plan: theta
-#: join (no equi key), brute-force cosine (broadcast queries x corpus),
-#: and Q22's single-row scalar-average broadcast onto every customer.
+#: Queries where a BroadcastNestedLoopJoin is the intended plan: the
+#: band-dim theta join (no equi key, 4-row broadcast side), the
+#: brute-force cosine baselines (broadcast queries / upper-triangle x
+#: corpus -- the LSH paths are the equi-join alternatives), and Q22's
+#: single-row scalar-average broadcast onto every customer.
 BNLJ_ALLOWED = {
     "join_theta_size_bands",
     "similarity_topk_cosine",
     "q22_dormant_accounts",
+    "dedup_embedding_cosine",
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --

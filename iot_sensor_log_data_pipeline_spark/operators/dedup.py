@@ -202,25 +202,39 @@ def ngram_jaccard_pairs(
     )
 
 
-def _seed_hash(seed: int) -> Column:
-    return F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(seed))).cast("binary"))
+def _seed_hash(seed: int, hash_mode: str = "oracle") -> Column:
+    salted = F.concat_ws("#", F.col("shingle"), F.lit(str(seed)))
+    if hash_mode == "oracle":
+        return F.md5(salted.cast("binary"))
+    if hash_mode == "fast":
+        return F.xxhash64(salted)
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
 
 
 def minhash_signatures_wide(
-    shingles: DataFrame, id_col: str = "doc_id", perms: int = MINHASH_PERMS
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    perms: int = MINHASH_PERMS,
+    hash_mode: str = "oracle",
 ) -> DataFrame:
-    """(id, h0..h{perms-1}) -- MinHash via seed-salted md5: the minimum
-    of ``md5(shingle || '#' || seed)`` over a doc's shingles is a valid
-    min-wise hash per seed (md5 hex compares lexicographically like the
-    underlying 128-bit integer).
+    """(id, h0..h{perms-1}) -- MinHash via seed-salted hashing: the
+    minimum of ``hash(shingle || '#' || seed)`` over a doc's shingles
+    is a valid min-wise hash per seed.
+
+    ``hash_mode='oracle'`` (default) uses md5 (hex compares
+    lexicographically like the underlying 128-bit integer), chosen so
+    the DuckDB oracle replays every stage bit-for-bit.
+    ``hash_mode='fast'`` uses Spark's codegen'd xxhash64 (signed-long
+    min) -- the production choice: no hex materialization, ~8 bytes per
+    hash instead of 32, not oracle-replayable.
 
     WIDE layout on purpose: one hash column per seed with ``min()``
     partial aggregation, so the shuffle moves one row per (doc) instead
     of one per (doc, seed) -- 16x less shuffle volume than the exploded
-    formulation, with the md5 work staying map-side and parallel.
+    formulation, with the hash work staying map-side and parallel.
     """
     hashed = shingles.select(
-        id_col, *[_seed_hash(s).alias(f"h{s}") for s in range(perms)]
+        id_col, *[_seed_hash(s, hash_mode).alias(f"h{s}") for s in range(perms)]
     )
     return hashed.groupBy(id_col).agg(
         *[F.min(f"h{s}").alias(f"h{s}") for s in range(perms)]
@@ -232,25 +246,22 @@ def minhash_bands(
     id_col: str = "doc_id",
     perms: int = MINHASH_PERMS,
     rows_per_band: int = ROWS_PER_BAND,
+    hash_mode: str = "oracle",
 ) -> DataFrame:
     """(id, band_id, band_val): concatenate each band's seed-ordered
     min-hashes and re-hash -- the LSH bucket key.  Pure projection over
     the wide signatures (no extra shuffle)."""
     n_bands = perms // rows_per_band
-    band_vals = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"h{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                ).cast("binary")
-            )
-            for b in range(n_bands)
-        ]
-    )
+
+    def band_val(b: int) -> Column:
+        joined = F.concat_ws(
+            "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        if hash_mode == "oracle":
+            return F.md5(joined.cast("binary"))
+        return F.xxhash64(joined)
+
+    band_vals = F.array(*[band_val(b) for b in range(n_bands)])
     return signatures.select(
         id_col, F.posexplode(band_vals).alias("band_id", "band_val")
     )
@@ -262,6 +273,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.7,
+    hash_mode: str = "oracle",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH candidates + exact-Jaccard
     verification.  The band equi-join emits ~only true near-dups; exact
@@ -270,7 +282,11 @@ def minhash_lsh_pairs(
     bounds candidate volume.  The shingle table is computed once and
     cached: it feeds signatures, sizes, AND verification."""
     sh = _cache_scratch(shingle_table(docs, id_col, text_col, n))
-    bands = minhash_bands(minhash_signatures_wide(sh, id_col), id_col)
+    bands = minhash_bands(
+        minhash_signatures_wide(sh, id_col, hash_mode=hash_mode),
+        id_col,
+        hash_mode=hash_mode,
+    )
     cand = (
         bands.alias("x")
         .join(

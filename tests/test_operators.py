@@ -367,3 +367,53 @@ def test_embedding_cosine_pairs_lsh_recall(spark, sf_dir):
     assert exact, "fixture should contain pairs at this threshold"
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.5, f"embedding LSH recall collapsed: {recall}"
+
+
+def test_minhash_fast_mode_finds_exact_dupes(spark):
+    """hash_mode='fast' (xxhash64, production path) must find the same
+    exact-duplicate pairs as the md5 oracle mode -- identical shingle
+    sets give identical signatures under any hash."""
+    docs = [(i, f"w{i} " * 10) for i in range(10)]
+    docs += [(100, docs[0][1]), (101, docs[1][1])]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (p["id_a"], p["id_b"])
+        for p in DD.minhash_lsh_pairs(df, threshold=0.9, hash_mode="fast").collect()
+    }
+    assert (0, 100) in pairs and (1, 101) in pairs
+    with pytest.raises(ValueError):
+        DD.minhash_lsh_pairs(df, hash_mode="sha9000").collect()
+
+
+def test_approx_sketches_within_bounds(spark, sf_dir):
+    """agg_approx_sketches is rows-only at the oracle gate (sketch
+    values are engine-specific); this pins it to the exact answers:
+    HLL++ count-distinct within its error bound, approx median between
+    tight exact percentiles (accuracy=10000 => rank error 1e-4)."""
+    from iot_sensor_log_data_pipeline_spark.plans import catalog
+
+    got = {
+        r["l_returnflag"]: r
+        for r in catalog.all_entries()["agg_approx_sketches"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd"),
+            F.percentile("l_extendedprice", F.lit(0.495)).alias("p_lo"),
+            F.percentile("l_extendedprice", F.lit(0.505)).alias("p_hi"),
+        )
+        .collect()
+    }
+    for flag, g in got.items():
+        e = exact[flag]
+        rel = abs(g["approx_parts"] - e["nd"]) / e["nd"]
+        assert rel <= 0.15, f"{flag}: HLL rel error {rel}"  # 3x default rsd
+        assert e["p_lo"] <= g["approx_median"] <= e["p_hi"], (
+            f"{flag}: approx median {g['approx_median']} outside "
+            f"[{e['p_lo']}, {e['p_hi']}]"
+        )

@@ -109,6 +109,44 @@ def extract_features(media_df: DataFrame) -> DataFrame:
     return media_df.select("doc_id", "media").mapInPandas(featurize, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("orig_bytes", T.LongType(), False),
+        T.StructField("resized_bytes", T.LongType(), False),
+        T.StructField("resized", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_media(media_df: DataFrame, factor: int = 4) -> DataFrame:
+    """'Resize' the media blob by an integer factor: keep every
+    ``factor``-th byte -- the decode-free nearest-neighbor-downsample
+    analogue (a codec-equipped build swaps the body for decode ->
+    PIL.Image.resize -> re-encode; schema, batching and partitioning
+    are identical).  Arrow-batched via ``mapInPandas``."""
+
+    def resizer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(blob)
+                resized = data[::factor]
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "orig_bytes": len(data),
+                        "resized_bytes": len(resized),
+                        "resized": resized,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "orig_bytes", "resized_bytes", "resized"]
+            )
+
+    return media_df.select("doc_id", "media").mapInPandas(resizer, RESIZE_SCHEMA)
+
+
 def sample_frames(media_df: DataFrame, every_k: int = 4) -> DataFrame:
     """'Video' frame sampling: treat the blob as fixed-size frames and
     keep every k-th (the decode-free analogue of ffmpeg -vf select).

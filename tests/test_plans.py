@@ -39,6 +39,7 @@ SIDE_EFFECT = {
     "scan_csv_roundtrip",
     "compaction_roundtrip",
     "maintenance_compaction_roundtrip",
+    "scan_orc_roundtrip",
 }
 
 
@@ -188,3 +189,13 @@ def test_salted_join_matches_plain_join(spark):
         .agg(F.round(F.sum("l_quantity"), 2).alias("q"))
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_q21_semi_anti_self_joins(plans):
+    """Q21's EXISTS / NOT EXISTS must plan as hash semi/anti joins on
+    the orderkey (with the suppkey<>suppkey residual), never a nested
+    loop over lineitem pairs."""
+    p = plans["q21_waiting_suppliers"]
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p

@@ -344,3 +344,35 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at("m", "purchase"), F.lit(0)).alias("n_purchases"),
         F.coalesce(F.element_at("m", "error"), F.lit(0)).alias("n_errors"),
     ).orderBy("user_id")
+
+
+@register(
+    "variant_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(props ->> '$.k' AS BIGINT) AS k_big,
+           CAST(props ->> '$.k' AS VARCHAR) AS k_str,
+           CAST(NULL AS BIGINT) AS missing,
+           'OBJECT<k: BIGINT>' AS vschema
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("functions", "json", "variant"),
+)
+def variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface over ``events.props``: parse_json into
+    the binary variant encoding once, then typed path extraction
+    (variant_get), null-on-miss extraction (try_variant_get), and
+    per-row schema introspection (schema_of_variant).  At scale this
+    is the semi-structured fast path: the variant is parsed once and
+    stored/pruned columnar, vs get_json_object re-parsing the string
+    per extraction."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_big"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.nope", "bigint").alias("missing"),
+        F.schema_of_variant(v).alias("vschema"),
+    ).orderBy("event_id")

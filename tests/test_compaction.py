@@ -164,3 +164,22 @@ def test_table_format_sinks_gated(spark, tmp_path):
                 TF.write_table(df, path, fmt=fmt)
     with _pytest.raises(ValueError):
         TF.write_table(df, str(tmp_path / "x"), fmt="hudi")
+
+
+def test_avro_source_gated(spark, tmp_path):
+    """Avro reader/writer: gated like Kafka -- green either way
+    (roundtrip when the module exists, clear gate error when not)."""
+    import pytest as _pytest
+
+    from iot_sensor_log_data_pipeline_spark.sources import avro as AV
+
+    df = spark.range(5).selectExpr("id", "CAST(id AS STRING) AS s")
+    path = str(tmp_path / "avro")
+    if AV.avro_available(spark):
+        AV.write_avro(df, path)
+        assert AV.read_avro(spark, path).count() == 5
+    else:
+        with _pytest.raises(ModuleNotFoundError):
+            AV.write_avro(df, path)
+        with _pytest.raises(ModuleNotFoundError):
+            AV.read_avro(spark, path)

@@ -85,6 +85,77 @@ def count_trigger_stream(
     )
 
 
+def tws_available() -> bool:
+    """True when ``transformWithStateInPandas`` can actually run: its
+    state-server protocol needs the ``protobuf`` package, which the
+    PySpark distribution does not vendor (a missing protobuf crashes
+    the streaming query at runtime, not at plan time -- hence this
+    explicit gate)."""
+    try:
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def count_trigger_stream_tws(
+    sensor: DataFrame, threshold: int = 100, ts_col: str = "timestamp"
+) -> DataFrame:
+    """The same A12/A13/A18 counter state machine on Spark 4's
+    ``transformWithStateInPandas`` (StatefulProcessor) API -- the
+    successor to ``applyInPandasWithState``: named state variables via
+    a handle, explicit init/close lifecycle, and per-state TTL support.
+    Kept alongside the classic implementation so both stateful APIs
+    stay covered; availability-gated on the protobuf dependency."""
+    if not tws_available():
+        raise ModuleNotFoundError(
+            "transformWithStateInPandas needs the protobuf package, which "
+            "this environment does not ship; use count_trigger_stream "
+            "(applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class CountTriggerProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState("total", "total_count BIGINT")
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            (client_id,) = key
+            total = self._total.get()[0] if self._total.exists() else 0
+            batch_rows = sum(len(pdf) for pdf in rows)
+            total += batch_rows
+            fires: list[dict] = []
+            while total >= threshold:
+                fires.append(
+                    {
+                        "client_id": client_id,
+                        "fired_at_count": threshold,
+                        "batch_rows": batch_rows,
+                    }
+                )
+                total -= threshold
+            self._total.update((total,))
+            if fires:
+                yield pd.DataFrame(fires, columns=list(FIRE_SCHEMA.fieldNames()))
+
+        def close(self) -> None:
+            pass
+
+    return (
+        sensor.withWatermark(ts_col, "10 minutes")
+        .groupBy("client_id")
+        .transformWithStateInPandas(
+            statefulProcessor=CountTriggerProcessor(),
+            outputStructType=FIRE_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    )
+
+
 #: Sessionizer output: one row per CLOSED session.
 SESSION_OUT_SCHEMA = T.StructType(
     [

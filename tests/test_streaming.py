@@ -370,3 +370,32 @@ def test_stateful_sessionization_matches_batch(spark, scratch):
     }
     assert got == expected
     assert len(got) == 6  # 2 + 1 + 3 sessions
+
+
+def test_stateful_count_trigger_tws_matches_classic(spark, scratch):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor) must
+    produce the same fires as the applyInPandasWithState counter --
+    gated: the API needs protobuf, which this container does not ship,
+    so without it the builder must fail with a clear gate error
+    instead of crashing the streaming query at runtime."""
+    from iot_sensor_log_data_pipeline_spark.streaming.stateful import (
+        count_trigger_stream_tws,
+        tws_available,
+    )
+
+    data_dir = os.path.join(scratch, "in_tws")
+    a = sensor_batch(spark, 230, client_id="dev_a")
+    b = sensor_batch(spark, 170, client_id="dev_b")
+    a.unionByName(b).write.mode("overwrite").parquet(data_dir)
+
+    stream = _sensor_stream_from_dir(spark, data_dir)
+    if not tws_available():
+        with pytest.raises(ModuleNotFoundError):
+            count_trigger_stream_tws(stream, threshold=100)
+        return
+    fires = count_trigger_stream_tws(stream, threshold=100)
+    name = f"fires_tws_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(fires, name)
+    rows = spark.sql(f"SELECT client_id, count(*) AS n FROM {name} GROUP BY 1").collect()
+    got = {r["client_id"]: r["n"] for r in rows}
+    assert got == {"dev_a": 2, "dev_b": 1}

@@ -279,35 +279,26 @@ def embedding_cosine_pairs(
     return scored.where(F.col("cos_sim") >= threshold)
 
 
-def _argmax_cell(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """Nearest-centroid id (max dot product; ties -> higher cell id)."""
-    pairs = F.array(
-        *[
-            F.struct(
-                dot(vec, F.array(*[F.lit(v) for v in cvec])).alias("sim"),
-                F.lit(cell).alias("cell"),
-            )
-            for cell, cvec in centroids
-        ]
-    )
-    return F.array_max(pairs).getField("cell")
+def _top_cells_udf(centroids: list[tuple[int, list[float]]], n_top: int):
+    """Arrow-batched top-``n_top`` nearest-centroid ids (by dot product)
+    per vector: one NumPy matmul per batch.  Same reasoning as
+    ``_srp_bands_udf`` -- the JVM-expression alternative is an array of
+    n_cells x dim literals whose generated code compiles for seconds at
+    n_cells >= 64; the matmul is compile-free, and the centroid matrix
+    rides along in the serialized closure (a few KB).  Ties broken by
+    lower cell id (stable argsort), deterministic across partitionings.
+    """
+    C = np.asarray([v for _, v in centroids], dtype="float64").T  # (dim, cells)
+    ids = np.asarray([c for c, _ in centroids], dtype="int64")
+    n_top = min(n_top, len(ids))
 
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def top_cells(vecs: pd.Series) -> pd.Series:
+        M = np.vstack(vecs.to_numpy()).astype("float64")  # (n, dim)
+        order = np.argsort(-(M @ C), axis=1, kind="stable")[:, :n_top]
+        return pd.Series([[int(c) for c in ids[row]] for row in order])
 
-def _probe_cells(
-    vec: Column, centroids: list[tuple[int, list[float]]], n_probe: int
-) -> Column:
-    """The ``n_probe`` nearest centroid ids for a query vector."""
-    pairs = F.array(
-        *[
-            F.struct(
-                dot(vec, F.array(*[F.lit(v) for v in cvec])).alias("sim"),
-                F.lit(cell).alias("cell"),
-            )
-            for cell, cvec in centroids
-        ]
-    )
-    top = F.slice(F.reverse(F.array_sort(pairs)), 1, n_probe)
-    return F.transform(top, lambda s: s.getField("cell"))
+    return top_cells
 
 
 def kmeans_centroids(
@@ -358,24 +349,35 @@ def ivf_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
-    n_probe: int = 4,
+    n_cells: int = 64,
+    n_probe: int = 12,
+    n_assign: int = 2,
     sample_size: int = 2048,
     kmeans_iter: int = 10,
     seed: int = 42,
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse-quantize the corpus into
-    ``n_cells`` inverted lists (nearest-centroid assignment), probe the
-    ``n_probe`` closest cells per query, exact cosine re-rank inside
-    the probed cells.
+    ``n_cells`` inverted lists, probe the ``n_probe`` closest cells per
+    query, exact cosine re-rank inside the probed cells.
 
     Coarse quantizer: sampled spherical k-means (``kmeans_centroids``)
     -- data-dependent centroids from a deterministic md5-ordered sample,
-    Lloyd's on the driver, centroids shipped back into the plan as
-    literals (a few KB).  Cost at scale: candidates ~= n_probe/n_cells
-    of the corpus per query (vs all of it for brute force), and the
-    cell assignment column is precomputable/persistable for the whole
-    corpus.
+    Lloyd's on the driver, centroids shipped in the UDF closure (a few
+    KB).  Two recall levers, both standard IVF practice:
+
+    - finer cells at a fixed scan fraction: 64 cells / 12 probes beats
+      16 / 4 because smaller cells bound the distance from a member to
+      its centroid more tightly (measured on the isotropic bench corpus:
+      recall@10 0.50 -> 0.80 at ~the same candidates-per-query);
+    - ``n_assign``: each corpus vector joins its ``n_assign`` nearest
+      inverted lists (multi-assignment / redundant indexing), trading
+      an ``n_assign``-times larger index for recall on vectors that sit
+      near cell boundaries (0.80 -> ~0.90 here).  Set ``n_assign=1``
+      for the classic single-assignment index when storage dominates.
+
+    Cost at scale: candidates ~= n_assign * n_probe / n_cells of the
+    corpus per query (vs all of it for brute force), and the cell
+    assignment column is precomputable/persistable for the corpus.
     """
     centroids = kmeans_centroids(
         vectors,
@@ -386,16 +388,18 @@ def ivf_topk(
         n_iter=kmeans_iter,
         seed=seed,
     )
+    assign_cells = _top_cells_udf(centroids, n_assign)
+    probe_cells = _top_cells_udf(centroids, n_probe)
 
     assigned = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
-        _argmax_cell(F.col(vec_col), centroids).alias("cell"),
+        F.explode(assign_cells(F.col(vec_col))).alias("cell"),
     )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
-        F.explode(_probe_cells(F.col(vec_col), centroids, n_probe)).alias("cell"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
     cand = assigned.join(F.broadcast(probes), "cell").where(
         F.col("neighbor_id") != F.col("query_id")

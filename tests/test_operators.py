@@ -182,7 +182,7 @@ def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"
     # Every approx result must be a genuine vector pair with sane rank.
     assert all(1 <= r["rank"] <= 10 for r in approx)
 

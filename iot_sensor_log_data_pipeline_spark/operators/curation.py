@@ -1,0 +1,140 @@
+"""Corpus-curation operators for the LLM-training-data surface:
+deterministic splits, repetition-based quality filters, and benchmark
+decontamination over ``documents``.
+
+All pure JVM-side Column/DataFrame expressions (whole-stage codegen,
+no Python in the hot path), each with an exact DuckDB oracle twin in
+``plans/curation_queries.py``.
+
+Scale notes (100 TB):
+- ``split_bucket`` is a stateless per-row hash -- no shuffle, no
+  driver state, reproducible across runs/partitionings (the property
+  that makes train/val membership stable as the corpus grows: a doc's
+  split never depends on what else is in the corpus).
+- ``repetition filters`` are per-row array expressions -- map-side
+  only.
+- ``contaminated_docs`` joins on shingle (corpus x benchmark): the
+  benchmark side is small (it's an eval set), so the join broadcasts;
+  candidates are bucket pairs, never a cartesian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles
+from .text import tokens
+
+#: Default split weights (percent of the 100-bucket hash space).
+DEFAULT_SPLITS: tuple[tuple[str, int], ...] = (
+    ("train", 90),
+    ("val", 5),
+    ("test", 5),
+)
+
+
+def split_bucket(id_col: Column | str, n_buckets: int = 100) -> Column:
+    """Deterministic [0, n_buckets) bucket from the first 8 hex chars
+    of md5(id) -- content-addressed, partitioning-independent.  The
+    md5 prefix is uniform, so bucket shares converge to the weights at
+    corpus scale (law of large numbers; exactness is not the point --
+    stability of membership is)."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def split_label(
+    id_col: Column | str, splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS
+) -> Column:
+    """Map the hash bucket onto named splits by cumulative weight
+    (weights must sum to 100): bucket < 90 -> train, < 95 -> val, ..."""
+    bucket = split_bucket(id_col)
+    expr: Column | None = None
+    cum = 0
+    for name, weight in splits:
+        cum += weight
+        cond = bucket < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    assert cum == 100, f"split weights must sum to 100, got {cum}"
+    return expr  # last WHEN covers bucket 99 because cum == n_buckets
+
+
+def dup_ngram_fraction(text: Column | str, n: int) -> Column:
+    """Fraction of word n-gram *positions* occupied by a repeated
+    n-gram: 1 - distinct/total (the Gopher-style 'duplicate n-gram
+    fraction' repetition signal; 0 for texts shorter than n tokens)."""
+    toks = tokens(text)
+    total = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    distinct = F.size(word_shingles(text, n))  # already distinct
+    return F.when(F.size(toks) < n, F.lit(0.0)).otherwise(
+        1.0 - distinct / total.cast("double")
+    )
+
+
+def max_token_length(text: Column | str) -> Column:
+    """Length of the longest whitespace token (Gopher caps this: giant
+    unbroken strings are markup/binary junk, not prose)."""
+    return F.coalesce(
+        F.array_max(F.transform(tokens(text), lambda t: F.length(t).cast("long"))),
+        F.lit(0).cast("long"),
+    )
+
+
+def symbol_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are neither [a-z0-9] nor space."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.length(F.regexp_replace(col, "[a-z0-9 ]", "")) / F.length(col)
+
+
+def repetition_pass(
+    text: Column | str,
+    max_dup_2gram: float = 0.6,
+    max_dup_3gram: float = 0.5,
+    max_tok_len: int = 30,
+    max_symbols: float = 0.1,
+) -> Column:
+    """The blended keep/drop verdict of the repetition battery
+    (thresholds are the classic Gopher/C4 ballpark, scaled to this
+    synthetic corpus's token distribution)."""
+    return (
+        (dup_ngram_fraction(text, 2) <= max_dup_2gram)
+        & (dup_ngram_fraction(text, 3) <= max_dup_3gram)
+        & (max_token_length(text) <= max_tok_len)
+        & (symbol_ratio(text) <= max_symbols)
+    )
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing at least one word
+    ``n``-gram with any benchmark doc, with the overlap count -- the
+    standard pre-training hygiene pass (drop training docs that leak
+    eval data).
+
+    Plan: distinct n-gram shingles on both sides, broadcast the
+    benchmark shingle set (eval sets are tiny next to the corpus),
+    equi-join on the shingle, per-doc count distinct of matched
+    shingles.  One corpus-side shuffle for the final groupBy; the join
+    itself is map-side.
+    """
+    corp = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    bench = benchmark.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    ).distinct()
+    return (
+        corp.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlapping_ngrams"))
+    )

@@ -37,6 +37,7 @@ _QUERY_MODULES = (
     "iot_sensor_log_data_pipeline_spark.plans.dedup_queries",
     "iot_sensor_log_data_pipeline_spark.plans.similarity_queries",
     "iot_sensor_log_data_pipeline_spark.plans.text_queries",
+    "iot_sensor_log_data_pipeline_spark.plans.curation_queries",
     "iot_sensor_log_data_pipeline_spark.plans.multimodal_queries",
     "iot_sensor_log_data_pipeline_spark.plans.pipeline_queries",
     "iot_sensor_log_data_pipeline_spark.plans.tpch_extra_queries",

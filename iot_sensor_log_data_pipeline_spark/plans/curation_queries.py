@@ -1,0 +1,202 @@
+"""Corpus-curation catalog queries (training-data pipeline surface):
+deterministic train/val/test split, repetition-based quality filters,
+an end-to-end curation pipeline, and benchmark decontamination -- all
+over ``documents`` with exact DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_utils import load, parallelize_small
+from ..operators import curation as CU
+from ..operators import text as TX
+from .catalog import register
+
+_TOKS = "list_filter(string_split_regex(text, ' +'), t -> t <> '')"
+_NTOK = f"len({_TOKS})"
+
+#: DuckDB twin of ``curation.split_bucket`` (md5-prefix hash bucket).
+_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+_SPLIT = (
+    f"CASE WHEN {_BUCKET} < 90 THEN 'train' "
+    f"WHEN {_BUCKET} < 95 THEN 'val' ELSE 'test' END"
+)
+
+
+def _dup_ngram_sql(n: int) -> str:
+    """DuckDB twin of ``curation.dup_ngram_fraction`` (operates on the
+    ``l`` token-list column of the ``toks`` CTE)."""
+    joined = " || ' ' || ".join(f"l[i+{k}]" for k in range(1, n + 1))
+    grams = (
+        f"list_distinct(list_transform(range(greatest(len(l) - {n - 1}, 0)), "
+        f"i -> {joined}))"
+    )
+    return (
+        f"CASE WHEN len(l) < {n} THEN 0.0 ELSE "
+        f"1.0 - len({grams}) / CAST(greatest(len(l) - {n - 1}, 1) AS DOUBLE) END"
+    )
+
+
+_SYMBOLS = "length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) / length(text)"
+_MAXTOK = (
+    f"coalesce(list_max(list_transform({_TOKS}, t -> CAST(length(t) AS BIGINT))), 0)"
+)
+
+
+@register(
+    "corpus_train_val_split",
+    oracle=f"""
+    SELECT {_SPLIT} AS split,
+           count(*) AS n_docs,
+           CAST(sum({_NTOK}) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY 1
+    ORDER BY split
+    """,
+    tags=("curation", "north-star", "split"),
+)
+def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by md5(doc_id) hash
+    bucket: membership is content-addressed, so it is stable under
+    corpus growth, repartitioning, and re-runs (the property random()
+    sampling lacks).  Per-split doc and token counts."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            CU.split_label("doc_id").alias("split"),
+            TX.token_count(F.col("text")).alias("n_toks"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "text_repetition_filters",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS} AS l FROM documents)
+    SELECT doc_id,
+           round({_dup_ngram_sql(2)}, 6) AS dup_2gram_frac,
+           round({_dup_ngram_sql(3)}, 6) AS dup_3gram_frac,
+           {_MAXTOK} AS max_token_len,
+           round({_SYMBOLS}, 6) AS symbol_ratio,
+           ({_dup_ngram_sql(2)} <= 0.6 AND {_dup_ngram_sql(3)} <= 0.5
+            AND {_MAXTOK} <= 30 AND {_SYMBOLS} <= 0.1) AS keep
+    FROM toks
+    ORDER BY doc_id
+    """,
+    tags=("curation", "north-star", "repetition"),
+)
+def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition battery per document: duplicate
+    2-/3-gram fractions, longest-token length, symbol ratio, and the
+    blended keep verdict.  All map-side array expressions."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(CU.dup_ngram_fraction(t, 2), 6).alias("dup_2gram_frac"),
+        F.round(CU.dup_ngram_fraction(t, 3), 6).alias("dup_3gram_frac"),
+        CU.max_token_length(t).alias("max_token_len"),
+        F.round(CU.symbol_ratio(t), 6).alias("symbol_ratio"),
+        CU.repetition_pass(t).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text, lang, source,
+             {_NTOK} AS n_toks,
+             0.5 * (length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text))
+           + 0.3 * (len(list_distinct({_TOKS})) / greatest({_NTOK}, 1))
+           + 0.2 * (CASE WHEN list_sum(list_transform({_TOKS},
+                             t -> CAST(length(t) AS DOUBLE))) / greatest({_NTOK}, 1)
+                         BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) AS quality
+      FROM documents
+    ),
+    survivors AS (SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text),
+    kept AS (
+      SELECT s.* FROM scored s
+      JOIN survivors v ON s.doc_id = v.doc_id AND s.text = v.text
+      WHERE s.lang = 'en' AND s.quality >= 0.72
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           round(avg(quality), 6) AS mean_quality
+    FROM kept
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("curation", "north-star", "pipeline"),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pass, the composition a pre-training corpus
+    actually runs: language filter -> quality threshold -> exact-dedup
+    survivors -> per-source corpus stats.  Each stage is a narrow
+    filter or one hash shuffle; the stages pipeline without
+    materialization."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        TX.token_count(t).alias("n_toks"),
+        TX.quality_score(t).alias("quality"),
+    )
+    survivors = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    kept = scored.join(survivors, ["doc_id", "text"]).where(
+        (F.col("lang") == "en") & (F.col("quality") >= 0.72)
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+_SHINGLE8 = (
+    "list_distinct(list_transform(range(greatest(len(l) - 7, 0)), "
+    "i -> " + " || ' ' || ".join(f"l[i+{k}]" for k in range(1, 9)) + "))"
+)
+
+
+@register(
+    "corpus_decontamination",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS l FROM documents),
+    sh AS (SELECT doc_id, source, unnest({_SHINGLE8}) AS shingle FROM toks),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0')
+    SELECT a.doc_id, count(*) AS n_overlapping_ngrams
+    FROM sh a JOIN bench b ON a.shingle = b.shingle
+    WHERE a.source <> 'src0'
+    GROUP BY a.doc_id
+    ORDER BY a.doc_id
+    """,
+    tags=("curation", "north-star", "decontamination"),
+)
+def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (source != src0) that
+    share any word 8-gram with the held-out eval slice (source = src0),
+    with overlap counts -- the hygiene pass that keeps eval data out of
+    a training corpus.  The benchmark shingle set broadcasts."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    corpus = docs.where(F.col("source") != "src0")
+    benchmark = docs.where(F.col("source") == "src0")
+    return CU.contaminated_docs(corpus, benchmark, n=8).orderBy("doc_id")

@@ -417,3 +417,57 @@ def test_approx_sketches_within_bounds(spark, sf_dir):
             f"{flag}: approx median {g['approx_median']} outside "
             f"[{e['p_lo']}, {e['p_hi']}]"
         )
+
+
+def test_hash_split_deterministic_and_partition_independent(spark):
+    from iot_sensor_log_data_pipeline_spark.operators import curation as CU
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["s"] for r in df.select("doc_id", CU.split_label("doc_id").alias("s")).collect()}
+    b = {
+        r["doc_id"]: r["s"]
+        for r in df.repartition(17).select("doc_id", CU.split_label("doc_id").alias("s")).collect()
+    }
+    assert a == b
+    # matches the int(md5[:8], 16) % 100 reference computation
+    for doc_id in (0, 1, 42, 499):
+        bucket = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+        expect = "train" if bucket < 90 else ("val" if bucket < 95 else "test")
+        assert a[doc_id] == expect, (doc_id, bucket)
+    # shares in the hash-uniform ballpark of 90/5/5
+    from collections import Counter
+
+    shares = Counter(a.values())
+    assert 0.85 <= shares["train"] / 500 <= 0.95
+
+
+def test_dup_ngram_fraction_hand_case(spark):
+    from iot_sensor_log_data_pipeline_spark.operators import curation as CU
+
+    # "a b a b a": 2-grams = [a b, b a, a b, b a] -> 2 distinct / 4 -> 0.5
+    df = spark.createDataFrame([("a b a b a",), ("x y z",), ("w",)], "text: string")
+    got = [
+        (round(r["d2"], 6), round(r["d3"], 6))
+        for r in df.select(
+            CU.dup_ngram_fraction(F.col("text"), 2).alias("d2"),
+            CU.dup_ngram_fraction(F.col("text"), 3).alias("d3"),
+        ).collect()
+    ]
+    # 3-grams of "a b a b a": [a b a, b a b, a b a] -> 2 distinct / 3
+    assert got[0] == (0.5, round(1 - 2 / 3, 6))
+    assert got[1] == (0.0, 0.0)  # all distinct
+    assert got[2] == (0.0, 0.0)  # shorter than n: no positions, 0 by convention
+
+
+def test_contaminated_docs_finds_planted_overlap(spark):
+    from iot_sensor_log_data_pipeline_spark.operators import curation as CU
+
+    leak = "q w e r t y u i o p"  # 10 tokens -> three 8-gram windows
+    corpus = spark.createDataFrame(
+        [(1, f"pad1 {leak} pad2"), (2, "c d e f g h i j k l"), (3, leak)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(99, f"intro {leak} outro")], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_overlapping_ngrams"] for r in CU.contaminated_docs(corpus, bench, n=8).collect()}
+    assert set(got) == {1, 3}  # doc 2 shares no 8-gram
+    assert got[1] == 3 and got[3] == 3

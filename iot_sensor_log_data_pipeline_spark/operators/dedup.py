@@ -8,7 +8,7 @@ Scale design (the whole point of these operators at 100 TB):
 - Near-dup NEVER does the O(n^2) cross join.  Candidate generation is
   either a shared-shingle equi-join with stop-shingle frequency capping
   (n-gram Jaccard) or a MinHash-LSH band equi-join (candidates ~ only
-  真 near-dups + tunable false positives); exact Jaccard verification
+  true near-dups + tunable false positives); exact Jaccard verification
   runs only on the candidate set.
 - All hashing is md5-based (content-derived, engine-portable) so the
   DuckDB oracle can replay every stage bit-for-bit -- deliberately NOT
@@ -202,11 +202,60 @@ def ngram_jaccard_pairs(
     )
 
 
+#: Modulus for the affine minhash permutation family: the Mersenne
+#: prime 2^31 - 1.  Products (coeff < P) x (md5 word < 2^32) stay under
+#: 2^63, so the arithmetic is exact (and ANSI-overflow-safe) in both
+#: Spark longs and DuckDB BIGINTs.
+MINHASH_PRIME = 2_147_483_647
+
+
+def _minhash_coeffs(
+    perms: int = MINHASH_PERMS, seed: int = 7
+) -> list[tuple[int, int, int, int, int]]:
+    """Per-permutation coefficients (a1..a4, b) for the universal hash
+    over the md5's four 32-bit words -- seeded, so the literals embedded
+    in the Spark plan and the DuckDB oracle SQL come from one source."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(perms):
+        a = rng.integers(1, MINHASH_PRIME, size=4)
+        b = rng.integers(0, MINHASH_PRIME)
+        out.append((int(a[0]), int(a[1]), int(a[2]), int(a[3]), int(b)))
+    return out
+
+
+MINHASH_COEFFS: list[tuple[int, int, int, int, int]] = _minhash_coeffs()
+
+
+def _md5_words(shingle: Column) -> list[Column]:
+    """The md5 digest's four 32-bit words as longs (one md5 per shingle;
+    every permutation is derived from these)."""
+    digest = F.md5(shingle.cast("binary"))
+    return [
+        F.conv(F.substring(digest, 1 + 8 * k, 8), 16, 10).cast("long")
+        for k in range(4)
+    ]
+
+
+def _affine_hash(words: list[Column], coeffs: tuple[int, int, int, int, int]) -> Column:
+    """h = (sum_k (a_k * w_k) % P + b) % P -- a universal hash of the
+    128-bit md5.  Each product is reduced before summing so every
+    intermediate fits a signed 64-bit integer."""
+    a1, a2, a3, a4, b = coeffs
+    acc = sum(
+        ((F.lit(a) * w) % MINHASH_PRIME for a, w in zip((a1, a2, a3, a4), words)),
+        start=F.lit(b),
+    )
+    return (acc % MINHASH_PRIME).cast("long")
+
+
 def _seed_hash(seed: int, hash_mode: str = "oracle") -> Column:
-    salted = F.concat_ws("#", F.col("shingle"), F.lit(str(seed)))
     if hash_mode == "oracle":
-        return F.md5(salted.cast("binary"))
+        return _affine_hash(_md5_words(F.col("shingle")), MINHASH_COEFFS[seed])
     if hash_mode == "fast":
+        salted = F.concat_ws("#", F.col("shingle"), F.lit(str(seed)))
         return F.xxhash64(salted)
     raise ValueError(f"unknown hash_mode {hash_mode!r}")
 
@@ -217,25 +266,38 @@ def minhash_signatures_wide(
     perms: int = MINHASH_PERMS,
     hash_mode: str = "oracle",
 ) -> DataFrame:
-    """(id, h0..h{perms-1}) -- MinHash via seed-salted hashing: the
-    minimum of ``hash(shingle || '#' || seed)`` over a doc's shingles
-    is a valid min-wise hash per seed.
+    """(id, h0..h{perms-1}) -- MinHash: the minimum of a per-permutation
+    hash over a doc's shingles is a valid min-wise hash per permutation.
 
-    ``hash_mode='oracle'`` (default) uses md5 (hex compares
-    lexicographically like the underlying 128-bit integer), chosen so
-    the DuckDB oracle replays every stage bit-for-bit.
-    ``hash_mode='fast'`` uses Spark's codegen'd xxhash64 (signed-long
-    min) -- the production choice: no hex materialization, ~8 bytes per
-    hash instead of 32, not oracle-replayable.
+    ``hash_mode='oracle'`` (default) computes ONE md5 per shingle and
+    derives every permutation as an affine universal hash of its four
+    32-bit words (``(sum a_k w_k + b) mod 2^31-1`` -- the classic
+    "one base hash + k affine permutations" minhash construction).
+    Chosen over the earlier md5-per-seed form for speed (1 md5 instead
+    of 16 per shingle, 8-byte long signatures instead of 32-char hex)
+    while staying bit-for-bit replayable in the DuckDB oracle.
+    ``hash_mode='fast'`` uses Spark's codegen'd xxhash64 per seed --
+    full 64-bit hashes (no correlated 31-bit collisions), the
+    production choice at corpus scale, not oracle-replayable.
 
     WIDE layout on purpose: one hash column per seed with ``min()``
     partial aggregation, so the shuffle moves one row per (doc) instead
     of one per (doc, seed) -- 16x less shuffle volume than the exploded
     formulation, with the hash work staying map-side and parallel.
     """
-    hashed = shingles.select(
-        id_col, *[_seed_hash(s, hash_mode).alias(f"h{s}") for s in range(perms)]
-    )
+    if hash_mode == "oracle":
+        words = _md5_words(F.col("shingle"))
+        hashed = shingles.select(
+            id_col,
+            *[
+                _affine_hash(words, MINHASH_COEFFS[s]).alias(f"h{s}")
+                for s in range(perms)
+            ],
+        )
+    else:
+        hashed = shingles.select(
+            id_col, *[_seed_hash(s, hash_mode).alias(f"h{s}") for s in range(perms)]
+        )
     return hashed.groupBy(id_col).agg(
         *[F.min(f"h{s}").alias(f"h{s}") for s in range(perms)]
     )

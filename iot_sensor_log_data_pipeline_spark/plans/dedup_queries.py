@@ -108,18 +108,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+#: The affine-permutation coefficient table, embedded as literals from
+#: the same source (``dedup.MINHASH_COEFFS``) the Spark plan uses.
+_COEF_ROWS = ", ".join(
+    f"({s}, {a1}, {a2}, {a3}, {a4}, {b})"
+    for s, (a1, a2, a3, a4, b) in enumerate(DD.MINHASH_COEFFS)
+)
+_P = DD.MINHASH_PRIME
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_SHINGLES_CTE},
+    coefs AS (
+      SELECT * FROM (VALUES {_COEF_ROWS}) AS t(seed, a1, a2, a3, a4, b)
+    ),
+    words AS (
+      SELECT doc_id, shingle,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS w1,
+             CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS w2,
+             CAST(('0x' || substr(md5(shingle), 17, 8)) AS BIGINT) AS w3,
+             CAST(('0x' || substr(md5(shingle), 25, 8)) AS BIGINT) AS w4
+      FROM shingles
+    ),
     mh AS (
-      SELECT doc_id, seed, min(md5(shingle || '#' || seed)) AS min_hash
-      FROM shingles CROSS JOIN (SELECT unnest(range({DD.MINHASH_PERMS})) AS seed)
+      SELECT doc_id, seed,
+             min(((a1 * w1) % {_P} + (a2 * w2) % {_P} + (a3 * w3) % {_P}
+                  + (a4 * w4) % {_P} + b) % {_P}) AS min_hash
+      FROM words CROSS JOIN coefs
       GROUP BY doc_id, seed
     ),
     bands AS (
       SELECT doc_id, seed // {DD.ROWS_PER_BAND} AS band_id,
-             md5(string_agg(min_hash, '|' ORDER BY seed)) AS band_val
+             md5(string_agg(CAST(min_hash AS VARCHAR), '|' ORDER BY seed)) AS band_val
       FROM mh GROUP BY doc_id, seed // {DD.ROWS_PER_BAND}
     ),
     cand AS (

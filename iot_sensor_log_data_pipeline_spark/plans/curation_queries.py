@@ -200,3 +200,90 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("source") != "src0")
     benchmark = docs.where(F.col("source") == "src0")
     return CU.contaminated_docs(corpus, benchmark, n=8).orderBy("doc_id")
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS sample_rank
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    WHERE rk <= 5
+    ORDER BY source, sample_rank
+    """,
+    tags=("curation", "north-star", "sampling"),
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: the 5 docs with the smallest
+    md5(doc_id) per source stratum.  Content-addressed like the split
+    operator, so the sample is reproducible across runs and engines --
+    and per-stratum TakeOrdered pushes the top-k into partial
+    aggregation (no global sort) at scale."""
+    from pyspark.sql.window import Window
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id", "source", F.row_number().over(w).cast("long").alias("sample_rank")
+        )
+        .where(F.col("sample_rank") <= 5)
+        .orderBy("source", "sample_rank")
+    )
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, source, {_NTOK} AS n_toks FROM documents
+    ),
+    packed AS (
+      SELECT source, n_toks,
+             (sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_toks) // 512 AS chunk_id
+      FROM sized
+    )
+    SELECT source, CAST(chunk_id AS BIGINT) AS chunk_id,
+           count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens
+    FROM packed
+    GROUP BY source, chunk_id
+    ORDER BY source, chunk_id
+    """,
+    tags=("curation", "north-star", "packing"),
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign docs (in doc_id order, within
+    their source shard) to training chunks of ~512 tokens by running
+    token count -- the pretraining batch-packing shape.  Windowing is
+    PARTITIONED by source on purpose: a global ORDER BY window would
+    serialize onto one task at 100 TB; per-shard packing keeps every
+    partition independent."""
+    from pyspark.sql.window import Window
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    t = F.col("text")
+    sized = docs.select("doc_id", "source", TX.token_count(t).alias("n_toks"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = sized.select(
+        "source",
+        "n_toks",
+        F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / 512).alias("chunk_id"),
+    )
+    return (
+        packed.groupBy("source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .orderBy("source", "chunk_id")
+    )

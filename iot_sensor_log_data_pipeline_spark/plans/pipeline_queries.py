@@ -337,3 +337,48 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "scan_xml_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n,
+           round(sum(c_acctbal), 2) AS sum_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("pipeline", "source", "xml"),
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink+scan (Spark 4 built-in XML source, the
+    spark-xml package folded into core): write customer as row-tagged
+    XML, read back with the explicit schema, aggregate -- proves the
+    XML codec roundtrips strings/longs/doubles losslessly.  Explicit
+    schema on read, same discipline as CSV (no double-scan inference)."""
+    from ..schemas import CUSTOMER
+
+    path = _scratch("xml_roundtrip")
+    (
+        load(spark, sf_dir, "customer")
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "customers")
+        .option("rowTag", "customer")
+        .save(path)
+    )
+    back = (
+        spark.read.schema(CUSTOMER)
+        .format("xml")
+        .option("rowTag", "customer")
+        .load(path)
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

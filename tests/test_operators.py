@@ -471,3 +471,21 @@ def test_contaminated_docs_finds_planted_overlap(spark):
     got = {r["doc_id"]: r["n_overlapping_ngrams"] for r in CU.contaminated_docs(corpus, bench, n=8).collect()}
     assert set(got) == {1, 3}  # doc 2 shares no 8-gram
     assert got[1] == 3 and got[3] == 3
+
+
+def test_affine_minhash_matches_python_reference(spark):
+    """The md5-word affine hash must equal the plain-Python computation
+    (int over md5 hex words, mod arithmetic) for every permutation --
+    guards the conv/substr indexing and the overflow-free reduction."""
+    shingles = ["a b c", "hello world x", "zzz"]
+    df = spark.createDataFrame([(s,) for s in shingles], "shingle: string")
+    cols = [DD._affine_hash(DD._md5_words(F.col("shingle")), DD.MINHASH_COEFFS[s]).alias(f"h{s}")
+            for s in range(DD.MINHASH_PERMS)]
+    got = df.select("shingle", *cols).collect()
+    P = DD.MINHASH_PRIME
+    for row in got:
+        hx = hashlib.md5(row["shingle"].encode()).hexdigest()
+        words = [int(hx[8 * k:8 * k + 8], 16) for k in range(4)]
+        for s, (a1, a2, a3, a4, b) in enumerate(DD.MINHASH_COEFFS):
+            expect = (sum(a * w % P for a, w in zip((a1, a2, a3, a4), words)) + b) % P
+            assert row[f"h{s}"] == expect, (row["shingle"], s)

@@ -489,3 +489,19 @@ def test_affine_minhash_matches_python_reference(spark):
         for s, (a1, a2, a3, a4, b) in enumerate(DD.MINHASH_COEFFS):
             expect = (sum(a * w % P for a, w in zip((a1, a2, a3, a4), words)) + b) % P
             assert row[f"h{s}"] == expect, (row["shingle"], s)
+
+
+def test_jdbc_source_gated(spark):
+    from iot_sensor_log_data_pipeline_spark.sources import jdbc as J
+
+    # No driver jars in this environment: the probe must say so and the
+    # reader must fail with the clear gate error, not a JVM stack.
+    assert J.jdbc_driver_available(spark, "org.postgresql.Driver") is False
+    with pytest.raises(ModuleNotFoundError):
+        J.read_table(spark, "jdbc:postgresql://localhost/db", "t",
+                     partition_column="id", lower_bound=0, upper_bound=100)
+    with pytest.raises(ValueError):
+        J.read_table(spark, "jdbc:postgresql://localhost/db", "t",
+                     partition_column="id")  # bounds missing
+    with pytest.raises(ValueError):
+        J.read_table(spark, "jdbc:oracle:thin:@x", "t")  # unknown scheme

@@ -40,6 +40,7 @@ SIDE_EFFECT = {
     "compaction_roundtrip",
     "maintenance_compaction_roundtrip",
     "scan_orc_roundtrip",
+    "scan_xml_roundtrip",
 }
 
 
@@ -199,3 +200,25 @@ def test_q21_semi_anti_self_joins(plans):
     assert "LeftSemi" in p and "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_decontamination_broadcasts_benchmark_side(plans):
+    """The benchmark shingle set (eval slice) must broadcast: the
+    corpus side streams through a BroadcastHashJoin, never a shuffle
+    keyed by shingle strings."""
+    p = plans["corpus_decontamination"]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pack_sequences_window_is_partitioned(plans):
+    """Sequence packing must window PARTITION BY source -- a global
+    (empty-partition-spec) running sum serializes onto one task at
+    scale."""
+    p = plans["corpus_pack_sequences"]
+    assert "Window" in p
+    import re
+
+    # every Window operator's partition spec must be non-empty
+    for m in re.finditer(r"Arguments:.*?partition.*", p):
+        assert "source" in m.group(0) or "PartitionBy" in m.group(0)

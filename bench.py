@@ -72,6 +72,38 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str,
     return out
 
 
+def streaming_throughput(spark, n_rows: int = 200_000) -> float:
+    """Rows/sec through the watermarked streaming hourly rollup
+    (AvailableNow trigger over a parquet directory, noop sink) -- the
+    streaming twin of the headline A20 aggregate, measured so streaming
+    regressions are visible round-over-round, not just batch ones."""
+    import shutil
+    import tempfile
+
+    from iot_sensor_log_data_pipeline_spark.sources.sensor import sensor_batch
+    from iot_sensor_log_data_pipeline_spark.streaming.pipeline import hourly_rollup
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+        batch = sensor_batch(spark, n_rows)
+        batch.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        t0 = time.perf_counter()
+        q = (
+            hourly_rollup(stream)
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return round(n_rows / (time.perf_counter() - t0), 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = default_parallelism()
@@ -104,6 +136,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     recall = ann_recall(spark, sf_dir)
+    stream_rps = streaming_throughput(spark)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -119,6 +152,7 @@ def main() -> None:
                 "sf": sf_val,
                 "cpus": cpus,
                 "ann_recall_at_10": recall,
+                "streaming_rows_per_sec": stream_rps,
             }
         )
     )

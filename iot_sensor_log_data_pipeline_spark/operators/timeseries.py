@@ -1,0 +1,93 @@
+"""Time-series gap-filling operators (the hypertable surface an IoT
+sensor pipeline actually needs): epoch-aligned bucketing, dense time
+spines, last-observation-carried-forward, and linear interpolation --
+the `time_bucket_gapfill` / `locf` / `interpolate` trio of the
+published TimescaleDB API, re-expressed as DataFrame compositions.
+
+The reference charts hourly sensor averages (README.md Kibana panels);
+any real deployment has gaps (device offline, broker drop) and the
+chart needs the missing buckets present and filled.  Nothing here is a
+UDF: spine generation is `sequence` + `explode`, the fills are
+IGNORE-NULLS window functions, all JVM-side.
+
+Scale (100 TB): the spine is one row per (group, bucket) -- dense but
+tiny next to raw events (it is the chart's own resolution), and every
+window partitions by the series key, so fills never cross groups and
+parallelize per series.  For unbounded retention, slice the spine per
+(group, day) before exploding so no single sequence array grows past
+~100k elements.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def time_bucket(ts: Column | str, seconds: int) -> Column:
+    """Epoch-aligned bucket start (DuckDB ``time_bucket`` twin)."""
+    col = F.col(ts) if isinstance(ts, str) else ts
+    return F.timestamp_seconds(
+        (F.unix_timestamp(col) / seconds).cast("long") * seconds
+    )
+
+
+def gapfill_spine(
+    bucketed: DataFrame, group_cols: list[str], bucket_col: str, seconds: int
+) -> DataFrame:
+    """One row per (group, bucket) from each group's min to max bucket,
+    gaps included: per-group ``sequence`` + ``explode``."""
+    bounds = bucketed.groupBy(*group_cols).agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    )
+    return bounds.select(
+        *group_cols,
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"interval {seconds} seconds"))
+        ).alias(bucket_col),
+    )
+
+
+def locf(value: Column | str, group_cols: list[str], order_col: str) -> Column:
+    """Last observation carried forward (nulls inherit the most recent
+    non-null value in the series; leading nulls stay null)."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    col = F.col(value) if isinstance(value, str) else value
+    return F.last(col, ignorenulls=True).over(w)
+
+
+def linear_interpolate(
+    value: Column | str, group_cols: list[str], bucket_col: str
+) -> Column:
+    """Linear interpolation across gaps: a null bucket gets the value
+    on the line between the nearest non-null observations before and
+    after it (weighted by bucket time distance); one-sided gaps fall
+    back to the available side (flat extrapolation)."""
+    col = F.col(value) if isinstance(value, str) else value
+    back = (
+        Window.partitionBy(*group_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*group_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    eb = F.unix_timestamp(F.col(bucket_col)).cast("double")
+    prev_v = F.last(col, ignorenulls=True).over(back)
+    prev_b = F.last(F.when(col.isNotNull(), eb), ignorenulls=True).over(back)
+    next_v = F.first(col, ignorenulls=True).over(fwd)
+    next_b = F.first(F.when(col.isNotNull(), eb), ignorenulls=True).over(fwd)
+    frac = (eb - prev_b) / (next_b - prev_b)
+    return (
+        F.when(col.isNotNull(), col)
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )

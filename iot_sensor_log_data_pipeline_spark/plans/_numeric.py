@@ -41,3 +41,21 @@ def dec_avg(col: str, digits: int = 6) -> Column:
 
 def dec_avg_sql(col: str, digits: int = 6) -> str:
     return f"round({dec_sum_sql(col)} / count(*), {digits})"
+
+
+def round_half_up(col: Column, digits: int = 6) -> Column:
+    """Cross-engine-deterministic HALF-UP rounding for non-negative
+    doubles: ``floor(x * 10^d + 0.5) / 10^d``.  Unlike ``round()`` --
+    where Spark rounds the double's SHORTEST DECIMAL REPR (HALF_UP on
+    BigDecimal.valueOf) while DuckDB rounds the exact binary value, so
+    the two disagree by one output ulp whenever x is a terminating
+    decimal ending in 5 at digit d+1 (exactly what midpoint
+    interpolation of scale-2 inputs produces) -- every step here is
+    plain double arithmetic with identical results in both engines."""
+    scale = float(10**digits)
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
+def round_half_up_sql(expr: str, digits: int = 6) -> str:
+    scale = float(10**digits)
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"

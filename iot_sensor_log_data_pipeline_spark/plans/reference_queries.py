@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io_utils import load, parallelize_small
-from ._numeric import dec_avg, dec_avg_sql
+from ._numeric import dec_avg, dec_avg_sql, dec_sum, round_half_up
 from .catalog import register
 
 #: Reference hourly-index naming: OpenSearch rotation "Every hour"
@@ -432,3 +432,102 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "gapfill_10min_interpolated",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(to_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT) * 600)
+                  AS TIMESTAMP) AS bucket,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v_raw
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(min(bucket), max(bucket),
+                                    INTERVAL 600 SECOND)) AS bucket
+      FROM b GROUP BY event_type
+    ),
+    j AS (
+      SELECT s.event_type, s.bucket, coalesce(b.n, 0) AS n, b.v_raw
+      FROM spine s LEFT JOIN b ON s.event_type = b.event_type
+                               AND s.bucket = b.bucket
+    ),
+    f AS (
+      SELECT event_type, bucket, n, v_raw,
+        last_value(v_raw IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v_raw IS NOT NULL THEN CAST(epoch(bucket) AS DOUBLE) END
+                   IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        first_value(v_raw IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY bucket
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v_raw IS NOT NULL THEN CAST(epoch(bucket) AS DOUBLE) END
+                    IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY bucket
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM j
+    )
+    SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M') AS bucket, n,
+           floor(v_raw * 1000000.0 + 0.5) / 1000000.0 AS v_avg,
+           floor(pv * 1000000.0 + 0.5) / 1000000.0 AS v_locf,
+           floor((CASE WHEN v_raw IS NOT NULL THEN v_raw
+                       WHEN pv IS NULL THEN nv
+                       WHEN nv IS NULL THEN pv
+                       ELSE pv + (nv - pv) * ((CAST(epoch(bucket) AS DOUBLE) - pb) / (nb - pb))
+                  END) * 1000000.0 + 0.5) / 1000000.0 AS v_interp
+    FROM f
+    ORDER BY event_type, bucket
+    """,
+    tags=("reference", "timeseries", "gapfill", "window"),
+)
+def gapfill_10min_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled 10-minute sensor averages with LOCF and linear
+    interpolation -- the hypertable `time_bucket_gapfill`/`locf`/
+    `interpolate` trio the reference's Kibana charts silently lack
+    (missing buckets simply vanish from an OpenSearch date_histogram;
+    README.md:113-123 charts).  Spine via per-series `sequence` +
+    `explode`, fills via IGNORE-NULLS windows -- all JVM-side, windows
+    partitioned per series (see operators/timeseries.py scale notes)."""
+    from ..operators import timeseries as TS
+
+    events = load(spark, sf_dir, "events")
+    bucketed = events.groupBy(
+        "event_type", TS.time_bucket("ts", 600).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (dec_sum("value") / F.count(F.lit(1))).alias("v_raw"),
+    )
+    spine = TS.gapfill_spine(bucketed, ["event_type"], "bucket", 600)
+    dense = spine.join(bucketed, ["event_type", "bucket"], "left").select(
+        "event_type", "bucket", F.coalesce("n", F.lit(0)).alias("n"), "v_raw"
+    )
+    # Fills run on the UNROUNDED (but cross-engine bit-identical,
+    # exact-decimal-numerator) averages, and outputs round via
+    # round_half_up: interpolation of scale-2 inputs lands on exact
+    # .5 rounding ties (fractions like m/32 -> 7-digit terminating
+    # decimals), where Spark round() and DuckDB round() disagree.
+    filled = dense.select(
+        "event_type",
+        "bucket",
+        "n",
+        round_half_up(F.col("v_raw")).alias("v_avg"),
+        round_half_up(TS.locf("v_raw", ["event_type"], "bucket")).alias("v_locf"),
+        round_half_up(
+            TS.linear_interpolate("v_raw", ["event_type"], "bucket")
+        ).alias("v_interp"),
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm").alias("bucket"),
+        "n",
+        "v_avg",
+        "v_locf",
+        "v_interp",
+    ).orderBy("event_type", "bucket")

@@ -505,3 +505,31 @@ def test_jdbc_source_gated(spark):
                      partition_column="id")  # bounds missing
     with pytest.raises(ValueError):
         J.read_table(spark, "jdbc:oracle:thin:@x", "t")  # unknown scheme
+
+
+def test_gapfill_locf_and_interpolation_hand_case(spark):
+    from datetime import datetime
+
+    from iot_sensor_log_data_pipeline_spark.operators import timeseries as TS
+
+    ts = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    # series A: values at :00 and :30 -> two 10-min gaps between them
+    df = spark.createDataFrame(
+        [("A", ts(0), 10.0), ("A", ts(30), 40.0), ("B", ts(0), 7.0)],
+        "k string, bucket timestamp, v double",
+    )
+    spine = TS.gapfill_spine(df, ["k"], "bucket", 600)
+    dense = spine.join(df, ["k", "bucket"], "left")
+    out = dense.select(
+        "k",
+        "bucket",
+        TS.locf("v", ["k"], "bucket").alias("locf"),
+        TS.linear_interpolate("v", ["k"], "bucket").alias("interp"),
+    ).collect()
+    got = {(r["k"], r["bucket"].minute): (r["locf"], r["interp"]) for r in out}
+    assert got[("A", 0)] == (10.0, 10.0)
+    assert got[("A", 10)] == (10.0, 20.0)   # 1/3 of the way 10 -> 40
+    assert got[("A", 20)] == (10.0, 30.0)   # 2/3
+    assert got[("A", 30)] == (40.0, 40.0)
+    assert got[("B", 0)] == (7.0, 7.0)      # single-point series intact
+    assert len(got) == 5                    # B has no spine beyond its point

@@ -20,8 +20,10 @@ parallelize per series.  For unbounded retention, slice the spine per
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -90,4 +92,58 @@ def linear_interpolate(
         .when(prev_v.isNull(), next_v)
         .when(next_v.isNull(), prev_v)
         .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    n_out: int,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets chart downsampling per series
+    (Steinarsson 2013, the standard visual-fidelity downsampler): keep
+    first and last points, split the rest into ``n_out - 2`` buckets,
+    and from each bucket keep the point forming the largest triangle
+    with the PREVIOUSLY SELECTED point and the next bucket's centroid.
+
+    The selected-point recurrence is inherently sequential, so this is
+    the one legitimate ``applyInPandas`` operator in the time-series
+    family (a window/SQL formulation cannot express it).  Each series
+    must fit one executor's memory -- the operator contract for grouped
+    chart rendering (a series bigger than that should be pre-bucketed
+    with ``time_bucket`` first).  Deterministic: ties broken by the
+    first maximal point, NumPy argmax semantics.  ``x_col``/``y_col``
+    must be numeric (pass epoch seconds, not raw timestamps).
+    """
+    import pandas as pd
+
+    out_fields = [df.schema[c] for c in (*group_cols, x_col, y_col)]
+    out_schema = T.StructType(out_fields)
+
+    def one_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(x_col, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        if n <= n_out:
+            return pdf[[*group_cols, x_col, y_col]]
+        x = pdf[x_col].to_numpy(dtype="float64")
+        y = pdf[y_col].to_numpy(dtype="float64")
+        # bucket boundaries over the interior points [1, n-1)
+        edges = np.linspace(1, n - 1, n_out - 1).astype("int64")
+        selected = [0]
+        for b in range(n_out - 2):
+            lo, hi = edges[b], edges[b + 1]
+            nlo, nhi = edges[b + 1], (edges[b + 2] if b + 2 < len(edges) else n)
+            cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+            ax, ay = x[selected[-1]], y[selected[-1]]
+            area = np.abs(
+                (ax - cx) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (cy - ay)
+            )
+            selected.append(lo + int(area.argmax()))
+        selected.append(n - 1)
+        return pdf.iloc[selected][[*group_cols, x_col, y_col]]
+
+    return df.select(*group_cols, x_col, y_col).groupBy(*group_cols).applyInPandas(
+        one_series, schema=out_schema
     )

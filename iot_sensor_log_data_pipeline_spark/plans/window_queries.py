@@ -306,3 +306,27 @@ def downsample_ohlc_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "event_type")
     )
+
+
+@register(
+    "downsample_lttb_value",
+    oracle=None,  # sequential selection recurrence: not SQL-expressible
+    tags=("window", "downsample", "timeseries", "lttb"),
+)
+def downsample_lttb_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB chart downsampling (Steinarsson 2013) of each event_type's
+    (ts, value) series to 50 visually-representative points.  The
+    selected-point recurrence is sequential per series, so this is an
+    ``applyInPandas`` operator by necessity (rows-only driver check;
+    the algorithm itself is pytest-verified against a pure-Python
+    reference -- tests/test_operators.py::test_lttb_matches_python_reference)."""
+    from ..operators.timeseries import lttb_downsample
+
+    events = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    return lttb_downsample(events, 50, ["event_type"], "x", "y").orderBy(
+        "event_type", "x"
+    )

@@ -533,3 +533,59 @@ def test_gapfill_locf_and_interpolation_hand_case(spark):
     assert got[("A", 30)] == (40.0, 40.0)
     assert got[("B", 0)] == (7.0, 7.0)      # single-point series intact
     assert len(got) == 5                    # B has no spine beyond its point
+
+
+def _py_lttb(xs, ys, n_out):
+    import numpy as np
+
+    n = len(xs)
+    if n <= n_out:
+        return list(range(n))
+    edges = np.linspace(1, n - 1, n_out - 1).astype("int64")
+    sel = [0]
+    for b in range(n_out - 2):
+        lo, hi = edges[b], edges[b + 1]
+        nlo, nhi = edges[b + 1], (edges[b + 2] if b + 2 < len(edges) else n)
+        cx, cy = float(np.mean(xs[nlo:nhi])), float(np.mean(ys[nlo:nhi]))
+        ax, ay = xs[sel[-1]], ys[sel[-1]]
+        areas = [abs((ax - cx) * (ys[i] - ay) - (ax - xs[i]) * (cy - ay)) for i in range(lo, hi)]
+        sel.append(lo + int(np.argmax(areas)))
+    sel.append(n - 1)
+    return sel
+
+
+def test_lttb_matches_python_reference(spark):
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators.timeseries import lttb_downsample
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in ("s1", "s2"):
+        ys = np.cumsum(rng.standard_normal(500))
+        rows += [(g, float(i), float(v)) for i, v in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {
+        g: sorted((r["x"], r["y"]) for r in grp)
+        for g, grp in __import__("itertools").groupby(
+            sorted(lttb_downsample(df, 60, ["g"], "x", "y").collect(), key=lambda r: r["g"]),
+            key=lambda r: r["g"],
+        )
+    }
+    for g in ("s1", "s2"):
+        xs = [x for gg, x, y in rows if gg == g]
+        ys = [y for gg, x, y in rows if gg == g]
+        idx = _py_lttb(xs, ys, 60)
+        expect = sorted((xs[i], ys[i]) for i in idx)
+        assert got[g] == expect
+        assert len(got[g]) == 60
+        assert (0.0, ys[0]) in got[g] and (499.0, ys[499]) in got[g]  # endpoints kept
+
+
+def test_lttb_small_series_passthrough(spark):
+    from iot_sensor_log_data_pipeline_spark.operators.timeseries import lttb_downsample
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 5.0), ("a", 2.0, 6.0)], "g string, x double, y double"
+    )
+    assert lttb_downsample(df, 10, ["g"], "x", "y").count() == 2

@@ -531,3 +531,68 @@ def gapfill_10min_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_locf",
         "v_interp",
     ).orderBy("event_type", "bucket")
+
+
+@register(
+    "anomaly_rolling_zscore",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, event_id, value,
+             count(*) OVER w AS n,
+             sum(value) OVER w AS s,
+             sum(value * value) OVER w AS ss
+      FROM events
+      WINDOW w AS (PARTITION BY event_type
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, event_id, value,
+           round((value - s / n) / sqrt((ss - s * s / n) / (n - 1)), 4) AS z
+    FROM r
+    WHERE n >= 5
+    ORDER BY abs((value - s / n) / sqrt((ss - s * s / n) / (n - 1))) DESC, event_id
+    LIMIT 100
+    """,
+    tags=("reference", "timeseries", "anomaly", "window"),
+)
+def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly scoring: each reading's z-score against
+    its series' trailing-hour mean/std (RANGE frame on epoch seconds,
+    same boundary discipline as window_range_trailing_hour), top-100
+    most anomalous readings -- the alerting pass an IoT sensor pipeline
+    runs that the reference's dashboards leave to the human eye.
+    Sum-form variance (same try_divide discipline as hourly_corr) so
+    thin windows yield NULL z instead of ANSI division errors, and the
+    oracle shares the exact operand tree."""
+    from pyspark.sql.window import Window
+
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    v = F.col("value")
+    r = events.select(
+        "event_type",
+        "event_id",
+        v.alias("value"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(v).over(w).alias("s"),
+        F.sum(v * v).over(w).alias("ss"),
+    )
+    z = F.try_divide(
+        F.col("value") - F.col("s") / F.col("n"),
+        F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)),
+    )
+    # Rank on the UNROUNDED score (the oracle does too): ordering by the
+    # rounded z would make the rank-100 cutoff depend on 4dp ties.
+    top = (
+        r.where(F.col("n") >= 5)
+        .select("event_type", "event_id", "value", z.alias("z_raw"))
+        .orderBy(F.abs(F.col("z_raw")).desc(), F.col("event_id"))
+        .limit(100)
+    )
+    return top.select(
+        "event_type", "event_id", "value", F.round("z_raw", 4).alias("z")
+    )

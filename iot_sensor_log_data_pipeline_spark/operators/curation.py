@@ -52,6 +52,8 @@ def split_label(
 ) -> Column:
     """Map the hash bucket onto named splits by cumulative weight
     (weights must sum to 100): bucket < 90 -> train, < 95 -> val, ..."""
+    if sum(w for _, w in splits) != 100:
+        raise ValueError(f"split weights must sum to 100: {splits}")
     bucket = split_bucket(id_col)
     expr: Column | None = None
     cum = 0
@@ -59,7 +61,6 @@ def split_label(
         cum += weight
         cond = bucket < cum
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    assert cum == 100, f"split weights must sum to 100, got {cum}"
     return expr  # last WHEN covers bucket 99 because cum == n_buckets
 
 

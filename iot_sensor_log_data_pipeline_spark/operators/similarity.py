@@ -130,6 +130,8 @@ def _srp_bands_udf(planes: list[list[float]], bands: int, rows_per_band: int):
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def srp_bands(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # np.vstack rejects empty Arrow batches
+            return pd.Series([], dtype=object)
         M = np.vstack(vecs.to_numpy()).astype("float64")  # (n, dim)
         signs = (M @ P) >= 0.0
         out = []
@@ -294,6 +296,8 @@ def _top_cells_udf(centroids: list[tuple[int, list[float]]], n_top: int):
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def top_cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # np.vstack rejects empty Arrow batches
+            return pd.Series([], dtype=object)
         M = np.vstack(vecs.to_numpy()).astype("float64")  # (n, dim)
         order = np.argsort(-(M @ C), axis=1, kind="stable")[:, :n_top]
         return pd.Series([[int(c) for c in ids[row]] for row in order])

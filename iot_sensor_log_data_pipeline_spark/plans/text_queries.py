@@ -175,3 +175,58 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
     )
+
+
+@register(
+    "sketch_count_min_tokens",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+    rows_ AS (SELECT unnest(range(4)) AS row_id),
+    sketch AS (
+      SELECT row_id,
+             CAST(('0x' || substr(md5(token || '#' || row_id), 1, 8)) AS BIGINT)
+               % 1024 AS bucket,
+             CAST(sum(n) AS BIGINT) AS cell_count
+      FROM cnt CROSS JOIN rows_
+      GROUP BY 1, 2
+    ),
+    top AS (SELECT token, n FROM cnt ORDER BY n DESC, token LIMIT 20),
+    probe AS (
+      SELECT t.token, t.n, r.row_id,
+             CAST(('0x' || substr(md5(t.token || '#' || r.row_id), 1, 8)) AS BIGINT)
+               % 1024 AS bucket
+      FROM top t CROSS JOIN rows_ r
+    )
+    SELECT p.token, CAST(p.n AS BIGINT) AS exact_n,
+           CAST(min(s.cell_count) AS BIGINT) AS est_n
+    FROM probe p JOIN sketch s ON p.row_id = s.row_id AND p.bucket = s.bucket
+    GROUP BY p.token, p.n
+    ORDER BY exact_n DESC, token
+    """,
+    tags=("text", "sketch", "count-min"),
+)
+def sketch_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (4 x 1024) over the corpus token frequencies,
+    probed with the 20 true heavy hitters: exact count vs sketch
+    estimate side by side (the estimate can only overestimate -- the
+    CMS guarantee, also asserted in pytest).  The full sketch build +
+    probe replays in the DuckDB oracle, so this 'approximate' structure
+    gets an EXACT correctness gate, unlike engine-internal sketches
+    (agg_approx_sketches)."""
+    from ..operators import sketch as SK
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sk = SK.cms_build(cnt, key_col="token", count_col="n")
+    top = cnt.orderBy(F.desc("n"), F.asc("token")).limit(20)
+    est = SK.cms_estimate(sk, top.select("token"), key_col="token")
+    return (
+        top.join(est, "token")
+        .select("token", F.col("n").alias("exact_n"), F.col("est_count").alias("est_n"))
+        .orderBy(F.desc("exact_n"), F.asc("token"))
+    )

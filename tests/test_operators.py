@@ -589,3 +589,35 @@ def test_lttb_small_series_passthrough(spark):
         [("a", 1.0, 5.0), ("a", 2.0, 6.0)], "g string, x double, y double"
     )
     assert lttb_downsample(df, 10, ["g"], "x", "y").count() == 2
+
+
+def test_count_min_sketch_properties(spark):
+    from iot_sensor_log_data_pipeline_spark.operators import sketch as SK
+
+    rng = __import__("numpy").random.default_rng(5)
+    # zipf-ish key frequencies so there are genuine heavy hitters
+    keys = [f"k{i}" for i in range(200)]
+    counts = [(k, int(1 + 5000 // (i + 1))) for i, k in enumerate(keys)]
+    cnt = spark.createDataFrame(counts, "key string, n long")
+    sk = SK.cms_build(cnt)
+    assert sk.count() <= SK.CMS_DEPTH * SK.CMS_WIDTH
+    est = {
+        r["key"]: r["est_count"]
+        for r in SK.cms_estimate(sk, cnt.select("key")).collect()
+    }
+    exact = dict(counts)
+    total = sum(exact.values())
+    for k, n in exact.items():
+        assert est[k] >= n, f"CMS underestimated {k}"        # never underestimates
+        assert est[k] <= n + 2 * total // SK.CMS_WIDTH + 1   # per-row bound, d-fold min
+    # sketches merge: union of two half-corpus sketches == full sketch
+    half1 = SK.cms_build(cnt.where(F.col("key") < "k5"))
+    half2 = SK.cms_build(cnt.where(~(F.col("key") < "k5")))
+    merged = (
+        half1.unionByName(half2)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cell_count").alias("cell_count"))
+    )
+    full = {(r["row"], r["bucket"]): r["cell_count"] for r in sk.collect()}
+    got = {(r["row"], r["bucket"]): r["cell_count"] for r in merged.collect()}
+    assert got == full

@@ -100,3 +100,69 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cell_count").alias("est_count"))
     )
+
+
+#: HyperLogLog geometry: 2^HLL_P registers; the md5's first 2 hex chars
+#: are the register index (p=8), the next 12 hex chars (48 bits) feed
+#: the leading-zero rank.
+HLL_P = 8
+HLL_M = 1 << HLL_P
+_HLL_RANK_BITS = 48
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, p: int = HLL_P
+) -> DataFrame:
+    """(register, max_rank) HyperLogLog register table (Flajolet et al.
+    2007) -- the mergeable distinct-count sketch as a DataFrame.
+
+    One map-side-combined ``max`` aggregation over at most 2^p rows of
+    shuffle: the scale shape that replaces exact count-distinct when
+    keys don't fit.  Merging sketches = union + re-max, same free
+    property as the Count-Min cells.
+
+    Integer-exact rank: the bit length of the 48-bit hash suffix comes
+    from ``conv(hex, 16, 2)`` string length (Spark) / ``bin()`` length
+    (DuckDB oracle) -- never floating log2, whose last-ulp differences
+    across libm implementations would flip ranks at power-of-two
+    boundaries."""
+    assert p == 8, "register index uses the first 2 hex chars (p=8)"
+    digest = F.md5(F.col(key_col).cast("string").cast("binary"))
+    suffix = F.substring(digest, 3, 12)
+    v = F.conv(suffix, 16, 10).cast("long")
+    bitlen = F.when(v == 0, F.lit(0)).otherwise(F.length(F.conv(suffix, 16, 2)))
+    return (
+        df.select(
+            F.conv(F.substring(digest, 1, 2), 16, 10).cast("long").alias("register"),
+            (F.lit(_HLL_RANK_BITS) - bitlen + 1).cast("long").alias("rank"),
+        )
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
+    """One-row cardinality estimate from a register table.
+
+    The harmonic-mean denominator is summed as EXACT integers
+    (``sum(2^(49 - max_rank))`` in longs, absent registers contributing
+    ``2^49``), so the estimate is bit-deterministic across engines and
+    partitionings; the small-range linear-counting correction applies
+    below 2.5m when empty registers remain."""
+    m = 1 << p
+    two49 = 1 << (_HLL_RANK_BITS + 1)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RANK_BITS + 1} - max_rank AS INT))")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    zeros = F.lit(m) - F.col("n_present")
+    s_total = F.col("s_present") + zeros * F.lit(two49)
+    e_raw = F.lit(alpha * m * m * float(two49)) / s_total.cast("double")
+    corrected = F.when(
+        (e_raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(F.round(corrected, 4).alias("est_distinct"))

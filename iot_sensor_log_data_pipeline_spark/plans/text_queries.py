@@ -230,3 +230,33 @@ def sketch_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", F.col("n").alias("exact_n"), F.col("est_count").alias("est_n"))
         .orderBy(F.desc("exact_n"), F.asc("token"))
     )
+
+
+@register(
+    "sketch_hll_distinct_tokens",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    h AS (SELECT md5(token) AS d FROM tok),
+    r AS (SELECT CAST(('0x' || substr(d, 1, 2)) AS BIGINT) AS register,
+                 CAST(('0x' || substr(d, 3, 12)) AS BIGINT) AS v
+          FROM h)
+    SELECT register,
+           CAST(max(48 - (CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END) + 1)
+                AS BIGINT) AS max_rank
+    FROM r GROUP BY register ORDER BY register
+    """,
+    tags=("text", "sketch", "hll"),
+)
+def sketch_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table over the corpus token stream (fed raw
+    occurrences, NOT pre-distincted -- max-aggregation absorbs
+    duplicates map-side, which is the whole point of the sketch at
+    scale).  The register table is integer-exact, so unlike
+    engine-internal approx_count_distinct this sketch gets a full
+    DuckDB oracle; the cardinality ESTIMATE derived from it is
+    accuracy-tested in pytest (est within HLL error bounds of truth)."""
+    from ..operators import sketch as SK
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    return SK.hll_registers(toks, "token").orderBy("register")

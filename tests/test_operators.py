@@ -621,3 +621,36 @@ def test_count_min_sketch_properties(spark):
     full = {(r["row"], r["bucket"]): r["cell_count"] for r in sk.collect()}
     got = {(r["row"], r["bucket"]): r["cell_count"] for r in merged.collect()}
     assert got == full
+
+
+def test_hll_registers_match_python_reference_and_estimate(spark):
+    from iot_sensor_log_data_pipeline_spark.operators import sketch as SK
+
+    keys = [f"user{i}" for i in range(3000)]
+    df = spark.createDataFrame([(k,) for k in keys] * 2, "key: string")  # dupes
+    regs = SK.hll_registers(df, "key")
+    got = {r["register"]: r["max_rank"] for r in regs.collect()}
+
+    expect: dict[int, int] = {}
+    for k in keys:
+        d = hashlib.md5(k.encode()).hexdigest()
+        reg = int(d[:2], 16)
+        v = int(d[2:14], 16)
+        rank = 48 - (0 if v == 0 else v.bit_length()) + 1
+        expect[reg] = max(expect.get(reg, 0), rank)
+    assert got == expect
+
+    (row,) = SK.hll_estimate(regs).collect()
+    est = row["est_distinct"]
+    # p=8 -> relative error ~1.04/sqrt(256) = 6.5%; 3 sigma bound.
+    assert abs(est - 3000) / 3000 < 0.2, est
+
+    # merge property: union + re-max == whole-corpus registers
+    half1 = SK.hll_registers(df.where(F.col("key") < "user2"), "key")
+    half2 = SK.hll_registers(df.where(~(F.col("key") < "user2")), "key")
+    merged = (
+        half1.unionByName(half2)
+        .groupBy("register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    assert {(r["register"], r["max_rank"]) for r in merged.collect()} == set(got.items())

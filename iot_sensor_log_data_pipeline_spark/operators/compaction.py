@@ -175,6 +175,7 @@ def optimize_parquet_table(
     table_dir: str,
     target_file_bytes: int = 128 << 20,
     min_files: int = 4,
+    cluster_by: list[str] | None = None,
 ) -> MaintenanceResult:
     """OPTIMIZE-style maintenance over a partitioned parquet directory:
     the reference's A14 compaction generalized from one JSON prefix to
@@ -187,6 +188,10 @@ def optimize_parquet_table(
     rewrite those exact files into the target count (bin-packed by
     Spark's round-robin repartition) and swap them in.  Rows are
     preserved exactly -- only the file layout changes.
+
+    ``cluster_by`` additionally sorts rows within each rewritten file
+    on the given keys, so min/max row-group statistics become selective
+    (data skipping) for those columns.
 
     Scale notes: each partition rewrite is an independent narrow job
     (read N small files, write M big ones -- no shuffle wider than the
@@ -217,7 +222,15 @@ def optimize_parquet_table(
         # untouched), then commit by delete+rename.
         tmp = os.path.join(part_dir, f"_compact_tmp_{os.getpid()}")
         df = spark.read.parquet(*files)
-        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+        out = df.repartition(n_out)
+        if cluster_by:
+            # Z-order-lite: sort rows inside each output file on the
+            # clustering keys so parquet row-group min/max stats become
+            # selective for those columns (scan-level data skipping) --
+            # the layout half of what table formats' OPTIMIZE ZORDER
+            # does, without the space-filling-curve interleave.
+            out = out.sortWithinPartitions(*cluster_by)
+        out.write.mode("overwrite").parquet(tmp)
         new_files = sorted(
             f for f in os.listdir(tmp) if not f.startswith((".", "_"))
         )

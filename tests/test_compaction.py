@@ -183,3 +183,42 @@ def test_avro_source_gated(spark, tmp_path):
             AV.write_avro(df, path)
         with _pytest.raises(ModuleNotFoundError):
             AV.read_avro(spark, path)
+
+
+def test_optimize_cluster_by_sorts_within_files(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iot_sensor_log_data_pipeline_spark.operators.compaction import (
+        optimize_parquet_table,
+    )
+
+    out = str(tmp_path / "tbl")
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 7).alias("day"),
+        F.xxhash64(F.col("id").cast("string")).alias("user_id"),
+        F.col("id").alias("v"),
+    )
+    # many small files per partition
+    df.repartition(12).write.partitionBy("day").mode("overwrite").parquet(out)
+    before = spark.read.parquet(out).orderBy("v").collect()
+
+    res = optimize_parquet_table(
+        spark, out, target_file_bytes=1 << 30, min_files=2, cluster_by=["user_id"]
+    )
+    assert res.partitions_compacted == 7
+    after_df = spark.read.parquet(out)
+    assert after_df.orderBy("v").collect() == before  # content identical
+
+    # every rewritten file is internally sorted on the cluster key
+    for root, _dirs, names in os.walk(out):
+        for f in names:
+            if f.startswith("compacted-") and f.endswith(".parquet"):
+                vals = [
+                    r["user_id"]
+                    for r in spark.read.parquet(os.path.join(root, f))
+                    .select("user_id")
+                    .collect()
+                ]
+                assert vals == sorted(vals), f"{f} not clustered"

@@ -16,8 +16,11 @@ discipline as the MinHash pipeline (operators/dedup.py).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: Default geometry: 4 rows x 1024 buckets => overestimate bound
 #: ~ 2N/w per row with failure probability ~ (1/2)^d on the min.
@@ -166,3 +169,75 @@ def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(e_raw)
     return agg.select(F.round(corrected, 4).alias("est_distinct"))
+
+
+#: Bloom-filter geometry: bits sized for ~1M keys at ~1% fp with k=4.
+BLOOM_BITS = 1 << 20
+BLOOM_K = 4
+
+
+def _bloom_buckets(key: Column, n_bits: int, k: int) -> Column:
+    """The k bucket indices for a key (seed-salted xxhash64, folded to
+    [0, n_bits) with a sign-safe double modulo)."""
+    return F.array(
+        *[
+            (
+                (F.xxhash64(F.concat_ws("#", key.cast("string"), F.lit(str(i)))) % n_bits)
+                + n_bits
+            )
+            % n_bits
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_prune_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Inner equi-join with bloom-filter pre-pruning of the fact side:
+    EXACT results (no false negatives), but fact rows whose key cannot
+    be in ``dim`` are dropped BEFORE the join shuffle -- the classic
+    shuffle-volume reducer when the dim side is too big to broadcast
+    as a hash join yet its key set fits a bloom filter (128 KB here).
+
+    Build: dim keys -> k buckets -> distinct -> bit_or-aggregated
+    64-bit words (one short shuffle of <= n_bits/64 rows), collected as
+    a NumPy bitset into an Arrow-UDF closure (the sketch-to-driver
+    pattern; same closure-shipping rationale as the SRP planes and IVF
+    centroids -- a 16K-element literal array would compile for
+    seconds).  Probe: vectorized bitset test per Arrow batch.
+    """
+    words = (
+        dim.select(
+            F.explode(_bloom_buckets(F.col(dim_key), n_bits, k)).alias("b")
+        )
+        .distinct()
+        .groupBy((F.col("b") / 64).cast("long").alias("w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b % 64 AS INT))")
+            ).alias("bits")
+        )
+        .collect()
+    )
+    bitset = np.zeros(n_bits // 64, dtype=np.int64)
+    for r in words:
+        bitset[r["w"]] = r["bits"]
+
+    @F.pandas_udf(T.BooleanType())
+    def might_contain(buckets: pd.Series) -> pd.Series:
+        if len(buckets) == 0:
+            return pd.Series([], dtype=bool)
+        B = np.vstack(buckets.to_numpy()).astype(np.int64)  # (n, k)
+        hit = (bitset[B >> 6] >> (B & 63)) & 1
+        return pd.Series(hit.all(axis=1))
+
+    pruned = fact.where(
+        might_contain(_bloom_buckets(F.col(fact_key), n_bits, k))
+    )
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key])

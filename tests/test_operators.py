@@ -654,3 +654,23 @@ def test_hll_registers_match_python_reference_and_estimate(spark):
         .agg(F.max("max_rank").alias("max_rank"))
     )
     assert {(r["register"], r["max_rank"]) for r in merged.collect()} == set(got.items())
+
+
+def test_bloom_prune_join_exact_vs_plain_join(spark):
+    from iot_sensor_log_data_pipeline_spark.operators import sketch as SK
+
+    fact = spark.range(0, 50000).select(
+        (F.col("id") % 9973).alias("fk"), F.col("id").alias("v")
+    )
+    dim = spark.range(0, 200).select(
+        (F.col("id") * 37).alias("dk"), (F.col("id") % 5).alias("attr")
+    )
+    got = sorted(
+        (r["fk"], r["v"], r["attr"])
+        for r in SK.bloom_prune_join(fact, dim, "fk", "dk").collect()
+    )
+    expect = sorted(
+        (r["fk"], r["v"], r["attr"])
+        for r in fact.join(dim, fact["fk"] == dim["dk"]).collect()
+    )
+    assert got == expect and len(got) > 0

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.window import Window
 
 
 def with_log_hour(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
@@ -168,3 +169,57 @@ def start_fanout(
     for build_sink, _cp in zip(sinks, checkpoints):
         queries.append(build_sink(df))
     return queries
+
+
+def start_cdc_merge_sink(
+    changes: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    seq_col: str,
+    checkpoint: str,
+):
+    """Streaming CDC apply: each micro-batch of change rows is merged
+    into a parquet table via ``operators.scd.merge_upsert`` inside
+    ``foreachBatch`` -- the plain-parquet stand-in for a table format's
+    streaming MERGE INTO (exactly-once per batch via the checkpointed
+    batch id; the rewrite below is last-writer-wins at file level, so
+    run ONE merge stream per table, the same single-writer contract
+    Delta's OPTIMISTIC transaction would otherwise enforce).
+
+    Within a batch, several versions of the same key may arrive; the
+    highest-``seq_col`` row wins deterministically before the merge
+    (dedup inside the batch, anti-join against the table for the rest).
+    """
+    from ..operators.scd import merge_upsert
+
+    spark = changes.sparkSession
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            current = spark.read.parquet(table_dir)
+            merged = merge_upsert(current, latest, keys)
+        except Exception:
+            merged = latest
+        # two-phase: write next version, swap in (atomic dir rename on
+        # local/HDFS; a table format's snapshot commit on object stores)
+        import shutil
+
+        tmp = f"{table_dir}__next_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(table_dir, ignore_errors=True)
+        shutil.move(tmp, table_dir)
+
+    return (
+        changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

@@ -399,3 +399,47 @@ def test_stateful_count_trigger_tws_matches_classic(spark, scratch):
     rows = spark.sql(f"SELECT client_id, count(*) AS n FROM {name} GROUP BY 1").collect()
     got = {r["client_id"]: r["n"] for r in rows}
     assert got == {"dev_a": 2, "dev_b": 1}
+
+
+def test_streaming_cdc_merge_matches_batch_merge(spark, scratch):
+    """foreachBatch CDC apply: after the stream drains, the parquet
+    table must equal the batch merge_upsert of the same change set."""
+    import os
+
+    from iot_sensor_log_data_pipeline_spark.operators.scd import merge_upsert
+    from iot_sensor_log_data_pipeline_spark.streaming.pipeline import (
+        start_cdc_merge_sink,
+    )
+
+    table = os.path.join(scratch, "cdc_table")
+    changes_dir = os.path.join(scratch, "cdc_changes")
+    ckpt = os.path.join(scratch, "cdc_ckpt")
+
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 0)], "k long, v string, seq long"
+    )
+    base.write.parquet(table)
+
+    changes = spark.createDataFrame(
+        [(2, "b2", 1), (4, "d", 1), (2, "b3", 2)], "k long, v string, seq long"
+    )
+    changes.write.parquet(changes_dir)
+
+    stream = spark.readStream.schema(changes.schema).parquet(changes_dir)
+    q = start_cdc_merge_sink(stream, table, keys=["k"], seq_col="seq", checkpoint=ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted((r["k"], r["v"]) for r in spark.read.parquet(table).collect())
+    latest = changes.withColumn(
+        "__rn",
+        F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                "k"
+            ).orderBy(F.desc("seq"))
+        ),
+    ).where("__rn = 1").drop("__rn")
+    expect = sorted(
+        (r["k"], r["v"]) for r in merge_upsert(base, latest, ["k"]).collect()
+    )
+    assert got == expect == [(1, "a"), (2, "b3"), (3, "c"), (4, "d")]

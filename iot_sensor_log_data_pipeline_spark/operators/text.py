@@ -145,3 +145,112 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         predicted_language(t).alias("pred_lang"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def term_frequency(text: Column | str, term: str) -> Column:
+    """Occurrences of one exact token in the whitespace token list."""
+    return F.size(F.filter(tokens(text), lambda t: t == F.lit(term))).cast("long")
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    *,
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval of ``docs`` against a bag of query terms
+    (Robertson/Sparck-Jones idf with the +1 smoothing used by Lucene).
+
+    Scale shape: for a FIXED small query-term set the classic
+    explode->posting-list plan is overkill -- per-term frequencies are
+    computed as plain column expressions in ONE codegen'd scan pass
+    (no explode, no per-term shuffle), the corpus-level statistics
+    (N, avgdl, per-term document frequency) reduce to a single 1-row
+    aggregate that is broadcast back, and the final top-k is a
+    TakeOrderedAndProject (no global sort).  Total cost: one scan +
+    one scalar agg + one scan-side score projection, independent of
+    vocabulary size.
+    """
+    t = F.col(text_col)
+    base = docs.select(
+        id_col,
+        token_count(t).alias("__dl"),
+        *[term_frequency(t, term).alias(f"__tf_{i}") for i, term in enumerate(query_terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).cast("double").alias(f"__df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        idf = F.log(
+            1.0
+            + (F.col("__n") - F.col(f"__df_{i}") + 0.5) / (F.col(f"__df_{i}") + 0.5)
+        )
+        score = score + idf * (
+            tf
+            * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl")))
+        )
+    return (
+        scored.select(id_col, F.round(score, 6).alias("bm25"))
+        .where(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    *,
+    top_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_n`` terms per document by smoothed tf-idf
+    (tf/doclen * (ln(N/(1+df)) + 1)), deterministic term-asc tiebreak.
+
+    Scale shape: the one genuinely corpus-wide piece is document
+    frequency, a groupBy over the distinct (doc, term) posting list --
+    one explode + two shuffles keyed on term / (doc, term), both
+    partial-aggregated map-side.  df is then joined back to the
+    posting list (term-keyed shuffle join; a broadcast when the
+    vocabulary is small) and the per-doc top-n is a bounded
+    row_number window, never a global sort.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    posting = (
+        docs.select(id_col, F.col(text_col), token_count(t).alias("__dl"))
+        .select(id_col, "__dl", F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "__dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("__n"))
+    df_t = posting.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    tfidf = F.round(
+        (F.col("tf") / F.col("__dl"))
+        * (F.log(F.col("__n") / (1.0 + F.col("df"))) + 1.0),
+        6,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        posting.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(id_col, "term", tfidf.alias("tfidf"))
+        .withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("term_rank") <= top_n)
+        .select(id_col, "term_rank", "term", "tfidf")
+        .orderBy(id_col, "term_rank")
+    )

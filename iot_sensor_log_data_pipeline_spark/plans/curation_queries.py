@@ -287,3 +287,45 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "chunk_id")
     )
+
+
+@register(
+    "corpus_source_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS cap_rank
+      FROM documents
+    )
+    SELECT source, CAST(cap_rank AS BIGINT) AS cap_rank, doc_id
+    FROM ranked WHERE cap_rank <= 10
+    ORDER BY source, cap_rank
+    """,
+    tags=("curation", "north-star", "sampling"),
+)
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps (keep <= 10 docs per source), the
+    standard web-corpus domain-cap: survivor selection is
+    content-addressed (smallest md5 of the doc id wins), so the kept
+    set is deterministic across engines, runs, and partitionings --
+    never 'first 10 rows seen', which is partition-order-dependent.
+    One bounded window per source shard; no global sort, no skew (the
+    window key IS the cap key, so no partition exceeds the cap's
+    working set by more than the shard size)."""
+    from pyspark.sql.window import Window
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "source",
+            F.row_number().over(w).cast("long").alias("cap_rank"),
+            "doc_id",
+        )
+        .where(F.col("cap_rank") <= 10)
+        .orderBy("source", "cap_rank")
+    )

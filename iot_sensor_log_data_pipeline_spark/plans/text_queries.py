@@ -260,3 +260,82 @@ def sketch_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelize_small(load(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
     return SK.hll_registers(toks, "token").orderBy("register")
+
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TF = {
+    i: f"len(list_filter({_TOKS}, x -> x = '{t}'))" for i, t in enumerate(_BM25_TERMS)
+}
+_BM25_SCORE = " + ".join(
+    f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+    f" * (CAST(tf{i} AS DOUBLE) * {_BM25_K1 + 1.0!r}"
+    f" / (CAST(tf{i} AS DOUBLE) + {_BM25_K1!r} * ({1.0 - _BM25_B!r}"
+    f" + {_BM25_B!r} * dl / avgdl)))"
+    for i in range(len(_BM25_TERMS))
+)
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             {_NTOK} AS dl,
+             {", ".join(f"{sql} AS tf{i}" for i, sql in _BM25_TF.items())}
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(dl) AS avgdl,
+             {", ".join(f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}" for i in _BM25_TF)}
+      FROM base
+    )
+    SELECT doc_id, bm25
+    FROM (SELECT doc_id, round({_BM25_SCORE}, 6) AS bm25
+          FROM base CROSS JOIN stats)
+    WHERE bm25 > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 15
+    """,
+    tags=("text", "north-star", "retrieval"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query-term bag: one codegen'd
+    scan computes per-term frequencies as columns (no explode), corpus
+    stats are a single broadcast 1-row aggregate, top-k is
+    TakeOrderedAndProject (``operators/text.py:bm25_rank``)."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return TX.bm25_rank(docs, _BM25_TERMS, k=15, k1=_BM25_K1, b=_BM25_B)
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH posting AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM (SELECT doc_id, {_NTOK} AS dl, unnest({_TOKS}) AS term FROM documents)
+      GROUP BY doc_id, dl, term
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM posting GROUP BY term),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS term_rank
+      FROM (SELECT p.doc_id, p.term,
+                   round((p.tf / p.dl) * (ln(nn.n / (1.0 + d.df)) + 1.0), 6) AS tfidf
+            FROM posting p JOIN dft d ON d.term = p.term CROSS JOIN nn)
+    )
+    SELECT doc_id, term_rank, term, tfidf
+    FROM ranked WHERE term_rank <= 3
+    ORDER BY doc_id, term_rank
+    """,
+    tags=("text", "north-star", "retrieval"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by smoothed tf-idf: the corpus-wide df
+    is one posting-list groupBy; per-doc ranking is a bounded
+    row_number window (``operators/text.py:tfidf_top_terms``)."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return TX.tfidf_top_terms(docs, top_n=3)

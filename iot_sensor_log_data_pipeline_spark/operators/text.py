@@ -189,6 +189,8 @@ def bm25_rank(
             for i in range(len(query_terms))
         ],
     )
+    # Plans as BroadcastNestedLoopJoin with a 1-row build side -- the
+    # scalar-subquery shape, allowlisted in tests/test_plans.py.
     scored = base.crossJoin(F.broadcast(stats))
     score = F.lit(0.0)
     for i in range(len(query_terms)):

@@ -310,7 +310,7 @@ def hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            count(DISTINCT event_type) AS n_types,
-           list_sort(list(DISTINCT event_type)) AS types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
            CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
                 AS BIGINT) AS n_purchases,
            CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0)
@@ -325,9 +325,10 @@ def hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-type battery: build a per-user event_type->count map
     (map_from_entries over collected structs), then read it back with
-    size/map_keys/element_at.  Output is scalar/array-typed so the
-    oracle (which has no equivalent map literal in pandas) compares
-    exactly; the map itself is the intermediate."""
+    size/map_keys/element_at.  Output is scalar-typed only (keys are
+    joined to one string): external verifiers hash/sort result frames,
+    and top-level array/map cells are unhashable there; the map itself
+    is the intermediate."""
     events = load(spark, sf_dir, "events").where(F.col("user_id") < 30)
     per_type = events.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -340,7 +341,7 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.select(
         "user_id",
         F.size("m").cast("long").alias("n_types"),
-        F.array_sort(F.map_keys("m")).alias("types"),
+        F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("types"),
         F.coalesce(F.element_at("m", "purchase"), F.lit(0)).alias("n_purchases"),
         F.coalesce(F.element_at("m", "error"), F.lit(0)).alias("n_errors"),
     ).orderBy("user_id")

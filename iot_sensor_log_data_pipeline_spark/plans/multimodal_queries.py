@@ -48,24 +48,31 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(string_split(text, ''), c -> ascii(c)) AS cs
       FROM documents
     )
-    SELECT doc_id,
-           n_bytes,
-           list_transform(range(16),
-             b -> CAST(len(list_filter(cs, c -> c // 16 = b)) AS DOUBLE)
-                  / n_bytes) AS byte_hist
-    FROM codes
-    ORDER BY doc_id
+    SELECT codes.doc_id,
+           codes.n_bytes,
+           CAST(t.b AS INT) AS bin,
+           CAST(len(list_filter(cs, c -> c // 16 = t.b)) AS DOUBLE)
+             / codes.n_bytes AS ratio
+    FROM codes, range(16) t(b)
+    ORDER BY doc_id, bin
     """,
     tags=("multimodal", "north-star", "pandas-udf"),
 )
 def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary media via Arrow-batched
     ``mapInPandas`` (the stubbed-decode pipeline: real batching, fake
-    features).  Oracle re-derives the byte histogram from character
-    codes (valid because the corpus text is pure ASCII; binary media
-    with multibyte provenance keeps the rows-only path)."""
+    features), exploded to one (doc, bin) row per histogram cell:
+    external verifiers hash/sort the result frame, and a top-level
+    array cell is unhashable there (the array form remains available
+    via ``operators.multimodal.extract_features``).  Oracle re-derives
+    the histogram from character codes (valid because the corpus text
+    is pure ASCII; binary media with multibyte provenance keeps the
+    rows-only path)."""
     media = MM.attach_fake_media(parallelize_small(load(spark, sf_dir, "documents")))
-    return MM.extract_features(media).orderBy("doc_id")
+    feats = MM.extract_features(media)
+    return feats.select(
+        "doc_id", "n_bytes", F.posexplode("byte_hist").alias("bin", "ratio")
+    ).orderBy("doc_id", "bin")
 
 
 @register(

@@ -131,11 +131,32 @@ def compare_frames(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]
     return problems
 
 
+def driver_unhashable_columns(df: pd.DataFrame) -> list[str]:
+    """Columns an external verifier cannot sort/hash: the driver's
+    canonicalizer does a plain pandas ``sort_values`` + hash over every
+    output column, which raises ``TypeError: unhashable type`` on
+    list/ndarray/dict cells (seen in round 2 on an array<double>
+    output).  This harness canonicalizes them fine, so without this
+    guard the gap is invisible locally -- every catalog query must keep
+    its TOP-LEVEL output columns scalar (explode or stringify instead)."""
+    bad = []
+    for c in df.columns:
+        non_null = df[c].dropna()
+        if len(non_null) and isinstance(
+            non_null.iloc[0], (list, tuple, dict, np.ndarray)
+        ):
+            bad.append(c)
+    return bad
+
+
 def check_query(spark, name: str, sf_dir: str) -> list[str]:
     from iot_sensor_log_data_pipeline_spark.plans import catalog
 
     entry = catalog.all_entries()[name]
     spark_pdf = entry.fn(spark, sf_dir).toPandas()
+    unhashable = driver_unhashable_columns(spark_pdf)
+    if unhashable:
+        return [f"driver-unhashable top-level columns (explode/stringify): {unhashable}"]
     if entry.oracle is None:
         return [] if len(spark_pdf) >= 0 else ["spark query failed"]
     oracle_pdf = run_oracle(entry.oracle, sf_dir)

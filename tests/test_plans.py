@@ -22,13 +22,22 @@ SF = "/root/testdata/sf0.001"
 #: Queries where a BroadcastNestedLoopJoin is the intended plan: the
 #: band-dim theta join (no equi key, 4-row broadcast side), the
 #: brute-force cosine baselines (broadcast queries / upper-triangle x
-#: corpus -- the LSH paths are the equi-join alternatives), and Q22's
-#: single-row scalar-average broadcast onto every customer.
+#: corpus -- the LSH paths are the equi-join alternatives), Q22's
+#: single-row scalar-average broadcast onto every customer, and the
+#: corpus-statistics scalars of BM25 / tf-idf (one aggregate row --
+#: N, avgdl, per-term df -- joined onto every document).  A 1-row
+#: build side makes BNLJ exactly the plan a scalar subquery would
+#: produce: each streamed row pairs with the single broadcast row, no
+#: quadratic blowup exists, and a constant-equi-key rewrite gets
+#: constant-folded back to BNLJ by Catalyst anyway (verified), so
+#: these are intended, not accidental.
 BNLJ_ALLOWED = {
     "join_theta_size_bands",
     "similarity_topk_cosine",
     "q22_dormant_accounts",
     "dedup_embedding_cosine",
+    "text_bm25_search",  # crossJoin(broadcast(1-row stats)) -- operators/text.py
+    "text_tfidf_top_terms",  # crossJoin(broadcast(1-row n_docs)) -- operators/text.py
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --

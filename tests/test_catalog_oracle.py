@@ -36,3 +36,22 @@ def test_oracle_keys_subset_of_queries():
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) > 0
+
+
+def test_verify_priority_names_resolve():
+    """Every name pinned into the external-verify window must exist and
+    be unique -- a typo here silently burns a slot in the driver's
+    50-query cap, so fail loudly instead."""
+    priority = catalog.verify_priority()
+    registered = set(catalog.all_entries())
+    unknown = [n for n in priority if n not in registered]
+    assert not unknown, f"priority names not in catalog: {unknown}"
+    assert len(priority) == len(set(priority)), "duplicate priority names"
+    assert len(priority) <= 50, "priority list exceeds the driver window"
+
+
+def test_priority_window_order():
+    """queries() must emit priority names first, in priority order."""
+    names = list(catalog.all_entries())
+    priority = [n for n in catalog.verify_priority()]
+    assert names[: len(priority)] == priority

@@ -63,10 +63,16 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str,
         for r in SIM.brute_force_topk(emb, queries, k=k).collect()
     }
     out = {}
-    for label, fn in (("lsh", SIM.lsh_topk), ("ivf", SIM.ivf_topk)):
+    approx_runs = (
+        # same md5-derived planes as the catalog's similarity_lsh_ann
+        ("lsh", lambda: SIM.lsh_topk(
+            emb, queries, k=k, bands=16,
+            planes=SIM.hash_hyperplanes(64, dim=64))),
+        ("ivf", lambda: SIM.ivf_topk(emb, queries, k=k)),
+    )
+    for label, fn in approx_runs:
         approx = {
-            (r["query_id"], r["neighbor_id"])
-            for r in fn(emb, queries, k=k).collect()
+            (r["query_id"], r["neighbor_id"]) for r in fn().collect()
         }
         out[label] = round(len(exact & approx) / len(exact), 4)
     return out

@@ -18,6 +18,8 @@ Scale design:
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -100,6 +102,29 @@ def hyperplanes(n_planes: int, dim: int = DIM, seed: int = 42) -> list[list[floa
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def hash_hyperplanes(n_planes: int, dim: int = DIM) -> list[list[float]]:
+    """Engine-portable hyperplanes: component (j, d) is derived from
+    ``md5('plane:j:d')`` -> first 8 hex chars -> uint32 / 2^31 - 1,
+    i.e. uniform [-1, 1).  Any symmetric-about-zero component
+    distribution gives valid SRP buckets (sign of a random projection),
+    and this one is exactly recomputable in ANSI SQL
+    (``CAST(('0x' || substr(md5(...), 1, 8)) AS BIGINT)``), so an
+    external oracle can replay signatures, bands, and candidates
+    stage-for-stage -- the same portability trick as the md5-based
+    minhash lanes in ``operators/dedup.py``.  All derived values are
+    dyadic rationals (uint32 / 2^31), so the float64 matrix is exact in
+    every engine."""
+    return [
+        [
+            int(hashlib.md5(f"plane:{j}:{d}".encode()).hexdigest()[:8], 16)
+            / 2147483648.0
+            - 1.0
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
 def srp_signature(
     vec: Column, planes: list[list[float]], bands: int, rows_per_band: int
 ) -> Column:
@@ -155,6 +180,7 @@ def lsh_topk(
     rows_per_band: int = 4,
     seed: int = 42,
     query_filter: Column | None = None,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: SRP-LSH band-bucket candidates, exact
     cosine re-rank.  Recall grows with ``bands``; cost ~ corpus
@@ -170,7 +196,10 @@ def lsh_topk(
     """
     if (queries is None) == (query_filter is None):
         raise ValueError("pass exactly one of queries / query_filter")
-    planes = hyperplanes(bands * rows_per_band, seed=seed)
+    if planes is None:
+        planes = hyperplanes(bands * rows_per_band, seed=seed)
+    elif len(planes) != bands * rows_per_band:
+        raise ValueError("planes must have bands * rows_per_band rows")
     bands_udf = _srp_bands_udf(planes, bands, rows_per_band)
 
     def with_bands(df: DataFrame) -> DataFrame:
@@ -347,6 +376,29 @@ def kmeans_centroids(
     return [(i, [float(x) for x in C[i]]) for i in range(len(C))]
 
 
+def seed_centroids(
+    vectors: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Quantizer seeds without Lloyd refinement: the ``n_cells`` corpus
+    vectors with the smallest ``md5(id)`` (the same content-derived,
+    partitioning-independent sample order as ``kmeans_centroids``), in
+    md5 order, as cells 0..n_cells-1.  Worse cell balance than k-means
+    but exactly replayable in ANSI SQL (``ORDER BY md5(CAST(id AS
+    VARCHAR)), id LIMIT n``), which makes the whole IVF
+    assign/probe/re-rank machinery oracle-checkable; the Lloyd's
+    quantizer is a drop-in upgrade of this list."""
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -359,6 +411,7 @@ def ivf_topk(
     sample_size: int = 2048,
     kmeans_iter: int = 10,
     seed: int = 42,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse-quantize the corpus into
     ``n_cells`` inverted lists, probe the ``n_probe`` closest cells per
@@ -382,16 +435,20 @@ def ivf_topk(
     Cost at scale: candidates ~= n_assign * n_probe / n_cells of the
     corpus per query (vs all of it for brute force), and the cell
     assignment column is precomputable/persistable for the corpus.
+
+    Pass ``centroids`` explicitly (e.g. from ``seed_centroids``) to
+    pin the quantizer; otherwise the sampled Lloyd's quantizer runs.
     """
-    centroids = kmeans_centroids(
-        vectors,
-        n_cells,
-        id_col=id_col,
-        vec_col=vec_col,
-        sample_size=sample_size,
-        n_iter=kmeans_iter,
-        seed=seed,
-    )
+    if centroids is None:
+        centroids = kmeans_centroids(
+            vectors,
+            n_cells,
+            id_col=id_col,
+            vec_col=vec_col,
+            sample_size=sample_size,
+            n_iter=kmeans_iter,
+            seed=seed,
+        )
     assign_cells = _top_cells_udf(centroids, n_assign)
     probe_cells = _top_cells_udf(centroids, n_probe)
 

@@ -105,6 +105,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "string_functions",
     # (d) new or oracle-upgraded this round (appended below as built)
     "similarity_lsh_ann",
+    "similarity_ivf_seed_ann",
     "similarity_ivf_ann",
 )
 

@@ -60,19 +60,75 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_lsh_ann",
-    oracle=None,  # approximate by design; recall vs brute force checked in tests.
+    oracle=f"""
+    WITH plane_vals AS (
+      SELECT j, d,
+             CAST(('0x' || substr(md5('plane:' || j || ':' || d), 1, 8)) AS BIGINT)
+               / 2147483648.0 - 1.0 AS w
+      FROM range(64) t1(j) CROSS JOIN range(64) t2(d)
+    ),
+    planes AS (
+      SELECT j, list(w ORDER BY d) AS wv FROM plane_vals GROUP BY j
+    ),
+    sig AS (
+      SELECT e.vec_id, p.j,
+             CASE WHEN list_sum(list_transform(range(64),
+                 i -> CAST(e.embedding[i+1] AS DOUBLE) * p.wv[i+1])) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM embeddings e CROSS JOIN planes p
+    ),
+    bands AS (
+      SELECT vec_id, j // 4 AS band_id,
+             string_agg(bit, '' ORDER BY j) AS bucket
+      FROM sig GROUP BY vec_id, j // 4
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bands q JOIN bands c USING (band_id, bucket)
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_DOT.format(d=64, a='qe.embedding', b='ne.embedding')}
+               / ({_NORM.format(d=64, a='qe.embedding')}
+                  * {_NORM.format(d=64, a='ne.embedding')}) AS cos_sim
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
     tags=("similarity", "north-star", "lsh", "ann"),
 )
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH approximate top-10 for the same 5 queries (8 bands x 4
-    hyperplanes, deterministic seed): bucket-join candidates, exact
-    cosine re-rank.  The scale path -- candidate volume is a tunable
-    fraction of the corpus instead of all of it.  Queries are a subset
-    of the corpus, so ``query_filter`` computes the banded index ONCE
-    (cached) and probes it, instead of re-hashing both inputs."""
+    """SRP-LSH approximate top-10 for the same 5 queries (16 bands x 4
+    hyperplanes): bucket-join candidates, exact cosine re-rank.  The
+    scale path -- candidate volume is a tunable fraction of the corpus
+    instead of all of it.  Queries are a subset of the corpus, so
+    ``query_filter`` computes the banded index ONCE (cached) and probes
+    it, instead of re-hashing both inputs.
+
+    Approximate vs brute force, but DETERMINISTIC end-to-end: the
+    hyperplanes are md5-derived (``hash_hyperplanes``), so the oracle
+    replays the full pipeline stage-for-stage in SQL -- plane matrix,
+    sign bits, band buckets, candidate join, exact re-rank.  The only
+    cross-engine risk is a sign flip when a projection lands within
+    float ulps of 0 (probability ~1e-11 per (vector, plane); accepted).
+    Recall vs the exact top-k is additionally measured in bench."""
     emb = parallelize_small(load(spark, sf_dir, "embeddings"))
     return SIM.lsh_topk(
-        emb, k=10, query_filter=F.col("vec_id") < 5
+        emb,
+        k=10,
+        query_filter=F.col("vec_id") < 5,
+        bands=16,
+        planes=SIM.hash_hyperplanes(64, dim=64),
     ).orderBy("query_id", "rank")
 
 
@@ -107,14 +163,98 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivf_seed_ann",
+    oracle=f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cell,
+             embedding AS cv
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ),
+    dots AS (
+      SELECT e.vec_id, c.cell,
+             {_DOT.format(d=64, a='e.embedding', b='c.cv')} AS dp
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn
+        FROM dots)
+      WHERE rn <= 2
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT vec_id AS query_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn
+        FROM dots WHERE vec_id < 5)
+      WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a USING (cell)
+      WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_DOT.format(d=64, a='qe.embedding', b='ne.embedding')}
+               / ({_NORM.format(d=64, a='qe.embedding')}
+                  * {_NORM.format(d=64, a='ne.embedding')}) AS cos_sim
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "north-star", "ivf", "ann"),
+)
+def similarity_ivf_seed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-10 with a PINNED quantizer: cells are
+    the 16 corpus vectors with smallest md5(id) (``seed_centroids``, no
+    Lloyd refinement), 2-way multi-assignment, 4 probes per query.
+    Exercises the exact same assign/probe/re-rank machinery as
+    ``similarity_ivf_ann`` but is deterministic AND SQL-replayable, so
+    the oracle checks every stage; its Lloyd's sibling differs only in
+    the centroid list (driver-side refinement of a KB-scale sample,
+    not expressible as one SQL statement -- documented rows-only)."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.ivf_topk(
+        emb,
+        queries,
+        k=10,
+        n_cells=16,
+        n_probe=4,
+        n_assign=2,
+        centroids=SIM.seed_centroids(emb, 16),
+    ).orderBy("query_id", "rank")
+
+
+@register(
     "similarity_ivf_ann",
-    oracle=None,  # approximate by design; recall vs brute force checked in tests.
+    # Rows-only BY DESIGN: the sampled-Lloyd's quantizer is an iterative
+    # driver-side refinement (10 Lloyd rounds over a 2048-row md5 sample)
+    # -- not expressible as one SQL statement.  Its full assign/probe/
+    # re-rank machinery IS oracle-checked via similarity_ivf_seed_ann
+    # (identical code path, pinned centroids), and recall@10 vs the
+    # exact top-k is measured every bench round.
+    oracle=None,
     tags=("similarity", "north-star", "ivf", "ann"),
 )
 def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat approximate top-10 for the same 5 queries: 16 inverted
-    cells, 4 probed per query -- the cluster-pruned alternative to the
-    SRP-LSH path (candidates ~ n_probe/n_cells of the corpus)."""
+    """IVF-flat approximate top-10 for the same 5 queries with the
+    sampled spherical-k-means quantizer (64 cells, 12 probes, 2-way
+    assignment) -- the cluster-pruned alternative to the SRP-LSH path
+    (candidates ~ n_assign * n_probe / n_cells of the corpus)."""
     emb = parallelize_small(load(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 5)
     return SIM.ivf_topk(emb, queries, k=10).orderBy("query_id", "rank")

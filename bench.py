@@ -129,9 +129,15 @@ def main() -> None:
     # Two full passes in fixed order, min-of-2 per query: the second
     # pass reuses JIT-compiled codegen and OS page cache, so the min is
     # the stable plan cost and round-over-round deltas aren't JIT/IO
-    # noise.
+    # noise.  Round-2 postmortem: recorded numbers were taken under
+    # external sandbox load and read as a phantom +43% regression, so
+    # the 1-minute load average is now recorded with the result and a
+    # third pass runs whenever the machine was busy at start -- min-of-3
+    # under contention is a closer estimate of the uncontended cost.
+    load_start = os.getloadavg()[0]
+    n_passes = 3 if load_start > 0.5 * cpus else 2
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(n_passes):
         for name in names:
             t0 = time.perf_counter()
             df = entries[name].fn(spark, sf_dir)
@@ -159,6 +165,11 @@ def main() -> None:
                 "cpus": cpus,
                 "ann_recall_at_10": recall,
                 "streaming_rows_per_sec": stream_rps,
+                "load_avg_1m": {
+                    "start": round(load_start, 2),
+                    "end": round(os.getloadavg()[0], 2),
+                },
+                "timing_passes": n_passes,
             }
         )
     )

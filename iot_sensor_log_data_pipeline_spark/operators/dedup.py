@@ -133,6 +133,62 @@ def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
     )
 
 
+def duplicated_passage_stats(
+    docs: DataFrame,
+    k: int = 8,
+    stride: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-passage statistics: chunk each document
+    into ``k``-token windows every ``stride`` tokens, md5 the chunks,
+    and measure what fraction of a document's distinct chunks also
+    appear in at least one OTHER document.  The chunk-level relaxation
+    of exact substring dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"): high ``dup_chunk_ratio`` flags
+    boilerplate and cross-document copy-paste that whole-document
+    hashing misses.
+
+    Scale shape: tokens are materialized ONCE per row before the chunk
+    transform (slicing a column reference is O(k) per chunk; slicing a
+    re-evaluated ``tokens(text)`` expression would re-tokenize per
+    chunk -- the quadratic trap ``_shingles_zip`` documents), chunks
+    are md5'd within the row, and the only shuffles are the chunk-hash
+    groupBy (map-side combined) and the per-doc rollup -- both linear
+    in corpus token count / stride.  Documents shorter than ``k``
+    tokens contribute their whole text as one chunk.
+    """
+    toked = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(F.col("__toks")) - k, F.lit(0)),
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.md5(
+            F.concat_ws(" ", F.slice(F.col("__toks"), s + 1, k)).cast("binary")
+        ),
+    )
+    per_doc = _cache_scratch(
+        toked.select(F.col(id_col), F.explode(F.array_distinct(chunks)).alias("chunk"))
+    )
+    freq = per_doc.groupBy("chunk").agg(F.count(F.lit(1)).alias("docs_with"))
+    return (
+        per_doc.join(freq, "chunk")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("docs_with") > 1).cast("long")).alias("n_dup_chunks"),
+            F.round(
+                F.sum((F.col("docs_with") > 1).cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_chunk_ratio"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -152,6 +152,71 @@ def term_frequency(text: Column | str, term: str) -> Column:
     return F.size(F.filter(tokens(text), lambda t: t == F.lit(term))).cast("long")
 
 
+#: PII rules as (name, pattern, replacement-tag).  Patterns stay in the
+#: RE2/Java-regex common subset (no lookaround, no backrefs) so the
+#: DuckDB oracle applies the literally identical regex; conservative by
+#: design -- a curation pass prefers false negatives over mangling
+#: clean text.  Order matters and is the application order: emails
+#: before ipv4 so an address's dotted domain can't half-match as an IP.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+[0-9][0-9 -]{7,13}[0-9]", "<PHONE>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+)
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-rule match counts (before redaction)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return {
+        name: F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
+        for name, pat, _ in PII_RULES
+    }
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with its type tag, rules applied in
+    ``PII_RULES`` order.  Pure JVM regexp_replace chain -- codegen'd,
+    one scan pass, no shuffle; the standard pre-training redaction
+    stage (emails/phones/IPs -> typed placeholders)."""
+    col = F.col(text) if isinstance(text, str) else text
+    for _, pat, tag in PII_RULES:
+        col = F.regexp_replace(col, pat, tag)
+    return col
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution -- the self-contained stand-in for LM-based
+    quality filtering (CCNet-style perplexity scoring): documents made
+    of globally rare tokens score low.
+
+    Scale shape: token explode -> vocab count (one term-keyed shuffle,
+    map-side combined) -> total-token scalar (1-row broadcast, the
+    scalar-subquery BNLJ shape) -> term-keyed join back -> per-doc avg
+    (doc-keyed shuffle).  Everything is linear in token count; the
+    vocabulary table is the only reused intermediate.
+    """
+    tok = docs.select(id_col, F.explode(tokens(text_col)).alias("term"))
+    vocab = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("term_n")
+    )
+    total = vocab.agg(F.sum("term_n").alias("total_n"))
+    return (
+        tok.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("term_n") / F.col("total_n"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def bm25_rank(
     docs: DataFrame,
     query_terms: tuple[str, ...],

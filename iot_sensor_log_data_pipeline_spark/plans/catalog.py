@@ -107,6 +107,9 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_lsh_ann",
     "similarity_ivf_seed_ann",
     "similarity_ivf_ann",
+    "text_pii_redact",
+    "text_unigram_logprob",
+    "dedup_passage_chunks",
 )
 
 

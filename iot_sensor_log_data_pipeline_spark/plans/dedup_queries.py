@@ -297,3 +297,41 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_passage_chunks",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    starts AS (
+      SELECT doc_id, w,
+             unnest(range(0, greatest(len(w) - 8, 0) + 1, 4)) AS s
+      FROM toks
+    ),
+    per_doc AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(w, s + 1, s + 8), ' ')) AS chunk
+      FROM starts
+    ),
+    freq AS (SELECT chunk, count(*) AS docs_with FROM per_doc GROUP BY chunk)
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN f.docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           round(sum(CASE WHEN f.docs_with > 1 THEN 1 ELSE 0 END) / count(*), 6)
+             AS dup_chunk_ratio
+    FROM per_doc p JOIN freq f USING (chunk)
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+    """,
+    tags=("dedup", "north-star", "passage"),
+)
+def dedup_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage statistics (``operators/dedup.py:
+    duplicated_passage_stats``): 8-token chunks every 4 tokens, md5'd
+    in-row; a document's dup_chunk_ratio is the fraction of its
+    distinct chunks shared with another document -- the chunk-level
+    relaxation of exact substring dedup.  Shuffles are the chunk-hash
+    groupBy and the per-doc rollup, both linear."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return DD.duplicated_passage_stats(docs, k=8, stride=4).orderBy("doc_id")

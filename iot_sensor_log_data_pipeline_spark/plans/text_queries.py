@@ -339,3 +339,66 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number window (``operators/text.py:tfidf_top_terms``)."""
     docs = parallelize_small(load(spark, sf_dir, "documents"))
     return TX.tfidf_top_terms(docs, top_n=3)
+
+
+@register(
+    "text_pii_redact",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text,
+               '\\+[0-9][0-9 -]{7,13}[0-9]')) AS n_phone,
+           len(regexp_extract_all(text,
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\+[0-9][0-9 -]{7,13}[0-9]', '<PHONE>', 'g'),
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'))
+             AS redacted_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "curation", "pii"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (``operators/text.py:redact_pii``): per-rule match
+    counts plus the md5 of the redacted text (emails / phones / IPv4 ->
+    typed tags, rules in ``PII_RULES`` order).  One codegen'd scan
+    pass, no shuffle; the synthetic corpus is PII-free so counts are 0
+    and the md5 equals the original -- the behavioral check on crafted
+    PII strings lives in ``tests/test_operators.py``."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    counts = TX.pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+        F.md5(TX.redact_pii(F.col("text")).cast("binary")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    vocab AS (SELECT term, CAST(count(*) AS DOUBLE) AS term_n FROM tok GROUP BY term),
+    tot AS (SELECT sum(term_n) AS total_n FROM vocab)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(v.term_n / tot.total_n)), 6) AS avg_logprob
+    FROM tok t JOIN vocab v ON v.term = t.term CROSS JOIN tot
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tags=("text", "curation", "quality"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    unigram LM (``operators/text.py:unigram_logprob``) -- the
+    perplexity-flavored quality signal: rare-token soup scores low.
+    Corpus total is a 1-row broadcast (scalar-subquery BNLJ shape,
+    allowlisted in the plan audit)."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return TX.unigram_logprob(docs).orderBy("doc_id")

@@ -674,3 +674,73 @@ def test_bloom_prune_join_exact_vs_plain_join(spark):
         for r in fact.join(dim, fact["fk"] == dim["dk"]).collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_pii_redaction_hand_cases(spark):
+    rows = [
+        (0, "contact me at jane.doe+spam@example.co.uk for details"),
+        (1, "call +1 555 123-4567 or +49 30 1234567 now"),
+        (2, "server at 192.168.0.1 and 10.0.0.255 responded"),
+        (3, "clean text with no sensitive content at all"),
+        (4, "mix: a@b.io then +12 3456 7890 then 8.8.8.8 done"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    counts = TX.pii_counts(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            counts["email"].alias("e"),
+            counts["phone"].alias("p"),
+            counts["ipv4"].alias("i"),
+            TX.redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (got[0]["e"], got[0]["p"], got[0]["i"]) == (1, 0, 0)
+    assert got[0]["red"] == "contact me at <EMAIL> for details"
+    assert got[1]["e"] == 0 and got[1]["p"] == 2
+    assert got[1]["red"] == "call <PHONE> or <PHONE> now"
+    assert got[2]["i"] == 2
+    assert got[2]["red"] == "server at <IP> and <IP> responded"
+    assert got[3]["red"] == rows[3][1]  # clean text untouched
+    assert (got[4]["e"], got[4]["p"], got[4]["i"]) == (1, 1, 1)
+    assert got[4]["red"] == "mix: <EMAIL> then <PHONE> then <IP> done"
+
+
+def test_duplicated_passage_stats_hand_case(spark):
+    # doc 0 and doc 1 share their first 8 tokens exactly (one aligned
+    # chunk); doc 2 is unique; doc 3 is shorter than one chunk.
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, shared + " one two three four"),
+        (1, shared + " five six seven eight"),
+        (2, "completely different words nine ten eleven twelve thirteen"),
+        (3, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in DD.duplicated_passage_stats(df, k=8, stride=4).collect()
+    }
+    # docs 0/1: 12 tokens -> starts 0,4 -> 2 chunks; chunk@0 is shared.
+    assert got[0]["n_chunks"] == 2 and got[0]["n_dup_chunks"] == 1
+    assert got[1]["n_chunks"] == 2 and got[1]["n_dup_chunks"] == 1
+    assert got[0]["dup_chunk_ratio"] == 0.5
+    # doc 2: 8 tokens -> one chunk, unshared.
+    assert got[2]["n_chunks"] == 1 and got[2]["n_dup_chunks"] == 0
+    # doc 3: shorter than k -> whole text as its single chunk.
+    assert got[3]["n_chunks"] == 1 and got[3]["n_dup_chunks"] == 0
+
+
+def test_unigram_logprob_hand_case(spark):
+    import math
+
+    # corpus: 6 tokens total; 'x' appears 3 times, 'y' 2, 'z' 1.
+    rows = [(0, "x x y"), (1, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in TX.unigram_logprob(df).collect()}
+    lp = {"x": math.log(3 / 6), "y": math.log(2 / 6), "z": math.log(1 / 6)}
+    exp0 = round((2 * lp["x"] + lp["y"]) / 3, 6)
+    exp1 = round((lp["x"] + lp["y"] + lp["z"]) / 3, 6)
+    assert got[0]["n_tokens"] == 3 and abs(got[0]["avg_logprob"] - exp0) < 1e-9
+    assert got[1]["n_tokens"] == 3 and abs(got[1]["avg_logprob"] - exp1) < 1e-9

@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "dedup_embedding_cosine",
     "text_bm25_search",  # crossJoin(broadcast(1-row stats)) -- operators/text.py
     "text_tfidf_top_terms",  # crossJoin(broadcast(1-row n_docs)) -- operators/text.py
+    "text_unigram_logprob",  # crossJoin(broadcast(1-row total_n)) -- operators/text.py
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --

@@ -113,9 +113,13 @@ def lttb_downsample(
     family (a window/SQL formulation cannot express it).  Each series
     must fit one executor's memory -- the operator contract for grouped
     chart rendering (a series bigger than that should be pre-bucketed
-    with ``time_bucket`` first).  Deterministic: ties broken by the
-    first maximal point, NumPy argmax semantics.  ``x_col``/``y_col``
-    must be numeric (pass epoch seconds, not raw timestamps).
+    with ``time_bucket`` first).  Deterministic: rows are ordered by
+    (x, y) -- not x alone, where equal-x rows would keep arbitrary
+    partition-read order -- and area ties break to the first maximal
+    point (NumPy argmax semantics), so the selection is a pure function
+    of the data and an external oracle can replay it (the recursive-CTE
+    oracle on ``downsample_lttb_value``).  ``x_col``/``y_col`` must be
+    numeric (pass epoch seconds, not raw timestamps).
     """
     import pandas as pd
 
@@ -123,7 +127,7 @@ def lttb_downsample(
     out_schema = T.StructType(out_fields)
 
     def one_series(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(x_col, kind="mergesort").reset_index(drop=True)
+        pdf = pdf.sort_values([x_col, y_col], kind="mergesort").reset_index(drop=True)
         n = len(pdf)
         if n <= n_out:
             return pdf[[*group_cols, x_col, y_col]]

@@ -310,16 +310,90 @@ def downsample_ohlc_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "downsample_lttb_value",
-    oracle=None,  # sequential selection recurrence: not SQL-expressible
+    # The selection recurrence (each bucket's pick depends on the
+    # previous pick) is replayed with a recursive CTE: one recursion
+    # step per bucket, a correlated argmax subquery per (series, step).
+    # The edge formula mirrors np.linspace's FP op order exactly
+    # (step computed once, k * step + 1, endpoint pinned to n-1) so
+    # bucket boundaries are bit-identical.  Residual cross-engine risk:
+    # np.mean (pairwise sum) vs avg() (sequential) can differ ~1 ulp in
+    # a bucket centroid and flip an argmax between two near-equal-area
+    # points -- not observed at this data scale.
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS DOUBLE) AS x,
+             value AS y
+      FROM events
+    ),
+    pts AS (
+      SELECT event_type, x, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY x, y) - 1 AS idx,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM base
+    ),
+    grp AS (SELECT DISTINCT event_type, n FROM pts),
+    edges AS (
+      SELECT g.event_type, g.n, t.k,
+             CASE WHEN t.k = 48 THEN g.n - 1
+                  ELSE CAST(floor(1.0 + t.k * ((g.n - 2.0) / 48.0)) AS BIGINT)
+             END AS e
+      FROM grp g CROSS JOIN range(49) t(k)
+      WHERE g.n > 50
+    ),
+    cent AS (
+      SELECT b.event_type, b.b, b.lo, b.hi, avg(p.x) AS cx, avg(p.y) AS cy
+      FROM (
+        SELECT e1.event_type, e1.k AS b, e1.e AS lo, e2.e AS hi,
+               e2.e AS nlo, COALESCE(e3.e, e1.n) AS nhi
+        FROM edges e1
+        JOIN edges e2 ON e2.event_type = e1.event_type AND e2.k = e1.k + 1
+        LEFT JOIN edges e3 ON e3.event_type = e1.event_type AND e3.k = e1.k + 2
+        WHERE e1.k <= 47
+      ) b
+      JOIN pts p ON p.event_type = b.event_type
+                AND p.idx >= b.nlo AND p.idx < b.nhi
+      GROUP BY b.event_type, b.b, b.lo, b.hi
+    ),
+    sel AS (
+      SELECT event_type, -1 AS b, CAST(0 AS BIGINT) AS sel_idx
+      FROM grp WHERE n > 50
+      UNION ALL
+      SELECT c.event_type, c.b,
+             (SELECT p.idx
+              FROM pts p
+              WHERE p.event_type = c.event_type
+                AND p.idx >= c.lo AND p.idx < c.hi
+              ORDER BY abs((a.x - c.cx) * (p.y - a.y)
+                           - (a.x - p.x) * (c.cy - a.y)) DESC,
+                       p.idx
+              LIMIT 1)
+      FROM sel s
+      JOIN cent c ON c.event_type = s.event_type AND c.b = s.b + 1
+      JOIN pts a ON a.event_type = s.event_type AND a.idx = s.sel_idx
+    ),
+    picked AS (
+      SELECT s.event_type, p.x, p.y
+      FROM sel s
+      JOIN pts p ON p.event_type = s.event_type AND p.idx = s.sel_idx
+      UNION ALL
+      SELECT event_type, x, y FROM pts WHERE n > 50 AND idx = n - 1
+      UNION ALL
+      SELECT event_type, x, y FROM pts WHERE n <= 50
+    )
+    SELECT event_type, x, y FROM picked ORDER BY event_type, x, y
+    """,
     tags=("window", "downsample", "timeseries", "lttb"),
 )
 def downsample_lttb_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB chart downsampling (Steinarsson 2013) of each event_type's
     (ts, value) series to 50 visually-representative points.  The
-    selected-point recurrence is sequential per series, so this is an
-    ``applyInPandas`` operator by necessity (rows-only driver check;
-    the algorithm itself is pytest-verified against a pure-Python
-    reference -- tests/test_operators.py::test_lttb_matches_python_reference)."""
+    selected-point recurrence is sequential per series, so the Spark
+    side is an ``applyInPandas`` operator by necessity; the recurrence
+    IS SQL-expressible as a recursive CTE (one step per bucket), which
+    the oracle exploits -- see the registration comment.  The algorithm
+    is additionally pytest-verified against a pure-Python reference --
+    tests/test_operators.py::test_lttb_matches_python_reference."""
     from ..operators.timeseries import lttb_downsample
 
     events = load(spark, sf_dir, "events").select(
@@ -328,5 +402,5 @@ def downsample_lttb_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("y"),
     )
     return lttb_downsample(events, 50, ["event_type"], "x", "y").orderBy(
-        "event_type", "x"
+        "event_type", "x", "y"
     )

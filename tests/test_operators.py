@@ -744,3 +744,52 @@ def test_unigram_logprob_hand_case(spark):
     exp1 = round((lp["x"] + lp["y"] + lp["z"]) / 3, 6)
     assert got[0]["n_tokens"] == 3 and abs(got[0]["avg_logprob"] - exp0) < 1e-9
     assert got[1]["n_tokens"] == 3 and abs(got[1]["avg_logprob"] - exp1) < 1e-9
+
+
+def test_ngram_jaccard_matches_bruteforce_hypothesis(spark):
+    """Property: ``ngram_jaccard_pairs`` (equi-join candidates + full
+    recount) reports EXACTLY the pairs a brute-force all-pairs Jaccard
+    finds, for random word-soup corpora.  Stop-shingle pruning drops
+    only candidate-generation edges, never true pairs, as long as a
+    qualifying pair shares at least one sub-cap shingle -- with the cap
+    at corpus size nothing is pruned, so equality must be exact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = ("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(words), min_size=3, max_size=12),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    def run(corpus):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in DD.ngram_jaccard_pairs(
+                df, n=3, threshold=0.5, max_shingle_df=len(rows)
+            ).collect()
+        }
+
+        def shingles(toks):
+            return {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+
+        expect = set()
+        for a in range(len(corpus)):
+            for b in range(a + 1, len(corpus)):
+                sa, sb = shingles(corpus[a]), shingles(corpus[b])
+                if not sa or not sb:
+                    continue
+                j = len(sa & sb) / len(sa | sb)
+                if j >= 0.5:
+                    expect.add((a, b))
+        assert got == expect
+
+    run()

@@ -64,6 +64,44 @@ def split_label(
     return expr  # last WHEN covers bucket 99 because cum == n_buckets
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sample without replacement: top-``k``
+    documents by the Efraimidis-Spirakis A-ES key ``ln(u) / w`` (the
+    log form of ``u^(1/w)``; higher is better), with the uniform ``u``
+    derived from md5(id) instead of an RNG -- content-addressed, so
+    membership is reproducible across runs and partitionings and the
+    oracle can replay the draw exactly.
+
+    Inclusion probability rises with ``weight`` (quality score, token
+    count, ...).  Scale shape: the key is a stateless per-row
+    expression and the top-k plans as TakeOrderedAndProject --
+    per-partition heaps, no global sort, no shuffle beyond the final
+    k-row gather.  Zero/negative weights are excluded (their key is
+    undefined), matching rejection sampling semantics.
+
+    ``u = (uint32(md5(id)[:8]) + 1) / 2^32`` lies in (0, 1]; ``u = 1``
+    gives key 0, the best possible draw, so no document is lost to the
+    open interval.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(4294967296.0)
+    key = F.log(u) / weight
+    return (
+        df.where(weight > 0)
+        .withColumn("sample_key", F.round(key, 10))
+        .orderBy(F.desc("sample_key"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def dup_ngram_fraction(text: Column | str, n: int) -> Column:
     """Fraction of word n-gram *positions* occupied by a repeated
     n-gram: 1 - distinct/total (the Gopher-style 'duplicate n-gram

@@ -110,6 +110,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "text_pii_redact",
     "text_unigram_logprob",
     "dedup_passage_chunks",
+    "corpus_weighted_sample",
 )
 
 

@@ -329,3 +329,36 @@ def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cap_rank") <= 10)
         .orderBy("source", "cap_rank")
     )
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             round(
+               ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 1.0) / 4294967296.0)
+               / n_chars, 10) AS sample_key
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, sample_key
+    FROM keyed
+    ORDER BY sample_key DESC, doc_id
+    LIMIT 100
+    """,
+    tags=("curation", "sampling"),
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample without replacement
+    (``operators/curation.py:weighted_sample``): 100 docs by the
+    Efraimidis-Spirakis key ln(u)/w with md5-derived uniforms and
+    weight = n_chars, so longer documents are proportionally likelier.
+    Plans as TakeOrderedAndProject (per-partition heaps); the draw is
+    content-addressed, so the oracle replays it exactly (keys rounded
+    to 1e-10 in both engines to absorb libm-vs-JVM ln ulps)."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return CU.weighted_sample(
+        docs, F.col("n_chars").cast("double"), k=100
+    ).select("doc_id", "source", "n_chars", "sample_key")

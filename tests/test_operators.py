@@ -793,3 +793,26 @@ def test_ngram_jaccard_matches_bruteforce_hypothesis(spark):
         assert got == expect
 
     run()
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    import math
+
+    from iot_sensor_log_data_pipeline_spark.operators import curation as CU
+
+    rows = [(i, float(w)) for i, w in enumerate([5, 1, 50, 10, 2, 100, 7, 3, 0, 25])]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [
+        (r["doc_id"], r["sample_key"])
+        for r in CU.weighted_sample(df, F.col("w"), k=4).collect()
+    ]
+
+    def key(i, w):
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 1.0) / 2**32
+        return round(math.log(u) / w, 10)
+
+    expect = sorted(
+        ((i, key(i, w)) for i, w in rows if w > 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:4]
+    assert got == expect

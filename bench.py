@@ -41,9 +41,14 @@ HEADLINE: tuple[str, ...] = (
     "udf_grouped_map_zscore",
     "dedup_exact_documents",
     "dedup_minhash_lsh",
+    "dedup_passage_chunks",
     "similarity_topk_cosine",
     "similarity_lsh_ann",
+    "similarity_ivf_seed_ann",
     "text_quality_score",
+    "text_unigram_logprob",
+    "downsample_lttb_value",
+    "corpus_weighted_sample",
 )
 
 

@@ -241,3 +241,76 @@ def bloom_prune_join(
         might_contain(_bloom_buckets(F.col(fact_key), n_bits, k))
     )
     return pruned.join(dim, pruned[fact_key] == dim[dim_key])
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    n_bins: int = 128,
+) -> DataFrame:
+    """Quantile estimates from an equi-width histogram sketch: one
+    min/max/count scalar pass, one binned-count aggregation, then
+    linear interpolation inside the bin holding each target rank.
+
+    The deterministic, oracle-replayable member of the quantile family
+    (``approx_percentile``'s internal sketch is engine-specific, so its
+    catalog row is rows-only by design).  Error is bounded by one bin
+    width of the value range -- the classic histogram-quantile
+    trade-off.  At 100 TB the sketch is the point: bin counts are
+    mergeable by addition across partitions/shards/days (map-side
+    combine does almost all the work), the scalar stats row is a 1-row
+    broadcast (scalar-subquery BNLJ shape, allowlisted), and the
+    cumulative walk runs over <= ``n_bins`` rows on one task --
+    bounded, never data-scaled.
+
+    FP discipline: bin index and bin-edge arithmetic use the identical
+    operand order in Spark and the DuckDB oracle (``((v - lo) * n_bins)
+    / (hi - lo)``), so IEEE mul/div rounding matches bit-for-bit;
+    estimates round to 1e-6.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("double")
+    stats = df.agg(
+        F.min(v).alias("lo"), F.max(v).alias("hi"), F.count(v).alias("n")
+    )
+    binned = (
+        df.select(v.alias("__v"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor((F.col("__v") - F.col("lo")) * n_bins / (F.col("hi") - F.col("lo")))
+                .cast("int"),
+                F.lit(n_bins - 1),
+            ).alias("bin"),
+            "lo",
+            "hi",
+            "n",
+        )
+    )
+    counts = binned.groupBy("bin", "lo", "hi", "n").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # <= n_bins rows: a global cumulative window here is bounded by the
+    # sketch geometry, not the data.
+    cum = counts.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bin"))
+    )
+    qtab = cum.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q")
+    )
+    target = F.col("q") * F.col("n")
+    width = (F.col("hi") - F.col("lo")) / n_bins
+    frac = (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    est = F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(
+        F.col("lo") + (F.col("bin") + frac) * width
+    )
+    return (
+        cum.join(
+            F.broadcast(qtab),
+            (F.col("cum") >= target) & ((F.col("cum") - F.col("cnt")) < target),
+        )
+        .select("q", F.round(est, 6).alias("estimate"))
+        .orderBy("q")
+    )

@@ -111,6 +111,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "text_unigram_logprob",
     "dedup_passage_chunks",
     "corpus_weighted_sample",
+    "agg_histogram_quantiles",
 )
 
 

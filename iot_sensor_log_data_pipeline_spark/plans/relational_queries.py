@@ -1151,3 +1151,46 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "agg_histogram_quantiles",
+    oracle="""
+    WITH stats AS (
+      SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+             count(*) AS n
+      FROM lineitem
+    ),
+    binned AS (
+      SELECT least(CAST(floor((l.l_extendedprice - s.lo) * 128 / (s.hi - s.lo))
+                        AS INT), 127) AS bin,
+             s.lo, s.hi, s.n
+      FROM lineitem l CROSS JOIN stats s
+    ),
+    cum AS (
+      SELECT bin, lo, hi, n, cnt, sum(cnt) OVER (ORDER BY bin) AS cum
+      FROM (SELECT bin, lo, hi, n, count(*) AS cnt
+            FROM binned GROUP BY bin, lo, hi, n)
+    ),
+    qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+    SELECT qs.q,
+           round(CASE WHEN c.hi = c.lo THEN c.lo
+                      ELSE c.lo + (c.bin + ((qs.q * c.n) - (c.cum - c.cnt)) / c.cnt)
+                             * ((c.hi - c.lo) / 128)
+                 END, 6) AS estimate
+    FROM cum c JOIN qs
+      ON c.cum >= qs.q * c.n AND (c.cum - c.cnt) < qs.q * c.n
+    ORDER BY qs.q
+    """,
+    tags=("aggregation", "sketch", "quantile"),
+)
+def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram-sketch quantiles of l_extendedprice
+    (``operators/sketch.py:histogram_quantiles``): mergeable bin counts
+    + in-bin linear interpolation -- the deterministic, oracle-checked
+    complement of the engine-specific ``approx_percentile`` sketch
+    (``agg_approx_sketches``, rows-only by design)."""
+    from ..operators.sketch import histogram_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    return histogram_quantiles(li, "l_extendedprice")

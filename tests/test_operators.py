@@ -816,3 +816,20 @@ def test_weighted_sample_matches_python_reference(spark):
         key=lambda t: (-t[1], t[0]),
     )[:4]
     assert got == expect
+
+
+def test_histogram_quantiles_within_one_bin_of_exact(spark):
+    from iot_sensor_log_data_pipeline_spark.operators.sketch import (
+        histogram_quantiles,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(100.0, 15.0, 4000).tolist()
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    got = {r["q"]: r["estimate"] for r in histogram_quantiles(df, "x").collect()}
+    bin_w = (max(vals) - min(vals)) / 128
+    for q in (0.25, 0.5, 0.75, 0.9, 0.99):
+        exact = float(np.quantile(vals, q))
+        assert abs(got[q] - exact) <= bin_w + 1e-9, (q, got[q], exact, bin_w)

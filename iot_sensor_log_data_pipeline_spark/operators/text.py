@@ -16,6 +16,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._scratch_cache import ScratchCaches
+
+#: Scratch cache (lifetime contract in ``_scratch_cache``): currently
+#: holds the unigram vocabulary, which feeds two consumers.
+_SCRATCH = ScratchCaches()
+
+
+def release_caches() -> None:
+    """Unpersist scratch cached by earlier ``unigram_logprob`` calls."""
+    _SCRATCH.release()
+
 #: Minimal per-language stopword anchors for the n-gram/stopword
 #: language-ID heuristic.  Deliberately tiny and deterministic -- the
 #: operator's value is its *shape* (per-language token-hit scoring);
@@ -200,8 +211,11 @@ def unigram_logprob(
     vocabulary table is the only reused intermediate.
     """
     tok = docs.select(id_col, F.explode(tokens(text_col)).alias("term"))
-    vocab = tok.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("term_n")
+    # Cached: the vocabulary feeds both the total-token scalar and the
+    # per-token join -- without the cache each consumer re-runs the
+    # term-keyed aggregation (two identical wide shuffles in the plan).
+    vocab = _SCRATCH.cache(
+        tok.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("term_n"))
     )
     total = vocab.agg(F.sum("term_n").alias("total_n"))
     return (

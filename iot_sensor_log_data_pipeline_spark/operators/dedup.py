@@ -385,6 +385,46 @@ def minhash_bands(
     )
 
 
+def row_minhash_bands(
+    text: Column | str,
+    n: int = 3,
+    perms: int = MINHASH_PERMS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> Column:
+    """LSH band values computed entirely WITHIN a row: min over the
+    row's own shingle array per permutation (``array_min`` of the same
+    affine hashes ``minhash_signatures_wide`` aggregates), bands
+    re-hashed exactly like ``minhash_bands``.  Bit-identical to the
+    groupBy formulation (asserted in tests), but shuffle-free -- which
+    makes it usable on an unbounded STREAM where a grouped min would
+    need stateful aggregation: each micro-batch row carries its own
+    band keys, ready for a stream-static join against a persisted
+    corpus index.  Returns ``array<string>`` indexed by band_id
+    (null-free only when the doc has >= n tokens; filter short docs
+    first).
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    sh = word_shingles(col, n)
+
+    def sig(s: int) -> Column:
+        return F.array_min(
+            F.transform(sh, lambda el: _affine_hash(_md5_words(el), MINHASH_COEFFS[s]))
+        )
+
+    sigs = [sig(s) for s in range(perms)]
+    n_bands = perms // rows_per_band
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[sigs[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).cast("binary")
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

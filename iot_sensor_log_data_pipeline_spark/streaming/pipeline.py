@@ -223,3 +223,47 @@ def start_cdc_merge_sink(
         .outputMode("update")
         .start()
     )
+
+
+def near_dup_match_stream(
+    stream_docs: DataFrame,
+    corpus_bands: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """In-flight near-duplicate detection: an unbounded document stream
+    probed against a PERSISTED corpus LSH index (``operators/dedup.py:
+    minhash_bands`` output: (doc_id, band_id, band_val)) -- the
+    streaming member of the dedup family, for pipelines that must
+    reject near-copies at ingest rather than in a nightly batch.
+
+    Scale shape: band keys are computed per-row with
+    ``row_minhash_bands`` (shuffle-free, no stateful aggregation on the
+    stream), the probe is a stream-static equi-join on (band_id,
+    band_val) -- broadcast when the index fits, shuffle-on-static
+    otherwise -- and the only streaming state is the within-watermark
+    pair dedup (a doc matching k bands should be flagged once).
+    Emits (doc_id, ts, corpus_id) in append mode.
+    """
+    from ..operators.dedup import row_minhash_bands
+
+    bands = row_minhash_bands(F.col(text_col))
+    probes = (
+        stream_docs.where(F.size(F.split(F.col(text_col), " +")) >= 3)
+        .select(
+            F.col(id_col),
+            F.col(ts_col),
+            F.posexplode(bands).alias("band_id", "band_val"),
+        )
+    )
+    index = corpus_bands.select(
+        F.col("doc_id").alias("corpus_id"), "band_id", "band_val"
+    )
+    return (
+        probes.join(index, ["band_id", "band_val"])
+        .select(id_col, ts_col, "corpus_id")
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([id_col, "corpus_id"])
+    )

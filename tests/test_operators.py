@@ -833,3 +833,30 @@ def test_histogram_quantiles_within_one_bin_of_exact(spark):
     for q in (0.25, 0.5, 0.75, 0.9, 0.99):
         exact = float(np.quantile(vals, q))
         assert abs(got[q] - exact) <= bin_w + 1e-9, (q, got[q], exact, bin_w)
+
+
+def test_row_minhash_bands_match_grouped_pipeline(spark):
+    """The shuffle-free per-row band computation must be bit-identical
+    to the groupBy signature pipeline it mirrors."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "spark native analytics engine over parquet tables"),
+        (2, "the quick brown fox jumps over the lazy cat today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    grouped = {
+        (r["doc_id"], r["band_id"], r["band_val"])
+        for r in DD.minhash_bands(
+            DD.minhash_signatures_wide(DD.shingle_table(df, "doc_id", "text"))
+        ).collect()
+    }
+    rowwise = {
+        (r["doc_id"], r["band_id"], r["band_val"])
+        for r in df.select(
+            "doc_id",
+            F.posexplode(DD.row_minhash_bands(F.col("text"))).alias(
+                "band_id", "band_val"
+            ),
+        ).collect()
+    }
+    assert rowwise == grouped

@@ -515,3 +515,45 @@ def test_socket_wire_ingest_end_to_end(spark):
         ("raspberrypi", 1, 39.0),
         ("raspberrypi", 2, 40.0),
     }
+
+
+def test_near_dup_match_stream_flags_corpus_copy(spark, tmp_path):
+    """Streaming near-dup: a near-copy of a corpus doc must match the
+    persisted LSH index in-flight; a novel doc must not."""
+    from datetime import datetime
+
+    from iot_sensor_log_data_pipeline_spark.operators import dedup as DD
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (101, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    index = DD.minhash_bands(
+        DD.minhash_signatures_wide(DD.shingle_table(corpus, "doc_id", "text"))
+    )
+
+    src = str(tmp_path / "stream_src")
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    incoming = spark.createDataFrame(
+        [
+            # exact text of corpus doc 100 -> every band collides
+            (1, t0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, t0, "completely novel words that share nothing with the corpus"),
+        ],
+        "doc_id long, ts timestamp, text string",
+    )
+    incoming.write.parquet(src)
+
+    stream = spark.readStream.schema(incoming.schema).parquet(src)
+    matches = P.near_dup_match_stream(stream, index)
+    name = "near_dup_stream"
+    q = P.start_memory_sink(matches, name)
+    try:
+        q.processAllAvailable()
+        got = {(r["doc_id"], r["corpus_id"]) for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+    assert got == {(1, 100)}

@@ -292,3 +292,81 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("sum_value").cast("double") / F.col("n"), 6).alias("avg_value"),
     ).orderBy("day")
+
+
+@register(
+    "quality_referential_checks",
+    oracle="""
+    SELECT 'orders_without_customer' AS check_name,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+             AS n_violations
+    UNION ALL
+    SELECT 'lineitem_without_order',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer_without_nation',
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_negative_quantity',
+           CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_null_date',
+           CAST((SELECT count(*) FROM orders WHERE o_orderdate IS NULL) AS BIGINT)
+    ORDER BY check_name
+    """,
+    tags=("lifecycle", "quality", "referential"),
+)
+def quality_referential_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-ops data-quality battery: referential integrity as
+    LEFT ANTI joins (orphan orders/lineitems/customers -- each plans as
+    a broadcast/shuffled hash anti-join, never a subquery loop) plus
+    range and null-rate checks, one count per rule.  The
+    fail-the-pipeline gate a 100 TB ingest runs before publishing a
+    snapshot; all counts are 0 on the clean synthetic corpus, which is
+    exactly what the gate asserts."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    lineitem = load(spark, sf_dir, "lineitem")
+    nation = load(spark, sf_dir, "nation")
+
+    def n(df) -> F.Column:
+        return F.count(F.lit(1)).cast("long")
+
+    checks = [
+        (
+            "orders_without_customer",
+            orders.join(
+                customer, orders.o_custkey == customer.c_custkey, "left_anti"
+            ),
+        ),
+        (
+            "lineitem_without_order",
+            lineitem.join(
+                orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+            ),
+        ),
+        (
+            "customer_without_nation",
+            customer.join(
+                nation, customer.c_nationkey == nation.n_nationkey, "left_anti"
+            ),
+        ),
+        ("lineitem_negative_quantity", lineitem.where(F.col("l_quantity") <= 0)),
+        ("orders_null_date", orders.where(F.col("o_orderdate").isNull())),
+    ]
+    parts = [
+        df.agg(n(df).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+        for name, df in checks
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("check_name")

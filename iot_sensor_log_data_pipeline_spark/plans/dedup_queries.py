@@ -335,3 +335,77 @@ def dedup_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy and the per-doc rollup, both linear."""
     docs = parallelize_small(load(spark, sf_dir, "documents"))
     return DD.duplicated_passage_stats(docs, k=8, stride=4).orderBy("doc_id")
+
+
+def _pagerank_oracle(n_iter: int = 5) -> str:
+    """Chained-CTE replay of ``operators/graph.py:pagerank_fixed`` over
+    the exact embedding-cosine pair graph (threshold 0.42): one CTE per
+    power iteration, identical FP operand order."""
+    prev = "r0"
+    iters = []
+    for t in range(1, n_iter + 1):
+        iters.append(
+            f"""r{t} AS (
+      SELECT nodes.node,
+             (1 - 0.85) / nn.n + 0.85 * COALESCE(s.s, 0.0) AS rank
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT und.v AS node, sum({prev}.rank / deg.outdeg) AS s
+                 FROM und
+                 JOIN {prev} ON {prev}.node = und.u
+                 JOIN deg ON deg.u = und.u
+                 GROUP BY und.v) s ON s.node = nodes.node
+    )"""
+        )
+        prev = f"r{t}"
+    chained = ",\n    ".join(iters)
+    return f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM (SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(range(64),
+                     i -> CAST(embedding[i+1] AS DOUBLE)
+                          * CAST(embedding[i+1] AS DOUBLE)))) AS nrm
+            FROM embeddings) a
+      JOIN (SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(range(64),
+                     i -> CAST(embedding[i+1] AS DOUBLE)
+                          * CAST(embedding[i+1] AS DOUBLE)))) AS nrm
+            FROM embeddings) b
+        ON a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(range(64),
+              i -> CAST(a.embedding[i+1] AS DOUBLE)
+                   * CAST(b.embedding[i+1] AS DOUBLE)))
+            / (a.nrm * b.nrm) >= 0.42
+    ),
+    und AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM und),
+    deg AS (SELECT u, count(*) AS outdeg FROM und GROUP BY u),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+    {chained}
+    SELECT node, round(rank, 6) AS rank FROM r{n_iter} ORDER BY node
+    """
+
+
+@register(
+    "graph_pagerank_neardup",
+    oracle=_pagerank_oracle(),
+    tags=("dedup", "graph", "pagerank"),
+)
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank hubs of the near-dup graph (``operators/graph.py``):
+    5 fixed power iterations over the exact embedding-cosine pairs --
+    the canonical-document signal for survivor choice (the doc every
+    near-copy points at).  Iterative-DataFrame shape: each round is one
+    edge join + one node aggregation, replayed by the oracle as
+    chained CTEs."""
+    from ..operators import similarity as S
+    from ..operators.graph import pagerank_fixed
+
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    pairs = S.embedding_cosine_pairs(emb, threshold=0.42, method="exact")
+    return pagerank_fixed(pairs.select("id_a", "id_b"))

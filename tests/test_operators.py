@@ -860,3 +860,16 @@ def test_row_minhash_bands_match_grouped_pipeline(spark):
         ).collect()
     }
     assert rowwise == grouped
+
+
+def test_pagerank_hand_case(spark):
+    """Path graph a-b-c: the middle node collects mass from both ends;
+    symmetry forces rank(a) == rank(c); ranks sum to ~1."""
+    from iot_sensor_log_data_pipeline_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {r["node"]: r["rank"] for r in pagerank_fixed(edges).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == got[3]
+    assert got[2] > got[1]
+    assert abs(sum(got.values()) - 1.0) < 1e-3

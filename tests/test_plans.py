@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "similarity_topk_cosine",
     "q22_dormant_accounts",
     "dedup_embedding_cosine",
+    "graph_pagerank_neardup",  # edge source IS dedup_embedding_cosine's exact pass
     "text_bm25_search",  # crossJoin(broadcast(1-row stats)) -- operators/text.py
     "text_tfidf_top_terms",  # crossJoin(broadcast(1-row n_docs)) -- operators/text.py
     "text_unigram_logprob",  # crossJoin(broadcast(1-row total_n)) -- operators/text.py

@@ -476,3 +476,227 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )
+
+
+def pq_seed_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks without Lloyd refinement: the
+    ``k`` corpus vectors with smallest md5(id) (same deterministic,
+    SQL-replayable sample order as ``seed_centroids``), sub-sliced into
+    ``m`` subspaces of ``dim // m`` dims.  ``out[s][j]`` is subspace
+    ``s``'s centroid ``j``.  A per-subspace Lloyd's pass is the
+    drop-in production upgrade of these lists (same shape, same
+    downstream code), exactly as ``kmeans_centroids`` upgrades
+    ``seed_centroids`` for IVF."""
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    d = dim // m
+    return [
+        [[float(x) for x in r[vec_col][s * d : (s + 1) * d]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def _pq_codes_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched PQ encoding: per subspace, argmin squared L2 to
+    the subspace's centroids (ties -> lowest code, stable argmin).
+    One matmul-shaped pass per batch; codebooks ride in the closure
+    (m * k * d doubles, a few KB)."""
+    C = [np.asarray(cb, dtype="float64") for cb in codebooks]  # m x (k, d)
+    d = C[0].shape[1]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def pq_codes(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.vstack(vecs.to_numpy()).astype("float64")
+        out = []
+        codes_per_sub = []
+        for s, cb in enumerate(C):
+            sub = M[:, s * d : (s + 1) * d]  # (n, d)
+            # (n, k) squared L2 distances
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            codes_per_sub.append(d2.argmin(axis=1))  # stable: first min
+        codes = np.stack(codes_per_sub, axis=1)  # (n, m)
+        for row in codes:
+            out.append([int(c) for c in row])
+        return pd.Series(out)
+
+    return pq_codes
+
+
+def _pq_query_dists_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched per-query distance table: flattened array of
+    m * k squared L2 distances (index = subspace * k + code) -- the
+    ADC lookup table each query broadcasts to the code join."""
+    C = [np.asarray(cb, dtype="float64") for cb in codebooks]
+    d = C[0].shape[1]
+    k = C[0].shape[0]
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def pq_qdists(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.vstack(vecs.to_numpy()).astype("float64")
+        out = []
+        for row in M:
+            flat = []
+            for s, cb in enumerate(C):
+                sub = row[s * d : (s + 1) * d]
+                flat.extend(((cb - sub[None, :]) ** 2).sum(axis=1).tolist())
+            out.append(flat)
+        return pd.Series(out)
+
+    return pq_qdists
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    codebooks: list[list[list[float]]] | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jegou, Douze, Schmid 2011): the corpus is stored as ``m`` uint8-ish
+    codes per vector (here 8 x 4 bits of information -- a 64x memory
+    reduction over float32[64]), queries stay exact, and the
+    approximate distance is a table lookup sum:
+    dist(q, v) ~= sum_s D_q[s][code_s(v)].
+
+    Scale shape: encoding is an Arrow-batched map pass (codes are
+    persistable corpus state, like the IVF assignment); each query's
+    m x n_codes lookup table broadcasts; the join is code-keyed
+    (subspace, code) -- shuffle-bounded, never per-dimension; top-k is
+    a per-query window.  Returns (query_id, neighbor_id, adc_dist,
+    rank), ascending distance, self-matches excluded.
+    """
+    if codebooks is None:
+        codebooks = pq_seed_codebooks(vectors, m=m, k=n_codes, id_col=id_col, vec_col=vec_col)
+    codes_udf = _pq_codes_udf(codebooks)
+    qdists_udf = _pq_query_dists_udf(codebooks)
+
+    codes = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(codes_udf(F.col(vec_col))).alias("subspace", "code"),
+    )
+    qd = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(qdists_udf(F.col(vec_col))).alias("flat_idx", "d2"),
+    ).select(
+        "query_id",
+        (F.col("flat_idx") / n_codes).cast("int").alias("subspace"),
+        (F.col("flat_idx") % n_codes).alias("code"),
+        "d2",
+    )
+    scored = (
+        codes.join(F.broadcast(qd), ["subspace", "code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round("adc_dist", 6).alias("adc_dist"),
+                "rank",
+            )
+        )
+    # ADC+R (Jegou et al.'s re-ranking stage): the quantized distance
+    # only SHORTLISTS rerank candidates per query; exact squared L2
+    # against the stored vectors decides the final top-k.  At scale the
+    # exact pass touches rerank rows per query, not the corpus.
+    shortlist = (
+        scored.withColumn("adc_rank", F.row_number().over(w))
+        .where(F.col("adc_rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    nv = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    )
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("query_vec"),
+            F.col("vec"),
+            lambda x, y: (_dbl(x) - _dbl(y)) * (_dbl(x) - _dbl(y)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact = shortlist.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id").select(
+        "query_id", "neighbor_id", l2.alias("l2_dist")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("l2_dist", 6).alias("l2_dist"),
+            "rank",
+        )
+    )
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    n_iter: int = 10,
+) -> list[list[list[float]]]:
+    """Lloyd-refined PQ codebooks: per subspace, k-means over the
+    md5-ordered deterministic sample (same sample discipline as
+    ``kmeans_centroids`` -- KBs to the driver, scale-invariant),
+    initialized from the ``pq_seed_codebooks`` rows.  Deterministic
+    but NOT one-statement-SQL-replayable (iterative refinement), so
+    the catalog's oracle-checked query pins seed codebooks instead;
+    this is the production quantizer (lower quantization error, same
+    downstream encode/ADC code)."""
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.asarray([list(r[vec_col]) for r in rows], dtype="float64")
+    d = dim // m
+    out = []
+    for s in range(m):
+        sub = X[:, s * d : (s + 1) * d]
+        C = sub[: min(k, len(sub))].copy()
+        for _ in range(n_iter):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for cell in range(len(C)):
+                members = sub[assign == cell]
+                if len(members):
+                    C[cell] = members.mean(axis=0)
+        out.append([[float(x) for x in c] for c in C])
+    return out

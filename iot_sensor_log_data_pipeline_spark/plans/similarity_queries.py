@@ -258,3 +258,91 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = parallelize_small(load(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 5)
     return SIM.ivf_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+@register(
+    "similarity_pq_adc_ann",
+    oracle="""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS code,
+             embedding AS cv
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 64
+    ),
+    dists AS (
+      SELECT e.vec_id, s.s, c.code,
+             list_sum(list_transform(range(8),
+               i -> (CAST(e.embedding[s.s * 8 + i + 1] AS DOUBLE)
+                     - CAST(c.cv[s.s * 8 + i + 1] AS DOUBLE))
+                    * (CAST(e.embedding[s.s * 8 + i + 1] AS DOUBLE)
+                       - CAST(c.cv[s.s * 8 + i + 1] AS DOUBLE)))) AS d2
+      FROM embeddings e
+      CROSS JOIN range(8) s(s)
+      CROSS JOIN cent c
+    ),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+        FROM dists)
+      WHERE rn = 1
+    ),
+    qd AS (SELECT vec_id AS query_id, s, code, d2 FROM dists WHERE vec_id < 5),
+    adc AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, sum(q.d2) AS adc_dist
+      FROM codes c JOIN qd q ON q.s = c.s AND q.code = c.code
+      WHERE c.vec_id <> q.query_id
+      GROUP BY q.query_id, c.vec_id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, neighbor_id) AS adc_rank
+        FROM adc)
+      WHERE adc_rank <= 50
+    ),
+    exact AS (
+      SELECT sl.query_id, sl.neighbor_id,
+             list_sum(list_transform(range(64),
+               i -> (CAST(qe.embedding[i+1] AS DOUBLE)
+                     - CAST(ne.embedding[i+1] AS DOUBLE))
+                    * (CAST(qe.embedding[i+1] AS DOUBLE)
+                       - CAST(ne.embedding[i+1] AS DOUBLE)))) AS l2_dist
+      FROM shortlist sl
+      JOIN embeddings qe ON qe.vec_id = sl.query_id
+      JOIN embeddings ne ON ne.vec_id = sl.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(l2_dist, 6) AS l2_dist, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY l2_dist, neighbor_id) AS rank
+      FROM exact
+    )
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "north-star", "pq", "ann"),
+)
+def similarity_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distances + exact
+    re-rank (``operators/similarity.py:pq_adc_topk``, Jegou/Douze/
+    Schmid 2011's ADC+R): the corpus is stored as 8 codes/vector
+    against md5-pinned seed codebooks (64 cells per subspace), the
+    quantized distance shortlists 50 candidates per query via a
+    code-keyed join, and exact squared L2 over the shortlist decides
+    the top-10.  Seed codebooks keep the whole pipeline -- encode,
+    lookup tables, ADC ranking, re-rank -- one-statement SQL
+    replayable; ``pq_codebooks`` (per-subspace Lloyd on the md5
+    sample) is the production quantizer, recall-tested in pytest."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.pq_adc_topk(
+        emb,
+        queries,
+        k=10,
+        n_codes=64,
+        codebooks=SIM.pq_seed_codebooks(emb, m=8, k=64),
+        rerank=50,
+    ).orderBy("query_id", "rank")

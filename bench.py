@@ -74,6 +74,10 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str,
             emb, queries, k=k, bands=16,
             planes=SIM.hash_hyperplanes(64, dim=64))),
         ("ivf", lambda: SIM.ivf_topk(emb, queries, k=k)),
+        # production PQ path: Lloyd codebooks + exact re-rank of ADC top-50
+        ("pq", lambda: SIM.pq_adc_topk(
+            emb, queries, k=k, n_codes=64,
+            codebooks=SIM.pq_codebooks(emb, m=8, k=64), rerank=50)),
     )
     for label, fn in approx_runs:
         approx = {

@@ -1,0 +1,123 @@
+"""BPE merge induction: learn the first ``n_merges`` byte-pair-
+encoding merges from a corpus (Sennrich, Haddow, Birch 2016) -- the
+tokenizer-training member of the text family (the engine's BPE-ish
+token COUNTER approximates an existing tokenizer; this learns one).
+
+Spark-first shape: classic BPE trains on the WORD-FREQUENCY table,
+not the corpus -- the only corpus-scale work is one token explode +
+groupBy(word).  Every merge round then runs on the vocabulary-sized
+table: frequency-weighted adjacent-pair counts via zipped slices, a
+1-row argmax pulled to the driver (the bounded sketch-to-driver
+pattern), and a greedy left-to-right merge applied as a per-row
+``aggregate`` fold over the symbol array (JVM-side; regex replacement
+is NOT equivalent -- a consumed delimiter makes the regex skip
+immediately-adjacent pair repeats, e.g. ``a a a a`` with pair (a, a)
+must become ``aa aa``, which single-pass replace misses).
+
+Determinism: count ties break lexicographically on the pair; the fold
+is a pure function of the symbol sequence.  The merge recurrence is
+verified against a pure-Python BPE reference in pytest; the round-1
+pair statistics are oracle-checked (``text_bpe_pairs``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) -- the corpus reduced to its vocabulary weights; the
+    one corpus-scale step of BPE training."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def chars(word: Column) -> Column:
+    """Initial symbol sequence: one single-character symbol per char."""
+    return F.regexp_extract_all(word, F.lit("(.)"), 1)
+
+
+def pair_counts(words: DataFrame, syms_col: str = "syms") -> DataFrame:
+    """Frequency-weighted adjacent symbol pairs: (pair, cnt)."""
+    arr = F.col(syms_col)
+    m = F.greatest(F.size(arr) - 1, F.lit(0))
+    zipped = F.arrays_zip(F.slice(arr, 1, m), F.slice(arr, 2, m))
+    pairs = F.transform(
+        zipped, lambda s: F.concat_ws(" ", s.getField("0"), s.getField("1"))
+    )
+    return (
+        words.select("n", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def merge_pair(arr: Column, a: str, b: str, merged: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) -> merged inside a
+    symbol array, as one ``aggregate`` fold: the accumulator carries
+    (emitted symbols, one pending symbol); a pending ``a`` followed by
+    ``b`` emits ``merged`` and clears the pending slot, so a merged
+    token is never the left half of another merge in the same pass --
+    exactly reference BPE's single-pass semantics (handles runs:
+    ``a a a`` -> ``aa a``)."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit("").alias("carry")
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        is_match = (acc.getField("carry") == a) & (s == b)
+        flushed = F.when(
+            acc.getField("carry") == "", acc.getField("out")
+        ).otherwise(F.concat(acc.getField("out"), F.array(acc.getField("carry"))))
+        new_out = F.when(
+            is_match, F.concat(acc.getField("out"), F.array(F.lit(merged)))
+        ).otherwise(flushed)
+        new_carry = F.when(is_match, F.lit("")).otherwise(s)
+        return F.struct(new_out.alias("out"), new_carry.alias("carry"))
+
+    def finish(acc: Column) -> Column:
+        return F.when(acc.getField("carry") == "", acc.getField("out")).otherwise(
+            F.concat(acc.getField("out"), F.array(acc.getField("carry")))
+        )
+
+    return F.aggregate(arr, init, step, finish)
+
+
+def bpe_merges(
+    docs: DataFrame, n_merges: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """The first ``n_merges`` BPE merges as (merge_rank, pair, merged,
+    cnt): each round picks the most frequent adjacent symbol pair
+    (count desc, pair asc) and rewrites the vocabulary with the pair
+    merged.  Each round is O(vocab); only the 1-row argmax leaves the
+    cluster."""
+    spark = docs.sparkSession
+    words = word_freq_table(docs, text_col).select(
+        "n", chars(F.col("word")).alias("syms")
+    )
+    out = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            pair_counts(words)
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], best[0]["cnt"]
+        a, b = pair.split(" ")
+        merged = a + b
+        out.append((rank, pair, merged, int(cnt)))
+        words = words.select(
+            "n", merge_pair(F.col("syms"), a, b, merged).alias("syms")
+        )
+    return spark.createDataFrame(
+        out, "merge_rank long, pair string, merged string, cnt long"
+    )

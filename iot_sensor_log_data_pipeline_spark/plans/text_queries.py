@@ -402,3 +402,44 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     allowlisted in the plan audit)."""
     docs = parallelize_small(load(spark, sf_dir, "documents"))
     return TX.unigram_logprob(docs).orderBy("doc_id")
+
+
+@register(
+    "text_bpe_pairs",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT word, count(*) AS n
+      FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+      GROUP BY word
+    ),
+    syms AS (SELECT n, regexp_extract_all(word, '(.)', 1) AS s FROM vocab),
+    pairs AS (
+      SELECT n, s[i + 1] || ' ' || s[i + 2] AS pair
+      FROM (SELECT n, s, unnest(range(len(s) - 1)) AS i FROM syms)
+    )
+    SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+    FROM pairs
+    GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 20
+    """,
+    tags=("text", "tokenizer", "bpe"),
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 1 of BPE tokenizer training (``operators/bpe.py``): the
+    top-20 frequency-weighted adjacent character pairs of the
+    vocabulary -- the merge-candidate table.  Corpus-scale work is one
+    token explode + groupBy(word); the pair scan is vocabulary-sized.
+    The full iterative merge loop (``bpe_merges``) is data-dependent
+    per round and verified against a pure-Python BPE reference in
+    pytest instead of one SQL statement."""
+    from ..operators.bpe import chars, pair_counts, word_freq_table
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    words = word_freq_table(docs).select("n", chars(F.col("word")).alias("syms"))
+    return (
+        pair_counts(words)
+        .select("pair", F.col("cnt").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )

@@ -912,3 +912,70 @@ def test_pq_adc_recall_against_exact_l2(spark):
         exact.update((q, n) for n in order)
     recall = len(got & exact) / len(exact)
     assert recall >= 0.5, recall
+
+
+def _py_bpe_merges(texts: list[str], n_merges: int) -> list[tuple]:
+    """Reference BPE (Sennrich et al. 2016) on the word-frequency
+    table with greedy left-to-right merge application."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.split():
+            if w:
+                vocab[w] += 1
+    words = {w: list(w) for w in vocab}
+    out = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += vocab[w]
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, f"{a} {b}", a + b, cnt))
+        for w, syms in words.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            words[w] = ns
+    return out
+
+
+def test_bpe_merges_match_python_reference(spark):
+    from iot_sensor_log_data_pipeline_spark.operators.bpe import bpe_merges
+
+    texts = [
+        "aaaa banana banana bandana",
+        "low lower lowest low low",
+        "aaaa aaaa abab abab abab",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [
+        (r["merge_rank"], r["pair"], r["merged"], r["cnt"])
+        for r in bpe_merges(df, n_merges=5).orderBy("merge_rank").collect()
+    ]
+    assert got == _py_bpe_merges(texts, 5)
+
+
+def test_bpe_merge_pair_handles_runs(spark):
+    """Greedy single-pass semantics on runs: 'a a a a' + (a,a) -> 'aa aa',
+    'a a a' -> 'aa a' -- the case naive regex replacement gets wrong."""
+    from iot_sensor_log_data_pipeline_spark.operators.bpe import chars, merge_pair
+
+    df = spark.createDataFrame([("aaaa",), ("aaa",), ("ababab",)], "w string")
+    got = {
+        r["w"]: list(r["m"])
+        for r in df.select(
+            "w", merge_pair(chars(F.col("w")), "a", "a", "aa").alias("m")
+        ).collect()
+    }
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["aaa"] == ["aa", "a"]
+    assert got["ababab"] == ["a", "b", "a", "b", "a", "b"]

@@ -74,10 +74,12 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str,
             emb, queries, k=k, bands=16,
             planes=SIM.hash_hyperplanes(64, dim=64))),
         ("ivf", lambda: SIM.ivf_topk(emb, queries, k=k)),
-        # production PQ path: Lloyd codebooks + exact re-rank of ADC top-50
+        # production PQ path: Lloyd codebooks + exact re-rank of the ADC
+        # top-100 (~5% of the sf0.1 corpus; recall rises with the scan
+        # fraction: 0.56 @ rr50, 0.72 @ rr100, 0.90 @ rr200 here)
         ("pq", lambda: SIM.pq_adc_topk(
             emb, queries, k=k, n_codes=64,
-            codebooks=SIM.pq_codebooks(emb, m=8, k=64), rerank=50)),
+            codebooks=SIM.pq_codebooks(emb, m=8, k=64), rerank=100)),
     )
     for label, fn in approx_runs:
         approx = {

@@ -114,6 +114,12 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "agg_histogram_quantiles",
 )
 
+#: Round-4 rotation candidates (locally green, not yet in an external
+#: window): queries added after this round's window filled --
+#: similarity_pq_adc_ann, text_bpe_pairs, quality_referential_checks,
+#: graph_pagerank_neardup -- plus any entry whose module changes after
+#: its last external green row.
+
 
 @dataclass(frozen=True)
 class CatalogEntry:

@@ -171,3 +171,32 @@ def sample_frames(media_df: DataFrame, every_k: int = 4) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "frame_id", "frame"])
 
     return media_df.select("doc_id", "media").mapInPandas(sampler, FRAME_SCHEMA)
+
+
+def dhash64(blob) -> "F.Column":
+    """Difference-hash (dHash) of an opaque media blob: 72 byte
+    positions sampled evenly across the blob form an 8 x 9 grid; each
+    of the 64 bits is the comparison of horizontally-adjacent samples.
+    The perceptual-hash construction (Krawetz's dHash) applied to RAW
+    bytes because this container ships no codec -- with a real decoder
+    the byte sampler is replaced by 9x8 downsampled luma and nothing
+    else changes.  Pure JVM expressions (substring + hex + compare;
+    2-char uppercase hex compares lexicographically == numerically),
+    so the oracle replays it exactly and equal-hash grouping gives
+    codec-free near-dup detection for media columns.
+    """
+    col = F.col(blob) if isinstance(blob, str) else blob
+    L = F.octet_length(col)
+    hexstr = F.hex(col)  # one hex pass; byte i = 2 chars at 2i+1
+
+    def sample_hex(g: int):
+        pos = (F.lit(g) * (L - 1) / F.lit(71)).cast("bigint")  # 0-based byte
+        return F.substring(hexstr, (pos * 2 + 1).cast("int"), 2)
+
+    cells = [sample_hex(g) for g in range(72)]
+    bits = []
+    for r in range(8):
+        for c in range(8):
+            a, b = cells[r * 9 + c], cells[r * 9 + c + 1]
+            bits.append(F.when(a < b, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat_ws("", *bits)

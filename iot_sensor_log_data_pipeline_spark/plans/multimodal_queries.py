@@ -131,3 +131,58 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resized_bytes",
         F.md5("resized").alias("resized_md5"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS L
+      FROM documents
+    ),
+    cells AS (
+      SELECT doc_id,
+             g.g,
+             substring(hx, CAST((g.g * (L - 1)) // 71 AS BIGINT) * 2 + 1, 2) AS h
+      FROM media CROSS JOIN range(72) g(g)
+    ),
+    bits AS (
+      SELECT a.doc_id,
+             (a.g // 9) * 8 + (a.g % 9) AS bit_idx,
+             CASE WHEN a.h < b.h THEN '1' ELSE '0' END AS bit
+      FROM cells a
+      JOIN cells b ON b.doc_id = a.doc_id AND b.g = a.g + 1
+      WHERE a.g % 9 < 8
+    ),
+    hashes AS (
+      SELECT doc_id, string_agg(bit, '' ORDER BY bit_idx) AS phash
+      FROM bits GROUP BY doc_id
+    ),
+    grouped AS (
+      SELECT doc_id, phash,
+             count(*) OVER (PARTITION BY phash) AS n_same_hash
+      FROM hashes
+    )
+    SELECT doc_id, phash, CAST(n_same_hash AS BIGINT) AS n_same_hash
+    FROM grouped
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "dedup", "phash"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free perceptual-hash dedup for media columns
+    (``operators/multimodal.py:dhash64``): per-blob 64-bit dHash over
+    evenly-sampled bytes, then an equal-hash window count -- blobs
+    sharing a hash are near-dup candidates.  One scan + one hash-keyed
+    window; the blob column is touched exactly once."""
+    media = MM.attach_fake_media(parallelize_small(load(spark, sf_dir, "documents")))
+    from pyspark.sql.window import Window
+
+    hashed = media.select("doc_id", MM.dhash64("media").alias("phash"))
+    return (
+        hashed.withColumn(
+            "n_same_hash",
+            F.count(F.lit(1)).over(Window.partitionBy("phash")).cast("long"),
+        )
+        .orderBy("doc_id")
+    )

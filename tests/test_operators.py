@@ -979,3 +979,23 @@ def test_bpe_merge_pair_handles_runs(spark):
     assert got["aaaa"] == ["aa", "aa"]
     assert got["aaa"] == ["aa", "a"]
     assert got["ababab"] == ["a", "b", "a", "b", "a", "b"]
+
+
+def test_dhash64_properties(spark):
+    from iot_sensor_log_data_pipeline_spark.operators.multimodal import dhash64
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog" * 4),
+        (1, "the quick brown fox jumps over the lazy dog" * 4),  # identical
+        (2, "zzz completely different content qqq xxx yyy" * 4),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", dhash64(F.encode(F.col("text"), "UTF-8")).alias("h")
+        ).collect()
+    }
+    assert all(len(h) == 64 and set(h) <= {"0", "1"} for h in got.values())
+    assert got[0] == got[1]  # identical blobs -> identical hash
+    assert got[0] != got[2]  # different content -> different hash

@@ -114,7 +114,10 @@ _HLL_RANK_BITS = 48
 
 
 def hll_registers(
-    df: DataFrame, key_col: str, p: int = HLL_P
+    df: DataFrame,
+    key_col: str,
+    p: int = HLL_P,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(register, max_rank) HyperLogLog register table (Flajolet et al.
     2007) -- the mergeable distinct-count sketch as a DataFrame.
@@ -136,15 +139,20 @@ def hll_registers(
     bitlen = F.when(v == 0, F.lit(0)).otherwise(F.length(F.conv(suffix, 16, 2)))
     return (
         df.select(
+            *group_cols,
             F.conv(F.substring(digest, 1, 2), 16, 10).cast("long").alias("register"),
             (F.lit(_HLL_RANK_BITS) - bitlen + 1).cast("long").alias("rank"),
         )
-        .groupBy("register")
+        .groupBy(*group_cols, "register")
         .agg(F.max("rank").alias("max_rank"))
     )
 
 
-def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
+def hll_estimate(
+    registers: DataFrame,
+    p: int = HLL_P,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """One-row cardinality estimate from a register table.
 
     The harmonic-mean denominator is summed as EXACT integers
@@ -155,7 +163,7 @@ def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
     m = 1 << p
     two49 = 1 << (_HLL_RANK_BITS + 1)
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    agg = registers.agg(
+    agg = registers.groupBy(*group_cols).agg(
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RANK_BITS + 1} - max_rank AS INT))")
         ).alias("s_present"),
@@ -168,7 +176,7 @@ def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
         (e_raw <= 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(e_raw)
-    return agg.select(F.round(corrected, 4).alias("est_distinct"))
+    return agg.select(*group_cols, F.round(corrected, 4).alias("est_distinct"))
 
 
 #: Bloom-filter geometry: bits sized for ~1M keys at ~1% fp with k=4.

@@ -443,3 +443,36 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(20)
     )
+
+
+@register(
+    "sketch_hll_by_source",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+    h AS (SELECT source, md5(token) AS d FROM tok),
+    r AS (SELECT source,
+                 CAST(('0x' || substr(d, 1, 2)) AS BIGINT) AS register,
+                 CAST(('0x' || substr(d, 3, 12)) AS BIGINT) AS v
+          FROM h)
+    SELECT source, register,
+           CAST(max(48 - (CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END) + 1)
+                AS BIGINT) AS max_rank
+    FROM r GROUP BY source, register ORDER BY source, register
+    """,
+    tags=("text", "sketch", "hll", "grouped"),
+)
+def sketch_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED HyperLogLog: one register table per source -- the
+    sketch-as-grouped-state shape (distinct tokens per shard/day/
+    source without exact per-group count-distinct).  Same mergeable
+    max-aggregation as the global sketch, keyed by (group, register);
+    per-group estimates are accuracy-tested in pytest."""
+    from ..operators import sketch as SK
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    return SK.hll_registers(toks, "token", group_cols=("source",)).orderBy(
+        "source", "register"
+    )

@@ -999,3 +999,55 @@ def test_dhash64_properties(spark):
     assert all(len(h) == 64 and set(h) <= {"0", "1"} for h in got.values())
     assert got[0] == got[1]  # identical blobs -> identical hash
     assert got[0] != got[2]  # different content -> different hash
+
+
+def test_bpe_merges_match_reference_hypothesis(spark):
+    """Property: the DataFrame BPE rounds equal reference BPE on random
+    small corpora -- exercises count ties (lexicographic break), runs
+    of repeated symbols, and merge-then-remerge chains."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iot_sensor_log_data_pipeline_spark.operators.bpe import bpe_merges
+
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(st.lists(word, min_size=1, max_size=6), min_size=1, max_size=4))
+    def run(corpus):
+        texts = [" ".join(ws) for ws in corpus]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = [
+            (r["merge_rank"], r["pair"], r["merged"], r["cnt"])
+            for r in bpe_merges(df, n_merges=4).orderBy("merge_rank").collect()
+        ]
+        assert got == _py_bpe_merges(texts, 4)
+
+    run()
+
+
+def test_grouped_hll_estimates_within_bounds(spark, sf_dir):
+    """Per-group HLL estimates must land within ~3 standard errors
+    (sigma ~ 1.04/sqrt(256) ~ 6.5%) of exact per-group distinct counts."""
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import sketch as SK
+    from iot_sensor_log_data_pipeline_spark.operators import text as TX2
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(TX2.tokens(F.col("text"))).alias("token"))
+    regs = SK.hll_registers(toks, "token", group_cols=("source",))
+    est = {
+        r["source"]: r["est_distinct"]
+        for r in SK.hll_estimate(regs, group_cols=("source",)).collect()
+    }
+    exact = {
+        r["source"]: r["n"]
+        for r in toks.groupBy("source")
+        .agg(F.countDistinct("token").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for src, n in exact.items():
+        assert abs(est[src] - n) / n <= 0.2, (src, est[src], n)

@@ -117,8 +117,10 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
 #: Round-4 rotation candidates (locally green, not yet in an external
 #: window): queries added after this round's window filled --
 #: similarity_pq_adc_ann, text_bpe_pairs, quality_referential_checks,
-#: graph_pagerank_neardup -- plus any entry whose module changes after
-#: its last external green row.
+#: graph_pagerank_neardup, multimodal_phash_dedup, sketch_hll_by_source,
+#: dedup_survivor_selection
+#: -- plus any entry whose module changes after its last external
+#: green row.
 
 
 @dataclass(frozen=True)

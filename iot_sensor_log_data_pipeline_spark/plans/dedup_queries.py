@@ -409,3 +409,73 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = parallelize_small(load(spark, sf_dir, "embeddings"))
     pairs = S.embedding_cosine_pairs(emb, threshold=0.42, method="exact")
     return pagerank_fixed(pairs.select("id_a", "id_b"))
+
+
+@register(
+    "dedup_survivor_selection",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_NGRAM_INTER_CTE},
+    edges AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.n_common / (sa.set_size + sb.set_size - i.n_common) >= 0.4
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    reach(node, r) AS (
+      SELECT s, s FROM sym
+      UNION
+      SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.node
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.component AS cluster_id, c.node AS doc_id,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.node) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    )
+    SELECT cluster_id,
+           max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM ranked
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """,
+    tags=("dedup", "north-star", "survivor"),
+)
+def dedup_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after clustering: pick ONE canonical document per
+    near-dup cluster -- longest document wins (n_chars desc), doc id
+    breaks ties -- and report what each cluster keeps vs drops.
+    Composition of the pair -> component -> rank pipeline; at scale
+    the survivor choice is a bounded per-component window, never a
+    cross-cluster shuffle."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.4)
+    comp = DD.connected_components(pairs)
+    ranked = comp.join(docs.select("doc_id", "n_chars"), comp.node == F.col("doc_id")).select(
+        F.col("component").alias("cluster_id"),
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("component").orderBy(
+                F.desc("n_chars"), F.asc("doc_id")
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("cluster_id")
+    )

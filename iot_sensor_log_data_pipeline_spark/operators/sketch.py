@@ -287,11 +287,22 @@ def histogram_quantiles(
         df.select(v.alias("__v"))
         .crossJoin(F.broadcast(stats))
         .select(
-            F.least(
-                F.floor((F.col("__v") - F.col("lo")) * n_bins / (F.col("hi") - F.col("lo")))
-                .cast("int"),
-                F.lit(n_bins - 1),
-            ).alias("bin"),
+            # hi == lo (all values equal) must short-circuit BEFORE the
+            # division -- ANSI mode raises on x/0 even inside a branch
+            # that rounds away (found by the hypothesis error-bound
+            # property test).
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("__v") - F.col("lo"))
+                        * n_bins
+                        / (F.col("hi") - F.col("lo"))
+                    ).cast("int"),
+                    F.lit(n_bins - 1),
+                )
+            )
+            .alias("bin"),
             "lo",
             "hi",
             "n",

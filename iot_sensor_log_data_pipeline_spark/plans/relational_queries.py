@@ -1162,8 +1162,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     ),
     binned AS (
-      SELECT least(CAST(floor((l.l_extendedprice - s.lo) * 128 / (s.hi - s.lo))
-                        AS INT), 127) AS bin,
+      SELECT CASE WHEN s.hi = s.lo THEN 0
+                  ELSE least(CAST(floor((l.l_extendedprice - s.lo) * 128
+                                        / (s.hi - s.lo)) AS INT), 127)
+             END AS bin,
              s.lo, s.hi, s.n
       FROM lineitem l CROSS JOIN stats s
     ),

@@ -1051,3 +1051,50 @@ def test_grouped_hll_estimates_within_bounds(spark, sf_dir):
     assert set(est) == set(exact)
     for src, n in exact.items():
         assert abs(est[src] - n) / n <= 0.2, (src, est[src], n)
+
+
+def test_histogram_quantiles_error_bound_hypothesis(spark):
+    """Property: for any value distribution (uniform, clustered,
+    heavy-tailed -- whatever hypothesis draws), every histogram-sketch
+    quantile estimate lands within one bin width of the exact
+    quantile."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iot_sensor_log_data_pipeline_spark.operators.sketch import (
+        histogram_quantiles,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=20,
+            max_size=300,
+        )
+    )
+    def run(vals):
+        import math
+
+        df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+        got = {r["q"]: r["estimate"] for r in histogram_quantiles(df, "x").collect()}
+        lo, hi = min(vals), max(vals)
+        bin_w = (hi - lo) / 128
+        ordered = sorted(vals)
+        for q in (0.25, 0.5, 0.75, 0.9, 0.99):
+            # The estimator targets rank q*N with in-bin interpolation,
+            # so its guarantee is against the ceil(q*N)-th ORDER
+            # STATISTIC (not numpy's between-order-stats interpolation,
+            # which can sit a whole value-gap away for tiny N).
+            stat = ordered[min(math.ceil(q * len(vals)), len(vals)) - 1]
+            assert abs(got[q] - stat) <= bin_w + 1e-6 * max(abs(lo), abs(hi), 1.0), (
+                q, got[q], stat, bin_w,
+            )
+
+    run()

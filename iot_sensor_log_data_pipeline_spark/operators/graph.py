@@ -47,6 +47,10 @@ def pagerank_fixed(
     nodes = und.select(F.col("u").alias("node")).distinct()
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
     n = nodes.count()  # single scalar to the driver; scale-invariant
+    if n == 0:  # empty edge set: no nodes, not a 1/0 crash
+        return nodes.select(
+            "node", F.lit(None).cast("double").alias("rank")
+        )
 
     rank = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iter):

@@ -14,6 +14,11 @@ Scale design:
   fraction ~ (collision rate)^bands of the corpus.
 - Hyperplanes are derived deterministically (seeded NumPy) and shipped
   as literal arrays in the plan (a few KB) -- no driver-side state.
+
+Input contract: embedding vectors must be non-zero (cosine divides by
+the norms; ANSI mode raises on a zero vector rather than silently
+returning NULL) -- filter zero-norm rows upstream if the corpus can
+contain them.
 """
 
 from __future__ import annotations

@@ -9,6 +9,11 @@ where aggregation is explicit).
 Cross-engine discipline: each expression has an exact DuckDB
 counterpart (see ``plans/text_queries.py``), so regex character
 classes are kept to RE2/Java-common subsets.
+
+Input contract: ``alpha_ratio``/``space_ratio`` divide by
+``length(text)`` -- empty-string documents should be filtered before
+the stats battery (ANSI mode raises on the division) -- while the
+token-based ratios guard with ``greatest(n, 1)``.
 """
 
 from __future__ import annotations

@@ -1098,3 +1098,10 @@ def test_histogram_quantiles_error_bound_hypothesis(spark):
             )
 
     run()
+
+
+def test_pagerank_empty_edges(spark):
+    from iot_sensor_log_data_pipeline_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert pagerank_fixed(edges).collect() == []

@@ -14,8 +14,11 @@ is NOT equivalent -- a consumed delimiter makes the regex skip
 immediately-adjacent pair repeats, e.g. ``a a a a`` with pair (a, a)
 must become ``aa aa``, which single-pass replace misses).
 
-Determinism: count ties break lexicographically on the pair; the fold
-is a pure function of the symbol sequence.  The merge recurrence is
+Determinism: count ties break lexicographically on the (a, b) symbol
+TUPLE -- not the space-joined pair string, whose ordering diverges
+from tuple order when a symbol contains a char below U+0020 (tokens
+split only on spaces, so tabs/newlines can live inside symbols); the
+fold is a pure function of the symbol sequence.  The merge recurrence is
 verified against a pure-Python BPE reference in pytest; the round-1
 pair statistics are oracle-checked (``text_bpe_pairs``).
 """
@@ -44,17 +47,28 @@ def chars(word: Column) -> Column:
 
 
 def pair_counts(words: DataFrame, syms_col: str = "syms") -> DataFrame:
-    """Frequency-weighted adjacent symbol pairs: (pair, cnt)."""
+    """Frequency-weighted adjacent symbol pairs: (a, b, pair, cnt).
+
+    ``a``/``b`` are the raw symbol halves (the deterministic tie-break
+    key -- tuple order, not string order of the joined pair); ``pair``
+    is the space-joined display form.  Grouping by (a, b) equals
+    grouping by the joined string because symbols can never contain a
+    space (the tokenizer splits on spaces), but the separate columns
+    keep ORDER BY semantics tuple-correct for symbols holding
+    sub-space control characters."""
     arr = F.col(syms_col)
     m = F.greatest(F.size(arr) - 1, F.lit(0))
     zipped = F.arrays_zip(F.slice(arr, 1, m), F.slice(arr, 2, m))
-    pairs = F.transform(
-        zipped, lambda s: F.concat_ws(" ", s.getField("0"), s.getField("1"))
-    )
     return (
-        words.select("n", F.explode(pairs).alias("pair"))
-        .groupBy("pair")
+        words.select("n", F.explode(zipped).alias("p"))
+        .select(
+            "n",
+            F.col("p").getField("0").alias("a"),
+            F.col("p").getField("1").alias("b"),
+        )
+        .groupBy("a", "b")
         .agg(F.sum("n").alias("cnt"))
+        .select("a", "b", F.concat_ws(" ", "a", "b").alias("pair"), "cnt")
     )
 
 
@@ -94,9 +108,9 @@ def bpe_merges(
 ) -> DataFrame:
     """The first ``n_merges`` BPE merges as (merge_rank, pair, merged,
     cnt): each round picks the most frequent adjacent symbol pair
-    (count desc, pair asc) and rewrites the vocabulary with the pair
-    merged.  Each round is O(vocab); only the 1-row argmax leaves the
-    cluster."""
+    (count desc, then (a, b) tuple asc -- reference BPE's tie-break)
+    and rewrites the vocabulary with the pair merged.  Each round is
+    O(vocab); only the 1-row argmax leaves the cluster."""
     spark = docs.sparkSession
     words = word_freq_table(docs, text_col).select(
         "n", chars(F.col("word")).alias("syms")
@@ -105,14 +119,14 @@ def bpe_merges(
     for rank in range(1, n_merges + 1):
         best = (
             pair_counts(words)
-            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
             .limit(1)
             .collect()
         )
         if not best:
             break
+        a, b = best[0]["a"], best[0]["b"]
         pair, cnt = best[0]["pair"], best[0]["cnt"]
-        a, b = pair.split(" ")
         merged = a + b
         out.append((rank, pair, merged, int(cnt)))
         words = words.select(

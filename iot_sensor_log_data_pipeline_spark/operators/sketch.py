@@ -283,8 +283,13 @@ def histogram_quantiles(
     stats = df.agg(
         F.min(v).alias("lo"), F.max(v).alias("hi"), F.count(v).alias("n")
     )
+    # NULLs are excluded from the sketch entirely: ``n`` above already
+    # skips them (count(v)), and an unfiltered scan would send them to
+    # a NULL bin group that the cumulative window counts first (Spark
+    # sorts NULL bins ahead of 0), skewing every quantile estimate.
     binned = (
         df.select(v.alias("__v"))
+        .where(F.col("__v").isNotNull())
         .crossJoin(F.broadcast(stats))
         .select(
             # hi == lo (all values equal) must short-circuit BEFORE the

@@ -172,7 +172,8 @@ def _load() -> None:
 def all_entries() -> dict[str, CatalogEntry]:
     _load()
     prioritized = [n for n in _VERIFY_PRIORITY if n in _REGISTRY]
-    rest = [n for n in _REGISTRY if n not in set(prioritized)]
+    prioritized_set = set(prioritized)
+    rest = [n for n in _REGISTRY if n not in prioritized_set]
     return {n: _REGISTRY[n] for n in (*prioritized, *rest)}
 
 

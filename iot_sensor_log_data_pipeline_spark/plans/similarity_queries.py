@@ -4,12 +4,24 @@ the ``embeddings`` table; brute-force baseline + LSH-bucketed ANN).
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io_utils import load, parallelize_small
+from ..operators import ann_index as ANN
 from ..operators import similarity as SIM
 from .catalog import register
+
+
+def _index_root(sf_dir: str, kind: str) -> str:
+    """Deterministic scratch root for a persisted index, keyed by the
+    corpus directory (re-runs overwrite in place; concurrent sf dirs
+    never collide)."""
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "corpus"
+    return os.path.join(tempfile.gettempdir(), "engine_ann_index", sf_name, kind)
 
 #: DuckDB double-precision dot product over FLOAT[] columns (explicit
 #: element order, double accumulation -- mirrors the Spark fold).
@@ -58,9 +70,11 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(emb, queries, k=10).orderBy("query_id", "rank")
 
 
-@register(
-    "similarity_lsh_ann",
-    oracle=f"""
+#: Shared by ``similarity_lsh_ann`` and its persisted-index twin:
+#: probing a persisted index with identical hyperparameters is
+#: result-identical to the ad-hoc operator (asserted in pytest), so
+#: both registrations check against the same stage-for-stage replay.
+_LSH_ANN_ORACLE = f"""
     WITH plane_vals AS (
       SELECT j, d,
              CAST(('0x' || substr(md5('plane:' || j || ':' || d), 1, 8)) AS BIGINT)
@@ -104,7 +118,12 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE rank <= 10
     ORDER BY query_id, rank
-    """,
+    """
+
+
+@register(
+    "similarity_lsh_ann",
+    oracle=_LSH_ANN_ORACLE,
     tags=("similarity", "north-star", "lsh", "ann"),
 )
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,9 +181,9 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "similarity_ivf_seed_ann",
-    oracle=f"""
+#: Shared by ``similarity_ivf_seed_ann`` and its persisted-index twin
+#: (same pinned seed quantizer, same assign/probe/re-rank semantics).
+_IVF_SEED_ORACLE = f"""
     WITH cent AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                AS cell,
@@ -214,7 +233,12 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE rank <= 10
     ORDER BY query_id, rank
-    """,
+    """
+
+
+@register(
+    "similarity_ivf_seed_ann",
+    oracle=_IVF_SEED_ORACLE,
     tags=("similarity", "north-star", "ivf", "ann"),
 )
 def similarity_ivf_seed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,3 +370,61 @@ def similarity_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebooks=SIM.pq_seed_codebooks(emb, m=8, k=64),
         rerank=50,
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "similarity_persisted_lsh_ann",
+    oracle=_LSH_ANN_ORACLE,
+    tags=("similarity", "north-star", "lsh", "ann", "persisted-index"),
+)
+def similarity_persisted_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once / probe-many SRP-LSH (``operators/ann_index.py``):
+    the banded signatures, hyperplanes, and re-rank vectors are
+    materialized to parquet, then the SAME 5 queries probe the on-disk
+    index -- the amortized-index counterpart of ``similarity_lsh_ann``.
+    Identical hyperparameters (16 bands x 4 md5-derived hyperplanes)
+    make the probe result byte-identical to the ad-hoc operator, so
+    this row shares its stage-for-stage DuckDB oracle.  At 100 TB the
+    build is the one corpus-scale pass; every later query batch costs
+    only the postings equi-join plus candidate re-rank."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    root = _index_root(sf_dir, "lsh")
+    ANN.build_lsh_index(
+        emb,
+        root,
+        bands=16,
+        rows_per_band=4,
+        planes=SIM.hash_hyperplanes(64, dim=64),
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return ANN.query_lsh_index(spark, root, queries, k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "similarity_persisted_ivf_ann",
+    oracle=_IVF_SEED_ORACLE,
+    tags=("similarity", "north-star", "ivf", "ann", "persisted-index"),
+)
+def similarity_persisted_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once / probe-many IVF (``operators/ann_index.py``): the
+    pinned seed quantizer's centroid table and the 2-way cell
+    multi-assignment (inverted lists) are materialized to parquet,
+    then probed with 4 cells per query -- result-identical to
+    ``similarity_ivf_seed_ann``, sharing its oracle.  The production
+    ``kmeans_centroids`` quantizer drops into the same build call
+    (recall-floor-tested in pytest)."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    root = _index_root(sf_dir, "ivf")
+    ANN.build_ivf_index(
+        emb,
+        root,
+        n_cells=16,
+        n_assign=2,
+        centroids=SIM.seed_centroids(emb, 16),
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return ANN.query_ivf_index(spark, root, queries, k=10, n_probe=4).orderBy(
+        "query_id", "rank"
+    )

@@ -248,10 +248,15 @@ def near_dup_match_stream(
     Emits (doc_id, ts, corpus_id) in append mode.
     """
     from ..operators.dedup import row_minhash_bands
+    from ..operators.text import tokens
 
     bands = row_minhash_bands(F.col(text_col))
+    # Gate on the SAME tokenizer the shingles use (empty strings from
+    # leading/trailing spaces must not count toward the >= 3-token
+    # contract, or a short doc slips through and emits md5('')-derived
+    # band values).
     probes = (
-        stream_docs.where(F.size(F.split(F.col(text_col), " +")) >= 3)
+        stream_docs.where(F.size(tokens(F.col(text_col))) >= 3)
         .select(
             F.col(id_col),
             F.col(ts_col),

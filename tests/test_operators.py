@@ -341,7 +341,11 @@ def test_ivf_kmeans_recall_on_clustered_fixture(spark):
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.8, f"k-means IVF recall on clustered data: {recall}"
+    # Production-quantizer regression gate: measured 1.0 on this
+    # fixture; a drop below 0.85 means the Lloyd sampling or the
+    # assignment changed behavior, and should fail CI rather than
+    # silently move a bench number.
+    assert recall >= 0.85, f"k-means IVF recall on clustered data: {recall}"
 
 
 def test_kmeans_centroids_deterministic(spark):
@@ -875,23 +879,26 @@ def test_pagerank_hand_case(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-3
 
 
-def test_pq_adc_recall_against_exact_l2(spark):
-    """The production PQ path (Lloyd-refined 64-cell codebooks + exact
-    re-rank of the ADC top-50) must recover most of the exact
-    squared-L2 top-10.  Measured 0.72 on this corpus; floor at 0.5."""
+def test_pq_adc_recall_against_exact_l2(spark, sf_dir):
+    """The production PQ path (Lloyd-refined 256-code codebooks + exact
+    re-rank of the ADC top-100 -- the exact configuration bench
+    measures) must recover most of the exact squared-L2 top-10.
+    Measured 1.0 at sf0.001 and 0.94 at sf0.1; floor at 0.85 so a
+    quantizer regression fails CI instead of only moving the bench
+    recall number."""
     import numpy as np
 
     from iot_sensor_log_data_pipeline_spark.io_utils import load
 
-    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     approx = SIM.pq_adc_topk(
         emb,
         queries,
         k=10,
-        n_codes=64,
-        codebooks=SIM.pq_codebooks(emb, m=8, k=64),
-        rerank=50,
+        n_codes=256,
+        codebooks=SIM.pq_codebooks(emb, m=8, k=256),
+        rerank=100,
     )
     got = {
         (r["query_id"], r["neighbor_id"]) for r in approx.collect()
@@ -911,7 +918,7 @@ def test_pq_adc_recall_against_exact_l2(spark):
         ][:10]
         exact.update((q, n) for n in order)
     recall = len(got & exact) / len(exact)
-    assert recall >= 0.5, recall
+    assert recall >= 0.85, recall
 
 
 def _py_bpe_merges(texts: list[str], n_merges: int) -> list[tuple]:
@@ -1105,3 +1112,62 @@ def test_pagerank_empty_edges(spark):
 
     edges = spark.createDataFrame([], "id_a long, id_b long")
     assert pagerank_fixed(edges).collect() == []
+
+def test_persisted_lsh_index_matches_adhoc(spark, sf_dir, tmp_path):
+    """Probing a persisted SRP-LSH index must be result-identical to
+    the ad-hoc ``lsh_topk`` with the same hyperparameters -- the
+    contract that lets the catalog's persisted-index query share the
+    ad-hoc query's DuckDB oracle."""
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as ANN
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    planes = SIM.hash_hyperplanes(64, dim=64)
+    root = str(tmp_path / "lsh")
+    ANN.build_lsh_index(emb, root, bands=16, rows_per_band=4, planes=planes)
+    got = sorted(
+        tuple(r) for r in ANN.query_lsh_index(spark, root, queries, k=10).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in SIM.lsh_topk(
+            emb, queries, k=10, bands=16, planes=planes
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_persisted_ivf_index_matches_adhoc(spark, sf_dir, tmp_path):
+    """Same identity contract for the persisted IVF index (pinned seed
+    quantizer, 2-way assignment, 4 probes)."""
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as ANN
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    cents = SIM.seed_centroids(emb, 16)
+    root = str(tmp_path / "ivf")
+    ANN.build_ivf_index(emb, root, n_cells=16, n_assign=2, centroids=cents)
+    got = sorted(
+        tuple(r)
+        for r in ANN.query_ivf_index(spark, root, queries, k=10, n_probe=4).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in SIM.ivf_topk(
+            emb, queries, k=10, n_cells=16, n_probe=4, n_assign=2, centroids=cents
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_persisted_index_kind_mismatch_raises(spark, sf_dir, tmp_path):
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as ANN
+
+    emb = load(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "lsh")
+    ANN.build_lsh_index(emb, root, bands=4, rows_per_band=4)
+    with pytest.raises(ValueError, match="not ivf"):
+        ANN.query_ivf_index(spark, root, emb.limit(1), k=5)

@@ -74,8 +74,11 @@ def effective_max_shingle_df(
     return max(floor, math.ceil(frac * n_docs))
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of ``text`` (empty if < n tokens).
+def word_shingles_all(text: Column | str, n: int = 3) -> Column:
+    """ALL word n-gram occurrences of ``text`` in order, duplicates
+    kept (empty if < n tokens) -- the occurrence-counting twin of
+    ``word_shingles`` for operators that weight by frequency
+    (e.g. ``text.repetition_stats``).
 
     NB: guarded with ``when`` because ``sequence(0, -1)`` in Spark
     produces a *descending* [0, -1], not an empty array.
@@ -88,9 +91,15 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
             " ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]
         ),
     )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+    return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``text`` (empty if < n tokens)
+    -- the SET view all Jaccard/minhash machinery consumes."""
+    return F.array_distinct(word_shingles_all(text, n))
 
 
 def exact_dedup(df: DataFrame, cols: list[str], key_col: str) -> DataFrame:

@@ -12,9 +12,13 @@ Algorithm, Spark-first:
    in production).
 2. WITHIN each cell only, find pairs with cosine >= threshold: a
    cell-keyed self-join, never an all-pairs corpus product -- the
-   paper's key scalability observation (cross-cell near-dups are rare
-   because near-identical embeddings quantize together; recall of the
-   cell restriction vs unrestricted exact pairs is pytest-measured).
+   paper's key scalability observation: NEAR-IDENTICAL embeddings
+   1-NN-quantize to the same cell, so the restriction's contract is
+   near-dup recall at high thresholds (pytest plants near-duplicates
+   and asserts all are found within-cell).  Weakly-similar pairs at
+   low thresholds legitimately straddle cell boundaries and are out
+   of contract -- use ``similarity.embedding_cosine_pairs`` when you
+   need those.
 3. Connected components over the pair graph (pointer-jumping,
    ``dedup.connected_components``), keep the min-id exemplar per
    component.  (The paper keeps the member with LOWEST similarity to

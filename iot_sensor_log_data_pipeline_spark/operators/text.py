@@ -340,3 +340,92 @@ def tfidf_top_terms(
         .select(id_col, "term_rank", "term", "tfidf")
         .orderBy(id_col, "term_rank")
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repetition signals (the Gopher quality filters,
+    Rae et al. 2021 §A1.1: heavily self-repeating documents are
+    low-quality boilerplate/spam and poison LM training):
+
+    - ``n_ngrams``: total ``n``-gram occurrences in the doc;
+    - ``dup_ngram_frac``: fraction of occurrences whose n-gram appears
+      more than once in the SAME doc;
+    - ``top_ngram_frac``: occurrences of the doc's most frequent
+      n-gram over the total;
+    - ``dup_token_frac``: 1 - distinct/total tokens.
+
+    Scale shape: one explode + two aggregations keyed by (doc, gram)
+    then (doc) -- map-side partial aggregation does most of the work
+    and the shuffle key cardinality is bounded by corpus token count;
+    per-doc token stats are pure column expressions joined back on the
+    doc id.  Docs with fewer than ``n`` tokens have no n-grams and are
+    omitted (no NULL-fraction rows).
+    """
+    from .dedup import word_shingles_all
+
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles_all(F.col(text_col), n)).alias("gram"),
+    )
+    gram_counts = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = gram_counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_ngrams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup"),
+        F.max("c").alias("top"),
+    )
+    tok = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tok"),
+        distinct_token_count(F.col(text_col)).alias("n_dis"),
+    )
+    return per_doc.join(tok, id_col).select(
+        id_col,
+        "n_ngrams",
+        (F.col("dup") / F.col("n_ngrams")).alias("dup_ngram_frac"),
+        (F.col("top") / F.col("n_ngrams")).alias("top_ngram_frac"),
+        (F.lit(1.0) - F.col("n_dis") / F.col("n_tok")).alias("dup_token_frac"),
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame, top_k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary coverage curve: the ``top_k`` most frequent
+    tokens with their cumulative share of all token occurrences --
+    the Zipf head that tokenizer and stopword decisions read off
+    (e.g. "the top 50 tokens cover X% of the corpus").
+
+    Scale shape: token counts via explode + hash agg (map-side
+    combine); the global top-k is TakeOrderedAndProject (per-partition
+    heaps, never a full sort); the cumulative window then runs over
+    ``top_k`` rows on one task -- bounded, never data-scaled; the
+    corpus total is a 1-row broadcast (allowlisted scalar pattern).
+    Ties break lexicographically on the token for determinism.
+    """
+    from pyspark.sql.window import Window
+
+    tok_counts = (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = tok_counts.agg(F.sum("cnt").alias("total"))
+    top = tok_counts.orderBy(F.desc("cnt"), F.asc("token")).limit(top_k)
+    w = (
+        Window.orderBy(F.desc("cnt"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "token",
+            "cnt",
+            (F.sum("cnt").over(w) / F.col("total")).alias("cum_share"),
+        )
+    )

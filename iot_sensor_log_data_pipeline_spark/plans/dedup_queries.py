@@ -479,3 +479,132 @@ def dedup_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+#: DuckDB double dot / norm over the 64-dim embedding column (same
+#: fragments as plans/similarity_queries.py -- explicit element order,
+#: double accumulation, mirroring the Spark sequential fold).
+_EDOT = (
+    "list_sum(list_transform(range(64), "
+    "i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))"
+)
+_ENORM = (
+    "sqrt(list_sum(list_transform(range(64), "
+    "i -> CAST({a}[i+1] AS DOUBLE) * CAST({a}[i+1] AS DOUBLE))))"
+)
+
+#: Seed quantizer + 1-NN cell assignment (argmax dot, ties to the
+#: lower cell id) -- the pinned-quantizer stage shared by both
+#: SemDeDup oracles, identical to the IVF seed oracle's assignment.
+_SEMDEDUP_ASSIGN_CTE = f"""
+    cent AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cell,
+             embedding AS cv
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ),
+    dots AS (
+      SELECT e.vec_id, c.cell,
+             {_EDOT.format(a='e.embedding', b='c.cv')} AS dp
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn
+        FROM dots)
+      WHERE rn = 1
+    ),
+    sem_pairs AS (
+      SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+             {_EDOT.format(a='ea.embedding', b='eb.embedding')}
+               / ({_ENORM.format(a='ea.embedding')}
+                  * {_ENORM.format(a='eb.embedding')}) AS cos_sim
+      FROM assigned a
+      JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    )
+"""
+
+
+@register(
+    "dedup_semantic_pairs",
+    oracle=f"""
+    WITH {_SEMDEDUP_ASSIGN_CTE}
+    SELECT cell, id_a, id_b, round(cos_sim, 6) AS cos_sim
+    FROM sem_pairs
+    WHERE cos_sim >= 0.3
+    ORDER BY cell, id_a, id_b
+    """,
+    tags=("dedup", "north-star", "semantic", "embedding"),
+)
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup stage 1-2 (``operators/semdedup.py``, Abbas et al.
+    2023): 1-NN coarse-quantize every embedding against the pinned
+    16-cell seed quantizer, then report WITHIN-CELL pairs with cosine
+    >= 0.3 -- a cell-keyed self-join whose cost is the sum of per-cell
+    squares, never the corpus square.  The oracle replays quantizer,
+    assignment, and pair scoring stage-for-stage."""
+    from ..operators import semdedup as SD
+    from ..operators import similarity as SIM
+
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    cents = SIM.seed_centroids(emb, 16)
+    return (
+        SD.semantic_pairs(emb, 0.3, cents)
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "id_a",
+            "id_b",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+        .orderBy("cell", "id_a", "id_b")
+    )
+
+
+@register(
+    "dedup_semantic_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_SEMDEDUP_ASSIGN_CTE},
+    edges AS (SELECT id_a, id_b FROM sem_pairs WHERE cos_sim >= 0.3),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    reach(node, r) AS (
+      SELECT s, s FROM sym
+      UNION
+      SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.node
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    keepers AS (SELECT component, min(node) AS keep FROM comp GROUP BY component),
+    dropped AS (
+      SELECT c.node FROM comp c JOIN keepers k ON c.component = k.component
+      WHERE c.node <> k.keep
+    )
+    SELECT e.vec_id, CAST(e.label AS INT) AS label
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT node FROM dropped)
+    ORDER BY e.vec_id
+    """,
+    tags=("dedup", "north-star", "semantic", "embedding", "components"),
+)
+def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SemDeDup: within-cell cosine pairs (>= 0.3) -> connected
+    components (pointer-jumping) -> min-id exemplar survives each
+    component; singletons pass through untouched.  The embedding-space
+    dedup that catches paraphrases token-level MinHash cannot.  The
+    oracle rebuilds the components with a recursive min-label CTE."""
+    from ..operators import semdedup as SD
+    from ..operators import similarity as SIM
+
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    cents = SIM.seed_centroids(emb, 16)
+    return (
+        SD.semantic_dedup(emb, 0.3, centroids=cents)
+        .select("vec_id", F.col("label").cast("int").alias("label"))
+        .orderBy("vec_id")
+    )

@@ -476,3 +476,84 @@ def sketch_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.hll_registers(toks, "token", group_cols=("source",)).orderBy(
         "source", "register"
     )
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    grams AS (
+      SELECT doc_id, l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] AS gram
+      FROM (SELECT doc_id, l, unnest(range(greatest(len(l) - 2, 0))) AS i
+            FROM toks)
+    ),
+    gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram),
+    pd AS (
+      SELECT doc_id, sum(c) AS n_ngrams,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+             max(c) AS top
+      FROM gc GROUP BY doc_id
+    ),
+    tk AS (SELECT doc_id, len(l) AS n_tok, len(list_distinct(l)) AS n_dis
+           FROM toks)
+    SELECT p.doc_id, CAST(p.n_ngrams AS BIGINT) AS n_ngrams,
+           round(p.dup / p.n_ngrams, 6) AS dup_ngram_frac,
+           round(p.top / p.n_ngrams, 6) AS top_ngram_frac,
+           round(1.0 - CAST(t.n_dis AS DOUBLE) / t.n_tok, 6) AS dup_token_frac
+    FROM pd p JOIN tk t USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+    tags=("text", "quality", "repetition", "gopher"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition signals
+    (``operators/text.py:repetition_stats``, Rae et al. 2021): total
+    3-gram occurrences, duplicated-3-gram fraction, top-3-gram
+    fraction, duplicate-token fraction -- the self-repetition filters
+    a training-data quality gate thresholds on.  One explode + two
+    (doc, gram)-keyed hash aggregations; token stats are pure column
+    expressions."""
+    from ..operators.text import repetition_stats
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    stats = repetition_stats(docs, n=3)
+    return stats.select(
+        "doc_id",
+        "n_ngrams",
+        F.round("dup_ngram_frac", 6).alias("dup_ngram_frac"),
+        F.round("top_ngram_frac", 6).alias("top_ngram_frac"),
+        F.round("dup_token_frac", 6).alias("dup_token_frac"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    tc AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    total AS (SELECT sum(cnt) AS total FROM tc),
+    top AS (SELECT token, cnt FROM tc ORDER BY cnt DESC, token LIMIT 50)
+    SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+           token, CAST(cnt AS BIGINT) AS cnt,
+           round(sum(cnt) OVER (ORDER BY cnt DESC, token
+                                ROWS UNBOUNDED PRECEDING)
+                 / (SELECT total FROM total), 6) AS cum_share
+    FROM top
+    ORDER BY rank
+    """,
+    tags=("text", "tokenizer", "zipf", "coverage"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf head (``operators/text.py:vocab_coverage``): the 50
+    most frequent tokens and their cumulative share of all token
+    occurrences.  Hash-agg token counts, TakeOrderedAndProject top-k
+    (per-partition heaps), a 50-row cumulative window on one task, and
+    a 1-row corpus-total broadcast -- every stage bounded or
+    map-combined at 100 TB."""
+    from ..operators.text import vocab_coverage
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    cov = vocab_coverage(docs, top_k=50)
+    return cov.select(
+        "rank", "token", "cnt", F.round("cum_share", 6).alias("cum_share")
+    ).orderBy("rank")

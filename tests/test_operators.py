@@ -1171,3 +1171,112 @@ def test_persisted_index_kind_mismatch_raises(spark, sf_dir, tmp_path):
     ANN.build_lsh_index(emb, root, bands=4, rows_per_band=4)
     with pytest.raises(ValueError, match="not ivf"):
         ANN.query_ivf_index(spark, root, emb.limit(1), k=5)
+
+def _py_semdedup(vecs: dict, cells: dict, threshold: float) -> set:
+    """Pure-Python SemDeDup survivors: within-cell cosine pairs ->
+    union-find components -> min-id survives."""
+    import numpy as np
+
+    parent = {i: i for i in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(vecs)
+    for i in ids:
+        for j in ids:
+            if i < j and cells[i] == cells[j]:
+                a, b = np.asarray(vecs[i]), np.asarray(vecs[j])
+                cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+                if cos >= threshold:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    return {i for i in ids if find(i) == i}
+
+
+def test_semantic_dedup_matches_python_reference(spark):
+    """Clustered fixture with planted near-duplicates: the Spark
+    SemDeDup pipeline (1-NN cell assignment -> within-cell pairs ->
+    components -> min-id exemplar) must agree with a union-find
+    reference given the same quantizer."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import semdedup as SD
+    from iot_sensor_log_data_pipeline_spark.operators.similarity import (
+        _top_cells_udf,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 64)) * 8.0
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(12):
+            base = centers[c] + rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in base]))
+            vid += 1
+            if vid % 5 == 0:  # plant a near-duplicate of the row above
+                dup = base + rng.standard_normal(64) * 0.01
+                rows.append((vid, [float(x) for x in dup]))
+                vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = SIM.kmeans_centroids(emb, 4, sample_size=64)
+
+    got = {
+        r["vec_id"]
+        for r in SD.semantic_dedup(emb, 0.9, centroids=cents).collect()
+    }
+    # replay the same assignment driver-side for the reference
+    assigned = emb.select(
+        "vec_id", F.element_at(_top_cells_udf(cents, 1)(F.col("embedding")), 1).alias("cell")
+    ).collect()
+    cells = {r["vec_id"]: r["cell"] for r in assigned}
+    vecs = {r[0]: r[1] for r in rows and [(i, v) for i, v in rows]}
+    want = _py_semdedup(vecs, cells, 0.9)
+    assert got == want
+    assert len(got) < len(rows)  # the planted dups were removed
+
+
+def test_semantic_pairs_cell_restriction_recall(spark):
+    """The within-cell restriction must find every PLANTED near-
+    duplicate pair: near-identical embeddings 1-NN-quantize to the
+    same cell (the SemDeDup scalability argument -- the restriction's
+    contract is near-dup recall, not recall of weakly-similar pairs,
+    which legitimately straddle cell boundaries)."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import semdedup as SD
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((6, 64)) * 8.0
+    rows, planted = [], set()
+    vid = 0
+    for c in range(6):
+        for _ in range(20):
+            base = centers[c] + rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in base]))
+            if vid % 4 == 0:  # plant a near-duplicate
+                dup = base + rng.standard_normal(64) * 0.005
+                rows.append((vid + 1, [float(x) for x in dup]))
+                planted.add((vid, vid + 1))
+                vid += 2
+            else:
+                vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = SIM.kmeans_centroids(emb, 6, sample_size=256)
+    cell_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in SD.semantic_pairs(emb, 0.9, cents).collect()
+    }
+    exact_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.embedding_cosine_pairs(emb, 0.9, method="exact").collect()
+    }
+    assert cell_pairs <= exact_pairs  # no false pairs: same exact cosine
+    assert planted <= exact_pairs  # fixture sanity: dups really are >= 0.9
+    missed = planted - cell_pairs
+    assert not missed, f"cell restriction lost planted near-dups: {missed}"

@@ -43,6 +43,9 @@ BNLJ_ALLOWED = {
     # 1-row stats broadcast + <=n_bins x 5-quantile rank-range join
     # (both build sides bounded by sketch geometry) -- operators/sketch.py
     "agg_histogram_quantiles",
+    # crossJoin(broadcast(1-row corpus-total)) onto the top-50 rows --
+    # operators/text.py:vocab_coverage
+    "text_vocab_coverage",
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --
@@ -55,6 +58,9 @@ SIDE_EFFECT = {
     "maintenance_compaction_roundtrip",
     "scan_orc_roundtrip",
     "scan_xml_roundtrip",
+    # index build writes parquet before the probe plan exists
+    "similarity_persisted_lsh_ann",
+    "similarity_persisted_ivf_ann",
 }
 
 

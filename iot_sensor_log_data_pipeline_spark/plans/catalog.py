@@ -52,75 +52,64 @@ _QUERY_MODULES = (
 #: ``queries()`` per round, so this tuple -- not module import order --
 #: decides which queries get an external green row this round.  Names
 #: listed here are emitted first, in this order; every other query
-#: follows in registration order.  Round-3 priority: (a) queries whose
-#: output shape or plan changed after their last external check,
-#: (b) the 29 queries never reached by rounds 1-2's windows,
-#: (c) queries in files modified since their round-1 green row,
-#: (d) queries newly added this round.  Unknown names fail loudly in
-#: tests (``tests/test_catalog_oracle.py`` asserts the names resolve).
+#: follows in registration order.  Round-4 priority: (a) the 7
+#: round-3 additions no external window has reached yet, (b) queries
+#: new this round, (c) re-entries for every module edited this round
+#: (semantics-affecting edits first: the ``word_shingles`` refactor
+#: touches every shingle consumer; the ``histogram_quantiles`` NULL
+#: filter touches the sketch family; then append-only module edits).
+#: ``similarity_ivf_ann`` is deliberately NOT in the window: it is
+#: rows-only by design (sampled Lloyd's quantizer), its machinery is
+#: fully oracle-checked via the pinned-quantizer twin
+#: ``similarity_ivf_seed_ann`` and the persisted-index twin, so a
+#: driver `no_oracle` row adds no information.  Unknown names fail
+#: loudly in tests (``tests/test_catalog_oracle.py``).
 _VERIFY_PRIORITY: tuple[str, ...] = (
-    # (a) fixed after round 2's external check
-    "multimodal_byte_histogram",
+    # (a) round-3 additions never externally verified
+    "graph_pagerank_neardup",
+    "dedup_survivor_selection",
+    "similarity_pq_adc_ann",
+    "text_bpe_pairs",
+    "sketch_hll_by_source",
+    "multimodal_phash_dedup",
+    "quality_referential_checks",
+    # (b) new in round 4
+    "similarity_persisted_lsh_ann",
+    "similarity_persisted_ivf_ann",
+    "dedup_semantic_pairs",
+    "dedup_semantic_survivors",
+    "text_repetition_stats",
+    "text_vocab_coverage",
+    # (c1) re-entry: dedup.py word_shingles refactor (shingle/token
+    # consumers) + dedup_queries.py edits
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_passage_chunks",
+    "dedup_exact_documents",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    # (c2) re-entry: sketch.py NULL-filter edit (sketch family)
+    "agg_histogram_quantiles",
+    "sketch_count_min_tokens",
+    "sketch_hll_distinct_tokens",
+    "join_bloom_pruned_revenue",
+    # (c3) re-entry: text.py append-only edit (text family)
+    "text_token_stats",
+    "text_quality_score",
+    "text_language_id",
+    "text_fingerprint_clusters",
+    "text_top_tokens",
     "text_bm25_search",
     "text_tfidf_top_terms",
-    # (b) never externally verified in rounds 1-2
-    "scan_orc_roundtrip",
-    "scan_xml_roundtrip",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q21_waiting_suppliers",
-    "q22_dormant_accounts",
-    "join_bloom_pruned_revenue",
-    "subquery_scalar_avg",
-    "subquery_exists_bigorder",
-    "subquery_correlated_q17",
-    "udf_pandas_scalar_bucket",
-    "udf_grouped_map_zscore",
-    "udf_grouped_agg_weighted",
-    "udtf_tokenize_lateral",
-    "cdc_merge_upsert",
-    "scd2_customer_history",
-    "null_semantics",
-    "string_functions_extended",
-    "profile_events_table",
-    "incremental_rollup_merge",
-    "date_functions",
-    "math_functions",
-    "array_functions",
-    "json_functions",
-    "conditional_functions",
-    "hash_functions",
-    "map_functions",
-    "variant_functions",
-    "downsample_lttb_value",
-    # (c) green in round 1 but their module changed afterwards
-    "window_top_orders_per_customer",
-    "window_rank_functions",
-    "window_lag_lead",
-    "window_moving_avg",
-    "window_cumulative",
-    "window_range_trailing_hour",
-    "window_first_last",
-    "downsample_ohlc_10min",
-    "string_functions",
-    # (d) new or oracle-upgraded this round (appended below as built)
-    "similarity_lsh_ann",
-    "similarity_ivf_seed_ann",
-    "similarity_ivf_ann",
     "text_pii_redact",
     "text_unigram_logprob",
-    "dedup_passage_chunks",
-    "corpus_weighted_sample",
-    "agg_histogram_quantiles",
+    # (c4) re-entry: similarity_queries.py oracle-constant refactor
+    "similarity_topk_cosine",
+    "similarity_lsh_ann",
+    "similarity_label_centroids",
+    "similarity_ivf_seed_ann",
 )
-
-#: Round-4 rotation candidates (locally green, not yet in an external
-#: window): queries added after this round's window filled --
-#: similarity_pq_adc_ann, text_bpe_pairs, quality_referential_checks,
-#: graph_pagerank_neardup, multimodal_phash_dedup, sketch_hll_by_source,
-#: dedup_survivor_selection
-#: -- plus any entry whose module changes after its last external
-#: green row.
 
 
 @dataclass(frozen=True)

@@ -177,3 +177,57 @@ def contaminated_docs(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_overlapping_ngrams"))
     )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    target_shares: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-domain sampling weights that steer the corpus token mixture
+    toward a target (uniform across domains by default) -- the domain
+    reweighting step of training-data curation (the fixed-target
+    special case of DoReMi-style mixture optimization, Xie et al.
+    2023: one reweighting pass, no proxy-model loop).
+
+    Returns (group, n_docs, n_tokens, token_share, weight) where
+    ``weight = target_share / token_share``: >1 means upsample this
+    domain, <1 downsample; weighted token mass then matches the
+    target.  Feed ``weight`` into ``weighted_sample`` for the draw.
+
+    Scale shape: per-group token totals are one hash agg over
+    group_col (pure column token_count, no explode); the corpus total
+    is a 1-row broadcast (allowlisted scalar pattern).  The group
+    table is dashboard-sized at any corpus scale.
+    """
+    from .text import token_count
+
+    per_group = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    total = per_group.agg(
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+        F.count(F.lit(1)).cast("double").alias("n_groups"),
+    )
+    out = per_group.crossJoin(F.broadcast(total)).withColumn(
+        "token_share", F.col("n_tokens") / F.col("total_tokens")
+    )
+    if target_shares is None:
+        target = 1.0 / F.col("n_groups")
+    else:
+        target = None
+        for g, share in sorted(target_shares.items()):
+            branch = F.when(F.col(group_col) == g, F.lit(float(share)))
+            target = branch if target is None else target.when(
+                F.col(group_col) == g, F.lit(float(share))
+            )
+        target = target.otherwise(F.lit(0.0))
+    return out.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        "token_share",
+        (target / F.col("token_share")).alias("weight"),
+    )

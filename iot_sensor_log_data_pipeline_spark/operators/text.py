@@ -364,7 +364,11 @@ def repetition_stats(
     and the shuffle key cardinality is bounded by corpus token count;
     per-doc token stats are pure column expressions joined back on the
     doc id.  Docs with fewer than ``n`` tokens have no n-grams and are
-    omitted (no NULL-fraction rows).
+    omitted (no NULL-fraction rows).  For a filter-predicate (per-row,
+    no shuffle) subset of these signals see
+    ``curation.dup_ngram_fraction`` / ``curation.repetition_pass``;
+    this operator adds the top-gram share, which needs per-doc gram
+    COUNTS, not just the distinct-vs-total sizes.
     """
     from .dedup import word_shingles_all
 
@@ -427,5 +431,54 @@ def vocab_coverage(
             "token",
             "cnt",
             (F.sum("cnt").over(w) / F.col("total")).alias("cum_share"),
+        )
+    )
+
+
+def bigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean bigram conditional log-probability under the
+    corpus's own bigram model -- the context-aware upgrade of
+    ``unigram_logprob`` (CCNet-style LM quality filtering approximated
+    corpus-self: real pipelines use a 5-gram KenLM; the bigram MLE is
+    the largest order whose statistics stay exactly SQL-replayable).
+    Documents whose token TRANSITIONS are globally unusual score low
+    even when each token is individually common -- the signal unigram
+    scoring cannot see.
+
+    p(b|a) = count(a,b) / count(a as context); scoring the training
+    corpus itself means every scored bigram was observed, so the MLE
+    needs no smoothing and the estimate is exact.
+
+    Scale shape: one bigram explode (token-linear), a (a,b)-keyed and
+    an a-keyed hash agg (map-side combined, the context table derived
+    from the bigram table -- no second corpus pass), equi-joins back,
+    per-doc avg.  Docs with < 2 tokens have no bigrams and are
+    omitted.
+    """
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("l"))
+    m = F.greatest(F.size("l") - 1, F.lit(0))
+    zipped = F.arrays_zip(F.slice("l", 1, m), F.slice("l", 2, m))
+    bg = toks.select(
+        id_col, F.explode(zipped).alias("p")
+    ).select(
+        id_col,
+        F.col("p").getField("0").alias("a"),
+        F.col("p").getField("1").alias("b"),
+    )
+    bn = _SCRATCH.cache(
+        bg.groupBy("a", "b").agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
+    )
+    cn = bn.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    return (
+        bg.join(bn, ["a", "b"])
+        .join(cn, "a")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("n_ab") / F.col("n_a"))), 6).alias(
+                "avg_logprob"
+            ),
         )
     )

@@ -80,6 +80,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "dedup_semantic_survivors",
     "text_repetition_stats",
     "text_vocab_coverage",
+    "text_bigram_logprob",
+    "corpus_mixture_weights",
     # (c1) re-entry: dedup.py word_shingles refactor (shingle/token
     # consumers) + dedup_queries.py edits
     "dedup_ngram_jaccard",

@@ -362,3 +362,40 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.weighted_sample(
         docs, F.col("n_chars").cast("double"), k=100
     ).select("doc_id", "source", "n_chars", "sample_key")
+
+
+@register(
+    "corpus_mixture_weights",
+    oracle=f"""
+    WITH pg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum({_NTOK}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total_tokens,
+                   CAST(count(*) AS DOUBLE) AS n_groups FROM pg)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / total_tokens, 6) AS token_share,
+           round((1.0 / n_groups) / (n_tokens / total_tokens), 6) AS weight
+    FROM pg CROSS JOIN tot
+    ORDER BY source
+    """,
+    tags=("curation", "mixture", "domain-weights"),
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting
+    (``operators/curation.py:mixture_weights``): per-source token
+    shares and the sampling weight that moves the corpus to a uniform
+    per-domain token budget (the fixed-target special case of DoReMi,
+    Xie et al. 2023).  weight > 1 means upsample; feed into
+    ``weighted_sample`` for the draw.  One group hash agg + a 1-row
+    corpus-total broadcast."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    w = CU.mixture_weights(docs, group_col="source")
+    return w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("token_share", 6).alias("token_share"),
+        F.round("weight", 6).alias("weight"),
+    ).orderBy("source")

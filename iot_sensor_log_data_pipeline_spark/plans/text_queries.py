@@ -557,3 +557,35 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cov.select(
         "rank", "token", "cnt", F.round("cum_share", 6).alias("cum_share")
     ).orderBy("rank")
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    bg AS (
+      SELECT doc_id, l[i+1] AS a, l[i+2] AS b
+      FROM (SELECT doc_id, l, unnest(range(greatest(len(l) - 1, 0))) AS i
+            FROM toks)
+    ),
+    bn AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS n_ab FROM bg GROUP BY a, b),
+    cn AS (SELECT a, sum(n_ab) AS n_a FROM bn GROUP BY a)
+    SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(n_ab / n_a)), 6) AS avg_logprob
+    FROM bg
+    JOIN bn ON bg.a = bn.a AND bg.b = bn.b
+    JOIN cn ON bg.a = cn.a
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """,
+    tags=("text", "quality", "lm", "bigram"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-aware LM quality scoring
+    (``operators/text.py:bigram_logprob``): per-document mean bigram
+    conditional log-probability under the corpus's own bigram MLE --
+    flags documents whose token TRANSITIONS are globally unusual even
+    when every token is individually common.  One bigram explode, two
+    map-combined hash aggs, equi-joins back, per-doc avg."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return TX.bigram_logprob(docs).orderBy("doc_id")

@@ -1280,3 +1280,55 @@ def test_semantic_pairs_cell_restriction_recall(spark):
     assert planted <= exact_pairs  # fixture sanity: dups really are >= 0.9
     missed = planted - cell_pairs
     assert not missed, f"cell restriction lost planted near-dups: {missed}"
+
+def test_bigram_logprob_matches_python(spark):
+    """Bigram MLE scoring vs a hand-rolled reference on a tiny corpus."""
+    import math
+    from collections import Counter
+
+    from iot_sensor_log_data_pipeline_spark.operators.text import bigram_logprob
+
+    texts = {1: "a b a b c", 2: "a b", 3: "c c c", 4: "solo"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"]) for r in bigram_logprob(df).collect()}
+
+    bigrams = {d: list(zip(t.split(), t.split()[1:])) for d, t in texts.items()}
+    bn = Counter(b for bs in bigrams.values() for b in bs)
+    cn = Counter(b[0] for bs in bigrams.values() for b in bs)
+    for d, bs in bigrams.items():
+        if not bs:
+            assert d not in got  # <2 tokens: omitted
+            continue
+        want = sum(math.log(bn[b] / cn[b[0]]) for b in bs) / len(bs)
+        assert got[d][0] == len(bs)
+        assert abs(got[d][1] - round(want, 6)) < 1e-9, (d, got[d], want)
+
+
+def test_mixture_weights_uniform_and_explicit(spark):
+    from iot_sensor_log_data_pipeline_spark.operators.curation import (
+        mixture_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "web", "a b c d e f"), (2, "web", "a b"), (3, "books", "x y")],
+        "doc_id long, source string, text string",
+    )
+    uni = {r["source"]: r for r in mixture_weights(df, "source").collect()}
+    assert uni["web"]["n_tokens"] == 8 and uni["books"]["n_tokens"] == 2
+    assert abs(uni["web"]["token_share"] - 0.8) < 1e-12
+    # uniform target: each domain should hold 1/2 the tokens
+    assert abs(uni["web"]["weight"] - 0.5 / 0.8) < 1e-12
+    assert abs(uni["books"]["weight"] - 0.5 / 0.2) < 1e-12
+    # weighted token mass matches the target mixture
+    assert abs(
+        uni["web"]["weight"] * 0.8 - uni["books"]["weight"] * 0.2
+    ) < 1e-12
+
+    exp = {
+        r["source"]: r
+        for r in mixture_weights(
+            df, "source", target_shares={"web": 0.25, "books": 0.75}
+        ).collect()
+    }
+    assert abs(exp["web"]["weight"] - 0.25 / 0.8) < 1e-12
+    assert abs(exp["books"]["weight"] - 0.75 / 0.2) < 1e-12

@@ -46,6 +46,9 @@ BNLJ_ALLOWED = {
     # crossJoin(broadcast(1-row corpus-total)) onto the top-50 rows --
     # operators/text.py:vocab_coverage
     "text_vocab_coverage",
+    # crossJoin(broadcast(1-row total+n_groups)) onto the per-domain
+    # table -- operators/curation.py:mixture_weights
+    "corpus_mixture_weights",
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --

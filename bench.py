@@ -42,13 +42,20 @@ HEADLINE: tuple[str, ...] = (
     "dedup_exact_documents",
     "dedup_minhash_lsh",
     "dedup_passage_chunks",
+    "dedup_semantic_survivors",
     "similarity_topk_cosine",
     "similarity_lsh_ann",
     "similarity_ivf_seed_ann",
+    # build+probe cost of the persisted index (index build dominates;
+    # probe-only cost is the lsh_ann line above)
+    "similarity_persisted_lsh_ann",
     "text_quality_score",
     "text_unigram_logprob",
+    "text_bigram_logprob",
+    "text_repetition_stats",
     "downsample_lttb_value",
     "corpus_weighted_sample",
+    "corpus_mixture_weights",
 )
 
 

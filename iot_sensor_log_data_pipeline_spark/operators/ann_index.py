@@ -99,6 +99,35 @@ def build_lsh_index(
     ).coalesce(1).write.mode("overwrite").parquet(_sub(path, "config"))
 
 
+def append_lsh_index(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to an existing SRP-LSH index: the
+    persisted hyperplanes are re-read (so signatures are computed
+    against the SAME quantizer the index was built with) and the new
+    postings/vectors are appended -- the daily-ingest maintenance
+    path; no rebuild, cost is one pass over the NEW rows only.
+    Caller contract: ids must be disjoint from ids already indexed
+    (append never dedups)."""
+    spark = vectors.sparkSession
+    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    if cfg["kind"] != "lsh":
+        raise ValueError(f"index at {path} is {cfg['kind']!r}, not lsh")
+    plane_rows = spark.read.parquet(_sub(path, "planes")).orderBy("plane_id").collect()
+    planes = [list(r["w"]) for r in plane_rows]
+    bands_udf = _srp_bands_udf(planes, cfg["bands"], cfg["rows_per_band"])
+
+    base = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    entries = base.select(
+        "id", F.posexplode(bands_udf(F.col("vec"))).alias("band_id", "bucket")
+    )
+    entries.write.mode("append").parquet(_sub(path, "entries"))
+    base.write.mode("append").parquet(_sub(path, "vectors"))
+
+
 def query_lsh_index(
     spark: SparkSession,
     path: str,

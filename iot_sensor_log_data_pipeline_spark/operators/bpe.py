@@ -25,8 +25,10 @@ pair statistics are oracle-checked (``text_bpe_pairs``).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import tokens
 
@@ -135,3 +137,76 @@ def bpe_merges(
     return spark.createDataFrame(
         out, "merge_rank long, pair string, merged string, cnt long"
     )
+
+
+def bpe_encode_expr(
+    docs: DataFrame,
+    merges: list[tuple[str, str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize ``text`` by applying learned merges in rank order --
+    the APPLY side of BPE (``bpe_merges`` is the training side).
+
+    Pure-column-expression implementation: per word, the initial
+    char-symbol array is rewritten by one ``merge_pair`` fold per
+    merge, all inside a ``transform`` over the token array, then
+    flattened -- entirely JVM-side, no Python in the loop.  Each merge
+    nests one more ``aggregate`` around the expression, so codegen
+    depth grows linearly with ``len(merges)``: right for small/derived
+    merge lists (<= ~16); use ``bpe_encode_udf`` for real tokenizer
+    vocabularies."""
+
+    def encode_word(w: Column) -> Column:
+        syms = chars(w)
+        for a, b, merged in merges:
+            syms = merge_pair(syms, a, b, merged)
+        return syms
+
+    return docs.withColumn(
+        out_col, F.flatten(F.transform(tokens(text_col), encode_word))
+    )
+
+
+def bpe_encode_udf(
+    docs: DataFrame,
+    merges: list[tuple[str, str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Arrow-batched BPE apply for production merge lists (32k+ merges
+    ride the closure as one dict; per-word encoding is the classic
+    greedy lowest-rank-pair loop).  Semantically identical to
+    ``bpe_encode_expr`` (asserted in pytest); linear in text length
+    per merge applied, independent of codegen depth."""
+    rank = {(a, b): (i, m) for i, (a, b, m) in enumerate(merges)}
+
+    def encode_word(w: str) -> list[str]:
+        syms = list(w)
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r[0] < best[0]):
+                    best = (r[0], r[1], syms[i], syms[i + 1])
+            if best is None:
+                break
+            _, merged, a, b = best
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def encode(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: [s for w in t.split() if w for s in encode_word(w)]
+        )
+
+    return docs.withColumn(out_col, encode(F.col(text_col)))

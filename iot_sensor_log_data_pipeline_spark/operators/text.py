@@ -482,3 +482,63 @@ def bigram_logprob(
             ),
         )
     )
+
+
+def hash_embedding(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic text -> dense vector via the hashing trick
+    (feature hashing, Weinberger et al. 2009): every token occurrence
+    adds +-1 to the dimension ``md5(token) mod dim``, sign drawn from
+    another md5 bit -- a trained-model-free document embedding whose
+    cosine geometry reflects token-distribution overlap, giving the
+    similarity/SemDeDup family a REAL text-derived vector producer
+    (the corpus ``embeddings`` table is synthetic).
+
+    Deterministic and engine-portable by construction (same md5
+    derivations as the minhash/SRP machinery), so the whole map is
+    SQL-replayable.  Scale shape: token explode -> (doc, dim)-keyed
+    hash agg (map-side combined; at most ``dim`` rows per doc out of
+    the shuffle) -> per-doc map fold into the dense array.  Returns
+    (id, embedding array<double>); all-zero vectors are possible only
+    for empty docs (dropped -- cosine consumers require non-zero
+    vectors, the documented contract of the similarity family).
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    h = tok.select(
+        id_col,
+        (F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long") % dim).alias(
+            "idx"
+        ),
+        F.when(
+            F.conv(F.substring(F.md5("t"), 9, 1), 16, 10).cast("long") % 2 == 0,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("s"),
+    )
+    cells = h.groupBy(id_col, "idx").agg(F.sum("s").alias("val"))
+    dense = (
+        cells.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("idx"), F.col("val")))
+            ).alias("m")
+        )
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: F.coalesce(
+                    F.element_at(F.col("m"), d.cast("long")), F.lit(0.0)
+                ),
+            ).alias(out_col),
+        )
+    )
+    return dense.where(
+        F.exists(F.col(out_col), lambda v: v != 0.0)
+    )

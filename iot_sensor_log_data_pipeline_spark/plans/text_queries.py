@@ -589,3 +589,51 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-combined hash aggs, equi-joins back, per-doc avg."""
     docs = parallelize_small(load(spark, sf_dir, "documents"))
     return TX.bigram_logprob(docs).orderBy("doc_id")
+
+
+@register(
+    "text_hash_embedding",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS idx,
+             CASE WHEN CAST(('0x' || substr(md5(t), 9, 1)) AS BIGINT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM tok
+    ),
+    cells AS (SELECT doc_id, idx, sum(s) AS val FROM h GROUP BY doc_id, idx),
+    docs_with AS (
+      SELECT doc_id FROM cells GROUP BY doc_id
+      HAVING sum(CASE WHEN val <> 0 THEN 1 ELSE 0 END) > 0
+    ),
+    grid AS (SELECT doc_id, d FROM docs_with CROSS JOIN range(64) t(d))
+    SELECT g.doc_id, g.d AS dim_idx,
+           round(coalesce(c.val, 0.0), 6) AS val
+    FROM grid g LEFT JOIN cells c ON c.doc_id = g.doc_id AND c.idx = g.d
+    ORDER BY g.doc_id, g.d
+    """,
+    tags=("text", "embedding", "feature-hashing"),
+)
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings
+    (``operators/text.py:hash_embedding``, Weinberger et al. 2009):
+    every token occurrence adds +-1 (md5-derived sign) to dimension
+    md5(token) mod 64, yielding a deterministic, trained-model-free
+    text vector whose cosine reflects token-distribution overlap --
+    the engine's own text->vector producer for the similarity /
+    SemDeDup family.  Output exploded to (doc_id, dim_idx, val) so
+    the oracle compares scalars, not float arrays."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    emb = TX.hash_embedding(docs, dim=64)
+    return (
+        emb.select(
+            "doc_id", F.posexplode("embedding").alias("dim_idx", "val")
+        )
+        .select(
+            "doc_id",
+            F.col("dim_idx").cast("long").alias("dim_idx"),
+            F.round("val", 6).alias("val"),
+        )
+        .orderBy("doc_id", "dim_idx")
+    )

@@ -58,6 +58,17 @@ def _sub(path: str, name: str) -> str:
     return os.path.join(path, name)
 
 
+def _write_small(spark: SparkSession, data: list, schema: str, path: str) -> None:
+    """Write a KB-scale metadata table as ONE parquet file.  Built via
+    ``parallelize(data, 1)``: ``createDataFrame(...).coalesce(1)``
+    would put the default-parallelism local partitions into a single
+    task that deserializes them sequentially (measured ~5 s per tiny
+    table on local[32]; this path is ~0.4 s)."""
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), schema
+    ).write.mode("overwrite").parquet(path)
+
+
 def build_lsh_index(
     vectors: DataFrame,
     path: str,
@@ -89,14 +100,18 @@ def build_lsh_index(
     )
     entries.write.mode("overwrite").parquet(_sub(path, "entries"))
     base.write.mode("overwrite").parquet(_sub(path, "vectors"))
-    spark.createDataFrame(
+    _write_small(
+        spark,
         [(j, [float(x) for x in plane]) for j, plane in enumerate(planes)],
         "plane_id int, w array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(_sub(path, "planes"))
-    spark.createDataFrame(
+        _sub(path, "planes"),
+    )
+    _write_small(
+        spark,
         [("lsh", int(bands), int(rows_per_band), int(dim))],
         "kind string, bands int, rows_per_band int, dim int",
-    ).coalesce(1).write.mode("overwrite").parquet(_sub(path, "config"))
+        _sub(path, "config"),
+    )
 
 
 def append_lsh_index(
@@ -213,13 +228,18 @@ def build_ivf_index(
     entries = base.select("id", F.explode(assign_cells(F.col("vec"))).alias("cell"))
     entries.write.mode("overwrite").parquet(_sub(path, "entries"))
     base.write.mode("overwrite").parquet(_sub(path, "vectors"))
-    spark.createDataFrame(
+    _write_small(
+        spark,
         [(int(c), [float(x) for x in v]) for c, v in centroids],
         "cell int, cv array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(_sub(path, "centroids"))
-    spark.createDataFrame(
-        [("ivf", int(n_assign), int(dim))], "kind string, n_assign int, dim int"
-    ).coalesce(1).write.mode("overwrite").parquet(_sub(path, "config"))
+        _sub(path, "centroids"),
+    )
+    _write_small(
+        spark,
+        [("ivf", int(n_assign), int(dim))],
+        "kind string, n_assign int, dim int",
+        _sub(path, "config"),
+    )
 
 
 def query_ivf_index(

@@ -83,6 +83,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "text_bigram_logprob",
     "corpus_mixture_weights",
     "text_hash_embedding",
+    "dedup_ngram_containment",
     # (c1) re-entry: dedup.py word_shingles refactor (shingle/token
     # consumers) + dedup_queries.py edits
     "dedup_ngram_jaccard",

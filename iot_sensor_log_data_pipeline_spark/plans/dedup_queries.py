@@ -608,3 +608,34 @@ def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("label").cast("int").alias("label"))
         .orderBy("vec_id")
     )
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_NGRAM_INTER_CTE}
+    SELECT i.id_a, i.id_b,
+           round(i.n_common / least(sa.set_size, sb.set_size), 6)
+             AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_common / least(sa.set_size, sb.set_size) >= 0.5
+    ORDER BY i.id_a, i.id_b
+    """,
+    tags=("dedup", "north-star", "containment"),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric set containment (Broder 1997):
+    |A n B| / min(|A|, |B|) >= 0.5 over 3-gram shingles -- catches a
+    short document embedded verbatim in a longer one, which symmetric
+    Jaccard under-scores (the union is dominated by the long doc).
+    Shares the jaccard pipeline's candidate generation and full-table
+    verification (``operators/dedup.py:ngram_containment_pairs``)."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return (
+        DD.ngram_containment_pairs(docs, threshold=0.5)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+        .orderBy("id_a", "id_b")
+    )

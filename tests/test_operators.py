@@ -1444,3 +1444,22 @@ def test_hash_embedding_composes_with_semantic_dedup(spark):
     }
     assert set(pairs) == {(1, 2)}
     assert abs(pairs[(1, 2)] - 1.0) < 1e-9
+
+def test_ngram_containment_catches_embedded_doc(spark):
+    """A short doc embedded verbatim in a long doc: containment ~1.0
+    even though Jaccard is low (the asymmetric case the operator
+    exists for)."""
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"filler{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "zz yy xx ww vv uu")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in DD.ngram_containment_pairs(df, threshold=0.9).collect()
+    }
+    assert set(cont) == {(1, 2)}
+    assert abs(cont[(1, 2)] - 1.0) < 1e-9
+    jac = DD.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []  # symmetric Jaccard misses the embedded pair

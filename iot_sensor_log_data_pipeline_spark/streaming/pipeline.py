@@ -272,3 +272,66 @@ def near_dup_match_stream(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark([id_col, "corpus_id"])
     )
+
+
+def ann_match_stream(
+    stream_vecs: DataFrame,
+    index_path: str,
+    threshold: float = 0.9,
+    ts_col: str = "ts",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """In-flight EMBEDDING similarity match against a persisted SRP-LSH
+    index (``operators/ann_index.py``): the vector-space twin of
+    ``near_dup_match_stream``, for pipelines that must flag
+    semantically near-identical arrivals (paraphrase spam, re-uploads)
+    at ingest.
+
+    Scale shape: band keys are computed per row with the index's OWN
+    persisted hyperplanes (stateless Arrow UDF, no stream-side
+    aggregation); candidates come from a stream-static equi-join on
+    (band_id, bucket); exact cosine against the stored vectors keeps
+    only matches >= ``threshold``; the only streaming state is the
+    within-watermark (arrival, corpus) dedup.  Emits
+    (vec_id, ts, corpus_id, cos_sim) in append mode.
+    """
+    from ..operators.ann_index import _sub
+    from ..operators.similarity import _srp_bands_udf, cosine
+
+    spark = stream_vecs.sparkSession
+    cfg = spark.read.parquet(_sub(index_path, "config")).collect()[0]
+    if cfg["kind"] != "lsh":
+        raise ValueError(f"index at {index_path} is {cfg['kind']!r}, not lsh")
+    plane_rows = (
+        spark.read.parquet(_sub(index_path, "planes")).orderBy("plane_id").collect()
+    )
+    planes = [list(r["w"]) for r in plane_rows]
+    bands_udf = _srp_bands_udf(planes, cfg["bands"], cfg["rows_per_band"])
+
+    probes = stream_vecs.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.col(vec_col).alias("query_vec"),
+        F.posexplode(bands_udf(F.col(vec_col))).alias("band_id", "bucket"),
+    )
+    entries = spark.read.parquet(_sub(index_path, "entries")).select(
+        F.col("id").alias("corpus_id"), "band_id", "bucket"
+    )
+    vecs = spark.read.parquet(_sub(index_path, "vectors")).select(
+        F.col("id").alias("corpus_id"), "vec"
+    )
+    return (
+        probes.join(entries, ["band_id", "bucket"])
+        .join(vecs, "corpus_id")
+        .select(
+            id_col,
+            ts_col,
+            "corpus_id",
+            F.round(cosine(F.col("query_vec"), F.col("vec")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([id_col, "corpus_id"])
+    )

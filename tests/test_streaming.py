@@ -557,3 +557,53 @@ def test_near_dup_match_stream_flags_corpus_copy(spark, tmp_path):
     finally:
         q.stop()
     assert got == {(1, 100)}
+
+
+def test_ann_match_stream_flags_near_identical_vector(spark, tmp_path):
+    """Streaming ANN: an arriving vector near-identical to an indexed
+    corpus vector must match the persisted LSH index in-flight with
+    cosine >= threshold; an unrelated vector must not."""
+    from datetime import datetime
+
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as ANN
+
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal(64)
+    corpus = spark.createDataFrame(
+        [
+            (100, [float(x) for x in base]),
+            (101, [float(x) for x in rng.standard_normal(64)]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    root = str(tmp_path / "lsh_idx")
+    ANN.build_lsh_index(corpus, root, bands=16, rows_per_band=4)
+
+    src = str(tmp_path / "vec_stream")
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    near_dup = base + rng.standard_normal(64) * 0.001
+    incoming = spark.createDataFrame(
+        [
+            (1, t0, [float(x) for x in near_dup]),
+            (2, t0, [float(x) for x in rng.standard_normal(64)]),
+        ],
+        "vec_id long, ts timestamp, embedding array<float>",
+    )
+    incoming.write.parquet(src)
+
+    stream = spark.readStream.schema(incoming.schema).parquet(src)
+    matches = P.ann_match_stream(stream, root, threshold=0.9)
+    name = "ann_match_stream_sink"
+    q = P.start_memory_sink(matches, name)
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["vec_id"], r["corpus_id"]): r["cos_sim"]
+            for r in spark.table(name).collect()
+        }
+    finally:
+        q.stop()
+    assert set(got) == {(1, 100)}
+    assert got[(1, 100)] > 0.99

@@ -84,6 +84,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "corpus_mixture_weights",
     "text_hash_embedding",
     "dedup_ngram_containment",
+    "events_path_trigrams",
     # (c1) re-entry: dedup.py word_shingles refactor (shingle/token
     # consumers) + dedup_queries.py edits
     "dedup_ngram_jaccard",

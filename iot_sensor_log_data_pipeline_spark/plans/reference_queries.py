@@ -596,3 +596,49 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "event_type", "event_id", "value", F.round("z_raw", 4).alias("z")
     )
+
+
+@register(
+    "events_path_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             lag(event_type, 2) OVER w AS p2,
+             lag(event_type, 1) OVER w AS p1,
+             event_type AS et
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p2 || ' > ' || p1 || ' > ' || et AS path,
+           count(*) AS n_occurrences
+    FROM seq
+    WHERE p2 IS NOT NULL AND p1 IS NOT NULL
+    GROUP BY path
+    ORDER BY n_occurrences DESC, path
+    LIMIT 20
+    """,
+    tags=("analytics", "events", "paths"),
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: the 20 most common 3-step event-type
+    sequences across users (the 'common journeys' query behind funnel
+    design).  Per-user lag windows form the trigrams (partitioned --
+    never a global sort), a path-keyed hash agg counts them (map-side
+    combined), and the top-20 is TakeOrderedAndProject.  Deterministic:
+    ts ties broken by event_id, count ties by path string."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        F.lag("event_type", 2).over(w).alias("p2"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.col("event_type").alias("et"),
+    )
+    return (
+        seq.where(F.col("p2").isNotNull() & F.col("p1").isNotNull())
+        .select(F.concat_ws(" > ", "p2", "p1", "et").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "path")
+        .limit(20)
+    )

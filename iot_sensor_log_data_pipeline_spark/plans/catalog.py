@@ -85,6 +85,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "text_hash_embedding",
     "dedup_ngram_containment",
     "events_path_trigrams",
+    "text_bm25_persisted_index",
     # (c1) re-entry: dedup.py word_shingles refactor (shingle/token
     # consumers) + dedup_queries.py edits
     "dedup_ngram_jaccard",

@@ -276,9 +276,10 @@ _BM25_SCORE = " + ".join(
 )
 
 
-@register(
-    "text_bm25_search",
-    oracle=f"""
+#: Shared by ``text_bm25_search`` and its persisted-index twin: the
+#: index-backed probe reproduces the scan-side score term-for-term
+#: (identity asserted in pytest), so both rows replay the same SQL.
+_BM25_ORACLE = f"""
     WITH base AS (
       SELECT doc_id,
              {_NTOK} AS dl,
@@ -297,7 +298,12 @@ _BM25_SCORE = " + ".join(
     WHERE bm25 > 0
     ORDER BY bm25 DESC, doc_id
     LIMIT 15
-    """,
+    """
+
+
+@register(
+    "text_bm25_search",
+    oracle=_BM25_ORACLE,
     tags=("text", "north-star", "retrieval"),
 )
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -636,4 +642,31 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("val", 6).alias("val"),
         )
         .orderBy("doc_id", "dim_idx")
+    )
+
+
+@register(
+    "text_bm25_persisted_index",
+    oracle=_BM25_ORACLE,
+    tags=("text", "north-star", "retrieval", "persisted-index"),
+)
+def text_bm25_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from a PERSISTED inverted index
+    (``operators/text_index.py``): posting lists, doc lengths, and
+    corpus stats are materialized to parquet once, then the same
+    3-term query runs as a term-pruned postings read + pivot + scored
+    join -- result-identical to the ad-hoc scan (same summation
+    order), sharing its oracle.  At 100 TB the build is the one
+    corpus pass; each query touches only its terms' postings."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..operators import text_index as TI
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    sf_name = _os.path.basename(sf_dir.rstrip("/")) or "corpus"
+    root = _os.path.join(_tempfile.gettempdir(), "engine_text_index", sf_name)
+    TI.build_text_index(docs, root)
+    return TI.query_text_index(
+        spark, root, _BM25_TERMS, k=15, k1=_BM25_K1, b=_BM25_B
     )

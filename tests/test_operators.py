@@ -1463,3 +1463,18 @@ def test_ngram_containment_catches_embedded_doc(spark):
     assert abs(cont[(1, 2)] - 1.0) < 1e-9
     jac = DD.ngram_jaccard_pairs(df, threshold=0.5).collect()
     assert jac == []  # symmetric Jaccard misses the embedded pair
+
+def test_persisted_text_index_matches_adhoc_bm25(spark, sf_dir, tmp_path):
+    """BM25 from the persisted inverted index must be result-identical
+    to the ad-hoc scan-side ranker -- the contract that lets the
+    index-backed catalog query share the ad-hoc oracle."""
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
+
+    docs = load(spark, sf_dir, "documents")
+    terms = ("spark", "join", "window")
+    root = str(tmp_path / "text_idx")
+    TI.build_text_index(docs, root)
+    got = [tuple(r) for r in TI.query_text_index(spark, root, terms, k=15).collect()]
+    want = [tuple(r) for r in TX.bm25_rank(docs, terms, k=15).collect()]
+    assert got == want and len(got) > 0

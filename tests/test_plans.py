@@ -64,6 +64,7 @@ SIDE_EFFECT = {
     # index build writes parquet before the probe plan exists
     "similarity_persisted_lsh_ann",
     "similarity_persisted_ivf_ann",
+    "text_bm25_persisted_index",
 }
 
 

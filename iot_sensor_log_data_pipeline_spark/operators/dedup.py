@@ -627,6 +627,18 @@ def connected_components(
         F.col("src").alias("node"),
         F.least(F.col("src"), F.col("nbr_min")).alias("component"),
     )
+
+    def label_sum(df: DataFrame):
+        # Convergence witness: both updates below only LOWER a node's
+        # component (F.least against the current value), so the label
+        # table changed iff this sum strictly decreased -- one narrow
+        # aggregation instead of a self-join diff per round.  decimal
+        # sum: exact at any node-count x id magnitude.
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         neighbor_min = (
             both.join(labels, both.dst == labels.node)
@@ -656,16 +668,11 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations; "
         "labels would be silently wrong -- raise max_iter"

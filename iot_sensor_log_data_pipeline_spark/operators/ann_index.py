@@ -242,6 +242,30 @@ def build_ivf_index(
     )
 
 
+def append_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to an existing IVF index against its
+    PERSISTED centroids (quantizer state never drifts between build
+    and append).  Same caller contract as ``append_lsh_index``: new
+    ids must be disjoint from those already indexed."""
+    spark = vectors.sparkSession
+    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    if cfg["kind"] != "ivf":
+        raise ValueError(f"index at {path} is {cfg['kind']!r}, not ivf")
+    cent_rows = spark.read.parquet(_sub(path, "centroids")).orderBy("cell").collect()
+    centroids = [(int(r["cell"]), list(r["cv"])) for r in cent_rows]
+    assign_cells = _top_cells_udf(centroids, cfg["n_assign"])
+
+    base = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    entries = base.select("id", F.explode(assign_cells(F.col("vec"))).alias("cell"))
+    entries.write.mode("append").parquet(_sub(path, "entries"))
+    base.write.mode("append").parquet(_sub(path, "vectors"))
+
+
 def query_ivf_index(
     spark: SparkSession,
     path: str,

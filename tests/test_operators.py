@@ -1478,3 +1478,53 @@ def test_persisted_text_index_matches_adhoc_bm25(spark, sf_dir, tmp_path):
     got = [tuple(r) for r in TI.query_text_index(spark, root, terms, k=15).collect()]
     want = [tuple(r) for r in TX.bm25_rank(docs, terms, k=15).collect()]
     assert got == want and len(got) > 0
+
+def test_ivf_index_incremental_append(spark, sf_dir, tmp_path):
+    """build(half) + append(other half) must probe identically to
+    build(all) for the IVF index (quantizer pinned at build time)."""
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as ANN
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = SIM.seed_centroids(emb, 16)
+    first, second = emb.where(F.col("vec_id") % 2 == 0), emb.where(
+        F.col("vec_id") % 2 == 1
+    )
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    ANN.build_ivf_index(first, inc, n_cells=16, n_assign=2, centroids=cents)
+    ANN.append_ivf_index(second, inc)
+    ANN.build_ivf_index(emb, full, n_cells=16, n_assign=2, centroids=cents)
+    queries = emb.where(F.col("vec_id") < 5)
+    got = sorted(
+        tuple(r)
+        for r in ANN.query_ivf_index(spark, inc, queries, k=10, n_probe=4).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ANN.query_ivf_index(spark, full, queries, k=10, n_probe=4).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_text_index_probe_prunes_terms_at_scan(spark, sf_dir, tmp_path):
+    """The persisted-index BM25 probe must push the query-term filter
+    into the postings parquet scan (PushedFilters: In(term, ...)) --
+    the 100 TB property the index exists for."""
+    import contextlib
+    import io
+
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
+
+    docs = load(spark, sf_dir, "documents")
+    root = str(tmp_path / "text_idx")
+    TI.build_text_index(docs, root)
+    probe = TI.query_text_index(spark, root, ("spark", "join", "window"), k=15)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain(mode="formatted")
+    plan = buf.getvalue()
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln and "term" in ln
+    ]
+    assert pushed, f"term filter not pushed to postings scan:\n{plan[:2000]}"

@@ -46,3 +46,85 @@ def profile(df: DataFrame, cols: list[str], approx: bool = False) -> DataFrame:
         ]
     )
     return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    snapshot of one numeric column -- the standard distribution-drift
+    monitor of a production data pipeline (PSI < 0.1 stable, 0.1-0.25
+    moderate shift, > 0.25 investigate).
+
+    Bin edges come from the REFERENCE min/max (equi-width, the same
+    sketch geometry as ``sketch.histogram_quantiles``); current values
+    outside the reference range clamp into the edge bins, so drift
+    beyond the old range shows up as edge-bin mass, never as dropped
+    rows.  Per bin: share_ref, share_cur, and the PSI contribution
+    ``(share_cur - share_ref) * ln(share_cur / share_ref)`` with
+    ``eps`` flooring both shares (the conventional empty-bin guard).
+    Total PSI = sum of the contributions.
+
+    Scale shape: one min/max/count scalar pass over ref (1-row
+    broadcast onto both sides), one binned hash agg per side (map-side
+    combined), a bins-sized join -- the comparison itself never
+    shuffles more than 2 x ``n_bins`` rows.  NULLs are excluded on
+    both sides (the ``histogram_quantiles`` contract).
+    """
+    v = F.col(value_col).cast("double")
+    stats = ref.agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
+
+    def binned_shares(df: DataFrame, share_name: str) -> DataFrame:
+        b = (
+            df.select(v.alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .crossJoin(F.broadcast(stats))
+            .select(
+                F.when(F.col("hi") == F.col("lo"), F.lit(0))
+                .otherwise(
+                    F.greatest(
+                        F.least(
+                            F.floor(
+                                (F.col("__v") - F.col("lo"))
+                                * n_bins
+                                / (F.col("hi") - F.col("lo"))
+                            ).cast("int"),
+                            F.lit(n_bins - 1),
+                        ),
+                        F.lit(0),
+                    )
+                )
+                .alias("bin")
+            )
+        )
+        counts = b.groupBy("bin").agg(F.count(F.lit(1)).alias("__c"))
+        total = counts.agg(F.sum("__c").cast("double").alias("__t"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "bin", (F.col("__c") / F.col("__t")).alias(share_name)
+        )
+
+    spark = ref.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    r = binned_shares(ref, "share_ref")
+    c = binned_shares(cur, "share_cur")
+    joined = (
+        bins.join(r, "bin", "left")
+        .join(c, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("share_ref", F.lit(0.0)).alias("share_ref"),
+            F.coalesce("share_cur", F.lit(0.0)).alias("share_cur"),
+        )
+    )
+    sr = F.greatest(F.col("share_ref"), F.lit(eps))
+    sc = F.greatest(F.col("share_cur"), F.lit(eps))
+    return joined.select(
+        "bin",
+        "share_ref",
+        "share_cur",
+        ((sc - sr) * F.log(sc / sr)).alias("psi_contrib"),
+    )

@@ -86,6 +86,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_containment",
     "events_path_trigrams",
     "text_bm25_persisted_index",
+    "profile_psi_drift",
     # (c1) re-entry: dedup.py word_shingles refactor (shingle/token
     # consumers) + dedup_queries.py edits
     "dedup_ngram_jaccard",

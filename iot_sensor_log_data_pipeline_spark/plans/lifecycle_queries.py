@@ -370,3 +370,74 @@ def quality_referential_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("check_name")
+
+
+@register(
+    "profile_psi_drift",
+    oracle="""
+    WITH ref AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+    ),
+    cur AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+    ),
+    stats AS (SELECT min(v) AS lo, max(v) AS hi FROM ref),
+    rbin AS (
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE greatest(least(CAST(floor((v - lo) * 10 / (hi - lo))
+                                           AS INT), 9), 0) END AS bin
+      FROM ref CROSS JOIN stats
+    ),
+    cbin AS (
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE greatest(least(CAST(floor((v - lo) * 10 / (hi - lo))
+                                           AS INT), 9), 0) END AS bin
+      FROM cur CROSS JOIN stats
+    ),
+    rs AS (
+      SELECT bin, count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM rbin)
+               AS share_ref
+      FROM rbin GROUP BY bin
+    ),
+    cs AS (
+      SELECT bin, count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM cbin)
+               AS share_cur
+      FROM cbin GROUP BY bin
+    ),
+    grid AS (SELECT unnest(range(10)) AS bin)
+    SELECT CAST(g.bin AS INT) AS bin,
+           round(coalesce(rs.share_ref, 0.0), 6) AS share_ref,
+           round(coalesce(cs.share_cur, 0.0), 6) AS share_cur,
+           round((greatest(coalesce(cs.share_cur, 0.0), 1e-6)
+                  - greatest(coalesce(rs.share_ref, 0.0), 1e-6))
+                 * ln(greatest(coalesce(cs.share_cur, 0.0), 1e-6)
+                      / greatest(coalesce(rs.share_ref, 0.0), 1e-6)), 6)
+             AS psi_contrib
+    FROM grid g LEFT JOIN rs ON rs.bin = g.bin LEFT JOIN cs ON cs.bin = g.bin
+    ORDER BY bin
+    """,
+    tags=("profiling", "drift", "psi", "monitoring"),
+)
+def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring
+    (``operators/profiling.py:psi_drift``): Population Stability Index
+    of ``l_extendedprice`` between the pre-1999 reference snapshot and
+    the current period, per equi-width bin anchored on the REFERENCE
+    range (out-of-range drift lands in the edge bins).  One scalar
+    pass + two binned hash aggs + a 10-row join -- the comparison
+    itself never scales with the data."""
+    from ..operators.profiling import psi_drift
+
+    li = load(spark, sf_dir, "lineitem")
+    split = F.lit("1999-01-01 00:00:00").cast("timestamp")
+    ref = li.where(F.col("l_shipdate") < split)
+    cur = li.where(F.col("l_shipdate") >= split)
+    out = psi_drift(ref, cur, "l_extendedprice", n_bins=10)
+    return out.select(
+        "bin",
+        F.round("share_ref", 6).alias("share_ref"),
+        F.round("share_cur", 6).alias("share_cur"),
+        F.round("psi_contrib", 6).alias("psi_contrib"),
+    ).orderBy("bin")

@@ -1528,3 +1528,31 @@ def test_text_index_probe_prunes_terms_at_scan(spark, sf_dir, tmp_path):
         ln for ln in plan.splitlines() if "PushedFilters" in ln and "term" in ln
     ]
     assert pushed, f"term filter not pushed to postings scan:\n{plan[:2000]}"
+
+def test_psi_drift_detects_planted_shift(spark):
+    """PSI ~ 0 for identically-distributed snapshots; large for a
+    planted mean shift (the monitoring semantics, not just the math)."""
+    from iot_sensor_log_data_pipeline_spark.operators.profiling import psi_drift
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    ref = spark.createDataFrame(
+        [(float(x),) for x in rng.normal(100.0, 10.0, 4000)], "v double"
+    )
+    same = spark.createDataFrame(
+        [(float(x),) for x in rng.normal(100.0, 10.0, 4000)], "v double"
+    )
+    shifted = spark.createDataFrame(
+        [(float(x),) for x in rng.normal(130.0, 10.0, 4000)], "v double"
+    )
+    psi_same = psi_drift(ref, same, "v").agg(F.sum("psi_contrib")).collect()[0][0]
+    psi_shift = psi_drift(ref, shifted, "v").agg(F.sum("psi_contrib")).collect()[0][0]
+    assert psi_same < 0.1, psi_same          # stable
+    assert psi_shift > 0.25, psi_shift       # investigate-level drift
+    # NULLs on either side are excluded, not a crash or a bin
+    with_nulls = spark.createDataFrame(
+        [(None,), (100.0,), (None,), (105.0,)], "v double"
+    )
+    out = psi_drift(ref, with_nulls, "v")
+    assert abs(out.agg(F.sum("share_cur")).collect()[0][0] - 1.0) < 1e-9

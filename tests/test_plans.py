@@ -49,6 +49,9 @@ BNLJ_ALLOWED = {
     # crossJoin(broadcast(1-row total+n_groups)) onto the per-domain
     # table -- operators/curation.py:mixture_weights
     "corpus_mixture_weights",
+    # two 1-row broadcasts (ref stats, per-side totals) onto binned
+    # scans -- operators/profiling.py:psi_drift
+    "profile_psi_drift",
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --

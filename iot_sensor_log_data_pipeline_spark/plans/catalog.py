@@ -87,6 +87,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "events_path_trigrams",
     "text_bm25_persisted_index",
     "profile_psi_drift",
+    "scan_merge_schema",
     # (c1) re-entry: dedup.py word_shingles refactor (shingle/token
     # consumers) + dedup_queries.py edits
     "dedup_ngram_jaccard",

@@ -382,3 +382,51 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "scan_merge_schema",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    b AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+    SELECT count(*) AS n,
+           CAST(count(o_orderstatus) AS BIGINT) AS n_with_status,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM u
+    """,
+    tags=("pipeline", "source", "schema-evolution"),
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the scan (the table whose newer files
+    carry columns older files lack): two parquet batches with
+    different schemas under one root, read back with
+    ``mergeSchema=true`` -- the union schema materializes, old files
+    yield NULL for the missing column, and nothing is re-written.
+    The aggregate proves row-completeness and NULL accounting."""
+    path = _scratch("merge_schema")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.where(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "batch=a"))
+    )
+    (
+        orders.where(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "batch=b"))
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderstatus").alias("n_with_status"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

@@ -1556,3 +1556,21 @@ def test_psi_drift_detects_planted_shift(spark):
     )
     out = psi_drift(ref, with_nulls, "v")
     assert abs(out.agg(F.sum("share_cur")).collect()[0][0] - 1.0) < 1e-9
+
+def test_histogram_quantiles_ignore_nulls(spark):
+    """NULL values must be excluded from the sketch entirely (not form
+    a NULL bin that skews the cumulative walk) -- estimates over a
+    column with NULLs equal estimates over the same column with the
+    NULL rows dropped."""
+    from iot_sensor_log_data_pipeline_spark.operators.sketch import (
+        histogram_quantiles,
+    )
+
+    vals = [float(x) for x in range(1, 101)]
+    clean = spark.createDataFrame([(v,) for v in vals], "v double")
+    dirty = spark.createDataFrame(
+        [(v,) for v in vals] + [(None,)] * 37, "v double"
+    )
+    got_clean = sorted(tuple(r) for r in histogram_quantiles(clean, "v").collect())
+    got_dirty = sorted(tuple(r) for r in histogram_quantiles(dirty, "v").collect())
+    assert got_clean == got_dirty and len(got_clean) > 0

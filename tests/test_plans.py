@@ -64,6 +64,7 @@ SIDE_EFFECT = {
     "maintenance_compaction_roundtrip",
     "scan_orc_roundtrip",
     "scan_xml_roundtrip",
+    "scan_merge_schema",
     # index build writes parquet before the probe plan exists
     "similarity_persisted_lsh_ann",
     "similarity_persisted_ivf_ann",

@@ -53,6 +53,9 @@ HEADLINE: tuple[str, ...] = (
     "text_unigram_logprob",
     "text_bigram_logprob",
     "text_repetition_stats",
+    "text_bm25_persisted_index",
+    "profile_psi_drift",
+    "events_path_trigrams",
     "downsample_lttb_value",
     "corpus_weighted_sample",
     "corpus_mixture_weights",

@@ -677,3 +677,49 @@ def connected_components(
         f"connected_components did not converge in {max_iter} iterations; "
         "labels would be silently wrong -- raise max_iter"
     )
+
+
+def blocked_levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 2,
+    block: Column | None = None,
+) -> DataFrame:
+    """Entity-resolution fuzzy matching: record pairs whose ``name_col``
+    values are within ``max_dist`` Levenshtein edits, restricted to a
+    BLOCKING key (classic record-linkage blocking, Fellegi-Sunter
+    style) -- the short-string member of the dedup family ("red
+    widget" vs "hot widget" never reaches MinHash's shingle floor).
+
+    ``block`` defaults to the last whitespace token (the head noun of
+    product-style names); pass any deterministic expression (prefix,
+    phonetic key, sorted-token signature) to trade recall for cost.
+    The join is block-keyed, so cost is the sum of per-block squares
+    -- never the corpus square; Levenshtein runs JVM-side only on
+    in-block pairs.  Returns (id_a, id_b, name_a, name_b, dist),
+    id_a < id_b.
+    """
+    if block is None:
+        block = F.element_at(tokens(F.col(name_col)), -1)
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(name_col).alias("nm"), block.alias("blk")
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("nm").alias("name_a"), "blk"
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("nm").alias("name_b"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )

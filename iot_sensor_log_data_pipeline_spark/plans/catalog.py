@@ -88,6 +88,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "text_bm25_persisted_index",
     "profile_psi_drift",
     "scan_merge_schema",
+    "dedup_entity_fuzzy_names",
     # (c1) re-entry: dedup.py word_shingles refactor (shingle/token
     # consumers) + dedup_queries.py edits
     "dedup_ngram_jaccard",

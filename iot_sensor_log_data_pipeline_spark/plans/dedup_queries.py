@@ -639,3 +639,48 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "dedup_entity_fuzzy_names",
+    oracle=f"""
+    WITH base AS (
+      SELECT p_partkey AS id, p_name AS nm, l[len(l)] AS blk
+      FROM (SELECT p_partkey, p_name,
+                   list_filter(string_split_regex(p_name, ' +'),
+                               t -> t <> '') AS l
+            FROM part)
+    )
+    SELECT least(a.nm, b.nm) AS name_a,
+           greatest(a.nm, b.nm) AS name_b,
+           CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist,
+           count(*) AS n_record_pairs
+    FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+    WHERE levenshtein(a.nm, b.nm) BETWEEN 1 AND 2
+    GROUP BY 1, 2, 3
+    ORDER BY name_a, name_b
+    """,
+    tags=("dedup", "entity-resolution", "fuzzy", "blocking"),
+)
+def dedup_entity_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy matching
+    (``operators/dedup.py:blocked_levenshtein_pairs``): part-name
+    pairs within 2 Levenshtein edits, blocked on the head noun (the
+    record-linkage blocking that keeps the comparison block-quadratic,
+    never corpus-quadratic), rolled up to distinct NAME pairs with the
+    record-pair count -- the reviewable 'are these the same entity?'
+    worklist, bounded by vocabulary size however many records repeat
+    each name."""
+    part = parallelize_small(load(spark, sf_dir, "part"))
+    pairs = DD.blocked_levenshtein_pairs(part, "p_partkey", "p_name", max_dist=2)
+    return (
+        pairs.where(F.col("dist") >= 1)
+        .select(
+            F.least("name_a", "name_b").alias("name_a"),
+            F.greatest("name_a", "name_b").alias("name_b"),
+            "dist",
+        )
+        .groupBy("name_a", "name_b", "dist")
+        .agg(F.count(F.lit(1)).alias("n_record_pairs"))
+        .orderBy("name_a", "name_b")
+    )

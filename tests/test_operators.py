@@ -1574,3 +1574,21 @@ def test_histogram_quantiles_ignore_nulls(spark):
     got_clean = sorted(tuple(r) for r in histogram_quantiles(clean, "v").collect())
     got_dirty = sorted(tuple(r) for r in histogram_quantiles(dirty, "v").collect())
     assert got_clean == got_dirty and len(got_clean) > 0
+
+def test_blocked_levenshtein_pairs_semantics(spark):
+    """Fuzzy matches only within a block and within the edit budget;
+    cross-block near-names never compared (the blocking trade-off)."""
+    df = spark.createDataFrame(
+        [
+            (1, "red widget"),
+            (2, "ted widget"),   # dist 1, same block
+            (3, "red gadget"),   # different block: never compared
+            (4, "blue widget"),  # dist 3 from 'red widget': over budget
+        ],
+        "id long, name string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in DD.blocked_levenshtein_pairs(df, "id", "name", max_dist=2).collect()
+    }
+    assert got == {(1, 2): 1}

@@ -441,3 +441,89 @@ def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("share_cur", 6).alias("share_cur"),
         F.round("psi_contrib", 6).alias("psi_contrib"),
     ).orderBy("bin")
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment,
+             TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+             TIMESTAMP '9999-12-31 00:00:00' AS valid_to
+      FROM customer
+    ),
+    changes AS (
+      SELECT c_custkey, 'RELOCATED' AS c_mktsegment,
+             TIMESTAMP '2000-06-01 00:00:00' AS eff_ts
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    changed AS (
+      SELECT d.c_custkey, d.c_mktsegment AS old_seg, c.c_mktsegment AS new_seg,
+             d.valid_from, c.eff_ts
+      FROM dim d JOIN changes c ON d.c_custkey = c.c_custkey
+      WHERE d.c_mktsegment <> c.c_mktsegment
+    ),
+    hist AS (
+      SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to
+      FROM dim d WHERE d.c_custkey NOT IN (SELECT c_custkey FROM changed)
+      UNION ALL
+      SELECT c_custkey, old_seg, valid_from, eff_ts FROM changed
+      UNION ALL
+      SELECT c_custkey, new_seg, eff_ts,
+             TIMESTAMP '9999-12-31 00:00:00' FROM changed
+    )
+    SELECT h.c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS sum_price
+    FROM orders o
+    JOIN hist h ON h.c_custkey = o.o_custkey
+               AND o.o_orderdate >= h.valid_from
+               AND o.o_orderdate < h.valid_to
+    GROUP BY h.c_mktsegment
+    ORDER BY h.c_mktsegment
+    """,
+    tags=("lifecycle", "scd2", "point-in-time", "range-join"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each order joins the SCD2
+    version of its customer VALID AT o_orderdate (equi key + validity
+    range predicate -- sort-merge on the business key, the range
+    filter rides the join), so orders after the 2000-06-01 relocation
+    attribute to 'RELOCATED' while older orders keep the historical
+    segment -- the as-of-dimension semantics every warehouse fact
+    query needs, composed from ``scd2_apply``'s history."""
+    cust = load(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit("9999-12-31 00:00:00").cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = cust.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.lit("RELOCATED").alias("c_mktsegment"),
+        F.lit("2000-06-01 00:00:00").cast("timestamp").alias("eff_ts"),
+    )
+    hist = scd2_apply(
+        dim,
+        changes,
+        keys=["c_custkey"],
+        compare_cols=["c_mktsegment"],
+        effective_ts_col="eff_ts",
+    )
+    orders = load(spark, sf_dir, "orders")
+    joined = orders.join(
+        hist,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("o_orderdate") < F.col("valid_to")),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )

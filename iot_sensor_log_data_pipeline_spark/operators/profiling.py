@@ -128,3 +128,41 @@ def psi_drift(
         "share_cur",
         ((sc - sr) * F.log(sc / sr)).alias("psi_contrib"),
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: float = 1.5,
+) -> DataFrame:
+    """Per-group Tukey-fence outlier summary: fences at
+    ``[p25 - k*IQR, p75 + k*IQR]`` (exact interpolated percentiles),
+    reporting per group the fence values, row count, outlier count,
+    and outlier fraction -- the robust (quantile-based) member of the
+    anomaly family next to the rolling z-score (parametric, windowed)
+    and PSI (distributional drift).
+
+    Scale shape: one grouped percentile aggregation builds the fence
+    table (group-count rows -- broadcast side), one join back tags
+    rows, one grouped count-aggregate summarizes; skewed heavy groups
+    ride AQE skew handling like any keyed agg.
+    """
+    v = F.col(value_col).cast("double")
+    fences = df.groupBy(*group_cols).agg(
+        F.percentile(v, 0.25).alias("__p25"),
+        F.percentile(v, 0.75).alias("__p75"),
+    ).select(
+        *group_cols,
+        (F.col("__p25") - k * (F.col("__p75") - F.col("__p25"))).alias("lo_fence"),
+        (F.col("__p75") + k * (F.col("__p75") - F.col("__p25"))).alias("hi_fence"),
+    )
+    joined = df.join(F.broadcast(fences), group_cols)
+    is_out = (v < F.col("lo_fence")) | (v > F.col("hi_fence"))
+    return joined.groupBy(*group_cols).agg(
+        F.first("lo_fence").alias("lo_fence"),
+        F.first("hi_fence").alias("hi_fence"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(is_out.cast("long")).cast("long").alias("n_outliers"),
+        (F.sum(is_out.cast("long")) / F.count(F.lit(1))).alias("outlier_frac"),
+    )

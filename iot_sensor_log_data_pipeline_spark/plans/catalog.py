@@ -90,6 +90,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "scan_merge_schema",
     "dedup_entity_fuzzy_names",
     "scd2_point_in_time_join",
+    "quality_iqr_outliers",
     # (c1) re-entry: dedup.py word_shingles refactor (shingle/token
     # consumers) + dedup_queries.py edits
     "dedup_ngram_jaccard",

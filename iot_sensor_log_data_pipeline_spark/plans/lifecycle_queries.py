@@ -527,3 +527,52 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "quality_iqr_outliers",
+    oracle="""
+    WITH fences AS (
+      SELECT event_type,
+             quantile_cont(CAST(value AS DOUBLE), 0.25)
+               - 1.5 * (quantile_cont(CAST(value AS DOUBLE), 0.75)
+                        - quantile_cont(CAST(value AS DOUBLE), 0.25)) AS lo_fence,
+             quantile_cont(CAST(value AS DOUBLE), 0.75)
+               + 1.5 * (quantile_cont(CAST(value AS DOUBLE), 0.75)
+                        - quantile_cont(CAST(value AS DOUBLE), 0.25)) AS hi_fence
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(f.lo_fence, 6) AS lo_fence,
+           round(f.hi_fence, 6) AS hi_fence,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN CAST(e.value AS DOUBLE) < f.lo_fence
+                           OR CAST(e.value AS DOUBLE) > f.hi_fence
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(sum(CASE WHEN CAST(e.value AS DOUBLE) < f.lo_fence
+                            OR CAST(e.value AS DOUBLE) > f.hi_fence
+                          THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS outlier_frac
+    FROM events e JOIN fences f ON f.event_type = e.event_type
+    GROUP BY e.event_type, f.lo_fence, f.hi_fence
+    ORDER BY e.event_type
+    """,
+    tags=("profiling", "quality", "outliers", "iqr"),
+)
+def quality_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier summary (``operators/profiling.py:iqr_outliers``):
+    per event type, Tukey fences at p25/p75 +- 1.5 IQR over ``value``
+    with outlier counts and fractions -- the quantile-based anomaly
+    gate beside the rolling z-score (parametric) and PSI (drift)."""
+    from ..operators.profiling import iqr_outliers
+
+    ev = load(spark, sf_dir, "events")
+    out = iqr_outliers(ev, "value", ["event_type"], k=1.5)
+    return out.select(
+        "event_type",
+        F.round("lo_fence", 6).alias("lo_fence"),
+        F.round("hi_fence", 6).alias("hi_fence"),
+        "n_rows",
+        "n_outliers",
+        F.round("outlier_frac", 6).alias("outlier_frac"),
+    ).orderBy("event_type")

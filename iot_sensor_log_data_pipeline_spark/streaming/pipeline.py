@@ -335,3 +335,50 @@ def ann_match_stream(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark([id_col, "corpus_id"])
     )
+
+
+def start_psi_monitor(
+    stream: DataFrame,
+    reference: DataFrame,
+    value_col: str,
+    out_dir: str,
+    checkpoint: str,
+    n_bins: int = 10,
+) -> StreamingQuery:
+    """Streaming distribution-drift monitor: each micro-batch's
+    ``value_col`` distribution is scored against the static
+    ``reference`` snapshot with ``operators/profiling.py:psi_drift``
+    inside ``foreachBatch``, appending one (batch_id, psi, n_rows) row
+    per batch to a parquet drift log -- the alerting feed a pipeline
+    health dashboard tails.
+
+    Scale shape: the reference's bin fences derive from a 1-row
+    stats broadcast (computed per batch against the static frame --
+    cache ``reference`` upstream for long-running monitors); the batch
+    side is one binned hash agg; only a scalar PSI leaves each batch.
+    """
+    from ..operators.profiling import psi_drift
+
+    spark = stream.sparkSession
+
+    def score_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        psi_row = (
+            psi_drift(reference, batch, value_col, n_bins=n_bins)
+            .agg(F.sum("psi_contrib").alias("psi"))
+            .collect()[0]
+        )
+        n_rows = batch.count()
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [(int(batch_id), float(psi_row["psi"]), int(n_rows))], 1
+            ),
+            "batch_id long, psi double, n_rows long",
+        ).write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

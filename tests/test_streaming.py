@@ -607,3 +607,46 @@ def test_ann_match_stream_flags_near_identical_vector(spark, tmp_path):
         q.stop()
     assert set(got) == {(1, 100)}
     assert got[(1, 100)] > 0.99
+
+
+def test_psi_monitor_flags_drifted_batch(spark, tmp_path):
+    """Streaming PSI: a micro-batch drawn from the reference
+    distribution logs a low PSI; a mean-shifted batch logs
+    investigate-level drift."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    ref = spark.createDataFrame(
+        [(float(x),) for x in rng.normal(50.0, 5.0, 3000)], "v double"
+    )
+    src = str(tmp_path / "psi_src")
+    # one file per micro-batch (maxFilesPerTrigger=1): file0 stable,
+    # file1 shifted
+    stable = spark.createDataFrame(
+        [(float(x),) for x in rng.normal(50.0, 5.0, 2000)], "v double"
+    )
+    shifted = spark.createDataFrame(
+        [(float(x),) for x in rng.normal(80.0, 5.0, 2000)], "v double"
+    )
+    stable.coalesce(1).write.parquet(src)
+    shifted.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "psi_log")
+    q = P.start_psi_monitor(
+        stream, ref, "v", out, checkpoint=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        (r["psi"] for r in spark.read.parquet(out).collect())
+    )
+    assert len(rows) == 2
+    assert rows[0] < 0.1          # stable batch
+    assert rows[1] > 0.25         # shifted batch

@@ -115,9 +115,9 @@ def semantic_dedup(
         )
     pairs = semantic_pairs(vectors, threshold, centroids, id_col, vec_col)
     comp = connected_components(pairs.select("id_a", "id_b"))
-    losers = comp.groupBy("component").agg(F.min("node").alias("keep"))
+    keepers = comp.groupBy("component").agg(F.min("node").alias("keep"))
     drop = (
-        comp.join(losers, "component")
+        comp.join(keepers, "component")
         .where(F.col("node") != F.col("keep"))
         .select(F.col("node").alias(id_col))
     )

@@ -23,13 +23,14 @@ from pyspark.sql import functions as F
 
 from ._scratch_cache import ScratchCaches
 
-#: Scratch cache (lifetime contract in ``_scratch_cache``): currently
-#: holds the unigram vocabulary, which feeds two consumers.
+#: Scratch cache (lifetime contract in ``_scratch_cache``): holds the
+#: unigram vocabulary / bigram table, each feeding two consumers.
 _SCRATCH = ScratchCaches()
 
 
 def release_caches() -> None:
-    """Unpersist scratch cached by earlier ``unigram_logprob`` calls."""
+    """Unpersist scratch cached by earlier ``unigram_logprob`` /
+    ``bigram_logprob`` calls."""
     _SCRATCH.release()
 
 #: Minimal per-language stopword anchors for the n-gram/stopword

@@ -200,3 +200,53 @@ def dhash64(blob) -> "F.Column":
             a, b = cells[r * 9 + c], cells[r * 9 + c + 1]
             bits.append(F.when(a < b, F.lit("1")).otherwise(F.lit("0")))
     return F.concat_ws("", *bits)
+
+
+def chunk_dedup_stats(
+    media_df: "DataFrame",
+    chunk: int = 64,
+    stride: int = 32,
+    id_col: str = "doc_id",
+    blob_col: str = "media",
+) -> "DataFrame":
+    """Byte-level duplicated-chunk statistics over opaque media blobs:
+    md5 fixed-size windows (``chunk`` bytes every ``stride``) and
+    report, per blob, how many of its distinct chunks occur in at
+    least one OTHER blob -- the binary twin of the token-level
+    ``dedup.duplicated_passage_stats`` (content-defined, codec-free:
+    catches re-encoded uploads sharing byte runs, embedded thumbnails,
+    shared file headers).
+
+    Scale shape: chunk hashes are pure column expressions over the
+    binary column (substring + md5, no decode, no UDF); the only
+    shuffles are the chunk-hash groupBy (map-side combined) and the
+    per-blob rollup -- linear in corpus bytes / stride.  Blobs shorter
+    than ``chunk`` contribute one whole-blob chunk.
+    """
+    blob = F.col(blob_col)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.octet_length(blob) - chunk + 1, F.lit(1)),
+        F.lit(stride),
+    )
+    chunks = F.transform(starts, lambda s: F.md5(F.substring(blob, s, chunk)))
+    per_blob = media_df.select(
+        F.col(id_col), F.explode(F.array_distinct(chunks)).alias("chunk")
+    )
+    freq = per_blob.groupBy("chunk").agg(F.count(F.lit(1)).alias("blobs_with"))
+    return (
+        per_blob.join(freq, "chunk")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("blobs_with") > 1).cast("long"))
+            .cast("long")
+            .alias("n_dup_chunks"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_dup_chunks",
+            (F.col("n_dup_chunks") / F.col("n_chunks")).alias("dup_chunk_ratio"),
+        )
+    )

@@ -186,3 +186,45 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_chunk_dedup",
+    oracle="""
+    WITH blobs AS (SELECT doc_id, text AS t FROM documents),
+    per_blob AS (
+      SELECT DISTINCT doc_id,
+             md5(substring(t, CAST(s AS INT), 64)) AS chunk
+      FROM blobs,
+           LATERAL unnest(range(1, greatest(length(t) - 64 + 1, 1) + 1, 32))
+             AS u(s)
+    ),
+    freq AS (SELECT chunk, count(*) AS blobs_with FROM per_blob GROUP BY chunk)
+    SELECT p.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN f.blobs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           round(sum(CASE WHEN f.blobs_with > 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_chunk_ratio
+    FROM per_blob p JOIN freq f ON f.chunk = p.chunk
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+    """,
+    tags=("multimodal", "north-star", "dedup", "chunks"),
+)
+def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level duplicated-chunk dedup over media blobs
+    (``operators/multimodal.py:chunk_dedup_stats``): 64-byte windows
+    every 32 bytes, md5'd codec-free -- flags blobs sharing byte runs
+    with other blobs (re-uploads, shared headers, embedded fragments).
+    The oracle replays the chunking on the text the fake blobs encode
+    (pure ASCII, so byte and character offsets coincide)."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    media = MM.attach_fake_media(docs)
+    out = MM.chunk_dedup_stats(media)
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        F.round("dup_chunk_ratio", 6).alias("dup_chunk_ratio"),
+    ).orderBy("doc_id")

@@ -123,6 +123,19 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_ivf_seed_ann",
 )
 
+#: Round-4 re-entry scoping: modules whose round-4 edits were
+#: APPEND-ONLY (new registrations at end of file -- reference,
+#: lifecycle, multimodal, pipeline, curation query modules) do NOT
+#: re-enter their existing queries: no existing plan, expression, or
+#: oracle string changed (verifiable in the round diff), and the
+#: 50-slot window is spent on queries whose behavior could have
+#: changed (dedup / sketch / text / similarity operator edits) plus
+#: everything new.  Displaced queries stay green under the full local
+#: gate (``tests/test_catalog_oracle.py`` runs every catalog query at
+#: sf0.01).  Round-5 rotation: modules edited in round 5 first, then
+#: a refresh pass over the round-1 relational battery (the oldest
+#: external rows).
+
 
 @dataclass(frozen=True)
 class CatalogEntry:

@@ -92,6 +92,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "scd2_point_in_time_join",
     "quality_iqr_outliers",
     "multimodal_chunk_dedup",
+    "basket_part_cooccurrence",
     # (c1) re-entry: dedup.py word_shingles refactor (shingle/token
     # consumers) + dedup_queries.py edits
     "dedup_ngram_jaccard",

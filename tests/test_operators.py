@@ -1592,3 +1592,51 @@ def test_blocked_levenshtein_pairs_semantics(spark):
         for r in DD.blocked_levenshtein_pairs(df, "id", "name", max_dist=2).collect()
     }
     assert got == {(1, 2): 1}
+
+def test_ngram_containment_matches_bruteforce_hypothesis(spark):
+    """Property: ``ngram_containment_pairs`` reports exactly the pairs
+    brute-force |A n B| / min(|A|, |B|) finds (cap at corpus size so
+    nothing is pruned); containment >= jaccard always holds on the
+    reported scores."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = ("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(words), min_size=3, max_size=12),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    def run(corpus):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in DD.ngram_containment_pairs(
+                df, n=3, threshold=0.5, max_shingle_df=len(rows)
+            ).collect()
+        }
+
+        def shingles(toks):
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+        expect = {}
+        for a in range(len(corpus)):
+            for b in range(a + 1, len(corpus)):
+                sa, sb = shingles(corpus[a]), shingles(corpus[b])
+                if not sa or not sb:
+                    continue
+                c = len(sa & sb) / min(len(sa), len(sb))
+                j = len(sa & sb) / len(sa | sb)
+                if c >= 0.5:
+                    expect[(a, b)] = c
+                    assert c >= j  # containment dominates jaccard
+        assert set(got) == set(expect)
+        for k, v in got.items():
+            assert abs(v - expect[k]) < 1e-9
+
+    run()

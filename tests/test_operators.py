@@ -1640,3 +1640,27 @@ def test_ngram_containment_matches_bruteforce_hypothesis(spark):
             assert abs(v - expect[k]) < 1e-9
 
     run()
+
+def test_mixture_weights_compose_with_weighted_sample(spark):
+    """The documented composition: feed mixture weights into the
+    weighted sampler and the drawn sample's domain mix moves toward
+    the target (upsampled domain overrepresented relative to its
+    corpus share)."""
+    from iot_sensor_log_data_pipeline_spark.operators import curation as CU
+
+    rows = []
+    for i in range(400):
+        rows.append((i, "web", "w " * 20))          # 400 docs, 20 tokens
+    for i in range(400, 440):
+        rows.append((i, "books", "b " * 20))        # 40 docs, 20 tokens
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    w = CU.mixture_weights(df, "source")
+    weighted = df.join(w.select("source", "weight"), "source")
+    sample = CU.weighted_sample(weighted, F.col("weight"), k=100)
+    mix = {
+        r["source"]: r["n"]
+        for r in sample.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    corpus_books_share = 40 / 440
+    sample_books_share = mix.get("books", 0) / 100
+    assert sample_books_share > corpus_books_share  # books upsampled

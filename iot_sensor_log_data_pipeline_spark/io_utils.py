@@ -21,6 +21,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 TABLES = tuple(TABLE_SCHEMAS)
 
 
+def scratch_dir(*parts: str) -> str:
+    """Per-process scratch root for artifacts persisted during a run
+    (ANN/text indexes, drift logs).  The pid component keeps two
+    concurrent runs on the same host from overwriting each other's
+    artifacts mid-probe, and avoids cross-user collisions in a shared
+    temp dir; within ONE process, re-runs deliberately overwrite in
+    place (build-once/probe-many reuse)."""
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"engine_scratch_pid{os.getpid()}", *parts
+    )
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 

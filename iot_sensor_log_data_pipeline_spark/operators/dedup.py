@@ -619,6 +619,19 @@ def connected_components(
         .unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .localCheckpoint(eager=True)
     )
+    # The decimal-sum convergence witness below is only sound for
+    # integral ids: a non-numeric id (string doc hashes, UUIDs) casts
+    # to NULL, the sum degenerates to None every round, and None ==
+    # None would end the loop after one iteration with silently split
+    # components.  Non-integral ids fall back to a join-diff change
+    # check -- one extra narrow join per round, correct for any
+    # orderable id type (F.least orders strings lexicographically).
+    from pyspark.sql import types as T
+
+    integral_ids = isinstance(
+        both.schema["src"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
     # Initialization already performs the first propagation round:
     # label(v) = min({v} U N(v)) -- one aggregation instead of a
     # distinct + a full join round (star-shaped near-dup clusters
@@ -629,16 +642,27 @@ def connected_components(
     )
 
     def label_sum(df: DataFrame):
-        # Convergence witness: both updates below only LOWER a node's
-        # component (F.least against the current value), so the label
-        # table changed iff this sum strictly decreased -- one narrow
-        # aggregation instead of a self-join diff per round.  decimal
-        # sum: exact at any node-count x id magnitude.
+        # Convergence witness (integral ids only): both updates below
+        # only LOWER a node's component (F.least against the current
+        # value), so the label table changed iff this sum strictly
+        # decreased -- one narrow aggregation instead of a self-join
+        # diff per round.  decimal sum: exact at any node-count x id
+        # magnitude.
         return df.agg(
             F.sum(F.col("component").cast("decimal(38,0)"))
         ).collect()[0][0]
 
-    prev_sum = label_sum(labels)
+    def labels_changed(new: DataFrame, old: DataFrame) -> bool:
+        # Fallback witness for non-integral ids: any node whose label
+        # differs between rounds.  take(1) stops at the first diff.
+        return bool(
+            new.alias("n")
+            .join(old.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .take(1)
+        )
+
+    prev_sum = label_sum(labels) if integral_ids else None
     for _ in range(max_iter):
         neighbor_min = (
             both.join(labels, both.dst == labels.node)
@@ -668,11 +692,15 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        new_sum = label_sum(new_labels)
+        if integral_ids:
+            new_sum = label_sum(new_labels)
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = not labels_changed(new_labels, labels)
         labels = new_labels
-        if new_sum == prev_sum:
+        if converged:
             return labels
-        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations; "
         "labels would be silently wrong -- raise max_iter"

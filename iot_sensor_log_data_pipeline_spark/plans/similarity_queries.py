@@ -5,23 +5,24 @@ the ``embeddings`` table; brute-force baseline + LSH-bucketed ANN).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io_utils import load, parallelize_small
+from ..io_utils import load, parallelize_small, scratch_dir
 from ..operators import ann_index as ANN
 from ..operators import similarity as SIM
 from .catalog import register
 
 
 def _index_root(sf_dir: str, kind: str) -> str:
-    """Deterministic scratch root for a persisted index, keyed by the
-    corpus directory (re-runs overwrite in place; concurrent sf dirs
-    never collide)."""
+    """Scratch root for a persisted index, keyed by the corpus
+    directory AND the process (``io_utils.scratch_dir``): re-runs in
+    one process overwrite in place, while concurrent runs -- same
+    corpus, different process or user -- never clobber each other's
+    index mid-probe."""
     sf_name = os.path.basename(sf_dir.rstrip("/")) or "corpus"
-    return os.path.join(tempfile.gettempdir(), "engine_ann_index", sf_name, kind)
+    return scratch_dir("ann_index", sf_name, kind)
 
 #: DuckDB double-precision dot product over FLOAT[] columns (explicit
 #: element order, double accumulation -- mirrors the Spark fold).

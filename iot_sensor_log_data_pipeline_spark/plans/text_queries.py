@@ -659,13 +659,13 @@ def text_bm25_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     order), sharing its oracle.  At 100 TB the build is the one
     corpus pass; each query touches only its terms' postings."""
     import os as _os
-    import tempfile as _tempfile
 
+    from ..io_utils import scratch_dir
     from ..operators import text_index as TI
 
     docs = parallelize_small(load(spark, sf_dir, "documents"))
     sf_name = _os.path.basename(sf_dir.rstrip("/")) or "corpus"
-    root = _os.path.join(_tempfile.gettempdir(), "engine_text_index", sf_name)
+    root = scratch_dir("text_index", sf_name)
     TI.build_text_index(docs, root)
     return TI.query_text_index(
         spark, root, _BM25_TERMS, k=15, k1=_BM25_K1, b=_BM25_B

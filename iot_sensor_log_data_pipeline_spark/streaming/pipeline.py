@@ -322,6 +322,10 @@ def ann_match_stream(
     vecs = spark.read.parquet(_sub(index_path, "vectors")).select(
         F.col("id").alias("corpus_id"), "vec"
     )
+    # Filter on the UNROUNDED cosine, round only in the output
+    # projection -- same order as the batch twins
+    # (embedding_cosine_pairs / lsh_topk), so a vector 5e-7 below the
+    # threshold is rejected identically in stream and batch.
     return (
         probes.join(entries, ["band_id", "bucket"])
         .join(vecs, "corpus_id")
@@ -329,9 +333,12 @@ def ann_match_stream(
             id_col,
             ts_col,
             "corpus_id",
-            F.round(cosine(F.col("query_vec"), F.col("vec")), 6).alias("cos_sim"),
+            cosine(F.col("query_vec"), F.col("vec")).alias("__cos_raw"),
         )
-        .where(F.col("cos_sim") >= threshold)
+        .where(F.col("__cos_raw") >= threshold)
+        .select(
+            id_col, ts_col, "corpus_id", F.round("__cos_raw", 6).alias("cos_sim")
+        )
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark([id_col, "corpus_id"])
     )
@@ -356,7 +363,15 @@ def start_psi_monitor(
     stats broadcast (computed per batch against the static frame --
     cache ``reference`` upstream for long-running monitors); the batch
     side is one binned hash agg; only a scalar PSI leaves each batch.
+
+    Idempotence: ``foreachBatch`` is at-least-once, so each batch's
+    row is written with OVERWRITE to a deterministic per-batch
+    partition directory (``batch_id=N``) -- a retried batch replaces
+    its own row instead of appending a duplicate, and readers see the
+    batch id back as a partition column of ``out_dir``.
     """
+    import os
+
     from ..operators.profiling import psi_drift
 
     spark = stream.sparkSession
@@ -372,10 +387,12 @@ def start_psi_monitor(
         n_rows = batch.count()
         spark.createDataFrame(
             spark.sparkContext.parallelize(
-                [(int(batch_id), float(psi_row["psi"]), int(n_rows))], 1
+                [(float(psi_row["psi"]), int(n_rows))], 1
             ),
-            "batch_id long, psi double, n_rows long",
-        ).write.mode("append").parquet(out_dir)
+            "psi double, n_rows long",
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={int(batch_id)}")
+        )
 
     return (
         stream.writeStream.foreachBatch(score_batch)

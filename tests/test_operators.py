@@ -1664,3 +1664,36 @@ def test_mixture_weights_compose_with_weighted_sample(spark):
     corpus_books_share = 40 / 440
     sample_books_share = mix.get("books", 0) / 100
     assert sample_books_share > corpus_books_share  # books upsampled
+
+
+def test_connected_components_string_ids(spark):
+    """Non-integral node ids: the decimal-sum convergence witness is
+    undefined (a string id casts to NULL), so the loop must fall back
+    to the join-diff change check.  A 16-node string chain needs
+    several propagation rounds -- under the broken witness it would
+    return after one round with silently split components."""
+    ids = [f"doc{i:02d}" for i in range(16)]
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(15)], "id_a string, id_b string"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in DD.connected_components(edges).collect()
+    }
+    assert set(got) == set(ids)
+    assert set(got.values()) == {"doc00"}
+
+
+def test_connected_components_long_integer_chain(spark):
+    """Integral ids keep the decimal-sum witness: a 32-node long chain
+    (descending edges, so min-label must travel the whole chain)
+    converges to a single component."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in DD.connected_components(edges).collect()
+    }
+    assert set(got) == set(range(32))
+    assert set(got.values()) == {0}

@@ -650,3 +650,21 @@ def test_psi_monitor_flags_drifted_batch(spark, tmp_path):
     assert len(rows) == 2
     assert rows[0] < 0.1          # stable batch
     assert rows[1] > 0.25         # shifted batch
+
+    # At-least-once replay: wipe the checkpoint and re-run over the
+    # same source into the same drift log.  Both batches re-execute
+    # with the same batch ids; the per-batch overwrite partition keeps
+    # the log duplicate-free (one row per batch id, not four).
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    q2 = P.start_psi_monitor(
+        stream, ref, "v", out, checkpoint=str(tmp_path / "ckpt")
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    replayed = spark.read.parquet(out).collect()
+    assert len(replayed) == 2
+    assert sorted(r["batch_id"] for r in replayed) == [0, 1]

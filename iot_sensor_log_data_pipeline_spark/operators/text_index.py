@@ -10,13 +10,23 @@ serves every query from term-pruned postings reads.
 
 On-disk layout (plain parquet under one root):
 
-    <root>/postings/  (term, id, tf)   -- repartitioned by term and
-                      sorted within partitions, so parquet row-group
-                      min/max statistics prune non-matching terms at
-                      scan time (the poor man's term dictionary)
+    <root>/postings/  (term, id, tf)   -- RANGE-partitioned on
+                      (term, id) and sorted within partitions, so
+                      parquet row-group min/max statistics prune
+                      non-matching terms at scan time (the poor man's
+                      term dictionary) while a Zipf-head term whose
+                      posting list exceeds one partition's share is
+                      SPLIT across partitions by the id sub-key
+                      instead of landing on a single straggler task
+                      (hash-partitioning by term alone puts a
+                      df ~ n_docs stopword's entire list in one task
+                      -- an OOM hot spot at corpus scale)
     <root>/doclens/   (id, dl)         -- document lengths for the
                       BM25 length normalization
     <root>/stats/     one row: (n_docs, avgdl) corpus constants
+    <root>/stopterms/ (term, df)       -- terms dropped by the
+                      optional corpus-relative df cap (empty when the
+                      cap is off)
 
 Query cost: a pushdown-pruned postings scan for the query terms
 (|terms| tiny), a bounded per-term document-frequency collect
@@ -30,10 +40,22 @@ term-order summation exactly (same Robertson/Sparck-Jones +1-smoothed
 idf, same operand order), so probing the index is result-identical to
 the ad-hoc scan (pytest) and the catalog's index-backed query shares
 the ad-hoc query's DuckDB oracle.
+
+Stop-term policy (off by default -- exact parity): pass ``max_df`` /
+``max_df_frac`` to drop terms whose document frequency exceeds
+``max(max_df, ceil(max_df_frac * n_docs))`` from the postings -- the
+corpus-relative cap the dedup family applies to shingles
+(``dedup.effective_max_shingle_df``).  A df ~ n_docs term has BM25
+idf ~ log(1 + 0.5/df) ~ 0, so dropping it barely moves scores while
+removing the largest posting lists from both build shuffle and probe
+scans; dropped terms are recorded in ``stopterms/`` and contribute
+zero at query time (documented approximation, the classic stopword
+contract).
 """
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,19 +74,17 @@ def build_text_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
+    max_df_frac: float | None = None,
+    n_partitions: int | None = None,
 ) -> None:
-    """Materialize posting lists, document lengths, and corpus stats
-    for ``docs`` at ``path``.  One token explode + one (term, doc)
-    hash agg -- the single corpus-scale pass."""
+    """Materialize posting lists, document lengths, corpus stats, and
+    the (possibly empty) stop-term table for ``docs`` at ``path``.
+    One token explode + one (term, doc) hash agg -- the single
+    corpus-scale pass; the optional df cap adds one term-keyed agg
+    over the postings (already term-local, map-side combined)."""
     spark = docs.sparkSession
-    tok = docs.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
-    postings = (
-        tok.groupBy("term", "id")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .repartition("term")
-        .sortWithinPartitions("term")
-    )
-    postings.write.mode("overwrite").parquet(_sub(path, "postings"))
+
     doclens = docs.select(
         F.col(id_col).alias("id"), token_count(F.col(text_col)).alias("dl")
     )
@@ -79,6 +99,44 @@ def build_text_index(
         _sub(path, "stats"),
     )
 
+    tok = docs.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+    postings = tok.groupBy("term", "id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+    if max_df is not None or max_df_frac is not None:
+        cap = max(max_df or 0, math.ceil((max_df_frac or 0.0) * n_docs))
+        # Stop-term list: tiny by construction (only the Zipf head
+        # exceeds a corpus-relative cap), so the anti-join broadcasts.
+        stop = (
+            postings.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+            .where(F.col("df") > cap)
+        )
+        stop.write.mode("overwrite").parquet(_sub(path, "stopterms"))
+        stop_terms = spark.read.parquet(_sub(path, "stopterms")).select("term")
+        postings = postings.join(F.broadcast(stop_terms), "term", "left_anti")
+    else:
+        spark.createDataFrame([], "term string, df long").write.mode(
+            "overwrite"
+        ).parquet(_sub(path, "stopterms"))
+
+    # Range partitioning on (term, id): keeps term locality for
+    # row-group min/max pruning while the id sub-key splits a heavy
+    # term across range boundaries.  With ``n_partitions=None`` AQE
+    # sizes the shuffle to its advisory byte target, so at corpus
+    # scale a df ~ n_docs term spans ceil(list_bytes / advisory)
+    # partitions instead of one straggler; pass an explicit count to
+    # pin the layout (tests, file-count contracts).
+    ranged = (
+        postings.repartitionByRange(n_partitions, "term", "id")
+        if n_partitions
+        else postings.repartitionByRange("term", "id")
+    )
+    ranged.sortWithinPartitions("term", "id").write.mode("overwrite").parquet(
+        _sub(path, "postings")
+    )
+
 
 def query_text_index(
     spark: SparkSession,
@@ -91,12 +149,24 @@ def query_text_index(
     """BM25 top-``k`` from a persisted index: term-pruned postings
     scan, per-term df (bounded collect), pivot to tf columns in term
     order, length-normalized score identical to ``text.bm25_rank``.
-    Returns (doc_id, bm25), descending, doc-id tiebreak."""
+    Query terms in the index's stop-term table contribute zero (their
+    postings were dropped at build time).  Returns (doc_id, bm25),
+    descending, doc-id tiebreak."""
     stats = spark.read.parquet(_sub(path, "stats")).collect()[0]
     n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
 
+    stopped = {
+        r["term"]
+        for r in spark.read.parquet(_sub(path, "stopterms"))
+        .where(F.col("term").isin(*query_terms))
+        .collect()
+    }
+    active_terms = tuple(t for t in query_terms if t not in stopped)
+    if not active_terms:
+        return spark.createDataFrame([], "doc_id long, bm25 double")
+
     postings = spark.read.parquet(_sub(path, "postings")).where(
-        F.col("term").isin(*query_terms)
+        F.col("term").isin(*active_terms)
     )
     # Per-term document frequency: <= |query_terms| rows to the driver
     # (each (term, id) posting is one matching doc).
@@ -111,13 +181,13 @@ def query_text_index(
             F.coalesce(
                 F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
             ).alias(f"__tf_{i}")
-            for i, t in enumerate(query_terms)
+            for i, t in enumerate(active_terms)
         ]
     )
     doclens = spark.read.parquet(_sub(path, "doclens"))
     scored = per_doc.join(doclens, "id")
     score = F.lit(0.0)
-    for i, t in enumerate(query_terms):
+    for i, t in enumerate(active_terms):
         df_t = dfs.get(t, 0.0)
         tf = F.col(f"__tf_{i}").cast("double")
         idf = F.log(1.0 + (F.lit(n) - F.lit(df_t) + 0.5) / (F.lit(df_t) + 0.5))

@@ -1697,3 +1697,58 @@ def test_connected_components_long_integer_chain(spark):
     }
     assert set(got) == set(range(32))
     assert set(got.values()) == {0}
+
+
+def test_text_index_heavy_term_spans_partitions(spark, tmp_path):
+    """Zipf-skew guard: a stopword-grade term's posting list must be
+    SPLIT across output partitions (range partitioning on (term, id)),
+    not hash-bucketed onto one straggler task/file."""
+    from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
+
+    # 4000 docs all containing "the" (df ~ n_docs) + a light tail.
+    rows = [(i, f"the unique{i} filler{i % 7}") for i in range(4000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    root = str(tmp_path / "skew_idx")
+    # explicit partition count: at test scale AQE would coalesce the
+    # whole (tiny) shuffle to one partition; production leaves it None
+    # and AQE splits by its advisory byte target instead.
+    TI.build_text_index(docs, root, n_partitions=8)
+
+    files = (
+        spark.read.parquet(str(tmp_path / "skew_idx" / "postings"))
+        .where(F.col("term") == "the")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert files > 1, "heavy term landed in a single partition file"
+
+
+def test_text_index_stop_term_cap(spark, tmp_path):
+    """Corpus-relative df cap: a term in more than max_df_frac of the
+    docs is dropped from the postings, recorded in stopterms/, and
+    contributes zero at query time -- remaining terms score exactly
+    like an uncapped index."""
+    from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
+
+    rows = [(i, f"the widget{i % 5} tail{i}") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped, plain = str(tmp_path / "capped"), str(tmp_path / "plain")
+    TI.build_text_index(docs, capped, max_df_frac=0.5)
+    TI.build_text_index(docs, plain)
+
+    stop = {r["term"] for r in spark.read.parquet(capped + "/stopterms").collect()}
+    assert stop == {"the"}
+    assert (
+        spark.read.parquet(capped + "/postings")
+        .where(F.col("term") == "the")
+        .count()
+        == 0
+    )
+    # scoring on surviving terms is unchanged, and the stop term is a
+    # zero contribution rather than an error
+    got = [tuple(r) for r in TI.query_text_index(spark, capped, ("the", "widget0"), k=10).collect()]
+    want = [tuple(r) for r in TI.query_text_index(spark, plain, ("widget0",), k=10).collect()]
+    assert got == want and len(got) > 0
+    # all-stop-term query degrades to empty, not a crash
+    assert TI.query_text_index(spark, capped, ("the",), k=10).count() == 0

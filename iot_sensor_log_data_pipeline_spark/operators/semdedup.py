@@ -30,15 +30,37 @@ column the IVF index stores); the self-join shuffles on the cell id;
 per-cell pair volume is bounded by the quantizer's cell sizes (finer
 cells trade recall for cost); components run O(log diameter) rounds
 on the pair list only.
+
+Cell-cost bounds (the within-cell self-join is sum of per-cell
+SQUARES, so one balloon cell is a quadratic bomb -- the paper runs
+~1e5 clusters at corpus scale):
+- ``n_cells`` defaults to ``ceil(N / target_cell_size)`` instead of a
+  fixed constant, so the quantizer gets finer as the corpus grows.
+- ``cell_cap`` recursively SPLITS any cell whose membership exceeds
+  the cap (``split_oversized_cells``): random-projection median cuts
+  (RP-tree style), halving every oversized cell per round, so the
+  bound arrives in O(log2(max_cell/cap)) cheap rounds with no balance
+  assumptions.  Near-identical vectors project near-identically, so
+  planted duplicates stay together (recall pytest keeps the contract
+  honest).  A cell of EXACTLY identical vectors cannot be split and
+  is frozen intact -- its quadratic pair list is the true answer, not
+  a planning accident.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import connected_components
 from .similarity import _top_cells_udf, dot, kmeans_centroids, l2_norm
+
+#: Default members-per-cell target for the corpus-derived quantizer
+#: size: n_cells ~ N / this, the granularity at which the within-cell
+#: self-join stays ~target^2 per cell.
+DEFAULT_TARGET_CELL_SIZE = 256
 
 
 def assign_nearest_cell(
@@ -59,17 +81,150 @@ def assign_nearest_cell(
     )
 
 
+def _rp_direction(cell: int, rnd: int, dim: int) -> list[float]:
+    """md5-derived random direction for the (cell, round) cut --
+    deterministic, partitioning-independent, engine-portable (the same
+    hash-to-uniform[-1,1) construction as
+    ``similarity.hash_hyperplanes``)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"rp:{cell}:{rnd}:{d}".encode()).hexdigest()[:8], 16)
+        / 2**31
+        - 1.0
+        for d in range(dim)
+    ]
+
+
+def split_oversized_cells(
+    assigned: DataFrame,
+    cell_cap: int,
+    max_rounds: int = 16,
+    spill_frac: float = 0.05,
+) -> DataFrame:
+    """Bound per-cell membership by recursive random-projection median
+    cuts with SPILL (RP-tree, Dasgupta & Freund STOC'08; overlapping
+    cuts a la spill trees, Liu et al. NIPS'04): (id, vec, nrm, cell)
+    in, same schema out with every splittable cell at or under
+    ``cell_cap``.  Members inside the spill band are assigned to BOTH
+    sides, so the output is a MULTI-assignment -- pair consumers
+    dedupe on (id_a, id_b) (``semantic_pairs`` does).
+
+    Each round, every oversized cell is cut at the median of its
+    members' projections onto an md5-derived random direction:
+    (1) per-cell counts -- one hash agg, only oversized cell ids
+    (<= n_cells rows) reach the driver; (2) a broadcast (cell,
+    direction) table joins members of oversized cells and one more
+    agg takes each cell's [0.5 - s/2, 0.5 + s/2] projection quantiles
+    (s = ``spill_frac``); (3) members at or below the upper fence keep
+    the parent cell id, members above the lower fence move to a fresh
+    id -- the band in between lands in both.  Halving per round makes
+    convergence O(log2(max_cell/cap)) rounds with NO balance
+    assumptions -- the failure mode of nearest-seed Voronoi splitting
+    in high dimension, where the center-most seed captures most of a
+    tight cluster.
+
+    Near-dup contract: near-identical vectors project near-identically,
+    so a duplicate pair is separated only if it straddles the FULL
+    spill band -- i.e. the pair's own projection distance exceeds the
+    band width, vanishing for genuine near-dups (the planted-dup
+    recall pytest keeps this honest).  Memory cost of spill is
+    (1 + spill_frac)^rounds, < 2.2x at the default over 16 rounds.
+    A cell of EXACTLY identical vectors cannot be split (every
+    projection equals both fences, everything stays left); such cells
+    are frozen after one unchanged round -- their quadratic pair list
+    is the true answer, not a planning accident.
+    """
+    spark = assigned.sparkSession
+    first = assigned.select(F.size("vec").alias("d")).first()
+    if first is None:
+        return assigned
+    dim = first["d"]
+    next_cell = (
+        assigned.agg(F.max("cell").cast("long")).collect()[0][0] or 0
+    ) + 1
+    frozen: set[int] = set()
+    for rnd in range(max_rounds):
+        sizes = {
+            r["cell"]: r["n"]
+            for r in assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > cell_cap)
+            .collect()
+        }
+        over = sorted(c for c in sizes if c not in frozen)
+        if not over:
+            break
+        dirs = spark.createDataFrame(
+            [(int(c), _rp_direction(int(c), rnd, dim)) for c in over],
+            "cell int, __r array<float>",
+        )
+        right_ids = spark.createDataFrame(
+            [(int(c), int(next_cell + i)) for i, c in enumerate(over)],
+            "cell int, __rid int",
+        )
+        next_cell += len(over)
+        members = assigned.where(F.col("cell").isin([int(c) for c in over]))
+        projected = members.join(F.broadcast(dirs), "cell").withColumn(
+            "__proj", dot(F.col("vec"), F.col("__r"))
+        )
+        fences = projected.groupBy("cell").agg(
+            F.percentile_approx(
+                "__proj",
+                F.array(
+                    F.lit(0.5 - spill_frac / 2), F.lit(0.5 + spill_frac / 2)
+                ),
+                F.lit(10000),
+            ).alias("__q")
+        )
+        fenced = (
+            projected.join(F.broadcast(fences), "cell")
+            .join(F.broadcast(right_ids), "cell")
+            .withColumn("__lo", F.element_at("__q", 1))
+            .withColumn("__hi", F.element_at("__q", 2))
+        )
+        left = fenced.where(F.col("__proj") <= F.col("__hi")).select(
+            "id", "vec", "nrm", F.col("cell").cast("int").alias("cell")
+        )
+        right = fenced.where(F.col("__proj") > F.col("__lo")).select(
+            "id", "vec", "nrm", F.col("__rid").cast("int").alias("cell")
+        )
+        reassigned = left.unionByName(right)
+        new_assigned = (
+            assigned.where(~F.col("cell").isin([int(c) for c in over]))
+            .unionByName(reassigned)
+            .localCheckpoint(eager=True)
+        )
+        # Freeze cells that did not shrink (identical-projection blobs
+        # where the whole cell sits at the median).
+        still = {
+            r["cell"]: r["n"]
+            for r in new_assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > cell_cap)
+            .collect()
+        }
+        frozen |= {c for c, n in still.items() if sizes.get(c) == n}
+        assigned = new_assigned
+    return assigned
+
+
 def semantic_pairs(
     vectors: DataFrame,
     threshold: float,
     centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """Within-cell near-duplicate pairs: (cell, id_a, id_b, cos_sim)
     with id_a < id_b and cosine >= threshold.  The join key is the
-    cell id, so cost is sum of per-cell squares, not corpus^2."""
+    cell id, so cost is sum of per-cell squares, not corpus^2;
+    ``cell_cap`` additionally splits oversized cells before the
+    self-join (see ``split_oversized_cells``)."""
     assigned = assign_nearest_cell(vectors, centroids, id_col, vec_col)
+    if cell_cap is not None:
+        assigned = split_oversized_cells(assigned, cell_cap)
     a = assigned.select(
         "cell",
         F.col("id").alias("id_a"),
@@ -82,7 +237,7 @@ def semantic_pairs(
         F.col("vec").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    return (
+    pairs = (
         a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))
         .select(
@@ -95,25 +250,57 @@ def semantic_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+    if cell_cap is not None:
+        # The spill band multi-assigns members, so a pair can surface
+        # from two (sub-)cells: keep one row per pair (min cell id;
+        # cos_sim is identical on every copy -- same two vectors).
+        pairs = pairs.groupBy("id_a", "id_b").agg(
+            F.min("cell").alias("cell"), F.min("cos_sim").alias("cos_sim")
+        ).select("cell", "id_a", "id_b", "cos_sim")
+    return pairs
 
 
 def semantic_dedup(
     vectors: DataFrame,
     threshold: float,
     centroids: list[tuple[int, list[float]]] | None = None,
-    n_cells: int = 64,
+    n_cells: int | None = None,
+    target_cell_size: int = DEFAULT_TARGET_CELL_SIZE,
+    cell_cap: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """SemDeDup survivors: ``vectors`` minus every non-exemplar member
-    of each semantic near-dup component (min id survives).  Pass
-    ``centroids`` to pin the quantizer (oracle runs); defaults to the
-    sampled Lloyd's quantizer."""
+    of each semantic near-dup component (min id survives).
+
+    Quantizer sizing scales with the corpus instead of a test-scale
+    constant: ``n_cells`` defaults to ``ceil(N / target_cell_size)``
+    (the paper's many-clusters regime at corpus scale), and the
+    production path (no pinned ``centroids``) additionally enforces a
+    per-cell membership cap of ``4 * target_cell_size`` via recursive
+    splitting -- one skewed cluster can no longer make the within-cell
+    self-join quadratic in the corpus.  Pass ``centroids`` to pin the
+    quantizer (oracle runs; cap off unless given explicitly)."""
     if centroids is None:
+        if n_cells is None:
+            n = vectors.count()
+            n_cells = max(1, math.ceil(n / target_cell_size))
+        if cell_cap is None:
+            cell_cap = 4 * target_cell_size
+        # Sample scales with the cell count (>= 8 members per cell in
+        # the Lloyd sample) so a corpus-derived n_cells keeps a
+        # meaningful quantizer, not 2048 points spread over more cells
+        # than samples.
         centroids = kmeans_centroids(
-            vectors, n_cells, id_col=id_col, vec_col=vec_col
+            vectors,
+            n_cells,
+            id_col=id_col,
+            vec_col=vec_col,
+            sample_size=max(2048, 8 * n_cells),
         )
-    pairs = semantic_pairs(vectors, threshold, centroids, id_col, vec_col)
+    pairs = semantic_pairs(
+        vectors, threshold, centroids, id_col, vec_col, cell_cap=cell_cap
+    )
     comp = connected_components(pairs.select("id_a", "id_b"))
     keepers = comp.groupBy("component").agg(F.min("node").alias("keep"))
     drop = (

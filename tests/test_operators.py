@@ -1752,3 +1752,58 @@ def test_text_index_stop_term_cap(spark, tmp_path):
     assert got == want and len(got) > 0
     # all-stop-term query degrades to empty, not a crash
     assert TI.query_text_index(spark, capped, ("the",), k=10).count() == 0
+
+
+def test_semdedup_cell_cap_bounds_skewed_fixture(spark):
+    """One balloon cluster must not make the within-cell self-join
+    quadratic: with cell_cap on, recursive splitting bounds every
+    cell's membership (so per-cell pair volume <= cap^2), while
+    planted near-duplicates are still found within-cell."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import semdedup as SD
+
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((3, 64)) * 10.0
+    rows, planted = [], set()
+    vid = 0
+    # balloon cluster: 600 members; two small ones: 25 each
+    for c, n_members in ((0, 600), (1, 25), (2, 25)):
+        for j in range(n_members):
+            base = centers[c] + rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in base]))
+            if j % 10 == 0:
+                dup = base + rng.standard_normal(64) * 0.003
+                rows.append((vid + 1, [float(x) for x in dup]))
+                planted.add((vid, vid + 1))
+                vid += 2
+            else:
+                vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = SIM.kmeans_centroids(emb, 3, sample_size=256)
+
+    from iot_sensor_log_data_pipeline_spark.operators.semdedup import (
+        assign_nearest_cell,
+        split_oversized_cells,
+    )
+
+    cap = 64
+    unbounded_max = (
+        assign_nearest_cell(emb, cents)
+        .groupBy("cell").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert unbounded_max > cap  # fixture really is skewed
+
+    bounded = split_oversized_cells(assign_nearest_cell(emb, cents), cap)
+    sizes = [r["count"] for r in bounded.groupBy("cell").count().collect()]
+    assert max(sizes) <= cap, f"cell sizes after split: {sorted(sizes)[-5:]}"
+    # spill multi-assigns a small band per cut: nobody lost, bounded dup
+    assert bounded.select("id").distinct().count() == len(rows)
+    assert len(rows) <= sum(sizes) <= int(1.5 * len(rows))
+
+    got_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in SD.semantic_pairs(emb, 0.95, cents, cell_cap=cap).collect()
+    }
+    missed = planted - got_pairs
+    assert not missed, f"cell cap lost planted near-dups: {missed}"

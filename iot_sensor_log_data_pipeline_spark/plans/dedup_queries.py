@@ -684,3 +684,105 @@ def dedup_entity_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_record_pairs"))
         .orderBy("name_a", "name_b")
     )
+
+
+@register(
+    "dedup_semantic_text_survivors",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    tok AS (SELECT doc_id, unnest(l) AS t FROM toks),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS idx,
+             CASE WHEN CAST(('0x' || substr(md5(t), 9, 1)) AS BIGINT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM tok
+    ),
+    cells AS (SELECT doc_id, idx, sum(s) AS val FROM h GROUP BY doc_id, idx),
+    docs_with AS (
+      SELECT doc_id FROM cells GROUP BY doc_id
+      HAVING sum(CASE WHEN val <> 0 THEN 1 ELSE 0 END) > 0
+    ),
+    grid AS (SELECT doc_id, d FROM docs_with CROSS JOIN range(64) t(d)),
+    emb AS (
+      SELECT g.doc_id, list(coalesce(c.val, 0.0) ORDER BY g.d) AS e
+      FROM grid g LEFT JOIN cells c ON c.doc_id = g.doc_id AND c.idx = g.d
+      GROUP BY g.doc_id
+    ),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               - 1 AS cell,
+             e AS cv
+      FROM emb
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      LIMIT 16
+    ),
+    dots AS (
+      SELECT emb.doc_id, cent.cell,
+             {_EDOT.format(a='emb.e', b='cent.cv')} AS dp
+      FROM emb CROSS JOIN cent
+    ),
+    assigned AS (
+      SELECT doc_id, cell FROM (
+        SELECT doc_id, cell,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY dp DESC, cell) AS rn
+        FROM dots)
+      WHERE rn = 1
+    ),
+    sem_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             {_EDOT.format(a='ea.e', b='eb.e')}
+               / ({_ENORM.format(a='ea.e')} * {_ENORM.format(a='eb.e')})
+               AS cos_sim
+      FROM assigned a
+      JOIN assigned b ON a.cell = b.cell AND a.doc_id < b.doc_id
+      JOIN emb ea ON ea.doc_id = a.doc_id
+      JOIN emb eb ON eb.doc_id = b.doc_id
+    ),
+    edges AS (SELECT id_a, id_b FROM sem_pairs WHERE cos_sim >= 0.9),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    reach(node, r) AS (
+      SELECT s, s FROM sym
+      UNION
+      SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.node
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    keepers AS (SELECT component, min(node) AS keep FROM comp GROUP BY component),
+    dropped AS (
+      SELECT c.node FROM comp c JOIN keepers k ON c.component = k.component
+      WHERE c.node <> k.keep
+    )
+    SELECT e.doc_id
+    FROM emb e
+    WHERE e.doc_id NOT IN (SELECT node FROM dropped)
+    ORDER BY e.doc_id
+    """,
+    tags=("dedup", "north-star", "semantic", "text", "composition"),
+)
+def dedup_semantic_text_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END text semantic dedup -- the composition a curation
+    user actually runs: documents -> feature-hashing embeddings
+    (``operators/text.py:hash_embedding``, no trained model) -> full
+    SemDeDup (1-NN cells on the pinned 16-seed quantizer -> within-
+    cell cosine >= 0.9 pairs -> connected components -> min-id
+    exemplar).  Every stage is md5-derived, so the oracle replays
+    hashing, quantizer, assignment, pairs, and components
+    stage-for-stage in SQL.  Scale shape: one token explode +
+    (doc, dim) hash agg for the vectors, then the cell-keyed SemDeDup
+    machinery -- nothing corpus-quadratic."""
+    from ..operators import semdedup as SD
+    from ..operators import similarity as SIM
+    from ..operators import text as TX
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    emb = TX.hash_embedding(docs, dim=64)
+    cents = SIM.seed_centroids(emb, 16, id_col="doc_id", vec_col="embedding")
+    surv = SD.semantic_dedup(
+        emb, 0.9, centroids=cents, id_col="doc_id", vec_col="embedding"
+    )
+    return surv.select("doc_id").orderBy("doc_id")

@@ -751,3 +751,122 @@ def blocked_levenshtein_pairs(
         )
         .where(F.col("dist") <= max_dist)
     )
+
+
+def verbatim_runs(
+    docs: DataFrame,
+    k: int = 8,
+    min_len: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_gram_df: int | None = None,
+    max_gram_frac: float = DEFAULT_MAX_SHINGLE_FRAC,
+) -> DataFrame:
+    """Cross-document EXACT substring dedup: every maximal verbatim
+    token run of length >= ``min_len`` shared by two documents, as
+    (id_a, id_b, a_start, b_start, run_len) with id_a < id_b and
+    0-based token offsets -- the arbitrary-length verbatim-overlap
+    member of the dedup family (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499;
+    their suffix-array construction re-expressed as a shared-k-gram
+    equi-join + diagonal islands, the Spark-native equivalent).
+
+    Algorithm: (1) every k-token gram occurrence with its position --
+    one in-row transform + explode, no shuffle; (2) corpus-relative
+    stop-gram cap (same policy as ``effective_max_shingle_df``: a
+    gram in more than max(floor, frac * n_docs) documents is
+    boilerplate whose occurrence cross-product would dominate join
+    cost -- documented recall tradeoff: runs consisting ONLY of
+    stop-grams are not reported); (3) equi-join occurrences on the
+    gram STRING (no hash collisions) -> matched anchor positions;
+    (4) gaps-and-islands per (id_a, id_b, diagonal = pa - pb): inside
+    a shared run every anchor start matches on the same diagonal at
+    consecutive positions, so a maximal island of step-1 anchors IS a
+    maximal run, of token length (island size + k - 1).  Sound and
+    complete for runs >= k without any per-pair re-scan: candidates
+    never leave the executors, and the window partitions by
+    (pair, diagonal) -- near-dup-pair-sized state, not corpus-sized.
+
+    ``min_len`` defaults to ``2 * k - 1`` (the shortest run that
+    proves more than one anchor's worth of overlap).
+    """
+    if min_len is None:
+        min_len = 2 * k - 1
+    if min_len < k:
+        raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
+    from ..io_utils import parallelize_small
+
+    toked = parallelize_small(docs).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    )
+    pg = (
+        toked.where(F.size("__toks") >= k)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - k),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.concat_ws(
+                            " ", F.slice("__toks", i + 1, k)
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select("id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    )
+    pg = _cache_scratch(pg)
+
+    if max_gram_df is None:
+        n_docs = toked.count()
+        max_gram_df = effective_max_shingle_df(n_docs, frac=max_gram_frac)
+    heavy = (
+        pg.groupBy("gram")
+        .agg(F.count_distinct("id").alias("df"))
+        .where(F.col("df") > max_gram_df)
+        .select("gram")
+    )
+    kept = pg.join(F.broadcast(heavy), "gram", "left_anti")
+
+    a = kept.select(
+        F.col("id").alias("id_a"), F.col("pos").alias("pa"), "gram"
+    )
+    b = kept.select(
+        F.col("id").alias("id_b"), F.col("pos").alias("pb"), "gram"
+    )
+    cand = (
+        a.join(b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", (F.col("pa") - F.col("pb")).alias("diag"), "pa"
+        )
+    )
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    islands = (
+        cand.withColumn("__prev", F.lag("pa").over(w))
+        .withColumn(
+            "__brk",
+            F.when(F.col("pa") - F.coalesce("__prev", F.lit(-2)) == 1, 0).otherwise(1),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        islands.groupBy("id_a", "id_b", "diag", "__island")
+        .agg(F.min("pa").alias("a_start"), F.count(F.lit(1)).alias("__n"))
+        .select(
+            "id_a",
+            "id_b",
+            "a_start",
+            (F.col("a_start") - F.col("diag")).alias("b_start"),
+            (F.col("__n") + F.lit(k - 1)).cast("long").alias("run_len"),
+        )
+        .where(F.col("run_len") >= min_len)
+    )

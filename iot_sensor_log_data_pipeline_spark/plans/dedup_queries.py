@@ -786,3 +786,64 @@ def dedup_semantic_text_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
         emb, 0.9, centroids=cents, id_col="doc_id", vec_col="embedding"
     )
     return surv.select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "dedup_verbatim_runs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    pg AS (
+      SELECT doc_id, i AS pos, array_to_string(l[i+1:i+8], ' ') AS gram
+      FROM (SELECT doc_id, l, unnest(range(len(l) - 7)) AS i
+            FROM toks WHERE len(l) >= 8)
+    ),
+    heavy AS (
+      SELECT gram FROM pg GROUP BY gram
+      HAVING count(DISTINCT doc_id) > 50
+    ),
+    kept AS (SELECT * FROM pg WHERE gram NOT IN (SELECT gram FROM heavy)),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos - b.pos AS diag, a.pos AS pa
+      FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT *,
+             CASE WHEN pa - lag(pa) OVER (PARTITION BY id_a, id_b, diag
+                                          ORDER BY pa) = 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM cand
+    ),
+    isl2 AS (
+      SELECT *, sum(brk) OVER (PARTITION BY id_a, id_b, diag
+                               ORDER BY pa) AS island
+      FROM isl
+    ),
+    runs AS (
+      SELECT id_a, id_b, min(pa) AS a_start, min(pa) - diag AS b_start,
+             CAST(count(*) + 7 AS BIGINT) AS run_len
+      FROM isl2 GROUP BY id_a, id_b, diag, island
+    )
+    SELECT id_a, id_b, a_start, b_start, run_len
+    FROM runs
+    WHERE run_len >= 15
+    ORDER BY id_a, id_b, a_start, b_start
+    """,
+    tags=("dedup", "north-star", "verbatim", "substring"),
+)
+def dedup_verbatim_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT substring dedup
+    (``operators/dedup.py:verbatim_runs``, Lee et al. 2022): every
+    maximal verbatim token run >= 15 tokens shared by two documents,
+    with both 0-based offsets -- the arbitrary-length verbatim-overlap
+    detector that fixed-width passage chunks approximate.  Suffix-
+    array semantics re-expressed Spark-first: shared 8-gram anchor
+    equi-join (stop-gram capped), then gaps-and-islands per
+    (pair, diagonal) -- a maximal island of step-1 anchor starts IS a
+    maximal run.  The oracle replays anchors, cap, join, and islands
+    stage-for-stage."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return (
+        DD.verbatim_runs(docs, k=8, min_len=15)
+        .orderBy("id_a", "id_b", "a_start", "b_start")
+    )

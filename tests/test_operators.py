@@ -1807,3 +1807,63 @@ def test_semdedup_cell_cap_bounds_skewed_fixture(spark):
     }
     missed = planted - got_pairs
     assert not missed, f"cell cap lost planted near-dups: {missed}"
+
+
+def _py_maximal_runs(ta, tb, min_len):
+    """All maximal common token runs >= min_len between token lists --
+    O(n*m) diagonal walk, the brute-force oracle for verbatim_runs."""
+    runs = set()
+    for diag in range(-len(tb) + 1, len(ta)):
+        i, j, run = max(0, diag), max(0, diag) - diag, 0
+        while i <= len(ta) and j <= len(tb):
+            if i < len(ta) and j < len(tb) and ta[i] == tb[j]:
+                run += 1
+            else:
+                if run >= min_len:
+                    runs.add((i - run, j - run, run))
+                run = 0
+            i += 1
+            j += 1
+    return runs
+
+
+def test_verbatim_runs_match_bruteforce(spark):
+    """Planted verbatim substrings: the anchor-join + diagonal-island
+    operator must report exactly the maximal common runs >= min_len
+    that an O(n*m) reference walk finds -- including two runs on the
+    same diagonal and a run shared at different offsets."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(200)]
+
+    def rand_toks(n):
+        return [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+
+    shared20 = rand_toks(20)
+    shared16 = rand_toks(16)
+    shared10 = rand_toks(10)          # below min_len=15: must NOT appear
+    d1 = rand_toks(30) + shared20 + rand_toks(5) + shared16 + rand_toks(10)
+    d2 = rand_toks(10) + shared20 + rand_toks(25) + shared16 + rand_toks(3)
+    d3 = rand_toks(40) + shared10 + rand_toks(12)
+    d4 = shared10 + rand_toks(50)
+    texts = {1: d1, 2: d2, 3: d3, 4: d4}
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+    k, min_len = 8, 15
+    got = {
+        (r["id_a"], r["id_b"], r["a_start"], r["b_start"], r["run_len"])
+        for r in DD.verbatim_runs(docs, k=k, min_len=min_len).collect()
+    }
+    want = set()
+    ids = sorted(texts)
+    for x in ids:
+        for y in ids:
+            if x < y:
+                for (sa, sb, ln) in _py_maximal_runs(texts[x], texts[y], min_len):
+                    want.add((x, y, sa, sb, ln))
+    assert got == want
+    assert any(r[4] >= 20 for r in got)  # the 20-token plant was found
+    assert not any(r[4] < min_len for r in got)

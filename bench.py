@@ -102,6 +102,85 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str,
     return out
 
 
+def persisted_index_breakdown(spark, sf_dir: str) -> dict[str, float]:
+    """Build vs probe timings for the three persisted indexes (SRP-LSH,
+    IVF, inverted text) -- separated so a probe-path regression is
+    visible instead of being masked by build noise (the catalog's
+    ``*_persisted_*`` bench lines time build+probe together).  Probes
+    run min-of-2 (plan cost, not first-run JIT); builds run once (they
+    are the amortized cost by definition)."""
+    from pyspark.sql import functions as F
+
+    from iot_sensor_log_data_pipeline_spark.io_utils import (
+        load,
+        parallelize_small,
+        scratch_dir,
+    )
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as ANN
+    from iot_sensor_log_data_pipeline_spark.operators import similarity as SIM
+    from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
+    from iot_sensor_log_data_pipeline_spark.plans.text_queries import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    queries = emb.where(F.col("vec_id") < 5)
+    out: dict[str, float] = {}
+
+    def timed(key: str, fn, passes: int = 1) -> None:
+        best = None
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        out[key] = round(best, 3)
+
+    lsh_root = scratch_dir("bench_index", "lsh")
+    timed(
+        "lsh_build",
+        lambda: ANN.build_lsh_index(
+            emb, lsh_root, bands=16, rows_per_band=4,
+            planes=SIM.hash_hyperplanes(64, dim=64),
+        ),
+    )
+    timed(
+        "lsh_probe",
+        lambda: ANN.query_lsh_index(spark, lsh_root, queries, k=10)
+        .write.format("noop").mode("overwrite").save(),
+        passes=2,
+    )
+
+    ivf_root = scratch_dir("bench_index", "ivf")
+    timed(
+        "ivf_build",
+        lambda: ANN.build_ivf_index(
+            emb, ivf_root, n_cells=16, n_assign=2,
+            centroids=SIM.seed_centroids(emb, 16),
+        ),
+    )
+    timed(
+        "ivf_probe",
+        lambda: ANN.query_ivf_index(spark, ivf_root, queries, k=10, n_probe=4)
+        .write.format("noop").mode("overwrite").save(),
+        passes=2,
+    )
+
+    text_root = scratch_dir("bench_index", "text")
+    timed("text_build", lambda: TI.build_text_index(docs, text_root))
+    timed(
+        "text_probe",
+        lambda: TI.query_text_index(
+            spark, text_root, _BM25_TERMS, k=15, k1=_BM25_K1, b=_BM25_B
+        ).write.format("noop").mode("overwrite").save(),
+        passes=2,
+    )
+    return out
+
+
 def streaming_throughput(spark, n_rows: int = 200_000) -> float:
     """Rows/sec through the watermarked streaming hourly rollup
     (AvailableNow trigger over a parquet directory, noop sink) -- the
@@ -172,6 +251,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     recall = ann_recall(spark, sf_dir)
+    index_breakdown = persisted_index_breakdown(spark, sf_dir)
     stream_rps = streaming_throughput(spark)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -188,6 +268,7 @@ def main() -> None:
                 "sf": sf_val,
                 "cpus": cpus,
                 "ann_recall_at_10": recall,
+                "persisted_index_sec": index_breakdown,
                 "streaming_rows_per_sec": stream_rps,
                 "load_avg_1m": {
                     "start": round(load_start, 2),

@@ -52,90 +52,75 @@ _QUERY_MODULES = (
 #: ``queries()`` per round, so this tuple -- not module import order --
 #: decides which queries get an external green row this round.  Names
 #: listed here are emitted first, in this order; every other query
-#: follows in registration order.  Round-4 priority: (a) the 7
-#: round-3 additions no external window has reached yet, (b) queries
-#: new this round, (c) re-entries for every module edited this round
-#: (semantics-affecting edits first: the ``word_shingles`` refactor
-#: touches every shingle consumer; the ``histogram_quantiles`` NULL
-#: filter touches the sketch family; then append-only module edits).
-#: ``similarity_ivf_ann`` is deliberately NOT in the window: it is
-#: rows-only by design (sampled Lloyd's quantizer), its machinery is
-#: fully oracle-checked via the pinned-quantizer twin
-#: ``similarity_ivf_seed_ann`` and the persisted-index twin, so a
-#: driver `no_oracle` row adds no information.  Unknown names fail
-#: loudly in tests (``tests/test_catalog_oracle.py``).
+#: follows in registration order.  Round-5 priority (the rotation the
+#: round-4 notes scheduled): (a) queries NEW this round, (b)
+#: re-entries for every module edited this round (dedup.py
+#: connected-components witness; semdedup.py splitter; text_index.py
+#: layout; similarity_queries.py index roots), (c) the refresh pass
+#: over the stale round-1 relational battery (externally green in r1,
+#: never re-checked since, three rounds of repo evolution ago), then
+#: (d) as many of the oldest round-2 rows as fit.  By-design
+#: rows-only queries (``agg_approx_sketches``, ``similarity_ivf_ann``)
+#: stay out of the window: their machinery is covered by oracle twins
+#: and bounds pytests, so a driver `no_oracle` row adds no
+#: information.  Unknown names fail loudly in tests
+#: (``tests/test_catalog_oracle.py``).
 _VERIFY_PRIORITY: tuple[str, ...] = (
-    # (a) round-3 additions never externally verified
-    "graph_pagerank_neardup",
+    # (a) new in round 5
+    "dedup_verbatim_runs",
+    "dedup_semantic_text_survivors",
+    # (b) re-entry: round-5 module edits
+    "dedup_clusters",
     "dedup_survivor_selection",
-    "similarity_pq_adc_ann",
-    "text_bpe_pairs",
-    "sketch_hll_by_source",
-    "multimodal_phash_dedup",
-    "quality_referential_checks",
-    # (b) new in round 4
-    "similarity_persisted_lsh_ann",
-    "similarity_persisted_ivf_ann",
     "dedup_semantic_pairs",
     "dedup_semantic_survivors",
-    "text_repetition_stats",
-    "text_vocab_coverage",
-    "text_bigram_logprob",
-    "corpus_mixture_weights",
-    "text_hash_embedding",
-    "dedup_ngram_containment",
-    "events_path_trigrams",
     "text_bm25_persisted_index",
-    "profile_psi_drift",
-    "scan_merge_schema",
-    "dedup_entity_fuzzy_names",
-    "scd2_point_in_time_join",
-    "quality_iqr_outliers",
-    "multimodal_chunk_dedup",
-    "basket_part_cooccurrence",
-    # (c1) re-entry: dedup.py word_shingles refactor (shingle/token
-    # consumers) + dedup_queries.py edits
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_passage_chunks",
-    "dedup_exact_documents",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    # (c2) re-entry: sketch.py NULL-filter edit (sketch family)
-    "agg_histogram_quantiles",
-    "sketch_count_min_tokens",
-    "sketch_hll_distinct_tokens",
-    "join_bloom_pruned_revenue",
-    # (c3) re-entry: text.py append-only edit (text family)
-    "text_token_stats",
-    "text_quality_score",
-    "text_language_id",
-    "text_fingerprint_clusters",
-    "text_top_tokens",
-    "text_bm25_search",
-    "text_tfidf_top_terms",
-    "text_pii_redact",
-    "text_unigram_logprob",
-    # (c4) re-entry: similarity_queries.py oracle-constant refactor
-    "similarity_topk_cosine",
-    "similarity_lsh_ann",
-    "similarity_label_centroids",
-    "similarity_ivf_seed_ann",
+    "similarity_persisted_lsh_ann",
+    "similarity_persisted_ivf_ann",
+    # (c) round-1 relational battery refresh (oldest external rows)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "join_broadcast_dims",
+    "join_left_order_counts",
+    "join_semi_anti_balance",
+    "join_full_outer_nations",
+    "join_theta_size_bands",
+    "join_asof_purchase_click",
+    "setops_user_cohorts",
+    "agg_full_set",
+    "agg_percentiles",
+    "rollup_order_status_priority",
+    "cube_lineitem_flags",
+    "grouping_sets_part",
+    "pivot_daily_event_values",
+    "topk_orders_global",
+    "sessionize_events",
+    "q10_returned_items",
+    "q18_large_volume",
+    "unpivot_order_measures",
+    "q7_nation_volume",
+    "q12_late_shipments",
+    "q14_promo_share",
+    "q19_disjunctive_predicates",
+    "q4_order_priority_check",
+    "q15_top_supplier",
+    # (d) oldest round-2 rows, as many as fit the 50-slot window
+    "hourly_avg_by_type",
+    "histogram_max_value",
+    "value_props_corr",
+    "hourly_corr",
+    "row_transform_flatten",
+    "json_serialize",
+    "monotonic_sequence",
+    "dedup_at_least_once",
+    "compaction_projection",
+    "funnel_conversion",
+    "cohort_weekly_retention",
+    "gapfill_10min_interpolated",
+    "anomaly_rolling_zscore",
 )
-
-#: Round-4 re-entry scoping: modules whose round-4 edits were
-#: APPEND-ONLY (new registrations at end of file -- reference,
-#: lifecycle, multimodal, pipeline, curation query modules) do NOT
-#: re-enter their existing queries: no existing plan, expression, or
-#: oracle string changed (verifiable in the round diff), and the
-#: 50-slot window is spent on queries whose behavior could have
-#: changed (dedup / sketch / text / similarity operator edits) plus
-#: everything new.  Displaced queries stay green under the full local
-#: gate (``tests/test_catalog_oracle.py`` runs every catalog query at
-#: sf0.01).  Round-5 rotation: modules edited in round 5 first, then
-#: a refresh pass over the round-1 relational battery (the oldest
-#: external rows).
 
 
 @dataclass(frozen=True)

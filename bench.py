@@ -69,6 +69,7 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str,
     from pyspark.sql import functions as F
 
     from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import graph_ann as GA
     from iot_sensor_log_data_pipeline_spark.operators import similarity as SIM
 
     emb = load(spark, sf_dir, "embeddings")
@@ -93,6 +94,10 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str,
         ("pq", lambda: SIM.pq_adc_topk(
             emb, queries, k=k, n_codes=256,
             codebooks=SIM.pq_codebooks(emb, m=8, k=256), rerank=100)),
+        # graph path: NN-descent build + beam-search probe (round 5) --
+        # the highest-recall member; build cost shows under
+        # persisted_index_sec, this line measures only accuracy.
+        ("graph", lambda: GA.graph_topk(emb, queries, k=k)),
     )
     for label, fn in approx_runs:
         approx = {
@@ -176,6 +181,17 @@ def persisted_index_breakdown(spark, sf_dir: str) -> dict[str, float]:
         lambda: TI.query_text_index(
             spark, text_root, _BM25_TERMS, k=15, k1=_BM25_K1, b=_BM25_B
         ).write.format("noop").mode("overwrite").save(),
+        passes=2,
+    )
+
+    from iot_sensor_log_data_pipeline_spark.operators import graph_ann as GA
+
+    graph_root = scratch_dir("bench_index", "graph")
+    timed("graph_build", lambda: GA.build_graph_index(emb, graph_root))
+    timed(
+        "graph_probe",
+        lambda: GA.query_graph_index(spark, graph_root, queries, k=10)
+        .write.format("noop").mode("overwrite").save(),
         passes=2,
     )
     return out

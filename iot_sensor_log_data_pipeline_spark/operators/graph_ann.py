@@ -1,0 +1,307 @@
+"""Graph ANN: k-NN-graph construction by LSH-seeded NN-descent and
+batched greedy beam-search probes -- the graph member of the ANN
+family (LSH / IVF / PQ in ``similarity.py`` + ``ann_index.py``).
+
+Why not HNSW itself: HNSW's layered build inserts points ONE AT A
+TIME, each insertion greedily searching the graph built so far -- an
+inherently sequential recurrence with no DataFrame expression (the
+same reason LTTB runs in ``applyInPandas``: order-dependent state).
+The scalable-relational restatement of "navigable neighborhood graph +
+greedy search" is:
+
+- BUILD: NN-descent (Dong, Moses & Li, WWW 2011, "Efficient K-Nearest
+  Neighbor Graph Construction for Generic Similarity Measures"): seed
+  each node's neighbor list from SRP-LSH band buckets (the engine's
+  existing banding machinery), then iterate "my neighbors' neighbors
+  are candidate neighbors" -- per round one self-join of the
+  undirected edge list, an anti-join against already-scored pairs,
+  exact cosine on the NEW candidates only, and a per-node top-k
+  window.  Every step is a bounded equi-join: per round a node
+  contributes <= (2k)^2 candidates, so cost is ~N * 4k^2 cosines,
+  never N^2.
+- PROBE: batched best-first beam search over the persisted adjacency
+  lists: all queries advance together, one frontier-to-adjacency
+  equi-join per hop, exact cosine against the touched vectors only,
+  top-``beam`` per query between hops.  ``hops`` is fixed (like
+  ``graph.pagerank_fixed``), so the plan is a bounded join chain.
+
+Determinism: hyperplanes are md5-derived, NN-descent rounds are fixed
+count, ties break on node id -- identical output across runs and
+partitionings (pytest).  The result is approximate by nature (no SQL
+oracle can replay a graph walk cheaply), so the catalog row is
+rows-only and the accuracy contract lives in the recall-floor pytest
+and the bench's recall@10 line -- the same verification story as
+``similarity_ivf_ann``.
+
+On-disk layout (``build_graph_index``), matching ``ann_index.py``:
+
+    <root>/config/   one row: kind='knn_graph', k, n_iter, n_entry
+    <root>/graph/    (src, dst, score) directed k-NN adjacency
+    <root>/vectors/  (id, vec, nrm) re-rank + scoring vectors
+    <root>/entries/  (id) the n_entry md5-smallest node ids -- the
+                     deterministic search entry points
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .ann_index import _sub, _write_small
+from .similarity import _srp_bands_udf, dot, hash_hyperplanes, l2_norm
+
+#: Default NN-descent neighbor-list width; also the per-node fan-out
+#: the beam search explores per hop.
+DEFAULT_K = 10
+
+
+def _score(col_a: str, col_b: str, nrm_a: str, nrm_b: str):
+    return dot(F.col(col_a), F.col(col_b)) / (F.col(nrm_a) * F.col(nrm_b))
+
+
+def knn_graph(
+    vectors: DataFrame,
+    k: int = DEFAULT_K,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Directed k-NN graph (src, dst, score) by LSH-seeded NN-descent:
+    ``k`` best-cosine neighbors per node after ``n_iter`` refinement
+    rounds.  Each round scores ONLY pairs never scored before
+    (anti-join), so total work is bounded by the distinct candidate
+    pairs ever generated."""
+    if planes is None:
+        planes = hash_hyperplanes(bands * rows_per_band, dim=64)
+    base = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    ).localCheckpoint(eager=True)
+
+    bands_udf = _srp_bands_udf(planes, bands, rows_per_band)
+    banded = base.select(
+        "id", F.posexplode(bands_udf(F.col("vec"))).alias("band_id", "bucket")
+    )
+    seeds = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            ["band_id", "bucket"],
+        )
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+    va = base.select(
+        F.col("id").alias("src"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = base.select(
+        F.col("id").alias("dst"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    )
+
+    def score_pairs(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(va, "src")
+            .join(vb, "dst")
+            .select("src", "dst", _score("va", "vb", "na", "nb").alias("score"))
+        )
+
+    def top_k(edges: DataFrame) -> DataFrame:
+        w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+        return (
+            edges.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= k)
+            .drop("__r")
+        )
+
+    graph = top_k(score_pairs(seeds)).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        und = graph.select("src", "dst").unionByName(
+            graph.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        cand = (
+            und.alias("g1")
+            .join(und.alias("g2"), F.col("g1.dst") == F.col("g2.src"))
+            .select(F.col("g1.src").alias("src"), F.col("g2.dst").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .join(graph.select("src", "dst"), ["src", "dst"], "left_anti")
+        )
+        graph = top_k(
+            graph.unionByName(score_pairs(cand))
+        ).localCheckpoint(eager=True)
+    return graph
+
+
+def build_graph_index(
+    vectors: DataFrame,
+    path: str,
+    k: int = DEFAULT_K,
+    n_iter: int = 2,
+    n_entry: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> None:
+    """Materialize the NN-descent k-NN graph, scoring vectors, and
+    deterministic entry points at ``path`` (build once, probe many --
+    the graph twin of ``build_lsh_index``/``build_ivf_index``)."""
+    spark = vectors.sparkSession
+    graph = knn_graph(
+        vectors,
+        k=k,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        bands=bands,
+        rows_per_band=rows_per_band,
+    )
+    graph.write.mode("overwrite").parquet(_sub(path, "graph"))
+    base = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    base.write.mode("overwrite").parquet(_sub(path, "vectors"))
+    entries = (
+        base.select("id")
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(n_entry)
+    )
+    entries.write.mode("overwrite").parquet(_sub(path, "entries"))
+    _write_small(
+        spark,
+        [("knn_graph", int(k), int(n_iter), int(n_entry))],
+        "kind string, k int, n_iter int, n_entry int",
+        _sub(path, "config"),
+    )
+
+
+def query_graph_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    beam: int = 32,
+    hops: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched greedy beam search over a persisted k-NN graph:
+    (query_id, neighbor_id, cos_sim, rank), descending cosine,
+    neighbor-id tiebreak, self-matches excluded.
+
+    All queries advance together: per hop one frontier-to-adjacency
+    equi-join expands each query's ``beam`` best nodes by their stored
+    neighbor lists, exact cosine scores the (small) touched set, and a
+    per-query window keeps the best ``beam``.  State is
+    |queries| x beam rows between hops -- query-batch-sized, never
+    corpus-sized.
+    """
+    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    if cfg["kind"] != "knn_graph":
+        raise ValueError(f"index at {path} is {cfg['kind']!r}, not knn_graph")
+    adj = spark.read.parquet(_sub(path, "graph")).select("src", "dst")
+    vecs = spark.read.parquet(_sub(path, "vectors"))
+    entries = spark.read.parquet(_sub(path, "entries"))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qnrm"),
+    )
+
+    def score_nodes(nodes: DataFrame) -> DataFrame:
+        # nodes: (query_id, node); join the touched vectors, then the
+        # (broadcast) query batch, exact cosine.
+        return (
+            nodes.join(vecs.select(F.col("id").alias("node"), "vec", "nrm"), "node")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "node",
+                _score("qvec", "vec", "qnrm", "nrm").alias("score"),
+            )
+        )
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("node"))
+
+    frontier = score_nodes(
+        q.select("query_id").crossJoin(
+            F.broadcast(entries.select(F.col("id").alias("node")))
+        )
+    )
+    frontier = (
+        frontier.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= beam)
+        .drop("__r")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(hops):
+        nbrs = (
+            frontier.select("query_id", F.col("node").alias("src"))
+            .join(adj, "src")
+            .select("query_id", F.col("dst").alias("node"))
+            .distinct()
+            .join(frontier.select("query_id", "node"), ["query_id", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nbrs.isEmpty():
+            break  # every query's neighborhood is already in the beam
+        merged = frontier.unionByName(score_nodes(nbrs))
+        frontier = (
+            merged.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= beam)
+            .drop("__r")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        frontier.where(F.col("node") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("node").alias("neighbor_id"),
+            F.round("score", 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+def graph_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    beam: int = 32,
+    hops: int = 5,
+    graph_k: int = DEFAULT_K,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ad-hoc build+probe convenience: NN-descent graph in temp
+    scratch, then ``query_graph_index`` -- the one-shot form the bench
+    recall line uses; services persist the build instead."""
+    from ..io_utils import scratch_dir
+
+    path = scratch_dir("graph_ann_adhoc")
+    build_graph_index(
+        vectors, path, k=graph_k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    return query_graph_index(
+        vectors.sparkSession,
+        path,
+        queries,
+        k=k,
+        beam=beam,
+        hops=hops,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

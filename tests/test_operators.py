@@ -1867,3 +1867,63 @@ def test_verbatim_runs_match_bruteforce(spark):
     assert got == want
     assert any(r[4] >= 20 for r in got)  # the 20-token plant was found
     assert not any(r[4] < min_len for r in got)
+
+
+def test_graph_ann_recall_and_determinism(spark, tmp_path):
+    """LSH-seeded NN-descent graph + beam search: recall@10 >= 0.9 vs
+    brute force on a clustered fixture, and the persisted probe is
+    deterministic across repeated runs (md5 planes, fixed rounds,
+    node-id tiebreaks)."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import graph_ann as GA
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 64)) * 4.0
+    rows = [
+        (int(c * 100 + j), [float(x) for x in centers[c] + rng.standard_normal(64)])
+        for c in range(8)
+        for j in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id") % 100 < 2)  # 16 queries
+
+    path = str(tmp_path / "graph_idx")
+    GA.build_graph_index(emb, path)
+    got1 = GA.query_graph_index(spark, path, queries, k=10).collect()
+    got2 = GA.query_graph_index(spark, path, queries, k=10).collect()
+    assert sorted(map(tuple, got1)) == sorted(map(tuple, got2))
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(emb, queries, k=10).collect()
+    }
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"graph ANN recall {recall}"
+
+
+def test_knn_graph_edges_are_true_neighbors(spark):
+    """Every edge in the NN-descent graph must carry the exact cosine
+    of its endpoints, and each node's list is its top-k among SCORED
+    candidates (descending, id tiebreak) -- structural invariants the
+    beam search relies on."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import graph_ann as GA
+
+    rng = np.random.default_rng(9)
+    rows = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    g = GA.knn_graph(emb, k=5).collect()
+    # the column is array<float>: round the reference to float32 too
+    vecs = {i: np.asarray(v, dtype="float32").astype("float64") for i, v in rows}
+    per_src = {}
+    for r in g:
+        a, b = vecs[r["src"]], vecs[r["dst"]]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["score"] - want) < 1e-9
+        per_src.setdefault(r["src"], []).append((r["score"], r["dst"]))
+    for src, lst in per_src.items():
+        assert len(lst) <= 5
+        assert lst == sorted(lst, key=lambda t: (-t[0], t[1]))

@@ -69,6 +69,9 @@ SIDE_EFFECT = {
     "similarity_persisted_lsh_ann",
     "similarity_persisted_ivf_ann",
     "text_bm25_persisted_index",
+    # graph build writes the k-NN index, and the beam search itself
+    # runs eagerly (localCheckpoint per hop) during construction
+    "similarity_graph_ann",
 }
 
 

@@ -870,3 +870,87 @@ def verbatim_runs(
         )
         .where(F.col("run_len") >= min_len)
     )
+
+
+def remove_verbatim_spans(
+    docs: DataFrame,
+    runs: DataFrame | None = None,
+    k: int = 8,
+    min_len: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The REMOVAL half of exact substring dedup (Lee et al. 2022):
+    every cross-document verbatim run keeps exactly its lowest-doc-id
+    occurrence; all other copies are cut out of their documents.
+    Returns (id, clean_text, n_tokens_removed) for EVERY input doc
+    (untouched docs pass through with 0 removed).
+
+    Stages: ``verbatim_runs`` (or a precomputed ``runs`` frame) names
+    the copies to cut -- the ``id_b`` side of each run, since runs are
+    emitted with id_a < id_b; per-doc overlapping spans merge with a
+    gaps-and-islands window (running max of span ends); the merged
+    spans collect into ONE array per doc (bounded by spans-per-doc,
+    not corpus) and a single in-row index filter drops covered tokens.
+    Shuffles: the runs pipeline + one per-doc window + one per-doc
+    agg -- nothing pairwise beyond the anchor join itself.
+    """
+    if runs is None:
+        runs = verbatim_runs(
+            docs, k=k, min_len=min_len, id_col=id_col, text_col=text_col
+        )
+    from pyspark.sql.window import Window
+
+    spans = runs.select(
+        F.col("id_b").alias("id"),
+        F.col("b_start").alias("s"),
+        (F.col("b_start") + F.col("run_len")).alias("e"),
+    )
+    w = Window.partitionBy("id").orderBy("s", "e")
+    merged = (
+        spans.withColumn(
+            "__prev_max_e",
+            F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("s") > F.coalesce("__prev_max_e", F.lit(-1)), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("id", "__island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("__spans"))
+    )
+    toked = docs.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+    )
+    return (
+        toked.join(merged, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.col("__spans").isNull(), F.col("__toks")
+            )
+            .otherwise(
+                F.filter("__toks", lambda x, i: ~covered(i.cast("long")))
+            )
+            .alias("__kept"),
+            F.size("__toks").alias("__n_in"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.concat_ws(" ", F.col("__kept")).alias("clean_text"),
+            (F.col("__n_in") - F.size("__kept"))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )

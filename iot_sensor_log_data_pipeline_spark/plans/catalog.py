@@ -68,6 +68,7 @@ _QUERY_MODULES = (
 _VERIFY_PRIORITY: tuple[str, ...] = (
     # (a) new in round 5
     "dedup_verbatim_runs",
+    "dedup_verbatim_clean",
     "dedup_semantic_text_survivors",
     # (b) re-entry: round-5 module edits
     "dedup_clusters",
@@ -119,7 +120,6 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "funnel_conversion",
     "cohort_weekly_retention",
     "gapfill_10min_interpolated",
-    "anomaly_rolling_zscore",
 )
 
 

@@ -788,10 +788,11 @@ def dedup_semantic_text_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
     return surv.select("doc_id").orderBy("doc_id")
 
 
-@register(
-    "dedup_verbatim_runs",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+#: Shared verbatim-run pipeline (anchors -> stop-gram cap -> anchor
+#: join -> diagonal islands -> runs), reused by the run-report and the
+#: span-removal oracles.
+_VERBATIM_RUNS_CTE = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
     pg AS (
       SELECT doc_id, i AS pos, array_to_string(l[i+1:i+8], ' ') AS gram
       FROM (SELECT doc_id, l, unnest(range(len(l) - 7)) AS i
@@ -824,6 +825,13 @@ def dedup_semantic_text_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
              CAST(count(*) + 7 AS BIGINT) AS run_len
       FROM isl2 GROUP BY id_a, id_b, diag, island
     )
+"""
+
+
+@register(
+    "dedup_verbatim_runs",
+    oracle=f"""
+    WITH {_VERBATIM_RUNS_CTE}
     SELECT id_a, id_b, a_start, b_start, run_len
     FROM runs
     WHERE run_len >= 15
@@ -846,4 +854,70 @@ def dedup_verbatim_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         DD.verbatim_runs(docs, k=8, min_len=15)
         .orderBy("id_a", "id_b", "a_start", "b_start")
+    )
+
+
+@register(
+    "dedup_verbatim_clean",
+    oracle=f"""
+    WITH {_VERBATIM_RUNS_CTE},
+    spans AS (
+      SELECT id_b AS id, b_start AS s, b_start + run_len AS e
+      FROM runs WHERE run_len >= 15
+    ),
+    m1 AS (
+      SELECT *, max(e) OVER (PARTITION BY id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prev_max
+      FROM spans
+    ),
+    m2 AS (
+      SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max
+                     THEN 1 ELSE 0 END AS nw
+      FROM m1
+    ),
+    m3 AS (
+      SELECT *, sum(nw) OVER (PARTITION BY id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+      FROM m2
+    ),
+    mspan AS (SELECT id, island, min(s) AS s, max(e) AS e
+              FROM m3 GROUP BY id, island),
+    toki AS (
+      SELECT doc_id, i, l[i+1] AS tok
+      FROM toks, unnest(range(len(l))) u(i)
+    ),
+    keep_tok AS (
+      SELECT t.doc_id, t.i, t.tok FROM toki t
+      WHERE NOT EXISTS (SELECT 1 FROM mspan m
+                        WHERE m.id = t.doc_id AND t.i >= m.s AND t.i < m.e)
+    ),
+    agg AS (
+      SELECT doc_id, array_to_string(list(tok ORDER BY i), ' ') AS clean_text,
+             count(*) AS n_kept
+      FROM keep_tok GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(len(tk.l) - coalesce(a.n_kept, 0) AS BIGINT)
+             AS n_tokens_removed
+    FROM toks tk LEFT JOIN agg a ON a.doc_id = tk.doc_id
+    ORDER BY tk.doc_id
+    """,
+    tags=("dedup", "north-star", "verbatim", "substring", "curation"),
+)
+def dedup_verbatim_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of exact substring dedup
+    (``operators/dedup.py:remove_verbatim_spans``, Lee et al. 2022):
+    each cross-document verbatim run keeps its lowest-doc-id copy;
+    every other copy's span (overlaps merged per doc) is cut out of
+    the text by one in-row index filter.  Returns every document with
+    its cleaned text and removed-token count -- the corpus a curation
+    pipeline would train on.  The oracle replays runs, span merge,
+    and token filtering stage-for-stage."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return (
+        DD.remove_verbatim_spans(docs, k=8, min_len=15)
+        .orderBy("doc_id")
     )

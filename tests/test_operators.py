@@ -1927,3 +1927,42 @@ def test_knn_graph_edges_are_true_neighbors(spark):
     for src, lst in per_src.items():
         assert len(lst) <= 5
         assert lst == sorted(lst, key=lambda t: (-t[0], t[1]))
+
+
+def test_remove_verbatim_spans_keeps_first_occurrence(spark):
+    """Span removal: the lowest-doc-id copy of each shared run stays,
+    every other copy is excised; overlapping spans merge; untouched
+    docs pass through intact -- checked against a hand-built fixture
+    with a three-way shared run."""
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"t{i}" for i in range(150)]
+    rand = lambda n: [vocab[rng.randrange(len(vocab))] for _ in range(n)]  # noqa: E731
+
+    shared = rand(20)
+    d1 = rand(10) + shared + rand(10)   # keeper (lowest id)
+    d2 = rand(5) + shared + rand(8)     # loses its copy
+    d3 = shared + rand(30)              # loses its copy too
+    d4 = rand(40)                       # untouched
+    texts = {1: d1, 2: d2, 3: d3, 4: d4}
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+        for r in DD.remove_verbatim_spans(docs, k=8, min_len=15).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1][0] == " ".join(d1) and got[1][1] == 0     # keeper intact
+    assert got[4][0] == " ".join(d4) and got[4][1] == 0     # untouched
+    assert got[2][1] == 20 and got[2][0] == " ".join(d2[:5] + d2[25:])
+    assert got[3][1] == 20 and got[3][0] == " ".join(d3[20:])
+    # the cleaned corpus has no cross-doc runs left among the losers
+    cleaned = spark.createDataFrame(
+        [(i, t) for i, (t, _) in got.items()], "doc_id long, text string"
+    )
+    leftover = DD.verbatim_runs(cleaned, k=8, min_len=15).where(
+        (F.col("id_a") != 1) & (F.col("id_b") != 1)
+    )
+    assert leftover.count() == 0

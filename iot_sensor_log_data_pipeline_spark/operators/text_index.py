@@ -202,3 +202,60 @@ def query_text_index(
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(k)
     )
+
+
+def append_text_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int | None = None,
+) -> None:
+    """Incrementally index new documents: tokenize ONLY the new rows,
+    append their postings (range-partitioned among themselves) and
+    document lengths, and refresh the 1-row corpus stats from the
+    merged doclens -- the daily-ingest maintenance path; no rebuild,
+    cost is one pass over the NEW docs plus a doclens-sized scan for
+    the stats.  Probing the appended index is result-identical to
+    rebuilding over the union corpus (pytest).
+
+    Caller contract: ids must be disjoint from ids already indexed
+    (append never dedups).  The stop-term cap is NOT re-evaluated:
+    postings for already-stopped terms are skipped on the new rows
+    (keeping the zero-contribution contract), but terms that only
+    BECOME stopword-grade after many appends keep their postings
+    until the next rebuild -- df drift is slow and the cap is a cost
+    guard, not a correctness gate."""
+    spark = new_docs.sparkSession
+
+    doclens = new_docs.select(
+        F.col(id_col).alias("id"), token_count(F.col(text_col)).alias("dl")
+    )
+    doclens.write.mode("append").parquet(_sub(path, "doclens"))
+    merged = spark.read.parquet(_sub(path, "doclens"))
+    n_docs, avgdl = merged.agg(
+        F.count(F.lit(1)).cast("double"), F.avg("dl")
+    ).collect()[0]
+    _write_small(
+        spark,
+        [(float(n_docs), float(avgdl))],
+        "n_docs double, avgdl double",
+        _sub(path, "stats"),
+    )
+
+    tok = new_docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    postings = tok.groupBy("term", "id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    stop_terms = spark.read.parquet(_sub(path, "stopterms")).select("term")
+    postings = postings.join(F.broadcast(stop_terms), "term", "left_anti")
+    ranged = (
+        postings.repartitionByRange(n_partitions, "term", "id")
+        if n_partitions
+        else postings.repartitionByRange("term", "id")
+    )
+    ranged.sortWithinPartitions("term", "id").write.mode("append").parquet(
+        _sub(path, "postings")
+    )

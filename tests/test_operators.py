@@ -1966,3 +1966,26 @@ def test_remove_verbatim_spans_keeps_first_occurrence(spark):
         (F.col("id_a") != 1) & (F.col("id_b") != 1)
     )
     assert leftover.count() == 0
+
+
+def test_text_index_incremental_append(spark, sf_dir, tmp_path):
+    """Append half the corpus to an index built on the other half:
+    probing must be result-identical to a full rebuild (and to the
+    ad-hoc BM25 scan over the union corpus)."""
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
+
+    docs = load(spark, sf_dir, "documents")
+    first = docs.where(F.col("doc_id") % 2 == 0)
+    second = docs.where(F.col("doc_id") % 2 == 1)
+    terms = ("spark", "join", "window")
+
+    inc, full = str(tmp_path / "inc_idx"), str(tmp_path / "full_idx")
+    TI.build_text_index(first, inc)
+    TI.append_text_index(second, inc)
+    TI.build_text_index(docs, full)
+
+    got = [tuple(r) for r in TI.query_text_index(spark, inc, terms, k=15).collect()]
+    want = [tuple(r) for r in TI.query_text_index(spark, full, terms, k=15).collect()]
+    adhoc = [tuple(r) for r in TX.bm25_rank(docs, terms, k=15).collect()]
+    assert got == want == adhoc and len(got) > 0

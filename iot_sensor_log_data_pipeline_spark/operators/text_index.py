@@ -127,7 +127,11 @@ def build_text_index(
     # sizes the shuffle to its advisory byte target, so at corpus
     # scale a df ~ n_docs term spans ceil(list_bytes / advisory)
     # partitions instead of one straggler; pass an explicit count to
-    # pin the layout (tests, file-count contracts).
+    # pin the layout (tests, file-count contracts).  The range
+    # partitioner's boundary-sampling job costs a fixed extra ~0.6 s
+    # at sf0.1 (bench-measured; checkpointing the postings first does
+    # NOT recoup it) -- the deliberate price of the Zipf-skew safety,
+    # amortized to noise at corpus scale where the shuffle dominates.
     ranged = (
         postings.repartitionByRange(n_partitions, "term", "id")
         if n_partitions

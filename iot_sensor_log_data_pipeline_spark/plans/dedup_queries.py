@@ -780,7 +780,10 @@ def dedup_semantic_text_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..operators import text as TX
 
     docs = parallelize_small(load(spark, sf_dir, "documents"))
-    emb = TX.hash_embedding(docs, dim=64)
+    # Lazy checkpoint: the embedding table feeds the quantizer sample,
+    # the cell assignment, AND the survivor anti-join -- without it the
+    # token explode + two hash aggs re-run per consumer (bench: ~3x).
+    emb = TX.hash_embedding(docs, dim=64).localCheckpoint(eager=False)
     cents = SIM.seed_centroids(emb, 16, id_col="doc_id", vec_col="embedding")
     surv = SD.semantic_dedup(
         emb, 0.9, centroids=cents, id_col="doc_id", vec_col="embedding"

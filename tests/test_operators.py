@@ -2027,3 +2027,32 @@ def test_graph_index_incremental_append(spark, tmp_path):
     # appended ids do appear as neighbors (reverse edges reachable)
     appended = {r[0] for r in second.select("vec_id").collect()}
     assert appended & {n for _, n in approx}
+
+
+def test_semantic_pairs_arrow_expr_twins(spark):
+    """The BLAS-matmul pair scorer and the JVM-fold scorer must find
+    the same pairs with scores agreeing to 1e-9 (gemm vs sequential
+    summation), on float vectors where sums are NOT exact."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import semdedup as SD
+
+    rng = np.random.default_rng(41)
+    centers = rng.standard_normal((3, 64)) * 5.0
+    rows = [
+        (int(c * 100 + j), [float(x) for x in centers[c] + rng.standard_normal(64)])
+        for c in range(3)
+        for j in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = SIM.kmeans_centroids(emb, 3, sample_size=64)
+    a = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in SD.semantic_pairs(emb, 0.5, cents).collect()
+    }
+    e = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in SD.semantic_pairs(emb, 0.5, cents, method="expr").collect()
+    }
+    assert set(a) == set(e) and len(a) > 0
+    assert max(abs(a[k] - e[k]) for k in a) < 1e-9

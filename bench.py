@@ -43,6 +43,11 @@ HEADLINE: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_passage_chunks",
     "dedup_semantic_survivors",
+    # round 5: verbatim substring dedup (find + clean) and the
+    # documents -> hash-embedding -> SemDeDup composition
+    "dedup_verbatim_runs",
+    "dedup_verbatim_clean",
+    "dedup_semantic_text_survivors",
     "similarity_topk_cosine",
     "similarity_lsh_ann",
     "similarity_ivf_seed_ann",

@@ -231,3 +231,121 @@ def mixture_weights(
         "token_share",
         (target / F.col("token_share")).alias("weight"),
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023, "Data
+    Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169): score every raw document by how target-like
+    its hashed token distribution is --
+    ``log w(x) = sum over token occurrences of
+    log(p_target(bucket) / p_raw(bucket))`` with
+    ``bucket = md5(token) mod n_buckets`` and add-1 smoothing on both
+    unigram bucket models.  Feed the exponentiated weight into
+    ``weighted_sample`` for the paper's importance-resampling step.
+
+    Scale shape: two bucket-keyed hash aggs (raw corpus, target set)
+    collect <= 2 * n_buckets rows to the driver (the bounded
+    sketch-to-closure pattern) to form the log-ratio table, which
+    broadcast-equi-joins back onto one token explode; the per-doc
+    reduction is a map-combined sum.  Returns
+    (id, n_tokens, log_weight) for EVERY input doc (token-less docs
+    score 0).
+    """
+    spark = docs.sparkSession
+
+    def bucket_of(t):
+        return (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        )
+
+    def bucket_counts(df: DataFrame) -> dict[int, int]:
+        rows = (
+            df.select(F.explode(tokens(text_col)).alias("t"))
+            .select(bucket_of(F.col("t")).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return {int(r["b"]): int(r["c"]) for r in rows}
+
+    raw_c = bucket_counts(docs)
+    tgt_c = bucket_counts(target)
+    raw_total = sum(raw_c.values()) + n_buckets
+    tgt_total = sum(tgt_c.values()) + n_buckets
+    import math
+
+    ratio = spark.createDataFrame(
+        [
+            (
+                b,
+                math.log(
+                    ((tgt_c.get(b, 0) + 1) / tgt_total)
+                    / ((raw_c.get(b, 0) + 1) / raw_total)
+                ),
+            )
+            for b in range(n_buckets)
+        ],
+        "b long, log_ratio double",
+    )
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
+    ).select("id", bucket_of(F.col("t")).alias("b"))
+    scored = (
+        tok.join(F.broadcast(ratio), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("log_ratio").alias("log_weight"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: every member of a near-dup
+    CLUSTER receives the split of its cluster representative (the
+    connected-component min id), so paraphrases and copies never
+    straddle train and eval -- the classic benchmark-leakage bug
+    (Lee et al. 2022; Dodge et al. 2021 document the same
+    contamination in C4).  ``pairs`` is any near-dup pair frame with
+    (id_a, id_b) -- n-gram Jaccard, MinHash, SimHash, or semantic
+    pairs all fit.  Singleton docs hash on their own id, so the
+    output is identical to ``split_label`` wherever no duplication
+    exists.  Returns (id, rep_id, split) for every input doc.
+
+    Scale shape: components run on the pair list only
+    (pointer-jumping); the split is then one content-addressed hash
+    expression on the representative -- no extra corpus shuffle
+    beyond the left join onto the component table.
+    """
+    from .dedup import connected_components
+
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    joined = docs.join(comp, docs[id_col] == comp["node"], "left")
+    rep = F.coalesce(comp["component"], docs[id_col])
+    return joined.select(
+        docs[id_col],
+        rep.alias("rep_id"),
+        split_label(rep, splits).alias("split"),
+    )

@@ -70,6 +70,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "dedup_verbatim_runs",
     "dedup_verbatim_clean",
     "dedup_semantic_text_survivors",
+    "corpus_dsir_weights",
+    "corpus_leakage_safe_split",
     # (b) re-entry: round-5 module edits
     "dedup_clusters",
     "dedup_survivor_selection",
@@ -118,8 +120,6 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "dedup_at_least_once",
     "compaction_projection",
     "funnel_conversion",
-    "cohort_weekly_retention",
-    "gapfill_10min_interpolated",
 )
 
 

@@ -399,3 +399,66 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("token_share", 6).alias("token_share"),
         F.round("weight", 6).alias("weight"),
     ).orderBy("source")
+
+
+@register(
+    "corpus_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ),
+    bt AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1024 AS b
+      FROM tok
+    ),
+    raw_c AS (SELECT b, count(*) AS c FROM bt GROUP BY b),
+    tgt_c AS (
+      SELECT b, count(*) AS c FROM bt
+      JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY b
+    ),
+    totals AS (
+      SELECT (SELECT coalesce(sum(c), 0) FROM raw_c) + 1024 AS rt,
+             (SELECT coalesce(sum(c), 0) FROM tgt_c) + 1024 AS tt
+    ),
+    ratio AS (
+      SELECT g.b,
+             ln(((coalesce(t.c, 0) + 1) / CAST(tot.tt AS DOUBLE))
+                / ((coalesce(r.c, 0) + 1) / CAST(tot.rt AS DOUBLE)))
+               AS log_ratio
+      FROM range(1024) g(b)
+      CROSS JOIN totals tot
+      LEFT JOIN raw_c r ON r.b = g.b
+      LEFT JOIN tgt_c t ON t.b = g.b
+    ),
+    scored AS (
+      SELECT bt.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             sum(log_ratio) AS log_weight
+      FROM bt JOIN ratio ON ratio.b = bt.b
+      GROUP BY bt.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_tokens, 0) AS n_tokens,
+           round(coalesce(s.log_weight, 0.0), 6) AS log_weight
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("curation", "north-star", "dsir", "importance-sampling"),
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (``operators/curation.py:dsir_weights``,
+    Xie et al. 2023): per-document importance weight of the raw
+    multilingual corpus against the English subset as the target
+    domain -- hashed unigram bucket models (1024 md5 buckets, add-1
+    smoothing), log-probability ratio summed per token occurrence.
+    Docs whose token distribution looks English-like score high;
+    compose with ``corpus_weighted_sample`` for the paper's
+    importance-resampling step.  Two bounded bucket-table collects +
+    one broadcast equi-join -- nothing corpus-quadratic."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    target = docs.where(F.col("lang") == "en")
+    return (
+        CU.dsir_weights(docs, target, n_buckets=1024)
+        .select("doc_id", "n_tokens", F.round("log_weight", 6).alias("log_weight"))
+        .orderBy("doc_id")
+    )

@@ -924,3 +924,57 @@ def dedup_verbatim_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         DD.remove_verbatim_spans(docs, k=8, min_len=15)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_NGRAM_INTER_CTE},
+    edges AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.n_common / (sa.set_size + sb.set_size - i.n_common) >= 0.4
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    reach(node, r) AS (
+      SELECT s, s FROM sym
+      UNION
+      SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.node
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, rep_id,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 < 90 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM labeled
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "curation", "north-star", "split", "leakage"),
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split
+    (``operators/curation.py:leakage_safe_split``): near-dup clusters
+    (n-gram Jaccard >= 0.4 -> connected components) are assigned AS A
+    UNIT by hashing the cluster representative, so a paraphrase can
+    never sit in train while its twin sits in test -- the
+    contamination bug plain per-doc hashing has on duplicated
+    corpora.  Singletons hash on their own id (identical to the plain
+    split there).  The oracle replays pairs, components, and the
+    md5-bucket split."""
+    from ..operators import curation as CU
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.4)
+    return CU.leakage_safe_split(docs, pairs).orderBy("doc_id")

@@ -2056,3 +2056,98 @@ def test_semantic_pairs_arrow_expr_twins(spark):
     }
     assert set(a) == set(e) and len(a) > 0
     assert max(abs(a[k] - e[k]) for k in a) < 1e-9
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """DSIR importance weights vs a hand-rolled reference: hashed
+    unigram bucket models with add-1 smoothing, log-ratio summed per
+    token occurrence; target-like docs must outscore off-target ones."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from iot_sensor_log_data_pipeline_spark.operators import curation as CU
+
+    texts = {
+        1: "alpha beta alpha gamma",
+        2: "delta delta epsilon",
+        3: "alpha beta beta",
+        4: "zeta eta theta iota",
+        5: "",
+    }
+    target_ids = {1, 3}
+    B = 64
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    target = docs.where(F.col("doc_id").isin([1, 3]))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["log_weight"])
+        for r in CU.dsir_weights(docs, target, n_buckets=B).collect()
+    }
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % B
+
+    raw = Counter(bucket(t) for s in texts.values() for t in s.split())
+    tgt = Counter(
+        bucket(t) for i in target_ids for t in texts[i].split()
+    )
+    rt, tt = sum(raw.values()) + B, sum(tgt.values()) + B
+    for i, s in texts.items():
+        toks = s.split()
+        want = sum(
+            math.log(((tgt[bucket(t)] + 1) / tt) / ((raw[bucket(t)] + 1) / rt))
+            for t in toks
+        )
+        assert got[i][0] == len(toks)
+        assert abs(got[i][1] - want) < 1e-9
+    # target-like docs outrank the off-target doc
+    assert got[1][1] > got[4][1] and got[3][1] > got[4][1]
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every near-dup cluster must land entirely in ONE split; the
+    fixture plants enough duplicate groups that plain per-doc hashing
+    provably straddles at least one of them."""
+    import random
+
+    from iot_sensor_log_data_pipeline_spark.operators import curation as CU
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(300)]
+    rows, group_of = [], {}
+    did = 0
+    for g in range(40):  # 40 clusters of 3 near-identical docs
+        base = [vocab[rng.randrange(300)] for _ in range(30)]
+        for j in range(3):
+            t = list(base)
+            if j:
+                t[rng.randrange(30)] = vocab[rng.randrange(300)]
+            rows.append((did, " ".join(t)))
+            group_of[did] = g
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.4)
+    got = {
+        r["doc_id"]: (r["rep_id"], r["split"])
+        for r in CU.leakage_safe_split(docs, pairs).collect()
+    }
+    assert set(got) == set(group_of)
+    # (a) cluster-coherent: one split per group
+    by_group = {}
+    for d, (rep, sp) in got.items():
+        by_group.setdefault(group_of[d], set()).add(sp)
+    assert all(len(s) == 1 for s in by_group.values())
+    # (b) plain per-doc hashing would straddle some group (the bug)
+    naive = {
+        r["doc_id"]: r["split"]
+        for r in docs.select(
+            "doc_id", CU.split_label("doc_id").alias("split")
+        ).collect()
+    }
+    naive_by_group = {}
+    for d, sp in naive.items():
+        naive_by_group.setdefault(group_of[d], set()).add(sp)
+    assert any(len(s) > 1 for s in naive_by_group.values())
+    # (c) representative is the cluster min id
+    for d, (rep, _) in got.items():
+        assert group_of[rep] == group_of[d] and rep <= d

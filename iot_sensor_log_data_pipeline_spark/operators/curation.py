@@ -349,3 +349,63 @@ def leakage_safe_split(
         rep.alias("rep_id"),
         split_label(rep, splits).alias("split"),
     )
+
+
+def semantic_contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.85,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: corpus documents
+    whose feature-hashing embedding (``text.hash_embedding``) has
+    cosine >= ``threshold`` with ANY benchmark document -- the
+    paraphrase-robust complement of ``contaminated_docs`` (verbatim
+    8-gram overlap misses a reworded eval question; embedding cosine
+    does not).  Returns (id, bench_id, cos_sim) with the best-matching
+    benchmark doc (ties to the lower bench id).
+
+    Scale shape: eval sets are small by nature, so the benchmark
+    embedding matrix rides in an Arrow-UDF closure (n_bench x dim
+    float64) and the corpus side is ONE shuffle-free vectorized pass
+    -- no join at all.  Hash embeddings are integer-valued, so the
+    numpy matmul is exact and the DuckDB oracle's sequential sums
+    reproduce it bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .text import hash_embedding
+
+    emb_c = hash_embedding(corpus, dim=dim, id_col=id_col, text_col=text_col)
+    emb_b = hash_embedding(benchmark, dim=dim, id_col=id_col, text_col=text_col)
+    bench_rows = sorted(
+        ((int(r[id_col]), list(r["embedding"])) for r in emb_b.collect()),
+        key=lambda t: t[0],
+    )
+    if not bench_rows:
+        raise ValueError("benchmark set produced no non-empty embeddings")
+    bench_ids = np.asarray([i for i, _ in bench_rows], dtype="int64")
+    B = np.asarray([v for _, v in bench_rows], dtype="float64")
+    Bn = np.linalg.norm(B, axis=1)
+
+    def best_match(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+            S = (M @ B.T) / np.outer(np.linalg.norm(M, axis=1), Bn)
+            idx = S.argmax(axis=1)  # first max = lowest bench id (sorted)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "bench_id": bench_ids[idx],
+                    "cos_sim": S[np.arange(len(idx)), idx],
+                }
+            )
+
+    return emb_c.mapInPandas(
+        best_match, schema=f"{id_col} long, bench_id long, cos_sim double"
+    ).where(F.col("cos_sim") >= threshold)

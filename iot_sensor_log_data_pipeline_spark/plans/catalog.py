@@ -72,6 +72,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "dedup_semantic_text_survivors",
     "corpus_dsir_weights",
     "corpus_leakage_safe_split",
+    "corpus_semantic_decontamination",
     # (b) re-entry: round-5 module edits
     "dedup_clusters",
     "dedup_survivor_selection",
@@ -119,7 +120,6 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "monotonic_sequence",
     "dedup_at_least_once",
     "compaction_projection",
-    "funnel_conversion",
 )
 
 

@@ -462,3 +462,89 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", F.round("log_weight", 6).alias("log_weight"))
         .orderBy("doc_id")
     )
+
+
+#: DuckDB hash-embedding pipeline over ``documents`` (same fragments as
+#: the semantic-text dedup oracle in plans/dedup_queries.py).
+_HASH_EMB_CTE = f"""
+    tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS idx,
+             CASE WHEN CAST(('0x' || substr(md5(t), 9, 1)) AS BIGINT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM tok
+    ),
+    cells AS (SELECT doc_id, idx, sum(s) AS val FROM h GROUP BY doc_id, idx),
+    docs_with AS (
+      SELECT doc_id FROM cells GROUP BY doc_id
+      HAVING sum(CASE WHEN val <> 0 THEN 1 ELSE 0 END) > 0
+    ),
+    grid AS (SELECT doc_id, d FROM docs_with CROSS JOIN range(64) t(d)),
+    emb AS (
+      SELECT g.doc_id, list(coalesce(c.val, 0.0) ORDER BY g.d) AS e
+      FROM grid g LEFT JOIN cells c ON c.doc_id = g.doc_id AND c.idx = g.d
+      GROUP BY g.doc_id
+    )
+"""
+
+_DOTN = (
+    "list_sum(list_transform(range(64), "
+    "i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))"
+)
+_NRM = (
+    "sqrt(list_sum(list_transform(range(64), "
+    "i -> CAST({a}[i+1] AS DOUBLE) * CAST({a}[i+1] AS DOUBLE))))"
+)
+
+
+@register(
+    "corpus_semantic_decontamination",
+    oracle=f"""
+    WITH {_HASH_EMB_CTE},
+    bench AS (
+      SELECT e.doc_id, e.e FROM emb e
+      JOIN documents d ON d.doc_id = e.doc_id WHERE d.source = 'src0'
+    ),
+    corp AS (
+      SELECT e.doc_id, e.e FROM emb e
+      JOIN documents d ON d.doc_id = e.doc_id WHERE d.source <> 'src0'
+    ),
+    scored AS (
+      SELECT c.doc_id, b.doc_id AS bench_id,
+             {_DOTN.format(a='c.e', b='b.e')}
+               / ({_NRM.format(a='c.e')} * {_NRM.format(a='b.e')}) AS cos_sim
+      FROM corp c CROSS JOIN bench b
+    ),
+    best AS (
+      SELECT doc_id, bench_id, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY cos_sim DESC, bench_id) AS rn
+        FROM scored)
+      WHERE rn = 1
+    )
+    SELECT doc_id, bench_id, round(cos_sim, 6) AS cos_sim
+    FROM best WHERE cos_sim >= 0.9
+    ORDER BY doc_id
+    """,
+    tags=("curation", "north-star", "decontamination", "semantic", "embedding"),
+)
+def corpus_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (``operators/curation.py:semantic_contaminated_docs``): training
+    docs (source != src0) whose feature-hashing embedding has cosine
+    >= 0.9 with any eval doc (source = src0), with the best-matching
+    eval doc -- catches PARAPHRASED contamination the verbatim 8-gram
+    pass (``corpus_decontamination``) cannot see.  The benchmark
+    matrix rides in an Arrow closure (eval sets are small); the corpus
+    side is one shuffle-free vectorized pass.  Integer-valued hash
+    embeddings make the matmul exact, so the SQL cross-replay oracle
+    hash-matches bit-for-bit."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    corpus = docs.where(F.col("source") != "src0")
+    benchmark = docs.where(F.col("source") == "src0")
+    return (
+        CU.semantic_contaminated_docs(corpus, benchmark, threshold=0.9)
+        .select("doc_id", "bench_id", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy("doc_id")
+    )

@@ -2151,3 +2151,28 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     # (c) representative is the cluster min id
     for d, (rep, _) in got.items():
         assert group_of[rep] == group_of[d] and rep <= d
+
+
+def test_semantic_decontamination_flags_paraphrase(spark):
+    """A corpus doc that shares most tokens with a benchmark doc (a
+    'paraphrase' with no 8-gram overlap after reordering) must be
+    flagged by the embedding pass even though verbatim n-gram overlap
+    misses it."""
+    from iot_sensor_log_data_pipeline_spark.operators import curation as CU
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # same bag of tokens, shuffled: zero shared 8-grams, cosine 1.0
+    para = "kappa iota theta eta zeta epsilon delta gamma beta alpha"
+    clean = "one two three four five six seven eight nine ten"
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, para), (2, clean)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["bench_id"], r["cos_sim"])
+        for r in CU.semantic_contaminated_docs(corpus, bench, threshold=0.9).collect()
+    }
+    assert set(got) == {1} and got[1][0] == 100 and got[1][1] > 0.99
+    # the verbatim 8-gram pass misses the reordered copy
+    ngram = CU.contaminated_docs(corpus, bench, n=8)
+    assert ngram.count() == 0

@@ -399,3 +399,42 @@ def start_psi_monitor(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def curation_ingest_stream(
+    stream: DataFrame,
+    min_quality: float = 0.5,
+    lang: str | None = "en",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Ingest-time corpus curation: the batch curation pipeline's
+    gates (language-ID, quality floor, exact dedup) applied IN FLIGHT
+    so junk and duplicates never land in the raw zone -- the streaming
+    front door to the ``operators/curation.py`` family.
+
+    Stages, all stateless column expressions except the final dedup:
+    predicted language filter (``text.predicted_language`` marker
+    argmax), quality floor (``text.quality_score`` blend), and
+    fingerprint-keyed ``dropDuplicatesWithinWatermark`` (canonical
+    md5 over the sorted token set, so reordered copies of a document
+    within the watermark window dedup too -- state is bounded by the
+    watermark, never corpus-sized).  Emits the surviving rows with
+    (lang_pred, quality, fingerprint) columns in append mode.
+    """
+    from ..operators.text import fingerprint, predicted_language, quality_score
+
+    out = stream.select(
+        "*",
+        predicted_language(F.col(text_col)).alias("lang_pred"),
+        F.round(quality_score(F.col(text_col)), 6).alias("quality"),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+    ).where(F.col("quality") >= min_quality)
+    if lang is not None:
+        out = out.where(F.col("lang_pred") == lang)
+    return (
+        out.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )

@@ -668,3 +668,39 @@ def test_psi_monitor_flags_drifted_batch(spark, tmp_path):
     replayed = spark.read.parquet(out).collect()
     assert len(replayed) == 2
     assert sorted(r["batch_id"] for r in replayed) == [0, 1]
+
+
+def test_curation_ingest_stream_gates_and_dedups(spark, tmp_path):
+    """Streaming curation front door: low-quality and off-language
+    rows are dropped in flight, and a reordered duplicate within the
+    watermark is deduplicated by its canonical fingerprint."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0, 0), "the quick brown fox jumps over the lazy dog"),
+        (2, datetime(2024, 1, 1, 10, 0, 5), "dog lazy the over jumps fox brown quick the"),  # reordered dup
+        (3, datetime(2024, 1, 1, 10, 0, 9), "le chat est sur la table et la chaise"),        # not-en
+        (4, datetime(2024, 1, 1, 10, 0, 12), "#### $$$$ !!!! %%%% ^^^^ &&&& **** @@@@"),     # junk
+        (5, datetime(2024, 1, 1, 10, 0, 20), "a completely different and quite reasonable the sentence"),
+    ]
+    src = str(tmp_path / "cur_src")
+    spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, text string"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(src)
+    q = (
+        P.curation_ingest_stream(stream, min_quality=0.5, lang="en")
+        .writeStream.format("memory")
+        .queryName("curated_ingest")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"] for r in spark.table("curated_ingest").collect()}
+    finally:
+        q.stop()
+    assert 5 in got and got <= {1, 2, 5}
+    assert len(got & {1, 2}) == 1  # exactly one of the reordered twins
+    assert 3 not in got and 4 not in got

@@ -60,6 +60,46 @@ def _score(col_a: str, col_b: str, nrm_a: str, nrm_b: str):
     return dot(F.col(col_a), F.col(col_b)) / (F.col(nrm_a) * F.col(nrm_b))
 
 
+def _einsum_scores(
+    joined: DataFrame,
+    out_cols: tuple[str, str],
+    out_types: tuple[str, str],
+) -> DataFrame:
+    """Vectorized pair scoring: mapInPandas computes the row-wise dot
+    of the (va, vb) array columns with one ``np.einsum`` per Arrow
+    batch -- the same fix ``semdedup._cell_pairs_arrow`` applies: the
+    per-pair JVM ``aggregate(zip_with(...))`` fold costs ~30 us/pair
+    in intermediate array allocations, so scoring a few hundred
+    thousand NN-descent candidates dominated the graph build (einsum
+    is ~ns/pair).  float64 sums of float32-exact values, same result
+    to ~1e-15 (structural pytest asserts 1e-9 vs numpy)."""
+    import numpy as np
+    import pandas as pd
+
+    a_name, b_name = out_cols
+    a_type, b_type = out_types
+    schema = f"{a_name} {a_type}, {b_name} {b_type}, score double"
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.vstack(pdf["va"].to_numpy()).astype("float64")
+            B = np.vstack(pdf["vb"].to_numpy()).astype("float64")
+            s = np.einsum("ij,ij->i", A, B) / (
+                pdf["na"].to_numpy() * pdf["nb"].to_numpy()
+            )
+            yield pd.DataFrame(
+                {
+                    a_name: pdf["__oa"].to_numpy(),
+                    b_name: pdf["__ob"].to_numpy(),
+                    "score": s,
+                }
+            )
+
+    return joined.mapInPandas(score, schema)
+
+
 def knn_graph(
     vectors: DataFrame,
     k: int = DEFAULT_K,
@@ -105,12 +145,22 @@ def knn_graph(
         F.col("id").alias("dst"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
     )
 
+    id_type = base.schema["id"].dataType.simpleString()
+
     def score_pairs(pairs: DataFrame) -> DataFrame:
-        return (
+        joined = (
             pairs.join(va, "src")
             .join(vb, "dst")
-            .select("src", "dst", _score("va", "vb", "na", "nb").alias("score"))
+            .select(
+                F.col("src").alias("__oa"),
+                F.col("dst").alias("__ob"),
+                "va",
+                "na",
+                "vb",
+                "nb",
+            )
         )
+        return _einsum_scores(joined, ("src", "dst"), (id_type, id_type))
 
     def top_k(edges: DataFrame) -> DataFrame:
         w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
@@ -220,7 +270,11 @@ def query_graph_index(
 
     def score_nodes(nodes: DataFrame) -> DataFrame:
         # nodes: (query_id, node); join the touched vectors, then the
-        # (broadcast) query batch, exact cosine.
+        # (broadcast) query batch, exact cosine.  JVM fold, NOT the
+        # einsum scorer: per hop only |queries| x beam x k rows get
+        # scored (query-batch-sized), so Arrow worker round-trips per
+        # hop cost more than the fold saves -- the opposite trade from
+        # the build, where candidates scale with the corpus.
         return (
             nodes.join(vecs.select(F.col("id").alias("node"), "vec", "nrm"), "node")
             .join(F.broadcast(q), "query_id")

@@ -2176,3 +2176,111 @@ def test_semantic_decontamination_flags_paraphrase(spark):
     # the verbatim 8-gram pass misses the reordered copy
     ngram = CU.contaminated_docs(corpus, bench, n=8)
     assert ngram.count() == 0
+
+
+def test_connected_components_matches_unionfind_hypothesis(spark):
+    """Property: pointer-jumping connected components equals a plain
+    union-find on random edge lists -- for BOTH integral ids (decimal
+    sum witness) and string ids (join-diff witness)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(
+                lambda t: t[0] != t[1]
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def run(edges):
+        # union-find reference
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want_int = {n: find(n) for n in parent}
+
+        df_int = spark.createDataFrame(edges, "id_a long, id_b long")
+        got_int = {
+            r["node"]: r["component"]
+            for r in DD.connected_components(df_int).collect()
+        }
+        assert got_int == want_int
+
+        # string twin: same topology, lexicographic min must agree with
+        # numeric min because of the zero-padded encoding
+        enc = lambda x: f"n{x:02d}"  # noqa: E731
+        df_str = spark.createDataFrame(
+            [(enc(a), enc(b)) for a, b in edges], "id_a string, id_b string"
+        )
+        got_str = {
+            r["node"]: r["component"]
+            for r in DD.connected_components(df_str).collect()
+        }
+        assert got_str == {enc(n): enc(c) for n, c in want_int.items()}
+
+    run()
+
+
+def test_verbatim_runs_matches_bruteforce_hypothesis(spark):
+    """Property: anchor-join + diagonal islands reports EXACTLY the
+    maximal common runs >= min_len that the O(n*m) diagonal walk
+    finds, on random corpora with planted shared blocks (cap disabled
+    at corpus size so nothing is pruned)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = [f"v{i}" for i in range(12)]
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(words), min_size=6, max_size=30),
+            min_size=2,
+            max_size=4,
+        ),
+        st.lists(st.sampled_from(words), min_size=6, max_size=10),
+        st.booleans(),
+    )
+    def run(corpus, block, plant):
+        texts = {}
+        for i, toks in enumerate(corpus):
+            t = list(toks)
+            if plant and i < 2:  # plant the shared block in two docs
+                t = t[: len(t) // 2] + block + t[len(t) // 2 :]
+            texts[i] = t
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in texts.items()],
+            "doc_id long, text string",
+        )
+        k, min_len = 4, 5
+        got = {
+            (r["id_a"], r["id_b"], r["a_start"], r["b_start"], r["run_len"])
+            for r in DD.verbatim_runs(
+                df, k=k, min_len=min_len, max_gram_df=len(texts)
+            ).collect()
+        }
+        want = set()
+        ids = sorted(texts)
+        for x in ids:
+            for y in ids:
+                if x < y:
+                    for sa, sb, ln in _py_maximal_runs(
+                        texts[x], texts[y], min_len
+                    ):
+                        want.add((x, y, sa, sb, ln))
+        assert got == want
+
+    run()

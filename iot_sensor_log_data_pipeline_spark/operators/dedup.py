@@ -954,3 +954,63 @@ def remove_verbatim_spans(
             .alias("n_tokens_removed"),
         )
     )
+
+
+def build_anchor_index(
+    docs: DataFrame,
+    path: str,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_gram_df: int | None = None,
+    max_gram_frac: float = DEFAULT_MAX_SHINGLE_FRAC,
+) -> None:
+    """Persist the k-gram anchor table (gram, id, pos) that
+    ``verbatim_runs`` builds in-flight -- the build-once half of
+    STREAMING verbatim matching (`streaming.pipeline.
+    start_verbatim_match_sink` probes it per micro-batch).  Stop-gram
+    capped like the batch operator; range-partitioned on (gram, id)
+    so probe-side gram lookups prune row groups while Zipf-head grams
+    split across partitions (same layout argument as the text
+    index)."""
+    toked = docs.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+    pg = (
+        toked.where(F.size("__toks") >= k)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - k),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.concat_ws(" ", F.slice("__toks", i + 1, k)).alias(
+                            "gram"
+                        ),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select("id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    )
+    if max_gram_df is None:
+        n_docs = toked.count()
+        max_gram_df = effective_max_shingle_df(n_docs, frac=max_gram_frac)
+    heavy = (
+        pg.groupBy("gram")
+        .agg(F.count_distinct("id").alias("df"))
+        .where(F.col("df") > max_gram_df)
+        .select("gram")
+    )
+    import os
+
+    spark = docs.sparkSession
+    (
+        pg.join(F.broadcast(heavy), "gram", "left_anti")
+        .repartitionByRange("gram", "id")
+        .sortWithinPartitions("gram", "id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "anchors"))
+    )
+    spark.createDataFrame([(int(k),)], "k int").write.mode("overwrite").parquet(
+        os.path.join(path, "config")
+    )

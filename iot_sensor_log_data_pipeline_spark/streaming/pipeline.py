@@ -438,3 +438,113 @@ def curation_ingest_stream(
         out.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
+
+
+def start_verbatim_match_sink(
+    stream: DataFrame,
+    anchor_index_path: str,
+    out_dir: str,
+    checkpoint: str,
+    min_len: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Ingest-time EXACT substring matching: each arriving document is
+    checked against a persisted corpus anchor index
+    (``operators/dedup.py:build_anchor_index``) and every maximal
+    shared verbatim run >= ``min_len`` tokens is appended to a parquet
+    match log -- the verbatim member of the streaming dedup trio
+    (MinHash ``near_dup_match_stream``, embedding ``ann_match_stream``,
+    and this).
+
+    Per micro-batch (``foreachBatch``): the batch's k-gram positions
+    are an in-row transform; candidates come from an equi-join against
+    the gram-pruned static anchors; maximal runs fall out of the same
+    gaps-and-islands window as the batch operator, partitioned by
+    (arriving doc, corpus doc, diagonal) -- batch-sized state, no
+    streaming aggregation.  The log write overwrites a deterministic
+    per-batch partition (``batch_id=N``), so at-least-once retries are
+    idempotent (same contract as ``start_psi_monitor``).  Emits
+    (id, corpus_id, a_start, b_start, run_len).
+    """
+    import os
+
+    from pyspark.sql.window import Window as W
+
+    from ..operators.text import tokens
+
+    spark = stream.sparkSession
+    k = int(
+        spark.read.parquet(os.path.join(anchor_index_path, "config")).collect()[0][
+            "k"
+        ]
+    )
+    eff_min = min_len if min_len is not None else 2 * k - 1
+    if eff_min < k:
+        raise ValueError(f"min_len ({eff_min}) must be >= k ({k})")
+    anchors = spark.read.parquet(os.path.join(anchor_index_path, "anchors")).select(
+        F.col("id").alias("corpus_id"),
+        F.col("pos").alias("pb"),
+        "gram",
+    )
+
+    def match_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        toked = batch.select(
+            F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+        )
+        pg = (
+            toked.where(F.size("__toks") >= k)
+            .select(
+                "id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("__toks") - k),
+                        lambda i: F.struct(
+                            i.cast("long").alias("pa"),
+                            F.concat_ws(
+                                " ", F.slice("__toks", i + 1, k)
+                            ).alias("gram"),
+                        ),
+                    )
+                ).alias("pg"),
+            )
+            .select("id", F.col("pg.pa").alias("pa"), F.col("pg.gram").alias("gram"))
+        )
+        cand = pg.join(anchors, "gram").select(
+            "id", "corpus_id", (F.col("pa") - F.col("pb")).alias("diag"), "pa"
+        )
+        w = W.partitionBy("id", "corpus_id", "diag").orderBy("pa")
+        runs = (
+            cand.withColumn("__prev", F.lag("pa").over(w))
+            .withColumn(
+                "__brk",
+                F.when(
+                    F.col("pa") - F.coalesce("__prev", F.lit(-2)) == 1, 0
+                ).otherwise(1),
+            )
+            .withColumn(
+                "__island",
+                F.sum("__brk").over(w.rowsBetween(W.unboundedPreceding, 0)),
+            )
+            .groupBy("id", "corpus_id", "diag", "__island")
+            .agg(F.min("pa").alias("a_start"), F.count(F.lit(1)).alias("__n"))
+            .select(
+                "id",
+                "corpus_id",
+                "a_start",
+                (F.col("a_start") - F.col("diag")).alias("b_start"),
+                (F.col("__n") + F.lit(k - 1)).cast("long").alias("run_len"),
+            )
+            .where(F.col("run_len") >= eff_min)
+        )
+        runs.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={int(batch_id)}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(match_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

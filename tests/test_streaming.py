@@ -704,3 +704,50 @@ def test_curation_ingest_stream_gates_and_dedups(spark, tmp_path):
     assert 5 in got and got <= {1, 2, 5}
     assert len(got & {1, 2}) == 1  # exactly one of the reordered twins
     assert 3 not in got and 4 not in got
+
+
+def test_verbatim_match_stream_flags_shared_run(spark, tmp_path):
+    """Streaming verbatim matching: an arriving doc that embeds a
+    20-token block from the indexed corpus produces exactly the
+    batch operator's run row; clean arrivals produce nothing."""
+    import random
+
+    from iot_sensor_log_data_pipeline_spark.operators import dedup as DD
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(200)]
+    rand = lambda n: [vocab[rng.randrange(200)] for _ in range(n)]  # noqa: E731
+
+    block = rand(20)
+    corpus = spark.createDataFrame(
+        [
+            (100, " ".join(rand(15) + block + rand(10))),
+            (101, " ".join(rand(40))),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "anchor_idx")
+    DD.build_anchor_index(corpus, idx, k=8)
+
+    arrivals = [
+        (1, " ".join(rand(5) + block + rand(5))),   # contains the block
+        (2, " ".join(rand(30))),                     # clean
+    ]
+    src = str(tmp_path / "v_src")
+    spark.createDataFrame(arrivals, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = str(tmp_path / "match_log")
+    q = P.start_verbatim_match_sink(
+        stream, idx, out, checkpoint=str(tmp_path / "ckpt"), min_len=15
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    assert {r["id"] for r in rows} == {1}
+    hit = [r for r in rows if r["corpus_id"] == 100]
+    assert hit and any(r["run_len"] >= 20 for r in hit)
+    assert all(r["a_start"] == 5 for r in hit if r["run_len"] >= 20)

@@ -761,6 +761,7 @@ def verbatim_runs(
     text_col: str = "text",
     max_gram_df: int | None = None,
     max_gram_frac: float = DEFAULT_MAX_SHINGLE_FRAC,
+    max_gram_occurrences: int | None = None,
 ) -> DataFrame:
     """Cross-document EXACT substring dedup: every maximal verbatim
     token run of length >= ``min_len`` shared by two documents, as
@@ -777,7 +778,14 @@ def verbatim_runs(
     gram in more than max(floor, frac * n_docs) documents is
     boilerplate whose occurrence cross-product would dominate join
     cost -- documented recall tradeoff: runs consisting ONLY of
-    stop-grams are not reported); (3) equi-join occurrences on the
+    stop-grams are not reported) PLUS an occurrence cap
+    (``max_gram_occurrences``, default ``4 * max_gram_df``): the df
+    cap alone misses the within-doc blowup where a gram repeats
+    hundreds of times inside TWO docs ("a a a a ..."), whose anchor
+    join is occurrences_A x occurrences_B for one pair -- such
+    degenerate grams only arise in pathologically repetitive text,
+    which the Gopher repetition gate (`text.repetition_stats`)
+    already flags upstream; (3) equi-join occurrences on the
     gram STRING (no hash collisions) -> matched anchor positions;
     (4) gaps-and-islands per (id_a, id_b, diagonal = pa - pb): inside
     a shared run every anchor start matches on the same diagonal at
@@ -822,10 +830,18 @@ def verbatim_runs(
     if max_gram_df is None:
         n_docs = toked.count()
         max_gram_df = effective_max_shingle_df(n_docs, frac=max_gram_frac)
+    if max_gram_occurrences is None:
+        max_gram_occurrences = 4 * max_gram_df
     heavy = (
         pg.groupBy("gram")
-        .agg(F.count_distinct("id").alias("df"))
-        .where(F.col("df") > max_gram_df)
+        .agg(
+            F.count_distinct("id").alias("df"),
+            F.count(F.lit(1)).alias("occ"),
+        )
+        .where(
+            (F.col("df") > max_gram_df)
+            | (F.col("occ") > max_gram_occurrences)
+        )
         .select("gram")
     )
     kept = pg.join(F.broadcast(heavy), "gram", "left_anti")
@@ -964,6 +980,7 @@ def build_anchor_index(
     text_col: str = "text",
     max_gram_df: int | None = None,
     max_gram_frac: float = DEFAULT_MAX_SHINGLE_FRAC,
+    max_gram_occurrences: int | None = None,
 ) -> None:
     """Persist the k-gram anchor table (gram, id, pos) that
     ``verbatim_runs`` builds in-flight -- the build-once half of
@@ -995,10 +1012,18 @@ def build_anchor_index(
     if max_gram_df is None:
         n_docs = toked.count()
         max_gram_df = effective_max_shingle_df(n_docs, frac=max_gram_frac)
+    if max_gram_occurrences is None:
+        max_gram_occurrences = 4 * max_gram_df
     heavy = (
         pg.groupBy("gram")
-        .agg(F.count_distinct("id").alias("df"))
-        .where(F.col("df") > max_gram_df)
+        .agg(
+            F.count_distinct("id").alias("df"),
+            F.count(F.lit(1)).alias("occ"),
+        )
+        .where(
+            (F.col("df") > max_gram_df)
+            | (F.col("occ") > max_gram_occurrences)
+        )
         .select("gram")
     )
     import os

@@ -122,6 +122,17 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "compaction_projection",
 )
 
+#: Round-6 rotation plan: (a) anything new in round 6; (b) re-entries
+#: for round-6-edited modules; (c) the round-2 rows that did NOT fit
+#: this round's window (funnel_conversion, cohort_weekly_retention,
+#: gapfill_10min_interpolated, anomaly_rolling_zscore,
+#: corpus_train_val_split, text_repetition_filters,
+#: corpus_curation_pipeline, corpus_decontamination,
+#: corpus_stratified_sample, corpus_pack_sequences, corpus_source_cap,
+#: multimodal_meta/_frame_sample/_resize, scan roundtrips, sensor
+#: goldens); (d) then the round-3 battery (window_*, subquery_*,
+#: function batteries) which by round 6 will be three rounds stale.
+
 
 @dataclass(frozen=True)
 class CatalogEntry:

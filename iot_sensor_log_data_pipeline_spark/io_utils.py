@@ -21,18 +21,31 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 TABLES = tuple(TABLE_SCHEMAS)
 
 
+_SCRATCH_CLEANUP_PID: int | None = None
+
+
 def scratch_dir(*parts: str) -> str:
     """Per-process scratch root for artifacts persisted during a run
     (ANN/text indexes, drift logs).  The pid component keeps two
     concurrent runs on the same host from overwriting each other's
     artifacts mid-probe, and avoids cross-user collisions in a shared
     temp dir; within ONE process, re-runs deliberately overwrite in
-    place (build-once/probe-many reuse)."""
+    place (build-once/probe-many reuse).  The first call registers an
+    ``atexit`` removal of the whole pid root, so a run cleans up after
+    itself instead of leaking one index tree per process into /tmp
+    (cross-RUN index reuse is a service concern -- services pass their
+    own durable paths to the ``build_*_index`` functions)."""
     import tempfile
 
-    return os.path.join(
-        tempfile.gettempdir(), f"engine_scratch_pid{os.getpid()}", *parts
-    )
+    root = os.path.join(tempfile.gettempdir(), f"engine_scratch_pid{os.getpid()}")
+    global _SCRATCH_CLEANUP_PID
+    if _SCRATCH_CLEANUP_PID != os.getpid():  # re-register after fork
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SCRATCH_CLEANUP_PID = os.getpid()
+    return os.path.join(root, *parts)
 
 
 def table_path(sf_dir: str, name: str) -> str:

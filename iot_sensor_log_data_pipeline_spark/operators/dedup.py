@@ -802,9 +802,7 @@ def verbatim_runs(
         min_len = 2 * k - 1
     if min_len < k:
         raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
-    from ..io_utils import parallelize_small
-
-    toked = parallelize_small(docs).select(
+    toked = docs.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
     )
     pg = (

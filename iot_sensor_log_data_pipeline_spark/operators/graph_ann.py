@@ -475,16 +475,20 @@ def append_graph_index(
     insert primitive, batched: every new point runs the SAME batched
     beam search a query runs, and its top-k results become its
     neighbor list; reverse edges (existing -> new) are appended so the
-    new points are reachable.  Cost is one beam search over the new
-    batch plus two appends -- no corpus pass, no rebuild.
+    new points are reachable.  INTRA-batch edges come from one
+    NN-descent build over just the appended batch (batch-sized, not
+    corpus-sized), so a batch of mutual near-neighbors far from the
+    indexed corpus links up immediately instead of waiting for a full
+    rebuild.  Cost is one beam search plus one batch-local NN-descent
+    plus two appends -- no corpus pass, no rebuild.
 
     Append-only contract: touched existing nodes temporarily hold
     MORE than k edges (their old list plus the reverse edges); the
     beam search only ever unions adjacency into candidate frontiers,
     so extra edges raise recall and per-hop cost slightly, never
-    correctness.  Periodic rebuilds re-prune to k.  Caller contract:
-    ids must be disjoint from ids already indexed (append never
-    dedups)."""
+    correctness.  ``optimize_graph_index`` re-prunes to k and
+    refreshes entry points.  Caller contract: ids must be disjoint
+    from ids already indexed (append never dedups)."""
     spark = vectors.sparkSession
     cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
     if cfg["kind"] != "knn_graph":
@@ -527,5 +531,15 @@ def append_graph_index(
     rev = fwd.select(
         F.col("dst").alias("src"), F.col("src").alias("dst"), "score"
     )
-    fwd.unionByName(rev).write.mode("append").parquet(_sub(path, "graph"))
+    edges = fwd.unionByName(rev)
+    # Intra-batch edges: NN-descent over just the new vectors.  The
+    # probe above only reaches PRE-existing nodes, so without this a
+    # batch of mutual near-neighbors with no close indexed point would
+    # stay unlinked until a rebuild (round-5 ADVICE finding).
+    if vectors.limit(2).count() > 1:
+        intra = knn_graph(
+            vectors, k=int(cfg["k"]), id_col=id_col, vec_col=vec_col
+        )
+        edges = edges.unionByName(intra)
+    edges.write.mode("append").parquet(_sub(path, "graph"))
     base.write.mode("append").parquet(_sub(path, "vectors"))

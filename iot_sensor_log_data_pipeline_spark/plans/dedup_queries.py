@@ -803,7 +803,8 @@ _VERBATIM_RUNS_CTE = f"""
     ),
     heavy AS (
       SELECT gram FROM pg GROUP BY gram
-      HAVING count(DISTINCT doc_id) > 50 OR count(*) > 200
+      HAVING count(DISTINCT doc_id) > {_CAP_SQL}
+          OR count(*) > 4 * {_CAP_SQL}
     ),
     kept AS (SELECT * FROM pg WHERE gram NOT IN (SELECT gram FROM heavy)),
     cand AS (

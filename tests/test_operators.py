@@ -2111,6 +2111,43 @@ def test_graph_index_incremental_append(spark, tmp_path):
     assert appended & {n for _, n in approx}
 
 
+def test_graph_index_append_links_intra_batch_neighbors(spark, tmp_path):
+    """A batch of mutual near-neighbors FAR from the indexed corpus
+    must link to each other at append time (batch-local NN-descent),
+    not wait for a rebuild: probing with one appended point returns
+    its batch-mates (round-5 ADVICE recall gap)."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import graph_ann as GA
+
+    rng = np.random.default_rng(33)
+    base_rows = [
+        (i, [float(x) for x in rng.standard_normal(64)]) for i in range(80)
+    ]
+    emb = spark.createDataFrame(base_rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "g_idx2")
+    GA.build_graph_index(emb, path)
+
+    far = rng.standard_normal(64) * 50.0  # nowhere near the base cloud
+    batch_rows = [
+        (1000 + j, [float(x) for x in far + rng.standard_normal(64) * 0.01])
+        for j in range(12)
+    ]
+    batch = spark.createDataFrame(batch_rows, "vec_id long, embedding array<float>")
+    GA.append_graph_index(batch, path)
+
+    probe = batch.where(F.col("vec_id") == 1000)
+    got = {
+        r["neighbor_id"]
+        for r in GA.query_graph_index(spark, path, probe, k=5).collect()
+    }
+    batch_ids = {i for i, _ in batch_rows} - {1000}
+    assert got and got <= batch_ids, (
+        f"appended cluster not linked intra-batch: got {got}"
+    )
+    assert len(got) == 5
+
+
 def test_semantic_pairs_arrow_expr_twins(spark):
     """The BLAS-matmul pair scorer and the JVM-fold scorer must find
     the same pairs with scores agreeing to 1e-9 (gemm vs sequential
@@ -2351,7 +2388,16 @@ def test_verbatim_runs_matches_bruteforce_hypothesis(spark):
         got = {
             (r["id_a"], r["id_b"], r["a_start"], r["b_start"], r["run_len"])
             for r in DD.verbatim_runs(
-                df, k=k, min_len=min_len, max_gram_df=len(texts)
+                df,
+                k=k,
+                min_len=min_len,
+                max_gram_df=len(texts),
+                # the df cap alone still derives an occurrence cap of
+                # 4 * max_gram_df, which highly repetitive generated
+                # docs (one word repeated 30x) can exceed -- lift it
+                # explicitly so NOTHING is pruned, as the brute-force
+                # oracle below assumes
+                max_gram_occurrences=10**9,
             ).collect()
         }
         want = set()

@@ -221,56 +221,68 @@ def knn_graph(
         "id", F.posexplode(bands_udf(F.col("vec"))).alias("band_id", "bucket")
     )
     seeds = lsh_seed_pairs(banded, seed_cap=seed_cap)
+    graph = _top_n(
+        _score_pairs(base, seeds), build_k
+    ).localCheckpoint(eager=True)
+    graph = _refine(base, graph, build_k, n_iter)
+    return _top_n(graph, k)
 
+
+def _score_pairs(base: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact cosine for every (src, dst) pair via the einsum scorer;
+    ``base`` is the (id, vec, nrm) table."""
     va = base.select(
         F.col("id").alias("src"), F.col("vec").alias("va"), F.col("nrm").alias("na")
     )
     vb = base.select(
         F.col("id").alias("dst"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
     )
-
     id_type = base.schema["id"].dataType.simpleString()
-
-    def score_pairs(pairs: DataFrame) -> DataFrame:
-        joined = (
-            pairs.join(va, "src")
-            .join(vb, "dst")
-            .select(
-                F.col("src").alias("__oa"),
-                F.col("dst").alias("__ob"),
-                "va",
-                "na",
-                "vb",
-                "nb",
-            )
+    joined = (
+        pairs.join(va, "src")
+        .join(vb, "dst")
+        .select(
+            F.col("src").alias("__oa"),
+            F.col("dst").alias("__ob"),
+            "va",
+            "na",
+            "vb",
+            "nb",
         )
-        return _einsum_scores(joined, ("src", "dst"), (id_type, id_type))
+    )
+    return _einsum_scores(joined, ("src", "dst"), (id_type, id_type))
 
-    def top_n(edges: DataFrame, n: int) -> DataFrame:
-        w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
-        return (
-            edges.withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") <= n)
-            .drop("__r")
-        )
 
-    def top_k(edges: DataFrame) -> DataFrame:
-        return top_n(edges, build_k)
+def _top_n(edges: DataFrame, n: int) -> DataFrame:
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        edges.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= n)
+        .drop("__r")
+    )
 
-    graph = top_k(score_pairs(seeds)).localCheckpoint(eager=True)
+
+def _refine(
+    base: DataFrame, graph: DataFrame, build_k: int, n_iter: int
+) -> DataFrame:
+    """NN-descent refinement rounds over a scored (src, dst, score)
+    edge list: per round, neighbors-of-neighbors become candidates,
+    only never-kept pairs are scored, lists prune to ``build_k``."""
     for _ in range(n_iter):
-        # Reverse edges capped at k per node (NN-descent's reverse
-        # sampling, Dong et al. 2011 §2.3): out-degree is k by top_k,
-        # but IN-degree is unbounded -- a node everyone lists as a
-        # neighbor would otherwise have corpus-sized degree in the
-        # undirected view and the neighbors-of-neighbors self-join
-        # would square it.  Best-score reverse edges keep the
-        # refinement signal; degree <= 2k makes the documented
-        # (2k)^2-per-node round bound real.
-        rev = top_k(
+        # Reverse edges capped at build_k per node (NN-descent's
+        # reverse sampling, Dong et al. 2011 §2.3): out-degree is
+        # bounded by _top_n, but IN-degree is unbounded -- a node
+        # everyone lists as a neighbor would otherwise have
+        # corpus-sized degree in the undirected view and the
+        # neighbors-of-neighbors self-join would square it.
+        # Best-score reverse edges keep the refinement signal;
+        # degree <= 2 * build_k makes the documented
+        # (2 * build_k)^2-per-node round bound real.
+        rev = _top_n(
             graph.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst"), "score"
-            )
+            ),
+            build_k,
         )
         und = graph.select("src", "dst").unionByName(rev.select("src", "dst"))
         cand = (
@@ -281,10 +293,10 @@ def knn_graph(
             .distinct()
             .join(graph.select("src", "dst"), ["src", "dst"], "left_anti")
         )
-        graph = top_k(
-            graph.unionByName(score_pairs(cand))
+        graph = _top_n(
+            graph.unionByName(_score_pairs(base, cand)), build_k
         ).localCheckpoint(eager=True)
-    return top_n(graph, k)
+    return graph
 
 
 def build_graph_index(
@@ -543,3 +555,52 @@ def append_graph_index(
         edges = edges.unionByName(intra)
     edges.write.mode("append").parquet(_sub(path, "graph"))
     base.write.mode("append").parquet(_sub(path, "vectors"))
+
+
+def optimize_graph_index(
+    spark: SparkSession,
+    path: str,
+    n_refine: int = 1,
+    build_k: int | None = None,
+) -> None:
+    """Maintenance re-prune of an append-grown graph index -- the
+    graph twin of ``compaction.optimize_parquet_table``: appends leave
+    touched nodes with more than k edges and appended nodes with only
+    probe-derived lists, degrading probe cost and (slowly) recall
+    toward a rebuild cliff.  This job (1) widens every node's list to
+    ``build_k`` working width, (2) runs ``n_refine`` NN-descent
+    refinement rounds over the CURRENT edge set -- so appended nodes
+    gain the cross-links a fresh build would have found, at bounded
+    per-node cost, without re-seeding or re-scanning the corpus --
+    (3) prunes back to exactly k edges per node, and (4) refreshes the
+    md5-deterministic entry points over the full (old + appended)
+    vector set.  Run it on the same cadence as table OPTIMIZE: after
+    every few append batches, or when probe latency drifts.
+
+    At 100 TB: cost is the refinement rounds' bounded equi-joins
+    (~N * (2 * build_k)^2 cosines per round) plus one graph rewrite --
+    no LSH re-banding, no full NN-descent restart.  The rewrite
+    materializes via localCheckpoint before overwriting the directory
+    it was read from (same read-then-swap contract as the parquet
+    compactor)."""
+    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    if cfg["kind"] != "knn_graph":
+        raise ValueError(f"index at {path} is {cfg['kind']!r}, not knn_graph")
+    k = int(cfg["k"])
+    if build_k is None:
+        build_k = 2 * k
+    base = spark.read.parquet(_sub(path, "vectors")).localCheckpoint(eager=True)
+    graph = _top_n(
+        spark.read.parquet(_sub(path, "graph")), build_k
+    ).localCheckpoint(eager=True)
+    if n_refine:
+        graph = _refine(base, graph, build_k, n_refine)
+    final = _top_n(graph, k).localCheckpoint(eager=True)
+    final.write.mode("overwrite").parquet(_sub(path, "graph"))
+    (
+        base.select("id")
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(int(cfg["n_entry"]))
+        .write.mode("overwrite")
+        .parquet(_sub(path, "entries"))
+    )

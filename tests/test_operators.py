@@ -2148,6 +2148,62 @@ def test_graph_index_append_links_intra_batch_neighbors(spark, tmp_path):
     assert len(got) == 5
 
 
+def test_optimize_graph_index_matches_fresh_rebuild(spark, tmp_path):
+    """Append-grown indexes degrade (touched nodes hold > k edges,
+    appended nodes only have probe-derived lists); optimize re-prunes
+    to exactly k, refines appended nodes' lists, and refreshes entry
+    points -- probe results on appended-then-optimized must equal a
+    fresh rebuild over the union."""
+    import hashlib
+
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import graph_ann as GA
+
+    rng = np.random.default_rng(51)
+    centers = rng.standard_normal((5, 64)) * 6.0
+    rows = [
+        (int(c * 100 + j), [float(x) for x in centers[c] + rng.standard_normal(64) * 0.3])
+        for c in range(5)
+        for j in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    first = emb.where(F.col("vec_id") % 100 < 30)
+    second = emb.where(F.col("vec_id") % 100 >= 30)
+
+    path = str(tmp_path / "g_opt")
+    GA.build_graph_index(first, path)
+    GA.append_graph_index(second, path)
+    from iot_sensor_log_data_pipeline_spark.operators.ann_index import _sub
+
+    grown = spark.read.parquet(_sub(path, "graph"))
+    max_deg_grown = grown.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    assert max_deg_grown > GA.DEFAULT_K  # append really over-grew lists
+
+    GA.optimize_graph_index(spark, path)
+    pruned = spark.read.parquet(_sub(path, "graph"))
+    max_deg = pruned.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    assert max_deg == GA.DEFAULT_K
+    # entry points refreshed over the UNION, md5-deterministic
+    entries = {r["id"] for r in spark.read.parquet(_sub(path, "entries")).collect()}
+    all_ids = sorted(
+        (i for i, _ in rows),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )
+    assert entries == set(all_ids[:32])
+
+    fresh = str(tmp_path / "g_fresh")
+    GA.build_graph_index(emb, fresh)
+    queries = emb.where(F.col("vec_id") % 100 < 2)
+    got_opt = sorted(
+        map(tuple, GA.query_graph_index(spark, path, queries, k=10).collect())
+    )
+    got_fresh = sorted(
+        map(tuple, GA.query_graph_index(spark, fresh, queries, k=10).collect())
+    )
+    assert got_opt == got_fresh
+
+
 def test_semantic_pairs_arrow_expr_twins(spark):
     """The BLAS-matmul pair scorer and the JVM-fold scorer must find
     the same pairs with scores agreeing to 1e-9 (gemm vs sequential

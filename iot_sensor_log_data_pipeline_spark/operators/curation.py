@@ -317,6 +317,58 @@ def dsir_weights(
     )
 
 
+def dsir_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance RESAMPLING (Xie et al. 2023 §2) -- the draw a
+    curation user actually runs: ``dsir_weights`` scores every raw
+    document, then ``k`` documents are sampled without replacement
+    with probability rising in ``exp(log_weight)``.
+
+    The draw is ``weighted_sample``'s Efraimidis-Spirakis scheme with
+    w = exp(log_weight), executed in LOG space: ascending Gumbel-form
+    key ``ln(-ln(u)) - log_weight`` orders identically to descending
+    ``ln(u) / exp(log_weight)`` (for u in (0,1), ln(u) < 0, so
+    maximizing ln(u)/w is minimizing -ln(u)/w = exp(ln(-ln(u)) - ln w)
+    and ln is monotone) but never materializes exp(log_weight), which
+    overflows doubles once a long target-like document's log-weight
+    passes ~709.  ``u = (uint32(md5(id)[:8]) + 0.5) / 2^32`` lies in
+    the OPEN interval (0, 1) so both logs stay finite -- the half-up
+    offset variant of ``weighted_sample``'s content-addressed uniform.
+
+    The key is computed from the 1e-6-rounded log_weight and itself
+    rounded to 1e-8 so the oracle's libm and summation-order ulps
+    cannot flip the top-k boundary.  Every document participates
+    (a token-less doc has log_weight 0 => weight 1), matching the
+    paper's resampling over the full raw corpus.  Scale shape:
+    ``dsir_weights``' bounded collects + one stateless key expression
+    + TakeOrderedAndProject -- per-partition heaps, no global sort.
+    """
+    w = dsir_weights(docs, target, n_buckets, id_col, text_col)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    key = F.round(F.log(-F.log(u)) - F.round("log_weight", 6), 8)
+    return (
+        w.select(
+            id_col,
+            "n_tokens",
+            F.round("log_weight", 6).alias("log_weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy("sample_key", id_col)
+        .limit(k)
+    )
+
+
 def leakage_safe_split(
     docs: DataFrame,
     pairs: DataFrame,

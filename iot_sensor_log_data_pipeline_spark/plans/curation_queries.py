@@ -401,10 +401,13 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
-@register(
-    "corpus_dsir_weights",
-    oracle=f"""
-    WITH tok AS (
+#: Shared DuckDB DSIR pipeline (hashed unigram bucket models, add-1
+#: smoothing, per-token log-ratio sum; English subset as the target
+#: domain) -- ends in a ``weights`` CTE of (doc_id, n_tokens,
+#: log_weight rounded 1e-6) for EVERY document; reused by the
+#: weights-report and importance-resampling oracles.
+_DSIR_CTE = f"""
+    tok AS (
       SELECT doc_id, unnest({_TOKS}) AS t FROM documents
     ),
     bt AS (
@@ -436,12 +439,23 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(log_ratio) AS log_weight
       FROM bt JOIN ratio ON ratio.b = bt.b
       GROUP BY bt.doc_id
+    ),
+    weights AS (
+      SELECT d.doc_id,
+             coalesce(s.n_tokens, 0) AS n_tokens,
+             round(coalesce(s.log_weight, 0.0), 6) AS log_weight
+      FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
     )
-    SELECT d.doc_id,
-           coalesce(s.n_tokens, 0) AS n_tokens,
-           round(coalesce(s.log_weight, 0.0), 6) AS log_weight
-    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
-    ORDER BY d.doc_id
+"""
+
+
+@register(
+    "corpus_dsir_weights",
+    oracle=f"""
+    WITH {_DSIR_CTE}
+    SELECT doc_id, n_tokens, log_weight
+    FROM weights
+    ORDER BY doc_id
     """,
     tags=("curation", "north-star", "dsir", "importance-sampling"),
 )
@@ -461,6 +475,44 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         CU.dsir_weights(docs, target, n_buckets=1024)
         .select("doc_id", "n_tokens", F.round("log_weight", 6).alias("log_weight"))
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_dsir_resample",
+    oracle=f"""
+    WITH {_DSIR_CTE},
+    keyed AS (
+      SELECT doc_id, n_tokens, log_weight,
+             round(
+               ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) + 0.5) / 4294967296.0))
+               - log_weight, 8) AS sample_key
+      FROM weights
+    )
+    SELECT doc_id, n_tokens, log_weight, sample_key
+    FROM keyed
+    ORDER BY sample_key, doc_id
+    LIMIT 100
+    """,
+    tags=("curation", "north-star", "dsir", "importance-sampling", "composition"),
+)
+def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END DSIR importance resampling
+    (``operators/curation.py:dsir_resample``, Xie et al. 2023 §2) --
+    the composition the paper actually prescribes: hashed-unigram
+    importance weights against the English target domain, then a
+    without-replacement Efraimidis-Spirakis draw of 100 documents with
+    probability rising in exp(log_weight), executed in log space
+    (ascending Gumbel-form key ln(-ln(u)) - log_weight) so corpus-scale
+    log-weights never overflow the double range.  Both stages are
+    md5-derived, so the oracle replays buckets, ratios, weights, key,
+    and top-k boundary exactly.  Plans as the DSIR aggs plus one
+    TakeOrderedAndProject -- no global sort."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    target = docs.where(F.col("lang") == "en")
+    return CU.dsir_resample(docs, target, k=100, n_buckets=1024).orderBy(
+        "sample_key", "doc_id"
     )
 
 

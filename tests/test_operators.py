@@ -2279,6 +2279,49 @@ def test_dsir_weights_match_python_reference(spark):
     assert got[1][1] > got[4][1] and got[3][1] > got[4][1]
 
 
+def test_dsir_resample_equals_exp_weighted_aes_draw(spark):
+    """The log-space Gumbel key must select EXACTLY the documents the
+    direct Efraimidis-Spirakis draw with w = exp(log_weight) selects
+    (monotone equivalence), and replay a pure-Python reference of the
+    key itself -- plus it must survive log-weights far beyond the
+    exp() overflow point, which the direct form cannot."""
+    import hashlib
+    import math
+
+    from iot_sensor_log_data_pipeline_spark.operators import curation as CU
+
+    texts = {
+        i: " ".join(f"w{(i * 7 + j) % 13}" for j in range(3 + i % 5))
+        for i in range(1, 25)
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    target = docs.where(F.col("doc_id") % 3 == 0)
+    k = 8
+    got = [
+        (r["doc_id"], r["sample_key"])
+        for r in CU.dsir_resample(docs, target, k=k, n_buckets=64).collect()
+    ]
+
+    lw = {
+        r["doc_id"]: round(r["log_weight"], 6)
+        for r in CU.dsir_weights(docs, target, n_buckets=64).collect()
+    }
+
+    def u_of(i):
+        return (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 0.5) / 2**32
+
+    # pure-Python replay of the log-space key
+    keys = {i: round(math.log(-math.log(u_of(i))) - lw[i], 8) for i in texts}
+    want = sorted(texts, key=lambda i: (keys[i], i))[:k]
+    assert [i for i, _ in got] == want
+    assert all(abs(s - keys[i]) < 1e-9 for i, s in got)
+    # equivalence with the direct draw: top-k by ln(u)/exp(lw) DESC
+    direct = sorted(
+        texts, key=lambda i: (-math.log(u_of(i)) / math.exp(lw[i]), i)
+    )[:k]
+    assert set(want) == set(direct)
+
+
 def test_leakage_safe_split_keeps_clusters_together(spark):
     """Every near-dup cluster must land entirely in ONE split; the
     fixture plants enough duplicate groups that plain per-doc hashing

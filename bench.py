@@ -51,19 +51,17 @@ HEADLINE: tuple[str, ...] = (
     "similarity_topk_cosine",
     "similarity_lsh_ann",
     "similarity_ivf_seed_ann",
-    # build+probe cost of the persisted index (index build dominates;
-    # probe-only cost is the lsh_ann line above)
-    "similarity_persisted_lsh_ann",
     "text_quality_score",
     "text_unigram_logprob",
     "text_bigram_logprob",
     "text_repetition_stats",
-    "text_bm25_persisted_index",
     "profile_psi_drift",
     "events_path_trigrams",
     "downsample_lttb_value",
     "corpus_weighted_sample",
     "corpus_mixture_weights",
+    # round 6: the DSIR importance-resampling composition
+    "corpus_dsir_resample",
 )
 
 
@@ -270,9 +268,17 @@ def main() -> None:
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
 
-    total = round(sum(timings.values()), 3)
     recall = ann_recall(spark, sf_dir)
     index_breakdown = persisted_index_breakdown(spark, sf_dir)
+    # Persisted-index headline lines measure the PROBE path only (the
+    # serving cost a regression must never hide behind build noise --
+    # round-5 verdict item #6); build cost lives in persisted_index_sec.
+    # The keys carry a _probe suffix because the <= r5 lines under the
+    # plain names timed build+probe: a silent rename would read as a
+    # phantom 3x speedup.
+    timings["similarity_persisted_lsh_ann_probe"] = index_breakdown["lsh_probe"]
+    timings["text_bm25_persisted_index_probe"] = index_breakdown["text_probe"]
+    total = round(sum(timings.values()), 3)
     stream_rps = streaming_throughput(spark)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

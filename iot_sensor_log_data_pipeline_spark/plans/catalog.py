@@ -52,86 +52,90 @@ _QUERY_MODULES = (
 #: ``queries()`` per round, so this tuple -- not module import order --
 #: decides which queries get an external green row this round.  Names
 #: listed here are emitted first, in this order; every other query
-#: follows in registration order.  Round-5 priority (the rotation the
-#: round-4 notes scheduled): (a) queries NEW this round, (b)
-#: re-entries for every module edited this round (dedup.py
-#: connected-components witness; semdedup.py splitter; text_index.py
-#: layout; similarity_queries.py index roots), (c) the refresh pass
-#: over the stale round-1 relational battery (externally green in r1,
-#: never re-checked since, three rounds of repo evolution ago), then
-#: (d) as many of the oldest round-2 rows as fit.  By-design
-#: rows-only queries (``agg_approx_sketches``, ``similarity_ivf_ann``)
-#: stay out of the window: their machinery is covered by oracle twins
-#: and bounds pytests, so a driver `no_oracle` row adds no
-#: information.  Unknown names fail loudly in tests
-#: (``tests/test_catalog_oracle.py``).
+#: follows in registration order.  Round-6 priority (the rotation the
+#: round-5 notes scheduled): (a) queries NEW this round (the DSIR
+#: resampling composition), (b) re-entries for every round-6-edited
+#: code path (verbatim dedup: operator hoist + corpus-relative oracle
+#: caps; semantic dedup: quantizer cap in semdedup.py; DSIR oracle
+#: CTE refactor in curation_queries.py; persisted-index roots:
+#: scratch_dir atexit cleanup in io_utils.py), (c) the 20 round-2 rows
+#: that did not fit round 5's window -- the stalest external evidence
+#: in the repo, four rounds old, (d) 20 of the round-3 battery
+#: (window functions, subqueries, scalar-function batteries); the
+#: round-3 remainder (UDF surface, scans, SCD2/CDC, TPC-H q8/q13/
+#: q21/q22, downsamplers) leads the round-7 plan below.  By-design
+#: rows-only queries (``agg_approx_sketches``, ``similarity_ivf_ann``,
+#: ``similarity_graph_ann``) stay out of the window: their machinery
+#: is covered by oracle twins and bounds/recall pytests, so a driver
+#: `no_oracle` row adds no information.  Unknown names fail loudly in
+#: tests (``tests/test_catalog_oracle.py``).
 _VERIFY_PRIORITY: tuple[str, ...] = (
-    # (a) new in round 5
+    # (a) new in round 6
+    "corpus_dsir_resample",
+    # (b) re-entry: round-6 edited code paths
     "dedup_verbatim_runs",
     "dedup_verbatim_clean",
-    "dedup_semantic_text_survivors",
-    "corpus_dsir_weights",
-    "corpus_leakage_safe_split",
-    "corpus_semantic_decontamination",
-    # (b) re-entry: round-5 module edits
-    "dedup_clusters",
-    "dedup_survivor_selection",
     "dedup_semantic_pairs",
     "dedup_semantic_survivors",
-    "text_bm25_persisted_index",
+    "dedup_semantic_text_survivors",
+    "corpus_dsir_weights",
     "similarity_persisted_lsh_ann",
     "similarity_persisted_ivf_ann",
-    # (c) round-1 relational battery refresh (oldest external rows)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "join_broadcast_dims",
-    "join_left_order_counts",
-    "join_semi_anti_balance",
-    "join_full_outer_nations",
-    "join_theta_size_bands",
-    "join_asof_purchase_click",
-    "setops_user_cohorts",
-    "agg_full_set",
-    "agg_percentiles",
-    "rollup_order_status_priority",
-    "cube_lineitem_flags",
-    "grouping_sets_part",
-    "pivot_daily_event_values",
-    "topk_orders_global",
-    "sessionize_events",
-    "q10_returned_items",
-    "q18_large_volume",
-    "unpivot_order_measures",
-    "q7_nation_volume",
-    "q12_late_shipments",
-    "q14_promo_share",
-    "q19_disjunctive_predicates",
-    "q4_order_priority_check",
-    "q15_top_supplier",
-    # (d) oldest round-2 rows, as many as fit the 50-slot window
-    "hourly_avg_by_type",
-    "histogram_max_value",
-    "value_props_corr",
-    "hourly_corr",
-    "row_transform_flatten",
-    "json_serialize",
-    "monotonic_sequence",
-    "dedup_at_least_once",
-    "compaction_projection",
+    "text_bm25_persisted_index",
+    # (c) round-2 battery refresh (stalest external rows, 20 of 20)
+    "funnel_conversion",
+    "cohort_weekly_retention",
+    "gapfill_10min_interpolated",
+    "anomaly_rolling_zscore",
+    "corpus_train_val_split",
+    "corpus_curation_pipeline",
+    "corpus_decontamination",
+    "corpus_stratified_sample",
+    "corpus_pack_sequences",
+    "corpus_source_cap",
+    "text_repetition_filters",
+    "multimodal_meta",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "scan_csv_roundtrip",
+    "scan_json_roundtrip",
+    "sensor_hourly_golden",
+    "sensor_wire_roundtrip",
+    "compaction_roundtrip",
+    "maintenance_compaction_roundtrip",
+    # (d) round-3 battery, part 1 of 2: windows + subqueries + scalar
+    # function batteries (20 rows; remainder rolls to round 7)
+    "window_rank_functions",
+    "window_lag_lead",
+    "window_moving_avg",
+    "window_cumulative",
+    "window_first_last",
+    "window_range_trailing_hour",
+    "window_top_orders_per_customer",
+    "subquery_scalar_avg",
+    "subquery_exists_bigorder",
+    "subquery_correlated_q17",
+    "string_functions",
+    "string_functions_extended",
+    "date_functions",
+    "math_functions",
+    "array_functions",
+    "map_functions",
+    "json_functions",
+    "variant_functions",
+    "conditional_functions",
+    "null_semantics",
 )
 
-#: Round-6 rotation plan: (a) anything new in round 6; (b) re-entries
-#: for round-6-edited modules; (c) the round-2 rows that did NOT fit
-#: this round's window (funnel_conversion, cohort_weekly_retention,
-#: gapfill_10min_interpolated, anomaly_rolling_zscore,
-#: corpus_train_val_split, text_repetition_filters,
-#: corpus_curation_pipeline, corpus_decontamination,
-#: corpus_stratified_sample, corpus_pack_sequences, corpus_source_cap,
-#: multimodal_meta/_frame_sample/_resize, scan roundtrips, sensor
-#: goldens); (d) then the round-3 battery (window_*, subquery_*,
-#: function batteries) which by round 6 will be three rounds stale.
+#: Round-7 rotation plan: (a) anything new in round 7; (b) re-entries
+#: for round-7-edited modules; (c) the round-3 remainder
+#: (hash_functions, udf_pandas_scalar_bucket, udf_grouped_agg_weighted,
+#: udf_grouped_map_zscore, udtf_tokenize_lateral, scan_orc/xml
+#: roundtrips, scd2_customer_history, cdc_merge_upsert,
+#: incremental_rollup_merge, profile_events_table, hourly_avg_value,
+#: downsample_ohlc_10min, downsample_lttb_value, q8/q13/q21/q22,
+#: multimodal_byte_histogram, corpus_weighted_sample); (d) then start
+#: the round-4 battery (dedup/text/similarity/sketch families).
 
 
 @dataclass(frozen=True)

@@ -55,6 +55,8 @@ HEADLINE: tuple[str, ...] = (
     "text_unigram_logprob",
     "text_bigram_logprob",
     "text_repetition_stats",
+    # round 6: per-language ntile gate (CCNet head/middle/tail)
+    "text_ccnet_quality_buckets",
     "profile_psi_drift",
     "events_path_trigrams",
     "downsample_lttb_value",

@@ -233,6 +233,58 @@ def mixture_weights(
     )
 
 
+def temperature_mixture_weights(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled domain mixture (the multilingual-LM sampling
+    rule of mT5 / XLM-R: Xue et al., NAACL 2021, arXiv:2010.11934 §3.1;
+    Conneau et al., ACL 2020, arXiv:1911.02116 §3): the target share of
+    domain i is ``share_i^alpha / sum_j share_j^alpha``, flattening the
+    natural token distribution toward uniform as ``alpha -> 0`` (the
+    papers use alpha ~= 0.3) and leaving it unchanged at ``alpha = 1``
+    -- the generalization sitting between ``mixture_weights``'s two
+    fixed cases (uniform target, explicit target).
+
+    Returns (group, n_docs, n_tokens, token_share, target_share,
+    weight) with ``weight = target_share / token_share`` (> 1 means
+    upsample); feed into ``weighted_sample`` for the draw.  Scale
+    shape identical to ``mixture_weights``: one group hash agg + a
+    1-row broadcast of the corpus totals (here including
+    sum(share^alpha), still one row); the group table is
+    dashboard-sized at any corpus scale.
+    """
+    from .text import token_count
+
+    per_group = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    total = per_group.agg(F.sum("n_tokens").cast("double").alias("total_tokens"))
+    shared = per_group.crossJoin(F.broadcast(total)).withColumn(
+        "token_share", F.col("n_tokens") / F.col("total_tokens")
+    )
+    z = shared.agg(
+        F.sum(F.pow("token_share", F.lit(alpha))).alias("z")
+    )
+    return (
+        shared.crossJoin(F.broadcast(z))
+        .withColumn(
+            "target_share", F.pow("token_share", F.lit(alpha)) / F.col("z")
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            "token_share",
+            "target_share",
+            (F.col("target_share") / F.col("token_share")).alias("weight"),
+        )
+    )
+
+
 def dsir_weights(
     docs: DataFrame,
     target: DataFrame,

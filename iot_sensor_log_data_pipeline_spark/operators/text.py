@@ -237,6 +237,117 @@ def unigram_logprob(
     )
 
 
+def ccnet_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style per-language quality buckets (Wenzek et al., LREC
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data", arXiv:1911.00359): within each language, order
+    documents by LM score and split them into equal-count buckets --
+    the paper's head / middle / tail thirds, the standard first gate
+    of a web-crawl curation pipeline (keep head, sample middle, drop
+    tail).
+
+    The LM is the engine's self-contained ``unigram_logprob`` (higher
+    mean log-probability = lower perplexity = better), standing in for
+    the paper's KenLM exactly as ``text_unigram_logprob`` documents.
+    Bucketing uses the 1e-6-ROUNDED score with an id tiebreak so the
+    bucket boundary is replayable across engines.  Token-less
+    documents have no LM score and are excluded (CCNet scores
+    extracted text, not empties).
+
+    Scale shape: the unigram-LM aggs plus ONE ntile window per
+    language partition -- a per-language sort, the same shape as any
+    per-group ranking; no corpus-global sort.  Returns (id, lang,
+    n_tokens, avg_logprob, bucket) with bucket in head/middle/tail
+    (or 'b1'..'bN' for other ``n_buckets``).
+    """
+    from pyspark.sql.window import Window
+
+    scored = unigram_logprob(docs, id_col=id_col, text_col=text_col)
+    joined = docs.select(id_col, lang_col).join(scored, id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.desc("avg_logprob"), F.col(id_col)
+    )
+    tile = F.ntile(n_buckets).over(w)
+    if n_buckets == 3:
+        bucket = (
+            F.when(tile == 1, "head").when(tile == 2, "middle").otherwise("tail")
+        )
+    else:
+        bucket = F.concat(F.lit("b"), tile.cast("string"))
+    return joined.select(
+        id_col, lang_col, "n_tokens", "avg_logprob", bucket.alias("bucket")
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fraction of each document's DISTINCT word n-grams that never
+    occur in ``reference`` -- the n-gram novelty signal used to audit
+    synthetic / generated corpora against their source data (the
+    corpus-level complement of memorization checks: novelty 0 means
+    every n-gram is copied, 1 means nothing overlaps; cf. the n-gram
+    overlap audits in Lee et al. 2022 and self-BLEU-style diversity
+    reports).
+
+    Scale shape: in-row distinct shingling on both sides (no shuffle),
+    the reference vocabulary deduped by one gram-keyed agg, then a
+    LEFT JOIN of doc grams to the vocabulary on the gram string and a
+    per-doc count of misses -- two content-keyed shuffles, linear in
+    gram count, no pairwise anything.  Docs with fewer than ``n``
+    tokens report 0 grams and novelty 0.0 (nothing to be novel).
+    Returns (id, n_grams, n_novel, novelty) for EVERY input doc.
+    """
+    from .dedup import word_shingles
+
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
+    )
+    ref_vocab = reference.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    per_doc = (
+        grams.join(
+            ref_vocab.withColumn("__seen", F.lit(1)), "gram", "left"
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("__seen").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+            F.round(
+                F.when(
+                    F.coalesce("n_grams", F.lit(0)) > 0,
+                    F.coalesce("n_novel", F.lit(0))
+                    / F.coalesce("n_grams", F.lit(1)).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
 def bm25_rank(
     docs: DataFrame,
     query_terms: tuple[str, ...],

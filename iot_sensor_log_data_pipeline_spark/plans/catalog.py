@@ -54,16 +54,18 @@ _QUERY_MODULES = (
 #: listed here are emitted first, in this order; every other query
 #: follows in registration order.  Round-6 priority (the rotation the
 #: round-5 notes scheduled): (a) queries NEW this round (the DSIR
-#: resampling composition), (b) re-entries for every round-6-edited
+#: resampling composition, CCNet quality buckets, n-gram novelty,
+#: temperature mixture), (b) re-entries for every round-6-edited
 #: code path (verbatim dedup: operator hoist + corpus-relative oracle
 #: caps; semantic dedup: quantizer cap in semdedup.py; DSIR oracle
 #: CTE refactor in curation_queries.py; persisted-index roots:
 #: scratch_dir atexit cleanup in io_utils.py), (c) the 20 round-2 rows
 #: that did not fit round 5's window -- the stalest external evidence
-#: in the repo, four rounds old, (d) 20 of the round-3 battery
+#: in the repo, four rounds old, (d) 17 of the round-3 battery
 #: (window functions, subqueries, scalar-function batteries); the
-#: round-3 remainder (UDF surface, scans, SCD2/CDC, TPC-H q8/q13/
-#: q21/q22, downsamplers) leads the round-7 plan below.  By-design
+#: round-3 remainder (3 function batteries, UDF surface, scans,
+#: SCD2/CDC, TPC-H q8/q13/q21/q22, downsamplers) leads the round-7
+#: plan below.  By-design
 #: rows-only queries (``agg_approx_sketches``, ``similarity_ivf_ann``,
 #: ``similarity_graph_ann``) stay out of the window: their machinery
 #: is covered by oracle twins and bounds/recall pytests, so a driver
@@ -72,6 +74,9 @@ _QUERY_MODULES = (
 _VERIFY_PRIORITY: tuple[str, ...] = (
     # (a) new in round 6
     "corpus_dsir_resample",
+    "text_ccnet_quality_buckets",
+    "text_ngram_novelty",
+    "corpus_mixture_temperature",
     # (b) re-entry: round-6 edited code paths
     "dedup_verbatim_runs",
     "dedup_verbatim_clean",
@@ -104,7 +109,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "compaction_roundtrip",
     "maintenance_compaction_roundtrip",
     # (d) round-3 battery, part 1 of 2: windows + subqueries + scalar
-    # function batteries (20 rows; remainder rolls to round 7)
+    # function batteries (17 rows; remainder rolls to round 7)
     "window_rank_functions",
     "window_lag_lead",
     "window_moving_avg",
@@ -122,14 +127,12 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "array_functions",
     "map_functions",
     "json_functions",
-    "variant_functions",
-    "conditional_functions",
-    "null_semantics",
 )
 
 #: Round-7 rotation plan: (a) anything new in round 7; (b) re-entries
 #: for round-7-edited modules; (c) the round-3 remainder
-#: (hash_functions, udf_pandas_scalar_bucket, udf_grouped_agg_weighted,
+#: (variant_functions, conditional_functions, null_semantics,
+#: hash_functions, udf_pandas_scalar_bucket, udf_grouped_agg_weighted,
 #: udf_grouped_map_zscore, udtf_tokenize_lateral, scan_orc/xml
 #: roundtrips, scd2_customer_history, cdc_merge_upsert,
 #: incremental_rollup_merge, profile_events_table, hourly_avg_value,

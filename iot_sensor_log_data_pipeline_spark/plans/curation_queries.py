@@ -600,3 +600,48 @@ def corpus_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFra
         .select("doc_id", "bench_id", F.round("cos_sim", 6).alias("cos_sim"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_mixture_temperature",
+    oracle=f"""
+    WITH pg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum({_NTOK}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total_tokens FROM pg),
+    sh AS (
+      SELECT source, n_docs, n_tokens,
+             n_tokens / total_tokens AS token_share
+      FROM pg CROSS JOIN tot
+    ),
+    z AS (SELECT sum(pow(token_share, 0.3)) AS z FROM sh)
+    SELECT source, n_docs, n_tokens,
+           round(token_share, 6) AS token_share,
+           round(pow(token_share, 0.3) / z, 6) AS target_share,
+           round((pow(token_share, 0.3) / z) / token_share, 6) AS weight
+    FROM sh CROSS JOIN z
+    ORDER BY source
+    """,
+    tags=("curation", "mixture", "temperature", "domain-weights"),
+)
+def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture
+    (``operators/curation.py:temperature_mixture_weights``; mT5 /
+    XLM-R sampling rule, alpha = 0.3): target share of each source is
+    share^alpha / sum(share^alpha), flattening the natural token
+    distribution toward uniform -- the standard knob between 'natural'
+    and 'uniform' domain sampling for multilingual / multi-source
+    pretraining.  Same scale shape as ``corpus_mixture_weights``: one
+    group hash agg + 1-row broadcasts."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    w = CU.temperature_mixture_weights(docs, alpha=0.3)
+    return w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("token_share", 6).alias("token_share"),
+        F.round("target_share", 6).alias("target_share"),
+        F.round("weight", 6).alias("weight"),
+    ).orderBy("source")

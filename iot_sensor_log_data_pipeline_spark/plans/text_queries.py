@@ -670,3 +670,97 @@ def text_bm25_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TI.query_text_index(
         spark, root, _BM25_TERMS, k=15, k1=_BM25_K1, b=_BM25_B
     )
+
+
+@register(
+    "text_ccnet_quality_buckets",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    vocab AS (SELECT term, CAST(count(*) AS DOUBLE) AS term_n
+              FROM tok GROUP BY term),
+    tot AS (SELECT sum(term_n) AS total_n FROM vocab),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(ln(v.term_n / tot.total_n)), 6) AS avg_logprob
+      FROM tok t JOIN vocab v ON v.term = t.term CROSS JOIN tot
+      GROUP BY t.doc_id
+    ),
+    tiled AS (
+      SELECT s.doc_id, d.lang, s.n_tokens, s.avg_logprob,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.avg_logprob DESC, s.doc_id) AS nt
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, n_tokens, avg_logprob,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+    FROM tiled
+    ORDER BY doc_id
+    """,
+    tags=("text", "north-star", "curation", "quality", "ccnet"),
+)
+def text_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality split
+    (``operators/text.py:ccnet_buckets``, Wenzek et al. 2020): within
+    each language, documents ordered by unigram-LM score (the engine's
+    self-contained KenLM stand-in) and ntile'd into thirds -- the
+    canonical keep-head / sample-middle / drop-tail web-crawl gate.
+    Bucketing runs on the 1e-6-rounded score with an id tiebreak so
+    the oracle replays the boundary exactly.  One ntile window per
+    language partition, no corpus-global sort."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return TX.ccnet_buckets(docs).orderBy("doc_id")
+
+
+#: DuckDB twin of ``dedup.word_shingles(text, 3)`` over the token-list
+#: column ``l``: distinct 3-gram strings, empty below 3 tokens.
+_GRAMS3 = (
+    "list_distinct(list_transform(range(greatest(len(l) - 2, 0)), "
+    "i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))"
+)
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH cand AS (SELECT doc_id, {_TOKS} AS l FROM documents
+                  WHERE source = 'src0'),
+    g AS (SELECT doc_id, unnest({_GRAMS3}) AS gram FROM cand),
+    ref AS (
+      SELECT DISTINCT unnest({_GRAMS3}) AS gram
+      FROM (SELECT {_TOKS} AS l FROM documents WHERE source <> 'src0')
+    ),
+    per AS (
+      SELECT g.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM g LEFT JOIN ref r ON r.gram = g.gram
+      GROUP BY g.doc_id
+    )
+    SELECT c.doc_id,
+           coalesce(p.n_grams, 0) AS n_grams,
+           coalesce(p.n_novel, 0) AS n_novel,
+           round(CASE WHEN coalesce(p.n_grams, 0) > 0
+                      THEN p.n_novel / CAST(p.n_grams AS DOUBLE)
+                      ELSE 0.0 END, 6) AS novelty
+    FROM cand c LEFT JOIN per p ON p.doc_id = c.doc_id
+    ORDER BY c.doc_id
+    """,
+    tags=("text", "north-star", "novelty", "audit"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram novelty audit (``operators/text.py:ngram_novelty``):
+    fraction of each src0 document's distinct 3-grams that never occur
+    in the rest of the corpus -- the audit run against a synthetic or
+    newly-ingested batch to measure how much is genuinely new vs
+    copied from the reference data (the corpus-level complement of the
+    verbatim-dedup memorization checks).  Two content-keyed equi-joins
+    (doc grams -> reference vocabulary), linear in gram count."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return TX.ngram_novelty(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+        n=3,
+    ).orderBy("doc_id")

@@ -2511,3 +2511,113 @@ def test_verbatim_runs_matches_bruteforce_hypothesis(spark):
         assert got == want
 
     run()
+
+
+def test_ccnet_buckets_replay_python_ntile(spark):
+    """CCNet head/middle/tail: per-language ntile over the rounded
+    unigram-LM score must match a pure-Python replay (equal-count
+    buckets, larger first, score-then-id order), and head docs must
+    outscore tail docs within every language."""
+    from iot_sensor_log_data_pipeline_spark.operators import text as TX
+
+    rows = []
+    did = 0
+    for lang, n in (("en", 7), ("de", 5)):
+        for j in range(n):
+            # common words repeat; rare words make later docs less probable
+            toks = ["the"] * (8 - j % 8) + [f"{lang}rare{did}"] * (1 + j % 4)
+            rows.append((did, " ".join(toks), lang))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: (r["lang"], r["avg_logprob"], r["bucket"])
+        for r in TX.ccnet_buckets(docs).collect()
+    }
+    assert len(got) == len(rows)
+
+    def py_ntile(items, n):
+        # SQL NTILE: sizes differ by at most 1, larger buckets first
+        m = len(items)
+        base, extra = divmod(m, n)
+        out, pos = {}, 0
+        for b in range(1, n + 1):
+            size = base + (1 if b <= extra else 0)
+            for it in items[pos : pos + size]:
+                out[it] = b
+            pos += size
+        return out
+
+    names = {1: "head", 2: "middle", 3: "tail"}
+    for lang in ("en", "de"):
+        members = sorted(
+            (i for i in got if got[i][0] == lang),
+            key=lambda i: (-got[i][1], i),
+        )
+        want = py_ntile(members, 3)
+        for i in members:
+            assert got[i][2] == names[want[i]], (lang, i)
+        head = [got[i][1] for i in members if got[i][2] == "head"]
+        tail = [got[i][1] for i in members if got[i][2] == "tail"]
+        assert min(head) >= max(tail)
+
+
+def test_ngram_novelty_hand_fixture(spark):
+    """Novelty = fraction of distinct 3-grams absent from the
+    reference: a verbatim copy scores 0, fresh text scores 1, a
+    half-copy lands exactly in between; sub-3-token docs report 0."""
+    from iot_sensor_log_data_pipeline_spark.operators import text as TX
+
+    ref = spark.createDataFrame(
+        [(100, "a b c d e f")], "doc_id long, text string"
+    )
+    # grams in ref: "a b c","b c d","c d e","d e f"
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),     # all 4 grams known -> 0.0
+            (2, "x y z w"),         # 2 grams, both novel -> 1.0
+            (3, "a b c q"),         # "a b c" known, "b c q" novel -> 0.5
+            (4, "a b"),             # < 3 tokens -> 0 grams, 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in TX.ngram_novelty(docs, ref, n=3).collect()
+    }
+    assert got == {
+        1: (4, 0, 0.0),
+        2: (2, 2, 1.0),
+        3: (2, 1, 0.5),
+        4: (0, 0, 0.0),
+    }
+
+
+def test_temperature_mixture_limits_and_reference(spark):
+    """alpha = 1 must reproduce the natural distribution (all weights
+    1), alpha -> 0 the uniform target (mixture_weights' default), and
+    alpha = 0.3 a pure-Python share^alpha normalization."""
+    from iot_sensor_log_data_pipeline_spark.operators import curation as CU
+
+    rows = []
+    did = 0
+    for src, n_docs, toks in (("a", 4, 20), ("b", 2, 5), ("c", 1, 2)):
+        for _ in range(n_docs):
+            rows.append((did, " ".join(["w"] * toks), src))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    for alpha in (1.0, 0.3, 1e-9):
+        got = {
+            r["source"]: (r["token_share"], r["target_share"], r["weight"])
+            for r in CU.temperature_mixture_weights(docs, alpha=alpha).collect()
+        }
+        shares = {s: v[0] for s, v in got.items()}
+        z = sum(sh**alpha for sh in shares.values())
+        for s, (sh, tgt, w) in got.items():
+            want_t = sh**alpha / z
+            assert abs(tgt - want_t) < 1e-9, (alpha, s)
+            assert abs(w - want_t / sh) < 1e-9, (alpha, s)
+        if alpha == 1.0:
+            assert all(abs(w - 1.0) < 1e-9 for _, _, w in got.values())
+        if alpha == 1e-9:  # ~uniform target
+            assert all(abs(t - 1 / 3) < 1e-6 for _, t, _ in got.values())

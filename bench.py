@@ -57,6 +57,8 @@ HEADLINE: tuple[str, ...] = (
     "text_repetition_stats",
     # round 6: per-language ntile gate (CCNet head/middle/tail)
     "text_ccnet_quality_buckets",
+    # round 6: NB quality classifier (train + score, full corpus)
+    "text_nb_quality_scores",
     "profile_psi_drift",
     "events_path_trigrams",
     "downsample_lttb_value",

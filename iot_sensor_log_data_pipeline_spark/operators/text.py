@@ -348,6 +348,124 @@ def ngram_novelty(
     )
 
 
+def nb_quality_model(
+    train: DataFrame,
+    label_col: str = "is_positive",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Train the multinomial-Naive-Bayes quality classifier used as the
+    model-based quality filter of the GPT-3 / LLaMA pipelines (Brown et
+    al. 2020 appendix A; Touvron et al. 2023 train a linear classifier
+    on Wikipedia-referenced vs raw CommonCrawl pages -- this is that
+    component with NB weights, which keeps training a pure aggregation).
+
+    ``train`` carries a boolean ``label_col`` (True = curated /
+    high-quality exemplar, False = raw-crawl exemplar).  Returns
+    ``(model, stats)``:
+
+    - ``model``: one row per vocabulary term with ``log_ratio`` =
+      ln P(term | pos) - ln P(term | neg) under add-1 smoothing over
+      the shared vocabulary (Laplace; V = |vocab|).
+    - ``stats``: ONE row with the document-count prior
+      ``log_prior = ln(n_pos_docs / n_neg_docs)`` and the out-of-vocab
+      constant ``oov_log_ratio = ln((total_neg + V) / (total_pos + V))``
+      (the smoothed ratio of a term never seen in either class), for
+      scoring corpora that extend beyond the training vocabulary.
+
+    Scale shape: one term-keyed hash agg (map-side combined) over the
+    exploded token stream, one 1-row reduction for totals, one 1-row
+    doc-count agg -- training is linear in token count and the model
+    table is vocabulary-sized (never collected).
+    """
+    tok = train.select(
+        F.col(label_col).cast("boolean").alias("__pos"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    counts = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).cast("double").alias("pos_n"),
+        F.sum(F.when(F.col("__pos"), 0).otherwise(1)).cast("double").alias("neg_n"),
+    )
+    totals = counts.agg(
+        F.sum("pos_n").alias("total_pos"),
+        F.sum("neg_n").alias("total_neg"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        (
+            F.log((F.col("pos_n") + 1.0) / (F.col("total_pos") + F.col("v")))
+            - F.log((F.col("neg_n") + 1.0) / (F.col("total_neg") + F.col("v")))
+        ).alias("log_ratio"),
+    )
+    priors = train.agg(
+        F.sum(F.when(F.col(label_col), 1).otherwise(0))
+        .cast("double")
+        .alias("n_pos_docs"),
+        F.sum(F.when(F.col(label_col), 0).otherwise(1))
+        .cast("double")
+        .alias("n_neg_docs"),
+    )
+    stats = (
+        totals.crossJoin(priors)
+        .select(
+            F.log(F.col("n_pos_docs") / F.col("n_neg_docs")).alias("log_prior"),
+            F.log(
+                (F.col("total_neg") + F.col("v")) / (F.col("total_pos") + F.col("v"))
+            ).alias("oov_log_ratio"),
+        )
+    )
+    return model, stats
+
+
+def nb_quality_scores(
+    docs: DataFrame,
+    model: DataFrame,
+    stats: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents with a trained ``nb_quality_model``: per-doc
+    Naive-Bayes logit = log-prior + sum over tokens of the term
+    log-ratio (out-of-vocabulary tokens contribute the smoothed
+    ``oov_log_ratio`` constant).  Positive logit = classified curated;
+    the GPT-3 pipeline thresholds this score (there, via a Pareto
+    draw) to keep high-quality crawl pages.
+
+    Returns ``(id, n_tokens, nb_logit, keep)`` for EVERY input doc;
+    token-less docs carry the prior alone.  ``keep`` compares the
+    1e-6-ROUNDED logit to 0 so the decision replays bit-identically
+    across engines.
+
+    Scale shape: token explode -> term-keyed LEFT join to the
+    vocabulary-sized model -> per-doc sum (doc-keyed shuffle) -> left
+    join back to the doc list; linear in token count, the 1-row
+    ``stats`` broadcast is the only scalar."""
+    tok = docs.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+    per_doc = (
+        tok.join(model, "term", "left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce("log_ratio", "oov_log_ratio")).alias("token_sum"),
+        )
+    )
+    logit = F.round(
+        F.col("log_prior") + F.coalesce("token_sum", F.lit(0.0)), 6
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            logit.alias("nb_logit"),
+            (logit > 0.0).alias("keep"),
+        )
+    )
+
+
 def bm25_rank(
     docs: DataFrame,
     query_terms: tuple[str, ...],

@@ -55,15 +55,16 @@ _QUERY_MODULES = (
 #: follows in registration order.  Round-6 priority (the rotation the
 #: round-5 notes scheduled): (a) queries NEW this round (the DSIR
 #: resampling composition, CCNet quality buckets, n-gram novelty,
-#: temperature mixture), (b) re-entries for every round-6-edited
+#: temperature mixture, NB quality classifier), (b) re-entries for
+#: every round-6-edited
 #: code path (verbatim dedup: operator hoist + corpus-relative oracle
 #: caps; semantic dedup: quantizer cap in semdedup.py; DSIR oracle
 #: CTE refactor in curation_queries.py; persisted-index roots:
 #: scratch_dir atexit cleanup in io_utils.py), (c) the 20 round-2 rows
 #: that did not fit round 5's window -- the stalest external evidence
-#: in the repo, four rounds old, (d) 17 of the round-3 battery
+#: in the repo, four rounds old, (d) 16 of the round-3 battery
 #: (window functions, subqueries, scalar-function batteries); the
-#: round-3 remainder (3 function batteries, UDF surface, scans,
+#: round-3 remainder (4 function batteries, UDF surface, scans,
 #: SCD2/CDC, TPC-H q8/q13/q21/q22, downsamplers) leads the round-7
 #: plan below.  By-design
 #: rows-only queries (``agg_approx_sketches``, ``similarity_ivf_ann``,
@@ -77,6 +78,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "text_ccnet_quality_buckets",
     "text_ngram_novelty",
     "corpus_mixture_temperature",
+    "text_nb_quality_scores",
     # (b) re-entry: round-6 edited code paths
     "dedup_verbatim_runs",
     "dedup_verbatim_clean",
@@ -109,7 +111,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "compaction_roundtrip",
     "maintenance_compaction_roundtrip",
     # (d) round-3 battery, part 1 of 2: windows + subqueries + scalar
-    # function batteries (17 rows; remainder rolls to round 7)
+    # function batteries (16 rows; remainder rolls to round 7)
     "window_rank_functions",
     "window_lag_lead",
     "window_moving_avg",
@@ -126,12 +128,12 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "math_functions",
     "array_functions",
     "map_functions",
-    "json_functions",
 )
 
 #: Round-7 rotation plan: (a) anything new in round 7; (b) re-entries
 #: for round-7-edited modules; (c) the round-3 remainder
-#: (variant_functions, conditional_functions, null_semantics,
+#: (json_functions, variant_functions, conditional_functions,
+#: null_semantics,
 #: hash_functions, udf_pandas_scalar_bucket, udf_grouped_agg_weighted,
 #: udf_grouped_map_zscore, udtf_tokenize_lateral, scan_orc/xml
 #: roundtrips, scd2_customer_history, cdc_merge_upsert,

@@ -764,3 +764,79 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("source") != "src0"),
         n=3,
     ).orderBy("doc_id")
+
+
+@register(
+    "text_nb_quality_scores",
+    oracle=f"""
+    WITH lab AS (
+      SELECT doc_id, {_TOKS} AS l,
+             (source IN ('src0', 'src1', 'src2')) AS pos
+      FROM documents
+      WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4', 'src5')
+    ),
+    alltok AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tok AS (SELECT doc_id, pos, unnest(l) AS term FROM lab),
+    counts AS (
+      SELECT term,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) AS pos_n,
+             CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS DOUBLE) AS neg_n
+      FROM tok GROUP BY term
+    ),
+    tot AS (
+      SELECT sum(pos_n) AS total_pos, sum(neg_n) AS total_neg,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM counts
+    ),
+    model AS (
+      SELECT term,
+             ln((pos_n + 1.0) / (total_pos + v))
+               - ln((neg_n + 1.0) / (total_neg + v)) AS log_ratio
+      FROM counts CROSS JOIN tot
+    ),
+    pri AS (
+      SELECT ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS DOUBLE))
+               AS log_prior
+      FROM lab
+    ),
+    oov AS (
+      SELECT ln((total_neg + v) / (total_pos + v)) AS oov_log_ratio FROM tot
+    ),
+    per AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             sum(coalesce(m.log_ratio, o.oov_log_ratio)) AS token_sum
+      FROM alltok t LEFT JOIN model m USING (term) CROSS JOIN oov o
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_tokens, 0) AS n_tokens,
+           round(pri.log_prior + coalesce(p.token_sum, 0.0), 6) AS nb_logit,
+           (round(pri.log_prior + coalesce(p.token_sum, 0.0), 6) > 0) AS keep
+    FROM documents d LEFT JOIN per p USING (doc_id) CROSS JOIN pri
+    ORDER BY d.doc_id
+    """,
+    tags=("text", "north-star", "curation", "quality", "classifier"),
+)
+def text_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter
+    (``operators/text.py:nb_quality_model`` / ``nb_quality_scores``):
+    train a multinomial-NB classifier on BALANCED curated-vs-crawl
+    exemplars (sources src0-src2 stand in for the curated class,
+    src3-src5 for raw crawl; equal doc counts make the prior 0, so the
+    decision rides on token evidence) and score EVERY document with
+    the log-prior + token-log-ratio logit -- the GPT-3 appendix-A /
+    LLaMA quality-classifier stage.  Training is one term-keyed agg +
+    1-row totals; scoring is a term-keyed left join + per-doc sum.
+    ``keep`` thresholds the 1e-6-rounded logit at 0 on both engines."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    pos, neg = ("src0", "src1", "src2"), ("src3", "src4", "src5")
+    train = docs.where(F.col("source").isin(*pos, *neg)).select(
+        F.col("source").isin(*pos).alias("is_positive"),
+        "text",
+    )
+    model, stats = TX.nb_quality_model(train)
+    return TX.nb_quality_scores(docs, model, stats).orderBy("doc_id")

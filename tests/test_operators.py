@@ -2621,3 +2621,62 @@ def test_temperature_mixture_limits_and_reference(spark):
             assert all(abs(w - 1.0) < 1e-9 for _, _, w in got.values())
         if alpha == 1e-9:  # ~uniform target
             assert all(abs(t - 1 / 3) < 1e-6 for _, t, _ in got.values())
+
+
+def test_nb_quality_classifier_python_reference(spark):
+    """NB quality filter: logits must match a pure-Python add-1 NB
+    replay (including the doc-count prior and the OOV constant), a
+    curated-looking doc must score positive and a crawl-looking doc
+    negative, and a fully-OOV doc must get n_tokens * oov + prior."""
+    import math
+
+    from iot_sensor_log_data_pipeline_spark.operators import text as TX
+
+    pos_docs = ["good clean prose here", "clean good text prose"]
+    neg_docs = ["spam spam buy now", "buy spam now now now"]
+    train = spark.createDataFrame(
+        [(True, t) for t in pos_docs] + [(False, t) for t in neg_docs],
+        "is_positive boolean, text string",
+    )
+    score_rows = [
+        (1, "good clean prose"),      # curated-looking
+        (2, "spam buy now"),          # crawl-looking
+        (3, "zzz qqq"),               # fully OOV
+        (4, ""),                      # token-less: prior only
+    ]
+    docs = spark.createDataFrame(score_rows, "doc_id long, text string")
+    model, stats = TX.nb_quality_model(train)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nb_logit"], r["keep"])
+        for r in TX.nb_quality_scores(docs, model, stats).collect()
+    }
+
+    # pure-Python replay
+    from collections import Counter
+
+    cpos, cneg = Counter(), Counter()
+    for t in pos_docs:
+        cpos.update(t.split())
+    for t in neg_docs:
+        cneg.update(t.split())
+    vocab = set(cpos) | set(cneg)
+    v, tp, tn = len(vocab), sum(cpos.values()), sum(cneg.values())
+    prior = math.log(len(pos_docs) / len(neg_docs))
+    oov = math.log((tn + v) / (tp + v))
+
+    def ratio(term):
+        if term not in vocab:
+            return oov
+        return math.log((cpos[term] + 1) / (tp + v)) - math.log(
+            (cneg[term] + 1) / (tn + v)
+        )
+
+    for did, text in score_rows:
+        toks = text.split()
+        want = round(prior + sum(ratio(t) for t in toks), 6)
+        n, logit, keep = got[did]
+        assert n == len(toks), did
+        assert abs(logit - want) < 1e-9, (did, logit, want)
+        assert keep == (logit > 0), did
+    assert got[1][2] is True and got[2][2] is False
+    assert abs(got[3][1] - round(prior + 2 * oov, 6)) < 1e-9

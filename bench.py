@@ -59,6 +59,9 @@ HEADLINE: tuple[str, ...] = (
     "text_ccnet_quality_buckets",
     # round 6: NB quality classifier (train + score, full corpus)
     "text_nb_quality_scores",
+    # round 6: JL prefilter + exact re-rank (serving path; recall
+    # evidence lives in the planted-cluster pytest, not this corpus)
+    "similarity_rp_ann",
     "profile_psi_drift",
     "events_path_trigrams",
     "downsample_lttb_value",

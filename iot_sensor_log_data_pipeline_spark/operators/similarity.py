@@ -713,3 +713,132 @@ def pq_codebooks(
                     C[cell] = members.mean(axis=0)
         out.append([[float(x) for x in c] for c in C])
     return out
+
+
+def projection_planes(
+    out_dim: int, dim: int = DIM, token: str = "proj"
+) -> list[list[float]]:
+    """Johnson-Lindenstrauss projection matrix (out_dim x dim),
+    derived like ``hash_hyperplanes`` but under its own md5 namespace
+    (``'{token}:j:d'``) so the projection is statistically independent
+    of the SRP-LSH planes.  Components are uniform [-1, 1) dyadic
+    rationals (uint32 / 2^31 - 1): exactly representable in float64
+    and exactly recomputable in ANSI SQL, so an external oracle
+    replays the projected values bit-for-bit.  Any zero-mean
+    sub-Gaussian entry distribution satisfies the JL distance bound
+    (Achlioptas 2003 proves the discrete cases; bounded-uniform
+    follows by the same sub-Gaussian argument)."""
+    return [
+        [
+            int(hashlib.md5(f"{token}:{j}:{d}".encode()).hexdigest()[:8], 16)
+            / 2147483648.0
+            - 1.0
+            for d in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def project(vec: Column, planes: list[list[float]]) -> Column:
+    """Project ``vec`` onto each plane with the SEQUENTIAL-fold dot
+    product (array<double> out).  Sequential on purpose: the oracle's
+    ``list_sum(list_transform(...))`` accumulates in the same element
+    order over the same exact doubles, so projections -- and therefore
+    every downstream ranking computed from them -- replay
+    bit-identically across engines.  The literal tree is
+    out_dim x dim nodes; at the 8x64 default that codegens instantly
+    (the multi-second compile the LSH path dodged was 64x64)."""
+    return F.array(
+        *[dot(vec, F.array(*[F.lit(w) for w in row])) for row in planes]
+    )
+
+
+def rp_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    out_dim: int = 8,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+    token: str = "proj",
+) -> DataFrame:
+    """Approximate cosine top-k via random-projection prefilter: score
+    every (query, vector) pair in the ``out_dim``-dimensional JL
+    space (dim/out_dim = 8x fewer multiply-adds per pair at the
+    defaults), keep the top ``k * oversample`` shortlist per query,
+    then re-rank the shortlist with EXACT full-dimension cosine.
+    JL preserves relative distances within (1 +- eps), so true
+    neighbors land in the oversampled shortlist with high probability
+    -- the classic dimensionality-reduction scale path when vectors
+    are too wide to scan at full precision (complementary to LSH/IVF:
+    same broadcast-queries x one-corpus-pass shape, but graceful
+    recall decay instead of hard bucket misses).
+
+    Applicability: the reduced-space cosine estimate carries noise
+    ~ sqrt((1 - cos^2) / out_dim), so the prefilter works when true
+    neighbors are separated from the bulk by MORE than that (near-dup
+    mining, cluster retrieval -- cos gaps of 0.3+); on corpora whose
+    top-k gap is a few hundredths (near-random vectors) the shortlist
+    degrades toward sampling and LSH/IVF/graph ANN are the right
+    tools.  The planted-cluster pytest pins the contract; the bench
+    corpus is the degenerate case and is deliberately not an RP-ANN
+    recall line.
+
+    Scale shape: the corpus projects once (pure map, no shuffle) and
+    never shuffles its full vectors -- only the shortlist (Q x k x
+    oversample rows) is joined back for re-rank.  Self-matches
+    excluded; deterministic neighbor-id tiebreaks at both stages.
+    """
+    planes = projection_planes(out_dim, dim=dim, token=token)
+    corpus = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        project(F.col(vec_col), planes).alias("pv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        project(F.col(vec_col), planes).alias("qp"),
+    )
+    reduced = corpus.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qp"), F.col("pv")).alias("rcos"),
+    )
+    w_red = Window.partitionBy("query_id").orderBy(
+        F.desc("rcos"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        reduced.withColumn("rrank", F.row_number().over(w_red))
+        .where(F.col("rrank") <= k * oversample)
+        .select("query_id", "neighbor_id")
+    )
+    qfull = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    rescored = (
+        shortlist.join(
+            vectors.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qfull), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("query_vec"), F.col("nv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+        )
+    )

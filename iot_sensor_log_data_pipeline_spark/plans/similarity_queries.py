@@ -455,3 +455,115 @@ def similarity_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ANN_GRAPH.query_graph_index(spark, root, queries, k=10).orderBy(
         "query_id", "rank"
     )
+
+
+#: JL projection CTEs shared by the random-projection queries: the
+#: md5-derived (8 x 64) matrix recomputed in SQL (dyadic rationals,
+#: exact in float64) and the sequential-order projected values --
+#: bit-identical to ``operators/similarity.py:project``'s fold.
+_RP_PROJ_CTES = """
+    plane_vals AS (
+      SELECT j, d,
+             CAST(('0x' || substr(md5('proj:' || j || ':' || d), 1, 8)) AS BIGINT)
+               / 2147483648.0 - 1.0 AS w
+      FROM range(8) t1(j) CROSS JOIN range(64) t2(d)
+    ),
+    planes AS (
+      SELECT j, list(w ORDER BY d) AS wv FROM plane_vals GROUP BY j
+    ),
+    proj AS (
+      SELECT e.vec_id, p.j,
+             list_sum(list_transform(range(64),
+                 i -> CAST(e.embedding[i+1] AS DOUBLE) * p.wv[i+1])) AS pj
+      FROM embeddings e CROSS JOIN planes p
+    ),
+    pvs AS (
+      SELECT vec_id, list(pj ORDER BY j) AS pv FROM proj GROUP BY vec_id
+    )
+"""
+
+_RP_PIVOT = ",\n           ".join(
+    f"round(max(CASE WHEN j = {j} THEN pj END), 6) AS p{j}" for j in range(8)
+)
+
+
+@register(
+    "similarity_random_projection",
+    oracle=f"""
+    WITH {_RP_PROJ_CTES}
+    SELECT vec_id,
+           {_RP_PIVOT}
+    FROM proj GROUP BY vec_id ORDER BY vec_id
+    """,
+    tags=("similarity", "north-star", "projection", "jl"),
+)
+def similarity_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 8
+    (``operators/similarity.py:projection_planes``/``project``): the
+    dimensionality-reduction map applied before wide-vector scans.
+    Pure per-row column expression (no shuffle); the md5-derived
+    matrix is dyadic-rational so the oracle recomputes every projected
+    value bit-for-bit."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    planes = SIM.projection_planes(8)
+    pv = SIM.project(F.col("embedding"), planes)
+    return emb.select(
+        "vec_id",
+        *[F.round(pv[j], 6).alias(f"p{j}") for j in range(8)],
+    ).orderBy("vec_id")
+
+
+@register(
+    "similarity_rp_ann",
+    oracle=f"""
+    WITH {_RP_PROJ_CTES},
+    reduced AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_DOT.format(d=8, a='q.pv', b='c.pv')}
+               / ({_NORM.format(d=8, a='q.pv')}
+                  * {_NORM.format(d=8, a='c.pv')}) AS rcos
+      FROM pvs c CROSS JOIN pvs q
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rcos DESC, neighbor_id) AS rrank
+        FROM reduced
+      )
+      WHERE rrank <= 40
+    ),
+    rescored AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_DOT.format(d=64, a='qe.embedding', b='ne.embedding')}
+               / ({_NORM.format(d=64, a='qe.embedding')}
+                  * {_NORM.format(d=64, a='ne.embedding')}) AS cos_sim
+      FROM shortlist s
+      JOIN embeddings qe ON qe.vec_id = s.query_id
+      JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM rescored
+    )
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "north-star", "projection", "ann"),
+)
+def similarity_rp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection ANN (``operators/similarity.py:rp_ann_topk``):
+    score all pairs in the 8-dim JL space (8x fewer multiply-adds than
+    the full 64-dim scan), keep a 4x-oversampled shortlist per query,
+    re-rank the shortlist with exact full-dimension cosine.  The
+    whole pipeline -- projection, reduced ranking, re-rank -- replays
+    stage-for-stage in the oracle because every dot product is a
+    sequential fold over exactly-representable doubles."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.rp_ann_topk(emb, queries, k=10, out_dim=8, oversample=4).orderBy(
+        "query_id", "rank"
+    )

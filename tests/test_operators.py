@@ -2680,3 +2680,57 @@ def test_nb_quality_classifier_python_reference(spark):
         assert keep == (logit > 0), did
     assert got[1][2] is True and got[2][2] is False
     assert abs(got[3][1] - round(prior + 2 * oov, 6)) < 1e-9
+
+
+def test_rp_ann_planted_clusters_and_exact_rerank(spark, sf_dir):
+    """RP-ANN's contract (see rp_ann_topk docstring): when true
+    neighbors are separated from the bulk by more than the JL noise
+    (planted clusters, cos ~0.99 in-cluster vs ~0 across), the 8-dim
+    prefilter + exact re-rank recovers the exact top-k; and on ANY
+    corpus every returned pair's cos_sim equals the exact full-dim
+    value (re-rank is exact, only the candidate set is approximate)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for c in range(10):
+        for m in range(12):
+            v = centers[c] + 0.05 * rng.standard_normal(64)
+            rows.append((c * 12 + m, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where(F.col("vec_id").isin(0, 12, 24))  # one per cluster
+    exact = SIM.brute_force_topk(emb, queries, k=10).collect()
+    approx = SIM.rp_ann_topk(emb, queries, k=10, out_dim=8, oversample=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.9, f"RP-ANN planted-cluster recall: {recall}"
+    # in-cluster neighbors dominate the result
+    for r in approx:
+        assert r["neighbor_id"] // 12 == r["query_id"] // 12
+
+    # exact-re-rank property on the real corpus (recall not gated
+    # there: its top-k gap is below the JL noise floor by design)
+    emb2 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q2 = emb2.where(F.col("vec_id") < 3)
+    exact2 = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in SIM.brute_force_topk(emb2, q2, k=50).collect()
+    }
+    for r in SIM.rp_ann_topk(emb2, q2, k=10, out_dim=8, oversample=4).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact2:
+            assert abs(r["cos_sim"] - exact2[key]) < 1e-9
+
+    # projection replay: Spark sequential fold == NumPy matmul
+    planes = np.asarray(SIM.projection_planes(8), dtype="float64")
+    row = emb2.where(F.col("vec_id") == 0).select("embedding").head()
+    want = planes @ np.asarray(list(row["embedding"]), dtype="float64")
+    got = (
+        emb2.where(F.col("vec_id") == 0)
+        .select(SIM.project(F.col("embedding"), SIM.projection_planes(8)).alias("p"))
+        .head()["p"]
+    )
+    assert np.allclose(np.asarray(got), want, atol=1e-9)

@@ -52,6 +52,18 @@ BNLJ_ALLOWED = {
     # two 1-row broadcasts (ref stats, per-side totals) onto binned
     # scans -- operators/profiling.py:psi_drift
     "profile_psi_drift",
+    # unigram_logprob's 1-row total_n broadcast, reused by the CCNet
+    # bucket gate -- operators/text.py:ccnet_buckets
+    "text_ccnet_quality_buckets",
+    # two 1-row broadcasts (corpus totals, share^alpha normalizer)
+    # onto the per-domain table -- curation.py:temperature_mixture_weights
+    "corpus_mixture_temperature",
+    # 1-row broadcasts (vocab totals, prior + OOV constant) onto the
+    # token stream -- operators/text.py:nb_quality_model/_scores
+    "text_nb_quality_scores",
+    # 5-row broadcast-queries theta join in the reduced JL space --
+    # similarity_topk_cosine's exact shape, operators/similarity.py:rp_ann_topk
+    "similarity_rp_ann",
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --

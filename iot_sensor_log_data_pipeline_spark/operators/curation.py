@@ -285,6 +285,64 @@ def temperature_mixture_weights(
     )
 
 
+def token_budget_sample(
+    docs: DataFrame,
+    total_tokens: int,
+    alpha: float = 0.3,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assemble a FIXED-token-budget training corpus: split
+    ``total_tokens`` across domains by the temperature-scaled target
+    shares (``temperature_mixture_weights``; budget_i =
+    floor(total * share_i^alpha / Z)), then fill each domain's budget
+    greedily in md5(id) order -- the content-addressed analogue of
+    'shuffle each domain and take documents until the token budget is
+    hit', which is how a pretraining mixture is actually materialized
+    once mixture weights are decided (the sampling step implied by
+    mT5/XLM-R-style temperature mixtures and DoReMi weights).
+
+    A document is kept iff its domain's running token total INCLUDING
+    it stays within the budget (undershoot, never overshoot).
+    Deterministic and replayable: the fill order is md5(id) with an id
+    tiebreak, and budgets derive from unrounded shares.
+
+    Scale shape: the budget table is domain-count-sized (broadcast);
+    the fill is ONE window cumsum per domain partition (per-group
+    sort, explicit ROWS frame, no corpus-global sort) -- the same
+    shape as any per-group ranking.  Returns (id, group, n_tokens,
+    cum_tokens, token_budget) for kept docs.
+    """
+    from pyspark.sql.window import Window
+
+    from .text import token_count
+
+    weights = temperature_mixture_weights(
+        docs, alpha=alpha, group_col=group_col, text_col=text_col
+    )
+    budgets = weights.select(
+        group_col,
+        F.floor(F.lit(float(total_tokens)) * F.col("target_share"))
+        .cast("long")
+        .alias("token_budget"),
+    )
+    toks = docs.select(
+        id_col, group_col, token_count(F.col(text_col)).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .join(F.broadcast(budgets), group_col)
+        .where(F.col("cum_tokens") <= F.col("token_budget"))
+        .select(id_col, group_col, "n_tokens", "cum_tokens", "token_budget")
+    )
+
+
 def dsir_weights(
     docs: DataFrame,
     target: DataFrame,

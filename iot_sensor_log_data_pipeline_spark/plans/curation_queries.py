@@ -645,3 +645,56 @@ def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("target_share", 6).alias("target_share"),
         F.round("weight", 6).alias("weight"),
     ).orderBy("source")
+
+
+@register(
+    "corpus_token_budget_sample",
+    oracle=f"""
+    WITH pg AS (
+      SELECT source, CAST(sum({_NTOK}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total_tokens FROM pg),
+    sh AS (
+      SELECT source, n_tokens / total_tokens AS token_share
+      FROM pg CROSS JOIN tot
+    ),
+    z AS (SELECT sum(pow(token_share, 0.3)) AS z FROM sh),
+    tg AS (
+      SELECT source,
+             CAST(floor(10000.0 * (pow(token_share, 0.3) / z)) AS BIGINT)
+               AS token_budget
+      FROM sh CROSS JOIN z
+    ),
+    toks AS (
+      SELECT doc_id, source, CAST({_NTOK} AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM toks
+    )
+    SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens, t.token_budget
+    FROM cum c JOIN tg t USING (source)
+    WHERE c.cum_tokens <= t.token_budget
+    ORDER BY c.doc_id
+    """,
+    tags=("curation", "mixture", "budget", "sampling"),
+)
+def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget corpus assembly
+    (``operators/curation.py:token_budget_sample``): a 10k-token
+    budget split across sources by temperature-scaled shares
+    (alpha = 0.3), each domain filled greedily in md5(doc_id) order
+    until its budget is exhausted (inclusive-undershoot rule) -- the
+    materialization step that turns mixture weights into an actual
+    training corpus.  Domain-count budget broadcast + one window
+    cumsum per domain partition."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return CU.token_budget_sample(docs, total_tokens=10_000, alpha=0.3).orderBy(
+        "doc_id"
+    )

@@ -2734,3 +2734,54 @@ def test_rp_ann_planted_clusters_and_exact_rerank(spark, sf_dir):
         .head()["p"]
     )
     assert np.allclose(np.asarray(got), want, atol=1e-9)
+
+
+def test_token_budget_sample_python_replay(spark):
+    """Budget fill must match a pure-Python greedy replay: per-source
+    budgets = floor(total * share^alpha / Z), fill in md5(id) order,
+    keep while the inclusive running total fits; no source exceeds its
+    budget and every stopped source could not fit its next doc."""
+    import hashlib
+    import math
+
+    from iot_sensor_log_data_pipeline_spark.operators import curation as CU
+
+    rows, did = [], 0
+    for src, n_docs, toks in (("a", 6, 40), ("b", 4, 10), ("c", 3, 25)):
+        for _ in range(n_docs):
+            rows.append((did, " ".join(f"w{i}" for i in range(toks)), src))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    total = 200
+    got = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["cum_tokens"], r["token_budget"])
+        for r in CU.token_budget_sample(docs, total_tokens=total, alpha=0.3).collect()
+    }
+
+    ntok = {i: len(t.split()) for i, t, _ in rows}
+    src_of = {i: s for i, _, s in rows}
+    per = {}
+    for i in ntok:
+        per.setdefault(src_of[i], 0)
+        per[src_of[i]] += ntok[i]
+    tot_tokens = sum(per.values())
+    z = sum((v / tot_tokens) ** 0.3 for v in per.values())
+    budget = {
+        s: math.floor(total * ((v / tot_tokens) ** 0.3) / z) for s, v in per.items()
+    }
+    want = {}
+    for s in per:
+        members = sorted(
+            (i for i in ntok if src_of[i] == s),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )
+        cum = 0
+        for i in members:
+            cum += ntok[i]
+            if cum <= budget[s]:
+                want[i] = (s, ntok[i], cum, budget[s])
+    assert got == want
+    # no budget exceeded; each source stopped only when it had to
+    for s in per:
+        kept = sum(v[1] for v in want.values() if v[0] == s)
+        assert kept <= budget[s]

@@ -285,6 +285,85 @@ def temperature_mixture_weights(
     )
 
 
+def curation_funnel(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_quality: float = 0.72,
+) -> DataFrame:
+    """Stage-by-stage survival report for the standard curation
+    cascade -- the ops dashboard every corpus team keeps (how many
+    docs/tokens survive each gate): input -> language filter ->
+    quality threshold -> repetition battery -> exact-dedup survivor.
+    Stages are CUMULATIVE (a doc counts at stage k iff it passed
+    stages 1..k), matching ``curation_pipeline``'s gates and
+    thresholds exactly, so the funnel explains the pipeline's output.
+
+    Scale shape: ONE corpus pass computes every gate as a boolean
+    flag column (all map-side expressions); the only shuffle is the
+    text-hash window for the exact-dup survivor flag (min id per
+    identical text).  The result is a 5-row stage table built by
+    ``stack`` from a single aggregate row -- no per-stage re-scan of
+    the corpus (the naive funnel runs the scan once per stage).
+    Returns (stage_id, stage, n_docs, n_tokens).
+    """
+    from pyspark.sql.window import Window
+
+    from .text import quality_score, token_count
+
+    t = F.col(text_col)
+    flags = docs.select(
+        token_count(t).alias("ntok"),
+        (F.col("lang") == lang).alias("f1"),
+        quality_score(t).alias("q"),
+        repetition_pass(t).alias("rep"),
+        (
+            F.col(id_col) == F.min(id_col).over(Window.partitionBy(text_col))
+        ).alias("surv"),
+    ).select(
+        "ntok",
+        "f1",
+        (F.col("f1") & (F.col("q") >= min_quality)).alias("f2"),
+        "rep",
+        "surv",
+    ).select(
+        "ntok",
+        "f1",
+        "f2",
+        (F.col("f2") & F.col("rep")).alias("f3"),
+        "surv",
+    )
+
+    def n_of(flag: Column) -> Column:
+        return F.sum(F.when(flag, 1).otherwise(0)).cast("long")
+
+    def tok_of(flag: Column) -> Column:
+        return F.sum(F.when(flag, F.col("ntok")).otherwise(0)).cast("long")
+
+    f4 = F.col("f3") & F.col("surv")
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("ntok").cast("long").alias("t0"),
+        n_of(F.col("f1")).alias("n1"),
+        tok_of(F.col("f1")).alias("t1"),
+        n_of(F.col("f2")).alias("n2"),
+        tok_of(F.col("f2")).alias("t2"),
+        n_of(F.col("f3")).alias("n3"),
+        tok_of(F.col("f3")).alias("t3"),
+        n_of(f4).alias("n4"),
+        tok_of(f4).alias("t4"),
+    )
+    return agg.selectExpr(
+        "stack(5, "
+        "0L, 'input', n0, t0, "
+        "1L, 'language', n1, t1, "
+        "2L, 'quality', n2, t2, "
+        "3L, 'repetition', n3, t3, "
+        "4L, 'exact_dedup', n4, t4) AS (stage_id, stage, n_docs, n_tokens)"
+    )
+
+
 def token_budget_sample(
     docs: DataFrame,
     total_tokens: int,

@@ -698,3 +698,63 @@ def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.token_budget_sample(docs, total_tokens=10_000, alpha=0.3).orderBy(
         "doc_id"
     )
+
+
+#: Quality-score twin shared with ``corpus_curation_pipeline``'s
+#: oracle (same operand tree as ``operators/text.py:quality_score``).
+_QUALITY = f"""0.5 * (length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text))
+           + 0.3 * (len(list_distinct({_TOKS})) / greatest({_NTOK}, 1))
+           + 0.2 * (CASE WHEN list_sum(list_transform({_TOKS},
+                             t -> CAST(length(t) AS DOUBLE))) / greatest({_NTOK}, 1)
+                         BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)"""
+
+
+@register(
+    "corpus_curation_funnel",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, text, lang, {_TOKS} AS l FROM documents),
+    f AS (
+      SELECT doc_id, len(l) AS ntok,
+             (lang = 'en') AS f1,
+             {_QUALITY} AS q,
+             ({_dup_ngram_sql(2)} <= 0.6 AND {_dup_ngram_sql(3)} <= 0.5
+              AND {_MAXTOK} <= 30 AND {_SYMBOLS} <= 0.1) AS rep,
+             (doc_id = min(doc_id) OVER (PARTITION BY text)) AS surv
+      FROM toks
+    ),
+    g AS (
+      SELECT ntok, f1, (f1 AND q >= 0.72) AS f2,
+             (f1 AND q >= 0.72 AND rep) AS f3,
+             (f1 AND q >= 0.72 AND rep AND surv) AS f4
+      FROM f
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS stage_id, 'input' AS stage,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS n_tokens FROM g
+      UNION ALL
+      SELECT 1, 'language', CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN f1 THEN ntok ELSE 0 END) AS BIGINT) FROM g
+      UNION ALL
+      SELECT 2, 'quality', CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN f2 THEN ntok ELSE 0 END) AS BIGINT) FROM g
+      UNION ALL
+      SELECT 3, 'repetition', CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN f3 THEN ntok ELSE 0 END) AS BIGINT) FROM g
+      UNION ALL
+      SELECT 4, 'exact_dedup', CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN f4 THEN ntok ELSE 0 END) AS BIGINT) FROM g
+    )
+    ORDER BY stage_id
+    """,
+    tags=("curation", "north-star", "funnel", "report"),
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel report (``operators/curation.py:curation_funnel``):
+    cumulative docs/tokens surviving each gate of the standard cascade
+    (input -> language -> quality -> repetition -> exact dedup), with
+    the same thresholds as ``corpus_curation_pipeline`` so the funnel
+    explains that query's output.  One corpus pass, every gate a flag
+    column; the only shuffle is the text-hash survivor window."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return CU.curation_funnel(docs).orderBy("stage_id")

@@ -2785,3 +2785,31 @@ def test_token_budget_sample_python_replay(spark):
     for s in per:
         kept = sum(v[1] for v in want.values() if v[0] == s)
         assert kept <= budget[s]
+
+
+def test_curation_funnel_hand_fixture(spark):
+    """Each funnel stage must drop exactly the planted offenders, and
+    stages must be cumulative (monotone non-increasing counts)."""
+    from iot_sensor_log_data_pipeline_spark.operators import curation as CU
+
+    good = "the quick brown fox jumps over a lazy dog near the riverbank today"
+    rows = [
+        (0, good, "en"),                                    # survives all
+        (1, "bonjour le monde entier mes amis", "fr"),      # lang drop
+        (2, "zz zz zz zz", "en"),                           # quality drop (alpha/diversity)
+        (3, good + " spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam", "en"),  # repetition drop (dup 2-grams)
+        (4, good, "en"),                                    # exact-dup drop (same text as 0)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["stage"]: (r["stage_id"], r["n_docs"], r["n_tokens"])
+        for r in CU.curation_funnel(docs).collect()
+    }
+    assert got["input"][1] == 5
+    assert got["language"][1] == 4          # doc 1 out
+    assert got["quality"][1] <= 3           # doc 2 out
+    assert got["exact_dedup"][1] == 1       # doc 4 out (dup of 0); 3 out earlier
+    counts = [got[s][1] for s in ("input", "language", "quality", "repetition", "exact_dedup")]
+    assert counts == sorted(counts, reverse=True)
+    toks = [got[s][2] for s in ("input", "language", "quality", "repetition", "exact_dedup")]
+    assert toks == sorted(toks, reverse=True)

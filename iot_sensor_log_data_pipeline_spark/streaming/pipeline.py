@@ -440,6 +440,67 @@ def curation_ingest_stream(
     )
 
 
+def nb_quality_stream(
+    stream: DataFrame,
+    model: DataFrame,
+    stats: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_only: bool = False,
+) -> DataFrame:
+    """Ingest-time model-based quality scoring: every arriving
+    document is scored with a TRAINED Naive-Bayes quality classifier
+    (``operators/text.py:nb_quality_model``) -- the streaming twin of
+    ``nb_quality_scores`` and the classifier-gate complement of the
+    heuristic ``curation_ingest_stream``.
+
+    Plan: token explode (stateless) -> stream-static LEFT join to the
+    vocabulary-sized model on the term (no state: the static side is
+    rebroadcast per micro-batch) -> watermarked (window, id) aggregate
+    summing the log-ratios.  The 1-row ``stats`` frame (log-prior,
+    OOV constant) is collected once into literals -- the engine's
+    bounded sketch-to-closure pattern.  State is bounded by the
+    watermark: one sum per in-flight (window, doc), never
+    vocabulary- or corpus-sized.
+
+    Append-mode semantics: a document's score row emits when the
+    watermark passes its window end (finalized, exactly once).
+    Token-less documents produce no row (nothing to explode) --
+    unlike the batch operator, which reports them with the bare
+    prior; gate empties upstream.  Returns (id, window_start,
+    n_tokens, nb_logit, keep); ``keep_only`` drops rejected rows in
+    flight.
+    """
+    from ..operators.text import tokens
+
+    srow = stats.head()
+    prior = float(srow["log_prior"])
+    oov = float(srow["oov_log_ratio"])
+    tok = stream.withWatermark(ts_col, watermark).select(
+        F.col(id_col), F.col(ts_col), F.explode(tokens(text_col)).alias("term")
+    )
+    agg = (
+        tok.join(model, "term", "left")
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce("log_ratio", F.lit(oov))).alias("token_sum"),
+        )
+    )
+    out = agg.select(
+        id_col,
+        F.col("w.start").alias("window_start"),
+        "n_tokens",
+        F.round(F.lit(prior) + F.col("token_sum"), 6).alias("nb_logit"),
+    ).withColumn("keep", F.col("nb_logit") > 0)
+    if keep_only:
+        out = out.where(F.col("keep"))
+    return out
+
+
 def start_verbatim_match_sink(
     stream: DataFrame,
     anchor_index_path: str,

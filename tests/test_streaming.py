@@ -751,3 +751,65 @@ def test_verbatim_match_stream_flags_shared_run(spark, tmp_path):
     hit = [r for r in rows if r["corpus_id"] == 100]
     assert hit and any(r["run_len"] >= 20 for r in hit)
     assert all(r["a_start"] == 5 for r in hit if r["run_len"] >= 20)
+
+
+def test_nb_quality_stream_matches_batch_scores(spark, tmp_path):
+    """Streaming NB gate: in-flight scores must equal the batch
+    nb_quality_scores logits for the same docs and model; rejected
+    docs carry keep=False.  A far-future flush row advances the
+    watermark so append mode finalizes the test windows."""
+    from datetime import datetime
+
+    from iot_sensor_log_data_pipeline_spark.operators import text as TX
+
+    train = spark.createDataFrame(
+        [
+            (True, "good clean prose here"),
+            (True, "clean good text prose"),
+            (False, "spam spam buy now"),
+            (False, "buy spam now now now"),
+        ],
+        "is_positive boolean, text string",
+    )
+    model, stats = TX.nb_quality_model(train)
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0, 0), "good clean prose"),
+        (2, datetime(2024, 1, 1, 10, 0, 5), "spam buy now"),
+        (3, datetime(2024, 1, 1, 10, 0, 9), "zzz qqq"),
+        (99, datetime(2024, 1, 1, 13, 0, 0), "flush row advancing watermark"),
+    ]
+    src = str(tmp_path / "nb_src")
+    spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, text string"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(src)
+
+    q = (
+        P.nb_quality_stream(stream, model, stats, window="5 minutes",
+                            watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("nb_stream")
+        .option("checkpointLocation", str(tmp_path / "nb_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["nb_logit"], r["keep"])
+            for r in spark.table("nb_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    batch_docs = spark.createDataFrame(
+        [(i, t) for i, _, t in rows[:3]], "doc_id long, text string"
+    )
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["nb_logit"], r["keep"])
+        for r in TX.nb_quality_scores(batch_docs, model, stats).collect()
+    }
+    for did in (1, 2, 3):
+        assert got[did] == want[did], (did, got.get(did), want[did])
+    assert got[1][2] is True and got[2][2] is False

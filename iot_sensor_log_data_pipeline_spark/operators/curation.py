@@ -23,8 +23,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._scratch_cache import ScratchCaches
 from .dedup import word_shingles
 from .text import tokens
+
+#: Scratch cache (lifetime contract in ``_scratch_cache``): holds the
+#: per-domain token-share table when it feeds multiple consumers.
+_SCRATCH = ScratchCaches()
+
+
+def release_caches() -> None:
+    """Unpersist scratch cached by earlier mixture calls."""
+    _SCRATCH.release()
+
 
 #: Default split weights (percent of the 100-bucket hash space).
 DEFAULT_SPLITS: tuple[tuple[str, int], ...] = (
@@ -258,9 +269,14 @@ def temperature_mixture_weights(
     """
     from .text import token_count
 
-    per_group = docs.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens"),
+    # Cached: the domain-count-sized table feeds the corpus total, the
+    # share^alpha normalizer, and the output rows -- without the cache
+    # each consumer re-scans the corpus for the same group aggregate.
+    per_group = _SCRATCH.cache(
+        docs.groupBy(group_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens"),
+        )
     )
     total = per_group.agg(F.sum("n_tokens").cast("double").alias("total_tokens"))
     shared = per_group.crossJoin(F.broadcast(total)).withColumn(

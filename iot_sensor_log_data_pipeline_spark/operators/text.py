@@ -381,9 +381,18 @@ def nb_quality_model(
         F.col(label_col).cast("boolean").alias("__pos"),
         F.explode(tokens(text_col)).alias("term"),
     )
-    counts = tok.groupBy("term").agg(
-        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).cast("double").alias("pos_n"),
-        F.sum(F.when(F.col("__pos"), 0).otherwise(1)).cast("double").alias("neg_n"),
+    # Cached: the term-count table feeds totals AND the per-term model
+    # -- without the cache each consumer re-runs the train scan and the
+    # term-keyed shuffle (visible as duplicate Exchanges in the plan).
+    counts = _SCRATCH.cache(
+        tok.groupBy("term").agg(
+            F.sum(F.when(F.col("__pos"), 1).otherwise(0))
+            .cast("double")
+            .alias("pos_n"),
+            F.sum(F.when(F.col("__pos"), 0).otherwise(1))
+            .cast("double")
+            .alias("neg_n"),
+        )
     )
     totals = counts.agg(
         F.sum("pos_n").alias("total_pos"),

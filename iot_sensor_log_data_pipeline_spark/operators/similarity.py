@@ -842,3 +842,112 @@ def rp_ann_topk(
             "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
         )
     )
+
+
+def sq8_stats(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension (d, dmin, dmax) over the corpus -- the train step
+    of int8 scalar quantization (the FAISS SQ8 storage layout: 4x
+    smaller than float32, 8x smaller than float64).  One posexplode +
+    a dim-keyed agg (dim-count groups, map-side combined)."""
+    return (
+        vectors.select(F.posexplode(F.col(vec_col)).alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("dmin"),
+            F.max(F.col("x").cast("double")).alias("dmax"),
+        )
+    )
+
+
+def scalar_quantize(
+    vectors: DataFrame,
+    stats: list[tuple[int, float, float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): each component mapped to its uint8 code
+    ``round((x - dmin) * 255 / (dmax - dmin))`` clamped to [0, 255]
+    (constant-range dims code to 0).  ``stats`` is the dim-count-sized
+    (d, dmin, dmax) list; when None it is computed and collected --
+    the bounded sketch-to-closure pattern (64 rows for these
+    embeddings, never corpus-sized).  Encoding itself is a pure map
+    (in-row transform against literal arrays): no shuffle, linear,
+    exactly the shape a 100-TB storage rewrite needs."""
+    if stats is None:
+        stats = [
+            (r["d"], r["dmin"], r["dmax"])
+            for r in sq8_stats(vectors, id_col, vec_col).collect()
+        ]
+    stats = sorted(stats)
+    mins = F.array(*[F.lit(float(lo)) for _, lo, _ in stats])
+    scales = F.array(
+        *[
+            F.lit((hi - lo) / 255.0 if hi > lo else 0.0)
+            for _, lo, hi in stats
+        ]
+    )
+
+    def code(x: Column, i: Column) -> Column:
+        lo = F.element_at(mins, i + 1)
+        sc = F.element_at(scales, i + 1)
+        return F.when(sc == 0.0, F.lit(0)).otherwise(
+            F.least(
+                F.greatest(
+                    F.round((x.cast("double") - lo) / sc, 0).cast("int"), F.lit(0)
+                ),
+                F.lit(255),
+            )
+        )
+
+    return vectors.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x, i: code(x, i)).alias("codes"),
+    )
+
+
+def sq8_error_report(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension reconstruction report for int8 scalar
+    quantization: (d, dmin, dmax, mse, max_abs_err) where the
+    dequantized value is ``dmin + code * scale``.  The acceptance
+    gate a storage migration runs before switching the serving tier
+    to SQ8 codes (max_abs_err is bounded by scale/2 for in-range
+    data by construction -- asserted in pytest).
+
+    Declarative twin of ``scalar_quantize`` (dim-keyed joins instead
+    of the collected closure) so the whole report is one-statement
+    SQL-replayable: explode -> dim-stats agg -> stats join back ->
+    error agg.  Two passes over the exploded components; the
+    dim-count stats table is scratch-cached between them."""
+    e = vectors.select(F.posexplode(F.col(vec_col)).alias("d", "x")).select(
+        "d", F.col("x").cast("double").alias("x")
+    )
+    stats = _SCRATCH.cache(
+        e.groupBy("d").agg(
+            F.min("x").alias("dmin"), F.max("x").alias("dmax")
+        )
+    )
+    scale = (F.col("dmax") - F.col("dmin")) / 255.0
+    code = F.when(F.col("dmax") <= F.col("dmin"), F.lit(0.0)).otherwise(
+        F.least(
+            F.greatest(F.round((F.col("x") - F.col("dmin")) / scale, 0), F.lit(0.0)),
+            F.lit(255.0),
+        )
+    )
+    dq = F.when(F.col("dmax") <= F.col("dmin"), F.col("dmin")).otherwise(
+        F.col("dmin") + code * scale
+    )
+    err = F.col("x") - dq
+    return (
+        e.join(stats, "d")
+        .groupBy(F.col("d").cast("long").alias("d"))
+        .agg(
+            F.round(F.first("dmin"), 10).alias("dmin"),
+            F.round(F.first("dmax"), 10).alias("dmax"),
+            F.round(F.avg(err * err), 10).alias("mse"),
+            F.round(F.max(F.abs(err)), 10).alias("max_abs_err"),
+        )
+    )

@@ -567,3 +567,45 @@ def similarity_rp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.rp_ann_topk(emb, queries, k=10, out_dim=8, oversample=4).orderBy(
         "query_id", "rank"
     )
+
+
+@register(
+    "similarity_sq8_report",
+    oracle="""
+    WITH e AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    stats AS (SELECT d, min(x) AS dmin, max(x) AS dmax FROM e GROUP BY d),
+    err AS (
+      SELECT e.d, e.x, s.dmin, s.dmax,
+             CASE WHEN s.dmax <= s.dmin THEN s.dmin
+                  ELSE s.dmin
+                       + least(greatest(round((e.x - s.dmin)
+                             / ((s.dmax - s.dmin) / 255.0), 0), 0.0), 255.0)
+                         * ((s.dmax - s.dmin) / 255.0)
+             END AS dq
+      FROM e JOIN stats s USING (d)
+    )
+    SELECT d,
+           round(min(dmin), 10) AS dmin,
+           round(min(dmax), 10) AS dmax,
+           round(avg((x - dq) * (x - dq)), 10) AS mse,
+           round(max(abs(x - dq)), 10) AS max_abs_err
+    FROM err GROUP BY d ORDER BY d
+    """,
+    tags=("similarity", "north-star", "quantization", "storage"),
+)
+def similarity_sq8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization acceptance report
+    (``operators/similarity.py:sq8_error_report``): per-dimension
+    min/max train stats plus reconstruction MSE and max abs error of
+    the uint8 codes (FAISS-SQ8 storage layout, 4x smaller than
+    float32) -- the gate a storage migration runs before switching a
+    serving tier to quantized vectors.  Declarative twin of the
+    ``scalar_quantize`` encoder: explode -> dim-keyed stats agg ->
+    stats join -> error agg; the dim-count stats table is
+    scratch-cached between the two passes."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    return SIM.sq8_error_report(emb).orderBy("d")

@@ -2813,3 +2813,46 @@ def test_curation_funnel_hand_fixture(spark):
     assert counts == sorted(counts, reverse=True)
     toks = [got[s][2] for s in ("input", "language", "quality", "repetition", "exact_dedup")]
     assert toks == sorted(toks, reverse=True)
+
+
+def test_sq8_quantize_roundtrip_and_report(spark, sf_dir):
+    """SQ8: codes are uint8-range ints matching a NumPy replay of the
+    same min/max scale; per-dim max_abs_err from the report is
+    bounded by scale/2 (+1 ulp slack); a constant dim codes to 0 with
+    zero error."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    stats_rows = sorted(
+        (r["d"], r["dmin"], r["dmax"]) for r in SIM.sq8_stats(emb).collect()
+    )
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in SIM.scalar_quantize(emb, stats=stats_rows).collect()
+    }
+    lo = np.array([s[1] for s in stats_rows])
+    hi = np.array([s[2] for s in stats_rows])
+    scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+    sample = emb.where(F.col("vec_id") < 20).collect()
+    for r in sample:
+        x = np.asarray(list(r["embedding"]), dtype="float64")
+        want = np.clip(np.round((x - lo) / scale), 0, 255).astype(int)
+        want = np.where(hi > lo, want, 0)
+        got = np.asarray(codes[r["vec_id"]])
+        assert ((got >= 0) & (got <= 255)).all()
+        assert (got == want).all(), r["vec_id"]
+
+    report = {r["d"]: r for r in SIM.sq8_error_report(emb).collect()}
+    for d, dmin, dmax in stats_rows:
+        sc = (dmax - dmin) / 255.0 if dmax > dmin else 0.0
+        assert report[d]["max_abs_err"] <= sc / 2.0 + 1e-12, d
+        assert report[d]["mse"] <= (sc / 2.0) ** 2 + 1e-12, d
+
+    # constant dimension: codes 0, zero error
+    const = spark.createDataFrame(
+        [(1, [2.5, 1.0]), (2, [2.5, 3.0])], "vec_id long, embedding array<double>"
+    )
+    rep = {r["d"]: r for r in SIM.sq8_error_report(const).collect()}
+    assert rep[0]["mse"] == 0.0 and rep[0]["max_abs_err"] == 0.0
+    cc = {r["vec_id"]: list(r["codes"]) for r in SIM.scalar_quantize(const).collect()}
+    assert cc[1][0] == 0 and cc[2][0] == 0

@@ -166,3 +166,91 @@ def iqr_outliers(
         F.sum(is_out.cast("long")).cast("long").alias("n_outliers"),
         (F.sum(is_out.cast("long")) / F.count(F.lit(1))).alias("outlier_frac"),
     )
+
+
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    out_dim: int = 4,
+    n_bins: int = 10,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    token: str = "proj",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Embedding-DISTRIBUTION drift between two corpus snapshots: JL
+    random projection (``similarity.projection_planes`` -- the
+    md5-derived, SQL-replayable matrix) maps each vector onto
+    ``out_dim`` content-addressed directions, and each direction gets
+    the standard PSI treatment (``psi_drift``'s bin geometry: edges
+    from the REFERENCE min/max, out-of-range clamps to edge bins).
+    The monitor a retrieval/dedup pipeline runs on its embedding
+    column the way ``psi_drift`` watches numeric columns: an encoder
+    change, a new data source, or upstream corruption shifts the
+    projections long before ANN recall visibly degrades.
+
+    Scale shape: out_dim does NOT multiply corpus passes -- projection
+    explodes to (d, v) rows in the same map, so the whole monitor is
+    one stats pass over ref plus one binned agg per side (map-side
+    combined, keyed on the tiny (d, bin) space), then joins over
+    out_dim x n_bins rows.  Returns (d, psi) -- PSI per projected
+    direction; alert on max(psi) with the usual 0.1 / 0.25 bands.
+    """
+    from .similarity import project, projection_planes
+
+    planes = projection_planes(out_dim, dim=dim, token=token)
+
+    def proj_long(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.posexplode(project(F.col(vec_col), planes)).alias("d", "v")
+        ).select(F.col("d").cast("long").alias("d"), "v")
+
+    refl, curl = proj_long(ref), proj_long(cur)
+    stats = refl.groupBy("d").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+
+    def shares(df: DataFrame, name: str) -> DataFrame:
+        b = df.join(F.broadcast(stats), "d").select(
+            "d",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.greatest(
+                    F.least(
+                        F.floor(
+                            (F.col("v") - F.col("lo"))
+                            * n_bins
+                            / (F.col("hi") - F.col("lo"))
+                        ).cast("int"),
+                        F.lit(n_bins - 1),
+                    ),
+                    F.lit(0),
+                )
+            )
+            .alias("bin"),
+        )
+        counts = b.groupBy("d", "bin").agg(F.count(F.lit(1)).alias("__c"))
+        totals = counts.groupBy("d").agg(F.sum("__c").cast("double").alias("__t"))
+        return counts.join(F.broadcast(totals), "d").select(
+            "d", "bin", (F.col("__c") / F.col("__t")).alias(name)
+        )
+
+    spark = ref.sparkSession
+    grid = (
+        spark.range(out_dim)
+        .select(F.col("id").alias("d"))
+        .crossJoin(spark.range(n_bins).select(F.col("id").cast("int").alias("bin")))
+    )
+    joined = (
+        grid.join(shares(refl, "share_ref"), ["d", "bin"], "left")
+        .join(shares(curl, "share_cur"), ["d", "bin"], "left")
+        .select(
+            "d",
+            F.coalesce("share_ref", F.lit(0.0)).alias("sr"),
+            F.coalesce("share_cur", F.lit(0.0)).alias("sc"),
+        )
+    )
+    srf = F.greatest(F.col("sr"), F.lit(eps))
+    scf = F.greatest(F.col("sc"), F.lit(eps))
+    return (
+        joined.groupBy("d")
+        .agg(F.round(F.sum((scf - srf) * F.log(scf / srf)), 6).alias("psi"))
+    )

@@ -576,3 +576,83 @@ def quality_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_outliers",
         F.round("outlier_frac", 6).alias("outlier_frac"),
     ).orderBy("event_type")
+
+
+#: JL projection of the embeddings onto the first 4 'proj' directions
+#: (same md5 derivation as ``similarity_random_projection``), kept in
+#: long (vec_id, label, d, v) form for the drift bins.
+_DRIFT_PROJ = """
+    plane_vals AS (
+      SELECT j, d,
+             CAST(('0x' || substr(md5('proj:' || j || ':' || d), 1, 8)) AS BIGINT)
+               / 2147483648.0 - 1.0 AS w
+      FROM range(4) t1(j) CROSS JOIN range(64) t2(d)
+    ),
+    planes AS (SELECT j, list(w ORDER BY d) AS wv FROM plane_vals GROUP BY j),
+    proj AS (
+      SELECT e.vec_id, e.label, CAST(p.j AS BIGINT) AS d,
+             list_sum(list_transform(range(64),
+                 i -> CAST(e.embedding[i+1] AS DOUBLE) * p.wv[i+1])) AS v
+      FROM embeddings e CROSS JOIN planes p
+    )
+"""
+
+
+@register(
+    "profile_embedding_drift",
+    oracle=f"""
+    WITH {_DRIFT_PROJ},
+    ref AS (SELECT d, v FROM proj WHERE label < 5),
+    cur AS (SELECT d, v FROM proj WHERE label >= 5),
+    stats AS (SELECT d, min(v) AS lo, max(v) AS hi FROM ref GROUP BY d),
+    rbin AS (
+      SELECT r.d, CASE WHEN hi = lo THEN 0
+                       ELSE greatest(least(CAST(floor((v - lo) * 10 / (hi - lo))
+                                                AS INT), 9), 0) END AS bin
+      FROM ref r JOIN stats USING (d)
+    ),
+    cbin AS (
+      SELECT c.d, CASE WHEN hi = lo THEN 0
+                       ELSE greatest(least(CAST(floor((v - lo) * 10 / (hi - lo))
+                                                AS INT), 9), 0) END AS bin
+      FROM cur c JOIN stats USING (d)
+    ),
+    rs AS (SELECT d, bin, count(*) AS c FROM rbin GROUP BY d, bin),
+    rt AS (SELECT d, CAST(count(*) AS DOUBLE) AS t FROM rbin GROUP BY d),
+    rsh AS (SELECT rs.d, rs.bin, rs.c / rt.t AS share_ref
+            FROM rs JOIN rt USING (d)),
+    cs AS (SELECT d, bin, count(*) AS c FROM cbin GROUP BY d, bin),
+    ct AS (SELECT d, CAST(count(*) AS DOUBLE) AS t FROM cbin GROUP BY d),
+    csh AS (SELECT cs.d, cs.bin, cs.c / ct.t AS share_cur
+            FROM cs JOIN ct USING (d)),
+    grid AS (SELECT CAST(dd.d AS BIGINT) AS d, CAST(bb.bin AS INT) AS bin
+             FROM range(4) dd(d) CROSS JOIN range(10) bb(bin)),
+    j AS (
+      SELECT g.d,
+             greatest(coalesce(rsh.share_ref, 0.0), 1e-6) AS sr,
+             greatest(coalesce(csh.share_cur, 0.0), 1e-6) AS sc
+      FROM grid g
+      LEFT JOIN rsh ON rsh.d = g.d AND rsh.bin = g.bin
+      LEFT JOIN csh ON csh.d = g.d AND csh.bin = g.bin
+    )
+    SELECT d, round(sum((sc - sr) * ln(sc / sr)), 6) AS psi
+    FROM j GROUP BY d ORDER BY d
+    """,
+    tags=("profiling", "drift", "embedding", "north-star"),
+)
+def profile_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor
+    (``operators/profiling.py:embedding_drift``): PSI per JL-projected
+    direction between two corpus snapshots (labels 0-4 as the
+    reference encoder's output, 5-9 as the current) -- the check that
+    catches an encoder swap or upstream corruption before ANN recall
+    degrades.  One stats pass + one binned agg per side regardless of
+    out_dim; every projected value replays bit-for-bit in the oracle
+    (md5-derived matrix, sequential-fold dots)."""
+    from ..io_utils import parallelize_small
+    from ..operators.profiling import embedding_drift
+
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    ref = emb.where(F.col("label") < 5)
+    cur = emb.where(F.col("label") >= 5)
+    return embedding_drift(ref, cur, out_dim=4).orderBy("d")

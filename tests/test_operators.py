@@ -2856,3 +2856,32 @@ def test_sq8_quantize_roundtrip_and_report(spark, sf_dir):
     assert rep[0]["mse"] == 0.0 and rep[0]["max_abs_err"] == 0.0
     cc = {r["vec_id"]: list(r["codes"]) for r in SIM.scalar_quantize(const).collect()}
     assert cc[1][0] == 0 and cc[2][0] == 0
+
+
+def test_embedding_drift_detects_shift(spark):
+    """PSI over JL projections: identical snapshots give ~0 PSI per
+    direction; a mean-shifted current snapshot drives PSI far above
+    the 0.25 'investigate' band on at least one direction."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators.profiling import (
+        embedding_drift,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((200, 64))
+    shifted = base + 3.0  # constant mean shift on every component
+    mk = lambda arr, off: spark.createDataFrame(  # noqa: E731
+        [(off + i, [float(x) for x in row]) for i, row in enumerate(arr)],
+        "vec_id long, embedding array<double>",
+    )
+    ref = mk(base, 0)
+
+    same = {r["d"]: r["psi"] for r in embedding_drift(ref, mk(base, 1000)).collect()}
+    assert all(abs(v) < 1e-9 for v in same.values()), same
+
+    drift = {
+        r["d"]: r["psi"] for r in embedding_drift(ref, mk(shifted, 1000)).collect()
+    }
+    assert len(drift) == 4
+    assert max(drift.values()) > 0.25, drift

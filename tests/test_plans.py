@@ -64,6 +64,12 @@ BNLJ_ALLOWED = {
     # 5-row broadcast-queries theta join in the reduced JL space --
     # similarity_topk_cosine's exact shape, operators/similarity.py:rp_ann_topk
     "similarity_rp_ann",
+    # temperature mixture's two 1-row broadcasts (corpus total, Z)
+    # under the budget join -- curation.py:token_budget_sample
+    "corpus_token_budget_sample",
+    # out_dim x n_bins literal grid cross join (40 rows) --
+    # operators/profiling.py:embedding_drift
+    "profile_embedding_drift",
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --

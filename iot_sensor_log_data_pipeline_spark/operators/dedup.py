@@ -1037,3 +1037,97 @@ def build_anchor_index(
     spark.createDataFrame([(int(k),)], "k int").write.mode("overwrite").parquet(
         os.path.join(path, "config")
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, fp): the document's DISTINCT winnowing fingerprints
+    (Schleimer/Wilkerson/Aiken, SIGMOD 2003 -- the MOSS local
+    fingerprinting scheme): hash every positional word ``k``-gram
+    (md5-prefix uint32, the engine's portable hash lane), then keep
+    the minimum hash of every window of ``w`` consecutive gram
+    hashes.  The winnowing guarantee: any shared token run of length
+    >= w + k - 1 contributes at least one IDENTICAL fingerprint to
+    both documents -- local matches survive, unlike MinHash (whose
+    signatures are global-set summaries).  This is the set-based
+    min-of-window variant (ties keep every minimum); the positional
+    tie-break of the paper only matters for fingerprint DENSITY, not
+    the guarantee.
+
+    Pure in-row computation (no shuffle until the caller explodes):
+    per doc O(grams * w) comparisons.  Docs with fewer than
+    w + k - 1 tokens emit no fingerprints.
+    """
+    grams = word_shingles_all(F.col(text_col), k)
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+    n_windows = F.size(grams) - (w - 1)
+    fps = F.when(n_windows >= 1, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_windows - 1),
+            lambda i: F.array_min(F.slice(hashes, (i + 1).cast("int"), w)),
+        )
+    )).otherwise(F.array().cast("array<bigint>"))
+    return docs.select(
+        F.col(id_col), F.explode(fps).alias("fp")
+    )
+
+
+def winnowing_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_fp_df: int | None = None,
+    max_fp_frac: float = DEFAULT_MAX_SHINGLE_FRAC,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    -- the candidate generator for local-overlap dedup (template
+    reuse, partial plagiarism, boilerplate families) that MinHash's
+    whole-document signatures miss and verbatim-run anchoring only
+    reports span-by-span.
+
+    Same discipline as every shingle-keyed family member: candidates
+    come from the stop-fingerprint-PRUNED table (document frequency
+    capped corpus-relatively like ``effective_max_shingle_df``), the
+    reported shared count is recounted over the FULL fingerprint
+    table, and both sides are fp-keyed equi-joins -- no cross join,
+    hot fingerprints bounded.  Returns (id_a, id_b, n_shared),
+    id_a < id_b.
+    """
+    if max_fp_df is None:
+        max_fp_df = effective_max_shingle_df(docs.count(), frac=max_fp_frac)
+
+    fp = _cache_scratch(winnowing_fingerprints(docs, k, w, id_col, text_col))
+    rare = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_fp_df)
+        .select("fp")
+    )
+    pruned = fp.join(rare, "fp")
+    cand = (
+        pruned.select(F.col(id_col).alias("id_a"), "fp")
+        .join(pruned.select(F.col(id_col).alias("id_b"), "fp"), "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = fp.select(F.col(id_col).alias("id_a"), "fp")
+    b = fp.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "fp"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -57,16 +57,17 @@ _QUERY_MODULES = (
 #: resampling composition, CCNet quality buckets, n-gram novelty,
 #: temperature mixture, NB quality classifier, JL random projection +
 #: RP-ANN, token-budget sample, curation funnel, SQ8 report,
-#: embedding drift), (b) re-entries for
+#: embedding drift, winnowing fingerprints), (b) re-entries for
 #: every round-6-edited
 #: code path (verbatim dedup: operator hoist + corpus-relative oracle
 #: caps; semantic dedup: quantizer cap in semdedup.py; DSIR oracle
 #: CTE refactor in curation_queries.py; persisted-index roots:
 #: scratch_dir atexit cleanup in io_utils.py), (c) the 20 round-2 rows
 #: that did not fit round 5's window -- the stalest external evidence
-#: in the repo, four rounds old, (d) 10 of the round-3 battery
+#: in the repo, four rounds old, (d) 9 of the round-3 battery
 #: (window functions, subqueries, scalar-function batteries); the
-#: round-3 remainder (10 function batteries, UDF surface, scans,
+#: round-3 remainder (10 function batteries, subquery_correlated_q17,
+#: UDF surface, scans,
 #: SCD2/CDC, TPC-H q8/q13/q21/q22, downsamplers) leads the round-7
 #: plan below.  By-design
 #: rows-only queries (``agg_approx_sketches``, ``similarity_ivf_ann``,
@@ -87,6 +88,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "corpus_curation_funnel",
     "similarity_sq8_report",
     "profile_embedding_drift",
+    "dedup_winnowing_pairs",
     # (b) re-entry: round-6 edited code paths
     "dedup_verbatim_runs",
     "dedup_verbatim_clean",
@@ -119,7 +121,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "compaction_roundtrip",
     "maintenance_compaction_roundtrip",
     # (d) round-3 battery, part 1 of 2: windows + subqueries + scalar
-    # function batteries (10 rows; remainder rolls to round 7)
+    # function batteries (9 rows; remainder rolls to round 7)
     "window_rank_functions",
     "window_lag_lead",
     "window_moving_avg",
@@ -129,7 +131,6 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "window_top_orders_per_customer",
     "subquery_scalar_avg",
     "subquery_exists_bigorder",
-    "subquery_correlated_q17",
 )
 
 #: Round-7 rotation plan: (a) anything new in round 7; (b) re-entries

@@ -979,3 +979,67 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = DD.ngram_jaccard_pairs(docs, threshold=0.4)
     return CU.leakage_safe_split(docs, pairs).orderBy("doc_id")
+
+
+#: Winnowing fingerprint CTEs: positional 4-gram md5-uint32 hashes,
+#: min of every 4-hash window, distinct per doc -- the DuckDB twin of
+#: ``dedup.winnowing_fingerprints(k=4, w=4)``.
+_WINNOW_G4 = (
+    "list_transform(range(greatest(len(l) - 3, 0)), "
+    "i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])"
+)
+_WINNOW_CTES = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform({_WINNOW_G4},
+                 x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+      FROM toks
+    ),
+    fp AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(hs) >= 4 THEN
+          list_distinct(list_transform(range(len(hs) - 3),
+                                       i -> list_min(hs[i+1:i+4])))
+        ELSE [] END) AS fp
+      FROM h
+    )
+"""
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+    WITH {_WINNOW_CTES},
+    rare AS (
+      SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {_CAP_SQL}
+    ),
+    pruned AS (SELECT f.* FROM fp f JOIN rare r ON f.fp = r.fp),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pruned a JOIN pruned b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM cand c
+    JOIN fp fa ON fa.doc_id = c.id_a
+    JOIN fp fb ON fb.doc_id = c.id_b AND fb.fp = fa.fp
+    GROUP BY c.id_a, c.id_b
+    HAVING count(*) >= 2
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "north-star", "winnowing", "fingerprint"),
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint candidate pairs
+    (``operators/dedup.py:winnowing_pairs``; Schleimer et al., SIGMOD
+    2003 -- the MOSS scheme): docs sharing >= 2 min-of-window 4-gram
+    fingerprints, i.e. local overlaps (template reuse, partial
+    plagiarism) that whole-document MinHash signatures miss.  Stop
+    fingerprints capped corpus-relatively for candidate generation;
+    shared counts recounted over the full fingerprint table; all
+    fp-keyed equi-joins."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return DD.winnowing_pairs(docs, k=4, w=4, min_shared=2).orderBy(
+        "id_a", "id_b"
+    )

@@ -2885,3 +2885,46 @@ def test_embedding_drift_detects_shift(spark):
     }
     assert len(drift) == 4
     assert max(drift.values()) > 0.25, drift
+
+
+def test_winnowing_guarantee_and_python_replay(spark):
+    """Winnowing (k=4, w=4): fingerprints must match a pure-Python
+    replay (min of each window of 4-gram md5-uint32 hashes), any
+    shared token run of length >= w + k - 1 = 7 must yield >= 1 shared
+    fingerprint (the MOSS guarantee), and unrelated docs share none."""
+    import hashlib
+
+    run = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    rows = [
+        (1, "one two three " + run + " four five six"),
+        (2, run + " seven eight nine ten eleven"),
+        (3, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"),
+        (4, "a b"),  # below w + k - 1: no fingerprints
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in DD.winnowing_fingerprints(docs, k=4, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+
+    def py_fps(text, k=4, w=4):
+        t = text.split()
+        grams = [" ".join(t[i : i + k]) for i in range(len(t) - k + 1)]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        return {
+            min(hs[i : i + w]) for i in range(len(hs) - w + 1)
+        } if len(hs) >= w else set()
+
+    for did, text in rows:
+        assert got.get(did, set()) == py_fps(text), did
+    assert got[1] & got[2], "shared 7-token run must share a fingerprint"
+    assert not (got[1] & got[3]) and not (got[2] & got[3])
+    assert 4 not in got
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in DD.winnowing_pairs(docs, k=4, w=4, min_shared=1, max_fp_df=10).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == len(got[1] & got[2])

@@ -62,6 +62,8 @@ HEADLINE: tuple[str, ...] = (
     # round 6: JL prefilter + exact re-rank (serving path; recall
     # evidence lives in the planted-cluster pytest, not this corpus)
     "similarity_rp_ann",
+    # round 6: MOSS winnowing local-overlap candidate pairs
+    "dedup_winnowing_pairs",
     "profile_psi_drift",
     "events_path_trigrams",
     "downsample_lttb_value",

@@ -22,6 +22,7 @@ remains rows-only by nature.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1059,25 +1060,82 @@ def winnowing_fingerprints(
     tie-break of the paper only matters for fingerprint DENSITY, not
     the guarantee.
 
-    Pure in-row computation (no shuffle until the caller explodes):
-    per doc O(grams * w) comparisons.  Docs with fewer than
-    w + k - 1 tokens emit no fingerprints.
+    No shuffle until the caller explodes.  The default path is the
+    Arrow-batched UDF (NumPy sliding minima over hashlib-md5 gram
+    hashes) -- the ``_srp_bands_udf`` precedent: the pure-expression
+    form exists as ``winnowing_fingerprints_expr`` (the shape the
+    DuckDB oracle replays) but costs ~9x more, because each of the
+    ``w`` shifted slices re-evaluates the whole md5 transform
+    (Catalyst performs no common-subexpression elimination across
+    array expressions), and the original per-window ``slice`` inside
+    a ``transform`` lambda was O(grams^2) md5 work (measured: 44 s ->
+    13.9 s -> ~2 s at sf0.1 for the pairs query across the three
+    forms).  Results are identical integers in all three.  Docs with
+    fewer than w + k - 1 tokens emit no fingerprints.
     """
+    import hashlib as _hl
+
+    import numpy as _np
+    from pyspark.sql import types as _T
+
+    @F.pandas_udf(_T.ArrayType(_T.LongType()))
+    def _winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = [x for x in (t or "").split(" ") if x]
+            n = len(toks)
+            if n < k + w - 1:
+                out.append([])
+                continue
+            grams = [" ".join(toks[i : i + k]) for i in range(n - k + 1)]
+            hs = _np.array(
+                [
+                    int(_hl.md5(g.encode()).hexdigest()[:8], 16)
+                    for g in grams
+                ],
+                dtype=_np.int64,
+            )
+            m = len(hs) - w + 1
+            mins = hs[:m].copy()
+            for j in range(1, w):
+                _np.minimum(mins, hs[j : j + m], out=mins)
+            out.append(_np.unique(mins).tolist())
+        return pd.Series(out)
+
+    return docs.select(
+        F.col(id_col), F.explode(_winnow(F.col(text_col))).alias("fp")
+    )
+
+
+def winnowing_fingerprints_expr(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pure-column-expression twin of ``winnowing_fingerprints`` --
+    w shifted slices of the md5-uint32 gram-hash array folded with
+    ``zip_with(least)`` (the ``_shingles_zip`` trick).  This is the
+    operand tree the DuckDB oracle replays; kept for the
+    equality pytest and for callers that must avoid Python workers.
+    """
+    from functools import reduce
+
     grams = word_shingles_all(F.col(text_col), k)
     hashes = F.transform(
         grams,
         lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
     )
-    n_windows = F.size(grams) - (w - 1)
-    fps = F.when(n_windows >= 1, F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n_windows - 1),
-            lambda i: F.array_min(F.slice(hashes, (i + 1).cast("int"), w)),
-        )
-    )).otherwise(F.array().cast("array<bigint>"))
-    return docs.select(
-        F.col(id_col), F.explode(fps).alias("fp")
+    n_windows = F.size(hashes) - (w - 1)
+    shifted = [F.slice(hashes, j + 1, n_windows) for j in range(w)]
+    mins = reduce(
+        lambda a, b: F.zip_with(a, b, lambda x, y: F.least(x, y)), shifted
     )
+    fps = F.when(n_windows >= 1, F.array_distinct(mins)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return docs.select(F.col(id_col), F.explode(fps).alias("fp"))
 
 
 def winnowing_pairs(

@@ -2928,3 +2928,9 @@ def test_winnowing_guarantee_and_python_replay(spark):
     }
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] == len(got[1] & got[2])
+
+    # Arrow path == pure-expression twin (the oracle's operand tree)
+    expr = {}
+    for r in DD.winnowing_fingerprints_expr(docs, k=4, w=4).collect():
+        expr.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert expr == got

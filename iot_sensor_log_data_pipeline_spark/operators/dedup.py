@@ -1073,6 +1073,17 @@ def winnowing_fingerprints(
     forms).  Results are identical integers in all three.  Docs with
     fewer than w + k - 1 tokens emit no fingerprints.
     """
+    return docs.select(
+        F.col(id_col),
+        F.explode(winnowing_fp_array(F.col(text_col), k, w)).alias("fp"),
+    )
+
+
+def winnowing_fp_array(text: Column, k: int = 4, w: int = 4) -> Column:
+    """Column form of the winnowing fingerprint set (array<long>) --
+    the Arrow-batched kernel shared by the batch explode and the
+    streaming ingest gate (which must carry its own event-time column
+    through the explode)."""
     import hashlib as _hl
 
     import numpy as _np
@@ -1102,9 +1113,7 @@ def winnowing_fingerprints(
             out.append(_np.unique(mins).tolist())
         return pd.Series(out)
 
-    return docs.select(
-        F.col(id_col), F.explode(_winnow(F.col(text_col))).alias("fp")
-    )
+    return _winnow(text)
 
 
 def winnowing_fingerprints_expr(

@@ -440,6 +440,57 @@ def curation_ingest_stream(
     )
 
 
+def winnowing_match_stream(
+    stream_docs: DataFrame,
+    corpus_fps: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+    max_fp_df: int | None = 50,
+) -> DataFrame:
+    """In-flight LOCAL-overlap detection: each arriving document's
+    winnowing fingerprints (``operators/dedup.py:
+    winnowing_fingerprints``, Arrow path) are probed against a
+    precomputed corpus fingerprint table -- the streaming member of
+    the winnowing family, completing the ingest-gate set (exact
+    fingerprint / MinHash bands / ANN / verbatim anchors / winnowing).
+    A match means the arrival shares a token run of length
+    >= w + k - 1 with an indexed document (the winnowing guarantee) --
+    template reuse and partial copies are flagged at ingest, span
+    triage deferred to the batch verbatim machinery.
+
+    Scale shape: fingerprints are per-row (no stream-side state), the
+    probe is a stream-static equi-join on the fingerprint, hot
+    fingerprints are pruned from the INDEX side by ``max_fp_df``
+    (static agg, planned once), and the only streaming state is the
+    within-watermark pair dedup.  Emits (doc_id, ts, corpus_id) in
+    append mode.
+    """
+    from ..operators.dedup import winnowing_fp_array
+
+    index = corpus_fps.select(F.col("doc_id").alias("corpus_id"), "fp")
+    if max_fp_df is not None:
+        rare = (
+            index.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_fp_df)
+            .select("fp")
+        )
+        index = index.join(rare, "fp")
+    probes = stream_docs.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.explode(winnowing_fp_array(F.col(text_col))).alias("fp"),
+    )
+    return (
+        probes.join(index, "fp")
+        .select(id_col, ts_col, "corpus_id")
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([id_col, "corpus_id"])
+    )
+
+
 def nb_quality_stream(
     stream: DataFrame,
     model: DataFrame,

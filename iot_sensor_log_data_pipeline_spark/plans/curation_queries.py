@@ -758,3 +758,39 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     column; the only shuffle is the text-hash survivor window."""
     docs = parallelize_small(load(spark, sf_dir, "documents"))
     return CU.curation_funnel(docs).orderBy("stage_id")
+
+
+@register(
+    "corpus_length_buckets",
+    oracle=f"""
+    WITH t AS (SELECT CAST({_NTOK} AS BIGINT) AS ntok FROM documents),
+    b AS (SELECT quantile_cont(ntok, [
+        {", ".join(str(i / 8) for i in range(1, 8))}
+    ]) AS bounds FROM t),
+    assigned AS (
+      SELECT t.ntok,
+             CAST(len(list_filter(b.bounds, x -> t.ntok > x)) AS BIGINT)
+               AS bucket
+      FROM t CROSS JOIN b
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(ntok) AS min_tokens,
+           max(ntok) AS max_tokens,
+           CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+           round(sum(ntok) / (count(*) * CAST(max(ntok) AS DOUBLE)), 6)
+             AS pad_efficiency
+    FROM assigned GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("curation", "batching", "padding", "report"),
+)
+def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching report
+    (``operators/curation.py:length_buckets``): 8 token-length buckets
+    from exact percentile boundaries with per-bucket padding
+    efficiency (real tokens / pad-to-max capacity) -- the planner for
+    dynamic batching in training-data assembly.  One percentile agg
+    (1-row broadcast) + in-row assignment + one bucket-keyed agg; no
+    global sort."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return CU.length_buckets(docs, n_buckets=8).orderBy("bucket")

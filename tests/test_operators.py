@@ -2957,3 +2957,77 @@ def test_winnowing_index_roundtrip(spark, tmp_path):
     }
     got = {(r["doc_id"], r["fp"]) for r in postings.collect()}
     assert got == want  # cap 10 prunes nothing on this tiny corpus
+
+
+def test_winnowing_fingerprints_hypothesis(spark):
+    """Property: for arbitrary small-vocab token lists, the Arrow
+    fingerprint path equals the pure-Python winnowing replay exactly
+    (min of every w-window of k-gram md5-uint32 hashes, distinct)."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = ("alpha", "beta", "gamma", "delta", "epsilon")
+
+    def py_fps(toks, k=3, w=3):
+        if len(toks) < k + w - 1:
+            return set()
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(words), min_size=0, max_size=15),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def run(corpus):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for r in DD.winnowing_fingerprints(df, k=3, w=3).collect():
+            got.setdefault(r["doc_id"], set()).add(r["fp"])
+        for i, toks in enumerate(corpus):
+            assert got.get(i, set()) == py_fps(toks), (i, toks)
+
+    run()
+
+
+def test_length_buckets_python_replay(spark):
+    """Length buckets: assignment must match a pure-Python replay of
+    the percentile-boundary rule (strict >), buckets must be ordered
+    by token range, and pad_efficiency must equal sum/(n*max)."""
+    from iot_sensor_log_data_pipeline_spark.operators import curation as CU
+
+    lens = [3, 5, 5, 8, 12, 13, 20, 21, 40, 41, 42, 100]
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["bucket"]: (r["n_docs"], r["min_tokens"], r["max_tokens"],
+                      r["sum_tokens"], r["pad_efficiency"])
+        for r in CU.length_buckets(docs, n_buckets=4).collect()
+    }
+
+    import numpy as np
+
+    bounds = np.quantile(np.array(lens, dtype=float), [0.25, 0.5, 0.75],
+                         method="linear")
+    want = {}
+    for n in lens:
+        b = int(sum(n > x for x in bounds))
+        want.setdefault(b, []).append(n)
+    assert set(got) == set(want)
+    for b, members in want.items():
+        n_docs, mn, mx, sm, eff = got[b]
+        assert (n_docs, mn, mx, sm) == (
+            len(members), min(members), max(members), sum(members)
+        ), b
+        assert abs(eff - round(sum(members) / (len(members) * max(members)), 6)) < 1e-9
+    # ranges must not overlap across ordered buckets
+    ordered = sorted(got)
+    for a, b in zip(ordered, ordered[1:]):
+        assert got[a][2] <= got[b][1]

@@ -70,6 +70,8 @@ BNLJ_ALLOWED = {
     # out_dim x n_bins literal grid cross join (40 rows) --
     # operators/profiling.py:embedding_drift
     "profile_embedding_drift",
+    # 1-row percentile-boundaries broadcast -- curation.py:length_buckets
+    "corpus_length_buckets",
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --

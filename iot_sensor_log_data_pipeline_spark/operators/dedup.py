@@ -1252,3 +1252,57 @@ def load_winnowing_index(spark, path: str) -> tuple[DataFrame, int, int]:
     cfg = spark.read.parquet(os.path.join(path, "config")).head()
     postings = spark.read.parquet(os.path.join(path, "postings"))
     return postings, int(cfg["k"]), int(cfg["w"])
+
+
+def append_winnowing_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incrementally index new documents' winnowing fingerprints --
+    the daily-ingest maintenance path, same contract family as
+    ``append_text_index``: one Arrow pass over the NEW docs, one
+    row-group-pruned probe of the stored postings (only the
+    fingerprints present in the new batch) to measure combined
+    document frequency, then an append of the new postings whose
+    TOTAL df stays within the build-time cap.
+
+    Caller contract: ids must be disjoint from ids already indexed
+    (append never dedups).  Cap drift mirrors the text index:
+    fingerprints that cross the cap ONLY via this batch get no new
+    postings (cost guard holds), but their pre-existing postings stay
+    until the next rebuild -- the cap is a cost guard, not a
+    correctness gate."""
+    import os
+
+    spark = new_docs.sparkSession
+    cfg = spark.read.parquet(os.path.join(path, "config")).head()
+    k, w, cap = int(cfg["k"]), int(cfg["w"]), int(cfg["max_fp_df"])
+
+    new_fp = _cache_scratch(
+        winnowing_fingerprints(new_docs, k, w, id_col, text_col).select(
+            F.col(id_col).alias("doc_id"), "fp"
+        )
+    )
+    stored = spark.read.parquet(os.path.join(path, "postings"))
+    stored_df = (
+        stored.join(new_fp.select("fp").distinct(), "fp")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__stored"))
+    )
+    new_df = new_fp.groupBy("fp").agg(F.count(F.lit(1)).alias("__new"))
+    ok = (
+        new_df.join(stored_df, "fp", "left")
+        .where(
+            F.coalesce("__stored", F.lit(0)) + F.col("__new") <= cap
+        )
+        .select("fp")
+    )
+    (
+        new_fp.join(ok, "fp")
+        .repartitionByRange("fp", "doc_id")
+        .sortWithinPartitions("fp", "doc_id")
+        .write.mode("append")
+        .parquet(os.path.join(path, "postings"))
+    )

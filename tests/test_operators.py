@@ -3031,3 +3031,58 @@ def test_length_buckets_python_replay(spark):
     ordered = sorted(got)
     for a, b in zip(ordered, ordered[1:]):
         assert got[a][2] <= got[b][1]
+
+
+def test_winnowing_index_append_matches_rebuild(spark, tmp_path):
+    """Appending a batch to the winnowing index must equal a fresh
+    rebuild over the union when no fingerprint crosses the cap; a
+    fingerprint crossing the cap via the batch gains no new postings
+    (cost-guard contract) while keeping its stored ones."""
+    run = "alpha beta gamma delta epsilon zeta eta"
+    base = spark.createDataFrame(
+        [(1, "intro words here " + run + " closing words follow"),
+         (2, "completely different base document about various topics")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "prefix tokens " + run + " suffix tokens trailing"),
+         (11, "another novel appended document with fresh content words")],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "win_append")
+    DD.build_winnowing_index(base, root, k=4, w=4, max_fp_df=10)
+    DD.append_winnowing_index(batch, root)
+    appended = {
+        (r["doc_id"], r["fp"])
+        for r in DD.load_winnowing_index(spark, root)[0].collect()
+    }
+    rebuild_root = str(tmp_path / "win_rebuild")
+    DD.build_winnowing_index(
+        base.unionByName(batch), rebuild_root, k=4, w=4, max_fp_df=10
+    )
+    rebuilt = {
+        (r["doc_id"], r["fp"])
+        for r in DD.load_winnowing_index(spark, rebuild_root)[0].collect()
+    }
+    assert appended == rebuilt
+
+    # cap-crossing fp: cap 2, three docs sharing the run
+    root2 = str(tmp_path / "win_cap")
+    DD.build_winnowing_index(base, root2, k=4, w=4, max_fp_df=2)
+    big = spark.createDataFrame(
+        [(20, "x1 x2 " + run + " y1 y2"), (21, "z1 z2 " + run + " q1 q2")],
+        "doc_id long, text string",
+    )
+    DD.append_winnowing_index(big, root2)
+    post2, _, _ = DD.load_winnowing_index(spark, root2)
+    shared_fp = {
+        r["fp"] for r in DD.winnowing_fingerprints(
+            spark.createDataFrame([(0, run)], "doc_id long, text string"), 4, 4
+        ).collect()
+    }
+    by_fp = {}
+    for r in post2.collect():
+        by_fp.setdefault(r["fp"], set()).add(r["doc_id"])
+    for fp in shared_fp & set(by_fp):
+        # stored posting for doc 1 remains; 20/21 never appended (1+2 > cap)
+        assert by_fp[fp] <= {1, 2}, (fp, by_fp[fp])

@@ -57,7 +57,8 @@ _QUERY_MODULES = (
 #: resampling composition, CCNet quality buckets, n-gram novelty,
 #: temperature mixture, NB quality classifier, JL random projection +
 #: RP-ANN, token-budget sample, curation funnel, SQ8 report,
-#: embedding drift, winnowing fingerprints, length buckets), (b)
+#: embedding drift, winnowing fingerprints, length buckets,
+#: recursive CTE), (b)
 #: re-entries for
 #: every round-6-edited
 #: code path (verbatim dedup: operator hoist + corpus-relative oracle
@@ -65,10 +66,10 @@ _QUERY_MODULES = (
 #: CTE refactor in curation_queries.py; persisted-index roots:
 #: scratch_dir atexit cleanup in io_utils.py), (c) the 20 round-2 rows
 #: that did not fit round 5's window -- the stalest external evidence
-#: in the repo, four rounds old, (d) 8 of the round-3 battery
+#: in the repo, four rounds old, (d) 7 of the round-3 battery
 #: (window functions, subqueries, scalar-function batteries); the
 #: round-3 remainder (10 function batteries, subquery_correlated_q17,
-#: subquery_exists_bigorder,
+#: subquery_exists_bigorder, subquery_scalar_avg,
 #: UDF surface, scans,
 #: SCD2/CDC, TPC-H q8/q13/q21/q22, downsamplers) leads the round-7
 #: plan below.  By-design
@@ -92,6 +93,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "profile_embedding_drift",
     "dedup_winnowing_pairs",
     "corpus_length_buckets",
+    "recursive_order_chain",
     # (b) re-entry: round-6 edited code paths
     "dedup_verbatim_runs",
     "dedup_verbatim_clean",
@@ -124,7 +126,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "compaction_roundtrip",
     "maintenance_compaction_roundtrip",
     # (d) round-3 battery, part 1 of 2: windows + subqueries + scalar
-    # function batteries (8 rows; remainder rolls to round 7)
+    # function batteries (7 rows; remainder rolls to round 7)
     "window_rank_functions",
     "window_lag_lead",
     "window_moving_avg",
@@ -132,7 +134,6 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "window_first_last",
     "window_range_trailing_hour",
     "window_top_orders_per_customer",
-    "subquery_scalar_avg",
 )
 
 #: Round-7 rotation plan: (a) anything new in round 7; (b) re-entries

@@ -1196,3 +1196,50 @@ def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return histogram_quantiles(li, "l_extendedprice")
+
+
+#: Identical SQL text on BOTH engines (Spark 4 recursive CTE /
+#: DuckDB WITH RECURSIVE): per-customer order chain walked link by
+#: link.  The depth guard (< 90) stays under Spark's
+#: cteRecursionLevelLimit (100); max chain length in the corpus is
+#: ~25, so the guard never binds on real data.
+_RECURSIVE_CHAIN_SQL = """
+    WITH RECURSIVE nxt AS (
+      SELECT o_orderkey, o_custkey,
+             lag(o_orderkey)  OVER w AS prev_key,
+             lead(o_orderkey) OVER w AS next_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    chain AS (
+      SELECT o_custkey, o_orderkey, next_key, CAST(1 AS BIGINT) AS chain_pos
+      FROM nxt WHERE prev_key IS NULL
+      UNION ALL
+      SELECT n.o_custkey, n.o_orderkey, n.next_key, c.chain_pos + 1
+      FROM chain c JOIN nxt n ON n.o_orderkey = c.next_key
+      WHERE c.chain_pos < 90
+    )
+    SELECT o_custkey, o_orderkey, chain_pos
+    FROM chain
+    ORDER BY o_custkey, chain_pos
+"""
+
+
+@register(
+    "recursive_order_chain",
+    oracle=_RECURSIVE_CHAIN_SQL,
+    tags=("relational", "recursion", "cte", "spark4"),
+)
+def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk each customer's
+    order chain link by link -- base case = the order with no
+    predecessor, recursive step = one join per hop along the
+    lead()-derived next pointer, depth-guarded under Spark's
+    recursion limit.  The SQL text is IDENTICAL on both engines, so
+    the oracle replays the recursion itself, not a window-function
+    rewrite.  Executes as iterated joins of a shrinking frontier
+    (per-iteration cost ~ frontier size); chain position equals the
+    per-customer row_number, which is what makes the recursion
+    externally checkable."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_CHAIN_SQL)

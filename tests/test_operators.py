@@ -3086,3 +3086,32 @@ def test_winnowing_index_append_matches_rebuild(spark, tmp_path):
     for fp in shared_fp & set(by_fp):
         # stored posting for doc 1 remains; 20/21 never appended (1+2 > cap)
         assert by_fp[fp] <= {1, 2}, (fp, by_fp[fp])
+
+
+def test_recursive_order_chain_equals_row_number(spark):
+    """The recursive chain walk must reproduce per-customer
+    row_number ordering on a hand fixture with ties broken by order
+    key, and cover every order exactly once."""
+    from datetime import datetime
+
+    from iot_sensor_log_data_pipeline_spark.plans.relational_queries import (
+        _RECURSIVE_CHAIN_SQL,
+    )
+
+    d = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    rows = [
+        (101, 1, d("2024-01-03")), (102, 1, d("2024-01-01")),
+        (103, 1, d("2024-01-02")), (104, 1, d("2024-01-02")),  # tie on date
+        (201, 2, d("2024-02-01")),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    ).createOrReplaceTempView("orders")
+    got = {
+        (r["o_custkey"], r["chain_pos"]): r["o_orderkey"]
+        for r in spark.sql(_RECURSIVE_CHAIN_SQL).collect()
+    }
+    assert got == {
+        (1, 1): 102, (1, 2): 103, (1, 3): 104, (1, 4): 101,
+        (2, 1): 201,
+    }

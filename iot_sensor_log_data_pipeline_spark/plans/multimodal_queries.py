@@ -228,3 +228,58 @@ def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_chunks",
         F.round("dup_chunk_ratio", 6).alias("dup_chunk_ratio"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_byte_entropy",
+    oracle="""
+    WITH codes AS (
+      SELECT doc_id,
+             length(text) AS n_bytes,
+             list_transform(string_split(text, ''), c -> ascii(c)) AS cs
+      FROM documents
+    ),
+    hist AS (
+      SELECT doc_id, n_bytes,
+             list_transform(range(16),
+                 b -> CAST(len(list_filter(cs, c -> c // 16 = b)) AS DOUBLE)
+                        / n_bytes) AS h
+      FROM codes
+    )
+    SELECT doc_id, n_bytes,
+           round(list_sum(list_transform(h,
+               r -> CASE WHEN r > 0 THEN -r * log2(r) ELSE 0.0 END)), 6)
+             AS byte_entropy,
+           (round(list_sum(list_transform(h,
+               r -> CASE WHEN r > 0 THEN -r * log2(r) ELSE 0.0 END)), 6)
+            >= 3.5) AS high_entropy
+    FROM hist
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "north-star", "entropy", "quality"),
+)
+def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-entropy junk detector over binary media: Shannon entropy
+    of the 16-bin byte histogram (``operators/multimodal.py:
+    extract_features``' Arrow path).  Near-uniform byte usage
+    (entropy -> 4 bits at 16 bins) marks compressed/encrypted blobs
+    that masquerade as media -- the standard binary-quality gate of a
+    multimodal ingest pipeline; plain text and real codecs' headers
+    sit far lower.  The entropy fold is sequential over the bins on
+    both engines, so values replay exactly.  ``high_entropy``
+    thresholds the 1e-6-rounded entropy at 3.5 bits."""
+    media = MM.attach_fake_media(parallelize_small(load(spark, sf_dir, "documents")))
+    feats = MM.extract_features(media)
+    ent = F.aggregate(
+        F.col("byte_hist"),
+        F.lit(0.0),
+        lambda acc, r: acc
+        + F.when(r > 0, -r * F.log2(r)).otherwise(F.lit(0.0)),
+    )
+    rounded = F.round(ent, 6)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        rounded.alias("byte_entropy"),
+        (rounded >= 3.5).alias("high_entropy"),
+    ).orderBy("doc_id")

@@ -3115,3 +3115,45 @@ def test_recursive_order_chain_equals_row_number(spark):
         (1, 1): 102, (1, 2): 103, (1, 3): 104, (1, 4): 101,
         (2, 1): 201,
     }
+
+
+def test_byte_entropy_replay_and_ordering(spark):
+    """Byte entropy: the 16-bin histogram entropy must match a pure
+    Python replay over the UTF-8 BYTES (multibyte chars count per
+    byte, not per codepoint), single-character content scores 0, and
+    byte-diverse content outscores plain lowercase text."""
+    import math
+
+    from iot_sensor_log_data_pipeline_spark.operators import multimodal as MM
+
+    diverse = "".join(chr(c) for c in range(33, 127)) + "\u00e9\u00fc\u0153"
+    rows = [
+        (1, diverse),
+        (2, "aaaaaaaaaaaa"),          # single bin -> entropy 0
+        (3, "plain words of text"),   # a-z + space -> low entropy
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = MM.extract_features(MM.attach_fake_media(docs))
+    got = {}
+    for r in feats.collect():
+        h = list(r["byte_hist"])
+        got[r["doc_id"]] = (
+            -sum(p * math.log2(p) for p in h if p > 0), h, r["n_bytes"]
+        )
+
+    for did, text in rows:
+        bs = text.encode("utf-8")
+        want_h = [0.0] * 16
+        for b in bs:
+            want_h[b // 16] += 1.0 / len(bs)
+        want_e = -sum(p * math.log2(p) for p in want_h if p > 0)
+        ent, h, nb = got[did]
+        assert nb == len(bs), did
+        assert all(abs(a - b) < 1e-9 for a, b in zip(h, want_h)), did
+        assert abs(ent - want_e) < 1e-9, did
+    assert got[2][0] == 0.0
+    assert got[1][0] > got[3][0] > 0.0
+
+    from iot_sensor_log_data_pipeline_spark.plans.multimodal_queries import (
+        multimodal_byte_entropy,  # noqa: F401  (import sanity)
+    )

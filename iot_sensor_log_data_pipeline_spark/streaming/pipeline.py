@@ -440,6 +440,67 @@ def curation_ingest_stream(
     )
 
 
+def start_history_dedup_sink(
+    stream_docs: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """HISTORY-complete streaming exact dedup: unlike
+    ``curation_ingest_stream``'s watermark-bounded
+    ``dropDuplicatesWithinWatermark`` (state evicts after the
+    watermark horizon), this gate rejects a document that duplicates
+    ANYTHING ever ingested -- the semantics a raw-zone loader
+    actually needs -- by keeping the seen-fingerprint set in STORAGE
+    (a parquet fingerprint table) instead of in operator state.
+
+    Per micro-batch (foreachBatch): canonical fingerprint per row
+    (``text.fingerprint`` -- md5 over the sorted token set, so
+    reordered copies dedup too), within-batch survivor = min id per
+    fingerprint, then a LEFT ANTI join against the persisted
+    fingerprint store; survivors append to ``out_dir`` and their
+    fingerprints to ``state_dir``.  State is content-addressed,
+    corpus-lifetime, and storage-resident -- executor memory holds
+    only the join, and the store is a fingerprint-keyed parquet any
+    batch job can also read.  Exactly-once caveat: the two appends
+    are not atomic; on a retry between them the fingerprint store may
+    lead the output (safe direction -- duplicates stay out; the
+    checkpointed batch id makes whole-batch replays idempotent-safe
+    in the same way as the CDC sink's single-writer contract).
+    """
+    from ..operators.text import fingerprint
+
+    spark = stream_docs.sparkSession
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        fp = batch.withColumn("fingerprint", fingerprint(F.col(text_col)))
+        w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+        batch_survivors = (
+            fp.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            seen = spark.read.parquet(state_dir).select("fingerprint")
+            fresh = batch_survivors.join(seen, "fingerprint", "left_anti")
+        except Exception:
+            fresh = batch_survivors
+        fresh = fresh.localCheckpoint()  # one computation feeds both appends
+        fresh.write.mode("append").parquet(out_dir)
+        fresh.select("fingerprint").write.mode("append").parquet(state_dir)
+
+    return (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def winnowing_match_stream(
     stream_docs: DataFrame,
     corpus_fps: DataFrame,

@@ -861,3 +861,44 @@ def test_winnowing_match_stream_flags_local_overlap(spark, tmp_path):
     finally:
         q.stop()
     assert got == {(1, 100)}
+
+
+def test_history_dedup_sink_rejects_cross_batch_duplicates(spark, tmp_path):
+    """History-complete dedup: a duplicate arriving in a LATER
+    micro-batch (beyond any watermark horizon) is still rejected;
+    reordered copies dedup via the canonical fingerprint; within-batch
+    twins keep the min id."""
+    import os
+
+    out = str(tmp_path / "hd_out")
+    state = str(tmp_path / "hd_state")
+    src = str(tmp_path / "hd_src")
+    ckpt = str(tmp_path / "hd_ckpt")
+    os.makedirs(src)
+
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"),  # twin: min id wins
+         (3, "a totally different doc")],
+        schema,
+    )
+    b1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = P.start_history_dedup_sink(stream, out, state, ckpt)
+    try:
+        q.processAllAvailable()
+        # batch 2: exact dup of 1, reordered dup of 3, one new doc
+        spark.createDataFrame(
+            [(10, "the quick brown fox"),
+             (11, "doc different totally a"),
+             (12, "genuinely new content here")],
+            schema,
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 3, 12], got
+    n_fps = spark.read.parquet(state).count()
+    assert n_fps == 3

@@ -1243,3 +1243,65 @@ def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     externally checkable."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_RECURSIVE_CHAIN_SQL)
+
+
+@register(
+    "events_rolling_actives",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM ud),
+    wau AS (
+      SELECT days.d,
+             CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+      FROM days JOIN ud
+        ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+      GROUP BY days.d
+    ),
+    dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d)
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           round(dau.dau / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+    FROM dau JOIN wau ON wau.d = dau.d
+    ORDER BY day
+    """,
+    tags=("events", "analytics", "actives", "rolling"),
+)
+def events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active users: per calendar day, DAU (distinct users
+    that day), trailing-7-day WAU, and the DAU/WAU stickiness ratio
+    -- the standard engagement dashboard over an event stream.
+
+    Scale shape: the corpus collapses to distinct (user, day) FIRST
+    (one hash agg -- the only pass over raw events), the day spine is
+    day-count-sized, and the trailing window is a bounded range join
+    (every user-day lands in <= 7 spine days) -- never a
+    count-distinct-over-range window, which Spark cannot evaluate
+    incrementally.  The spine side broadcasts."""
+    ud = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+    )
+    days = ud.select("d").distinct()
+    wau = (
+        ud.alias("u")
+        .join(
+            F.broadcast(days.alias("s")),
+            (F.col("u.d") >= F.date_sub(F.col("s.d"), 6))
+            & (F.col("u.d") <= F.col("s.d")),
+        )
+        .groupBy(F.col("s.d").alias("d"))
+        .agg(F.countDistinct("u.user_id").cast("long").alias("wau"))
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

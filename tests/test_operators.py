@@ -3157,3 +3157,38 @@ def test_byte_entropy_replay_and_ordering(spark):
     from iot_sensor_log_data_pipeline_spark.plans.multimodal_queries import (
         multimodal_byte_entropy,  # noqa: F401  (import sanity)
     )
+
+
+def test_rolling_actives_hand_fixture(spark):
+    """DAU/WAU: the trailing-7-day distinct-user count must match a
+    pure-Python replay on a fixture where users appear on scattered
+    days (a user active twice in the window counts once)."""
+    from datetime import datetime
+
+    from iot_sensor_log_data_pipeline_spark.plans.relational_queries import (
+        events_rolling_actives,
+    )
+
+    rows, eid = [], 0
+    plan = {1: [1, 2, 9], 2: [1, 8, 9], 3: [9]}  # user -> active days
+    for u, ds in plan.items():
+        for d in ds:
+            rows.append((eid, datetime(2024, 1, d, 12, 0, 0), u, "view", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/events.parquet")
+        got = {
+            r["day"]: (r["dau"], r["wau"])
+            for r in events_rolling_actives(spark, tmp).collect()
+        }
+    want = {}
+    for d in sorted({d for ds in plan.values() for d in ds}):
+        dau = sum(1 for ds in plan.values() if d in ds)
+        wau = sum(1 for ds in plan.values() if any(d - 6 <= x <= d for x in ds))
+        want[f"2024-01-{d:02d}"] = (dau, wau)
+    assert got == want

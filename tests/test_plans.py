@@ -72,6 +72,9 @@ BNLJ_ALLOWED = {
     "profile_embedding_drift",
     # 1-row percentile-boundaries broadcast -- curation.py:length_buckets
     "corpus_length_buckets",
+    # day-count spine broadcast range join (<= 7x user-day fan-out) --
+    # relational_queries.py:events_rolling_actives
+    "events_rolling_actives",
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --

@@ -1305,3 +1305,71 @@ def events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_last_touch_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    ranked AS (
+      SELECT p.purchase_id, p.user_id, p.ts, c.click_id, c.click_ts,
+             row_number() OVER (PARTITION BY p.purchase_id
+                                ORDER BY c.click_ts DESC, c.click_id DESC)
+               AS rn
+      FROM p JOIN c
+        ON c.user_id = p.user_id
+       AND c.click_ts <= p.ts
+       AND c.click_ts >= p.ts - INTERVAL 24 HOUR
+    )
+    SELECT p.purchase_id, p.user_id,
+           r.click_id,
+           round((epoch_us(p.ts) - epoch_us(r.click_ts)) / 1000000.0, 6)
+             AS lag_seconds
+    FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+      ON r.purchase_id = p.purchase_id
+    ORDER BY p.purchase_id
+    """,
+    tags=("events", "analytics", "attribution", "asof"),
+)
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase attributed to the same
+    user's most recent click within a 24-hour lookback, via the
+    engine's as-of join (``operators/asof.py``: union + per-key window,
+    sort-merge cost shape, deterministic (ts, id) tie-break) --
+    purchases with no eligible click stay unattributed (null click).
+    The oracle replays the asof semantics as a ranked range join."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    att = asof_join(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_on="ts",
+        right_on="click_ts",
+        right_cols={"click_id": "click_id", "click_ts": "click_ts"},
+        tolerance_seconds=86400,
+    )
+    return att.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.round(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts")))
+            / 1000000.0,
+            6,
+        ).alias("lag_seconds"),
+    ).orderBy("purchase_id")

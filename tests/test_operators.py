@@ -3192,3 +3192,42 @@ def test_rolling_actives_hand_fixture(spark):
         wau = sum(1 for ds in plan.values() if any(d - 6 <= x <= d for x in ds))
         want[f"2024-01-{d:02d}"] = (dau, wau)
     assert got == want
+
+
+def test_last_touch_attribution_hand_fixture(spark):
+    """Attribution: the latest in-window click wins, ties break by
+    click id, clicks after the purchase or older than the lookback
+    never attribute, and unattributed purchases keep null click."""
+    from datetime import datetime
+
+    from iot_sensor_log_data_pipeline_spark.plans.relational_queries import (
+        events_last_touch_attribution,
+    )
+
+    d = datetime
+    rows = [
+        # user 1: two clicks before purchase -> latest (id 3) wins
+        (1, d(2024, 1, 2, 10, 0, 0), 1, "click", 0.0, "{}"),
+        (3, d(2024, 1, 2, 11, 0, 0), 1, "click", 0.0, "{}"),
+        (5, d(2024, 1, 2, 12, 0, 0), 1, "purchase", 9.0, "{}"),
+        # user 2: only click is AFTER the purchase -> unattributed
+        (7, d(2024, 1, 3, 12, 0, 0), 2, "purchase", 9.0, "{}"),
+        (8, d(2024, 1, 3, 13, 0, 0), 2, "click", 0.0, "{}"),
+        # user 3: click 25h before purchase -> outside lookback
+        (9, d(2024, 1, 4, 0, 0, 0), 3, "click", 0.0, "{}"),
+        (10, d(2024, 1, 5, 1, 0, 0), 3, "purchase", 9.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/events.parquet")
+        got = {
+            r["purchase_id"]: (r["click_id"], r["lag_seconds"])
+            for r in events_last_touch_attribution(spark, tmp).collect()
+        }
+    assert got[5] == (3, 3600.0)
+    assert got[7] == (None, None)
+    assert got[10] == (None, None)

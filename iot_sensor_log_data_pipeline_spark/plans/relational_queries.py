@@ -1373,3 +1373,86 @@ def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("lag_seconds"),
     ).orderBy("purchase_id")
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH asof_d AS (SELECT max(o_orderdate) AS anchor FROM orders),
+    base AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', max(o_orderdate), a.anchor) AS BIGINT)
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS monetary
+      FROM orders CROSS JOIN asof_d a
+      GROUP BY o_custkey, a.anchor
+    ),
+    b AS (
+      SELECT quantile_cont(CAST(recency_days AS DOUBLE), [0.25, 0.5, 0.75]) AS rb,
+             quantile_cont(CAST(frequency AS DOUBLE), [0.25, 0.5, 0.75]) AS fb,
+             quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mb
+      FROM base
+    )
+    SELECT base.o_custkey AS custkey, recency_days, frequency, monetary,
+           CAST(4 - len(list_filter(b.rb, x -> recency_days > x)) AS BIGINT)
+             AS r_score,
+           CAST(1 + len(list_filter(b.fb, x -> frequency > x)) AS BIGINT)
+             AS f_score,
+           CAST(1 + len(list_filter(b.mb, x -> monetary > x)) AS BIGINT)
+             AS m_score
+    FROM base CROSS JOIN b
+    ORDER BY custkey
+    """,
+    tags=("relational", "analytics", "rfm", "segmentation"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer, recency (days since
+    last order, anchored at the corpus's max order date so the query
+    is reproducible), frequency (order count), monetary (total
+    spend), each scored 1-4 by exact quartile boundaries (recency
+    inverted: recent = high score) -- the standard CRM segmentation.
+    Same scale discipline as ``corpus_length_buckets``: one grouped
+    agg over orders, one 1-row quartile broadcast, in-row strict-
+    greater boundary counts; no global ntile sort."""
+    orders = load(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    base = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey", "anchor")
+        .agg(
+            F.datediff(F.max("anchor"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.round(F.sum(F.col("o_totalprice").cast("double")), 2).alias(
+                "monetary"
+            ),
+        )
+        .drop("anchor")
+    )
+    bounds = base.agg(
+        F.percentile(F.col("recency_days").cast("double"), F.lit([0.25, 0.5, 0.75])).alias("rb"),
+        F.percentile(F.col("frequency").cast("double"), F.lit([0.25, 0.5, 0.75])).alias("fb"),
+        F.percentile(F.col("monetary"), F.lit([0.25, 0.5, 0.75])).alias("mb"),
+    )
+
+    def tier(val, arr):  # 1 + boundaries strictly below value
+        return (
+            F.lit(1)
+            + F.size(F.filter(F.col(arr), lambda x: val > x))
+        ).cast("long")
+
+    return (
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "recency_days",
+            "frequency",
+            "monetary",
+            (F.lit(5) - tier(F.col("recency_days"), "rb")).cast("long").alias("r_score"),
+            tier(F.col("frequency"), "fb").alias("f_score"),
+            tier(F.col("monetary"), "mb").alias("m_score"),
+        )
+        .orderBy("custkey")
+    )

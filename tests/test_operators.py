@@ -3231,3 +3231,30 @@ def test_last_touch_attribution_hand_fixture(spark):
     assert got[5] == (3, 3600.0)
     assert got[7] == (None, None)
     assert got[10] == (None, None)
+
+
+def test_rfm_segments_python_replay(spark, sf_dir):
+    """RFM scores must match a pure-Python quartile replay (linear
+    interpolation, strict-greater boundary rule, recency inverted)."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.plans.relational_queries import (
+        customer_rfm_segments,
+    )
+
+    got = {
+        r["custkey"]: (r["recency_days"], r["frequency"], r["monetary"],
+                       r["r_score"], r["f_score"], r["m_score"])
+        for r in customer_rfm_segments(spark, sf_dir).collect()
+    }
+    rec = np.array([v[0] for v in got.values()], dtype=float)
+    freq = np.array([v[1] for v in got.values()], dtype=float)
+    mon = np.array([v[2] for v in got.values()], dtype=float)
+    rb = np.quantile(rec, [0.25, 0.5, 0.75], method="linear")
+    fb = np.quantile(freq, [0.25, 0.5, 0.75], method="linear")
+    mb = np.quantile(mon, [0.25, 0.5, 0.75], method="linear")
+    for ck, (r, f_, m, rs, fs, ms) in got.items():
+        assert rs == 4 - int(sum(r > x for x in rb)), ck
+        assert fs == 1 + int(sum(f_ > x for x in fb)), ck
+        assert ms == 1 + int(sum(m > x for x in mb)), ck
+    assert {v[3] for v in got.values()} <= {1, 2, 3, 4}

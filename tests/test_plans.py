@@ -75,6 +75,9 @@ BNLJ_ALLOWED = {
     # day-count spine broadcast range join (<= 7x user-day fan-out) --
     # relational_queries.py:events_rolling_actives
     "events_rolling_actives",
+    # two 1-row broadcasts (date anchor, quartile boundaries) --
+    # relational_queries.py:customer_rfm_segments
+    "customer_rfm_segments",
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --

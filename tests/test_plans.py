@@ -123,6 +123,28 @@ def test_no_cartesian_products_anywhere(plans):
     assert not offenders, f"cartesian products in: {offenders}"
 
 
+def test_no_unpartitioned_windows(spark):
+    """No catalog query may contain a Window with an EMPTY partition
+    spec: Spark funnels the whole input through ONE task for such a
+    window ('No Partition Defined' warning) -- a corpus-through-one-
+    partition cliff at scale.  Global orderings in this engine go
+    through TakeOrderedAndProject (top-k) or percentile boundaries
+    instead.  Checked on the optimized logical plan, where the Window
+    node prints its partition list explicitly."""
+    import re
+
+    offenders = []
+    for name, entry in catalog.all_entries().items():
+        if name in SIDE_EFFECT:
+            continue
+        plan = (
+            entry.fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+        )
+        if re.search(r"Window \[[^\n]*\], \[\], \[", plan):
+            offenders.append(name)
+    assert not offenders, f"unpartitioned windows in: {offenders}"
+
+
 def test_nested_loop_joins_only_where_intended(plans):
     offenders = [
         n

@@ -1269,11 +1269,12 @@ def append_winnowing_index(
     TOTAL df stays within the build-time cap.
 
     Caller contract: ids must be disjoint from ids already indexed
-    (append never dedups).  Cap drift mirrors the text index:
-    fingerprints that cross the cap ONLY via this batch get no new
-    postings (cost guard holds), but their pre-existing postings stay
-    until the next rebuild -- the cap is a cost guard, not a
-    correctness gate."""
+    (append never dedups).  Cap drift: fingerprints that cross the cap
+    via this batch get no new postings (cost guard holds) and their
+    skipped counts land in the ``overflow`` ledger, so
+    ``optimize_winnowing_index`` can later measure TRUE df and drop
+    their pre-existing postings too -- until then those stay (the cap
+    is a cost guard, not a correctness gate)."""
     import os
 
     spark = new_docs.sparkSession
@@ -1292,13 +1293,12 @@ def append_winnowing_index(
         .agg(F.count(F.lit(1)).alias("__stored"))
     )
     new_df = new_fp.groupBy("fp").agg(F.count(F.lit(1)).alias("__new"))
-    ok = (
-        new_df.join(stored_df, "fp", "left")
-        .where(
-            F.coalesce("__stored", F.lit(0)) + F.col("__new") <= cap
-        )
-        .select("fp")
+    totals = new_df.join(stored_df, "fp", "left").select(
+        "fp",
+        "__new",
+        (F.coalesce("__stored", F.lit(0)) + F.col("__new")).alias("__total"),
     )
+    ok = totals.where(F.col("__total") <= cap).select("fp")
     (
         new_fp.join(ok, "fp")
         .repartitionByRange("fp", "doc_id")
@@ -1306,3 +1306,56 @@ def append_winnowing_index(
         .write.mode("append")
         .parquet(os.path.join(path, "postings"))
     )
+    # Overflow ledger: fingerprints whose postings were SKIPPED here
+    # (their true df now exceeds the stored df).  optimize reads this
+    # to measure real df without re-reading any document.
+    (
+        totals.where(F.col("__total") > cap)
+        .select("fp", F.col("__new").cast("long").alias("overflow_df"))
+        .write.mode("append")
+        .parquet(os.path.join(path, "overflow"))
+    )
+
+
+def optimize_winnowing_index(spark, path: str) -> None:
+    """Maintenance re-prune for an append-grown winnowing index (the
+    ``optimize_graph_index`` twin): fingerprints whose document
+    frequency drifted ABOVE the build-time cap across many appends
+    (append only guards each batch's marginal contribution) are
+    dropped entirely, restoring the cost bound without re-reading any
+    document -- one postings scan, one df agg, one rewrite.  Layout is
+    re-range-partitioned on (fp, id) like a fresh build."""
+    import os
+
+    cfg = spark.read.parquet(os.path.join(path, "config")).head()
+    cap = int(cfg["max_fp_df"])
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    stored = postings.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+    try:
+        over = (
+            spark.read.parquet(os.path.join(path, "overflow"))
+            .groupBy("fp")
+            .agg(F.sum("overflow_df").alias("__over"))
+        )
+        stored = stored.join(over, "fp", "left").select(
+            "fp",
+            (F.col("__df") + F.coalesce("__over", F.lit(0))).alias("__df"),
+        )
+    except Exception:
+        pass
+    keep = stored.where(F.col("__df") <= cap).select("fp")
+    pruned = (
+        postings.join(keep, "fp")
+        .repartitionByRange("fp", "doc_id")
+        .sortWithinPartitions("fp", "doc_id")
+    )
+    tmp = os.path.join(path, "postings__next")
+    pruned.write.mode("overwrite").parquet(tmp)
+    final = os.path.join(path, "postings")
+    import shutil
+
+    shutil.rmtree(final)
+    os.rename(tmp, final)
+    # Every overflow fingerprint has true df > cap and was just
+    # dropped entirely -- the ledger is settled.
+    shutil.rmtree(os.path.join(path, "overflow"), ignore_errors=True)

@@ -3258,3 +3258,37 @@ def test_rfm_segments_python_replay(spark, sf_dir):
         assert fs == 1 + int(sum(f_ > x for x in fb)), ck
         assert ms == 1 + int(sum(m > x for x in mb)), ck
     assert {v[3] for v in got.values()} <= {1, 2, 3, 4}
+
+
+def test_optimize_winnowing_index_restores_cap(spark, tmp_path):
+    """After appends drift a fingerprint above the cap, optimize drops
+    ALL its postings (stored and appended), and the result equals a
+    fresh rebuild over the union corpus."""
+    run = "alpha beta gamma delta epsilon zeta eta"
+    mk = lambda i, pre: (i, f"{pre}1 {pre}2 " + run + f" {pre}3 {pre}4")  # noqa: E731
+    base = spark.createDataFrame([mk(1, "a"), mk(2, "b")], "doc_id long, text string")
+    root = str(tmp_path / "win_opt")
+    DD.build_winnowing_index(base, root, k=4, w=4, max_fp_df=2)
+    batch = spark.createDataFrame([mk(10, "c"), mk(11, "d")], "doc_id long, text string")
+    DD.append_winnowing_index(batch, root)
+    DD.optimize_winnowing_index(spark, root)
+    got = {
+        (r["doc_id"], r["fp"])
+        for r in DD.load_winnowing_index(spark, root)[0].collect()
+    }
+    rebuild_root = str(tmp_path / "win_opt_rebuild")
+    DD.build_winnowing_index(
+        base.unionByName(batch), rebuild_root, k=4, w=4, max_fp_df=2
+    )
+    want = {
+        (r["doc_id"], r["fp"])
+        for r in DD.load_winnowing_index(spark, rebuild_root)[0].collect()
+    }
+    assert got == want
+    # the shared-run fps (df 2 stored, would-be 4 total) are gone
+    shared = {
+        r["fp"] for r in DD.winnowing_fingerprints(
+            spark.createDataFrame([(0, run)], "doc_id long, text string"), 4, 4
+        ).collect()
+    }
+    assert not shared & {fp for _, fp in got}

@@ -136,7 +136,11 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "window_top_orders_per_customer",
 )
 
-#: Round-7 rotation plan: (a) anything new in round 7; (b) re-entries
+#: Round-7 rotation plan: (a) FIRST the four round-6 queries that
+#: landed after this window filled and so carry local-oracle evidence
+#: only (multimodal_byte_entropy, events_rolling_actives,
+#: events_last_touch_attribution, customer_rfm_segments), then
+#: anything new in round 7; (b) re-entries
 #: for round-7-edited modules; (c) the round-3 remainder
 #: (string_functions, string_functions_extended, date_functions,
 #: math_functions,

@@ -10,7 +10,7 @@ indefinitely at any rate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.window import Window
@@ -440,6 +440,105 @@ def curation_ingest_stream(
     )
 
 
+#: Read schema for the history-dedup fingerprint store.  Explicit so a
+#: created-but-empty store directory reads as zero rows instead of
+#: failing schema inference, and so a REAL read error (corrupt footer,
+#: permissions) still fails the batch loudly -- the checkpoint retries
+#: it rather than admitting duplicates forever.
+_HISTORY_STATE_SCHEMA = "fingerprint string, fp_bucket int, batch long"
+
+
+def _history_fp_bucket(fp: Column, n_buckets: int) -> Column:
+    """Uniform bucket id from the md5-hex fingerprint's first 4 hex
+    chars (16-bit space; md5 uniformity makes any modulus balanced)."""
+    return F.pmod(
+        F.conv(F.substring(fp, 1, 4), 16, 10).cast("long"), F.lit(n_buckets)
+    ).cast("int")
+
+
+def history_dedup_apply_batch(
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> None:
+    """One micro-batch of the history-complete dedup gate -- module
+    level so replay idempotency is directly testable (call twice with
+    the same ``batch_id``; output and state must not change).
+
+    Plan: canonical fingerprint per row (``text.fingerprint`` -- md5
+    over the sorted token set, so reordered copies dedup too),
+    within-batch survivor = min id per fingerprint, LEFT ANTI join
+    against the persisted store, then per-batch OVERWRITE of both the
+    ``ingest_batch=<id>`` output directory and the
+    ``batch=<id>/fp_bucket=*`` state directory.
+
+    Bounded store probe: the store is directory-partitioned on
+    ``fp_bucket`` (md5-prefix modulus), the batch's distinct buckets
+    are collected (<= ``n_buckets`` ints -- the bounded
+    sketch-to-closure pattern) into an IN-list partition filter, so
+    the anti-join reads <= store_size * |touched buckets| / n_buckets
+    instead of the whole store: a small steady-state micro-batch of b
+    docs scans ~b/n_buckets of the store, and per ingested ROW the
+    probe cost is capped at store_size / n_buckets regardless of
+    corpus age.  Raise ``n_buckets`` (any value; power-of-two not
+    required) as the corpus grows; ``optimize_history_store`` keeps
+    the file count at one sorted file per bucket.
+
+    Replay idempotency (retries re-run a batch id): state rows carry
+    their writing ``batch`` (a directory-partition column), the
+    anti-join excludes rows written by THIS batch id (a prior failed
+    attempt), and both writes are whole-directory overwrites keyed by
+    the batch id -- so a crash between the two writes replays to the
+    identical result in either order, never duplicating output rows
+    and never losing fresh ones.
+    """
+    import os
+
+    from ..operators.text import fingerprint
+
+    spark = batch.sparkSession
+    if not batch.take(1):
+        return
+    fp = batch.withColumn("fingerprint", fingerprint(F.col(text_col))).withColumn(
+        "fp_bucket", _history_fp_bucket(F.col("fingerprint"), n_buckets)
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    batch_survivors = (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if os.path.exists(state_dir):
+        touched = [
+            r["fp_bucket"]
+            for r in batch_survivors.select("fp_bucket").distinct().collect()
+        ]
+        seen = (
+            spark.read.schema(_HISTORY_STATE_SCHEMA)
+            .parquet(state_dir)
+            .where(F.col("fp_bucket").isin(touched))
+            .where(F.col("batch") != int(batch_id))
+            .select("fingerprint")
+        )
+        fresh = batch_survivors.join(seen, "fingerprint", "left_anti")
+    else:
+        fresh = batch_survivors
+    fresh = fresh.localCheckpoint()  # one computation feeds both writes
+    fresh.drop("fp_bucket").write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"ingest_batch={int(batch_id)}")
+    )
+    (
+        fresh.select("fingerprint", "fp_bucket")
+        .write.mode("overwrite")
+        .partitionBy("fp_bucket")
+        .parquet(os.path.join(state_dir, f"batch={int(batch_id)}"))
+    )
+
+
 def start_history_dedup_sink(
     stream_docs: DataFrame,
     out_dir: str,
@@ -447,6 +546,7 @@ def start_history_dedup_sink(
     checkpoint: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_buckets: int = 256,
 ) -> StreamingQuery:
     """HISTORY-complete streaming exact dedup: unlike
     ``curation_ingest_stream``'s watermark-bounded
@@ -454,44 +554,31 @@ def start_history_dedup_sink(
     watermark horizon), this gate rejects a document that duplicates
     ANYTHING ever ingested -- the semantics a raw-zone loader
     actually needs -- by keeping the seen-fingerprint set in STORAGE
-    (a parquet fingerprint table) instead of in operator state.
+    (an ``fp_bucket``-partitioned parquet fingerprint table) instead
+    of in operator state.  State is content-addressed,
+    corpus-lifetime, and storage-resident: executor memory holds only
+    the per-batch anti-join, the store probe is partition-pruned to
+    the batch's buckets (see ``history_dedup_apply_batch`` for the
+    cost bound), and any batch job can read the store directly.
 
-    Per micro-batch (foreachBatch): canonical fingerprint per row
-    (``text.fingerprint`` -- md5 over the sorted token set, so
-    reordered copies dedup too), within-batch survivor = min id per
-    fingerprint, then a LEFT ANTI join against the persisted
-    fingerprint store; survivors append to ``out_dir`` and their
-    fingerprints to ``state_dir``.  State is content-addressed,
-    corpus-lifetime, and storage-resident -- executor memory holds
-    only the join, and the store is a fingerprint-keyed parquet any
-    batch job can also read.  Exactly-once caveat: the two appends
-    are not atomic; on a retry between them the fingerprint store may
-    lead the output (safe direction -- duplicates stay out; the
-    checkpointed batch id makes whole-batch replays idempotent-safe
-    in the same way as the CDC sink's single-writer contract).
-    """
-    from ..operators.text import fingerprint
-
-    spark = stream_docs.sparkSession
+    Output lands under ``out_dir/ingest_batch=<id>/`` (read the root
+    with partition discovery); replayed batch ids overwrite their own
+    directories, so the sink is idempotent per batch with no
+    cross-batch append races (single-writer contract, like the CDC
+    sink).  Run ``optimize_history_store`` periodically -- with the
+    stream stopped and no in-flight batch -- to compact the per-batch
+    state directories into one sorted file per bucket."""
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        if not batch.take(1):
-            return
-        fp = batch.withColumn("fingerprint", fingerprint(F.col(text_col)))
-        w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
-        batch_survivors = (
-            fp.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
+        history_dedup_apply_batch(
+            batch,
+            batch_id,
+            out_dir,
+            state_dir,
+            id_col=id_col,
+            text_col=text_col,
+            n_buckets=n_buckets,
         )
-        try:
-            seen = spark.read.parquet(state_dir).select("fingerprint")
-            fresh = batch_survivors.join(seen, "fingerprint", "left_anti")
-        except Exception:
-            fresh = batch_survivors
-        fresh = fresh.localCheckpoint()  # one computation feeds both appends
-        fresh.write.mode("append").parquet(out_dir)
-        fresh.select("fingerprint").write.mode("append").parquet(state_dir)
 
     return (
         stream_docs.writeStream.foreachBatch(apply_batch)
@@ -499,6 +586,46 @@ def start_history_dedup_sink(
         .outputMode("append")
         .start()
     )
+
+
+def optimize_history_store(spark, state_dir: str) -> None:
+    """Compact an ingest-grown history-dedup fingerprint store: the
+    per-batch ``batch=<id>/fp_bucket=*`` directories (one small file
+    per touched bucket per batch -- the append-path layout that makes
+    replays idempotent) are rewritten as a single ``batch=-1`` tree
+    with ONE fingerprint-sorted file per bucket, so the per-micro-batch
+    partition-pruned probe reads one compact file per touched bucket
+    and parquet min/max stats order the fingerprints within it.
+
+    ``-1`` can never collide with a real (non-negative) streaming
+    batch id, so the replay-exclusion filter ``batch != current`` in
+    ``history_dedup_apply_batch`` keeps compacted rows visible.
+
+    Contract (same as the other optimize jobs): single writer -- run
+    only while the ingest stream is STOPPED with no in-flight batch
+    (a mid-batch crash replayed AFTER compaction would find its own
+    half-written state rows re-labeled ``batch=-1`` and reject the
+    whole replay).  The directory swap is ``rmtree`` + ``rename`` --
+    a local/posix-rename filesystem contract, like the parquet
+    compactor; object stores need a copy-based swap instead."""
+    import os
+    import shutil
+
+    store = (
+        spark.read.schema(_HISTORY_STATE_SCHEMA)
+        .parquet(state_dir)
+        .select("fingerprint", "fp_bucket")
+    )
+    tmp = state_dir.rstrip("/") + "__next"
+    (
+        store.repartition("fp_bucket")
+        .sortWithinPartitions("fingerprint")
+        .write.mode("overwrite")
+        .partitionBy("fp_bucket")
+        .parquet(os.path.join(tmp, "batch=-1"))
+    )
+    shutil.rmtree(state_dir)
+    os.rename(tmp, state_dir)
 
 
 def winnowing_match_stream(

@@ -902,3 +902,85 @@ def test_history_dedup_sink_rejects_cross_batch_duplicates(spark, tmp_path):
     assert got == [1, 3, 12], got
     n_fps = spark.read.parquet(state).count()
     assert n_fps == 3
+
+
+def test_history_dedup_replay_is_idempotent_and_store_bucketed(spark, tmp_path):
+    """Replaying a micro-batch id (retry after a crash between the
+    output and state writes) must not duplicate output rows or state
+    fingerprints -- both writes are per-batch-id directory overwrites
+    and the anti-join excludes the failed attempt's own state rows.
+    The store lays out as batch=<id>/fp_bucket=<k> so the per-batch
+    probe partition-prunes to the batch's buckets."""
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    schema = "doc_id long, text string"
+
+    b0 = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"),
+         (3, "a totally different doc")],
+        schema,
+    )
+    P.history_dedup_apply_batch(b0, 0, out, state)
+    # Replay batch 0: the state already holds batch 0's fingerprints
+    # (the exact scenario the pre-fix append path double-wrote).
+    P.history_dedup_apply_batch(b0, 0, out, state)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 3]
+    assert spark.read.parquet(state).count() == 2
+
+    b1 = spark.createDataFrame(
+        [(10, "the quick brown fox"), (12, "genuinely new content here")], schema
+    )
+    P.history_dedup_apply_batch(b1, 1, out, state)
+    P.history_dedup_apply_batch(b1, 1, out, state)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 3, 12]
+    assert spark.read.parquet(state).count() == 3
+
+    # Store layout: per-batch dirs partitioned by fingerprint bucket.
+    batch_dirs = sorted(d for d in os.listdir(state) if d.startswith("batch="))
+    assert batch_dirs == ["batch=0", "batch=1"]
+    for d in batch_dirs:
+        subs = [s for s in os.listdir(os.path.join(state, d)) if s.startswith("fp_bucket=")]
+        assert subs, f"{d} missing fp_bucket partitions"
+
+
+def test_optimize_history_store_compacts_and_preserves_rejection(spark, tmp_path):
+    """Compaction rewrites the per-batch state dirs as one batch=-1
+    tree (one sorted file per bucket); fingerprints ingested before
+    the compaction still reject later duplicates."""
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    schema = "doc_id long, text string"
+
+    P.history_dedup_apply_batch(
+        spark.createDataFrame([(1, "alpha beta gamma")], schema), 0, out, state
+    )
+    P.history_dedup_apply_batch(
+        spark.createDataFrame([(2, "delta epsilon zeta")], schema), 1, out, state
+    )
+    P.optimize_history_store(spark, state)
+
+    dirs = sorted(d for d in os.listdir(state) if d.startswith("batch="))
+    assert dirs == ["batch=-1"]
+    buckets = [
+        d for d in os.listdir(os.path.join(state, "batch=-1"))
+        if d.startswith("fp_bucket=")
+    ]
+    assert len(buckets) == 2  # one dir per distinct fingerprint bucket
+    for b in buckets:
+        files = [
+            f for f in os.listdir(os.path.join(state, "batch=-1", b))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, f"{b} not compacted to one file"
+
+    P.history_dedup_apply_batch(
+        spark.createDataFrame(
+            [(9, "gamma beta alpha"), (10, "fresh after optimize")], schema
+        ),
+        2,
+        out,
+        state,
+    )
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 10], got
+    assert spark.read.parquet(state).count() == 3

@@ -209,11 +209,14 @@ def persisted_index_breakdown(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def streaming_throughput(spark, n_rows: int = 200_000) -> float:
+def streaming_throughput(spark, n_rows: int = 200_000, passes: int = 2) -> float:
     """Rows/sec through the watermarked streaming hourly rollup
     (AvailableNow trigger over a parquet directory, noop sink) -- the
     streaming twin of the headline A20 aggregate, measured so streaming
-    regressions are visible round-over-round, not just batch ones."""
+    regressions are visible round-over-round, not just batch ones.
+    Best-of-``passes`` with a fresh checkpoint each pass (the same
+    min-of-passes protocol as the headline queries -- the round-6
+    single-pass number moved with ambient machine load, not code)."""
     import shutil
     import tempfile
 
@@ -222,21 +225,25 @@ def streaming_throughput(spark, n_rows: int = 200_000) -> float:
 
     tmp = tempfile.mkdtemp(prefix="bench_stream_")
     try:
-        src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+        src = os.path.join(tmp, "src")
         batch = sensor_batch(spark, n_rows)
         batch.write.mode("overwrite").parquet(src)
         stream = spark.readStream.schema(batch.schema).parquet(src)
-        t0 = time.perf_counter()
-        q = (
-            hourly_rollup(stream)
-            .writeStream.format("noop")
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        return round(n_rows / (time.perf_counter() - t0), 1)
+        best = 0.0
+        for i in range(passes):
+            ckpt = os.path.join(tmp, f"ckpt{i}")
+            t0 = time.perf_counter()
+            q = (
+                hourly_rollup(stream)
+                .writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            best = max(best, n_rows / (time.perf_counter() - t0))
+        return round(best, 1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

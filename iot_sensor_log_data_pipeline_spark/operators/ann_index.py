@@ -266,6 +266,98 @@ def append_ivf_index(
     base.write.mode("append").parquet(_sub(path, "vectors"))
 
 
+def optimize_ivf_index(
+    spark: SparkSession,
+    path: str,
+    cell_cap: int,
+    max_rounds: int = 16,
+    spill_frac: float = 0.05,
+) -> None:
+    """Re-balance an append-grown IVF index: ``append_ivf_index`` adds
+    postings under FROZEN centroids, so a skewed ingest fattens a few
+    inverted lists unboundedly (probe cost over a hot cell grows
+    linearly forever).  This job completes the optimize family
+    (parquet / graph / winnowing / text / history): cells over
+    ``cell_cap`` are split by the distributed RP-tree median-cut pass
+    the semantic-dedup family already uses
+    (``semdedup.split_oversized_cells`` -- spill-banded random-
+    projection cuts, O(log2(max_cell/cap)) rounds, no balance
+    assumptions), each touched cell's centroid is re-derived as its
+    members' MEAN (one posexplode agg -- the Lloyd's update step for
+    exactly the cells that changed), and untouched cells keep their
+    original trained centroids so their probe routing is unchanged.
+
+    The rewritten centroid table stays a driver-side broadcast (the
+    IVF probe contract); splitting raises its size by at most
+    sum(ceil(size/cap) - 1) over hot cells -- callers cap growth by
+    choosing ``cell_cap`` at the advisory-partition scale, same
+    regime as ``semdedup.quantizer_plan``.  A cell of exactly
+    identical vectors cannot split (the RP pass freezes it) and
+    legitimately stays over the cap.  The entries rewrite swaps
+    directories with ``rmtree`` + ``rename`` (local/posix-rename
+    contract, like the other optimize jobs); single-writer."""
+    import os
+    import shutil
+
+    from .semdedup import split_oversized_cells
+    from .similarity import l2_norm
+
+    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    if cfg["kind"] != "ivf":
+        raise ValueError(f"index at {path} is {cfg['kind']!r}, not ivf")
+
+    entries = spark.read.parquet(_sub(path, "entries"))
+    oversized = [
+        int(r["cell"])
+        for r in entries.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > cell_cap)
+        .collect()
+    ]
+    if not oversized:
+        return
+    vectors = spark.read.parquet(_sub(path, "vectors"))
+    assigned = entries.join(vectors, "id").select(
+        "id", "vec", l2_norm(F.col("vec")).alias("nrm"), "cell"
+    )
+    re_assigned = split_oversized_cells(
+        assigned, cell_cap, max_rounds=max_rounds, spill_frac=spill_frac
+    ).localCheckpoint(eager=True)
+
+    # Mean centroid per TOUCHED cell (parents keep their id for the
+    # left half; right halves got fresh ids > the old maximum).
+    old_cent = {
+        int(r["cell"]): list(r["cv"])
+        for r in spark.read.parquet(_sub(path, "centroids")).collect()
+    }
+    touched = re_assigned.where(
+        F.col("cell").isin(oversized) | ~F.col("cell").isin(list(old_cent))
+    )
+    means = (
+        touched.select("cell", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cell", F.col("pm.m").alias("cv"))
+        .collect()
+    )
+    new_cent = dict(old_cent)
+    for r in means:
+        new_cent[int(r["cell"])] = [float(x) for x in r["cv"]]
+    _write_small(
+        spark,
+        [(c, v) for c, v in sorted(new_cent.items())],
+        "cell int, cv array<double>",
+        _sub(path, "centroids"),
+    )
+    tmp = _sub(path, "entries__next")
+    re_assigned.select("id", "cell").write.mode("overwrite").parquet(tmp)
+    final = _sub(path, "entries")
+    shutil.rmtree(final)
+    os.rename(tmp, final)
+
+
 def query_ivf_index(
     spark: SparkSession,
     path: str,

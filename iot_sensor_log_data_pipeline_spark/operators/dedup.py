@@ -134,10 +134,10 @@ def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
     """Exploded DISTINCT (id, shingle) pairs -- the base relation for
     both n-gram-Jaccard and MinHash paths.  Narrow (no shuffle):
     per-row shingling + explode; distinctness holds because
-    array_distinct runs inside each row."""
-    from ..io_utils import parallelize_small
-
-    return parallelize_small(docs).select(
+    array_distinct runs inside each row.  Input parallelism is the
+    caller's concern (the catalog layer wraps test-scale scans in
+    ``parallelize_small``; at corpus scale the scan splits suffice)."""
+    return docs.select(
         F.col(id_col),
         F.explode(_shingles_zip(F.col(text_col), n)).alias("shingle"),
     )
@@ -1324,16 +1324,28 @@ def optimize_winnowing_index(spark, path: str) -> None:
     (append only guards each batch's marginal contribution) are
     dropped entirely, restoring the cost bound without re-reading any
     document -- one postings scan, one df agg, one rewrite.  Layout is
-    re-range-partitioned on (fp, id) like a fresh build."""
+    re-range-partitioned on (fp, id) like a fresh build.
+
+    Filesystem contract: the postings rewrite swaps directories with
+    ``rmtree`` + ``rename`` -- a local/posix-rename assumption, same
+    as the parquet compactor and ``optimize_history_store``; object
+    stores need a copy-based swap.  The overflow ledger's presence is
+    checked explicitly (no blanket exception handling): a ledger that
+    exists but fails to READ aborts the optimize with the real error
+    instead of silently dropping the skipped-posting counts and then
+    deleting the evidence."""
     import os
+    import shutil
 
     cfg = spark.read.parquet(os.path.join(path, "config")).head()
     cap = int(cfg["max_fp_df"])
     postings = spark.read.parquet(os.path.join(path, "postings"))
     stored = postings.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
-    try:
+    ledger_dir = os.path.join(path, "overflow")
+    have_ledger = os.path.isdir(ledger_dir)
+    if have_ledger:
         over = (
-            spark.read.parquet(os.path.join(path, "overflow"))
+            spark.read.parquet(ledger_dir)
             .groupBy("fp")
             .agg(F.sum("overflow_df").alias("__over"))
         )
@@ -1341,8 +1353,6 @@ def optimize_winnowing_index(spark, path: str) -> None:
             "fp",
             (F.col("__df") + F.coalesce("__over", F.lit(0))).alias("__df"),
         )
-    except Exception:
-        pass
     keep = stored.where(F.col("__df") <= cap).select("fp")
     pruned = (
         postings.join(keep, "fp")
@@ -1352,10 +1362,10 @@ def optimize_winnowing_index(spark, path: str) -> None:
     tmp = os.path.join(path, "postings__next")
     pruned.write.mode("overwrite").parquet(tmp)
     final = os.path.join(path, "postings")
-    import shutil
-
     shutil.rmtree(final)
     os.rename(tmp, final)
-    # Every overflow fingerprint has true df > cap and was just
-    # dropped entirely -- the ledger is settled.
-    shutil.rmtree(os.path.join(path, "overflow"), ignore_errors=True)
+    if have_ledger:
+        # Every overflow fingerprint has true df > cap and was just
+        # dropped entirely -- the ledger is settled.  Only deleted
+        # when it was actually read and applied above.
+        shutil.rmtree(ledger_dir, ignore_errors=True)

@@ -340,10 +340,26 @@ def build_graph_index(
         .limit(n_entry)
     )
     entries.write.mode("overwrite").parquet(_sub(path, "entries"))
+    # The FULL build geometry is persisted, not just the serving
+    # parameters: append_graph_index runs an intra-batch NN-descent
+    # and must reproduce the build-time seeding/refinement widths or
+    # appended-batch edge quality silently differs from built edges.
     _write_small(
         spark,
-        [("knn_graph", int(k), int(n_iter), int(n_entry))],
-        "kind string, k int, n_iter int, n_entry int",
+        [
+            (
+                "knn_graph",
+                int(k),
+                int(n_iter),
+                int(n_entry),
+                int(bands),
+                int(rows_per_band),
+                int(seed_cap),
+                int(build_k if build_k is not None else 2 * k),
+            )
+        ],
+        "kind string, k int, n_iter int, n_entry int,"
+        " bands int, rows_per_band int, seed_cap int, build_k int",
         _sub(path, "config"),
     )
 
@@ -550,7 +566,15 @@ def append_graph_index(
     # stay unlinked until a rebuild (round-5 ADVICE finding).
     if vectors.limit(2).count() > 1:
         intra = knn_graph(
-            vectors, k=int(cfg["k"]), id_col=id_col, vec_col=vec_col
+            vectors,
+            k=int(cfg["k"]),
+            n_iter=int(cfg["n_iter"]),
+            id_col=id_col,
+            vec_col=vec_col,
+            bands=int(cfg["bands"]),
+            rows_per_band=int(cfg["rows_per_band"]),
+            seed_cap=int(cfg["seed_cap"]),
+            build_k=int(cfg["build_k"]),
         )
         edges = edges.unionByName(intra)
     edges.write.mode("append").parquet(_sub(path, "graph"))
@@ -588,7 +612,7 @@ def optimize_graph_index(
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not knn_graph")
     k = int(cfg["k"])
     if build_k is None:
-        build_k = 2 * k
+        build_k = int(cfg["build_k"])  # the persisted build-time width
     base = spark.read.parquet(_sub(path, "vectors")).localCheckpoint(eager=True)
     graph = _top_n(
         spark.read.parquet(_sub(path, "graph")), build_k

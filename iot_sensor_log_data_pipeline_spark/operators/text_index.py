@@ -92,10 +92,20 @@ def build_text_index(
     n_docs, avgdl = doclens.agg(
         F.count(F.lit(1)).cast("double"), F.avg("dl")
     ).collect()[0]
+    # The stop-term POLICY is persisted alongside the corpus stats so
+    # ``optimize_text_index`` can re-evaluate the cap against the
+    # grown corpus without the caller re-supplying it.
     _write_small(
         spark,
-        [(float(n_docs), float(avgdl))],
-        "n_docs double, avgdl double",
+        [
+            (
+                float(n_docs),
+                float(avgdl),
+                None if max_df is None else float(max_df),
+                None if max_df_frac is None else float(max_df_frac),
+            )
+        ],
+        "n_docs double, avgdl double, max_df double, max_df_frac double",
         _sub(path, "stats"),
     )
 
@@ -228,8 +238,8 @@ def append_text_index(
     postings for already-stopped terms are skipped on the new rows
     (keeping the zero-contribution contract), but terms that only
     BECOME stopword-grade after many appends keep their postings
-    until the next rebuild -- df drift is slow and the cap is a cost
-    guard, not a correctness gate."""
+    until ``optimize_text_index`` re-prunes them -- df drift is slow
+    and the cap is a cost guard, not a correctness gate."""
     spark = new_docs.sparkSession
 
     doclens = new_docs.select(
@@ -240,10 +250,18 @@ def append_text_index(
     n_docs, avgdl = merged.agg(
         F.count(F.lit(1)).cast("double"), F.avg("dl")
     ).collect()[0]
+    old_stats = spark.read.parquet(_sub(path, "stats")).head()
     _write_small(
         spark,
-        [(float(n_docs), float(avgdl))],
-        "n_docs double, avgdl double",
+        [
+            (
+                float(n_docs),
+                float(avgdl),
+                old_stats["max_df"],  # carry the stop-term policy through
+                old_stats["max_df_frac"],
+            )
+        ],
+        "n_docs double, avgdl double, max_df double, max_df_frac double",
         _sub(path, "stats"),
     )
 
@@ -263,3 +281,66 @@ def append_text_index(
     ranged.sortWithinPartitions("term", "id").write.mode("append").parquet(
         _sub(path, "postings")
     )
+
+
+def optimize_text_index(
+    spark: SparkSession,
+    path: str,
+    max_df: int | None = None,
+    max_df_frac: float | None = None,
+) -> None:
+    """Maintenance re-prune for an append-grown text index (the
+    ``optimize_winnowing_index`` twin): terms whose document frequency
+    drifted ABOVE the stop cap across appends -- ``append_text_index``
+    only skips postings for ALREADY-stopped terms -- are moved to the
+    stop-term table and their postings dropped, restoring the
+    Zipf-head cost bound (drifting stopword-grade posting lists are
+    the known failure mode of long-lived inverted indexes) without
+    re-reading any document: one postings df agg, one anti-join, one
+    rewrite.  No overflow ledger is needed (unlike winnowing): every
+    (term, id) posting row IS one matching document, so the stored
+    postings carry the full df.
+
+    The cap re-evaluates the BUILD-time policy (persisted in
+    ``stats/``) against the CURRENT corpus size; pass ``max_df`` /
+    ``max_df_frac`` to override it.  An index built uncapped with no
+    override is a no-op.  After the re-prune, probes return exactly
+    what a fresh rebuild over the union corpus with the same policy
+    returns (pytest).
+
+    Filesystem contract: the postings rewrite swaps directories with
+    ``rmtree`` + ``rename`` (local/posix-rename, same as the other
+    optimize jobs); single-writer -- do not probe concurrently."""
+    import shutil
+
+    stats = spark.read.parquet(_sub(path, "stats")).head()
+    if max_df is None and max_df_frac is None:
+        max_df = None if stats["max_df"] is None else int(stats["max_df"])
+        max_df_frac = stats["max_df_frac"]
+    if max_df is None and max_df_frac is None:
+        return  # uncapped index: nothing to prune
+    cap = max(max_df or 0, math.ceil((max_df_frac or 0.0) * float(stats["n_docs"])))
+
+    postings = spark.read.parquet(_sub(path, "postings"))
+    drifted = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .where(F.col("df") > cap)
+        .localCheckpoint(eager=True)  # materialize before the rewrites below
+    )
+    if drifted.isEmpty():
+        return
+    merged_stop = (
+        spark.read.parquet(_sub(path, "stopterms"))
+        .unionByName(drifted)
+        .localCheckpoint(eager=True)  # reads stopterms/, which we overwrite next
+    )
+    pruned = postings.join(
+        F.broadcast(drifted.select("term")), "term", "left_anti"
+    ).repartitionByRange("term", "id").sortWithinPartitions("term", "id")
+    tmp = _sub(path, "postings__next")
+    pruned.write.mode("overwrite").parquet(tmp)
+    final = _sub(path, "postings")
+    shutil.rmtree(final)
+    os.rename(tmp, final)
+    merged_stop.write.mode("overwrite").parquet(_sub(path, "stopterms"))

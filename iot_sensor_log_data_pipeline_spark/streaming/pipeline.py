@@ -630,12 +630,15 @@ def optimize_history_store(spark, state_dir: str) -> None:
 
 def winnowing_match_stream(
     stream_docs: DataFrame,
-    corpus_fps: DataFrame,
+    corpus_fps: DataFrame | None = None,
     ts_col: str = "ts",
     id_col: str = "doc_id",
     text_col: str = "text",
     watermark: str = "10 minutes",
     max_fp_df: int | None = 50,
+    k: int = 4,
+    w: int = 4,
+    index_path: str | None = None,
 ) -> DataFrame:
     """In-flight LOCAL-overlap detection: each arriving document's
     winnowing fingerprints (``operators/dedup.py:
@@ -648,28 +651,51 @@ def winnowing_match_stream(
     template reuse and partial copies are flagged at ingest, span
     triage deferred to the batch verbatim machinery.
 
-    Scale shape: fingerprints are per-row (no stream-side state), the
-    probe is a stream-static equi-join on the fingerprint, hot
-    fingerprints are pruned from the INDEX side by ``max_fp_df``
-    (static agg, planned once), and the only streaming state is the
-    within-watermark pair dedup.  Emits (doc_id, ts, corpus_id) in
-    append mode.
-    """
-    from ..operators.dedup import winnowing_fp_array
+    Two static sides, pick one:
 
-    index = corpus_fps.select(F.col("doc_id").alias("corpus_id"), "fp")
-    if max_fp_df is not None:
-        rare = (
-            index.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") <= max_fp_df)
-            .select("fp")
+    - ``index_path``: a ``dedup.build_winnowing_index`` root.  The
+      PERSISTED postings are already stop-fp pruned and
+      range-partitioned at build time, and the stored (k, w) geometry
+      is used automatically -- so per micro-batch Spark re-reads a
+      pruned parquet table instead of re-executing a stop-fp
+      aggregation over the raw fingerprint DataFrame (foreachBatch
+      replans the static side every batch; a pre-pruned scan is the
+      production shape, like ``near_dup_match_stream``/
+      ``ann_match_stream``).
+    - ``corpus_fps`` (ad-hoc): a raw (doc_id, fp) DataFrame; hot
+      fingerprints are pruned here by ``max_fp_df``, and ``k``/``w``
+      must match whatever geometry produced it (defaults 4/4 -- the
+      probe side must reproduce the build geometry or matches are
+      meaningless).
+
+    Scale shape: fingerprints are per-row (no stream-side state), the
+    probe is a stream-static equi-join on the fingerprint, and the
+    only streaming state is the within-watermark pair dedup.  Emits
+    (doc_id, ts, corpus_id) in append mode.
+    """
+    from ..operators.dedup import load_winnowing_index, winnowing_fp_array
+
+    if (corpus_fps is None) == (index_path is None):
+        raise ValueError("pass exactly one of corpus_fps or index_path")
+    if index_path is not None:
+        postings, k, w = load_winnowing_index(
+            stream_docs.sparkSession, index_path
         )
-        index = index.join(rare, "fp")
+        index = postings.select(F.col("doc_id").alias("corpus_id"), "fp")
+    else:
+        index = corpus_fps.select(F.col("doc_id").alias("corpus_id"), "fp")
+        if max_fp_df is not None:
+            rare = (
+                index.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .where(F.col("__df") <= max_fp_df)
+                .select("fp")
+            )
+            index = index.join(rare, "fp")
     probes = stream_docs.select(
         F.col(id_col),
         F.col(ts_col),
-        F.explode(winnowing_fp_array(F.col(text_col))).alias("fp"),
+        F.explode(winnowing_fp_array(F.col(text_col), k, w)).alias("fp"),
     )
     return (
         probes.join(index, "fp")

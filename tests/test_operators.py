@@ -2073,6 +2073,184 @@ def test_text_index_incremental_append(spark, sf_dir, tmp_path):
     assert got == want == adhoc and len(got) > 0
 
 
+def test_optimize_text_index_reprunes_drifted_terms(spark, tmp_path):
+    """A term under the df cap at build time that drifts ABOVE it
+    across appends keeps serving postings until optimize_text_index
+    absorbs it into the stop-term table; after the re-prune, probes
+    are result-identical to a fresh rebuild over the union corpus
+    with the same (persisted) cap policy."""
+    from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
+
+    schema = "doc_id long, text string"
+    # 'common' appears in 3/6 build docs (df=3 <= cap=3); each append
+    # batch adds 3 more 'common' docs, drifting its df to 9 > 3.
+    build_docs = spark.createDataFrame(
+        [
+            (1, "common alpha beta"),
+            (2, "common gamma delta"),
+            (3, "common epsilon zeta"),
+            (4, "eta theta iota"),
+            (5, "kappa lam mu"),
+            (6, "nu xi omicron"),
+        ],
+        schema,
+    )
+    more = [
+        spark.createDataFrame(
+            [
+                (10 * b + 1, "common pi rho"),
+                (10 * b + 2, "common sigma tau"),
+                (10 * b + 3, "common upsilon phi"),
+            ],
+            schema,
+        )
+        for b in (1, 2)
+    ]
+    grown, fresh = str(tmp_path / "grown"), str(tmp_path / "fresh")
+    TI.build_text_index(build_docs, grown, max_df=3)
+    for batch in more:
+        TI.append_text_index(batch, grown)
+
+    terms = ("common", "alpha", "sigma")
+    # Pre-optimize: the drifted term still serves its build-time postings.
+    pre = TI.query_text_index(spark, grown, terms, k=20).collect()
+    assert any(r["doc_id"] in (1, 2, 3) for r in pre)
+
+    TI.optimize_text_index(spark, grown)
+
+    union_docs = build_docs.unionByName(more[0]).unionByName(more[1])
+    TI.build_text_index(union_docs, fresh, max_df=3)
+    got = [tuple(r) for r in TI.query_text_index(spark, grown, terms, k=20).collect()]
+    want = [tuple(r) for r in TI.query_text_index(spark, fresh, terms, k=20).collect()]
+    assert got == want and len(got) > 0
+    stopped = {
+        r["term"]
+        for r in spark.read.parquet(str(tmp_path / "grown" / "stopterms")).collect()
+    }
+    assert "common" in stopped
+    # No posting rows for stopped terms survive the rewrite.
+    n_left = (
+        spark.read.parquet(str(tmp_path / "grown" / "postings"))
+        .where(F.col("term") == "common")
+        .count()
+    )
+    assert n_left == 0
+    # Idempotent: a second optimize with nothing drifted is a no-op.
+    TI.optimize_text_index(spark, grown)
+    again = [tuple(r) for r in TI.query_text_index(spark, grown, terms, k=20).collect()]
+    assert again == got
+
+
+def test_optimize_ivf_index_rebalances_hot_cells(spark, tmp_path):
+    """A skewed append fattens one inverted list under the frozen
+    quantizer; optimize_ivf_index splits it to the cap (RP-tree
+    median cuts), re-derives mean centroids for the touched cells
+    only, and probe recall@10 does not regress."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as AI
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((4, 32)) * 6.0
+
+    def cluster_rows(c, n, base):
+        return [
+            (base + j, [float(x) for x in centers[c] + rng.standard_normal(32)])
+            for j in range(n)
+        ]
+
+    build_rows = sum((cluster_rows(c, 30, 1000 * c) for c in range(4)), [])
+    emb = spark.createDataFrame(build_rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf_opt")
+    AI.build_ivf_index(emb, path, n_cells=4, n_assign=1, dim=32)
+
+    # Skewed ingest: 170 more vectors, all in cluster 0's cell.
+    hot = spark.createDataFrame(
+        cluster_rows(0, 170, 5000), "vec_id long, embedding array<float>"
+    )
+    AI.append_ivf_index(hot, path)
+    sizes = {
+        int(r["cell"]): r["n"]
+        for r in spark.read.parquet(path + "/entries")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert max(sizes.values()) > 80  # the hot cell really is fat
+
+    all_rows = build_rows + cluster_rows(0, 170, 5000)
+    ids = np.array([i for i, _ in all_rows])
+    mat = np.array([v for _, v in all_rows])
+    queries = spark.createDataFrame(
+        [all_rows[i] for i in range(0, len(all_rows), 17)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def recall_at_10():
+        got = {}
+        for r in AI.query_ivf_index(spark, path, queries, k=10, n_probe=2).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        total, hit = 0, 0
+        for qid, nbrs in got.items():
+            qv = mat[ids == qid][0]
+            sims = (mat @ qv) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+            order = ids[np.argsort(-sims)]
+            truth = {int(x) for x in order[order != qid][:10]}
+            hit += len(nbrs & truth)
+            total += 10
+        return hit / total
+
+    before = recall_at_10()
+    AI.optimize_ivf_index(spark, path, cell_cap=80)
+    sizes_after = [
+        r["n"]
+        for r in spark.read.parquet(path + "/entries")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert max(sizes_after) <= 80, sizes_after
+    after = recall_at_10()
+    assert after >= before - 0.05, (before, after)
+    # Re-running with nothing oversized is a no-op.
+    AI.optimize_ivf_index(spark, path, cell_cap=80)
+    assert after == recall_at_10()
+
+
+def test_graph_index_config_round_trips_build_geometry(spark, tmp_path):
+    """Non-default build geometry (bands, rows_per_band, seed_cap,
+    build_k) is persisted in the index config and survives an append
+    (append's intra-batch NN-descent reads it back rather than using
+    module defaults)."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import graph_ann as GA
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(64)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "g_cfg")
+    GA.build_graph_index(
+        emb.where(F.col("vec_id") < 30),
+        path,
+        k=4,
+        bands=8,
+        rows_per_band=3,
+        seed_cap=5,
+        build_k=9,
+    )
+    cfg = spark.read.parquet(path + "/config").collect()[0]
+    assert (cfg["bands"], cfg["rows_per_band"], cfg["seed_cap"], cfg["build_k"]) == (
+        8, 3, 5, 9,
+    )
+    GA.append_graph_index(emb.where(F.col("vec_id") >= 30), path)
+    GA.optimize_graph_index(spark, path)  # build_k now defaults from config
+    hits = GA.query_graph_index(spark, path, emb.limit(3), k=4)
+    assert hits.count() > 0
+
+
 def test_graph_index_incremental_append(spark, tmp_path):
     """Append new vectors to a persisted k-NN graph: a planted
     near-duplicate of an appended point is found by a later probe,

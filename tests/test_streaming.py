@@ -863,6 +863,63 @@ def test_winnowing_match_stream_flags_local_overlap(spark, tmp_path):
     assert got == {(1, 100)}
 
 
+def test_winnowing_match_stream_probes_persisted_index(spark, tmp_path):
+    """The streaming winnowing gate over a PERSISTED index: the
+    build-time (k, w) geometry -- here a non-default k=3, w=3 -- is
+    loaded from the index config and applied to the probe side, and
+    the pre-pruned postings replace the per-batch stop-fp aggregation
+    of the ad-hoc path."""
+    from datetime import datetime
+
+    from iot_sensor_log_data_pipeline_spark.operators import dedup as DD
+
+    run = "alpha beta gamma delta epsilon"  # 5 tokens = w+k-1 at k=w=3
+    corpus = spark.createDataFrame(
+        [
+            (100, "intro words here " + run + " closing words follow now"),
+            (101, "totally separate corpus document about other things entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "win_idx")
+    DD.build_winnowing_index(corpus, idx, k=3, w=3)
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0, 0), "prefix " + run + " suffix tokens here"),
+        (2, datetime(2024, 1, 1, 10, 0, 5), "nothing in common with anything indexed at all"),
+    ]
+    src = str(tmp_path / "win_idx_src")
+    spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, text string"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).parquet(src)
+
+    q = (
+        P.winnowing_match_stream(stream, index_path=idx)
+        .writeStream.format("memory")
+        .queryName("win_idx_stream")
+        .option("checkpointLocation", str(tmp_path / "win_idx_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["doc_id"], r["corpus_id"])
+            for r in spark.table("win_idx_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {(1, 100)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        P.winnowing_match_stream(stream)
+
+
 def test_history_dedup_sink_rejects_cross_batch_duplicates(spark, tmp_path):
     """History-complete dedup: a duplicate arriving in a LATER
     micro-batch (beyond any watermark horizon) is still rejected;

@@ -190,6 +190,60 @@ def contaminated_docs(
     )
 
 
+def contamination_scores(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    threshold: float = 0.05,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document benchmark-overlap SCORE -- the graded companion of
+    ``contaminated_docs`` (which reports only the docs with any hit):
+    every corpus doc gets the fraction of its distinct word n-grams
+    that appear anywhere in the benchmark, plus a boolean at
+    ``threshold`` -- the triage view a curation run needs to decide
+    between dropping a doc and excising a span (a 2% overlap is a
+    quoted sentence; an 80% overlap is the eval set).
+
+    Plan: one shingle explode on the corpus side (the per-doc distinct
+    total is computed IN the row before the explode -- no second
+    pass), broadcast benchmark shingle set, equi-join + per-doc count,
+    then a LEFT join back onto the corpus ids so zero-overlap docs
+    score 0.0 rather than vanishing.
+    """
+    corp = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(word_shingles(F.col(text_col), n)).alias("n_shingles"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    bench = benchmark.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    ).distinct()
+    matched = (
+        corp.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    )
+    totals = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(word_shingles(F.col(text_col), n)).alias("n_shingles"),
+    )
+    scored = totals.join(matched, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+    )
+    frac = F.col("n_matched") / F.greatest(F.col("n_shingles"), F.lit(1))
+    return scored.select(
+        "doc_id",
+        "n_shingles",
+        "n_matched",
+        F.round(frac, 6).alias("overlap_frac"),
+        (frac > threshold).alias("contaminated"),
+    )
+
+
 def mixture_weights(
     docs: DataFrame,
     group_col: str = "source",

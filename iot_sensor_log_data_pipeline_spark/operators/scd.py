@@ -29,6 +29,55 @@ def merge_upsert(current: DataFrame, updates: DataFrame, keys: list[str]) -> Dat
     return untouched.unionByName(updates)
 
 
+def snapshot_diff(
+    before: DataFrame,
+    after: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot diff: classify every key across two table versions as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged``, with the
+    number of differing compare columns -- the audit view behind CDC
+    reconciliation and table-format time travel (DIFF of two commits),
+    here as one FULL OUTER equi-join on the key with null-safe
+    per-column comparison (so NULL -> value counts as a change, not a
+    three-valued-logic escape).
+
+    Scale shape: both sides shuffle once on the key (sort-merge at
+    corpus scale, broadcast when one snapshot is a small delta); the
+    per-column comparisons are codegen'd expressions, no UDFs.
+    Returns ``keys + change_type + n_changed_cols``.
+    """
+    b = before.select(
+        *keys, *[F.col(c).alias(f"__b_{c}") for c in compare_cols]
+    ).withColumn("__in_b", F.lit(1))
+    a = after.select(
+        *keys, *[F.col(c).alias(f"__a_{c}") for c in compare_cols]
+    ).withColumn("__in_a", F.lit(1))
+    j = b.join(a, on=keys, how="full_outer")
+    n_changed = F.lit(0)
+    for c in compare_cols:
+        n_changed = n_changed + F.when(
+            ~F.col(f"__b_{c}").eqNullSafe(F.col(f"__a_{c}")), 1
+        ).otherwise(0)
+    change_type = (
+        F.when(F.col("__in_b").isNull(), F.lit("added"))
+        .when(F.col("__in_a").isNull(), F.lit("removed"))
+        .when(n_changed > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *keys,
+        change_type.alias("change_type"),
+        F.when(
+            F.col("__in_b").isNotNull() & F.col("__in_a").isNotNull(), n_changed
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_changed_cols"),
+    )
+
+
 def scd2_apply(
     dim: DataFrame,
     changes: DataFrame,

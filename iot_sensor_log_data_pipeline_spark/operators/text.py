@@ -98,6 +98,58 @@ def mean_token_length(text: Column | str) -> Column:
     return total / F.greatest(F.size(toks), F.lit(1))
 
 
+#: Gopher-rule thresholds (Rae et al. 2021, "Scaling Language Models:
+#: Methods, Analysis & Insights from Training Gopher", §A1.1 quality
+#: filtering), with the token-count floor and stopword floor scaled to
+#: this synthetic corpus's range (docs are 10-99 tokens; the paper's
+#: 50-token floor over web pages would reject half the corpus for
+#: length alone and hide the other rules' behavior).  The line-shape
+#: rules (bullet-start / ellipsis-end fractions) are omitted: corpus
+#: documents are single-line synthetic prose with no newlines.
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 10_000
+GOPHER_MIN_MEAN_TOK_LEN = 3.0
+GOPHER_MAX_MEAN_TOK_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_TOKEN_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def alpha_token_frac(text: Column | str) -> Column:
+    """Fraction of tokens containing at least one ASCII letter (the
+    Gopher '80% of words contain an alphabetic character' rule)."""
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def stopword_hits(text: Column | str) -> Column:
+    """Total (non-distinct) stopword occurrences -- Gopher requires at
+    least 2 of its stop list to appear; machine-generated keyword soup
+    rarely does."""
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*STOPWORDS))).cast("long")
+
+
+def gopher_keep(text: Column | str) -> Column:
+    """The conjunction of the Gopher quality rules above: token-count
+    window, mean-token-length window, symbol-ratio cap, alphabetic-
+    token floor, stopword floor.  Pure column expressions -- the
+    classic LLM-corpus gate runs entirely in whole-stage codegen."""
+    from .curation import symbol_ratio
+
+    n = token_count(text)
+    mtl = mean_token_length(text)
+    return (
+        (n >= GOPHER_MIN_TOKENS)
+        & (n <= GOPHER_MAX_TOKENS)
+        & (mtl >= GOPHER_MIN_MEAN_TOK_LEN)
+        & (mtl <= GOPHER_MAX_MEAN_TOK_LEN)
+        & (symbol_ratio(text) <= GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_token_frac(text) >= GOPHER_MIN_ALPHA_TOKEN_FRAC)
+        & (stopword_hits(text) >= GOPHER_MIN_STOPWORD_HITS)
+    )
+
+
 def quality_score(text: Column | str) -> Column:
     """Deterministic [0,1] quality heuristic: rewards alphabetic
     content, plausible token length (2..12 chars), and some lexical

@@ -688,3 +688,274 @@ def basket_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
+
+
+#: Truncated-EWMA lag weights: alpha * (1 - alpha)^j for lags j = 0..9.
+#: The closed-form infinite EWMA needs (1-a)^(-i) factors that overflow
+#: at series length ~10^4, so production TSDBs (and this engine) window
+#: it: with alpha = 0.3 the lag-10 tail carries (1-a)^10 < 3% of the
+#: mass.  The literals are interpolated into BOTH the Spark plan and
+#: the oracle SQL from this one list, folded in the same lag order, so
+#: the doubles agree bit-for-bit before the shared rounding.
+_EWMA_ALPHA = 0.3
+_EWMA_WEIGHTS = tuple(_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j for j in range(10))
+
+_EWMA_NUM_SQL = " + ".join(
+    f"coalesce(lag(value, {j}) OVER w, 0.0) * {w!r}"
+    for j, w in enumerate(_EWMA_WEIGHTS)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"(CASE WHEN lag(value, {j}) OVER w IS NOT NULL THEN {w!r} ELSE 0.0 END)"
+    for j, w in enumerate(_EWMA_WEIGHTS)
+)
+
+
+@register(
+    "timeseries_ewma_smooth",
+    oracle=f"""
+    SELECT event_type, event_id, value,
+           round(({_EWMA_NUM_SQL}) / ({_EWMA_DEN_SQL}), 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ORDER BY event_type, event_id
+    """,
+    tags=("reference", "timeseries", "window"),
+)
+def timeseries_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per series -- the
+    smoothing pass behind every sensor dashboard trend line (the
+    reference's Kibana charts plot raw hourly means).  Expressed as a
+    10-lag weighted sum over an ordered window: pure JVM window
+    expressions, one shuffle on the series key, weights renormalized
+    over the lags that exist so the series head is unbiased."""
+    from pyspark.sql.window import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j, wt in enumerate(_EWMA_WEIGHTS):
+        lagged = F.lag("value", j).over(w)
+        num = num + F.coalesce(lagged, F.lit(0.0)) * F.lit(wt)
+        den = den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return events.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.round(num / den, 6).alias("ewma"),
+    ).orderBy("event_type", "event_id")
+
+
+@register(
+    "timeseries_time_weighted_avg",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             CAST(floor(epoch(lead(ts) OVER (PARTITION BY event_type
+                                             ORDER BY ts, event_id))) AS BIGINT)
+               AS next_s
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, bucket_s, value,
+             least(coalesce(next_s, bucket_s + 3600), bucket_s + 3600) - ts_s
+               AS dt
+      FROM s
+    )
+    SELECT event_type,
+           strftime(make_timestamp(bucket_s * 1000000), '%Y-%m-%d %H:%M') AS bucket,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2)) * dt) AS DOUBLE)
+                 / sum(dt), 6) AS twa
+    FROM d
+    GROUP BY event_type, bucket_s
+    HAVING sum(dt) > 0
+    ORDER BY event_type, bucket_s
+    """,
+    tags=("reference", "timeseries", "window"),
+)
+def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted hourly average per series (the TSDB
+    ``time_weight`` aggregate): each reading holds (LOCF) until the
+    next same-series reading or the end of its hour bucket, so
+    irregular sampling does not bias the hourly mean toward bursts --
+    the statistic the reference's count-weighted Kibana averages get
+    wrong whenever devices report at different rates.  One lead()
+    window plus one hash agg; the value*seconds numerator accumulates
+    in exact decimal (``plans/_numeric`` discipline) so both engines
+    agree bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = events.select(
+        "event_type",
+        "value",
+        F.date_trunc("hour", F.col("ts")).cast("long").alias("bucket_s"),
+        F.col("ts").cast("long").alias("ts_s"),
+        F.lead("ts").over(w).cast("long").alias("next_s"),
+    )
+    d = s.select(
+        "event_type",
+        "bucket_s",
+        "value",
+        (
+            F.least(
+                F.coalesce(F.col("next_s"), F.col("bucket_s") + 3600),
+                F.col("bucket_s") + 3600,
+            )
+            - F.col("ts_s")
+        ).alias("dt"),
+    )
+    return (
+        d.groupBy("event_type", "bucket_s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)") * F.col("dt"))
+                .cast("double")
+                / F.sum("dt"),
+                6,
+            ).alias("twa"),
+            F.sum("dt").alias("__sum_dt"),
+        )
+        .where(F.col("__sum_dt") > 0)
+        .select(
+            "event_type",
+            F.date_format(F.timestamp_seconds("bucket_s"), "yyyy-MM-dd HH:mm").alias(
+                "bucket"
+            ),
+            "n",
+            "twa",
+            "bucket_s",
+        )
+        .orderBy("event_type", "bucket_s")
+        .drop("bucket_s")
+    )
+
+
+@register(
+    "anomaly_robust_zscore",
+    oracle="""
+    WITH m1 AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    m2 AS (
+      SELECT e.event_type, min(m1.med) AS med,
+             quantile_cont(abs(e.value - m1.med), 0.5) AS mad
+      FROM events e JOIN m1 USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT event_type, event_id, value,
+           round(0.6745 * (value - med) / mad, 4) AS robust_z
+    FROM events JOIN m2 USING (event_type)
+    WHERE mad > 0
+    ORDER BY abs(0.6745 * (value - med) / mad) DESC, event_id
+    LIMIT 100
+    """,
+    tags=("reference", "timeseries", "anomaly"),
+)
+def anomaly_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier scoring (0.6745 * (x - median) / MAD -- the
+    robust z-score): unlike ``anomaly_rolling_zscore``'s mean/std, a
+    burst of outliers cannot inflate the scale estimate and mask
+    itself (50% breakdown point vs 0).  Two exact-percentile hash aggs
+    over the 5-series key plus two 5-row broadcast joins -- the
+    per-series statistics are sketch-sized at any corpus scale; ranked
+    on the unrounded score, event-id tiebreak, top 100."""
+    events = load(spark, sf_dir, "events")
+    m1 = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    m2 = (
+        events.join(F.broadcast(m1), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med"),
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            ),
+        )
+    )
+    z = 0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        events.join(F.broadcast(m2), "event_type")
+        .where(F.col("mad") > 0)
+        .select("event_type", "event_id", "value", z.alias("__z"))
+        .orderBy(F.abs(F.col("__z")).desc(), "event_id")
+        .limit(100)
+        .select("event_type", "event_id", "value", F.round("__z", 4).alias("robust_z"))
+    )
+
+
+@register(
+    "copurchase_triangles",
+    oracle="""
+    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM po a JOIN po b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    tri AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM e e1
+      JOIN e e2 ON e1.pb = e2.pa
+      JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    parts AS (
+      SELECT a AS part FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT part AS l_partkey, count(*) AS n_triangles
+    FROM parts
+    GROUP BY part
+    ORDER BY n_triangles DESC, part
+    LIMIT 100
+    """,
+    tags=("reference", "graph"),
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph (parts bought
+    together in >= 2 orders are edges; a triangle is a stable product
+    trio) -- the classic distributed-graph aggregate, expressed as the
+    oriented-edge two-join chain: every edge is stored only as
+    (low id -> high id), so each triangle is enumerated exactly once
+    and the join fan-out is bounded by the support-2 edge list, never
+    the raw basket pairs.  At 100 TB the support threshold is the
+    degree bound: frequent-pair pruning (>= 2 co-orders) runs first as
+    a hash agg, and the two equi-joins shuffle only the surviving
+    edges on their endpoint keys."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 2)
+        .select("pa", "pb")
+    )
+    e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = e.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    e3 = e.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    parts = (
+        tri.select(F.col("a").alias("part"))
+        .unionAll(tri.select(F.col("b").alias("part")))
+        .unionAll(tri.select(F.col("c").alias("part")))
+    )
+    return (
+        parts.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "part")
+        .limit(100)
+        .select(F.col("part").alias("l_partkey"), "n_triangles")
+    )

@@ -206,33 +206,32 @@ def contamination_scores(
     between dropping a doc and excising a span (a 2% overlap is a
     quoted sentence; an 80% overlap is the eval set).
 
-    Plan: one shingle explode on the corpus side (the per-doc distinct
-    total is computed IN the row before the explode -- no second
-    pass), broadcast benchmark shingle set, equi-join + per-doc count,
-    then a LEFT join back onto the corpus ids so zero-overlap docs
-    score 0.0 rather than vanishing.
+    Plan: ONE shingle pass over the corpus (the per-doc distinct total
+    is computed in the row, then carried through an ``explode_outer``
+    so shingle-less docs survive), broadcast benchmark shingle set as
+    a LEFT join (zero-overlap docs keep their rows, the hit marker is
+    null), one per-doc hash agg.  No join-back and no second shingling
+    pass -- the corpus text is read exactly once.
     """
     corp = corpus.select(
         F.col(id_col).alias("doc_id"),
-        F.size(word_shingles(F.col(text_col), n)).alias("n_shingles"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        F.size(word_shingles(F.col(text_col), n)).cast("long").alias("n_shingles"),
+        F.explode_outer(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
-    bench = benchmark.select(
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-    ).distinct()
-    matched = (
-        corp.join(F.broadcast(bench), "shingle")
+    bench = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    scored = (
+        corp.join(F.broadcast(bench), "shingle", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
-    )
-    totals = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(word_shingles(F.col(text_col), n)).alias("n_shingles"),
-    )
-    scored = totals.join(matched, "doc_id", "left").select(
-        "doc_id",
-        "n_shingles",
-        F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_matched"),
+        )
     )
     frac = F.col("n_matched") / F.greatest(F.col("n_shingles"), F.lit(1))
     return scored.select(

@@ -52,108 +52,88 @@ _QUERY_MODULES = (
 #: ``queries()`` per round, so this tuple -- not module import order --
 #: decides which queries get an external green row this round.  Names
 #: listed here are emitted first, in this order; every other query
-#: follows in registration order.  Round-6 priority (the rotation the
-#: round-5 notes scheduled): (a) queries NEW this round (the DSIR
-#: resampling composition, CCNet quality buckets, n-gram novelty,
-#: temperature mixture, NB quality classifier, JL random projection +
-#: RP-ANN, token-budget sample, curation funnel, SQ8 report,
-#: embedding drift, winnowing fingerprints, length buckets,
-#: recursive CTE), (b)
-#: re-entries for
-#: every round-6-edited
-#: code path (verbatim dedup: operator hoist + corpus-relative oracle
-#: caps; semantic dedup: quantizer cap in semdedup.py; DSIR oracle
-#: CTE refactor in curation_queries.py; persisted-index roots:
-#: scratch_dir atexit cleanup in io_utils.py), (c) the 20 round-2 rows
-#: that did not fit round 5's window -- the stalest external evidence
-#: in the repo, four rounds old, (d) 7 of the round-3 battery
-#: (window functions, subqueries, scalar-function batteries); the
-#: round-3 remainder (10 function batteries, subquery_correlated_q17,
-#: subquery_exists_bigorder, subquery_scalar_avg,
-#: UDF surface, scans,
-#: SCD2/CDC, TPC-H q8/q13/q21/q22, downsamplers) leads the round-7
-#: plan below.  By-design
-#: rows-only queries (``agg_approx_sketches``, ``similarity_ivf_ann``,
-#: ``similarity_graph_ann``) stay out of the window: their machinery
-#: is covered by oracle twins and bounds/recall pytests, so a driver
-#: `no_oracle` row adds no information.  Unknown names fail loudly in
-#: tests (``tests/test_catalog_oracle.py``).
+#: follows in registration order.  Round-8 priority: (a) the 8
+#: oracle-backed queries that have NEVER appeared in any external
+#: CORRECTNESS window (4 landed after the round-6 window filled, 4 are
+#: new in round 7), (b) the 3 queries new in round 8 (Gopher quality
+#: gate, benchmark contamination scores, CDC snapshot diff), (c)
+#: re-entries for the five shingle-family queries whose input path
+#: changed this round (the ``parallelize_small`` wrap at the catalog
+#: call sites), (d) the 34 rows whose most recent external check is
+#: round 3 -- the stalest evidence in the repo.  8+3+5+34 = 50, one
+#: full window.  By-design rows-only queries (``agg_approx_sketches``,
+#: ``similarity_ivf_ann``, ``similarity_graph_ann``) stay out of the
+#: window: their machinery is covered by oracle twins and bounds /
+#: recall pytests, so a driver `no_oracle` row adds no information.
+#: Unknown names fail loudly in tests (``tests/test_catalog_oracle.py``),
+#: and ``tests/test_catalog_oracle.py::test_verify_window_covers_unverified``
+#: fails if any oracle-backed query without an external row is not in
+#: the first 50 of this tuple -- the guard that keeps this rotation
+#: from silently slipping a round.
 _VERIFY_PRIORITY: tuple[str, ...] = (
-    # (a) new in round 6
-    "corpus_dsir_resample",
-    "text_ccnet_quality_buckets",
-    "text_ngram_novelty",
-    "corpus_mixture_temperature",
-    "text_nb_quality_scores",
-    "similarity_random_projection",
-    "similarity_rp_ann",
-    "corpus_token_budget_sample",
-    "corpus_curation_funnel",
-    "similarity_sq8_report",
-    "profile_embedding_drift",
-    "dedup_winnowing_pairs",
-    "corpus_length_buckets",
-    "recursive_order_chain",
-    # (b) re-entry: round-6 edited code paths
-    "dedup_verbatim_runs",
-    "dedup_verbatim_clean",
-    "dedup_semantic_pairs",
-    "dedup_semantic_survivors",
-    "dedup_semantic_text_survivors",
-    "corpus_dsir_weights",
-    "similarity_persisted_lsh_ann",
-    "similarity_persisted_ivf_ann",
-    "text_bm25_persisted_index",
-    # (c) round-2 battery refresh (stalest external rows, 20 of 20)
-    "funnel_conversion",
-    "cohort_weekly_retention",
-    "gapfill_10min_interpolated",
-    "anomaly_rolling_zscore",
-    "corpus_train_val_split",
-    "corpus_curation_pipeline",
-    "corpus_decontamination",
-    "corpus_stratified_sample",
-    "corpus_pack_sequences",
-    "corpus_source_cap",
-    "text_repetition_filters",
-    "multimodal_meta",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "scan_csv_roundtrip",
-    "scan_json_roundtrip",
-    "sensor_hourly_golden",
-    "sensor_wire_roundtrip",
-    "compaction_roundtrip",
-    "maintenance_compaction_roundtrip",
-    # (d) round-3 battery, part 1 of 2: windows + subqueries + scalar
-    # function batteries (7 rows; remainder rolls to round 7)
-    "window_rank_functions",
-    "window_lag_lead",
-    "window_moving_avg",
-    "window_cumulative",
-    "window_first_last",
-    "window_range_trailing_hour",
-    "window_top_orders_per_customer",
+    # (a) never externally verified (local-gate green only until now)
+    "multimodal_byte_entropy",
+    "events_rolling_actives",
+    "events_last_touch_attribution",
+    "customer_rfm_segments",
+    "timeseries_ewma_smooth",
+    "timeseries_time_weighted_avg",
+    "anomaly_robust_zscore",
+    "copurchase_triangles",
+    # (b) new in round 8
+    "text_gopher_quality_gate",
+    "corpus_contamination_scores",
+    "cdc_snapshot_diff",
+    # (c) re-entry: shingle-input parallelism wrap (round-8 edit)
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_survivor_selection",
+    "corpus_leakage_safe_split",
+    # (d) round-3 battery refresh (all 33 rows whose last external
+    # check is round 3, plus 1 round-4 row to fill the window)
+    "string_functions",
+    "string_functions_extended",
+    "date_functions",
+    "math_functions",
+    "array_functions",
+    "map_functions",
+    "json_functions",
+    "variant_functions",
+    "conditional_functions",
+    "hash_functions",
+    "null_semantics",
+    "subquery_scalar_avg",
+    "subquery_exists_bigorder",
+    "subquery_correlated_q17",
+    "udf_pandas_scalar_bucket",
+    "udf_grouped_map_zscore",
+    "udf_grouped_agg_weighted",
+    "udtf_tokenize_lateral",
+    "cdc_merge_upsert",
+    "scd2_customer_history",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
+    "q22_dormant_accounts",
+    "profile_events_table",
+    "incremental_rollup_merge",
+    "hourly_avg_value",
+    "downsample_ohlc_10min",
+    "downsample_lttb_value",
+    "multimodal_byte_histogram",
+    "scan_orc_roundtrip",
+    "scan_xml_roundtrip",
+    "corpus_weighted_sample",
+    "agg_histogram_quantiles",
 )
 
-#: Round-7 rotation plan: (a) FIRST the four round-6 queries that
-#: landed after this window filled and so carry local-oracle evidence
-#: only (multimodal_byte_entropy, events_rolling_actives,
-#: events_last_touch_attribution, customer_rfm_segments), then
-#: anything new in round 7; (b) re-entries
-#: for round-7-edited modules; (c) the round-3 remainder
-#: (string_functions, string_functions_extended, date_functions,
-#: math_functions,
-#: array_functions, map_functions,
-#: json_functions, variant_functions, conditional_functions,
-#: null_semantics,
-#: hash_functions, udf_pandas_scalar_bucket, udf_grouped_agg_weighted,
-#: udf_grouped_map_zscore, udtf_tokenize_lateral, scan_orc/xml
-#: roundtrips, scd2_customer_history, cdc_merge_upsert,
-#: incremental_rollup_merge, profile_events_table, hourly_avg_value,
-#: downsample_ohlc_10min, downsample_lttb_value, q8/q13/q21/q22,
-#: multimodal_byte_histogram, corpus_weighted_sample); (d) then start
-#: the round-4 battery (dedup/text/similarity/sketch families).
+#: Round-9 rotation plan: (a) anything new in round 9 plus re-entries
+#: for round-9-edited modules; (b) the round-4 battery -- after this
+#: window lands it is the stalest external evidence left (42 rows:
+#: dedup/text/similarity/sketch families, scan_merge_schema,
+#: scd2_point_in_time_join, profile_psi_drift, quality_* checks) --
+#: as many as fit the 50-slot window after (a).
 
 
 @dataclass(frozen=True)

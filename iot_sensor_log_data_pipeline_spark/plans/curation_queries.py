@@ -203,6 +203,51 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_contamination_scores",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS l FROM documents),
+    sets AS (SELECT doc_id, source, {_SHINGLE8} AS sh FROM toks),
+    corp AS (
+      SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles, sh
+      FROM sets WHERE source <> 'src0'
+    ),
+    bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM sets WHERE source = 'src0'),
+    matched AS (
+      SELECT c.doc_id, count(*) AS n_matched
+      FROM (SELECT doc_id, unnest(sh) AS shingle FROM corp) c
+      JOIN bench b ON c.shingle = b.shingle
+      GROUP BY c.doc_id
+    )
+    SELECT c.doc_id,
+           c.n_shingles,
+           CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+           round(coalesce(m.n_matched, 0) / greatest(c.n_shingles, 1), 6)
+             AS overlap_frac,
+           (coalesce(m.n_matched, 0) / greatest(c.n_shingles, 1)) > 0.05
+             AS contaminated
+    FROM corp c LEFT JOIN matched m ON c.doc_id = m.doc_id
+    ORDER BY c.doc_id
+    """,
+    tags=("curation", "north-star", "decontamination"),
+)
+def corpus_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED benchmark-overlap triage
+    (``operators/curation.py:contamination_scores``): every training
+    doc (source != src0) scores the fraction of its distinct word
+    8-grams that appear anywhere in the held-out slice (source = src0)
+    plus a contaminated flag at 5% -- the view that separates a quoted
+    sentence from an embedded eval set.  One shingle pass over the
+    corpus (total carried through explode_outer), broadcast benchmark
+    set, LEFT join so zero-overlap docs score 0.0."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    corpus = docs.where(F.col("source") != "src0")
+    benchmark = docs.where(F.col("source") == "src0")
+    return CU.contamination_scores(corpus, benchmark, n=8, threshold=0.05).orderBy(
+        "doc_id"
+    )
+
+
+@register(
     "corpus_stratified_sample",
     oracle=f"""
     SELECT doc_id, source, CAST(rk AS BIGINT) AS sample_rank

@@ -101,7 +101,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs: shared-shingle candidates with
     corpus-relative stop-shingle capping (candidate generation only);
     exact Jaccard >= 0.6 recounted over unpruned shingle sets."""
-    docs = load(spark, sf_dir, "documents")
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
     pairs = DD.ngram_jaccard_pairs(docs, threshold=0.6)
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -171,7 +171,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join candidates, exact-Jaccard >= 0.7 verification.  The
     oracle replays every stage (salted-md5 minhash, band re-hash,
     candidate join, verification) in DuckDB."""
-    docs = load(spark, sf_dir, "documents")
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
     pairs = DD.minhash_lsh_pairs(docs, threshold=0.7)
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -251,7 +251,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     match pairs into dedup groups with a canonical survivor (min doc
     id = cluster id).  Oracle computes the same components with a
     recursive transitive-closure CTE."""
-    docs = load(spark, sf_dir, "documents")
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
     pairs = DD.ngram_jaccard_pairs(docs, threshold=0.4)
     comp = DD.connected_components(pairs)
     return (
@@ -457,7 +457,7 @@ def dedup_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-cluster shuffle."""
     from pyspark.sql.window import Window
 
-    docs = load(spark, sf_dir, "documents")
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
     pairs = DD.ngram_jaccard_pairs(docs, threshold=0.4)
     comp = DD.connected_components(pairs)
     ranked = comp.join(docs.select("doc_id", "n_chars"), comp.node == F.col("doc_id")).select(
@@ -976,7 +976,7 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-bucket split."""
     from ..operators import curation as CU
 
-    docs = load(spark, sf_dir, "documents")
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
     pairs = DD.ngram_jaccard_pairs(docs, threshold=0.4)
     return CU.leakage_safe_split(docs, pairs).orderBy("doc_id")
 

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io_utils import load
-from ..operators.scd import merge_upsert, scd2_apply
+from ..operators.scd import merge_upsert, scd2_apply, snapshot_diff
 from .catalog import register
 
 
@@ -47,6 +47,86 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders
+    ),
+    a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'R' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % 17 <> 0
+      UNION ALL
+      SELECT -o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                WHEN a.o_orderkey IS NULL THEN 'removed'
+                WHEN CAST(b.o_orderstatus IS DISTINCT FROM a.o_orderstatus AS INT)
+                   + CAST(b.o_totalprice IS DISTINCT FROM a.o_totalprice AS INT)
+                   + CAST(b.o_orderpriority IS DISTINCT FROM a.o_orderpriority AS INT)
+                   > 0 THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           CAST(CASE WHEN b.o_orderkey IS NULL OR a.o_orderkey IS NULL THEN 0
+                ELSE CAST(b.o_orderstatus IS DISTINCT FROM a.o_orderstatus AS INT)
+                   + CAST(b.o_totalprice IS DISTINCT FROM a.o_totalprice AS INT)
+                   + CAST(b.o_orderpriority IS DISTINCT FROM a.o_orderpriority AS INT)
+                END AS BIGINT) AS n_changed_cols
+    FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey
+    ORDER BY o_orderkey
+    """,
+    tags=("lifecycle", "cdc", "diff"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (``operators/scd.py:snapshot_diff``):
+    classify every order key across two synthetic table versions --
+    every 17th key dropped (removed), every 5th restatused + repriced
+    (changed), every 7th priority NULLed (changed via the null-safe
+    compare, the three-valued-logic trap the operator exists to
+    avoid), every 13th re-keyed negative (added).  One full-outer
+    equi-join on the key; per-column compares are codegen'd
+    expressions.  The oracle replays the same mutation and IS DISTINCT
+    FROM classification."""
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    before = load(spark, sf_dir, "orders").select(*cols)
+    k = F.col("o_orderkey")
+    changed = k % 5 == 0
+    after = before.where(k % 17 != 0).select(
+        "o_orderkey",
+        F.when(changed, F.lit("R")).otherwise(F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.when(changed, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(k % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    ).unionByName(
+        before.where(k % 13 == 0).select(
+            (-k).alias("o_orderkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+        )
+    )
+    diff = snapshot_diff(
+        before,
+        after,
+        keys=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+    return diff.orderBy("o_orderkey")
 
 
 @register(

@@ -840,3 +840,54 @@ def text_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model, stats = TX.nb_quality_model(train)
     return TX.nb_quality_scores(docs, model, stats).orderBy("doc_id")
+
+
+_SYMBOLS = "length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) / length(text)"
+_ALPHA_TOK_FRAC = (
+    f"len(list_filter({_TOKS}, t -> regexp_matches(t, '[a-z]')))"
+    f" / greatest({_NTOK}, 1)"
+)
+_STOP_HITS = f"len(list_filter({_TOKS}, t -> list_contains({_STOPS}, t)))"
+
+
+@register(
+    "text_gopher_quality_gate",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_NTOK} AS BIGINT) AS n_tokens,
+           round({_MEANLEN}, 6) AS mean_token_len,
+           round({_SYMBOLS}, 6) AS symbol_ratio,
+           round({_ALPHA_TOK_FRAC}, 6) AS alpha_token_frac,
+           CAST({_STOP_HITS} AS BIGINT) AS stopword_hits,
+           ({_NTOK} >= 20 AND {_NTOK} <= 10000
+            AND {_MEANLEN} >= 3.0 AND {_MEANLEN} <= 10.0
+            AND {_SYMBOLS} <= 0.1
+            AND {_ALPHA_TOK_FRAC} >= 0.8
+            AND {_STOP_HITS} >= 2) AS keep
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "north-star", "curation", "quality"),
+)
+def text_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality gate (Rae et al. 2021 §A1.1;
+    ``operators/text.py:gopher_keep`` with corpus-scaled thresholds):
+    token-count window, mean-token-length window, symbol-ratio cap,
+    alphabetic-token floor, stopword floor -- the classic LLM-corpus
+    heuristic filter as pure column expressions (whole-stage codegen,
+    no UDFs, no shuffle beyond the output sort).  The oracle replays
+    every rule from the same operand trees so the keep boolean is
+    bit-identical."""
+    from ..operators.curation import symbol_ratio
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        F.round(TX.mean_token_length(t), 6).alias("mean_token_len"),
+        F.round(symbol_ratio(t), 6).alias("symbol_ratio"),
+        F.round(TX.alpha_token_frac(t), 6).alias("alpha_token_frac"),
+        TX.stopword_hits(t).alias("stopword_hits"),
+        TX.gopher_keep(t).alias("keep"),
+    ).orderBy("doc_id")

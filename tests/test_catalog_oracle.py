@@ -55,3 +55,32 @@ def test_priority_window_order():
     names = list(catalog.all_entries())
     priority = [n for n in catalog.verify_priority()]
     assert names[: len(priority)] == priority
+
+
+def test_verify_window_covers_unverified():
+    """The rotation guard: every oracle-backed query that has never
+    received an external CORRECTNESS row must sit inside the next
+    external window (the first 50 of ``verify_priority()``).  Round 7
+    shipped 4 queries that missed the window for two rounds because
+    the rotation plan was written as a comment and never applied to
+    the tuple -- this test makes that class of slip a red test instead
+    of a judge finding."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            seen.update(json.load(f))
+    window = set(catalog.verify_priority()[:50])
+    unscheduled = [
+        name
+        for name, entry in catalog.all_entries().items()
+        if entry.oracle is not None and name not in seen and name not in window
+    ]
+    assert not unscheduled, (
+        "oracle-backed queries with no external CORRECTNESS row are not "
+        f"in the next verify window: {unscheduled}"
+    )

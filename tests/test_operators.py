@@ -3470,3 +3470,102 @@ def test_optimize_winnowing_index_restores_cap(spark, tmp_path):
         ).collect()
     }
     assert not shared & {fp for _, fp in got}
+
+
+def test_contamination_scores_grades_and_keeps_clean_docs(spark):
+    """contamination_scores vs a hand count: doc 1 has 3 of 11 shingles
+    matched, doc 3 is a verbatim copy (3/3), doc 2 overlaps nothing but
+    must still appear with score 0.0, doc 4 is too short to shingle
+    (n_shingles 0) and must survive the explode_outer with frac 0."""
+    from iot_sensor_log_data_pipeline_spark.operators import curation as CU
+
+    leak = "q w e r t y u i o p"  # 10 tokens -> three 8-gram windows
+    corpus = spark.createDataFrame(
+        [
+            (1, f"pad1 {leak} pad2"),  # 12 tokens -> 5 shingles, 3 matched
+            (2, "c d e f g h i j k l"),  # 3 shingles, 0 matched
+            (3, leak),  # 3 shingles, 3 matched
+            (4, "too short"),  # < 8 tokens -> 0 shingles
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, f"intro {leak} outro")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in CU.contamination_scores(corpus, bench, n=8, threshold=0.5).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1]["n_shingles"] == 5 and rows[1]["n_matched"] == 3
+    assert rows[1]["overlap_frac"] == 0.6 and rows[1]["contaminated"]
+    assert rows[2]["n_matched"] == 0 and rows[2]["overlap_frac"] == 0.0
+    assert rows[3]["n_matched"] == 3 and rows[3]["contaminated"]
+    assert rows[4]["n_shingles"] == 0 and rows[4]["overlap_frac"] == 0.0
+
+
+def test_gopher_keep_rules_individually(spark):
+    """Each Gopher rule rejects its own violation and the clean doc
+    passes all five -- per-rule hand fixtures, not just the conjunction."""
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs "
+        "back home to rest in the warm sun for a while longer today"
+    )  # 24 tokens, all alpha, stopword-rich
+    fixtures = [
+        (0, good, True),
+        (1, "the cat sat on a mat", False),  # 6 tokens < 20
+        (2, " ".join(["a"] * 30), False),  # mean token len 1 < 3
+        (3, good + " !!!! #### $$$$ %%%% &&&& ****", False),  # symbols
+        (4, "the of " + " ".join(str(i) for i in range(100, 125)), False),  # digits
+        (5, " ".join(f"word{i}" for i in range(25)), False),  # no stopwords
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in fixtures], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in df.select(
+            "doc_id", TX.gopher_keep(F.col("text")).alias("keep")
+        ).collect()
+    }
+    assert got == {i: want for i, _, want in fixtures}
+
+
+def test_snapshot_diff_classification_and_null_safety(spark):
+    """snapshot_diff hand case covering all four classes plus the
+    null-safe compare in both directions (value->NULL and NULL->value
+    are changes; NULL->NULL is not)."""
+    from iot_sensor_log_data_pipeline_spark.operators.scd import snapshot_diff
+
+    before = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", 20.0),
+            (3, "c", 30.0),
+            (4, None, 40.0),
+            (5, None, 50.0),
+        ],
+        "k long, s string, v double",
+    )
+    after = spark.createDataFrame(
+        [
+            (1, "a", 10.0),  # unchanged
+            (2, "B", 21.0),  # changed, 2 cols
+            (4, "now-set", 40.0),  # NULL -> value: changed, 1 col
+            (5, None, 50.0),  # NULL == NULL: unchanged
+            (6, "new", 60.0),  # added
+        ],  # key 3 removed
+        "k long, s string, v double",
+    )
+    rows = {
+        r["k"]: (r["change_type"], r["n_changed_cols"])
+        for r in snapshot_diff(before, after, ["k"], ["s", "v"]).collect()
+    }
+    assert rows == {
+        1: ("unchanged", 0),
+        2: ("changed", 2),
+        3: ("removed", 0),
+        4: ("changed", 1),
+        5: ("unchanged", 0),
+        6: ("added", 0),
+    }

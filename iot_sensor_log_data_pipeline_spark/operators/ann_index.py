@@ -293,9 +293,13 @@ def optimize_ivf_index(
     choosing ``cell_cap`` at the advisory-partition scale, same
     regime as ``semdedup.quantizer_plan``.  A cell of exactly
     identical vectors cannot split (the RP pass freezes it) and
-    legitimately stays over the cap.  The entries rewrite swaps
-    directories with ``rmtree`` + ``rename`` (local/posix-rename
-    contract, like the other optimize jobs); single-writer."""
+    legitimately stays over the cap.  Both rewritten tables are staged
+    to ``__next`` directories FIRST, then the centroids and entries
+    swaps run back-to-back LAST (rmtree + rename, local/posix-rename
+    contract, like the other optimize jobs) -- all-compute-then-swap
+    shrinks the window in which a crash leaves new centroids (fresh
+    cell ids, moved parents) pointing at old entries from the whole
+    entries rewrite down to the two renames; single-writer."""
     import os
     import shutil
 
@@ -345,17 +349,24 @@ def optimize_ivf_index(
     new_cent = dict(old_cent)
     for r in means:
         new_cent[int(r["cell"])] = [float(x) for x in r["cv"]]
+    # Stage EVERYTHING, then swap both directories back-to-back: the
+    # expensive entries rewrite happens while the live centroids and
+    # entries are still mutually consistent.
+    cent_tmp = _sub(path, "centroids__next")
     _write_small(
         spark,
         [(c, v) for c, v in sorted(new_cent.items())],
         "cell int, cv array<double>",
-        _sub(path, "centroids"),
+        cent_tmp,
     )
-    tmp = _sub(path, "entries__next")
-    re_assigned.select("id", "cell").write.mode("overwrite").parquet(tmp)
-    final = _sub(path, "entries")
-    shutil.rmtree(final)
-    os.rename(tmp, final)
+    ent_tmp = _sub(path, "entries__next")
+    re_assigned.select("id", "cell").write.mode("overwrite").parquet(ent_tmp)
+    cent_final = _sub(path, "centroids")
+    ent_final = _sub(path, "entries")
+    shutil.rmtree(cent_final)
+    os.rename(cent_tmp, cent_final)
+    shutil.rmtree(ent_final)
+    os.rename(ent_tmp, ent_final)
 
 
 def query_ivf_index(

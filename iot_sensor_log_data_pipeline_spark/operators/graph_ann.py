@@ -80,6 +80,22 @@ DEFAULT_K = 10
 DEFAULT_SEED_CAP = 16
 
 
+def _build_geometry(cfg) -> dict[str, int]:
+    """Build geometry from a persisted index config row, with module
+    defaults (and ``build_k = 2 * k``, ``knn_graph``'s own default) for
+    indexes persisted before the geometry columns existed -- an older
+    4-column config must keep appending/optimizing, not die on a
+    missing field."""
+    d = cfg.asDict()
+    k = int(d["k"])
+    return {
+        "bands": int(d.get("bands") or 16),
+        "rows_per_band": int(d.get("rows_per_band") or 4),
+        "seed_cap": int(d.get("seed_cap") or DEFAULT_SEED_CAP),
+        "build_k": int(d.get("build_k") or 2 * k),
+    }
+
+
 def lsh_seed_pairs(
     banded: DataFrame, seed_cap: int = DEFAULT_SEED_CAP
 ) -> DataFrame:
@@ -209,7 +225,12 @@ def knn_graph(
     if build_k < k:
         raise ValueError(f"build_k ({build_k}) must be >= k ({k})")
     if planes is None:
-        planes = hash_hyperplanes(bands * rows_per_band, dim=64)
+        # Plane dimensionality comes from the data (one head() row --
+        # bounded driver pull), not a hardcoded corpus assumption: a
+        # 32- or 768-dim embedding column must band correctly too.
+        sample = vectors.select(vec_col).head()
+        dim = len(sample[0]) if sample is not None else 1
+        planes = hash_hyperplanes(bands * rows_per_band, dim=dim)
     base = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -565,16 +586,17 @@ def append_graph_index(
     # batch of mutual near-neighbors with no close indexed point would
     # stay unlinked until a rebuild (round-5 ADVICE finding).
     if vectors.limit(2).count() > 1:
+        geo = _build_geometry(cfg)
         intra = knn_graph(
             vectors,
             k=int(cfg["k"]),
             n_iter=int(cfg["n_iter"]),
             id_col=id_col,
             vec_col=vec_col,
-            bands=int(cfg["bands"]),
-            rows_per_band=int(cfg["rows_per_band"]),
-            seed_cap=int(cfg["seed_cap"]),
-            build_k=int(cfg["build_k"]),
+            bands=geo["bands"],
+            rows_per_band=geo["rows_per_band"],
+            seed_cap=geo["seed_cap"],
+            build_k=geo["build_k"],
         )
         edges = edges.unionByName(intra)
     edges.write.mode("append").parquet(_sub(path, "graph"))
@@ -612,7 +634,9 @@ def optimize_graph_index(
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not knn_graph")
     k = int(cfg["k"])
     if build_k is None:
-        build_k = int(cfg["build_k"])  # the persisted build-time width
+        # Persisted build-time width; module default for indexes that
+        # predate the persisted-geometry config schema.
+        build_k = _build_geometry(cfg)["build_k"]
     base = spark.read.parquet(_sub(path, "vectors")).localCheckpoint(eager=True)
     graph = _top_n(
         spark.read.parquet(_sub(path, "graph")), build_k

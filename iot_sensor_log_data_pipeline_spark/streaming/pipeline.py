@@ -189,7 +189,17 @@ def start_cdc_merge_sink(
     Within a batch, several versions of the same key may arrive; the
     highest-``seq_col`` row wins deterministically before the merge
     (dedup inside the batch, anti-join against the table for the rest).
+
+    Failure contract: only a genuinely-absent table (first batch) skips
+    the merge -- the existence probe is an explicit directory check,
+    never an exception swallow.  A corrupt footer, permission error, or
+    transient FS failure RAISES and fails the batch, so Structured
+    Streaming retries it from the checkpoint with the table intact;
+    falling through would rewrite the table with only the current
+    batch's rows (silent truncation of everything previously merged).
     """
+    import os
+
     from ..operators.scd import merge_upsert
 
     spark = changes.sparkSession
@@ -203,10 +213,13 @@ def start_cdc_merge_sink(
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
-        try:
-            current = spark.read.parquet(table_dir)
+        if os.path.isdir(table_dir):
+            # Explicit schema: the maintained table must parse as the
+            # change stream's shape; schema drift or unreadable files
+            # surface here as a batch error, not a truncating rewrite.
+            current = spark.read.schema(latest.schema).parquet(table_dir)
             merged = merge_upsert(current, latest, keys)
-        except Exception:
+        else:
             merged = latest
         # two-phase: write next version, swap in (atomic dir rename on
         # local/HDFS; a table format's snapshot commit on object stores)
@@ -447,6 +460,10 @@ def curation_ingest_stream(
 #: it rather than admitting duplicates forever.
 _HISTORY_STATE_SCHEMA = "fingerprint string, fp_bucket int, batch long"
 
+#: Bucket ids derive from the fingerprint's first 4 hex chars -- a
+#: 16-bit space, so a modulus beyond it stops adding spread.
+_HISTORY_MAX_BUCKETS = 65_536
+
 
 def _history_fp_bucket(fp: Column, n_buckets: int) -> Column:
     """Uniform bucket id from the md5-hex fingerprint's first 4 hex
@@ -454,6 +471,40 @@ def _history_fp_bucket(fp: Column, n_buckets: int) -> Column:
     return F.pmod(
         F.conv(F.substring(fp, 1, 4), 16, 10).cast("long"), F.lit(n_buckets)
     ).cast("int")
+
+
+def _history_store_config_path(state_dir: str) -> str:
+    import os
+
+    # Leading underscore: parquet directory listings skip _-prefixed
+    # files, so the sidecar never collides with the data scan.
+    return os.path.join(state_dir, "_store_config.json")
+
+
+def _read_history_store_n_buckets(state_dir: str) -> int | None:
+    """The store's persisted bucket modulus, or None for a store
+    created before the config sidecar existed (legacy layout)."""
+    import json
+    import os
+
+    path = _history_store_config_path(state_dir)
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return int(json.load(f)["n_buckets"])
+
+
+def _write_history_store_config(state_dir: str, n_buckets: int) -> None:
+    """Persist the bucket modulus next to the data (write-then-rename,
+    so a crash never leaves a half-written config)."""
+    import json
+    import os
+
+    path = _history_store_config_path(state_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_buckets": int(n_buckets)}, f)
+    os.replace(tmp, path)
 
 
 def history_dedup_apply_batch(
@@ -484,9 +535,18 @@ def history_dedup_apply_batch(
     instead of the whole store: a small steady-state micro-batch of b
     docs scans ~b/n_buckets of the store, and per ingested ROW the
     probe cost is capped at store_size / n_buckets regardless of
-    corpus age.  Raise ``n_buckets`` (any value; power-of-two not
-    required) as the corpus grows; ``optimize_history_store`` keeps
-    the file count at one sorted file per bucket.
+    corpus age.
+
+    The bucket modulus is part of the STORE, not the call: it is
+    persisted in a ``_store_config.json`` sidecar at creation and
+    validated on every batch -- a caller passing a different
+    ``n_buckets`` against an existing store raises instead of
+    silently partition-filtering on bucket ids the stored rows don't
+    have (which would admit every previously-seen duplicate).  To
+    grow the modulus as the corpus grows, re-bucket through
+    ``optimize_history_store(..., n_buckets=new)`` with the stream
+    stopped; ``optimize_history_store`` also keeps the file count at
+    one sorted file per bucket.
 
     Replay idempotency (retries re-run a batch id): state rows carry
     their writing ``batch`` (a directory-partition column), the
@@ -501,6 +561,29 @@ def history_dedup_apply_batch(
     from ..operators.text import fingerprint
 
     spark = batch.sparkSession
+    if not (1 <= n_buckets <= _HISTORY_MAX_BUCKETS):
+        raise ValueError(
+            f"n_buckets must be in [1, {_HISTORY_MAX_BUCKETS}] (bucket ids "
+            f"derive from 4 hex chars of the fingerprint), got {n_buckets}"
+        )
+    store_exists = os.path.exists(state_dir)
+    if store_exists:
+        stored = _read_history_store_n_buckets(state_dir)
+        if stored is None:
+            # Legacy store (predates the sidecar): adopt the caller's
+            # modulus as the store's -- the store was built by this
+            # same sink configuration, so the parameter is the only
+            # (and best) record of its geometry.
+            _write_history_store_config(state_dir, n_buckets)
+        elif stored != n_buckets:
+            raise ValueError(
+                f"history store at {state_dir} was built with "
+                f"n_buckets={stored}, caller passed {n_buckets}; "
+                "probing with a different modulus would miss stored "
+                "fingerprints and admit duplicates.  Re-bucket with "
+                "optimize_history_store(spark, state_dir, "
+                f"n_buckets={n_buckets}) (stream stopped) instead."
+            )
     if not batch.take(1):
         return
     fp = batch.withColumn("fingerprint", fingerprint(F.col(text_col))).withColumn(
@@ -512,7 +595,7 @@ def history_dedup_apply_batch(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
-    if os.path.exists(state_dir):
+    if store_exists:
         touched = [
             r["fp_bucket"]
             for r in batch_survivors.select("fp_bucket").distinct().collect()
@@ -537,6 +620,11 @@ def history_dedup_apply_batch(
         .partitionBy("fp_bucket")
         .parquet(os.path.join(state_dir, f"batch={int(batch_id)}"))
     )
+    if not store_exists:
+        # First batch created the store: stamp its bucket geometry.
+        # (A crash before this line leaves no sidecar; the next batch
+        # takes the legacy-adopt path above with the same modulus.)
+        _write_history_store_config(state_dir, n_buckets)
 
 
 def start_history_dedup_sink(
@@ -588,7 +676,9 @@ def start_history_dedup_sink(
     )
 
 
-def optimize_history_store(spark, state_dir: str) -> None:
+def optimize_history_store(
+    spark, state_dir: str, n_buckets: int | None = None
+) -> None:
     """Compact an ingest-grown history-dedup fingerprint store: the
     per-batch ``batch=<id>/fp_bucket=*`` directories (one small file
     per touched bucket per batch -- the append-path layout that makes
@@ -596,6 +686,15 @@ def optimize_history_store(spark, state_dir: str) -> None:
     with ONE fingerprint-sorted file per bucket, so the per-micro-batch
     partition-pruned probe reads one compact file per touched bucket
     and parquet min/max stats order the fingerprints within it.
+
+    ``n_buckets`` (optional) RE-BUCKETS during the rewrite -- the one
+    supported way to grow the modulus as the corpus grows: every
+    stored ``fp_bucket`` is recomputed from the fingerprint with the
+    new modulus and the ``_store_config.json`` sidecar is updated in
+    the same swap, so the store and its geometry change atomically
+    (the ingest sink validates the sidecar per batch and would reject
+    a half-changed store).  Omitted, the stored bucket values and
+    sidecar carry over unchanged.
 
     ``-1`` can never collide with a real (non-negative) streaming
     batch id, so the replay-exclusion filter ``batch != current`` in
@@ -611,11 +710,25 @@ def optimize_history_store(spark, state_dir: str) -> None:
     import os
     import shutil
 
+    if n_buckets is not None and not (1 <= n_buckets <= _HISTORY_MAX_BUCKETS):
+        raise ValueError(
+            f"n_buckets must be in [1, {_HISTORY_MAX_BUCKETS}], got {n_buckets}"
+        )
+    keep_n_buckets = (
+        n_buckets
+        if n_buckets is not None
+        else _read_history_store_n_buckets(state_dir)
+    )
     store = (
         spark.read.schema(_HISTORY_STATE_SCHEMA)
         .parquet(state_dir)
         .select("fingerprint", "fp_bucket")
     )
+    if n_buckets is not None:
+        store = store.select(
+            "fingerprint",
+            _history_fp_bucket(F.col("fingerprint"), n_buckets).alias("fp_bucket"),
+        )
     tmp = state_dir.rstrip("/") + "__next"
     (
         store.repartition("fp_bucket")
@@ -624,6 +737,8 @@ def optimize_history_store(spark, state_dir: str) -> None:
         .partitionBy("fp_bucket")
         .parquet(os.path.join(tmp, "batch=-1"))
     )
+    if keep_n_buckets is not None:
+        _write_history_store_config(tmp, keep_n_buckets)
     shutil.rmtree(state_dir)
     os.rename(tmp, state_dir)
 
@@ -661,7 +776,12 @@ def winnowing_match_stream(
       aggregation over the raw fingerprint DataFrame (foreachBatch
       replans the static side every batch; a pre-pruned scan is the
       production shape, like ``near_dup_match_stream``/
-      ``ann_match_stream``).
+      ``ann_match_stream``).  ``max_fp_df`` is honored here too: when
+      the caller's cap is TIGHTER than the cap persisted in the index
+      config, an extra df prune runs over the (already-pruned)
+      postings so the streaming fan-out bound the caller asked for
+      holds regardless of how the index was built; a looser or equal
+      cap is a no-op (the build prune already guarantees it).
     - ``corpus_fps`` (ad-hoc): a raw (doc_id, fp) DataFrame; hot
       fingerprints are pruned here by ``max_fp_df``, and ``k``/``w``
       must match whatever geometry produced it (defaults 4/4 -- the
@@ -678,10 +798,28 @@ def winnowing_match_stream(
     if (corpus_fps is None) == (index_path is None):
         raise ValueError("pass exactly one of corpus_fps or index_path")
     if index_path is not None:
+        import os as _os
+
         postings, k, w = load_winnowing_index(
             stream_docs.sparkSession, index_path
         )
         index = postings.select(F.col("doc_id").alias("corpus_id"), "fp")
+        stored_cap = int(
+            stream_docs.sparkSession.read.parquet(
+                _os.path.join(index_path, "config")
+            ).head()["max_fp_df"]
+        )
+        if max_fp_df is not None and max_fp_df < stored_cap:
+            # The caller's fan-out bound is tighter than the build
+            # prune: re-prune the (already small) postings so hot
+            # fingerprints can't fan a micro-batch out past the cap.
+            rare = (
+                index.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .where(F.col("__df") <= max_fp_df)
+                .select("fp")
+            )
+            index = index.join(rare, "fp")
     else:
         index = corpus_fps.select(F.col("doc_id").alias("corpus_id"), "fp")
         if max_fp_df is not None:

@@ -3569,3 +3569,34 @@ def test_snapshot_diff_classification_and_null_safety(spark):
         5: ("unchanged", 0),
         6: ("added", 0),
     }
+
+
+def test_graph_index_legacy_config_appends_with_defaults(spark, tmp_path):
+    """An index persisted with the pre-geometry 4-column config
+    (kind, k, n_iter, n_entry) must keep appending and optimizing --
+    the geometry falls back to module defaults (build_k = 2*k) instead
+    of dying on a missing field."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import graph_ann as GA
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(32)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "g_legacy")
+    GA.build_graph_index(emb.where(F.col("vec_id") < 20), path, k=4)
+
+    # Rewrite the config as the legacy 4-column schema.
+    import shutil
+
+    cfg = spark.read.parquet(path + "/config").collect()[0]
+    shutil.rmtree(path + "/config")
+    spark.createDataFrame(
+        [(cfg["kind"], cfg["k"], cfg["n_iter"], cfg["n_entry"])],
+        "kind string, k int, n_iter int, n_entry int",
+    ).coalesce(1).write.parquet(path + "/config")
+
+    GA.append_graph_index(emb.where(F.col("vec_id") >= 20), path)
+    GA.optimize_graph_index(spark, path)
+    hits = GA.query_graph_index(spark, path, emb.limit(3), k=4)
+    assert hits.count() > 0

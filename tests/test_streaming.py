@@ -1041,3 +1041,218 @@ def test_optimize_history_store_compacts_and_preserves_rejection(spark, tmp_path
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 10], got
     assert spark.read.parquet(state).count() == 3
+
+
+def test_cdc_merge_sink_errors_on_unreadable_table_and_keeps_it(spark, tmp_path):
+    """A corrupt/unreadable maintained table must FAIL the micro-batch
+    (checkpoint retries it) -- never fall through to the table rewrite,
+    which would silently truncate everything previously merged.  The
+    pre-fix code swallowed the read error in a bare except and replaced
+    the table with only the current batch's rows."""
+    table = str(tmp_path / "cdc_table")
+    changes_dir = str(tmp_path / "cdc_changes")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    os.makedirs(table)
+    corrupt = os.path.join(table, "part-00000.parquet")
+    with open(corrupt, "wb") as f:
+        f.write(b"this is not a parquet file")
+
+    changes = spark.createDataFrame([(2, "b2", 1)], "k long, v string, seq long")
+    changes.write.parquet(changes_dir)
+    stream = spark.readStream.schema(changes.schema).parquet(changes_dir)
+    q = P.start_cdc_merge_sink(
+        stream, table, keys=["k"], seq_col="seq", checkpoint=ckpt
+    )
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    q.stop()
+    # The table dir was never rmtree'd: the planted file is intact.
+    assert os.path.isfile(corrupt)
+    with open(corrupt, "rb") as f:
+        assert f.read() == b"this is not a parquet file"
+
+
+def test_cdc_merge_sink_first_batch_creates_table(spark, tmp_path):
+    """The legitimate no-table case (first batch) still takes the
+    create path -- via an explicit directory probe, not an except."""
+    table = str(tmp_path / "cdc_table")
+    changes_dir = str(tmp_path / "cdc_changes")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    changes = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k long, v string, seq long"
+    )
+    changes.write.parquet(changes_dir)
+    stream = spark.readStream.schema(changes.schema).parquet(changes_dir)
+    q = P.start_cdc_merge_sink(
+        stream, table, keys=["k"], seq_col="seq", checkpoint=ckpt
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r["k"], r["v"]) for r in spark.read.parquet(table).collect())
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_history_store_n_buckets_is_persisted_and_validated(spark, tmp_path):
+    """The bucket modulus is store geometry, not a per-call knob: it is
+    written to a _store_config.json sidecar at creation, a mismatched
+    caller raises (probing with a different modulus would miss stored
+    fingerprints and admit duplicates), and
+    optimize_history_store(n_buckets=...) is the supported re-bucketing
+    path -- after which cross-batch rejection still holds under the new
+    modulus."""
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    schema = "doc_id long, text string"
+
+    P.history_dedup_apply_batch(
+        spark.createDataFrame([(1, "alpha beta gamma")], schema),
+        0, out, state, n_buckets=64,
+    )
+    assert P._read_history_store_n_buckets(state) == 64
+
+    with pytest.raises(ValueError, match="n_buckets=64"):
+        P.history_dedup_apply_batch(
+            spark.createDataFrame([(2, "delta epsilon")], schema),
+            1, out, state, n_buckets=512,
+        )
+
+    P.optimize_history_store(spark, state, n_buckets=512)
+    assert P._read_history_store_n_buckets(state) == 512
+
+    # Under the new modulus the pre-rebucket fingerprint still rejects
+    # its duplicate (token-set fingerprint: reordered copy), and new
+    # content lands.
+    P.history_dedup_apply_batch(
+        spark.createDataFrame(
+            [(9, "gamma beta alpha"), (10, "fresh content")], schema
+        ),
+        1, out, state, n_buckets=512,
+    )
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 10], got
+
+
+def test_history_store_legacy_without_sidecar_adopts_callers_modulus(
+    spark, tmp_path
+):
+    """A store created before the sidecar existed (or whose creating
+    batch crashed before stamping it) adopts the caller's n_buckets on
+    the next batch and persists it from then on."""
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    schema = "doc_id long, text string"
+
+    P.history_dedup_apply_batch(
+        spark.createDataFrame([(1, "alpha beta gamma")], schema),
+        0, out, state, n_buckets=64,
+    )
+    os.remove(P._history_store_config_path(state))  # simulate legacy
+    P.history_dedup_apply_batch(
+        spark.createDataFrame([(2, "gamma beta alpha"), (3, "new stuff")], schema),
+        1, out, state, n_buckets=64,
+    )
+    assert P._read_history_store_n_buckets(state) == 64
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 3], got
+
+
+def test_history_store_rejects_out_of_range_modulus(spark, tmp_path):
+    """Bucket ids derive from 4 hex chars (16-bit space): a modulus
+    beyond 65536 silently stops spreading, so it raises instead."""
+    schema = "doc_id long, text string"
+    df = spark.createDataFrame([(1, "a b c")], schema)
+    with pytest.raises(ValueError, match="65536"):
+        P.history_dedup_apply_batch(
+            df, 0, str(tmp_path / "o"), str(tmp_path / "s"), n_buckets=100_000
+        )
+    with pytest.raises(ValueError, match="65536"):
+        P.optimize_history_store(spark, str(tmp_path / "s"), n_buckets=0)
+
+
+def test_winnowing_match_stream_honors_tighter_cap_on_index_branch(
+    spark, tmp_path
+):
+    """A caller cap TIGHTER than the index's persisted max_fp_df must
+    re-prune the postings -- pre-fix, max_fp_df was silently ignored on
+    the index_path branch, so a hot fingerprint shared by many corpus
+    docs fanned every probe out to all of them."""
+    from datetime import datetime
+
+    from iot_sensor_log_data_pipeline_spark.operators import dedup as DD
+
+    run = "alpha beta gamma delta epsilon zeta eta"
+    # The run appears in 3 corpus docs -> its fingerprints have df 3.
+    corpus = spark.createDataFrame(
+        [(100 + i, f"doc {i} prefix " + run + f" suffix {i}") for i in range(3)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "win_idx")
+    # Build with a loose cap: postings keep the df-3 fingerprints.
+    DD.build_winnowing_index(corpus, idx, k=4, w=4, max_fp_df=100)
+
+    rows = [(1, datetime(2024, 1, 1, 10, 0, 0), "probe " + run + " tail words")]
+    src = str(tmp_path / "win_src")
+    spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, text string"
+    ).coalesce(1).write.parquet(src)
+    schema = "doc_id long, ts timestamp, text string"
+
+    def run_stream(name: str, cap):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            P.winnowing_match_stream(stream, index_path=idx, max_fp_df=cap)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return {
+                (r["doc_id"], r["corpus_id"]) for r in spark.table(name).collect()
+            }
+        finally:
+            q.stop()
+
+    # Loose/equal caller cap: the shared run matches all 3 corpus docs.
+    assert run_stream("win_loose", 100) == {(1, 100), (1, 101), (1, 102)}
+    # Tighter caller cap (2 < stored 100): the df-3 fingerprints are
+    # re-pruned, so the hot run cannot fan out.
+    assert run_stream("win_tight", 2) == set()
+
+
+def test_optimize_ivf_index_stages_both_tables_before_swap(spark, tmp_path):
+    """After optimize, centroids and entries agree (every entry cell
+    has a centroid, fresh split cells included) and no __next staging
+    directory is left behind -- the staged-swap crash-window contract."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as AI
+
+    rng = np.random.default_rng(5)
+    # One tight cluster (over-cap cell) plus scattered points.
+    tight = [
+        (i, [float(x) for x in (rng.standard_normal(16) * 0.01 + 5.0)])
+        for i in range(30)
+    ]
+    spread = [
+        (100 + i, [float(x) for x in rng.standard_normal(16)]) for i in range(10)
+    ]
+    emb = spark.createDataFrame(tight + spread, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf_opt")
+    AI.build_ivf_index(emb, path, n_cells=2)
+    AI.optimize_ivf_index(spark, path, cell_cap=10)
+
+    cent_cells = {
+        int(r["cell"]) for r in spark.read.parquet(path + "/centroids").collect()
+    }
+    entry_cells = {
+        int(r["cell"]) for r in spark.read.parquet(path + "/entries").collect()
+    }
+    assert entry_cells <= cent_cells
+    assert len(cent_cells) > 2  # splitting actually happened
+    leftovers = [d for d in os.listdir(path) if d.endswith("__next")]
+    assert not leftovers, leftovers

@@ -587,6 +587,85 @@ def simhash_hamming(a: Column, b: Column) -> Column:
     return F.aggregate(pairs, F.lit(0), lambda acc, v: acc + v).cast("long")
 
 
+def weighted_simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Weighted 64-bit SimHash (Charikar 2002 with per-token weights):
+    each token's +-1 lane votes are scaled by ``tf * (N // df)`` --
+    term frequency times an INTEGER rarity weight -- so a rare
+    distinguishing term outvotes boilerplate, the failure mode of the
+    unweighted ``simhash64`` on template-heavy corpora (two docs
+    sharing a big boilerplate shell hash identically even when their
+    payload differs).
+
+    ``N // df`` (corpus size integer-divided by document frequency) is
+    the engine-portable stand-in for idf: every vote is an exact
+    integer, so lane sums are order-independent and the DuckDB oracle
+    reproduces the sign of every lane bit-for-bit -- a float tf*ln(N/df)
+    weight would make near-zero lane sums depend on summation order
+    and last-ulp ln() differences across engines.
+
+    Plan: per-doc (token, tf) structs built in the row (one pass over
+    the token array), explode -> vocabulary-keyed df agg + equi-join
+    (both vocabulary-bounded, not corpus-bounded) -> collect the
+    weighted tokens back per doc and fold the 64 lanes in-row with the
+    same md5 lane-bit machinery as ``simhash64``.  Returns
+    (id_col, simhash)."""
+    n_docs = docs.count()  # 1-row bounded pull (broadcast-scalar pattern)
+
+    toks = tokens(F.col(text_col))
+    tf_structs = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            t.alias("token"),
+            F.size(F.filter(toks, lambda x: x == t)).alias("tf"),
+        ),
+    )
+    per_tok = docs.select(
+        F.col(id_col).alias("__wsh_id"), F.explode(tf_structs).alias("s")
+    ).select("__wsh_id", F.col("s.token").alias("token"), F.col("s.tf").alias("tf"))
+    df_tbl = per_tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    weighted = per_tok.join(df_tbl, "token").select(
+        "__wsh_id",
+        "token",
+        (F.col("tf") * F.floor(F.lit(n_docs) / F.col("df")).cast("long")).alias(
+            "weight"
+        ),
+    )
+    lanes = F.sequence(F.lit(0), F.lit(63))
+
+    def token_votes(t: Column, w: Column) -> Column:
+        hx = F.substring(F.md5(t.cast("binary")), 1, 16)
+
+        def lane_vote(i: Column) -> Column:
+            nibble = F.conv(F.substring(hx, (i / 4).cast("int") + 1, 1), 16, 10).cast(
+                "int"
+            )
+            mask = F.pow(F.lit(2.0), (F.lit(3) - (i % 4)).cast("double")).cast("int")
+            return F.when(nibble.bitwiseAND(mask) > 0, w).otherwise(-w)
+
+        return F.transform(lanes, lane_vote)
+
+    folded = (
+        weighted.groupBy("__wsh_id")
+        .agg(F.collect_list(F.struct("token", "weight")).alias("tw"))
+        .select(
+            F.col("__wsh_id").alias(id_col),
+            F.aggregate(
+                F.col("tw"),
+                F.transform(lanes, lambda _: F.lit(0).cast("long")),
+                lambda acc, s: F.zip_with(
+                    acc, token_votes(s["token"], s["weight"]), lambda a, b: a + b
+                ),
+            ).alias("votes"),
+        )
+    )
+    bits = F.transform(
+        F.col("votes"), lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))
+    )
+    return folded.select(id_col, F.concat_ws("", bits).alias("simhash"))
+
+
 def connected_components(
     edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
 ) -> DataFrame:

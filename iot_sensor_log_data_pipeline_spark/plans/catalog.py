@@ -55,13 +55,15 @@ _QUERY_MODULES = (
 #: follows in registration order.  Round-8 priority: (a) the 8
 #: oracle-backed queries that have NEVER appeared in any external
 #: CORRECTNESS window (4 landed after the round-6 window filled, 4 are
-#: new in round 7), (b) the 3 queries new in round 8 (Gopher quality
-#: gate, benchmark contamination scores, CDC snapshot diff), (c)
-#: re-entries for the five shingle-family queries whose input path
-#: changed this round (the ``parallelize_small`` wrap at the catalog
-#: call sites), (d) the 34 rows whose most recent external check is
-#: round 3 -- the stalest evidence in the repo.  8+3+5+34 = 50, one
-#: full window.  By-design rows-only queries (``agg_approx_sketches``,
+#: new in round 7), (b) the 6 queries new in round 8 (Gopher quality
+#: gate, benchmark contamination scores, CDC snapshot diff, weighted
+#: SimHash, tokenizer fertility, source overlap), (c) re-entries for
+#: the five shingle-family queries whose input path changed this round
+#: (the ``parallelize_small`` wrap at the catalog call sites), (d) the
+#: 31 stalest round-3 rows (the three bumped for slot space --
+#: scan_xml_roundtrip, corpus_weighted_sample, agg_histogram_quantiles
+#: -- lead the round-9 refresh).  8+6+5+31 = 50, one full window.
+#: By-design rows-only queries (``agg_approx_sketches``,
 #: ``similarity_ivf_ann``, ``similarity_graph_ann``) stay out of the
 #: window: their machinery is covered by oracle twins and bounds /
 #: recall pytests, so a driver `no_oracle` row adds no information.
@@ -84,6 +86,9 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "text_gopher_quality_gate",
     "corpus_contamination_scores",
     "cdc_snapshot_diff",
+    "dedup_weighted_simhash",
+    "text_tokenizer_fertility",
+    "corpus_source_overlap",
     # (c) re-entry: shingle-input parallelism wrap (round-8 edit)
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -123,9 +128,6 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "downsample_lttb_value",
     "multimodal_byte_histogram",
     "scan_orc_roundtrip",
-    "scan_xml_roundtrip",
-    "corpus_weighted_sample",
-    "agg_histogram_quantiles",
 )
 
 #: Round-9 rotation plan: (a) anything new in round 9 plus re-entries

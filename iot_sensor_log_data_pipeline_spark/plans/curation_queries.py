@@ -839,3 +839,76 @@ def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort."""
     docs = parallelize_small(load(spark, sf_dir, "documents"))
     return CU.length_buckets(docs, n_buckets=8).orderBy("bucket")
+
+
+@register(
+    "corpus_source_overlap",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS l FROM documents),
+    sh AS (
+      SELECT DISTINCT source, unnest({_SHINGLE8}) AS shingle
+      FROM toks
+    ),
+    sizes AS (SELECT source, count(*) AS set_size FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b,
+           CAST(sa.set_size AS BIGINT) AS size_a,
+           CAST(sb.set_size AS BIGINT) AS size_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           round(i.n_common / (sa.set_size + sb.set_size - i.n_common), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    ORDER BY src_a, src_b
+    """,
+    tags=("curation", "north-star", "dedup"),
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE overlap audit: pairwise Jaccard between each
+    domain's distinct word-8-gram sets -- the corpus-level view that
+    flags mirrored / re-crawled / pipelined-twice sources before any
+    doc-level dedup runs (two sources with high set Jaccard should be
+    merged or one dropped, not fed to MinHash doc-by-doc).  One
+    distinct (source, shingle) projection, a shingle-keyed self-join
+    whose per-shingle fan-out is bounded by the domain count squared
+    (domains are dozens, never corpus-scale), and a domain-pair agg --
+    output is domains^2 rows regardless of corpus size."""
+    from ..operators.dedup import word_shingles
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "source", F.explode(word_shingles(F.col("text"), 8)).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col("source").alias("src_a"), "shingle")
+    b = sh.select(F.col("source").alias("src_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "size_a",
+            "size_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -216,6 +216,49 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_weighted_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, ' +'), t -> t <> '') AS l
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(l) AS token FROM toks),
+    tfd AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    dfd AS (SELECT token, count(*) AS df FROM tfd GROUP BY token),
+    n AS (SELECT count(*) AS n FROM documents),
+    w AS (
+      SELECT tfd.doc_id, tfd.token, tfd.tf * (n.n // dfd.df) AS weight
+      FROM tfd JOIN dfd USING (token) CROSS JOIN n
+    ),
+    votes AS (
+      SELECT doc_id, lane,
+             sum(CASE WHEN (strpos('0123456789abcdef',
+                                   substring(md5(token), lane // 4 + 1, 1)) - 1)
+                           // CAST(pow(2, 3 - lane % 4) AS INT) % 2 = 1
+                      THEN weight ELSE -weight END) AS v
+      FROM w CROSS JOIN range(64) r(lane)
+      GROUP BY doc_id, lane
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY lane)
+             AS simhash
+    FROM votes GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("dedup", "north-star", "simhash"),
+)
+def dedup_weighted_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf*rarity-WEIGHTED 64-bit SimHash
+    (``operators/dedup.py:weighted_simhash64``): rare distinguishing
+    terms outvote boilerplate, the unweighted simhash's failure mode on
+    template-heavy corpora.  Integer weights (tf * N//df) keep every
+    lane sum order-independent, so the DuckDB oracle re-derives every
+    bit exactly."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return DD.weighted_simhash64(docs).orderBy("doc_id")
+
+
+@register(
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_CTE},

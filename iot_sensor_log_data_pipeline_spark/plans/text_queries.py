@@ -891,3 +891,61 @@ def text_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.stopword_hits(t).alias("stopword_hits"),
         TX.gopher_keep(t).alias("keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    WITH sized AS (
+      SELECT source,
+             {_NTOK} AS ws_toks,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_toks,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(ws_toks) AS BIGINT) AS ws_tokens,
+           CAST(sum(bpe_toks) AS BIGINT) AS bpe_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           round(sum(bpe_toks) / greatest(sum(ws_toks), 1), 6) AS fertility,
+           round(sum(n_chars) / greatest(sum(bpe_toks), 1), 6)
+             AS chars_per_bpe_token
+    FROM sized GROUP BY source ORDER BY source
+    """,
+    tags=("text", "north-star", "curation"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per domain: BPE-ish subword tokens per
+    whitespace word (fertility) and characters per subword token --
+    the per-source compression profile that decides token-budget
+    allocation and flags domains a tokenizer segments poorly (high
+    fertility = more compute per byte of signal).  Pure column
+    expressions + one hash agg on source; no UDFs, no extra shuffle."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    t = F.col("text")
+    sized = docs.select(
+        "source",
+        TX.token_count(t).alias("ws_toks"),
+        TX.bpe_ish_token_count(t).alias("bpe_toks"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+    agg = sized.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_toks").alias("ws_tokens"),
+        F.sum("bpe_toks").alias("bpe_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        "n_chars",
+        F.round(
+            F.col("bpe_tokens") / F.greatest(F.col("ws_tokens"), F.lit(1)), 6
+        ).alias("fertility"),
+        F.round(
+            F.col("n_chars") / F.greatest(F.col("bpe_tokens"), F.lit(1)), 6
+        ).alias("chars_per_bpe_token"),
+    ).orderBy("source")

@@ -3600,3 +3600,68 @@ def test_graph_index_legacy_config_appends_with_defaults(spark, tmp_path):
     GA.optimize_graph_index(spark, path)
     hits = GA.query_graph_index(spark, path, emb.limit(3), k=4)
     assert hits.count() > 0
+
+
+def _py_weighted_simhash(texts: dict[int, str]) -> dict[int, str]:
+    """Pure-Python replay of weighted_simhash64 (tf * N//df votes)."""
+    from collections import Counter
+
+    n = len(texts)
+    tfs = {d: Counter(t.split()) for d, t in texts.items()}
+    dfc = Counter()
+    for c in tfs.values():
+        for tok in c:
+            dfc[tok] += 1
+    out = {}
+    for d, c in tfs.items():
+        votes = [0] * 64
+        for tok, tf in c.items():
+            w = tf * (n // dfc[tok])
+            bits = bin(int(hashlib.md5(tok.encode()).hexdigest()[:16], 16))[2:].zfill(64)
+            for i, b in enumerate(bits):
+                votes[i] += w if b == "1" else -w
+        out[d] = "".join("1" if v > 0 else "0" for v in votes)
+    return out
+
+
+def test_weighted_simhash_matches_python_reference(spark):
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown dog sleeps under the old tree",
+        3: "completely different payload tokens entirely here now",
+        4: "the the the repeated stopword heavy doc here",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in DD.weighted_simhash64(df).collect()
+    }
+    assert got == _py_weighted_simhash(texts)
+
+
+def test_weighted_simhash_separates_boilerplate_twins(spark):
+    """The design claim: on template-heavy docs the rare payload tokens
+    (weight N//1 = N) outvote corpus-wide boilerplate (weight N//N = 1),
+    so weighted fingerprints of payload-differing template twins are
+    FARTHER apart than their unweighted ones."""
+    boiler = "standard header block shared by every document"
+    texts = {i: f"{boiler} unique{i}a unique{i}b" for i in range(8)}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    weighted = {
+        r["doc_id"]: r["simhash"] for r in DD.weighted_simhash64(df).collect()
+    }
+    unweighted = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", DD.simhash64(F.col("text")).alias("sh")
+        ).collect()
+    }
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    pairs = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+    wavg = sum(ham(weighted[i], weighted[j]) for i, j in pairs) / len(pairs)
+    uavg = sum(ham(unweighted[i], unweighted[j]) for i, j in pairs) / len(pairs)
+    assert wavg > uavg, (wavg, uavg)
+    assert wavg > 10  # payload genuinely dominates the fingerprint

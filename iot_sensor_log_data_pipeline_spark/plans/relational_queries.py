@@ -1456,3 +1456,88 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@register(
+    "events_session_overlap",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    iv AS (
+      SELECT user_id, sid, min(ts) AS s, max(ts) AS e
+      FROM sess GROUP BY user_id, sid
+    ),
+    pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s))
+               AS overlap_us
+      FROM iv a JOIN iv b
+        ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+    )
+    SELECT user_a, user_b,
+           count(*) AS n_overlaps,
+           CAST(sum(overlap_us) AS BIGINT) AS overlap_us
+    FROM pairs GROUP BY user_a, user_b ORDER BY user_a, user_b
+    """,
+    tags=("relational", "join", "interval", "sessionization"),
+)
+def events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (``operators/intervals.py``): which user
+    pairs had CONCURRENT sessions, how often, and for how long -- the
+    co-activity analysis behind concurrency billing, fraud rings, and
+    capacity modeling.  Sessions come from the engine's 30-min-gap
+    sessionizer; the overlap join explodes each session to the hour
+    buckets it spans and equi-joins on the bucket (never the
+    cartesian theta join DuckDB happily runs at oracle scale), with
+    the greatest-start bucket rule making multi-bucket overlaps emit
+    exactly once."""
+    from ..operators.intervals import interval_overlap_join
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+        )
+        .select("user_id", "ts", F.sum("new_session").over(cum).alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    a = iv.select(
+        F.col("user_id").alias("user_a"), F.col("s").alias("s_a"), F.col("e").alias("e_a")
+    )
+    b = iv.select(
+        F.col("user_id").alias("user_b"), F.col("s").alias("s_b"), F.col("e").alias("e_b")
+    )
+    pairs = interval_overlap_join(
+        a, b, "s_a", "e_a", "s_b", "e_b", bucket_seconds=3600
+    ).where(F.col("user_a") < F.col("user_b"))
+    overlap_us = F.unix_micros(F.least("e_a", "e_b")) - F.unix_micros(
+        F.greatest("s_a", "s_b")
+    )
+    return (
+        pairs.select("user_a", "user_b", overlap_us.alias("o"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.sum("o").cast("long").alias("overlap_us"),
+        )
+        .orderBy("user_a", "user_b")
+    )

@@ -3665,3 +3665,67 @@ def test_weighted_simhash_separates_boilerplate_twins(spark):
     uavg = sum(ham(unweighted[i], unweighted[j]) for i, j in pairs) / len(pairs)
     assert wavg > uavg, (wavg, uavg)
     assert wavg > 10  # payload genuinely dominates the fingerprint
+
+
+def test_interval_overlap_join_matches_naive_and_emits_once(spark):
+    """Bucketed interval join vs the naive theta join on a fixture that
+    exercises: containment, partial overlap, endpoint touch, disjoint,
+    and a pair overlapping across MANY shared buckets (the greatest-
+    start bucket rule must emit it exactly once)."""
+    from datetime import datetime
+
+    from iot_sensor_log_data_pipeline_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    left = spark.createDataFrame(
+        [
+            (1, t(0), t(10)),   # long: spans 11 hour-buckets
+            (2, t(3), t(3, 30)),
+            (3, t(20), t(21)),
+        ],
+        "l_id long, s_a timestamp, e_a timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, t(1), t(9)),    # overlaps 1 across many buckets
+            (11, t(3, 15), t(4)),  # overlaps 1 and 2
+            (12, t(10), t(11)),  # touches 1 at the endpoint
+            (13, t(22), t(23)),  # disjoint from everything
+        ],
+        "r_id long, s_b timestamp, e_b timestamp",
+    )
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            left, right, "s_a", "e_a", "s_b", "e_b", bucket_seconds=3600
+        ).collect()
+    )
+    naive = sorted(
+        (r["l_id"], r["r_id"])
+        for r in left.join(
+            right,
+            (F.col("s_a") <= F.col("e_b")) & (F.col("s_b") <= F.col("e_a")),
+        ).collect()
+    )
+    assert got == naive == [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11)]
+    # exactly-once: no duplicates even for the 9-shared-bucket pair
+    assert len(got) == len(set(got))
+
+
+def test_interval_overlap_join_rejects_column_clash(spark):
+    from datetime import datetime
+
+    from iot_sensor_log_data_pipeline_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), datetime(2024, 1, 2))],
+        "id long, s timestamp, e timestamp",
+    )
+    with pytest.raises(ValueError, match="disjoint"):
+        interval_overlap_join(df, df, "s", "e", "s", "e")

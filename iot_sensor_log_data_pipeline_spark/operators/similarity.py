@@ -951,3 +951,127 @@ def sq8_error_report(
             F.round(F.max(F.abs(err)), 10).alias("max_abs_err"),
         )
     )
+
+
+def embedding_covariance(
+    vectors: DataFrame, vec_col: str = "embedding", dim: int = DIM
+) -> DataFrame:
+    """Full (dim x dim) covariance matrix of an embedding column in ONE
+    corpus pass -- the statistic behind PCA whitening, OPQ rotations,
+    anisotropy diagnosis, and encoder-drift audits.
+
+    Plan: per-partition Arrow gemm partials (X^T X as one BLAS matmul
+    per batch, plus column sums and a row count -- the measured-fast
+    path for dense per-partition linear algebra in this engine), each
+    partition emits its dim*dim + dim + 1 numbers as rows, and a
+    (i, j)-keyed hash agg merges the partials; cov = E[xy] - E[x]E[y]
+    needs no second pass.  Shuffle volume is partitions x dim^2 rows,
+    independent of corpus size.  Returns (i, j, cov) for all dim^2
+    cells (the matrix is small; symmetric halves are both emitted so
+    consumers can index either way).
+    """
+    def partials(batches):
+        sxx = np.zeros((dim, dim), dtype="float64")
+        sx = np.zeros(dim, dtype="float64")
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            sxx += M.T @ M
+            sx += M.sum(axis=0)
+            n += len(pdf)
+        idx = np.arange(dim * dim, dtype="int64")
+        yield pd.DataFrame(
+            {
+                "cell": idx,
+                "sxx": sxx.ravel(),
+                "sx_i": np.repeat(sx, dim),
+                "sx_j": np.tile(sx, dim),
+                "n": np.full(dim * dim, n, dtype="int64"),
+            }
+        )
+
+    merged = (
+        vectors.select(vec_col)
+        .mapInPandas(
+            partials, schema="cell long, sxx double, sx_i double, sx_j double, n long"
+        )
+        .groupBy("cell")
+        .agg(
+            F.sum("sxx").alias("sxx"),
+            F.sum("sx_i").alias("sx_i"),
+            F.sum("sx_j").alias("sx_j"),
+            F.sum("n").alias("n"),
+        )
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxx") / n - (F.col("sx_i") / n) * (F.col("sx_j") / n)
+    return merged.select(
+        (F.col("cell") / dim).cast("int").alias("i"),
+        F.pmod(F.col("cell"), F.lit(dim)).cast("int").alias("j"),
+        cov.alias("cov"),
+    )
+
+
+def pca_whiten(
+    vectors: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+    eps: float = 1e-9,
+) -> tuple[DataFrame, list[float]]:
+    """PCA-whitening projection: center, rotate onto the top-``k``
+    covariance eigenvectors, and scale each direction to unit variance
+    -- the decorrelation step OPQ/ADC quantizers and anisotropy-aware
+    retrieval apply before coding (whitened space makes Euclidean
+    geometry honest when the encoder's dimensions are correlated).
+
+    The covariance comes from ``embedding_covariance`` (one corpus
+    pass); eigendecomposition happens driver-side on the dim x dim
+    matrix (bounded: dim is model geometry, never corpus-sized) and
+    ships back as a broadcast literal matrix applied by one Arrow
+    batch matmul -- a second single pass, no shuffle.  Eigenvector
+    SIGNS are fixed deterministically (largest-|component| entry made
+    positive) so output is stable across runs and partitionings.
+
+    Returns (whitened DataFrame (id_col, vec_col: array<double> of
+    len k), eigenvalues desc) -- eigenvalues double as the explained-
+    variance report.
+    """
+    cells = embedding_covariance(vectors, vec_col=vec_col, dim=dim).collect()
+    C = np.zeros((dim, dim), dtype="float64")
+    for r in cells:
+        C[r["i"], r["j"]] = r["cov"]
+    C = (C + C.T) / 2.0  # enforce exact symmetry for eigh
+    evals, evecs = np.linalg.eigh(C)
+    order = np.argsort(evals)[::-1][:k]
+    evals_k = evals[order]
+    V = evecs[:, order]
+    for c in range(V.shape[1]):  # deterministic sign: max-|entry| > 0
+        pivot = int(np.argmax(np.abs(V[:, c])))
+        if V[pivot, c] < 0:
+            V[:, c] = -V[:, c]
+    stats = vectors.select(
+        *[
+            F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}")
+            for i in range(dim)
+        ]
+    ).collect()[0]
+    mu = np.array([float(stats[f"m{i}"]) for i in range(dim)], dtype="float64")
+    W = V / np.sqrt(np.maximum(evals_k, 0.0) + eps)  # (dim, k)
+
+    def apply_whiten(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            Z = (M - mu) @ W
+            yield pd.DataFrame({id_col: pdf[id_col], vec_col: list(Z)})
+
+    out_schema = f"{id_col} long, {vec_col} array<double>"
+    whitened = vectors.select(id_col, vec_col).mapInPandas(
+        apply_whiten, schema=out_schema
+    )
+    return whitened, [float(v) for v in evals_k]

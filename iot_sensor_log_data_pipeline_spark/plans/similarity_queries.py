@@ -609,3 +609,46 @@ def similarity_sq8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch-cached between the two passes."""
     emb = parallelize_small(load(spark, sf_dir, "embeddings"))
     return SIM.sq8_error_report(emb).orderBy("d")
+
+
+@register(
+    "profile_embedding_covariance",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             unnest(range(len(embedding))) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    prods AS (
+      SELECT a.d AS i, b.d AS j,
+             sum(a.x * b.x) AS sxx,
+             sum(a.x) AS sx_i,
+             sum(b.x) AS sx_j,
+             count(*) AS n
+      FROM e a JOIN e b ON a.vec_id = b.vec_id
+      GROUP BY a.d, b.d
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           round(sxx / n - (sx_i / n) * (sx_j / n), 6) AS cov
+    FROM prods
+    ORDER BY i, j
+    """,
+    tags=("similarity", "north-star", "profiling"),
+)
+def profile_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full embedding covariance matrix in ONE corpus pass
+    (``operators/similarity.py:embedding_covariance``): per-partition
+    Arrow gemm partials (X^T X per batch) merged by a (i, j)-keyed hash
+    agg -- shuffle volume is partitions x dim^2, independent of corpus
+    size.  The statistic behind PCA whitening / OPQ rotation /
+    anisotropy audits.  The oracle replays it as an exploded
+    coordinate self-join (quadratic in dim x corpus -- fine at oracle
+    scale, exactly the plan the gemm path avoids); both sides round
+    the double cells to 1e-6, far above the summation-order noise."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    return (
+        SIM.embedding_covariance(emb)
+        .select("i", "j", F.round("cov", 6).alias("cov"))
+        .orderBy("i", "j")
+    )

@@ -3729,3 +3729,29 @@ def test_interval_overlap_join_rejects_column_clash(spark):
     )
     with pytest.raises(ValueError, match="disjoint"):
         interval_overlap_join(df, df, "s", "e", "s", "e")
+
+
+def test_pca_whiten_decorrelates_and_is_partition_stable(spark, sf_dir):
+    """PCA whitening: (1) the whitened top-k covariance is the identity
+    (decorrelation + unit variance -- the property OPQ/ADC coding needs),
+    (2) eigenvalues come back descending, (3) output is bit-stable under
+    repartitioning (deterministic sign fix + order-independent gemm
+    partials within rounding)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(400)
+    whitened, evals = SIM.pca_whiten(emb, k=8)
+    assert evals == sorted(evals, reverse=True)
+    rows = whitened.collect()
+    Z = np.vstack([r["embedding"] for r in rows])
+    C = np.cov(Z, rowvar=False, bias=True)
+    assert np.abs(C - np.eye(8)).max() < 1e-2, np.abs(C - np.eye(8)).max()
+
+    whitened2, evals2 = SIM.pca_whiten(emb.repartition(7), k=8)
+    got1 = {r["vec_id"]: tuple(round(x, 8) for x in r["embedding"]) for r in rows}
+    got2 = {
+        r["vec_id"]: tuple(round(x, 8) for x in r["embedding"])
+        for r in whitened2.collect()
+    }
+    assert got1 == got2
+    assert [round(v, 8) for v in evals] == [round(v, 8) for v in evals2]

@@ -1012,3 +1012,103 @@ def start_verbatim_match_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def cms_apply_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    key_col: str = "key",
+    depth: int | None = None,
+    width: int | None = None,
+) -> None:
+    """One micro-batch of the streaming Count-Min maintenance sink --
+    module-level so replay idempotency is directly testable (same
+    ``batch_id`` twice must not change the merged totals).
+
+    Each batch's exact (key, count) pairs become CMS cells
+    (``operators/sketch.py:cms_build``) written as a whole-directory
+    OVERWRITE of ``batch=<id>/`` -- the same per-batch-id idempotent
+    layout as the history-dedup store.  Cells are mergeable by
+    addition, so the live sketch is just ``sum(cell_count)`` over all
+    batch directories (``load_cms_store``) and compaction
+    (``optimize_cms_store``) can pre-fold them at any time without
+    changing any estimate."""
+    import os
+
+    from ..operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_build
+
+    depth = CMS_DEPTH if depth is None else depth
+    width = CMS_WIDTH if width is None else width
+    if not batch.take(1):
+        return
+    counts = batch.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    cells = cms_build(counts, key_col=key_col, count_col="n", depth=depth, width=width)
+    cells.write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"batch={int(batch_id)}")
+    )
+
+
+def start_cms_sink(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    key_col: str = "key",
+    depth: int | None = None,
+    width: int | None = None,
+) -> StreamingQuery:
+    """Streaming sketch maintenance: keep a PERSISTED Count-Min sketch
+    of key frequencies over everything ever ingested -- the streaming
+    member of the sketch family, for "how often has this token/URL/
+    user appeared, ever?" point queries without storing per-key state.
+
+    Contracts shared with the history-dedup store: per-batch-id
+    directory overwrite (replay-idempotent in any crash order),
+    single writer, and run ``optimize_cms_store`` only with the stream
+    stopped.  Unlike per-key state stores, the sketch's size is fixed
+    geometry (depth x width cells per batch, pre-folded by
+    compaction) no matter how many distinct keys flow through --
+    that's the point of maintaining a sketch instead of a table."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        cms_apply_batch(
+            batch, batch_id, store_dir, key_col=key_col, depth=depth, width=width
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def load_cms_store(spark, store_dir: str) -> DataFrame:
+    """The live merged sketch: cells summed across every batch
+    directory (CMS cells merge by addition).  Feed the result to
+    ``operators/sketch.py:cms_estimate``."""
+    return (
+        spark.read.schema("row int, bucket long, cell_count long, batch long")
+        .option("basePath", store_dir)
+        .parquet(store_dir)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cell_count").alias("cell_count"))
+    )
+
+
+def optimize_cms_store(spark, store_dir: str) -> None:
+    """Compact an ingest-grown CMS store: fold every per-batch cell
+    directory into a single pre-merged ``batch=-1`` tree (one file --
+    the sketch is KB-scale by construction).  Estimates are unchanged
+    (addition is associative); same single-writer / stream-stopped
+    contract and rmtree+rename swap as ``optimize_history_store`` --
+    a batch id replayed AFTER compaction would double-fold its cells.
+    """
+    import os
+    import shutil
+
+    merged = load_cms_store(spark, store_dir).coalesce(1)
+    tmp = store_dir.rstrip("/") + "__next"
+    merged.write.mode("overwrite").parquet(os.path.join(tmp, "batch=-1"))
+    shutil.rmtree(store_dir)
+    os.rename(tmp, store_dir)

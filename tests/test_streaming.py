@@ -1256,3 +1256,72 @@ def test_optimize_ivf_index_stages_both_tables_before_swap(spark, tmp_path):
     assert len(cent_cells) > 2  # splitting actually happened
     leftovers = [d for d in os.listdir(path) if d.endswith("__next")]
     assert not leftovers, leftovers
+
+
+def test_cms_sink_maintains_mergeable_sketch(spark, tmp_path):
+    """Streaming CMS maintenance: after two micro-batches, point
+    estimates from the merged store respect the CMS guarantee
+    (estimate >= true count) and hit exactly for keys without
+    collisions; replaying a batch id does not change totals; compaction
+    folds the store to one batch=-1 tree with identical estimates."""
+    from iot_sensor_log_data_pipeline_spark.operators.sketch import cms_estimate
+
+    store = str(tmp_path / "cms_store")
+    schema = "key string"
+
+    b0 = spark.createDataFrame(
+        [("alpha",)] * 5 + [("beta",)] * 2 + [("gamma",)], schema
+    )
+    b1 = spark.createDataFrame([("alpha",)] * 3 + [("delta",)] * 4, schema)
+    P.cms_apply_batch(b0, 0, store)
+    P.cms_apply_batch(b0, 0, store)  # replay: overwrite, not double-count
+    P.cms_apply_batch(b1, 1, store)
+
+    probes = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("delta",), ("never-seen",)], schema
+    )
+    true = {"alpha": 8, "beta": 2, "gamma": 1, "delta": 4, "never-seen": 0}
+
+    def estimates():
+        sk = P.load_cms_store(spark, store)
+        return {
+            r["key"]: r["est_count"]
+            for r in cms_estimate(sk, probes, key_col="key").collect()
+        }
+
+    est = estimates()
+    # sparse-sketch semantics (cms_estimate): a key whose cells were
+    # never touched returns no row == estimate 0
+    for k, t in true.items():
+        assert est.get(k, 0) >= t, (k, est.get(k, 0), t)
+    # 1024-wide rows, 5 keys: collisions are absent for this fixture
+    assert est["alpha"] == 8 and est["delta"] == 4
+
+    P.optimize_cms_store(spark, store)
+    dirs = sorted(d for d in os.listdir(store) if d.startswith("batch="))
+    assert dirs == ["batch=-1"]
+    assert estimates() == est
+
+
+def test_cms_sink_end_to_end_stream(spark, tmp_path):
+    """Drive start_cms_sink with a real file-source stream and check
+    the merged sketch sees every ingested key."""
+    from iot_sensor_log_data_pipeline_spark.operators.sketch import cms_estimate
+
+    store = str(tmp_path / "cms_store")
+    src = str(tmp_path / "cms_src")
+    ckpt = str(tmp_path / "cms_ckpt")
+    rows = [("tok%d" % (i % 7),) for i in range(50)]
+    spark.createDataFrame(rows, "key string").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("key string").parquet(src)
+    q = P.start_cms_sink(stream, store, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    probes = spark.createDataFrame([("tok0",), ("tok6",)], "key string")
+    est = {
+        r["key"]: r["est_count"]
+        for r in cms_estimate(P.load_cms_store(spark, store), probes).collect()
+    }
+    assert est["tok0"] >= 8 and est["tok6"] >= 7

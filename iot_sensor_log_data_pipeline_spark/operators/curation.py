@@ -773,3 +773,67 @@ def length_buckets(
             ).alias("pad_efficiency"),
         )
     )
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SPAN-level benchmark decontamination: instead of dropping every
+    document that shares an n-gram with the eval set (the
+    ``contaminated_docs`` policy -- wasteful when the overlap is one
+    quoted sentence inside a long clean document), excise exactly the
+    tokens covered by a benchmark-matching n-gram and keep the rest --
+    the surgical eval-hygiene pass (the "remove the contaminated span,
+    keep the page" policy of LM eval-decontamination pipelines).
+
+    Plan: positional n-grams explode to (doc, start_pos, gram) rows --
+    ALL occurrences, not the distinct set, because excision needs
+    positions -- a broadcast equi-join against the benchmark's distinct
+    gram set yields matched start positions, one per-doc collect_set
+    pulls them back into the row, and the excision itself is an in-row
+    indexed ``filter`` (token i survives unless some matched start m
+    covers it: m <= i <= m+n-1).  Cost: one corpus shingle pass + one
+    vocabulary-keyed broadcast join + one per-doc agg; clean documents
+    flow through the LEFT join untouched.
+
+    Returns (id_col, clean_text, n_tokens, n_removed).
+    """
+    from .dedup import word_shingles_all
+    from .text import tokens
+
+    grams = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_shingles_all(F.col(text_col), n)).alias("p", "g"),
+    )
+    bench = (
+        benchmark.select(
+            F.explode(word_shingles_all(F.col(text_col), n)).alias("g")
+        )
+        .distinct()
+    )
+    matched = (
+        grams.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("p")).alias("ms"))
+    )
+    base = corpus.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    ms = F.coalesce(F.col("ms"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(ms, lambda m: (i >= m) & (i <= m + F.lit(n - 1))),
+    )
+    return (
+        base.join(matched, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.concat_ws(" ", kept).alias("clean_text"),
+            F.size("__toks").cast("long").alias("n_tokens"),
+            (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    )

@@ -21,6 +21,13 @@ O(interval_length / bucket) explode fan-out, so pick the bucket near
 the TYPICAL interval length.  Long-tail intervals (one giant interval
 spanning the corpus) are the known weakness of the fixed-grid scheme --
 split those upstream or raise the bucket.
+
+The plan is STATELESS (per-row bucket explode + equi-join + arithmetic
+exactly-once rule), so it also composes as a stream-static join in
+append mode with no watermark state: pass a streaming DataFrame as
+``left`` and a static interval table as ``right`` for an ingest-time
+"does this arriving interval clash with a reservation / maintenance
+window?" gate (tested in ``tests/test_streaming.py``).
 """
 
 from __future__ import annotations

@@ -912,3 +912,62 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+#: ALL positional word 8-grams (occurrence list, index = start pos) --
+#: the non-distinct twin of ``_SHINGLE8`` for span-level operators.
+_ALLGRAMS8 = (
+    "list_transform(range(greatest(len(l) - 7, 0)), "
+    "i -> " + " || ' ' || ".join(f"l[i+{k}]" for k in range(1, 9)) + ")"
+)
+
+
+@register(
+    "corpus_decontaminate_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS l FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(range(greatest(len(l) - 7, 0))) AS p,
+             unnest({_ALLGRAMS8}) AS g
+      FROM toks WHERE source <> 'src0'
+    ),
+    bench AS (
+      SELECT DISTINCT unnest({_ALLGRAMS8}) AS g FROM toks WHERE source = 'src0'
+    ),
+    hits AS (
+      SELECT doc_id, list_sort(list(DISTINCT p)) AS ms
+      FROM grams JOIN bench USING (g) GROUP BY doc_id
+    ),
+    final AS (
+      SELECT b.doc_id, b.l,
+             list_filter(b.l, (t, i) ->
+               len(list_filter(coalesce(h.ms, CAST([] AS BIGINT[])),
+                               m -> (i - 1) >= m AND (i - 1) <= m + 7)) = 0
+             ) AS kept
+      FROM (SELECT doc_id, l FROM toks WHERE source <> 'src0') b
+      LEFT JOIN hits h USING (doc_id)
+    )
+    SELECT doc_id,
+           -- DuckDB returns NULL for an empty list; Spark concat_ws
+           -- returns '' -- normalize to ''.
+           coalesce(array_to_string(kept, ' '), '') AS clean_text,
+           CAST(len(l) AS BIGINT) AS n_tokens,
+           CAST(len(l) - len(kept) AS BIGINT) AS n_removed
+    FROM final ORDER BY doc_id
+    """,
+    tags=("curation", "north-star", "decontamination"),
+)
+def corpus_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level decontamination
+    (``operators/curation.py:decontaminate_spans``): excise exactly the
+    tokens covered by an eval-set (source = src0) 8-gram from every
+    training doc and keep the rest -- the "remove the quoted sentence,
+    keep the page" policy, vs ``corpus_decontamination``'s
+    drop-the-doc.  Positional grams + broadcast benchmark set + one
+    per-doc agg; the excision is an in-row indexed filter.  The oracle
+    replays positions, hits, and the excision lambda."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    corpus = docs.where(F.col("source") != "src0")
+    benchmark = docs.where(F.col("source") == "src0")
+    return CU.decontaminate_spans(corpus, benchmark, n=8).orderBy("doc_id")

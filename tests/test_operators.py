@@ -3755,3 +3755,32 @@ def test_pca_whiten_decorrelates_and_is_partition_stable(spark, sf_dir):
     }
     assert got1 == got2
     assert [round(v, 8) for v in evals] == [round(v, 8) for v in evals2]
+
+
+def test_decontaminate_spans_excises_exactly_the_covered_tokens(spark):
+    """Span-level decontamination: the planted 8-gram's tokens vanish,
+    surrounding tokens survive, clean docs pass through unchanged, and
+    a fully-contaminated doc empties rather than disappearing."""
+    from iot_sensor_log_data_pipeline_spark.operators import curation as CU
+
+    leak = "q w e r t y u i"  # exactly 8 tokens -> one positional gram
+    corpus = spark.createDataFrame(
+        [
+            (1, f"keep1 keep2 {leak} keep3"),
+            (2, "all clean text here"),
+            (3, leak),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, f"pre {leak} post")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in CU.decontaminate_spans(corpus, bench, n=8).collect()
+    }
+    assert rows[1]["clean_text"] == "keep1 keep2 keep3"
+    assert rows[1]["n_tokens"] == 11 and rows[1]["n_removed"] == 8
+    assert rows[2]["clean_text"] == "all clean text here"
+    assert rows[2]["n_removed"] == 0
+    assert rows[3]["clean_text"] == "" and rows[3]["n_removed"] == 8

@@ -1325,3 +1325,54 @@ def test_cms_sink_end_to_end_stream(spark, tmp_path):
         for r in cms_estimate(P.load_cms_store(spark, store), probes).collect()
     }
     assert est["tok0"] >= 8 and est["tok6"] >= 7
+
+
+def test_interval_overlap_join_works_stream_static(spark, tmp_path):
+    """The bucketed interval join is stateless (per-row bucket explode
+    + equi-join + arithmetic exactly-once rule), so it composes with a
+    streaming left side as a stream-static join in append mode with no
+    watermark state -- the ingest-time "does this arriving interval
+    clash with a reservation/maintenance window?" gate."""
+    from datetime import datetime
+
+    from iot_sensor_log_data_pipeline_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    static = spark.createDataFrame(
+        [(100, t(2), t(4)), (101, t(10), t(12))],
+        "win_id long, s_b timestamp, e_b timestamp",
+    )
+    src = str(tmp_path / "iv_src")
+    spark.createDataFrame(
+        [
+            (1, t(3), t(3, 30)),   # inside window 100
+            (2, t(5), t(6)),       # clashes with nothing
+            (3, t(1), t(11)),      # spans both windows (multi-bucket)
+        ],
+        "req_id long, s_a timestamp, e_a timestamp",
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "req_id long, s_a timestamp, e_a timestamp"
+    ).parquet(src)
+
+    q = (
+        interval_overlap_join(stream, static, "s_a", "e_a", "s_b", "e_b")
+        .select("req_id", "win_id")
+        .writeStream.format("memory")
+        .queryName("iv_stream")
+        .option("checkpointLocation", str(tmp_path / "iv_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["req_id"], r["win_id"]) for r in spark.table("iv_stream").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [(1, 100), (3, 100), (3, 101)]

@@ -71,6 +71,16 @@ HEADLINE: tuple[str, ...] = (
     "corpus_mixture_weights",
     # round 6: the DSIR importance-resampling composition
     "corpus_dsir_resample",
+    # round 8: tf*rarity-weighted SimHash (vocabulary join + in-row fold)
+    "dedup_weighted_simhash",
+    # round 8: bucketed interval-overlap join over user sessions
+    "events_session_overlap",
+    # round 8: one-pass Arrow-gemm embedding covariance
+    "profile_embedding_covariance",
+    # round 8: span-level decontamination (positional grams + excision)
+    "corpus_decontaminate_spans",
+    # round 8: Gopher rule gate (pure codegen column battery)
+    "text_gopher_quality_gate",
 )
 
 

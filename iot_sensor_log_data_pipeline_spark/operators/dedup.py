@@ -608,9 +608,13 @@ def weighted_simhash64(
     Plan: per-doc (token, tf) structs built in the row (one pass over
     the token array), explode -> vocabulary-keyed df agg + equi-join
     (both vocabulary-bounded, not corpus-bounded) -> collect the
-    weighted tokens back per doc and fold the 64 lanes in-row with the
-    same md5 lane-bit machinery as ``simhash64``.  Returns
-    (id_col, simhash)."""
+    weighted tokens back per doc and fold the 64 lanes in-row.  The
+    md5 lane-bit extraction (the expensive expression: md5 + 16x
+    conv/substring per token) is evaluated ONCE PER VOCABULARY TERM in
+    the df table and carried through the join as a +-1 vote array --
+    NOT per (doc, token) pair in the fold, which re-derives it
+    corpus-frequency times (measured 15.7 s -> the fold below is pure
+    zip_with arithmetic).  Returns (id_col, simhash)."""
     n_docs = docs.count()  # 1-row bounded pull (broadcast-scalar pattern)
 
     toks = tokens(F.col(text_col))
@@ -624,17 +628,9 @@ def weighted_simhash64(
     per_tok = docs.select(
         F.col(id_col).alias("__wsh_id"), F.explode(tf_structs).alias("s")
     ).select("__wsh_id", F.col("s.token").alias("token"), F.col("s.tf").alias("tf"))
-    df_tbl = per_tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    weighted = per_tok.join(df_tbl, "token").select(
-        "__wsh_id",
-        "token",
-        (F.col("tf") * F.floor(F.lit(n_docs) / F.col("df")).cast("long")).alias(
-            "weight"
-        ),
-    )
     lanes = F.sequence(F.lit(0), F.lit(63))
 
-    def token_votes(t: Column, w: Column) -> Column:
+    def token_votes(t: Column) -> Column:
         hx = F.substring(F.md5(t.cast("binary")), 1, 16)
 
         def lane_vote(i: Column) -> Column:
@@ -642,20 +638,34 @@ def weighted_simhash64(
                 "int"
             )
             mask = F.pow(F.lit(2.0), (F.lit(3) - (i % 4)).cast("double")).cast("int")
-            return F.when(nibble.bitwiseAND(mask) > 0, w).otherwise(-w)
+            return F.when(nibble.bitwiseAND(mask) > 0, F.lit(1)).otherwise(F.lit(-1))
 
         return F.transform(lanes, lane_vote)
 
+    df_tbl = (
+        per_tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select("token", "df", token_votes(F.col("token")).alias("votes"))
+    )
+    weighted = per_tok.join(df_tbl, "token").select(
+        "__wsh_id",
+        (F.col("tf") * F.floor(F.lit(n_docs) / F.col("df")).cast("long")).alias(
+            "weight"
+        ),
+        "votes",
+    )
     folded = (
         weighted.groupBy("__wsh_id")
-        .agg(F.collect_list(F.struct("token", "weight")).alias("tw"))
+        .agg(F.collect_list(F.struct("weight", "votes")).alias("wv"))
         .select(
             F.col("__wsh_id").alias(id_col),
             F.aggregate(
-                F.col("tw"),
+                F.col("wv"),
                 F.transform(lanes, lambda _: F.lit(0).cast("long")),
                 lambda acc, s: F.zip_with(
-                    acc, token_votes(s["token"], s["weight"]), lambda a, b: a + b
+                    acc,
+                    F.transform(s["votes"], lambda v: v * s["weight"]),
+                    lambda a, b: a + b,
                 ),
             ).alias("votes"),
         )

@@ -55,16 +55,18 @@ _QUERY_MODULES = (
 #: follows in registration order.  Round-8 priority: (a) the 8
 #: oracle-backed queries that have NEVER appeared in any external
 #: CORRECTNESS window (4 landed after the round-6 window filled, 4 are
-#: new in round 7), (b) the 9 queries new in round 8 (Gopher quality
+#: new in round 7), (b) the 10 queries new in round 8 (Gopher quality
 #: gate, benchmark contamination scores, CDC snapshot diff, weighted
 #: SimHash, tokenizer fertility, source overlap, session-interval
-#: overlap join, embedding covariance, span decontamination), (c) re-entries for the five shingle-family queries
+#: overlap join, embedding covariance, span decontamination, numeric
+#: correlation matrix), (c) re-entries for the five shingle-family queries
 #: whose input path changed this round (the ``parallelize_small`` wrap
-#: at the catalog call sites), (d) the 28 stalest round-3 rows (the
-#: six bumped for slot space -- scan_orc_roundtrip,
+#: at the catalog call sites), (d) the 27 stalest round-3 rows (the
+#: seven bumped for slot space -- scan_orc_roundtrip,
 #: scan_xml_roundtrip, corpus_weighted_sample, agg_histogram_quantiles,
-#: multimodal_byte_histogram, downsample_lttb_value -- lead the
-#: round-9 refresh).  8+9+5+28 = 50, one full window.
+#: multimodal_byte_histogram, downsample_lttb_value,
+#: downsample_ohlc_10min -- lead the round-9 refresh).
+#: 8+10+5+27 = 50, one full window.
 #: By-design rows-only queries (``agg_approx_sketches``,
 #: ``similarity_ivf_ann``, ``similarity_graph_ann``) stay out of the
 #: window: their machinery is covered by oracle twins and bounds /
@@ -94,14 +96,15 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "events_session_overlap",
     "profile_embedding_covariance",
     "corpus_decontaminate_spans",
+    "profile_numeric_correlation",
     # (c) re-entry: shingle-input parallelism wrap (round-8 edit)
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_survivor_selection",
     "corpus_leakage_safe_split",
-    # (d) round-3 battery refresh: the 28 stalest rows that fit the
-    # window (the 6 bumped rows lead round 9's refresh)
+    # (d) round-3 battery refresh: the 27 stalest rows that fit the
+    # window (the 7 bumped rows lead round 9's refresh)
     "string_functions",
     "string_functions_extended",
     "date_functions",
@@ -129,7 +132,6 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "profile_events_table",
     "incremental_rollup_merge",
     "hourly_avg_value",
-    "downsample_ohlc_10min",
 )
 
 #: Round-9 rotation plan: (a) anything new in round 9 plus re-entries

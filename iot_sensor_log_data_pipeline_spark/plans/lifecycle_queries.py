@@ -736,3 +736,84 @@ def profile_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = emb.where(F.col("label") < 5)
     cur = emb.where(F.col("label") >= 5)
     return embedding_drift(ref, cur, out_dim=4).orderBy("d")
+
+
+@register(
+    "profile_numeric_correlation",
+    oracle="""
+    WITH base AS (
+      -- (l_orderkey, l_linenumber) is NOT unique in this synthetic
+      -- corpus: the rid exists only to pair each row with itself, so
+      -- any unique surrogate works.
+      SELECT row_number() OVER () AS rid,
+             l_quantity, l_extendedprice, l_discount, l_tax
+      FROM lineitem
+    ),
+    e AS (
+      SELECT rid,
+             unnest(range(4)) AS d,
+             unnest([l_quantity, l_extendedprice, l_discount, l_tax]) AS x
+      FROM base
+    )
+    SELECT CAST(a.d AS INT) AS i, CAST(b.d AS INT) AS j,
+           round(corr(a.x, b.x), 6) AS corr
+    FROM e a JOIN e b ON a.rid = b.rid
+    GROUP BY a.d, b.d
+    ORDER BY i, j
+    """,
+    tags=("profiling", "statistics"),
+)
+def profile_numeric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Pearson correlation MATRIX over the lineitem measures in
+    one pass -- the multi-column generalization of ``value_props_corr``
+    and the standard first look at a new numeric table.  Reuses the
+    embedding engine's gemm covariance
+    (``operators/similarity.py:embedding_covariance``) by packing the
+    columns into an array: per-partition Arrow X^T X partials, a
+    dim^2-keyed merge, then corr_ij = cov_ij / sqrt(cov_ii * cov_jj)
+    over the 16-cell result -- one corpus pass for ALL pairs where the
+    naive approach runs a corr() scan per pair.
+
+    Columns are STANDARDIZED in-row first (a bounded scalar pre-agg
+    supplies mean/std): corr is shift/scale-invariant, so this changes
+    nothing statistically but removes the E[xy] - E[x]E[y]
+    catastrophic cancellation that raw 10^4-magnitude prices with
+    near-zero correlation would otherwise hit (observed: 3rd-decimal
+    divergence from the oracle on uncentered data).  The oracle's
+    corr() replays the same statistic (Pearson's (n-1) factors
+    cancel)."""
+    from ..operators.similarity import embedding_covariance
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li_raw = load(spark, sf_dir, "lineitem")
+    stats = li_raw.select(
+        *[F.avg(c).alias(f"m_{c}") for c in cols],
+        *[F.stddev_pop(c).alias(f"s_{c}") for c in cols],
+    ).collect()[0]
+    li = li_raw.select(
+        F.array(
+            *[
+                (F.col(c).cast("double") - F.lit(float(stats[f"m_{c}"])))
+                / F.lit(float(stats[f"s_{c}"]))
+                for c in cols
+            ]
+        ).alias("v")
+    )
+    cov = embedding_covariance(li, vec_col="v", dim=len(cols))
+    diag = cov.where(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), F.col("cov").alias("var")
+    )
+    da = diag.select(F.col("d").alias("i"), F.col("var").alias("var_i"))
+    db = diag.select(F.col("d").alias("j"), F.col("var").alias("var_j"))
+    return (
+        cov.join(F.broadcast(da), "i")
+        .join(F.broadcast(db), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("cov") / F.sqrt(F.col("var_i") * F.col("var_j")), 6
+            ).alias("corr"),
+        )
+        .orderBy("i", "j")
+    )

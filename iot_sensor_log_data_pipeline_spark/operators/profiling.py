@@ -254,3 +254,54 @@ def embedding_drift(
         joined.groupBy("d")
         .agg(F.round(F.sum((scf - srf) * F.log(scf / srf)), 6).alias("psi"))
     )
+
+
+def embedding_centroid_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Per-group centroid-cosine quality score: every vector's cosine
+    to its OWN group's mean vector, plus an outlier flag below
+    ``threshold`` -- the embedding-space analogue of a CLIP-score
+    filter (vectors far from their cluster's center are mislabeled,
+    noise, or modality failures; the standard triage before training
+    on scraped pairs).
+
+    Two bounded shuffles before the scoring pass: (label, pos)-keyed
+    mean (posexplode + avg, rows = labels x dim) and per-label array
+    re-assembly -- the centroid table is labels x dim values, broadcast
+    to the scoring join regardless of corpus size.  The cosine itself
+    is a JVM-side zip_with/aggregate fold; no Python, no shuffle of
+    the vectors themselves.
+    """
+    from .similarity import cosine
+
+    cent = (
+        emb.select(
+            F.col(label_col).alias("__lbl"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        .groupBy("__lbl", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy("__lbl")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+        )
+        .select("__lbl", F.col("pm.m").alias("centroid"))
+    )
+    scored = emb.join(
+        F.broadcast(cent), emb[label_col] == cent["__lbl"]
+    ).select(
+        id_col,
+        label_col,
+        cosine(F.col(vec_col), F.col("centroid")).alias("cos_centroid"),
+    )
+    return scored.select(
+        id_col,
+        label_col,
+        "cos_centroid",
+        (F.col("cos_centroid") < F.lit(float(threshold))).alias("is_outlier"),
+    )

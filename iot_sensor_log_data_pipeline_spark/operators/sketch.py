@@ -338,3 +338,103 @@ def histogram_quantiles(
         .select("q", F.round(est, 6).alias("estimate"))
         .orderBy("q")
     )
+
+
+def misra_gries_summaries(
+    df: DataFrame, key_col: str = "key", k: int = 256
+) -> DataFrame:
+    """Per-partition Misra-Gries frequency summaries: at most ``k``
+    (key, count_lo) rows per partition, where ``count_lo``
+    underestimates the true partition count by at most
+    ``n_partition / (k + 1)`` (Misra & Gries 1982; the weighted
+    batch-decrement form of Berinde et al. 2010).
+
+    The deterministic, mergeable heavy-hitter sketch: summaries merge
+    by union + per-key SUM (counts only ever under-approximate, and
+    errors add), so a 1000-executor corpus produces <= k rows per
+    partition regardless of distinct-key cardinality -- the property
+    that makes top-k frequency queries feasible when exact per-key
+    counts would themselves be a 100 TB shuffle.
+
+    Arrow path: one ``mapInPandas`` pass; each task folds its batches
+    into a k-counter dict (per batch: pandas ``value_counts`` first,
+    so the Python loop runs per DISTINCT key in the batch, not per
+    row).  No shuffle -- the summary is emitted where the data sits.
+    """
+
+    def fold(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for key, c in pdf[key_col].value_counts().items():
+                c = int(c)
+                if key in counters:
+                    counters[key] += c
+                elif len(counters) < k:
+                    counters[key] = c
+                else:
+                    # Weighted decrement: subtracting delta from every
+                    # counter AND the incoming weight preserves the MG
+                    # invariant (total decrement per unit <= n/(k+1)).
+                    delta = min(min(counters.values()), c)
+                    c -= delta
+                    counters = {
+                        ky: cnt - delta
+                        for ky, cnt in counters.items()
+                        if cnt > delta
+                    }
+                    if c > 0:
+                        counters[key] = c
+        yield pd.DataFrame(
+            {
+                key_col: list(counters.keys()),
+                "count_lo": [int(v) for v in counters.values()],
+            }
+        )
+
+    field = df.schema[key_col]
+    out_schema = T.StructType(
+        [field, T.StructField("count_lo", T.LongType(), False)]
+    )
+    return df.select(key_col).mapInPandas(fold, schema=out_schema)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str = "key",
+    phi: float = 0.01,
+    k: int | None = None,
+) -> DataFrame:
+    """EXACT phi-heavy hitters (keys with frequency >= ``phi`` of all
+    rows) computed sketch-first: per-partition Misra-Gries summaries
+    nominate candidates, an exact recount over just the candidates
+    verifies.  Result is deterministic and partitioning-independent.
+
+    Completeness: with ``k >= ceil(1/phi) - 1`` counters, any key with
+    global count >= phi*n exceeds its partition's n_p/(k+1) error bound
+    on at least one partition (pigeonhole over sum n_p = n), so it
+    survives in that partition's summary -- the candidate union misses
+    no true heavy hitter.  The recount then discards false positives,
+    so the output equals the exact GROUP BY answer at a fraction of its
+    cost: the only key-shuffle is over candidate keys (<= k per
+    partition), and the recount is a broadcast-semi-join + count.
+    """
+    if k is None:
+        k = max(int(1.0 / phi), 8)
+    n = df.count()
+    cand = (
+        misra_gries_summaries(df, key_col=key_col, k=k)
+        .select(key_col)
+        .distinct()
+    )
+    exact = (
+        df.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return exact.where(
+        F.col("n_occurrences") >= F.ceil(F.lit(float(phi)) * F.lit(n))
+    ).select(
+        key_col,
+        "n_occurrences",
+        F.round(F.col("n_occurrences") / F.lit(n), 6).alias("frac"),
+    )

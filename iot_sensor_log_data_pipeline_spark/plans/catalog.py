@@ -55,18 +55,21 @@ _QUERY_MODULES = (
 #: follows in registration order.  Round-8 priority: (a) the 8
 #: oracle-backed queries that have NEVER appeared in any external
 #: CORRECTNESS window (4 landed after the round-6 window filled, 4 are
-#: new in round 7), (b) the 10 queries new in round 8 (Gopher quality
+#: new in round 7), (b) the 13 queries new in round 8 (Gopher quality
 #: gate, benchmark contamination scores, CDC snapshot diff, weighted
 #: SimHash, tokenizer fertility, source overlap, session-interval
 #: overlap join, embedding covariance, span decontamination, numeric
-#: correlation matrix), (c) re-entries for the five shingle-family queries
-#: whose input path changed this round (the ``parallelize_small`` wrap
-#: at the catalog call sites), (d) the 27 stalest round-3 rows (the
-#: seven bumped for slot space -- scan_orc_roundtrip,
-#: scan_xml_roundtrip, corpus_weighted_sample, agg_histogram_quantiles,
-#: multimodal_byte_histogram, downsample_lttb_value,
-#: downsample_ohlc_10min -- lead the round-9 refresh).
-#: 8+10+5+27 = 50, one full window.
+#: correlation matrix, prefix-filter exact Jaccard join, Misra-Gries
+#: heavy hitters, embedding centroid outliers), (c) re-entries for the
+#: five shingle-family queries whose input path changed this round
+#: (the ``parallelize_small`` wrap at the catalog call sites), (d) the
+#: 24 stalest round-3 rows (the ten bumped for slot space --
+#: scan_orc_roundtrip, scan_xml_roundtrip, corpus_weighted_sample,
+#: agg_histogram_quantiles, multimodal_byte_histogram,
+#: downsample_lttb_value, downsample_ohlc_10min, profile_events_table,
+#: incremental_rollup_merge, hourly_avg_value (smoke-checked by
+#: ``entry()`` every round regardless) -- lead the round-9 refresh).
+#: 8+13+5+24 = 50, one full window.
 #: By-design rows-only queries (``agg_approx_sketches``,
 #: ``similarity_ivf_ann``, ``similarity_graph_ann``) stay out of the
 #: window: their machinery is covered by oracle twins and bounds /
@@ -97,14 +100,17 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "profile_embedding_covariance",
     "corpus_decontaminate_spans",
     "profile_numeric_correlation",
+    "dedup_prefix_filter_jaccard",
+    "sketch_heavy_hitters",
+    "profile_embedding_outliers",
     # (c) re-entry: shingle-input parallelism wrap (round-8 edit)
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_survivor_selection",
     "corpus_leakage_safe_split",
-    # (d) round-3 battery refresh: the 27 stalest rows that fit the
-    # window (the 7 bumped rows lead round 9's refresh)
+    # (d) round-3 battery refresh: the 24 stalest rows that fit the
+    # window (the 10 bumped rows lead round 9's refresh)
     "string_functions",
     "string_functions_extended",
     "date_functions",
@@ -129,17 +135,19 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "q13_customer_distribution",
     "q21_waiting_suppliers",
     "q22_dormant_accounts",
-    "profile_events_table",
-    "incremental_rollup_merge",
-    "hourly_avg_value",
 )
 
 #: Round-9 rotation plan: (a) anything new in round 9 plus re-entries
-#: for round-9-edited modules; (b) the round-4 battery -- after this
-#: window lands it is the stalest external evidence left (42 rows:
-#: dedup/text/similarity/sketch families, scan_merge_schema,
-#: scd2_point_in_time_join, profile_psi_drift, quality_* checks) --
-#: as many as fit the 50-slot window after (a).
+#: for round-9-edited modules; (b) the 10 round-3 rows bumped from the
+#: round-8 window (scan_orc_roundtrip, scan_xml_roundtrip,
+#: corpus_weighted_sample, agg_histogram_quantiles,
+#: multimodal_byte_histogram, downsample_lttb_value,
+#: downsample_ohlc_10min, profile_events_table,
+#: incremental_rollup_merge, hourly_avg_value); (c) the round-4
+#: battery -- after this window lands it is the stalest external
+#: evidence left (42 rows: dedup/text/similarity/sketch families,
+#: scan_merge_schema, scd2_point_in_time_join, profile_psi_drift,
+#: quality_* checks) -- as many as fit the 50-slot window.
 
 
 @dataclass(frozen=True)

@@ -108,6 +108,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@register(
+    "dedup_prefix_filter_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN shingles a ON a.doc_id = c.id_a
+      JOIN shingles b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.n_common / (sa.set_size + sb.set_size - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_common / (sa.set_size + sb.set_size - i.n_common) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "north-star", "jaccard", "prefix-filter"),
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.6 pairs via prefix filtering (All-Pairs /
+    PPJoin candidate generation): only each doc's (1-t)-fraction
+    rarest shingles are indexed, yet the candidate set is provably
+    complete -- so the oracle here is the UNPRUNED exact answer (the
+    stop-shingle-capped ``dedup_ngram_jaccard`` oracle bakes its
+    heuristic into the SQL; this one doesn't have to)."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    pairs = DD.prefix_filter_jaccard_pairs(docs, threshold=0.6)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
 #: The affine-permutation coefficient table, embedded as literals from
 #: the same source (``dedup.MINHASH_COEFFS``) the Spark plan uses.
 _COEF_ROWS = ", ".join(

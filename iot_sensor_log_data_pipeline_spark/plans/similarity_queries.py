@@ -652,3 +652,52 @@ def profile_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", "j", F.round("cov", 6).alias("cov"))
         .orderBy("i", "j")
     )
+
+
+@register(
+    "profile_embedding_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             unnest(range(len(embedding))) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cent AS (SELECT label, d, avg(x) AS m FROM e GROUP BY label, d),
+    s AS (
+      SELECT e.vec_id, e.label,
+             sum(e.x * cent.m) AS dp,
+             sqrt(sum(e.x * e.x)) AS na,
+             sqrt(sum(cent.m * cent.m)) AS nb
+      FROM e JOIN cent ON e.label = cent.label AND e.d = cent.d
+      GROUP BY e.vec_id, e.label
+    )
+    SELECT vec_id, label,
+           round(dp / (na * nb), 6) AS cos_centroid,
+           dp / (na * nb) < 0.0 AS is_outlier
+    FROM s ORDER BY vec_id
+    """,
+    tags=("similarity", "north-star", "profiling", "curation"),
+)
+def profile_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-cosine quality filter
+    (``operators/profiling.py:embedding_centroid_outliers``): each
+    vector scored by cosine to its own label's mean vector, flagged
+    when it points AWAY from its cluster center (cos < 0) -- the
+    embedding-space mislabel/noise triage a pair-scraping pipeline
+    runs before training.  The centroid table is labels x dim and
+    broadcast; the scoring pass is a JVM zip_with fold, no vector
+    shuffle.  Oracle replays centroid, dot, and norms coordinate-wise;
+    both sides round to 1e-6, far above summation-order noise."""
+    from ..operators import profiling as PF
+
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    out = PF.embedding_centroid_outliers(
+        emb, threshold=0.0
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        F.round("cos_centroid", 6).alias("cos_centroid"),
+        "is_outlier",
+    ).orderBy("vec_id")

@@ -262,6 +262,38 @@ def sketch_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.hll_registers(toks, "token").orderBy("register")
 
 
+@register(
+    "sketch_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT t.token,
+           count(*) AS n_occurrences,
+           round(count(*) * 1.0 / any_value(tot.n), 6) AS frac
+    FROM tok t CROSS JOIN tot
+    GROUP BY t.token
+    HAVING count(*) >= ceil(0.034 * any_value(tot.n))
+    ORDER BY n_occurrences DESC, token
+    """,
+    tags=("text", "sketch", "heavy-hitters"),
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phi=3.4% heavy-hitter tokens, computed sketch-first:
+    per-partition Misra-Gries summaries (mapInPandas, <= k rows out per
+    task) nominate candidates, a broadcast-semi-join recount verifies
+    -- so the result equals the plain GROUP BY .. HAVING the oracle
+    runs, but the only full-width shuffle is over candidate keys.  At
+    this sf the corpus vocabulary fits under k (the sketch never
+    decrements); the decrement path and the n/(k+1) error bound are
+    pinned by skewed-fixture pytests where distinct keys >> k."""
+    from ..operators import sketch as SK
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    hh = SK.heavy_hitters(toks, key_col="token", phi=0.034, k=64)
+    return hh.orderBy(F.desc("n_occurrences"), F.asc("token"))
+
+
 _BM25_TERMS = ("spark", "join", "window")
 _BM25_K1, _BM25_B = 1.2, 0.75
 _BM25_TF = {

@@ -3784,3 +3784,127 @@ def test_decontaminate_spans_excises_exactly_the_covered_tokens(spark):
     assert rows[2]["clean_text"] == "all clean text here"
     assert rows[2]["n_removed"] == 0
     assert rows[3]["clean_text"] == "" and rows[3]["n_removed"] == 8
+
+
+def test_prefix_filter_jaccard_complete_and_prunes_candidates(spark, sf_dir):
+    """Prefix filtering must return EXACTLY the pairs the unpruned
+    shared-shingle join finds (completeness is the theorem; equality
+    because verification is exact either way), while indexing strictly
+    fewer (doc, shingle) postings than the full inverted index."""
+    from iot_sensor_log_data_pipeline_spark.io_utils import load, parallelize_small
+    from iot_sensor_log_data_pipeline_spark.operators import dedup as DD
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    t = 0.5
+
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in DD.prefix_filter_jaccard_pairs(docs, threshold=t).collect()
+    }
+
+    # Naive exact baseline: full shared-shingle candidates, exact verify.
+    sh = DD.shingle_table(docs, "doc_id", "text", 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    full = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("set_size").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("set_size").alias("sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_common") / (F.col("sa") + F.col("sb") - F.col("n_common"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= t)
+    )
+    want = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in full.collect()
+    }
+    assert got == want
+    assert want, "fixture should contain at least one near-dup pair"
+
+    # The prefix index must be a strict subset of the full posting list.
+    from pyspark.sql.window import Window
+
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(df_tbl, "shingle")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    n_prefix = ranked.where(
+        F.col("rk") <= F.col("set_size") - F.ceil(F.lit(t) * F.col("set_size")) + 1
+    ).count()
+    n_full = sh.count()
+    assert n_prefix < n_full * 0.6, (n_prefix, n_full)
+
+
+def test_misra_gries_bounds_and_heavy_hitters_exact(spark):
+    """Skewed fixture with distinct keys >> k: (a) per-partition MG
+    summaries respect the n/(k+1) underestimate bound and contain
+    every key above it; (b) sketch-first heavy_hitters equals the
+    exact GROUP BY answer, independent of partitioning."""
+    import collections
+
+    from iot_sensor_log_data_pipeline_spark.operators import sketch as SK
+
+    # 30% hot1, 10% hot2, remainder spread over 200 cold keys.
+    rows = (
+        [("hot1",)] * 300
+        + [("hot2",)] * 100
+        + [(f"cold{i % 200}",) for i in range(600)]
+    )
+    df = spark.createDataFrame(rows, "key string")
+    n = len(rows)
+    truth = collections.Counter(r[0] for r in rows)
+    k = 8
+
+    # (a) single-partition summary: MG invariants against exact counts.
+    summary = {
+        r["key"]: r["count_lo"]
+        for r in SK.misra_gries_summaries(df.coalesce(1), "key", k=k).collect()
+    }
+    assert len(summary) <= k
+    bound = n / (k + 1)
+    for key, lo in summary.items():
+        assert 0 < lo <= truth[key]
+        assert truth[key] - lo <= bound
+    for key, cnt in truth.items():
+        if cnt > bound:
+            assert key in summary, (key, cnt, bound)
+
+    # (b) exact heavy hitters, any partition layout.  k=16 satisfies
+    # the completeness precondition k+1 > 1/phi (k=8 would not: a key
+    # at exactly the phi threshold could evade every summary).
+    want = {
+        (key, cnt, round(cnt / n, 6))
+        for key, cnt in truth.items()
+        if cnt >= -(-0.1 * n // 1)  # ceil(phi * n)
+    }
+    for parts in (1, 7):
+        got = {
+            (r["key"], r["n_occurrences"], r["frac"])
+            for r in SK.heavy_hitters(
+                df.repartition(parts), "key", phi=0.1, k=16
+            ).collect()
+        }
+        assert got == want, (parts, got, want)

@@ -60,16 +60,17 @@ _QUERY_MODULES = (
 #: SimHash, tokenizer fertility, source overlap, session-interval
 #: overlap join, embedding covariance, span decontamination, numeric
 #: correlation matrix, prefix-filter exact Jaccard join, Misra-Gries
-#: heavy hitters, embedding centroid outliers), (c) re-entries for the
-#: five shingle-family queries whose input path changed this round
-#: (the ``parallelize_small`` wrap at the catalog call sites), (d) the
-#: 24 stalest round-3 rows (the ten bumped for slot space --
+#: heavy hitters, embedding centroid outliers, Z-order layout
+#: roundtrip), (c) re-entries for the five shingle-family queries
+#: whose input path changed this round (the ``parallelize_small``
+#: wrap at the catalog call sites), (d) the
+#: 23 stalest round-3 rows (the eleven bumped for slot space --
 #: scan_orc_roundtrip, scan_xml_roundtrip, corpus_weighted_sample,
 #: agg_histogram_quantiles, multimodal_byte_histogram,
 #: downsample_lttb_value, downsample_ohlc_10min, profile_events_table,
-#: incremental_rollup_merge, hourly_avg_value (smoke-checked by
-#: ``entry()`` every round regardless) -- lead the round-9 refresh).
-#: 8+13+5+24 = 50, one full window.
+#: incremental_rollup_merge, q22_dormant_accounts, hourly_avg_value
+#: (smoke-checked by ``entry()`` every round regardless) -- lead the
+#: round-9 refresh).  8+14+5+23 = 50, one full window.
 #: By-design rows-only queries (``agg_approx_sketches``,
 #: ``similarity_ivf_ann``, ``similarity_graph_ann``) stay out of the
 #: window: their machinery is covered by oracle twins and bounds /
@@ -103,14 +104,15 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "dedup_prefix_filter_jaccard",
     "sketch_heavy_hitters",
     "profile_embedding_outliers",
+    "maintenance_zorder_roundtrip",
     # (c) re-entry: shingle-input parallelism wrap (round-8 edit)
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_survivor_selection",
     "corpus_leakage_safe_split",
-    # (d) round-3 battery refresh: the 24 stalest rows that fit the
-    # window (the 10 bumped rows lead round 9's refresh)
+    # (d) round-3 battery refresh: the 23 stalest rows that fit the
+    # window (the 11 bumped rows lead round 9's refresh)
     "string_functions",
     "string_functions_extended",
     "date_functions",
@@ -134,7 +136,6 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "q8_market_share",
     "q13_customer_distribution",
     "q21_waiting_suppliers",
-    "q22_dormant_accounts",
 )
 
 #: Round-9 rotation plan: (a) anything new in round 9 plus re-entries
@@ -143,7 +144,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
 #: corpus_weighted_sample, agg_histogram_quantiles,
 #: multimodal_byte_histogram, downsample_lttb_value,
 #: downsample_ohlc_10min, profile_events_table,
-#: incremental_rollup_merge, hourly_avg_value); (c) the round-4
+#: incremental_rollup_merge, q22_dormant_accounts, hourly_avg_value);
+#: (c) the round-4
 #: battery -- after this window lands it is the stalest external
 #: evidence left (42 rows: dedup/text/similarity/sketch families,
 #: scan_merge_schema, scd2_point_in_time_join, profile_psi_drift,

@@ -430,3 +430,49 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderstatus").alias("n_with_status"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@register(
+    "maintenance_zorder_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+           min(user_id) AS min_user,
+           max(user_id) AS max_user
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("pipeline", "maintenance", "zorder", "layout"),
+)
+def maintenance_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout maintenance
+    (``operators/compaction.py:zorder_write``): rewrite events
+    clustered on the Morton-interleaved (user_id, value) key -- the
+    multi-dimension data-skipping layout -- then aggregate the
+    rewritten table, which must match aggregating the pristine corpus
+    (row-lossless rewrite).  The layout benefit itself (per-file
+    min/max selectivity on BOTH clustered columns vs a lexicographic
+    sort) is footer-asserted in
+    ``test_zorder_write_multi_column_skipping``."""
+    from ..operators.compaction import zorder_write
+
+    path = _scratch("zorder_roundtrip")
+    events = load(spark, sf_dir, "events")
+    n_files = zorder_write(events, path, ["user_id", "value"], n_files=8)
+    if n_files != 8:
+        raise RuntimeError(f"zorder_write produced {n_files} files, wanted 8")
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+        )
+        .orderBy("event_type")
+    )

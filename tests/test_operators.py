@@ -3908,3 +3908,81 @@ def test_misra_gries_bounds_and_heavy_hitters_exact(spark):
             ).collect()
         }
         assert got == want, (parts, got, want)
+
+
+def test_zorder_write_multi_column_skipping(spark, sf_dir, tmp_path):
+    """Z-order layout: after clustering events on (user_id, value),
+    per-file min/max footers must be selective for BOTH columns --
+    whereas a lexicographic sort on user_id leaves value spanning
+    ~the full range in every file.  Content must round-trip exactly."""
+    import pyarrow.parquet as pq
+
+    from iot_sensor_log_data_pipeline_spark.io_utils import load, parallelize_small
+    from iot_sensor_log_data_pipeline_spark.operators import compaction as CP
+
+    events = parallelize_small(load(spark, sf_dir, "events"))
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "sorted")
+    n_files = 16
+    n_written = CP.zorder_write(events, zpath, ["user_id", "value"], n_files=n_files)
+    assert n_written == n_files
+
+    (
+        events.repartitionByRange(n_files, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def mean_widths(path):
+        lo = {"user_id": float("inf"), "value": float("inf")}
+        hi = {"user_id": float("-inf"), "value": float("-inf")}
+        per_file = []
+        import os
+
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        stats = []
+        for f in files:
+            md = pq.read_metadata(f)
+            fstat = {}
+            for col in ("user_id", "value"):
+                cmin, cmax = float("inf"), float("-inf")
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        cc = md.row_group(rg).column(ci)
+                        if cc.path_in_schema == col and cc.statistics:
+                            cmin = min(cmin, float(cc.statistics.min))
+                            cmax = max(cmax, float(cc.statistics.max))
+                fstat[col] = (cmin, cmax)
+                lo[col] = min(lo[col], cmin)
+                hi[col] = max(hi[col], cmax)
+            stats.append(fstat)
+        out = {}
+        for col in ("user_id", "value"):
+            span = hi[col] - lo[col]
+            out[col] = sum(
+                (s[col][1] - s[col][0]) / span for s in stats
+            ) / len(stats)
+        return out
+
+    zw = mean_widths(zpath)
+    sw = mean_widths(spath)
+    # Sorted layout: near-perfect on the sort key, broad on value.
+    assert sw["user_id"] < 0.2
+    assert sw["value"] > 0.6
+    # Z-order: selective on BOTH dimensions at once -- and materially
+    # tighter on the non-leading column than the lexicographic sort.
+    assert zw["user_id"] < 0.5, zw
+    assert zw["value"] < 0.5, zw
+    assert zw["value"] < sw["value"] * 0.7, (zw, sw)
+
+    # Row-lossless: same multiset of (event_id, value) back.
+    back = spark.read.parquet(zpath)
+    assert back.count() == events.count()
+    a = {(r["event_id"], r["value"]) for r in back.collect()}
+    b = {(r["event_id"], r["value"]) for r in events.collect()}
+    assert a == b

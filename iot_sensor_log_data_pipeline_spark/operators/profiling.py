@@ -305,3 +305,39 @@ def embedding_centroid_outliers(
         "cos_centroid",
         (F.col("cos_centroid") < F.lit(float(threshold))).alias("is_outlier"),
     )
+
+
+def join_skew_report(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    k: int = 20,
+) -> DataFrame:
+    """Pre-join skew diagnostic: the ``k`` join keys that would produce
+    the most output pairs, with each side's row count and the exact
+    per-key fan-out (count_left * count_right) -- the report you read
+    BEFORE launching a 100 TB fact-fact join to decide between
+    broadcast, AQE skew splitting, and explicit salting
+    (``operators/skew.py``).
+
+    Cost shape: two (key, count) aggregations -- the same shuffle key
+    the join itself would use but carrying ONE long per distinct key
+    instead of full rows -- an equi-join of the two count tables, and
+    a TakeOrdered top-k (per-partition heaps, no global sort).  When
+    even the distinct-key table is too hot, nominate candidates with
+    ``sketch.heavy_hitters`` first and recount only those; this exact
+    form is the oracle-checkable one.
+    """
+    cl = left.groupBy(key).agg(F.count(F.lit(1)).alias("n_left"))
+    cr = right.groupBy(key).agg(F.count(F.lit(1)).alias("n_right"))
+    return (
+        cl.join(cr, key)
+        .select(
+            key,
+            "n_left",
+            "n_right",
+            (F.col("n_left") * F.col("n_right")).alias("est_pairs"),
+        )
+        .orderBy(F.desc("est_pairs"), F.asc(key))
+        .limit(k)
+    )

@@ -61,16 +61,17 @@ _QUERY_MODULES = (
 #: overlap join, embedding covariance, span decontamination, numeric
 #: correlation matrix, prefix-filter exact Jaccard join, Misra-Gries
 #: heavy hitters, embedding centroid outliers, Z-order layout
-#: roundtrip), (c) re-entries for the five shingle-family queries
-#: whose input path changed this round (the ``parallelize_small``
-#: wrap at the catalog call sites), (d) the
-#: 23 stalest round-3 rows (the eleven bumped for slot space --
+#: roundtrip, pre-join skew report), (c) re-entries for the five
+#: shingle-family queries whose input path changed this round (the
+#: ``parallelize_small`` wrap at the catalog call sites), (d) the
+#: 22 stalest round-3 rows (the twelve bumped for slot space --
 #: scan_orc_roundtrip, scan_xml_roundtrip, corpus_weighted_sample,
 #: agg_histogram_quantiles, multimodal_byte_histogram,
 #: downsample_lttb_value, downsample_ohlc_10min, profile_events_table,
-#: incremental_rollup_merge, q22_dormant_accounts, hourly_avg_value
+#: incremental_rollup_merge, q22_dormant_accounts, q21_waiting_suppliers,
+#: hourly_avg_value
 #: (smoke-checked by ``entry()`` every round regardless) -- lead the
-#: round-9 refresh).  8+14+5+23 = 50, one full window.
+#: round-9 refresh).  8+15+5+22 = 50, one full window.
 #: By-design rows-only queries (``agg_approx_sketches``,
 #: ``similarity_ivf_ann``, ``similarity_graph_ann``) stay out of the
 #: window: their machinery is covered by oracle twins and bounds /
@@ -105,6 +106,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "sketch_heavy_hitters",
     "profile_embedding_outliers",
     "maintenance_zorder_roundtrip",
+    "profile_join_skew",
     # (c) re-entry: shingle-input parallelism wrap (round-8 edit)
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -135,16 +137,16 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "scd2_customer_history",
     "q8_market_share",
     "q13_customer_distribution",
-    "q21_waiting_suppliers",
 )
 
 #: Round-9 rotation plan: (a) anything new in round 9 plus re-entries
-#: for round-9-edited modules; (b) the 10 round-3 rows bumped from the
+#: for round-9-edited modules; (b) the 12 round-3 rows bumped from the
 #: round-8 window (scan_orc_roundtrip, scan_xml_roundtrip,
 #: corpus_weighted_sample, agg_histogram_quantiles,
 #: multimodal_byte_histogram, downsample_lttb_value,
 #: downsample_ohlc_10min, profile_events_table,
-#: incremental_rollup_merge, q22_dormant_accounts, hourly_avg_value);
+#: incremental_rollup_merge, q22_dormant_accounts,
+#: q21_waiting_suppliers, hourly_avg_value);
 #: (c) the round-4
 #: battery -- after this window lands it is the stalest external
 #: evidence left (42 rows: dedup/text/similarity/sketch families,

@@ -817,3 +817,36 @@ def profile_numeric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+@register(
+    "profile_join_skew",
+    oracle="""
+    WITH cl AS (SELECT l_partkey AS join_key, count(*) AS n_left
+                FROM lineitem GROUP BY 1),
+    cr AS (SELECT p_partkey AS join_key, count(*) AS n_right
+           FROM part GROUP BY 1)
+    SELECT cl.join_key, cl.n_left, cr.n_right,
+           cl.n_left * cr.n_right AS est_pairs
+    FROM cl JOIN cr USING (join_key)
+    ORDER BY est_pairs DESC, join_key
+    LIMIT 20
+    """,
+    tags=("profiling", "join", "skew", "planning"),
+)
+def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostic
+    (``operators/profiling.py:join_skew_report``): the 20 hottest
+    lineitem-x-part join keys by exact output fan-out -- the report
+    that decides broadcast vs AQE skew split vs salting before a
+    fact-fact join.  The count shuffles carry one long per distinct
+    key, never full rows; top-k is TakeOrdered, not a global sort."""
+    from ..operators.profiling import join_skew_report
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("join_key")
+    )
+    pt = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("join_key")
+    )
+    return join_skew_report(li, pt, "join_key", k=20)

@@ -1112,3 +1112,124 @@ def optimize_cms_store(spark, store_dir: str) -> None:
     merged.write.mode("overwrite").parquet(os.path.join(tmp, "batch=-1"))
     shutil.rmtree(store_dir)
     os.rename(tmp, store_dir)
+
+
+def _mg_merge_cap(pairs: list[tuple], k: int) -> list[tuple]:
+    """Merge (key, count) pairs by summation, then re-cap to at most
+    ``k`` rows with the mergeable-summaries rule (Agarwal et al. 2012):
+    subtract the (k+1)-th largest merged count from every count and
+    drop the non-positive remainder.  Error bounds add across the
+    merged inputs -- the property that lets per-partition and
+    per-batch summaries fold without re-scanning anything."""
+    merged: dict = {}
+    for key, c in pairs:
+        merged[key] = merged.get(key, 0) + int(c)
+    if len(merged) > k:
+        cut = sorted(merged.values(), reverse=True)[k]
+        merged = {key: c - cut for key, c in merged.items() if c > cut}
+    return sorted(merged.items(), key=lambda kv: (-kv[1], str(kv[0])))
+
+
+def hh_apply_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    key_col: str = "key",
+    k: int = 256,
+) -> None:
+    """One micro-batch of the streaming heavy-hitter maintenance sink
+    (module-level so replay idempotency is directly testable).
+
+    The batch folds to ONE Misra-Gries summary of <= ``k`` (key,
+    count_lo) rows: per-partition summaries from
+    ``operators/sketch.py:misra_gries_summaries`` (Arrow pass, no
+    shuffle), then a driver-side merge+re-cap of the <= k * partitions
+    summary rows -- a bounded sketch-to-closure pull, never data-scaled.
+    Written as a whole-directory overwrite of ``batch=<id>/`` (the
+    history-store layout), so replaying a batch id in any crash order
+    cannot double-count."""
+    import os
+
+    from ..operators.sketch import misra_gries_summaries
+
+    if not batch.take(1):
+        return
+    rows = misra_gries_summaries(batch.select(key_col), key_col=key_col, k=k).collect()
+    capped = _mg_merge_cap([(r[key_col], r["count_lo"]) for r in rows], k)
+    spark = batch.sparkSession
+    # Stored under the fixed column name ``key`` whatever the source
+    # column was called -- ``load_hh_store`` reads one stable schema.
+    out = spark.createDataFrame(
+        capped,
+        schema=f"key {batch.schema[key_col].dataType.simpleString()}, count_lo long",
+    )
+    out.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"batch={int(batch_id)}")
+    )
+
+
+def start_heavy_hitters_sink(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    key_col: str = "key",
+    k: int = 256,
+) -> StreamingQuery:
+    """Streaming heavy-hitter maintenance: a PERSISTED Misra-Gries
+    summary of the most frequent keys over everything ever ingested --
+    "what's trending, ever / lately?" without per-key state.  Store
+    size is <= k rows per batch until ``optimize_hh_store`` pre-folds
+    to one <= k-row summary, however many distinct keys flow through.
+
+    Guarantee carried by the store (and pinned in pytest): summed
+    ``count_lo`` underestimates any key's true all-time count by at
+    most n_total/(k+1), and every key whose true count exceeds that
+    bound appears in the store -- so downstream can nominate
+    candidates from the store and exact-recount only those, exactly
+    like the batch ``heavy_hitters`` operator.  Same single-writer /
+    stream-stopped-compaction contracts as the CMS store."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        hh_apply_batch(batch, batch_id, store_dir, key_col=key_col, k=k)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def load_hh_store(spark, store_dir: str, key_type: str = "string") -> DataFrame:
+    """The live merged summary: per-key SUM of ``count_lo`` across
+    batch directories.  Summing preserves the lower-bound property
+    (each batch only ever under-counts), and per-batch error bounds
+    add to <= n_total/(k+1)."""
+    return (
+        spark.read.schema(f"key {key_type}, count_lo long, batch long")
+        .option("basePath", store_dir)
+        .parquet(store_dir)
+        .groupBy("key")
+        .agg(F.sum("count_lo").alias("count_lo"))
+    )
+
+
+def optimize_hh_store(spark, store_dir: str, k: int = 256, key_type: str = "string") -> None:
+    """Compact an ingest-grown heavy-hitter store: fold every batch
+    directory into one ``batch=-1`` summary re-capped to <= k rows
+    with the mergeable-summaries subtract rule.  Lower bounds can
+    only tighten DOWNWARD by the re-cap (never invent count), and the
+    cumulative error stays <= n_total/(k+1).  Single-writer,
+    stream-stopped; rmtree+rename swap as the other stores -- a batch
+    id replayed after compaction would double-fold."""
+    import os
+    import shutil
+
+    rows = load_hh_store(spark, store_dir, key_type=key_type).collect()
+    capped = _mg_merge_cap([(r["key"], r["count_lo"]) for r in rows], k)
+    tmp = store_dir.rstrip("/") + "__next"
+    spark.createDataFrame(
+        capped, schema=f"key {key_type}, count_lo long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "batch=-1"))
+    shutil.rmtree(store_dir)
+    os.rename(tmp, store_dir)

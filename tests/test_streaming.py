@@ -6,6 +6,7 @@ compaction trigger end-to-end."""
 from __future__ import annotations
 
 import os
+import time
 import uuid
 
 import pytest
@@ -1376,3 +1377,104 @@ def test_interval_overlap_join_works_stream_static(spark, tmp_path):
     finally:
         q.stop()
     assert got == [(1, 100), (3, 100), (3, 101)]
+
+
+def test_hh_sink_maintains_mergeable_summary(spark, tmp_path):
+    """Streaming heavy-hitter maintenance: after skewed micro-batches
+    where distinct keys >> k, the merged store (a) keeps every key
+    whose true all-time count exceeds n/(k+1), (b) only ever
+    under-counts, within n/(k+1); replaying a batch id does not
+    double-count; compaction folds the store to one <= k-row batch=-1
+    summary with the guarantees intact."""
+    import collections
+
+    store = str(tmp_path / "hh_store")
+    schema = "key string"
+    k = 8
+
+    rows0 = [("hot1",)] * 200 + [(f"c{i % 64}",) for i in range(100)]
+    rows1 = [("hot1",)] * 100 + [("hot2",)] * 150 + [(f"d{i % 64}",) for i in range(100)]
+    b0 = spark.createDataFrame(rows0, schema)
+    b1 = spark.createDataFrame(rows1, schema)
+    truth = collections.Counter(r[0] for r in rows0 + rows1)
+    n = len(rows0) + len(rows1)
+    bound = n / (k + 1)
+
+    P.hh_apply_batch(b0, 0, store, k=k)
+    P.hh_apply_batch(b0, 0, store, k=k)  # replay: overwrite, not double-count
+    P.hh_apply_batch(b1, 1, store, k=k)
+
+    def summary():
+        return {
+            r["key"]: r["count_lo"]
+            for r in P.load_hh_store(spark, store).collect()
+        }
+
+    s = summary()
+    for key, lo in s.items():
+        assert 0 < lo <= truth[key], (key, lo, truth[key])
+        assert truth[key] - lo <= bound, (key, lo, truth[key], bound)
+    for key, cnt in truth.items():
+        if cnt > bound:
+            assert key in s, (key, cnt, bound)
+    assert "hot1" in s and "hot2" in s
+
+    P.optimize_hh_store(spark, store, k=k)
+    dirs = sorted(d for d in os.listdir(store) if d.startswith("batch="))
+    assert dirs == ["batch=-1"]
+    s2 = summary()
+    assert len(s2) <= k
+    for key, lo in s2.items():
+        assert 0 < lo <= truth[key]
+        assert truth[key] - lo <= bound, (key, lo, truth[key], bound)
+    assert "hot1" in s2 and "hot2" in s2
+
+    # A later batch lands on the compacted store without conflict.
+    P.hh_apply_batch(spark.createDataFrame([("hot3",)] * 50, schema), 2, store, k=k)
+    s3 = summary()
+    assert s3["hot3"] == 50
+
+
+def test_hh_sink_end_to_end_stream(spark, tmp_path):
+    """The writeStream wiring: rate-driven micro-batches through
+    start_heavy_hitters_sink leave a loadable store whose summary
+    contains the dominant key."""
+    store = str(tmp_path / "hh_stream_store")
+    ckpt = str(tmp_path / "hh_ckpt")
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .load()
+        .select(
+            F.when(F.col("value") % 10 < 8, F.lit("dominant"))
+            .otherwise(F.concat(F.lit("rare"), F.col("value")))
+            .alias("key")
+        )
+    )
+    q = P.start_heavy_hitters_sink(stream, store, ckpt, k=16)
+
+    # NO processAllAvailable here: on a rate source new data arrives
+    # continuously, so that call can block forever.  Poll the store
+    # for the success condition under a deadline instead.
+    def summary() -> dict:
+        try:
+            return {
+                r["key"]: r["count_lo"]
+                for r in P.load_hh_store(spark, store).collect()
+            }
+        except Exception:
+            return {}  # store not created / mid-write yet
+
+    s: dict = {}
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            s = summary()
+            if s.get("dominant", 0) > 0:
+                break
+            time.sleep(1.0)
+    finally:
+        q.stop()
+        s = summary() or s
+    assert s, "store should have at least one batch"
+    assert s.get("dominant", 0) == max(s.values())

@@ -81,6 +81,12 @@ HEADLINE: tuple[str, ...] = (
     "corpus_decontaminate_spans",
     # round 8: Gopher rule gate (pure codegen column battery)
     "text_gopher_quality_gate",
+    # round 8: DDSketch relative-error quantiles (alpha-only buckets)
+    "sketch_dd_quantiles",
+    # round 8: differentiated skew join (hot keys broadcast, cold shuffle)
+    "join_hot_key_split",
+    # round 8: pre-join skew diagnostic (count-only shuffles + top-k)
+    "profile_join_skew",
 )
 
 

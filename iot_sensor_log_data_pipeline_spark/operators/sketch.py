@@ -16,6 +16,8 @@ discipline as the MinHash pipeline (operators/dedup.py).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -437,4 +439,97 @@ def heavy_hitters(
         key_col,
         "n_occurrences",
         F.round(F.col("n_occurrences") / F.lit(n), 6).alias("frac"),
+    )
+
+
+#: Default DDSketch relative accuracy: estimates are within 1% of the
+#: true value at the target rank.
+DD_ALPHA = 0.01
+
+
+def _dd_gamma(alpha: float) -> float:
+    return (1.0 + float(alpha)) / (1.0 - float(alpha))
+
+
+def dd_bucket(value: Column, alpha: float = DD_ALPHA) -> Column:
+    """DDSketch bucket index for a positive value: ``ceil(ln(v) /
+    ln(gamma))`` with ``gamma = (1+alpha)/(1-alpha)`` (Masson, Rim &
+    Lee 2019).  Bucket ``i`` covers ``(gamma^(i-1), gamma^i]``, so the
+    bucket midpoint-in-log-space ``2*gamma^i/(gamma+1)`` is within
+    ``alpha`` RELATIVE error of every value in the bucket -- the
+    guarantee an equi-width histogram cannot give across magnitudes.
+
+    The log ratio is rounded to 1e-9 before ``ceil`` so Spark and the
+    DuckDB oracle agree even if their libm ``ln`` differs in the last
+    ulp -- same cross-engine determinism discipline as the md5 bucket
+    hashing above.
+    """
+    gamma = _dd_gamma(alpha)
+    return F.ceil(
+        F.round(F.log(value.cast("double")) / F.lit(math.log(gamma)), 9)
+    ).cast("long")
+
+
+def ddsketch_buckets(
+    df: DataFrame, value_col: str, alpha: float = DD_ALPHA
+) -> DataFrame:
+    """Fold a value column into DDSketch bucket counts ``(idx, cnt)``.
+
+    The 100-TB properties histograms get from binning, without the
+    min/max pre-pass: bucket boundaries depend only on ``alpha`` (never
+    on the data), so sketches built on different partitions / days /
+    shards MERGE by per-idx count addition with the error bound
+    unchanged -- quantiles over a year of telemetry cost one union +
+    re-sum of tiny bucket tables.  Bucket count is bounded by dynamic
+    range, not rows: values spanning 1e-9..1e9 fit in ~2,100 buckets
+    at alpha=0.01.  One exact keyed aggregation (map-side combine);
+    no shuffle wider than the bucket table.
+
+    Values ``<= 0`` and NULL are excluded (DDSketch models positive
+    reals -- latencies, sizes, prices); callers with signed data
+    sketch the two signs separately.
+    """
+    v = F.col(value_col).cast("double")
+    return (
+        df.where(v > 0)
+        .select(dd_bucket(v, alpha).alias("idx"))
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def ddsketch_quantiles(
+    buckets: DataFrame,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    alpha: float = DD_ALPHA,
+) -> DataFrame:
+    """Quantile estimates from a DDSketch bucket table: for target rank
+    ``floor(q*(n-1)) + 1`` take the first bucket whose cumulative count
+    reaches it, and report the bucket's midpoint-in-log-space
+    ``2*gamma^idx/(gamma+1)`` -- within ``alpha`` relative error of the
+    exact order statistic at that rank (pinned by pytest against NumPy
+    on lognormal data).
+
+    The cumulative window runs over the bucket table (bounded by the
+    sketch geometry, never data-scaled) and the totals row is a 1-row
+    broadcast -- same plan shape as ``histogram_quantiles``.
+    """
+    from pyspark.sql.window import Window
+
+    gamma = _dd_gamma(alpha)
+    cum = buckets.withColumn("cum", F.sum("cnt").over(Window.orderBy("idx")))
+    totals = buckets.agg(F.sum("cnt").alias("n"))
+    qtab = buckets.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q")
+    )
+    rank = F.floor(F.col("q") * (F.col("n") - 1)) + 1
+    est = F.lit(2.0) * F.pow(F.lit(gamma), F.col("idx")) / F.lit(gamma + 1.0)
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .join(
+            F.broadcast(qtab),
+            (F.col("cum") >= rank) & ((F.col("cum") - F.col("cnt")) < rank),
+        )
+        .select("q", F.round(est, 6).alias("estimate"))
+        .orderBy("q")
     )

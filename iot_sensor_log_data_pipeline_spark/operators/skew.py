@@ -42,3 +42,65 @@ def salted_join(
     )
     joined = salted_fact.join(exploded_dim, on=[key, "__salt"], how=how)
     return joined.drop("__salt")
+
+
+def hot_key_split_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot_keys: list | None = None,
+    n_hot: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Differentiated skew join: rows whose join key is HOT take a
+    broadcast-hash path against just the dim rows for those keys; the
+    cold majority takes the normal shuffle path; the union is exactly
+    the plain join (equality pinned in pytest, inner and left).
+
+    This is the classic fix when AQE skew-splitting can't help: AQE
+    splits an oversized shuffle PARTITION, but one key whose matches
+    must meet on a single reducer still bottlenecks -- routing that
+    key around the shuffle entirely (its dim rows broadcast to
+    wherever its fact rows already sit) removes the hotspot without
+    salting every row.  ``salted_join`` above remains the tool when
+    even the hot-side dim subset is too big to broadcast.
+
+    ``hot_keys``: explicit hot-key list (bounded -- it rides into an
+    ``isin`` predicate, which Catalyst pushes to both scans).  When
+    None, the top ``n_hot`` fact keys by count are taken via
+    TakeOrdered (per-partition heaps; a bounded driver pull, same
+    contract as the sketch closures).  Nominate with
+    ``sketch.heavy_hitters`` or ``profiling.join_skew_report`` when
+    the key-count table itself is the expensive part.
+
+    ``how``: "inner" or "left" (fact-preserving); other types would
+    need dim-side null-extension across the split and are refused.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"hot_key_split_join supports inner/left, got {how!r}")
+    if hot_keys is None:
+        hot_keys = [
+            r[key]
+            for r in fact.where(F.col(key).isNotNull())
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .orderBy(F.desc("__n"), F.asc(key))
+            .limit(n_hot)
+            .collect()
+        ]
+    if not hot_keys:
+        return fact.join(dim, key, how)
+    is_hot = F.col(key).isin(hot_keys)
+    # NULL keys: is_hot is NULL, so they fall through BOTH where()
+    # filters unless routed explicitly -- a left join must keep them
+    # (they null-extend), so they ride the cold branch.
+    cold_pred = ~is_hot if how == "inner" else (~is_hot | F.col(key).isNull())
+    hot_out = fact.where(is_hot).join(
+        F.broadcast(dim.where(is_hot)), key, how
+    )
+    # Cold fact keys can never match hot dim rows, so the cold-side
+    # dim scan drops them too (NULL dim keys match nothing in an
+    # equi-join and dim rows don't null-extend under inner/left, so
+    # dropping them with ~is_hot's 3VL is safe).
+    cold_out = fact.where(cold_pred).join(dim.where(~is_hot), key, how)
+    return hot_out.unionByName(cold_out)

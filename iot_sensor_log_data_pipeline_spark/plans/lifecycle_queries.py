@@ -850,3 +850,58 @@ def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("join_key")
     )
     return join_skew_report(li, pt, "join_key", k=20)
+
+
+def _dd_oracle() -> str:
+    import math
+
+    from ..operators.sketch import DD_ALPHA, _dd_gamma
+
+    gamma = _dd_gamma(DD_ALPHA)
+    # Embed the PYTHON-computed ln(gamma) on both sides (the Spark plan
+    # uses the same literal) so the only cross-engine libm call is
+    # ln(value), whose last-ulp drift the round(.., 9) washes out.
+    return f"""
+    WITH b AS (
+      SELECT CAST(ceil(round(ln(CAST(value AS DOUBLE)) / {math.log(gamma)!r}, 9))
+                  AS BIGINT) AS idx,
+             count(*) AS cnt
+      FROM events WHERE value > 0 GROUP BY 1
+    ),
+    c AS (
+      SELECT idx, cnt,
+             sum(cnt) OVER (ORDER BY idx) AS cum,
+             sum(cnt) OVER () AS n
+      FROM b
+    ),
+    q AS (
+      SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                            (CAST(0.99 AS DOUBLE))) t(q)
+    )
+    SELECT q.q,
+           round(2 * power({gamma!r}, c.idx) / ({gamma!r} + 1), 6) AS estimate
+    FROM c JOIN q
+      ON c.cum >= floor(q.q * (c.n - 1)) + 1
+     AND c.cum - c.cnt < floor(q.q * (c.n - 1)) + 1
+    ORDER BY q
+    """
+
+
+@register(
+    "sketch_dd_quantiles",
+    oracle=_dd_oracle(),
+    tags=("sketch", "quantile", "ddsketch"),
+)
+def sketch_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-error quantiles of ``events.value`` from a DDSketch
+    bucket table (``operators/sketch.py:ddsketch_buckets`` /
+    ``ddsketch_quantiles``): p50/p90/p99 within 1% of the true order
+    statistic, from one keyed aggregation whose bucket boundaries
+    depend only on alpha -- the sketch that merges across shards/days
+    by count addition, which ``histogram_quantiles``'s data-dependent
+    min/max binning cannot do.  The oracle replays the bucket math
+    exactly; accuracy vs NumPy is pinned separately in pytest."""
+    from ..operators.sketch import ddsketch_buckets, ddsketch_quantiles
+
+    ev = load(spark, sf_dir, "events")
+    return ddsketch_quantiles(ddsketch_buckets(ev, "value"))

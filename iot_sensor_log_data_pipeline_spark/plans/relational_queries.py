@@ -1541,3 +1541,40 @@ def events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_a", "user_b")
     )
+
+
+@register(
+    "join_hot_key_split",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           round(sum(e.value), 4) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("join", "skew", "scale"),
+)
+def join_hot_key_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentiated skew join
+    (``operators/skew.py:hot_key_split_join``): the 8 hottest event
+    users take a broadcast path against just their customer rows, the
+    cold rest take the normal shuffle path, and the union -- checked
+    against the oracle's PLAIN join -- aggregates identically.  The
+    oracle deliberately ignores the split: it is a physical routing
+    decision, not a semantic one, and the equality is the point."""
+    from ..operators.skew import hot_key_split_join
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("c_custkey"), "value"
+    )
+    cu = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = hot_key_split_join(ev, cu, "c_custkey", n_hot=8, how="inner")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1233,3 +1233,106 @@ def optimize_hh_store(spark, store_dir: str, k: int = 256, key_type: str = "stri
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "batch=-1"))
     shutil.rmtree(store_dir)
     os.rename(tmp, store_dir)
+
+
+def dd_apply_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    value_col: str = "value",
+    alpha: float = 0.01,
+) -> None:
+    """One micro-batch of the streaming DDSketch quantile sink
+    (module-level so replay idempotency is directly testable).
+
+    The batch folds to its DDSketch bucket counts -- boundaries depend
+    only on ``alpha``, so every batch's table merges with every other
+    by per-idx addition and the relative-error bound NEVER degrades
+    (unlike MG summaries, whose error bounds add).  Whole-directory
+    overwrite of ``batch=<id>/``: replaying a batch id in any crash
+    order cannot double-count."""
+    import os
+
+    from ..operators.sketch import ddsketch_buckets
+
+    if not batch.take(1):
+        return
+    buckets = ddsketch_buckets(batch, value_col, alpha=alpha)
+    buckets.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"batch={int(batch_id)}")
+    )
+
+
+def start_dd_quantile_sink(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    value_col: str = "value",
+    alpha: float = 0.01,
+) -> StreamingQuery:
+    """Streaming quantile maintenance: a PERSISTED DDSketch over
+    everything ever ingested -- "what is all-time p99 latency?"
+    answered from a bucket table bounded by dynamic range (values
+    spanning 1e-9..1e9 fit ~2,100 buckets at alpha=0.01), not by rows
+    or distinct keys.  Completes the persisted-sketch-store trio:
+    Count-Min (per-key counts), Misra-Gries (top keys), DDSketch
+    (distribution).  Same single-writer / stream-stopped-compaction
+    contracts as the other two."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        dd_apply_batch(batch, batch_id, store_dir, value_col=value_col, alpha=alpha)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def load_dd_store(spark, store_dir: str) -> DataFrame:
+    """The live merged sketch: per-idx SUM of counts across batch
+    directories -- an EXACT merge (bucket boundaries are
+    alpha-determined, so addition loses nothing and the alpha
+    relative-error guarantee holds over the union)."""
+    return (
+        spark.read.schema("idx long, cnt long, batch long")
+        .option("basePath", store_dir)
+        .parquet(store_dir)
+        .groupBy("idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def dd_store_quantiles(
+    spark,
+    store_dir: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Quantile estimates over everything the store has ever ingested,
+    within ``alpha`` relative error (``sketch.ddsketch_quantiles`` on
+    the merged bucket table)."""
+    from ..operators.sketch import ddsketch_quantiles
+
+    return ddsketch_quantiles(
+        load_dd_store(spark, store_dir), quantiles=quantiles, alpha=alpha
+    )
+
+
+def optimize_dd_store(spark, store_dir: str) -> None:
+    """Compact an ingest-grown DDSketch store to one ``batch=-1``
+    bucket table.  Pure re-sum -- estimates before and after are
+    IDENTICAL (pinned in pytest), because the merge is exact.
+    Single-writer, stream-stopped; rmtree+rename swap as the other
+    stores -- a batch id replayed after compaction would double-fold."""
+    import os
+    import shutil
+
+    merged = load_dd_store(spark, store_dir)
+    tmp = store_dir.rstrip("/") + "__next"
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "batch=-1")
+    )
+    shutil.rmtree(store_dir)
+    os.rename(tmp, store_dir)

@@ -3986,3 +3986,91 @@ def test_zorder_write_multi_column_skipping(spark, sf_dir, tmp_path):
     a = {(r["event_id"], r["value"]) for r in back.collect()}
     b = {(r["event_id"], r["value"]) for r in events.collect()}
     assert a == b
+
+
+def test_ddsketch_quantiles_relative_error_and_exact_merge(spark):
+    """DDSketch (Masson et al. 2019): p50/p90/p99 estimates on
+    lognormal data are within alpha RELATIVE error of the exact order
+    statistic at the same rank, and sketches built on disjoint halves
+    merge by per-idx count addition into EXACTLY the whole-data sketch
+    (boundaries are alpha-determined, so the merge loses nothing)."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import sketch as SK
+
+    alpha = 0.01
+    rng = np.random.default_rng(7)
+    vals = np.exp(rng.normal(0.0, 1.5, size=4000))  # spans ~4 decades
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+
+    qs = (0.5, 0.9, 0.99)
+    est = {
+        r["q"]: r["estimate"]
+        for r in SK.ddsketch_quantiles(
+            SK.ddsketch_buckets(df, "value", alpha=alpha), qs, alpha=alpha
+        ).collect()
+    }
+    srt = np.sort(vals)
+    n = len(vals)
+    for q in qs:
+        true = srt[int(np.floor(q * (n - 1)))]
+        assert abs(est[q] - true) / true <= alpha * 1.001 + 1e-6, (
+            q, est[q], true,
+        )
+
+    half_a = spark.createDataFrame(
+        [(float(v),) for v in vals[: n // 2]], "value double"
+    )
+    half_b = spark.createDataFrame(
+        [(float(v),) for v in vals[n // 2 :]], "value double"
+    )
+    merged = (
+        SK.ddsketch_buckets(half_a, "value", alpha=alpha)
+        .unionByName(SK.ddsketch_buckets(half_b, "value", alpha=alpha))
+        .groupBy("idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = SK.ddsketch_buckets(df, "value", alpha=alpha)
+    as_dict = lambda b: {r["idx"]: r["cnt"] for r in b.collect()}  # noqa: E731
+    assert as_dict(merged) == as_dict(whole)
+
+
+def test_hot_key_split_join_matches_plain_join(spark):
+    """The differentiated skew join is a physical routing decision,
+    not a semantic one: inner and left results equal the plain join
+    bit-for-bit on skewed data with NULL fact keys and dim-missing
+    keys, and the hot branch really broadcasts."""
+    from iot_sensor_log_data_pipeline_spark.operators.skew import (
+        hot_key_split_join,
+    )
+
+    fact_rows = (
+        [(1, "a")] * 50            # hot, in dim
+        + [(2, "b")] * 30          # hot, NOT in dim
+        + [(i, "c") for i in range(3, 20)]  # cold tail, some in dim
+        + [(None, "d")] * 3        # NULL keys
+    )
+    fact = spark.createDataFrame(fact_rows, "k int, payload string")
+    dim = spark.createDataFrame(
+        [(1, "dim1"), (3, "dim3"), (4, "dim4"), (99, "dim99")],
+        "k int, attr string",
+    )
+
+    def rows(df):
+        return sorted(
+            [(r["k"], r["payload"], r["attr"]) for r in df.collect()],
+            key=str,
+        )
+
+    for how in ("inner", "left"):
+        split = hot_key_split_join(fact, dim, "k", n_hot=2, how=how)
+        plain = fact.join(dim, "k", how)
+        assert rows(split) == rows(plain), how
+
+    explicit = hot_key_split_join(fact, dim, "k", hot_keys=[1, 2], how="inner")
+    assert rows(explicit) == rows(fact.join(dim, "k", "inner"))
+    plan = explicit._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    with pytest.raises(ValueError):
+        hot_key_split_join(fact, dim, "k", how="full")

@@ -1478,3 +1478,53 @@ def test_hh_sink_end_to_end_stream(spark, tmp_path):
         s = summary() or s
     assert s, "store should have at least one batch"
     assert s.get("dominant", 0) == max(s.values())
+
+
+def test_dd_sink_replay_idempotent_and_compaction_exact(spark, tmp_path):
+    """Streaming DDSketch quantile store: replaying a batch id does
+    not double-count; merged-store estimates stay within alpha
+    relative error of the exact all-time order statistic; compaction
+    is a pure re-sum, so estimates before and after are IDENTICAL."""
+    import numpy as np
+
+    store = str(tmp_path / "dd_store")
+    alpha = 0.01
+    rng = np.random.default_rng(11)
+    v0 = np.exp(rng.normal(0.0, 1.0, size=1500))
+    v1 = np.exp(rng.normal(0.5, 1.2, size=1500))
+
+    b0 = spark.createDataFrame([(float(v),) for v in v0], "value double")
+    b1 = spark.createDataFrame([(float(v),) for v in v1], "value double")
+    P.dd_apply_batch(b0, 0, store, alpha=alpha)
+    P.dd_apply_batch(b0, 0, store, alpha=alpha)  # replay: overwrite
+    P.dd_apply_batch(b1, 1, store, alpha=alpha)
+
+    qs = (0.5, 0.9, 0.99)
+
+    def estimates():
+        return {
+            r["q"]: r["estimate"]
+            for r in P.dd_store_quantiles(spark, store, qs, alpha=alpha).collect()
+        }
+
+    est = estimates()
+    srt = np.sort(np.concatenate([v0, v1]))
+    n = len(srt)
+    for q in qs:
+        true = srt[int(np.floor(q * (n - 1)))]
+        assert abs(est[q] - true) / true <= alpha * 1.001 + 1e-6, (
+            q, est[q], true,
+        )
+
+    P.optimize_dd_store(spark, store)
+    dirs = sorted(d for d in os.listdir(store) if d.startswith("batch="))
+    assert dirs == ["batch=-1"]
+    assert estimates() == est  # compaction is exact, not just within-bound
+
+    # A later batch lands on the compacted store and shifts the tail.
+    P.dd_apply_batch(
+        spark.createDataFrame([(1000.0,)] * 400, "value double"), 2, store,
+        alpha=alpha,
+    )
+    est2 = estimates()
+    assert abs(est2[0.99] - 1000.0) / 1000.0 <= alpha * 1.001 + 1e-6

@@ -341,3 +341,70 @@ def join_skew_report(
         .orderBy(F.desc("est_pairs"), F.asc(key))
         .limit(k)
     )
+
+
+def dataset_fingerprint(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    float_decimals: int = 6,
+) -> DataFrame:
+    """Order- and partitioning-independent content checksum of a
+    DataFrame: ONE row ``(n_rows, checksum_sum, checksum_xor)`` that
+    two datasets share iff they hold the same multiset of rows (up to
+    ``float_decimals`` rounding) -- how you verify a 100 TB copy,
+    migration, or replica against its source WITHOUT a global sort or
+    a row-level anti-join.
+
+    Mechanics: each row md5-hashes a canonical serialization (sorted
+    column order, ``chr(31)`` separators, ``chr(30)`` null sentinel,
+    floats via round -> decimal so Spark and external engines format
+    identically), then the hashes fold through two COMMUTATIVE
+    aggregates -- a mod-2^62 sum (catches multiplicity changes XOR
+    cancels pairwise) and a 60-bit XOR (catches value perturbations).
+    Commutativity makes the result independent of row order, partition
+    count, and execution plan, and makes fingerprints MERGEABLE: fold
+    per-shard fingerprints (sum the sums mod 2^62, XOR the XORs, add
+    the counts) instead of re-scanning -- pinned in pytest.
+
+    Supported column types: integral, float/double (rounded), decimal,
+    string, date, boolean.  Timestamps, binary, and nested types are
+    refused -- pre-cast them to a canonical string/long form first
+    (engines disagree on their default serializations, which would
+    silently make fingerprints non-portable).
+    """
+    from pyspark.sql import types as T
+
+    names = sorted(cols if cols is not None else df.columns)
+    norm = []
+    for c in names:
+        dt = df.schema[c].dataType
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            e = (
+                F.round(F.col(c).cast("double"), float_decimals)
+                .cast(f"decimal(28,{float_decimals})")
+                .cast("string")
+            )
+        elif isinstance(
+            dt,
+            (
+                T.ArrayType, T.MapType, T.StructType, T.BinaryType,
+                T.TimestampType, T.TimestampNTZType,
+            ),
+        ):
+            raise ValueError(
+                f"dataset_fingerprint: column {c!r} has type {dt.simpleString()};"
+                " pre-cast it to a canonical string/long form"
+            )
+        else:
+            e = F.col(c).cast("string")
+        norm.append(F.coalesce(e, F.lit("\x1e")))
+    h = F.md5(F.concat_ws("\x1f", *norm).cast("binary"))
+    v_sum = F.conv(F.substring(h, 1, 8), 16, 10).cast("decimal(38,0)")
+    v_xor = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum(v_sum) % F.lit(2**62), F.lit(0))
+        .cast("long")
+        .alias("checksum_sum"),
+        F.coalesce(F.bit_xor(v_xor), F.lit(0)).alias("checksum_xor"),
+    )

@@ -905,3 +905,51 @@ def sketch_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return ddsketch_quantiles(ddsketch_buckets(ev, "value"))
+
+
+_FP_COLS = sorted([
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+])
+_FP_FLOATS = {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+
+
+def _fp_oracle() -> str:
+    parts = []
+    for c in _FP_COLS:
+        if c in _FP_FLOATS:
+            parts.append(
+                f"coalesce(CAST(CAST(round(CAST({c} AS DOUBLE), 6)"
+                f" AS DECIMAL(28,6)) AS VARCHAR), chr(30))"
+            )
+        else:
+            parts.append(f"coalesce(CAST({c} AS VARCHAR), chr(30))")
+    return f"""
+    WITH h AS (
+      SELECT md5(concat_ws(chr(31), {", ".join(parts)})) AS h FROM lineitem
+    )
+    SELECT count(*) AS n_rows,
+           CAST(coalesce(sum(CAST(('0x' || substr(h, 1, 8)) AS BIGINT)), 0)
+                % 4611686018427387904 AS BIGINT) AS checksum_sum,
+           coalesce(bit_xor(CAST(('0x' || substr(h, 1, 15)) AS BIGINT)), 0)
+               AS checksum_xor
+    FROM h
+    """
+
+
+@register(
+    "profile_dataset_fingerprint",
+    oracle=_fp_oracle(),
+    tags=("profiling", "checksum", "scale"),
+)
+def profile_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/partitioning-independent content checksum of ``lineitem``
+    (``operators/profiling.py:dataset_fingerprint``): the one-row
+    (count, mod-2^62 sum, 60-bit XOR) fold of canonical per-row md5
+    hashes -- the cross-engine replica/migration equality check that
+    needs no global sort.  The oracle recomputes the identical hash
+    fold in DuckDB, which IS the cross-engine portability claim."""
+    from ..operators.profiling import dataset_fingerprint
+
+    li = load(spark, sf_dir, "lineitem").select(*_FP_COLS)
+    return dataset_fingerprint(li, cols=_FP_COLS)

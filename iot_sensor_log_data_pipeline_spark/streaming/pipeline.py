@@ -1336,3 +1336,44 @@ def optimize_dd_store(spark, store_dir: str) -> None:
     )
     shutil.rmtree(store_dir)
     os.rename(tmp, store_dir)
+
+
+def with_observed_quality(
+    df: DataFrame, value_col: str = "value", name: str = "quality"
+) -> DataFrame:
+    """Attach ZERO-COST per-batch quality counters to a plan via
+    Spark's ``observe`` (CollectMetrics): row count, null count, and
+    min/max/avg of ``value_col`` are computed INLINE while the batch's
+    own operators run -- no second aggregation pass, no extra scan,
+    no state.  Compare ``start_psi_monitor``, which pays a per-batch
+    aggregation job for its reference comparison; these counters are
+    the free tier of streaming observability, and at 100 TB "free vs a
+    second scan" is the entire decision.
+
+    Works on batch DataFrames too (metrics surface through
+    ``QueryExecutionListener``); on streams they ride every
+    ``StreamingQueryProgress`` -- read them with
+    ``observed_metrics_history``.
+    """
+    v = F.col(value_col)
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(v.isNull().cast("long")).alias("n_null"),
+        F.min(v).alias("min_value"),
+        F.max(v).alias("max_value"),
+        F.avg(v).alias("avg_value"),
+    )
+
+
+def observed_metrics_history(query: StreamingQuery, name: str = "quality") -> list[dict]:
+    """Per-micro-batch observed-metric rows for ``name`` from the
+    query's retained progress events, oldest first.  Zero-row batches
+    report metrics too (count 0) -- callers aggregating across batches
+    should fold counts, not average the averages."""
+    out = []
+    for p in query.recentProgress:
+        m = (p.get("observedMetrics") or {}).get(name)
+        if m is not None:
+            out.append(m)
+    return out

@@ -4074,3 +4074,46 @@ def test_hot_key_split_join_matches_plain_join(spark):
 
     with pytest.raises(ValueError):
         hot_key_split_join(fact, dim, "k", how="full")
+
+
+def test_dataset_fingerprint_invariance_merge_and_sensitivity(spark):
+    """The content checksum is invariant under row order and partition
+    count, mergeable across shards without re-scanning, and sensitive
+    to a single perturbed value AND to duplicate-row multiplicity
+    (which a pure XOR fold would cancel pairwise)."""
+    from iot_sensor_log_data_pipeline_spark.operators.profiling import (
+        dataset_fingerprint,
+    )
+
+    rows = [(i, f"name{i}", float(i) * 1.5 if i % 7 else None) for i in range(500)]
+    df = spark.createDataFrame(rows, "id int, name string, score double")
+    base = dataset_fingerprint(df).collect()[0]
+    assert base["n_rows"] == 500
+
+    shuffled = df.repartition(13).sortWithinPartitions(F.desc("name"))
+    assert dataset_fingerprint(shuffled).collect()[0] == base
+
+    # Mergeability: fold the two halves' fingerprints in plain Python.
+    lo = dataset_fingerprint(df.where("id < 250")).collect()[0]
+    hi = dataset_fingerprint(df.where("id >= 250")).collect()[0]
+    assert (
+        lo["n_rows"] + hi["n_rows"],
+        (lo["checksum_sum"] + hi["checksum_sum"]) % 2**62,
+        lo["checksum_xor"] ^ hi["checksum_xor"],
+    ) == tuple(base)
+
+    perturbed = df.withColumn(
+        "score", F.when(F.col("id") == 123, 999.0).otherwise(F.col("score"))
+    )
+    pert = dataset_fingerprint(perturbed).collect()[0]
+    assert pert["checksum_xor"] != base["checksum_xor"]
+
+    doubled = df.where("id = 42").unionByName(df)
+    dup = dataset_fingerprint(doubled).collect()[0]
+    assert dup["n_rows"] == 501
+    assert dup["checksum_sum"] != base["checksum_sum"]
+
+    with pytest.raises(ValueError, match="pre-cast"):
+        dataset_fingerprint(
+            df.withColumn("ts", F.current_timestamp())
+        )

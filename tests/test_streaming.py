@@ -1528,3 +1528,31 @@ def test_dd_sink_replay_idempotent_and_compaction_exact(spark, tmp_path):
     )
     est2 = estimates()
     assert abs(est2[0.99] - 1000.0) / 1000.0 <= alpha * 1.001 + 1e-6
+
+
+def test_observed_quality_metrics_ride_each_batch(spark, tmp_path):
+    """CollectMetrics observability: the quality counters attached via
+    with_observed_quality arrive in the streaming progress of every
+    micro-batch and, folded across batches, equal the batch-computed
+    truth -- with no aggregation query of their own."""
+    data_dir = str(tmp_path / "in")
+    rows = [(float(i),) if i % 5 else (None,) for i in range(200)]
+    df = spark.createDataFrame(rows, "value double")
+    df.repartition(2).write.mode("overwrite").parquet(data_dir)
+
+    stream = spark.readStream.schema("value double").parquet(data_dir)
+    name = f"obs_{uuid.uuid4().hex[:8]}"
+    q = P.start_memory_sink(P.with_observed_quality(stream), name)
+    try:
+        q.processAllAvailable()
+        history = P.observed_metrics_history(q)
+    finally:
+        q.stop()
+
+    assert history, "no observed metrics in any progress event"
+    n = sum(m["n_rows"] for m in history)
+    nulls = sum(m["n_null"] for m in history)
+    non_null = [m for m in history if m["n_rows"] > m["n_null"]]
+    assert n == 200 and nulls == 40
+    assert min(m["min_value"] for m in non_null) == 1.0
+    assert max(m["max_value"] for m in non_null) == 199.0

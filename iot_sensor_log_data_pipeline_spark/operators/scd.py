@@ -137,3 +137,47 @@ def scd2_apply(
         .unionByName(opened.select(dim.columns))
         .unionByName(inserts.select(dim.columns))
     )
+
+
+def incremental_join_delta(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: list[str] | str,
+    prune_base: bool = True,
+) -> DataFrame:
+    """Delta of a materialized inner-join view under insert-only
+    ingestion: with A' = A ∪ ΔA and B' = B ∪ ΔB,
+
+        Δ(A ⋈ B)  =  (ΔA ⋈ B')  ∪  (A ⋈ ΔB)
+
+    -- the rows to APPEND to the stored join, never touching existing
+    output (pinned in pytest as new-join minus old-join, multiset
+    semantics).  This is how a 100 TB joined table refreshes hourly:
+    the full A ⋈ B re-join never runs again; each refresh shuffles
+    only delta-sized inputs against base-sized ones.
+
+    ``prune_base``: semi-join each BASE side down to the delta's join
+    keys before the real join -- the base scan then prunes to
+    delta-matching rows (Catalyst turns the semi-join into a
+    broadcast/bloom filter when the delta is small), so refresh cost
+    tracks |delta| + matching-base, not |base|.  Disable only when
+    delta keys are a large fraction of base keys.
+
+    Insert-only by contract: deletes/updates need the CDC path
+    (``merge_upsert`` / ``scd2_apply``) to retract stored join rows,
+    which an append-only delta cannot express.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    b_new = b_old.unionByName(delta_b)
+    if prune_base:
+        b_new = b_new.join(
+            F.broadcast(delta_a.select(*keys).distinct()), keys, "left_semi"
+        )
+        a_for_db = a_old.join(
+            F.broadcast(delta_b.select(*keys).distinct()), keys, "left_semi"
+        )
+    else:
+        a_for_db = a_old
+    return delta_a.join(b_new, keys).unionByName(a_for_db.join(delta_b, keys))

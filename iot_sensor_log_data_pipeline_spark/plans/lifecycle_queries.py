@@ -953,3 +953,58 @@ def profile_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem").select(*_FP_COLS)
     return dataset_fingerprint(li, cols=_FP_COLS)
+
+
+@register(
+    "incremental_join_refresh",
+    oracle="""
+    WITH a_old AS (SELECT * FROM orders
+                   WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+    da AS (SELECT * FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+    b_old AS (SELECT * FROM customer WHERE c_custkey % 10 <> 0),
+    db AS (SELECT * FROM customer WHERE c_custkey % 10 = 0),
+    delta AS (
+      SELECT da.o_orderstatus, da.o_totalprice
+      FROM da JOIN (SELECT * FROM b_old UNION ALL SELECT * FROM db) b
+        ON da.o_custkey = b.c_custkey
+      UNION ALL
+      SELECT a_old.o_orderstatus, a_old.o_totalprice
+      FROM a_old JOIN db ON a_old.o_custkey = db.c_custkey
+    )
+    SELECT o_orderstatus, count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM delta GROUP BY 1 ORDER BY 1
+    """,
+    tags=("incremental", "join", "warehouse", "scale"),
+)
+def incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized orders-x-customer
+    join (``operators/scd.py:incremental_join_delta``): 1998+ orders
+    and every-10th customers arrive as insert deltas, and the query
+    returns the aggregated rows the stored join view must APPEND --
+    (delta-A join new-B) union (old-A join delta-B), with each base
+    side semi-pruned to the delta's join keys so refresh cost tracks
+    the delta, not the base.  The oracle states the same algebra
+    directly; the new-minus-old multiset identity is pinned in
+    pytest."""
+    from ..operators.scd import incremental_join_delta
+
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    delta = incremental_join_delta(
+        od.where(F.col("o_orderdate") < cut).withColumnRenamed("o_custkey", "c_custkey"),
+        od.where(F.col("o_orderdate") >= cut).withColumnRenamed("o_custkey", "c_custkey"),
+        cu.where(F.col("c_custkey") % 10 != 0),
+        cu.where(F.col("c_custkey") % 10 == 0),
+        on="c_custkey",
+    )
+    return (
+        delta.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -4117,3 +4117,45 @@ def test_dataset_fingerprint_invariance_merge_and_sensitivity(spark):
         dataset_fingerprint(
             df.withColumn("ts", F.current_timestamp())
         )
+
+
+def test_incremental_join_delta_equals_new_minus_old(spark):
+    """Insert-only incremental view maintenance: the delta rows equal
+    (new A join new B) minus (old A join old B) as MULTISETS -- rows
+    whose key gains matches on both sides in the same refresh appear
+    exactly once -- with and without base-side semi-pruning."""
+    import collections
+
+    from iot_sensor_log_data_pipeline_spark.operators.scd import (
+        incremental_join_delta,
+    )
+
+    a_old = spark.createDataFrame(
+        [(1, "a1"), (1, "a1b"), (2, "a2"), (5, "a5")], "k int, av string"
+    )
+    da = spark.createDataFrame(
+        [(1, "da1"), (3, "da3"), (4, "da4")], "k int, av string"
+    )
+    b_old = spark.createDataFrame(
+        [(1, "b1"), (3, "b3"), (9, "b9")], "k int, bv string"
+    )
+    db = spark.createDataFrame(
+        [(1, "db1"), (4, "db4"), (5, "db5")], "k int, bv string"
+    )
+
+    def multiset(df):
+        return collections.Counter(
+            (r["k"], r["av"], r["bv"]) for r in df.collect()
+        )
+
+    new_join = a_old.unionByName(da).join(b_old.unionByName(db), "k")
+    old_join = a_old.join(b_old, "k")
+    expected = multiset(new_join)
+    expected.subtract(multiset(old_join))
+    expected = +expected
+
+    for prune in (True, False):
+        got = multiset(
+            incremental_join_delta(a_old, da, b_old, db, "k", prune_base=prune)
+        )
+        assert got == expected, prune

@@ -78,6 +78,10 @@ BNLJ_ALLOWED = {
     # two 1-row broadcasts (date anchor, quartile boundaries) --
     # relational_queries.py:customer_rfm_segments
     "customer_rfm_segments",
+    # quantile-rank walk: 1-row total broadcast + 3-row quantile table
+    # joined by a range predicate onto the <= ~2.1k-row bucket table --
+    # bounded by sketch geometry, never data -- sketch.py:ddsketch_quantiles
+    "sketch_dd_quantiles",
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --

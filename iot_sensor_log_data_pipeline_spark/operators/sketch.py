@@ -533,3 +533,59 @@ def ddsketch_quantiles(
         .select("q", F.round(est, 6).alias("estimate"))
         .orderBy("q")
     )
+
+
+def ddsketch_buckets_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    alpha: float = DD_ALPHA,
+) -> DataFrame:
+    """Per-group DDSketch bucket counts ``(*group_cols, idx, cnt)`` --
+    one keyed aggregation for EVERY group's sketch at once (map-side
+    combine collapses each partition to distinct (group, idx) pairs),
+    vs one job per group with ``approx_percentile``-style loops.
+    Same exclusion rule as ``ddsketch_buckets``: values <= 0 / NULL."""
+    v = F.col(value_col).cast("double")
+    return (
+        df.where(v > 0)
+        .select(*group_cols, dd_bucket(v, alpha).alias("idx"))
+        .groupBy(*group_cols, "idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def ddsketch_quantiles_grouped(
+    buckets: DataFrame,
+    group_cols: list[str],
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    alpha: float = DD_ALPHA,
+) -> DataFrame:
+    """Per-group quantile estimates from grouped DDSketch buckets:
+    the cumulative walk runs under a window PARTITIONED BY the group
+    (each task walks its own groups' <= geometry-bounded bucket rows
+    -- no single-task global window), group totals come from one more
+    keyed aggregation, and the rank pick is a per-group range join of
+    the tiny quantile table.  "p99 latency per tenant over a year"
+    as two aggregations + a bounded walk, every group in one plan."""
+    from pyspark.sql.window import Window
+
+    gamma = _dd_gamma(alpha)
+    cum = buckets.withColumn(
+        "cum", F.sum("cnt").over(Window.partitionBy(*group_cols).orderBy("idx"))
+    )
+    totals = buckets.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    qtab = buckets.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q")
+    )
+    rank = F.floor(F.col("q") * (F.col("n") - 1)) + 1
+    est = F.lit(2.0) * F.pow(F.lit(gamma), F.col("idx")) / F.lit(gamma + 1.0)
+    return (
+        cum.join(totals, group_cols)
+        .join(
+            F.broadcast(qtab),
+            (F.col("cum") >= rank) & ((F.col("cum") - F.col("cnt")) < rank),
+        )
+        .select(*group_cols, "q", F.round(est, 6).alias("estimate"))
+        .orderBy(*group_cols, "q")
+    )

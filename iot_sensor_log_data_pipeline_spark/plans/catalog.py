@@ -62,19 +62,20 @@ _QUERY_MODULES = (
 #: correlation matrix, prefix-filter exact Jaccard join, Misra-Gries
 #: heavy hitters, embedding centroid outliers, Z-order layout
 #: roundtrip, pre-join skew report, DDSketch quantiles, hot-key split
-#: join, dataset fingerprint, incremental join refresh), (c)
+#: join, dataset fingerprint, incremental join refresh, grouped
+#: DDSketch quantiles), (c)
 #: re-entries for the five
 #: shingle-family queries whose input path changed this round (the
 #: ``parallelize_small`` wrap at the catalog call sites), (d) the
-#: 18 stalest round-3 rows (the sixteen bumped for slot space --
+#: 17 stalest round-3 rows (the seventeen bumped for slot space --
 #: scan_orc_roundtrip, scan_xml_roundtrip, corpus_weighted_sample,
 #: agg_histogram_quantiles, multimodal_byte_histogram,
 #: downsample_lttb_value, downsample_ohlc_10min, profile_events_table,
 #: incremental_rollup_merge, q22_dormant_accounts, q21_waiting_suppliers,
 #: q13_customer_distribution, q8_market_share, scd2_customer_history,
-#: cdc_merge_upsert, hourly_avg_value
+#: cdc_merge_upsert, udtf_tokenize_lateral, hourly_avg_value
 #: (smoke-checked by ``entry()`` every round regardless) -- lead the
-#: round-9 refresh).  8+19+5+18 = 50, one full window.
+#: round-9 refresh).  8+20+5+17 = 50, one full window.
 #: By-design rows-only queries (``agg_approx_sketches``,
 #: ``similarity_ivf_ann``, ``similarity_graph_ann``) stay out of the
 #: window: their machinery is covered by oracle twins and bounds /
@@ -114,6 +115,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "join_hot_key_split",
     "profile_dataset_fingerprint",
     "incremental_join_refresh",
+    "sketch_dd_quantiles_grouped",
     # (c) re-entry: shingle-input parallelism wrap (round-8 edit)
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -139,18 +141,18 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "udf_pandas_scalar_bucket",
     "udf_grouped_map_zscore",
     "udf_grouped_agg_weighted",
-    "udtf_tokenize_lateral",
 )
 
 #: Round-9 rotation plan: (a) anything new in round 9 plus re-entries
-#: for round-9-edited modules; (b) the 16 round-3 rows bumped from the
+#: for round-9-edited modules; (b) the 17 round-3 rows bumped from the
 #: round-8 window (scan_orc_roundtrip, scan_xml_roundtrip,
 #: corpus_weighted_sample, agg_histogram_quantiles,
 #: multimodal_byte_histogram, downsample_lttb_value,
 #: downsample_ohlc_10min, profile_events_table,
 #: incremental_rollup_merge, q22_dormant_accounts,
 #: q21_waiting_suppliers, q13_customer_distribution, q8_market_share,
-#: scd2_customer_history, cdc_merge_upsert, hourly_avg_value);
+#: scd2_customer_history, cdc_merge_upsert, udtf_tokenize_lateral,
+#: hourly_avg_value);
 #: (c) the round-4
 #: battery -- after this window lands it is the stalest external
 #: evidence left (42 rows: dedup/text/similarity/sketch families,

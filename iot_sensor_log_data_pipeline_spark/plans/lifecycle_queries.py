@@ -1008,3 +1008,60 @@ def incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def _dd_grouped_oracle() -> str:
+    import math
+
+    from ..operators.sketch import DD_ALPHA, _dd_gamma
+
+    gamma = _dd_gamma(DD_ALPHA)
+    return f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(ceil(round(ln(CAST(value AS DOUBLE)) / {math.log(gamma)!r}, 9))
+                  AS BIGINT) AS idx,
+             count(*) AS cnt
+      FROM events WHERE value > 0 GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, idx, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY idx) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM b
+    ),
+    q AS (
+      SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                            (CAST(0.99 AS DOUBLE))) t(q)
+    )
+    SELECT c.event_type, q.q,
+           round(2 * power({gamma!r}, c.idx) / ({gamma!r} + 1), 6) AS estimate
+    FROM c JOIN q
+      ON c.cum >= floor(q.q * (c.n - 1)) + 1
+     AND c.cum - c.cnt < floor(q.q * (c.n - 1)) + 1
+    ORDER BY event_type, q
+    """
+
+
+@register(
+    "sketch_dd_quantiles_grouped",
+    oracle=_dd_grouped_oracle(),
+    tags=("sketch", "quantile", "ddsketch", "grouped"),
+)
+def sketch_dd_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p90/p99 from grouped DDSketch buckets
+    (``operators/sketch.py:ddsketch_buckets_grouped`` /
+    ``ddsketch_quantiles_grouped``) -- every group's sketch built in
+    ONE keyed aggregation and walked under a group-partitioned window,
+    the "p99 per tenant" query that would otherwise be a per-group
+    approx_percentile loop.  Same alpha relative-error guarantee per
+    group; the oracle replays the grouped bucket math exactly."""
+    from ..operators.sketch import (
+        ddsketch_buckets_grouped,
+        ddsketch_quantiles_grouped,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return ddsketch_quantiles_grouped(
+        ddsketch_buckets_grouped(ev, ["event_type"], "value"), ["event_type"]
+    )

@@ -4159,3 +4159,37 @@ def test_incremental_join_delta_equals_new_minus_old(spark):
             incremental_join_delta(a_old, da, b_old, db, "k", prune_base=prune)
         )
         assert got == expected, prune
+
+
+def test_ddsketch_grouped_quantiles_per_group_error(spark):
+    """Grouped DDSketch: each group's p50/p90/p99 is within alpha
+    relative error of that group's own exact order statistic, from ONE
+    keyed aggregation over all groups."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import sketch as SK
+
+    alpha = 0.01
+    rng = np.random.default_rng(13)
+    groups = {
+        "small": np.exp(rng.normal(-1.0, 0.5, size=800)),
+        "wide": np.exp(rng.normal(1.0, 2.0, size=1200)),
+    }
+    rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "tenant string, value double")
+
+    qs = (0.5, 0.9, 0.99)
+    got = {
+        (r["tenant"], r["q"]): r["estimate"]
+        for r in SK.ddsketch_quantiles_grouped(
+            SK.ddsketch_buckets_grouped(df, ["tenant"], "value", alpha=alpha),
+            ["tenant"], qs, alpha=alpha,
+        ).collect()
+    }
+    assert len(got) == 6
+    for g, vs in groups.items():
+        srt = np.sort(vs)
+        for q in qs:
+            true = srt[int(np.floor(q * (len(vs) - 1)))]
+            est = got[(g, q)]
+            assert abs(est - true) / true <= alpha * 1.001 + 1e-6, (g, q)

@@ -82,6 +82,10 @@ BNLJ_ALLOWED = {
     # joined by a range predicate onto the <= ~2.1k-row bucket table --
     # bounded by sketch geometry, never data -- sketch.py:ddsketch_quantiles
     "sketch_dd_quantiles",
+    # same walk partitioned by group: the 3-row quantile table joins by
+    # a range predicate after the equi totals join -- still bounded by
+    # groups x geometry -- sketch.py:ddsketch_quantiles_grouped
+    "sketch_dd_quantiles_grouped",
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --

@@ -270,3 +270,55 @@ def udtf_tokenize_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, pos
         """
     )
+
+
+@register(
+    "udf_arrow_map_batches",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("advanced", "udf", "mapInArrow"),
+)
+def udf_arrow_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-copy end of the Python UDF surface --
+    each task hands whole Arrow ``RecordBatch``es to Python and takes
+    Arrow back, with NO pandas materialization in between (the pandas
+    UDF variants pay an Arrow->pandas->Arrow conversion per batch;
+    object-dtype string columns make that conversion the dominant cost
+    on text tables).  Here per-document UTF-8 byte length and
+    whitespace-token counts come from ``pyarrow.compute`` kernels
+    (C++, SIMD) applied batch-at-a-time.
+
+    Both engines run RE2, so ``count_substring_regex(text, '\\S+')``
+    and DuckDB's ``regexp_extract_all`` agree exactly (verified on
+    multi-byte + tab/newline edge cases).  Scale shape: a pure map --
+    no shuffle, batches stream through Python workers one Arrow IPC
+    frame at a time, memory bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of
+    input size."""
+
+    def batch_stats(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(b.column("doc_id"), pa.int64()),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()),
+                ],
+                ["doc_id", "n_bytes", "n_tokens"],
+            )
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return (
+        docs.select("doc_id", "text")
+        .mapInArrow(batch_stats, "doc_id bigint, n_bytes bigint, n_tokens bigint")
+        .orderBy("doc_id")
+    )

@@ -220,6 +220,11 @@ def test_udf_paths_are_arrow_vectorized(plans):
     assert "ArrowEvalPython" in plans["udf_pandas_scalar_bucket"]
     assert "FlatMapGroupsInPandas" in plans["udf_grouped_map_zscore"]
     assert "MapInPandas" in plans["multimodal_byte_histogram"]
+    # the zero-copy end of the surface: Arrow RecordBatches straight
+    # through Python, no pandas materialization
+    assert "MapInArrow" in plans["udf_arrow_map_batches"]
+    # and its scan is pruned to the two columns the batch fn reads
+    assert "struct<doc_id:bigint,text:string>" in plans["udf_arrow_map_batches"]
 
 
 def test_exists_subqueries_decorrelate_to_joins(plans):

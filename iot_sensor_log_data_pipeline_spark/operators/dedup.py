@@ -892,6 +892,74 @@ def connected_components(
     )
 
 
+def partitioned_components(
+    edges: DataFrame,
+    part_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Connected components for edge sets LOCAL to a partition key:
+    every edge's endpoints live in exactly one ``part_col`` group and
+    no node appears under two groups, so components cannot span
+    groups.  Output contract identical to ``connected_components``:
+    (node, component) with component = min member id.
+
+    Where the precondition holds (SemDeDup with disjoint 1-NN cells:
+    pairs come from a within-cell join, so an edge cannot cross
+    cells), the O(log diameter) iterative rounds -- each three
+    shuffles plus a lineage checkpoint plus a convergence probe --
+    collapse to ONE shuffle (the group-by on the partition key) and a
+    linear union-find over each group's edge list, at ANY corpus
+    size: per-group working set is the cell population, exactly the
+    budget ``target_cell_size``/``cell_cap`` already enforce for the
+    pair-scoring matmul.  Union-by-min-root makes each set's root its
+    minimum member, so no second labeling pass is needed.
+
+    NOT sound for multi-assigned nodes (``split_oversized_cells``
+    spill bands put one node in several sub-cells, stitching
+    components across groups) -- capped callers must keep the
+    iterative algorithm; ``semantic_dedup`` gates on that.
+    """
+    import pandas as pd
+
+    id_type = edges.schema[id_a].dataType.simpleString()
+
+    def components_of_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf[id_a], pdf[id_b]):
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # smaller root wins -> root == min member
+
+        nodes = list(parent)
+        return pd.DataFrame(
+            {"node": nodes, "component": [find(v) for v in nodes]}
+        )
+
+    return (
+        edges.select(part_col, id_a, id_b)
+        .groupBy(part_col)
+        .applyInPandas(
+            components_of_group, f"node {id_type}, component {id_type}"
+        )
+    )
+
+
 def blocked_levenshtein_pairs(
     df: DataFrame,
     id_col: str,

@@ -57,7 +57,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import connected_components
+from .dedup import connected_components, partitioned_components
 from .similarity import _top_cells_udf, dot, kmeans_centroids, l2_norm
 
 #: Default members-per-cell target for the corpus-derived quantizer
@@ -406,7 +406,15 @@ def semantic_dedup(
     pairs = semantic_pairs(
         vectors, threshold, centroids, id_col, vec_col, cell_cap=cell_cap
     )
-    comp = connected_components(pairs.select("id_a", "id_b"))
+    if cell_cap is None:
+        # Uncapped cells are disjoint (pure 1-NN assignment), so every
+        # pair is cell-local and components are too: one grouped
+        # union-find pass replaces the iterative rounds.  With a cap,
+        # spill-band multi-assignment can stitch components across
+        # sub-cells, so the general algorithm stays in charge.
+        comp = partitioned_components(pairs, "cell")
+    else:
+        comp = connected_components(pairs.select("id_a", "id_b"))
     keepers = comp.groupBy("component").agg(F.min("node").alias("keep"))
     drop = (
         comp.join(keepers, "component")

@@ -866,7 +866,13 @@ def dedup_semantic_text_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
     # Lazy checkpoint: the embedding table feeds the quantizer sample,
     # the cell assignment, AND the survivor anti-join -- without it the
     # token explode + two hash aggs re-run per consumer (bench: ~3x).
-    emb = TX.hash_embedding(docs, dim=64).localCheckpoint(eager=False)
+    # The checkpointed agg output is AQE-coalesced (tiny at test
+    # scale, ~1 partition), so re-spread it before the Arrow
+    # assignment UDF -- same test-scale contract as the scan wrap
+    # above; a no-op once the table is big enough to keep its splits.
+    emb = parallelize_small(
+        TX.hash_embedding(docs, dim=64).localCheckpoint(eager=False)
+    )
     cents = SIM.seed_centroids(emb, 16, id_col="doc_id", vec_col="embedding")
     surv = SD.semantic_dedup(
         emb, 0.9, centroids=cents, id_col="doc_id", vec_col="embedding"

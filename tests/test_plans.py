@@ -223,6 +223,8 @@ def test_udf_paths_are_arrow_vectorized(plans):
     # the zero-copy end of the surface: Arrow RecordBatches straight
     # through Python, no pandas materialization
     assert "MapInArrow" in plans["udf_arrow_map_batches"]
+    # cogrouped Arrow (two grouped sides into one Python fn)
+    assert "FlatMapCoGroupsInPandas" in plans["similarity_ivf_cogroup_join"]
     # and its scan is pruned to the two columns the batch fn reads
     assert "struct<doc_id:bigint,text:string>" in plans["udf_arrow_map_batches"]
 

@@ -837,3 +837,186 @@ def decontaminate_spans(
             (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
         )
     )
+
+
+def shard_assignment(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic output sharding -- the write-path planner for a
+    materialized training corpus: every document is assigned to one of
+    ``n_shards`` output shards by a stateless content-id hash, and the
+    per-shard report carries the balance evidence (doc count, token
+    count, each shard's share of corpus tokens, and its deviation from
+    the ideal ``1/n_shards``).
+
+    The hash is ``split_bucket`` (md5 prefix), so shard membership is
+    (a) reproducible across runs and partitionings, (b) independent of
+    what else is in the corpus -- appending new docs never moves an
+    existing doc's shard -- and (c) uniform, so token skew stays near
+    the per-doc-length variance floor rather than any key skew.
+
+    Scale shape: assignment is a per-row expression (no shuffle); the
+    report is one shard-keyed aggregate (map-side partials, ``n_shards``
+    reduce rows); shares come from a 1-row totals broadcast (the
+    scalar-subquery pattern).  The production write is
+    ``docs.repartition(n_shards, shard_col).write...`` -- one shuffle
+    whose reduce side IS the output file layout, so no post-hoc
+    compaction pass is needed.
+    """
+    from .text import token_count
+
+    per_doc = docs.select(
+        split_bucket(F.col(id_col), n_shards).alias("shard"),
+        token_count(F.col(text_col)).alias("__ntok"),
+    )
+    per_shard = per_doc.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__ntok").cast("long").alias("n_tokens"),
+    )
+    totals = per_shard.agg(F.sum("n_tokens").alias("__tot"))
+    return per_shard.crossJoin(F.broadcast(totals)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("__tot"), 6).alias("token_frac"),
+        F.round(
+            F.col("n_tokens") / F.col("__tot") - 1.0 / n_shards, 6
+        ).alias("balance_dev"),
+    )
+
+
+def quality_threshold_sweep(
+    docs: DataFrame,
+    score: Column,
+    thresholds: tuple[float, ...],
+    text_col: str = "text",
+) -> DataFrame:
+    """Filter operating-point sweep in ONE corpus pass: for every
+    candidate quality threshold, how many documents and tokens a
+    ``score >= threshold`` gate would keep, as counts and corpus
+    fractions -- the table a curation run reads to pick its cutoff
+    (the kept-token budget is usually the binding constraint, not the
+    doc count).
+
+    NOT one filtered aggregate per threshold (that is ``len(
+    thresholds)`` corpus scans) and NOT a doc x grid join (that
+    shuffles ``|docs| * |grid|`` rows).  Each doc computes, in-row,
+    how many of the ascending thresholds it passes (``idx``); one
+    ``idx``-keyed aggregate collapses the corpus to at most
+    ``len(thresholds)+1`` rows; the survivor-of-threshold-``i`` total
+    is then the suffix sum ``idx >= i``, taken by exploding each tiny
+    bucket row to the thresholds it satisfies -- equi-keyed end to
+    end, so the only shuffle after the map-side partials moves a
+    handful of rows.  Thresholds nobody passes still report (kept=0)
+    via the right join against the grid.
+    """
+    from .text import token_count
+
+    ths = sorted(thresholds)
+    spark = docs.sparkSession
+    grid = spark.createDataFrame(
+        [(i + 1, float(t)) for i, t in enumerate(ths)], "ti int, threshold double"
+    )
+    per_doc = docs.select(
+        F.size(
+            F.filter(
+                F.array(*[F.lit(float(t)) for t in ths]),
+                lambda t: t <= score,
+            )
+        ).alias("idx"),
+        token_count(F.col(text_col)).alias("__ntok"),
+    )
+    buckets = per_doc.groupBy("idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__ntok").cast("long").alias("n_tokens"),
+    )
+    totals = buckets.agg(
+        F.sum("n_docs").alias("__docs"), F.sum("n_tokens").alias("__toks")
+    )
+    kept = (
+        buckets.where(F.col("idx") >= 1)
+        .select(F.explode(F.sequence(F.lit(1), F.col("idx"))).alias("ti"),
+                "n_docs", "n_tokens")
+        .groupBy("ti")
+        .agg(
+            F.sum("n_docs").cast("long").alias("kept_docs"),
+            F.sum("n_tokens").cast("long").alias("kept_tokens"),
+        )
+    )
+    return (
+        grid.join(kept, "ti", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "threshold",
+            F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+            F.round(
+                F.coalesce("kept_docs", F.lit(0)) / F.col("__docs"), 6
+            ).alias("doc_frac"),
+            F.round(
+                F.coalesce("kept_tokens", F.lit(0)) / F.col("__toks"), 6
+            ).alias("token_frac"),
+        )
+    )
+
+
+def epoch_upsample(
+    docs: DataFrame,
+    epochs: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a domain-mixture as per-document repetition --
+    fractional epochs per source (the 'how many times does each
+    domain repeat in the training mix' knob; mixture weights that
+    exceed a domain's natural share become epochs > 1): every doc
+    gets ``floor(e)`` guaranteed copies plus one more for a
+    deterministic ``frac(e)`` hash-slice of the domain, so the
+    REALIZED token count per source is exactly ``e`` epochs in
+    expectation and reproducible run-to-run (no RNG -- the extra-copy
+    membership is the doc's own md5 slice, stable under appends, and
+    the fraction is held to 1e-4 by the 10k-bucket hash space).
+
+    Scale shape: the epochs table is a tiny broadcast equi-join on
+    source; copy fan-out is an in-row ``explode(sequence(...))`` --
+    map-side only, no shuffle at all; rows with ``n_copies = 0``
+    (epochs < 1 outside the hash slice) vanish in the same pass.
+    Output carries ``copy_idx`` so downstream shuffles (the global
+    example shuffle before sequence packing) can key on
+    ``(doc, copy)`` and spread repeats across shards.
+    """
+    spark = docs.sparkSession
+    edf = spark.createDataFrame(
+        [(s, float(e)) for s, e in sorted(epochs.items())],
+        f"{source_col} string, __epochs double",
+    )
+    frac_bucket = split_bucket(F.col(id_col), 10_000)
+    n_copies = (
+        F.floor("__epochs")
+        + F.when(
+            frac_bucket
+            < F.round((F.col("__epochs") % 1.0) * 10_000).cast("long"),
+            1,
+        ).otherwise(0)
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(edf), source_col)
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.col("__epochs").alias("epochs"),
+            n_copies.alias("n_copies"),
+        )
+        .where(F.col("n_copies") >= 1)
+        .select(
+            id_col,
+            source_col,
+            "epochs",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias(
+                "copy_idx"
+            ),
+        )
+    )

@@ -64,20 +64,21 @@ _QUERY_MODULES = (
 #: roundtrip, pre-join skew report, DDSketch quantiles, hot-key split
 #: join, dataset fingerprint, incremental join refresh, grouped
 #: DDSketch quantiles, mapInArrow batch stats, cogrouped IVF ANN
-#: join), (c)
+#: join, output sharding, quality threshold sweep, epoch upsample), (c)
 #: re-entries for the five
 #: shingle-family queries whose input path changed this round (the
 #: ``parallelize_small`` wrap at the catalog call sites), (d) the
-#: 15 stalest round-3 rows (the nineteen bumped for slot space --
+#: 12 stalest round-3 rows (the twenty-two bumped for slot space --
 #: scan_orc_roundtrip, scan_xml_roundtrip, corpus_weighted_sample,
 #: agg_histogram_quantiles, multimodal_byte_histogram,
 #: downsample_lttb_value, downsample_ohlc_10min, profile_events_table,
 #: incremental_rollup_merge, q22_dormant_accounts, q21_waiting_suppliers,
 #: q13_customer_distribution, q8_market_share, scd2_customer_history,
 #: cdc_merge_upsert, udtf_tokenize_lateral, udf_grouped_agg_weighted,
-#: udf_pandas_scalar_bucket, hourly_avg_value
+#: udf_pandas_scalar_bucket, udf_grouped_map_zscore,
+#: subquery_correlated_q17, subquery_exists_bigorder, hourly_avg_value
 #: (smoke-checked by ``entry()`` every round regardless) -- lead the
-#: round-9 refresh).  8+22+5+15 = 50, one full window.
+#: round-9 refresh).  8+25+5+12 = 50, one full window.
 #: By-design rows-only queries (``agg_approx_sketches``,
 #: ``similarity_ivf_ann``, ``similarity_graph_ann``) stay out of the
 #: window: their machinery is covered by oracle twins and bounds /
@@ -120,14 +121,17 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "sketch_dd_quantiles_grouped",
     "udf_arrow_map_batches",
     "similarity_ivf_cogroup_join",
+    "corpus_shard_assignment",
+    "corpus_quality_threshold_sweep",
+    "corpus_epoch_upsample",
     # (c) re-entry: shingle-input parallelism wrap (round-8 edit)
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_survivor_selection",
     "corpus_leakage_safe_split",
-    # (d) round-3 battery refresh: the 23 stalest rows that fit the
-    # window (the 11 bumped rows lead round 9's refresh)
+    # (d) round-3 battery refresh: the 12 stalest rows that fit the
+    # window (the 22 bumped rows lead round 9's refresh)
     "string_functions",
     "string_functions_extended",
     "date_functions",
@@ -140,13 +144,10 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "hash_functions",
     "null_semantics",
     "subquery_scalar_avg",
-    "subquery_exists_bigorder",
-    "subquery_correlated_q17",
-    "udf_grouped_map_zscore",
 )
 
 #: Round-9 rotation plan: (a) anything new in round 9 plus re-entries
-#: for round-9-edited modules; (b) the 19 round-3 rows bumped from the
+#: for round-9-edited modules; (b) the 22 round-3 rows bumped from the
 #: round-8 window (scan_orc_roundtrip, scan_xml_roundtrip,
 #: corpus_weighted_sample, agg_histogram_quantiles,
 #: multimodal_byte_histogram, downsample_lttb_value,
@@ -155,7 +156,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
 #: q21_waiting_suppliers, q13_customer_distribution, q8_market_share,
 #: scd2_customer_history, cdc_merge_upsert, udtf_tokenize_lateral,
 #: udf_grouped_agg_weighted, udf_pandas_scalar_bucket,
-#: hourly_avg_value);
+#: udf_grouped_map_zscore, subquery_correlated_q17,
+#: subquery_exists_bigorder, hourly_avg_value);
 #: (c) the round-4
 #: battery -- after this window lands it is the stalest external
 #: evidence left (42 rows: dedup/text/similarity/sketch families,

@@ -16,6 +16,12 @@ from .catalog import register
 
 _TOKS = "list_filter(string_split_regex(text, ' +'), t -> t <> '')"
 _NTOK = f"len({_TOKS})"
+_NDIS = f"len(list_distinct({_TOKS}))"
+_ALPHA = "length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text)"
+_MEANLEN = (
+    f"list_sum(list_transform({_TOKS}, t -> CAST(length(t) AS DOUBLE)))"
+    f" / greatest({_NTOK}, 1)"
+)
 
 #: DuckDB twin of ``curation.split_bucket`` (md5-prefix hash bucket).
 _BUCKET = (
@@ -971,3 +977,114 @@ def corpus_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("source") != "src0")
     benchmark = docs.where(F.col("source") == "src0")
     return CU.decontaminate_spans(corpus, benchmark, n=8).orderBy("doc_id")
+
+
+@register(
+    "corpus_shard_assignment",
+    oracle=f"""
+    WITH per AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 8 AS shard,
+             {_NTOK} AS ntok
+      FROM documents),
+    shards AS (
+      SELECT shard, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+      FROM per GROUP BY shard),
+    tot AS (SELECT sum(n_tokens) AS t FROM shards)
+    SELECT shard, n_docs, n_tokens,
+           round(n_tokens / t, 6) AS token_frac,
+           round(n_tokens / t - 0.125, 6) AS balance_dev
+    FROM shards, tot
+    ORDER BY shard
+    """,
+    tags=("curation", "north-star", "sharding", "write-path"),
+)
+def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding
+    (``operators/curation.py:shard_assignment``): the write-path plan
+    for a materialized corpus -- md5-hash shard per doc, per-shard
+    doc/token counts, token share, and deviation from the ideal
+    ``1/n_shards`` balance.  Assignment is a stateless per-row hash
+    (appends never move existing docs); the report is one shard-keyed
+    agg plus a 1-row totals broadcast.  The oracle replays the hash,
+    the rollup, and the share arithmetic."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return CU.shard_assignment(docs, n_shards=8).orderBy("shard")
+
+
+@register(
+    "corpus_quality_threshold_sweep",
+    oracle=f"""
+    WITH scored AS (
+      SELECT round(0.5 * ({_ALPHA})
+                 + 0.3 * ({_NDIS} / greatest({_NTOK}, 1))
+                 + 0.2 * (CASE WHEN {_MEANLEN} BETWEEN 2.0 AND 12.0
+                               THEN 1.0 ELSE 0.0 END), 6) AS q,
+             {_NTOK} AS ntok
+      FROM documents),
+    grid AS (SELECT * FROM (VALUES (0.2), (0.35), (0.5), (0.65), (0.8))
+             AS g(threshold)),
+    tot AS (SELECT count(*) AS d, sum(ntok) AS t FROM scored)
+    SELECT g.threshold,
+           CAST(count(s.q) AS BIGINT) AS kept_docs,
+           CAST(coalesce(sum(s.ntok), 0) AS BIGINT) AS kept_tokens,
+           round(count(s.q) / (SELECT d FROM tot), 6) AS doc_frac,
+           round(coalesce(sum(s.ntok), 0) / (SELECT t FROM tot), 6)
+             AS token_frac
+    FROM grid g LEFT JOIN scored s ON s.q >= g.threshold
+    GROUP BY g.threshold
+    ORDER BY g.threshold
+    """,
+    tags=("curation", "north-star", "quality", "sweep"),
+)
+def corpus_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter operating-point sweep
+    (``operators/curation.py:quality_threshold_sweep``): kept docs /
+    kept tokens (counts and corpus fractions) for five candidate
+    quality cutoffs, in ONE corpus pass -- per-doc in-row
+    thresholds-passed index, a tiny idx-keyed agg, then suffix sums by
+    exploding bucket rows to the thresholds they satisfy.  The oracle
+    replays the same gate as a grid left-join (the semantics; the
+    Spark plan is the one-pass version)."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    score = F.round(TX.quality_score(F.col("text")), 6)
+    return CU.quality_threshold_sweep(
+        docs, score, thresholds=(0.2, 0.35, 0.5, 0.65, 0.8)
+    ).orderBy("threshold")
+
+
+@register(
+    "corpus_epoch_upsample",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source,
+             0.5 + (CAST(substr(source, 4) AS INT) % 4) * 0.75 AS epochs,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10000 AS fb
+      FROM documents),
+    copies AS (
+      SELECT doc_id, source, epochs,
+             CAST(floor(epochs)
+                  + CASE WHEN fb < round((epochs % 1.0) * 10000)
+                         THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+      FROM base)
+    SELECT doc_id, source, epochs,
+           unnest(generate_series(1, n_copies)) AS copy_idx
+    FROM copies
+    WHERE n_copies >= 1
+    ORDER BY doc_id, copy_idx
+    """,
+    tags=("curation", "north-star", "mixture", "epochs"),
+)
+def corpus_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch domain repetition
+    (``operators/curation.py:epoch_upsample``): materialize a mixture
+    as per-doc copies -- ``floor(e)`` guaranteed plus one more for a
+    deterministic ``frac(e)`` md5 slice of the domain (epochs 0.5 /
+    1.25 / 2.0 / 2.75 by source index mod 4).  Broadcast epochs join +
+    in-row ``explode(sequence)``; no shuffle.  The oracle replays the
+    hash slice, the copy count, and the fan-out with
+    ``generate_series``."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    epochs = {f"src{i}": 0.5 + (i % 4) * 0.75 for i in range(20)}
+    return CU.epoch_upsample(docs, epochs).orderBy("doc_id", "copy_idx")

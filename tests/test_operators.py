@@ -4269,3 +4269,90 @@ def test_ivf_cogroup_join_full_probe_is_exact(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_scores:
             assert abs(r["cos_sim"] - exact_scores[key]) < 1e-9
+
+
+def test_shard_assignment_balance_and_determinism(spark):
+    """Shard ids are the md5 bucket of the doc id (stable under
+    appends: a doc's shard never depends on corpus contents), every
+    doc lands in exactly one shard, and the shares sum to 1."""
+    import hashlib
+
+    from iot_sensor_log_data_pipeline_spark.operators import curation as CU
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(200)], "doc_id long, text string"
+    )
+    rep = CU.shard_assignment(docs, n_shards=4).collect()
+    assert sum(r["n_docs"] for r in rep) == 200
+    assert abs(sum(r["token_frac"] for r in rep) - 1.0) < 1e-5
+    # membership replay: python md5 prefix mod 4 == the operator's shard
+    def shard_of(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 4
+
+    got_docs = {r["shard"]: r["n_docs"] for r in rep}
+    import collections
+
+    want = collections.Counter(shard_of(i) for i in range(200))
+    assert got_docs == dict(want)
+    # appending docs must not move existing ones: shard is per-row
+    more = spark.createDataFrame(
+        [(i, "w") for i in range(200, 300)], "doc_id long, text string"
+    )
+    rep2 = CU.shard_assignment(docs.unionByName(more), 4).collect()
+    want2 = collections.Counter(shard_of(i) for i in range(300))
+    assert {r["shard"]: r["n_docs"] for r in rep2} == dict(want2)
+
+
+def test_quality_threshold_sweep_matches_per_threshold_filters(spark):
+    """The one-pass sweep equals the naive one-filter-per-threshold
+    answer, including a threshold that nothing passes (kept = 0)."""
+    from pyspark.sql import functions as F
+
+    from iot_sensor_log_data_pipeline_spark.operators import curation as CU
+
+    rows = [(i, "tok " * (i + 1)) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    score = F.col("doc_id") / 10.0  # 0.0 .. 0.9, trivially replayable
+    ths = (0.25, 0.5, 0.95)
+    got = {
+        r["threshold"]: (r["kept_docs"], r["kept_tokens"], r["doc_frac"])
+        for r in CU.quality_threshold_sweep(docs, score, ths).collect()
+    }
+    total_toks = sum(i + 1 for i in range(10))
+    for t in ths:
+        keep = [i for i in range(10) if i / 10.0 >= t]
+        assert got[t][0] == len(keep)
+        assert got[t][1] == sum(i + 1 for i in keep)
+        assert abs(got[t][2] - len(keep) / 10.0) < 1e-6
+    assert got[0.95] == (0, 0, 0.0)
+
+
+def test_epoch_upsample_realizes_fractional_epochs(spark):
+    """floor(e) copies always; the +1 slice is exactly the docs whose
+    md5 10k-bucket sits below frac(e)*10000; copy_idx is contiguous;
+    epochs < 1 keeps only the slice; a 0-epoch source vanishes."""
+    import hashlib
+
+    from iot_sensor_log_data_pipeline_spark.operators import curation as CU
+
+    rows = [(i, f"s{i % 3}") for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    epochs = {"s0": 2.5, "s1": 0.25, "s2": 0.0}
+    out = CU.epoch_upsample(docs, epochs).collect()
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10_000
+
+    want = {}
+    for i, src in rows:
+        e = epochs[src]
+        n = int(e) + (1 if bucket(i) < round((e % 1.0) * 10_000) else 0)
+        if n >= 1:
+            want[i] = n
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    assert {k: len(v) for k, v in got.items()} == want
+    for k, v in got.items():
+        assert sorted(v) == list(range(1, len(v) + 1))
+    assert all(r["source"] != "s2" for r in out)

@@ -86,6 +86,12 @@ BNLJ_ALLOWED = {
     # a range predicate after the equi totals join -- still bounded by
     # groups x geometry -- sketch.py:ddsketch_quantiles_grouped
     "sketch_dd_quantiles_grouped",
+    # 1-row corpus-totals broadcast onto the n_shards-row report --
+    # curation.py:shard_assignment
+    "corpus_shard_assignment",
+    # 1-row totals broadcast onto the len(thresholds)-row suffix-sum
+    # table -- curation.py:quality_threshold_sweep
+    "corpus_quality_threshold_sweep",
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --

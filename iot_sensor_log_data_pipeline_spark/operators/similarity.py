@@ -1171,3 +1171,57 @@ def pca_whiten(
         apply_whiten, schema=out_schema
     )
     return whitened, [float(v) for v in evals_k]
+
+
+def knn_label_transfer(
+    batch: DataFrame,
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN label transfer (weak labeling / pseudo-labeling at corpus
+    scale): every unlabeled vector gets the majority label of its
+    top-``k`` cosine neighbors in the labeled corpus, plus the vote
+    count and the winning label's mean similarity -- the confidence
+    columns a downstream gate thresholds on.
+
+    Composes ``ivf_cogroup_join`` (the large-by-large shape: the
+    unlabeled side is itself a full table, so no broadcast exists),
+    then one equi-join to the corpus labels and one
+    ``(query, label)``-keyed vote aggregate; the winner is a per-query
+    window over at most ``k`` vote rows.  Ties break by vote count,
+    then mean similarity (rounded, so the order is reproducible across
+    engines), then label -- fully deterministic.
+    """
+    nn = ivf_cogroup_join(
+        batch, corpus, centroids, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    )
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__lbl")
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "__lbl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("votes"),
+            F.round(F.avg("cos_sim"), 6).alias("mean_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.desc("mean_sim"), F.asc("__lbl")
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.col("__lbl").alias("predicted_label"),
+            "votes",
+            "mean_sim",
+        )
+    )

@@ -703,10 +703,12 @@ def profile_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-@register(
-    "similarity_ivf_cogroup_join",
-    oracle=f"""
-    WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 250),
+#: Shared oracle CTE chain for the cogrouped IVF join family: replays
+#: quantizer seeding, single assignment, n_probe fan-out, cell-pair
+#: candidate generation, exact scoring, and per-query ranking.  Ends
+#: at ``ranked(query_id, neighbor_id, cos_sim, rank)`` (unrounded).
+_COGROUP_RANKED = f"""
+    WITH corpus AS (SELECT * FROM embeddings WHERE vec_id < 250),
     batch AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 250),
     cent AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
@@ -752,13 +754,21 @@ def profile_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cand
       JOIN batch qe ON qe.vec_id = cand.query_id
       JOIN corpus ne ON ne.vec_id = cand.neighbor_id
-    )
-    SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
-    FROM (
+    ),
+    ranked AS (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
       FROM scored
     )
+"""
+
+
+@register(
+    "similarity_ivf_cogroup_join",
+    oracle=f"""
+    {_COGROUP_RANKED}
+    SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+    FROM ranked
     WHERE rank <= 3
     ORDER BY query_id, rank
     """,
@@ -783,3 +793,44 @@ def similarity_ivf_cogroup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_cogroup_join(
         batch, corpus, SIM.seed_centroids(corpus, 16), k=3, n_probe=2
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "similarity_knn_label_transfer",
+    oracle=f"""
+    {_COGROUP_RANKED},
+    votes AS (
+      SELECT r.query_id, c.label,
+             count(*) AS votes,
+             round(avg(round(r.cos_sim, 6)), 6) AS mean_sim
+      FROM ranked r JOIN corpus c ON c.vec_id = r.neighbor_id
+      WHERE r.rank <= 5
+      GROUP BY r.query_id, c.label
+    )
+    SELECT query_id, label AS predicted_label, votes, mean_sim
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY votes DESC, mean_sim DESC, label)
+               AS rn
+      FROM votes
+    )
+    WHERE rn = 1
+    ORDER BY query_id
+    """,
+    tags=("similarity", "north-star", "knn", "labeling", "cogroup"),
+)
+def similarity_knn_label_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label transfer
+    (``operators/similarity.py:knn_label_transfer``): every held-out
+    vector (vec_id >= 250) gets the majority label of its 5 nearest
+    labeled corpus vectors (vec_id < 250), with vote count and winning
+    mean similarity as the confidence gate columns -- weak labeling /
+    pseudo-labeling over the same cogrouped large-by-large ANN join.
+    The oracle replays the full chain (shared CTE) plus the label join
+    and the deterministic vote tie-break."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    corpus = emb.where(F.col("vec_id") < 250)
+    batch = emb.where(F.col("vec_id") >= 250).select("vec_id", "embedding")
+    return SIM.knn_label_transfer(
+        batch, corpus, SIM.seed_centroids(corpus, 16), k=5, n_probe=2
+    ).orderBy("query_id")

@@ -4356,3 +4356,40 @@ def test_epoch_upsample_realizes_fractional_epochs(spark):
     for k, v in got.items():
         assert sorted(v) == list(range(1, len(v) + 1))
     assert all(r["source"] != "s2" for r in out)
+
+
+def test_knn_label_transfer_recovers_planted_clusters(spark):
+    """Corpus = 3 tight clusters with distinct labels; held-out
+    queries drawn near each cluster center must get that cluster's
+    label with a unanimous vote at full probe."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(3, 8)) * 10.0
+    rows, queries = [], []
+    vid = 0
+    for lbl in range(3):
+        for _ in range(20):
+            v = centers[lbl] + rng.normal(size=8) * 0.05
+            rows.append((vid, [float(x) for x in v], lbl))
+            vid += 1
+    for lbl in range(3):
+        for _ in range(5):
+            v = centers[lbl] + rng.normal(size=8) * 0.05
+            queries.append((vid, [float(x) for x in v]))
+            vid += 1
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    batch = spark.createDataFrame(queries, "vec_id long, embedding array<double>")
+    cents = SIM.seed_centroids(corpus, 4)
+    out = SIM.knn_label_transfer(
+        batch, corpus, cents, k=5, n_probe=4
+    ).collect()
+    assert len(out) == 15
+    for r in out:
+        want = (r["query_id"] - 60) // 5
+        assert r["predicted_label"] == want, r
+        assert r["votes"] == 5  # unanimous inside a tight cluster

@@ -87,6 +87,12 @@ HEADLINE: tuple[str, ...] = (
     "join_hot_key_split",
     # round 8: pre-join skew diagnostic (count-only shuffles + top-k)
     "profile_join_skew",
+    # round 8: large-by-large cogrouped IVF ANN join + its label-vote
+    # composition (the no-broadcast-side similarity shape)
+    "similarity_ivf_cogroup_join",
+    "similarity_knn_label_transfer",
+    # round 8: one-pass filter operating-point sweep
+    "corpus_quality_threshold_sweep",
 )
 
 

@@ -1621,3 +1621,47 @@ def optimize_winnowing_index(spark, path: str) -> None:
         # dropped entirely -- the ledger is settled.  Only deleted
         # when it was actually read and applied above.
         shutil.rmtree(ledger_dir, ignore_errors=True)
+
+
+def lsh_tuning_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    perms: int = MINHASH_PERMS,
+    rows_per_band: int = ROWS_PER_BAND,
+    hash_mode: str = "oracle",
+) -> DataFrame:
+    """LSH banding cost report -- the observed side of the (bands,
+    rows_per_band) tuning decision.  The S-curve gives the THEORY
+    (P[candidate | jaccard=s] = 1 - (1 - s^r)^b); what it cannot give
+    is the PRICE on this corpus: how many candidate pairs the band
+    join will actually emit, which is entirely a property of the
+    bucket-size distribution.  Per band: bucket count, singleton
+    buckets (docs that collide with nothing -- dead weight), the
+    hottest bucket (the straggler task of the self-join), and the
+    exact candidate-pair volume sum m*(m-1)/2 -- read BEFORE running
+    pair generation at corpus scale, to re-band if a hot bucket or
+    the total volume says the self-join would blow up.
+
+    One signatures pass + one (band, bucket)-keyed count + one
+    band-keyed rollup; never materializes a pair.  The report costs
+    the same as signature computation however skewed the buckets are
+    -- which is the point: it is safe to run where the join is not.
+    """
+    sh = shingle_table(docs, id_col, text_col, n)
+    sigs = minhash_signatures_wide(sh, id_col, perms, hash_mode)
+    bands = minhash_bands(sigs, id_col, perms, rows_per_band, hash_mode)
+    buckets = bands.groupBy("band_id", "band_val").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    return buckets.groupBy("band_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.when(F.col("m") == 1, 1).otherwise(0)).cast("long").alias(
+            "singleton_buckets"
+        ),
+        F.max("m").alias("max_bucket"),
+        F.sum(F.col("m") * (F.col("m") - 1) / 2).cast("long").alias(
+            "candidate_pairs"
+        ),
+    )

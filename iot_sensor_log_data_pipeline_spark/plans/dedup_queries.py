@@ -156,10 +156,11 @@ _COEF_ROWS = ", ".join(
 )
 _P = DD.MINHASH_PRIME
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_SHINGLES_CTE},
+#: Shared replay of the salted-md5 minhash signatures and band
+#: re-hash (``dedup.minhash_signatures_wide`` + ``minhash_bands``),
+#: ending at ``bands(doc_id, band_id, band_val)`` -- used by the pair
+#: join and the banding cost report.
+_MINHASH_BANDS_CTES = f"""
     coefs AS (
       SELECT * FROM (VALUES {_COEF_ROWS}) AS t(seed, a1, a2, a3, a4, b)
     ),
@@ -182,7 +183,15 @@ _P = DD.MINHASH_PRIME
       SELECT doc_id, seed // {DD.ROWS_PER_BAND} AS band_id,
              md5(string_agg(CAST(min_hash AS VARCHAR), '|' ORDER BY seed)) AS band_val
       FROM mh GROUP BY doc_id, seed // {DD.ROWS_PER_BAND}
-    ),
+    )
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_MINHASH_BANDS_CTES},
     cand AS (
       SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
       FROM bands x JOIN bands y
@@ -1132,3 +1141,38 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.winnowing_pairs(docs, k=4, w=4, min_shared=2).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "dedup_lsh_tuning_report",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_MINHASH_BANDS_CTES},
+    buckets AS (
+      SELECT band_id, band_val, count(*) AS m
+      FROM bands GROUP BY band_id, band_val
+    )
+    SELECT band_id,
+           count(*) AS n_buckets,
+           CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS singleton_buckets,
+           max(m) AS max_bucket,
+           CAST(sum(m * (m - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM buckets
+    GROUP BY band_id
+    ORDER BY band_id
+    """,
+    tags=("dedup", "north-star", "minhash", "lsh", "tuning"),
+)
+def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding cost report
+    (``operators/dedup.py:lsh_tuning_report``): per band -- bucket
+    count, singleton buckets, hottest bucket, and the EXACT candidate
+    pair volume the band self-join would emit (sum m*(m-1)/2), without
+    materializing a single pair.  The observed complement to the
+    1-(1-s^r)^b S-curve: theory picks the recall, this table prices it
+    on the actual corpus and flags the straggler bucket before a
+    corpus-scale pair run.  The oracle replays signatures, band
+    re-hash, and both rollups."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return DD.lsh_tuning_report(docs).orderBy("band_id")

@@ -4393,3 +4393,47 @@ def test_knn_label_transfer_recovers_planted_clusters(spark):
         want = (r["query_id"] - 60) // 5
         assert r["predicted_label"] == want, r
         assert r["votes"] == 5  # unanimous inside a tight cluster
+
+
+def test_lsh_tuning_report_counts_the_join_volume(spark):
+    """The report's per-band candidate_pairs is exactly the number of
+    same-bucket ordered pairs the band self-join would emit in that
+    band, and planted exact duplicates surface as a hot bucket."""
+    import collections
+
+    from iot_sensor_log_data_pipeline_spark.operators import dedup as DD
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base + f" unique{i} marker{i} tail{i}") for i in range(12)]
+    rows += [(100 + j, base) for j in range(6)]  # 6 identical docs
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    rep = {r["band_id"]: r for r in DD.lsh_tuning_report(docs).collect()}
+
+    sh = DD.shingle_table(docs, "doc_id", "text", 3)
+    sigs = DD.minhash_signatures_wide(sh)
+    bands = DD.minhash_bands(sigs).collect()
+    per_bucket = collections.Counter(
+        (r["band_id"], r["band_val"]) for r in bands
+    )
+    want = collections.defaultdict(
+        lambda: {"n": 0, "single": 0, "mx": 0, "pairs": 0}
+    )
+    for (bid, _), m in per_bucket.items():
+        w = want[bid]
+        w["n"] += 1
+        w["single"] += m == 1
+        w["mx"] = max(w["mx"], m)
+        w["pairs"] += m * (m - 1) // 2
+    assert set(rep) == set(want)
+    for bid, w in want.items():
+        r = rep[bid]
+        assert (
+            r["n_buckets"], r["singleton_buckets"], r["max_bucket"],
+            r["candidate_pairs"],
+        ) == (w["n"], w["single"], w["mx"], w["pairs"])
+    # identical docs share every band bucket: hottest bucket >= 6,
+    # contributing >= C(6,2) pairs in each band
+    for r in rep.values():
+        assert r["max_bucket"] >= 6
+        assert r["candidate_pairs"] >= 15

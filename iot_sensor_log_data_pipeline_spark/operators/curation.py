@@ -872,9 +872,13 @@ def shard_assignment(
         split_bucket(F.col(id_col), n_shards).alias("shard"),
         token_count(F.col(text_col)).alias("__ntok"),
     )
-    per_shard = per_doc.groupBy("shard").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("__ntok").cast("long").alias("n_tokens"),
+    # n_shards-row report feeds two consumers (totals + shares) --
+    # cache it so the corpus scan underneath runs once.
+    per_shard = _SCRATCH.cache(
+        per_doc.groupBy("shard").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__ntok").cast("long").alias("n_tokens"),
+        )
     )
     totals = per_shard.agg(F.sum("n_tokens").alias("__tot"))
     return per_shard.crossJoin(F.broadcast(totals)).select(
@@ -929,9 +933,14 @@ def quality_threshold_sweep(
         ).alias("idx"),
         token_count(F.col(text_col)).alias("__ntok"),
     )
-    buckets = per_doc.groupBy("idx").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("__ntok").cast("long").alias("n_tokens"),
+    # The tiny bucket table feeds TWO consumers (totals + suffix
+    # sums); cache it so the corpus scan underneath runs once, not
+    # once per consumer (same contract as the mixture-weight scratch).
+    buckets = _SCRATCH.cache(
+        per_doc.groupBy("idx").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__ntok").cast("long").alias("n_tokens"),
+        )
     )
     totals = buckets.agg(
         F.sum("n_docs").alias("__docs"), F.sum("n_tokens").alias("__toks")

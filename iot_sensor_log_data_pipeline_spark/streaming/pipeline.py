@@ -1377,3 +1377,142 @@ def observed_metrics_history(query: StreamingQuery, name: str = "quality") -> li
         if m is not None:
             out.append(m)
     return out
+
+
+_BUDGET_STATE_SCHEMA = "source string, admitted_tokens long, batch long"
+
+
+def token_budget_apply_batch(
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    state_dir: str,
+    caps: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of the streaming token-budget assembler (the
+    streaming twin of ``curation.token_budget_sample``): admit each
+    source's documents until that source's LIFETIME admitted-token
+    total reaches its cap, carrying the spend across micro-batches in
+    a tiny persisted ledger instead of operator state.
+
+    Admission is greedy-prefix inside the batch in a deterministic
+    content order (md5 of the id), so a replay admits the identical
+    rows; across batches it is arrival order -- the only order a
+    stream has.  Sources absent from ``caps`` are REJECTED (a budget
+    assembly admits only the domains the mixture asked for; route
+    pass-through sources around the gate).
+
+    Ledger: ``state_dir/batch=<id>/`` holds one (source,
+    admitted_tokens) row per source the batch admitted from --
+    per-source partial sums, never documents, so the ledger stays
+    sources x batches rows at any corpus scale and the per-batch read
+    is one tiny aggregate.  Replay idempotency follows the history
+    store's contract: the spend read excludes rows written by THIS
+    batch id (a prior failed attempt), and both writes are
+    whole-directory overwrites keyed by the batch id, so a crash
+    between the two writes replays to the identical result in either
+    order.
+    """
+    import os
+
+    from ..operators.text import token_count
+
+    spark = batch.sparkSession
+    if not batch.take(1):
+        return
+    caps_df = F.broadcast(
+        spark.createDataFrame(
+            [(s, int(c)) for s, c in sorted(caps.items())],
+            f"{source_col} string, __cap long",
+        )
+    )
+    spent = (
+        spark.read.schema(_BUDGET_STATE_SCHEMA)
+        .parquet(state_dir)
+        .where(F.col("batch") != int(batch_id))
+        .groupBy(source_col)
+        .agg(F.sum("admitted_tokens").alias("__spent"))
+        if os.path.exists(state_dir)
+        else spark.createDataFrame([], f"{source_col} string, __spent long")
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    admitted = (
+        batch.withColumn("__ntok", token_count(F.col(text_col)))
+        .join(caps_df, source_col)  # inner: uncapped sources rejected
+        .join(F.broadcast(spent), source_col, "left")
+        .withColumn("__cum", F.sum("__ntok").over(w))
+        .where(
+            F.coalesce(F.col("__spent"), F.lit(0)) + F.col("__cum")
+            <= F.col("__cap")
+        )
+    )
+    admitted = admitted.localCheckpoint()  # one computation, two writes
+    (
+        admitted.drop("__cap", "__spent", "__cum")
+        .withColumnRenamed("__ntok", "n_tokens")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, f"ingest_batch={int(batch_id)}"))
+    )
+    (
+        admitted.groupBy(source_col)
+        .agg(F.sum("__ntok").alias("admitted_tokens"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(state_dir, f"batch={int(batch_id)}"))
+    )
+
+
+def start_token_budget_sink(
+    stream_docs: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint: str,
+    caps: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Streaming per-source token-budget gate: admit documents from an
+    unbounded ingest stream until each source's cap is spent, then
+    reject that source forever -- 'assemble exactly this mixture from
+    the firehose'.  Semantics, ledger layout, and replay contract in
+    ``token_budget_apply_batch``; output lands under
+    ``out_dir/ingest_batch=<id>/`` (read the root with partition
+    discovery).  Single-writer, like every persisted-store sink here."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        token_budget_apply_batch(
+            batch,
+            batch_id,
+            out_dir,
+            state_dir,
+            caps,
+            source_col=source_col,
+            id_col=id_col,
+            text_col=text_col,
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def load_budget_ledger(spark, state_dir: str) -> DataFrame:
+    """Live per-source spend view of a token-budget ledger: SUM of the
+    per-batch partial sums (the mergeable-ledger property -- spends
+    add)."""
+    return (
+        spark.read.schema(_BUDGET_STATE_SCHEMA)
+        .parquet(state_dir)
+        .groupBy("source")
+        .agg(F.sum("admitted_tokens").alias("admitted_tokens"))
+    )

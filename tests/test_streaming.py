@@ -1556,3 +1556,92 @@ def test_observed_quality_metrics_ride_each_batch(spark, tmp_path):
     assert n == 200 and nulls == 40
     assert min(m["min_value"] for m in non_null) == 1.0
     assert max(m["max_value"] for m in non_null) == 199.0
+
+
+def test_token_budget_sink_enforces_lifetime_caps(spark, tmp_path):
+    """The streaming budget gate spends each source's cap across
+    micro-batches: a source exhausted in batch 1 admits nothing in
+    batch 2, a source with remaining budget keeps filling, and an
+    uncapped source never passes."""
+    import os
+
+    out = str(tmp_path / "tb_out")
+    state = str(tmp_path / "tb_state")
+    src = str(tmp_path / "tb_src")
+    ckpt = str(tmp_path / "tb_ckpt")
+    os.makedirs(src)
+
+    schema = "doc_id long, source string, text string"
+    # every doc is 4 tokens; caps: a=6 (fits one doc), b=100 (plenty)
+    b1 = spark.createDataFrame(
+        [(1, "a", "w x y z"), (2, "a", "w x y z"),
+         (3, "b", "w x y z"), (4, "c", "w x y z")],
+        schema,
+    )
+    b1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = P.start_token_budget_sink(
+        stream, out, state, ckpt, caps={"a": 6, "b": 100}
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(10, "a", "w x y z"),   # a exhausted: rejected
+             (11, "b", "w x y z"),   # b still open: admitted
+             (12, "c", "w x y z")],  # uncapped: rejected
+            schema,
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(out).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r["doc_id"])
+    assert "c" not in by_source
+    assert sorted(by_source["b"]) == [3, 11]
+    assert len(by_source["a"]) == 1 and by_source["a"][0] in (1, 2)
+    assert all(r["n_tokens"] == 4 for r in rows)
+    ledger = {
+        r["source"]: r["admitted_tokens"]
+        for r in P.load_budget_ledger(spark, state).collect()
+    }
+    assert ledger == {"a": 4, "b": 8}
+
+
+def test_token_budget_replay_is_idempotent(spark, tmp_path):
+    """Re-running a batch id (crash replay) rewrites the same output
+    and the same ledger rows -- totals never double-spend; a short doc
+    later in the prefix order cannot ride around the greedy gate."""
+    out = str(tmp_path / "tbr_out")
+    state = str(tmp_path / "tbr_state")
+
+    schema = "doc_id long, source string, text string"
+    b0 = spark.createDataFrame(
+        [(1, "a", "t1 t2 t3"), (2, "a", "t4 t5 t6"), (3, "a", "t7 t8")],
+        schema,
+    )
+    P.token_budget_apply_batch(b0, 0, out, state, caps={"a": 7})
+    first = sorted(
+        (r["doc_id"], r["n_tokens"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # greedy prefix in md5(doc_id) order: total admitted <= 7 tokens
+    assert sum(n for _, n in first) <= 7
+    P.token_budget_apply_batch(b0, 0, out, state, caps={"a": 7})  # replay
+    again = sorted(
+        (r["doc_id"], r["n_tokens"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert again == first
+    ledger = {
+        r["source"]: r["admitted_tokens"]
+        for r in P.load_budget_ledger(spark, state).collect()
+    }
+    assert ledger == {"a": sum(n for _, n in first)}
+    # a second batch keeps spending the remainder only
+    b1 = spark.createDataFrame([(9, "a", "u1 u2 u3 u4 u5")], schema)
+    P.token_budget_apply_batch(b1, 1, out, state, caps={"a": 7})
+    total = sum(r["n_tokens"] for r in spark.read.parquet(out).collect())
+    assert total <= 7

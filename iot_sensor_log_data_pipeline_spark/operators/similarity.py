@@ -1225,3 +1225,97 @@ def knn_label_transfer(
             "mean_sim",
         )
     )
+
+
+def pair_similarity_histogram(
+    vectors: DataFrame,
+    sample_buckets: int = 1,
+    n_buckets: int = 1,
+    bins: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise-cosine distribution of a deterministic corpus sample --
+    the calibration read BEFORE picking a semantic-dedup threshold
+    (SemDeDup's eps) or an ANN score cutoff: the histogram shows where
+    the near-dup mass separates from the background bulk, and
+    ``frac_ge`` (fraction of sampled pairs at or above the bin's lower
+    edge) prices any candidate eps as 'this share of all pairs would
+    be flagged'.
+
+    The sample is the md5 slice ``bucket(id) < sample_buckets`` of
+    ``n_buckets`` -- content-addressed, so the histogram is
+    reproducible run-to-run and comparable across corpus snapshots
+    (same slice semantics as every split/sample here).  Pair scoring
+    is a broadcast self-join of the SAMPLE ONLY: its cost is
+    (sample size)^2 -- a property of the chosen slice geometry, never
+    of the corpus -- which is what makes it safe to run where the
+    full all-pairs scan is not.  The tiny bin table is cached (it
+    feeds the count and the suffix-sum consumers), and the suffix sum
+    is the bucket-explode trick, not an unpartitioned window.
+
+    Bins partition [-1, 1] into ``bins`` equal cells; an exact 1.0
+    lands in the top bin.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % n_buckets
+    )
+    sample = vectors.where(bucket < sample_buckets).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
+    pairs = (
+        sample.alias("a")
+        .join(
+            F.broadcast(sample.alias("b")),
+            F.col("a.__id") < F.col("b.__id"),
+        )
+        .select(
+            (
+                dot(F.col("a.__v"), F.col("b.__v"))
+                / (F.col("a.__n") * F.col("b.__n"))
+            ).alias("cos_sim")
+        )
+    )
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col("cos_sim") + 1.0) / 2.0 * bins).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(bins - 1),
+    )
+    hist = _SCRATCH.cache(
+        pairs.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    totals = hist.agg(F.sum("n_pairs").alias("__tot"))
+    # suffix sum over the tiny bin table: each bin's count contributes
+    # to every bin at or below it (<= bins^2/2 exploded rows)
+    ge = (
+        hist.select(
+            F.explode(F.sequence(F.lit(0), F.col("bin"))).alias("bin"),
+            "n_pairs",
+        )
+        .groupBy("bin")
+        .agg(F.sum("n_pairs").cast("long").alias("n_ge"))
+    )
+    spark = vectors.sparkSession
+    grid = spark.range(bins).select(F.col("id").cast("long").alias("bin"))
+    return (
+        grid.join(hist, "bin", "left")
+        .join(ge, "bin", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            F.round(F.lit(-1.0) + F.col("bin") * (2.0 / bins), 6).alias(
+                "cos_lo"
+            ),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.round(
+                F.coalesce("n_ge", F.lit(0)) / F.col("__tot"), 6
+            ).alias("frac_ge"),
+        )
+    )

@@ -834,3 +834,58 @@ def similarity_knn_label_transfer(spark: SparkSession, sf_dir: str) -> DataFrame
     return SIM.knn_label_transfer(
         batch, corpus, SIM.seed_centroids(corpus, 16), k=5, n_probe=2
     ).orderBy("query_id")
+
+
+@register(
+    "similarity_pair_histogram",
+    oracle=f"""
+    WITH sample AS (
+      SELECT vec_id, embedding,
+             {_NORM.format(d=64, a='embedding')} AS nrm
+      FROM embeddings
+      WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 4 < 1
+    ),
+    pairs AS (
+      SELECT {_DOT.format(d=64, a='a.embedding', b='b.embedding')}
+               / (a.nrm * b.nrm) AS cos_sim
+      FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+    ),
+    hist AS (
+      SELECT least(greatest(CAST(floor((cos_sim + 1.0) / 2.0 * 40) AS BIGINT),
+                            0), 39) AS bin,
+             count(*) AS n_pairs
+      FROM pairs GROUP BY 1
+    ),
+    ge AS (
+      SELECT g.range AS bin, sum(h.n_pairs) AS n_ge
+      FROM range(40) g JOIN hist h ON h.bin >= g.range
+      GROUP BY g.range
+    ),
+    tot AS (SELECT sum(n_pairs) AS t FROM hist)
+    SELECT g.range AS bin,
+           round(-1.0 + g.range * (2.0 / 40), 6) AS cos_lo,
+           CAST(coalesce(h.n_pairs, 0) AS BIGINT) AS n_pairs,
+           round(coalesce(ge.n_ge, 0) / t, 6) AS frac_ge
+    FROM range(40) g
+    LEFT JOIN hist h ON h.bin = g.range
+    LEFT JOIN ge ON ge.bin = g.range
+    CROSS JOIN tot
+    ORDER BY bin
+    """,
+    tags=("similarity", "north-star", "calibration", "histogram"),
+)
+def similarity_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine calibration histogram
+    (``operators/similarity.py:pair_similarity_histogram``): the
+    distribution of cosine similarity over a deterministic md5 quarter
+    of the embedding corpus, binned into 40 cells with the
+    at-or-above pair fraction per bin -- the read that prices a
+    SemDeDup eps / ANN cutoff BEFORE a corpus-scale pair run (the
+    embedding-side twin of ``dedup_lsh_tuning_report``).  The oracle
+    replays the slice, the broadcast self-join, the binning, and the
+    suffix sums."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    return SIM.pair_similarity_histogram(
+        emb, sample_buckets=1, n_buckets=4, bins=40
+    ).orderBy("bin")

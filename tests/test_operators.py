@@ -4437,3 +4437,47 @@ def test_lsh_tuning_report_counts_the_join_volume(spark):
     for r in rep.values():
         assert r["max_bucket"] >= 6
         assert r["candidate_pairs"] >= 15
+
+
+def test_pair_similarity_histogram_accounts_every_pair(spark):
+    """Bin counts sum to C(sample, 2), frac_ge is the true suffix
+    fraction, planted identical vectors land in the top bin, and the
+    sample slice is the md5 bucket (content-addressed)."""
+    import hashlib
+    import itertools
+
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=6)]) for i in range(40)]
+    rows += [(100, [1.0] * 6), (101, [1.0] * 6)]  # identical twins
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {r["bin"]: r for r in SIM.pair_similarity_histogram(
+        df, sample_buckets=1, n_buckets=2, bins=10
+    ).collect()}
+
+    def in_sample(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 2 < 1
+
+    ids = [i for i, _ in rows if in_sample(i)]
+    vecs = {i: np.array(v) for i, v in rows}
+    sims = [
+        float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+        for a, b in itertools.combinations(sorted(ids), 2)
+    ]
+    n_pairs = len(ids) * (len(ids) - 1) // 2
+    assert sum(r["n_pairs"] for r in out.values()) == n_pairs
+    import collections
+
+    want = collections.Counter(
+        min(max(int((s + 1.0) / 2.0 * 10), 0), 9) for s in sims
+    )
+    for b in range(10):
+        assert out[b]["n_pairs"] == want.get(b, 0)
+        ge = sum(want.get(j, 0) for j in range(b, 10))
+        assert abs(out[b]["frac_ge"] - round(ge / n_pairs, 6)) < 1e-9
+    if in_sample(100) and in_sample(101):
+        assert out[9]["n_pairs"] >= 1  # the twins' cos=1.0 pair

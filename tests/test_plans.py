@@ -92,6 +92,10 @@ BNLJ_ALLOWED = {
     # 1-row totals broadcast onto the len(thresholds)-row suffix-sum
     # table -- curation.py:quality_threshold_sweep
     "corpus_quality_threshold_sweep",
+    # broadcast self-join of the md5 SAMPLE only (cost = slice
+    # geometry squared, never corpus) + 1-row totals broadcast --
+    # similarity.py:pair_similarity_histogram
+    "similarity_pair_histogram",
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --

@@ -924,13 +924,18 @@ def quality_threshold_sweep(
     grid = spark.createDataFrame(
         [(i + 1, float(t)) for i, t in enumerate(ths)], "ti int, threshold double"
     )
+    # thresholds-passed index as a SUM OF WHENS, not a higher-order
+    # array filter: the score column appears once per threshold, and
+    # codegen's subexpression elimination evaluates it ONCE per row --
+    # a lambda referencing the score would re-evaluate the (regexp +
+    # tokenize)-heavy expression per array element (measured at
+    # sf0.1: 2.1s -> 1.8s min-of-2).
+    idx = None
+    for t in ths:
+        term = F.when(score >= F.lit(float(t)), 1).otherwise(0)
+        idx = term if idx is None else idx + term
     per_doc = docs.select(
-        F.size(
-            F.filter(
-                F.array(*[F.lit(float(t)) for t in ths]),
-                lambda t: t <= score,
-            )
-        ).alias("idx"),
+        idx.alias("idx"),
         token_count(F.col(text_col)).alias("__ntok"),
     )
     # The tiny bucket table feeds TWO consumers (totals + suffix

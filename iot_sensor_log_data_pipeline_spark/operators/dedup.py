@@ -1665,3 +1665,60 @@ def lsh_tuning_report(
             "candidate_pairs"
         ),
     )
+
+
+def source_dedup_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source exact-duplicate governance report -- the 'which
+    upstream feed is re-sending the corpus' view that decides where a
+    dedup gate pays for itself: for every source, its doc count, how
+    many of its docs duplicate ANY other doc (same canonical
+    fingerprint, anywhere in the corpus), how many duplicate a doc in
+    a DIFFERENT source (mirrored / twice-pipelined feeds -- the case
+    per-source dedup can't fix), the docs it would lose to global
+    min-id dedup, and the duplicate rate.
+
+    Two aggregates over the fingerprint table: one fingerprint-keyed
+    (count + distinct-source count + min id per fp -- the same
+    shuffle exact dedup itself pays, fingerprints never re-shuffle as
+    full text), one source-keyed rollup of per-doc flags.  Output is
+    |sources| rows at any corpus size.
+    """
+    from .text import fingerprint
+
+    fp = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(source_col).alias("__src"),
+        fingerprint(F.col(text_col)).alias("__fp"),
+    )
+    stats = fp.groupBy("__fp").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct("__src").alias("__nsrc"),
+        F.min("__id").alias("__keep"),
+    )
+    return (
+        fp.join(stats, "__fp")
+        .groupBy("__src")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("__n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_docs"),
+            F.sum(F.when(F.col("__nsrc") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("cross_source_dup_docs"),
+            F.sum(F.when(F.col("__id") != F.col("__keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("docs_lost_to_dedup"),
+            F.round(
+                F.sum(F.when(F.col("__n") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+        )
+        .withColumnRenamed("__src", source_col)
+    )

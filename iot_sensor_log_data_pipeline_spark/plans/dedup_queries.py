@@ -1176,3 +1176,45 @@ def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-hash, and both rollups."""
     docs = parallelize_small(load(spark, sf_dir, "documents"))
     return DD.lsh_tuning_report(docs).orderBy("band_id")
+
+
+@register(
+    "dedup_source_audit",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+               AS f
+      FROM documents
+    ),
+    stats AS (
+      SELECT f, count(*) AS n, count(DISTINCT source) AS nsrc,
+             min(doc_id) AS keep
+      FROM fp GROUP BY f
+    )
+    SELECT fp.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN s.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_docs,
+           CAST(sum(CASE WHEN s.nsrc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS cross_source_dup_docs,
+           CAST(sum(CASE WHEN fp.doc_id <> s.keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_lost_to_dedup,
+           round(sum(CASE WHEN s.n > 1 THEN 1 ELSE 0 END) / count(*), 6)
+             AS dup_rate
+    FROM fp JOIN stats s ON s.f = fp.f
+    GROUP BY fp.source
+    ORDER BY fp.source
+    """,
+    tags=("dedup", "north-star", "audit", "governance"),
+)
+def dedup_source_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate governance report
+    (``operators/dedup.py:source_dedup_audit``): doc count, docs
+    duplicating anything corpus-wide, docs duplicating a DIFFERENT
+    source (the mirrored-feed signal per-source dedup can't fix),
+    docs a global min-id dedup would drop, and the dup rate -- per
+    source, from two fingerprint-keyed aggregates.  The oracle
+    replays the canonical fingerprint and both rollups."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return DD.source_dedup_audit(docs).orderBy("source")

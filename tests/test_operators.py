@@ -4481,3 +4481,34 @@ def test_pair_similarity_histogram_accounts_every_pair(spark):
         assert abs(out[b]["frac_ge"] - round(ge / n_pairs, 6)) < 1e-9
     if in_sample(100) and in_sample(101):
         assert out[9]["n_pairs"] >= 1  # the twins' cos=1.0 pair
+
+
+def test_source_dedup_audit_flags_planted_mirror(spark):
+    """A source that mirrors another's docs shows full cross-source
+    dup counts; reordered token twins collapse to one fingerprint; a
+    clean source reports zeros; min-id survivors are never counted as
+    lost."""
+    from iot_sensor_log_data_pipeline_spark.operators import dedup as DD
+
+    rows = [
+        (1, "alpha beta gamma", "a"),
+        (2, "delta epsilon zeta", "a"),
+        (10, "alpha beta gamma", "mirror"),       # exact cross-source dup
+        (11, "zeta delta epsilon", "mirror"),     # reordered dup of 2
+        (20, "totally unique content", "clean"),
+        (3, "delta epsilon zeta", "a"),           # within-source dup of 2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in DD.source_dedup_audit(docs).collect()}
+
+    assert out["clean"]["dup_docs"] == 0
+    assert out["clean"]["docs_lost_to_dedup"] == 0
+    assert out["mirror"]["n_docs"] == 2
+    assert out["mirror"]["dup_docs"] == 2
+    assert out["mirror"]["cross_source_dup_docs"] == 2
+    assert out["mirror"]["docs_lost_to_dedup"] == 2  # min ids are in 'a'
+    assert out["a"]["n_docs"] == 3
+    assert out["a"]["dup_docs"] == 3        # all three fps are shared
+    assert out["a"]["cross_source_dup_docs"] == 3
+    assert out["a"]["docs_lost_to_dedup"] == 1  # doc 3 loses to doc 2
+    assert abs(out["a"]["dup_rate"] - 1.0) < 1e-9

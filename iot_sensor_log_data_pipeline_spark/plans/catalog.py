@@ -65,12 +65,13 @@ _QUERY_MODULES = (
 #: join, dataset fingerprint, incremental join refresh, grouped
 #: DDSketch quantiles, mapInArrow batch stats, cogrouped IVF ANN
 #: join, kNN label transfer, LSH banding cost report, pairwise-cosine
-#: calibration histogram, per-source dedup audit, output
+#: calibration histogram, per-source dedup audit, forward + nearest
+#: as-of joins, output
 #: sharding, quality threshold sweep, epoch upsample), (c)
 #: re-entries for the five
 #: shingle-family queries whose input path changed this round (the
 #: ``parallelize_small`` wrap at the catalog call sites), (d) the
-#: 8 stalest round-3 rows (the twenty-six bumped for slot space --
+#: 6 stalest round-3 rows (the twenty-eight bumped for slot space --
 #: scan_orc_roundtrip, scan_xml_roundtrip, corpus_weighted_sample,
 #: agg_histogram_quantiles, multimodal_byte_histogram,
 #: downsample_lttb_value, downsample_ohlc_10min, profile_events_table,
@@ -80,9 +81,10 @@ _QUERY_MODULES = (
 #: udf_pandas_scalar_bucket, udf_grouped_map_zscore,
 #: subquery_correlated_q17, subquery_exists_bigorder,
 #: subquery_scalar_avg, null_semantics, hash_functions,
-#: conditional_functions, hourly_avg_value
+#: conditional_functions, json_functions, variant_functions,
+#: hourly_avg_value
 #: (smoke-checked by ``entry()`` every round regardless) -- lead the
-#: round-9 refresh).  8+29+5+8 = 50, one full window.
+#: round-9 refresh).  8+31+5+6 = 50, one full window.
 #: By-design rows-only queries (``agg_approx_sketches``,
 #: ``similarity_ivf_ann``, ``similarity_graph_ann``) stay out of the
 #: window: their machinery is covered by oracle twins and bounds /
@@ -129,6 +131,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "dedup_lsh_tuning_report",
     "similarity_pair_histogram",
     "dedup_source_audit",
+    "join_asof_forward_click",
+    "join_asof_nearest_click",
     "corpus_shard_assignment",
     "corpus_quality_threshold_sweep",
     "corpus_epoch_upsample",
@@ -146,12 +150,10 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "math_functions",
     "array_functions",
     "map_functions",
-    "json_functions",
-    "variant_functions",
 )
 
 #: Round-9 rotation plan: (a) anything new in round 9 plus re-entries
-#: for round-9-edited modules; (b) the 26 round-3 rows bumped from the
+#: for round-9-edited modules; (b) the 28 round-3 rows bumped from the
 #: round-8 window (scan_orc_roundtrip, scan_xml_roundtrip,
 #: corpus_weighted_sample, agg_histogram_quantiles,
 #: multimodal_byte_histogram, downsample_lttb_value,
@@ -162,7 +164,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
 #: udf_grouped_agg_weighted, udf_pandas_scalar_bucket,
 #: udf_grouped_map_zscore, subquery_correlated_q17,
 #: subquery_exists_bigorder, subquery_scalar_avg, null_semantics,
-#: hash_functions, conditional_functions, hourly_avg_value);
+#: hash_functions, conditional_functions, json_functions,
+#: variant_functions, hourly_avg_value);
 #: (c) the round-4
 #: battery -- after this window lands it is the stalest external
 #: evidence left (42 rows: dedup/text/similarity/sketch families,

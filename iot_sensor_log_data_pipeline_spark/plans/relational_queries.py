@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..io_utils import load, load_tables
-from ..operators.asof import asof_join
+from ..operators.asof import asof_join, asof_join_forward, asof_join_nearest
 from ._numeric import dec_avg
 from .catalog import register
 
@@ -1578,3 +1578,118 @@ def join_hot_key_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "join_asof_forward_click",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT p.event_id, p.user_id, p.ts, p.value,
+             c.value AS next_click_value, c.ts AS m_ts,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts, c.value) AS rn
+      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts
+    )
+    SELECT event_id, user_id, ts, value, next_click_value,
+           m_ts AS matched_ts
+    FROM j WHERE rn = 1
+    ORDER BY event_id
+    """,
+    tags=("relational", "join", "asof", "forward"),
+)
+def join_asof_forward_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (``operators/asof.py:asof_join_forward``):
+    for every purchase, the user's NEXT click at-or-after it -- the
+    post-event-behavior direction the backward join can't express.
+    Same union+window cost shape (one shuffle + sort per key), frame
+    reversed to first-over-following.  The oracle replays it as a
+    per-left row_number pick with the identical (ts, value)
+    tie-break."""
+    events = load(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join_forward(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_on="ts",
+        right_on="ts",
+        right_cols={"value": "next_click_value"},
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "value", "next_click_value", "matched_ts"
+    ).orderBy("event_id")
+
+
+@register(
+    "join_asof_nearest_click",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+    b AS (
+      SELECT * FROM (
+        SELECT p.event_id, c.ts AS b_ts, c.value AS b_val,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY c.ts DESC, c.value DESC) AS rn
+        FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+      WHERE rn = 1
+    ),
+    f AS (
+      SELECT * FROM (
+        SELECT p.event_id, c.ts AS f_ts, c.value AS f_val,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY c.ts, c.value) AS rn
+        FROM p JOIN c ON c.user_id = p.user_id AND c.ts > p.ts)
+      WHERE rn = 1
+    ),
+    pick AS (
+      SELECT p.event_id, p.user_id, p.ts, p.value,
+             b.b_ts, b.b_val, f.f_ts, f.f_val,
+             (b.b_ts IS NOT NULL AND (f.f_ts IS NULL OR
+                epoch_us(p.ts) - epoch_us(b.b_ts)
+                  <= epoch_us(f.f_ts) - epoch_us(p.ts))) AS use_b
+      FROM p
+      LEFT JOIN b ON b.event_id = p.event_id
+      LEFT JOIN f ON f.event_id = p.event_id
+    )
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN use_b THEN b_val ELSE f_val END AS nearest_click_value,
+           CASE WHEN use_b THEN b_ts ELSE f_ts END AS matched_ts
+    FROM pick
+    ORDER BY event_id
+    """,
+    tags=("relational", "join", "asof", "nearest"),
+)
+def join_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (``operators/asof.py:asof_join_nearest``):
+    for every purchase, the user's closest click in either direction
+    (tie -> the prior click, pandas merge_asof convention), computed
+    with ONE shuffle + sort -- both directions are frames over the
+    same sorted union.  The oracle replays prior pick, next pick, and
+    the microsecond distance decision."""
+    events = load(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join_nearest(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_on="ts",
+        right_on="ts",
+        right_cols={"value": "nearest_click_value"},
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "value", "nearest_click_value", "matched_ts"
+    ).orderBy("event_id")

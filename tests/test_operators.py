@@ -4512,3 +4512,74 @@ def test_source_dedup_audit_flags_planted_mirror(spark):
     assert out["a"]["cross_source_dup_docs"] == 3
     assert out["a"]["docs_lost_to_dedup"] == 1  # doc 3 loses to doc 2
     assert abs(out["a"]["dup_rate"] - 1.0) < 1e-9
+
+
+def test_asof_forward_and_nearest_match_pandas_merge_asof(spark):
+    """Forward and nearest as-of joins agree with pandas merge_asof
+    (direction='forward'/'nearest') on keyed microsecond timestamps,
+    including the tie->prior convention and tolerance nulling."""
+    import pandas as pd
+
+    from iot_sensor_log_data_pipeline_spark.operators.asof import (
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    lrows = [
+        (1, "u1", "2024-01-01 00:00:10.500000", 1.0),
+        (2, "u1", "2024-01-01 00:01:00", 2.0),
+        (3, "u2", "2024-01-01 00:00:05", 3.0),
+        (4, "u3", "2024-01-01 00:00:05", 4.0),  # key with no rights
+        (5, "u1", "2024-01-01 00:00:20", 5.0),  # equidistant -> prior
+    ]
+    rrows = [
+        ("u1", "2024-01-01 00:00:10.500000", 10.0),  # exact tie with 1
+        ("u1", "2024-01-01 00:00:30", 30.0),
+        ("u1", "2024-01-01 00:02:00", 120.0),
+        ("u2", "2024-01-01 00:00:06.250000", 6.0),
+    ]
+    left = spark.createDataFrame(
+        [(i, u, pd.Timestamp(t).to_pydatetime(), v) for i, u, t, v in lrows],
+        "event_id long, user_id string, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(u, pd.Timestamp(t).to_pydatetime(), v) for u, t, v in rrows],
+        "user_id string, ts timestamp, value double",
+    )
+    lpdf = pd.DataFrame(
+        [(i, u, pd.Timestamp(t), v) for i, u, t, v in lrows],
+        columns=["event_id", "user_id", "ts", "value"],
+    ).sort_values("ts")
+    rpdf = pd.DataFrame(
+        [(u, pd.Timestamp(t), v) for u, t, v in rrows],
+        columns=["user_id", "ts", "rv"],
+    ).sort_values("ts")
+
+    for direction, fn in (
+        ("forward", asof_join_forward),
+        ("nearest", asof_join_nearest),
+    ):
+        want = pd.merge_asof(
+            lpdf, rpdf, on="ts", by="user_id", direction=direction
+        ).set_index("event_id")["rv"].to_dict()
+        got = {
+            r["event_id"]: r["rv"]
+            for r in fn(
+                left, right, by=["user_id"], left_on="ts", right_on="ts",
+                right_cols={"value": "rv"},
+            ).collect()
+        }
+        for k, v in want.items():
+            if pd.isna(v):
+                assert got[k] is None, (direction, k, got[k])
+            else:
+                assert got[k] == v, (direction, k, got[k], v)
+
+    # tolerance: the only u2 match is 1.25s away; a 1s horizon nulls it
+    tol = asof_join_nearest(
+        left, right, by=["user_id"], left_on="ts", right_on="ts",
+        right_cols={"value": "rv"}, tolerance_seconds=1,
+    ).collect()
+    by_id = {r["event_id"]: r["rv"] for r in tol}
+    assert by_id[3] is None
+    assert by_id[1] == 10.0  # distance 0 survives any horizon

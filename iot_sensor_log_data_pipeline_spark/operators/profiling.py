@@ -408,3 +408,74 @@ def dataset_fingerprint(
         .alias("checksum_sum"),
         F.coalesce(F.bit_xor(v_xor), F.lit(0)).alias("checksum_xor"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization -- the TRANSFORM twin of the IQR fence
+    report: values clipped to the group's exact ``[p_lo, p_hi]``
+    percentiles (the standard robust pre-scaling step before
+    mean/stddev-based features, where one stuck sensor or fat-finger
+    row would otherwise own the moments).  Adds ``out_col`` (default
+    ``<value_col>_winsorized``) and the bounds; rows keep flowing --
+    nothing is dropped, unlike the fence report's outlier count.
+
+    Scale shape: one grouped exact-percentile aggregate (group-count
+    rows, broadcast back), then a pure in-row clamp -- the same
+    two-stage plan as ``iqr_outliers`` with the final agg replaced by
+    a map."""
+    out = out_col or f"{value_col}_winsorized"
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(v, lo).alias("__lo"),
+        F.percentile(v, hi).alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_cols)
+        .withColumn(out, F.least(F.greatest(v, F.col("__lo")), F.col("__hi")))
+        .withColumnRenamed("__lo", f"{value_col}_lo")
+        .withColumnRenamed("__hi", f"{value_col}_hi")
+    )
+
+
+def key_candidate_report(
+    tables: dict[str, tuple[DataFrame, list[list[str]]]],
+) -> DataFrame:
+    """Candidate-key uniqueness audit (the Deequ/dbt-test
+    'uniqueness' constraint, batched): for every (table, column-set)
+    candidate -- row count, distinct count, duplicate rows, and the
+    verdict -- the read that decides whether a column set can serve
+    as a merge/upsert key or needs a surrogate.  One count +
+    exact-distinct aggregate per candidate (a keyed shuffle of key
+    columns only), stacked into one |candidates|-row report."""
+    parts = []
+    for tname, (df, candidates) in sorted(tables.items()):
+        for cols in candidates:
+            key = [F.col(c).cast("string") for c in cols]
+            parts.append(
+                df.agg(
+                    F.lit(tname).alias("table_name"),
+                    F.lit(",".join(cols)).alias("key_columns"),
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.count_distinct(*key).cast("long").alias("n_distinct"),
+                ).select(
+                    "table_name",
+                    "key_columns",
+                    "n_rows",
+                    "n_distinct",
+                    (F.col("n_rows") - F.col("n_distinct"))
+                    .cast("long")
+                    .alias("dup_rows"),
+                    (F.col("n_rows") == F.col("n_distinct")).alias("is_unique"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

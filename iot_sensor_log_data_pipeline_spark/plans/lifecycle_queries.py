@@ -1065,3 +1065,110 @@ def sketch_dd_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddsketch_quantiles_grouped(
         ddsketch_buckets_grouped(ev, ["event_type"], "value"), ["event_type"]
     )
+
+
+@register(
+    "quality_winsorize_values",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(CAST(value AS DOUBLE), 0.01) AS lo,
+             quantile_cont(CAST(value AS DOUBLE), 0.99) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(CAST(e.value AS DOUBLE), 6) AS value,
+           round(least(greatest(CAST(e.value AS DOUBLE), b.lo), b.hi), 6)
+             AS value_winsorized,
+           round(b.lo, 6) AS value_lo,
+           round(b.hi, 6) AS value_hi
+    FROM events e JOIN bounds b ON b.event_type = e.event_type
+    ORDER BY e.event_id
+    """,
+    tags=("profiling", "quality", "winsorize", "robust"),
+)
+def quality_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization (``operators/profiling.py:winsorize``):
+    every event's value clipped to its type's exact [p1, p99] -- the
+    robust pre-scaling transform beside the IQR fence REPORT (same
+    two-stage plan; the final agg becomes an in-row clamp, rows keep
+    flowing).  The oracle replays bounds and clamp."""
+    from ..operators.profiling import winsorize
+
+    ev = load(spark, sf_dir, "events")
+    out = winsorize(ev, "value", ["event_type"], lo=0.01, hi=0.99)
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+        F.round("value_winsorized", 6).alias("value_winsorized"),
+        F.round("value_lo", 6).alias("value_lo"),
+        F.round("value_hi", 6).alias("value_hi"),
+    ).orderBy("event_id")
+
+
+@register(
+    "profile_key_candidates",
+    oracle="""
+    SELECT 'events' AS table_name, 'event_id' AS key_columns,
+           count(*) AS n_rows,
+           count(DISTINCT CAST(event_id AS VARCHAR)) AS n_distinct,
+           count(*) - count(DISTINCT CAST(event_id AS VARCHAR)) AS dup_rows,
+           count(*) = count(DISTINCT CAST(event_id AS VARCHAR)) AS is_unique
+    FROM events
+    UNION ALL
+    SELECT 'events', 'user_id,ts',
+           count(*),
+           count(DISTINCT CAST(user_id AS VARCHAR) || '|' || CAST(ts AS VARCHAR)),
+           count(*) - count(DISTINCT CAST(user_id AS VARCHAR) || '|' || CAST(ts AS VARCHAR)),
+           count(*) = count(DISTINCT CAST(user_id AS VARCHAR) || '|' || CAST(ts AS VARCHAR))
+    FROM events
+    UNION ALL
+    SELECT 'lineitem', 'l_orderkey,l_linenumber',
+           count(*),
+           count(DISTINCT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)),
+           count(*) - count(DISTINCT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)),
+           count(*) = count(DISTINCT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR))
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'l_orderkey',
+           count(*),
+           count(DISTINCT CAST(l_orderkey AS VARCHAR)),
+           count(*) - count(DISTINCT CAST(l_orderkey AS VARCHAR)),
+           count(*) = count(DISTINCT CAST(l_orderkey AS VARCHAR))
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders', 'o_orderkey',
+           count(*),
+           count(DISTINCT CAST(o_orderkey AS VARCHAR)),
+           count(*) - count(DISTINCT CAST(o_orderkey AS VARCHAR)),
+           count(*) = count(DISTINCT CAST(o_orderkey AS VARCHAR))
+    FROM orders
+    ORDER BY table_name, key_columns
+    """,
+    tags=("profiling", "quality", "uniqueness", "constraints"),
+)
+def profile_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key uniqueness audit
+    (``operators/profiling.py:key_candidate_report``): the
+    merge/upsert-key verdict for five (table, column-set) candidates
+    -- event_id IS unique, (user_id, ts) may collide, lineitem's
+    composite key IS unique while l_orderkey alone is not, o_orderkey
+    IS unique.  One exact-distinct aggregate per candidate, stacked.
+    The oracle replays each count pair."""
+    from ..operators.profiling import key_candidate_report
+
+    report = key_candidate_report(
+        {
+            "events": (
+                load(spark, sf_dir, "events"),
+                [["event_id"], ["user_id", "ts"]],
+            ),
+            "lineitem": (
+                load(spark, sf_dir, "lineitem"),
+                [["l_orderkey", "l_linenumber"], ["l_orderkey"]],
+            ),
+            "orders": (load(spark, sf_dir, "orders"), [["o_orderkey"]]),
+        }
+    )
+    return report.orderBy("table_name", "key_columns")

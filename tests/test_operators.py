@@ -4583,3 +4583,49 @@ def test_asof_forward_and_nearest_match_pandas_merge_asof(spark):
     by_id = {r["event_id"]: r["rv"] for r in tol}
     assert by_id[3] is None
     assert by_id[1] == 10.0  # distance 0 survives any horizon
+
+
+def test_winsorize_clamps_to_group_percentiles(spark):
+    """A planted extreme value clamps to its own group's p-bounds;
+    in-range rows pass through bit-identical; the other group's bounds
+    are untouched by the outlier."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators.profiling import winsorize
+
+    vals_a = [float(i) for i in range(1, 100)] + [1e9]  # outlier in a
+    vals_b = [float(i) for i in range(1, 101)]
+    rows = [(i, "a", v) for i, v in enumerate(vals_a)]
+    rows += [(100 + i, "b", v) for i, v in enumerate(vals_b)]
+    df = spark.createDataFrame(rows, "id long, grp string, value double")
+    out = {r["id"]: r for r in winsorize(df, "value", ["grp"], 0.05, 0.95).collect()}
+
+    lo_a, hi_a = np.percentile(vals_a, [5, 95], method="linear")
+    assert abs(out[99]["value_winsorized"] - hi_a) < 1e-6  # outlier clamped
+    mid = out[50]  # value 51.0, inside [lo_a, hi_a]
+    assert mid["value_winsorized"] == mid["value"]
+    lo_b, hi_b = np.percentile(vals_b, [5, 95], method="linear")
+    assert abs(out[150]["value_lo"] - lo_b) < 1e-6
+    assert abs(out[150]["value_hi"] - hi_b) < 1e-6
+    assert len(out) == 200  # transform drops nothing
+
+
+def test_key_candidate_report_verdicts(spark):
+    """Unique single key, violated single key, and a repairing
+    composite key all report exact counts."""
+    from iot_sensor_log_data_pipeline_spark.operators.profiling import (
+        key_candidate_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (3, 1)], "a long, b long"
+    )
+    rep = {
+        (r["table_name"], r["key_columns"]): r
+        for r in key_candidate_report({"t": (df, [["a"], ["a", "b"]])}).collect()
+    }
+    single = rep[("t", "a")]
+    assert (single["n_rows"], single["n_distinct"], single["dup_rows"]) == (4, 3, 1)
+    assert not single["is_unique"]
+    comp = rep[("t", "a,b")]
+    assert comp["n_distinct"] == 4 and comp["is_unique"]

@@ -250,3 +250,53 @@ def chunk_dedup_stats(
             (F.col("n_dup_chunks") / F.col("n_chunks")).alias("dup_chunk_ratio"),
         )
     )
+
+
+#: Container magic numbers (first 4 bytes, hex): the signatures a
+#: type sniffer checks before trusting any declared media type.
+MAGIC_SIGNATURES: tuple[tuple[str, str], ...] = (
+    ("png", "89504E47"),
+    ("jpeg", "FFD8FFE0"),
+    ("gif", "47494638"),
+    ("riff", "52494646"),
+)
+
+
+def attach_typed_media(docs: DataFrame, mislabel_every: int = 20) -> DataFrame:
+    """Synthesize container-typed media blobs: each doc's UTF-8 bytes
+    behind a REAL magic prefix (rotating through
+    ``MAGIC_SIGNATURES`` by doc_id), with a declared ``meta.kind``
+    that is deliberately WRONG for every ``mislabel_every``-th doc --
+    the corrupt/mislabeled-asset population a type-sniffing audit
+    exists to catch.  All JVM-side (no codec)."""
+    kinds = F.array(*[F.lit(k) for k, _ in MAGIC_SIGNATURES])
+    sigs = F.array(*[F.unhex(F.lit(h)) for _, h in MAGIC_SIGNATURES])
+    n = len(MAGIC_SIGNATURES)
+    idx = (F.col("doc_id") % n).cast("int")
+    declared_idx = F.when(
+        F.col("doc_id") % mislabel_every == 0, (idx + 1) % n
+    ).otherwise(idx)
+    media = F.concat(
+        F.element_at(sigs, idx + 1), F.encode(F.col("text"), "UTF-8")
+    )
+    return docs.select(
+        "doc_id",
+        media.alias("media"),
+        F.struct(
+            F.element_at(kinds, declared_idx + 1).alias("kind"),
+            F.octet_length(media).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def sniff_media_type(media: "F.Column") -> "F.Column":
+    """Container type from the blob's own leading bytes (magic-number
+    sniff) -- a 4-byte binary substring + hex compare chain, pure
+    codegen; never decodes, never reads past the prefix (parquet
+    still has to ship the blob column, so at 100 TB run the sniff in
+    the same pass as whatever else touches the bytes)."""
+    prefix = F.hex(F.substring(media, 1, 4))
+    out = F.lit("unknown")
+    for kind, sig in reversed(MAGIC_SIGNATURES):
+        out = F.when(prefix == sig, F.lit(kind)).otherwise(out)
+    return out

@@ -66,12 +66,13 @@ _QUERY_MODULES = (
 #: DDSketch quantiles, mapInArrow batch stats, cogrouped IVF ANN
 #: join, kNN label transfer, LSH banding cost report, pairwise-cosine
 #: calibration histogram, per-source dedup audit, forward + nearest
-#: as-of joins, winsorization, key-candidate uniqueness audit, output
+#: as-of joins, winsorization, key-candidate uniqueness audit,
+#: media-type sniff audit, output
 #: sharding, quality threshold sweep, epoch upsample), (c)
 #: re-entries for the five
 #: shingle-family queries whose input path changed this round (the
 #: ``parallelize_small`` wrap at the catalog call sites), (d) the
-#: 4 stalest round-3 rows (the thirty bumped for slot space --
+#: 3 stalest round-3 rows (the thirty-one bumped for slot space --
 #: scan_orc_roundtrip, scan_xml_roundtrip, corpus_weighted_sample,
 #: agg_histogram_quantiles, multimodal_byte_histogram,
 #: downsample_lttb_value, downsample_ohlc_10min, profile_events_table,
@@ -82,9 +83,9 @@ _QUERY_MODULES = (
 #: subquery_correlated_q17, subquery_exists_bigorder,
 #: subquery_scalar_avg, null_semantics, hash_functions,
 #: conditional_functions, json_functions, variant_functions,
-#: array_functions, map_functions, hourly_avg_value
+#: array_functions, map_functions, math_functions, hourly_avg_value
 #: (smoke-checked by ``entry()`` every round regardless) -- lead the
-#: round-9 refresh).  8+33+5+4 = 50, one full window.
+#: round-9 refresh).  8+34+5+3 = 50, one full window.
 #: By-design rows-only queries (``agg_approx_sketches``,
 #: ``similarity_ivf_ann``, ``similarity_graph_ann``) stay out of the
 #: window: their machinery is covered by oracle twins and bounds /
@@ -135,6 +136,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "join_asof_nearest_click",
     "quality_winsorize_values",
     "profile_key_candidates",
+    "multimodal_type_sniff",
     "corpus_shard_assignment",
     "corpus_quality_threshold_sweep",
     "corpus_epoch_upsample",
@@ -149,11 +151,10 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "string_functions",
     "string_functions_extended",
     "date_functions",
-    "math_functions",
 )
 
 #: Round-9 rotation plan: (a) anything new in round 9 plus re-entries
-#: for round-9-edited modules; (b) the 30 round-3 rows bumped from the
+#: for round-9-edited modules; (b) the 31 round-3 rows bumped from the
 #: round-8 window (scan_orc_roundtrip, scan_xml_roundtrip,
 #: corpus_weighted_sample, agg_histogram_quantiles,
 #: multimodal_byte_histogram, downsample_lttb_value,
@@ -166,7 +167,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
 #: subquery_exists_bigorder, subquery_scalar_avg, null_semantics,
 #: hash_functions, conditional_functions, json_functions,
 #: variant_functions, array_functions, map_functions,
-#: hourly_avg_value);
+#: math_functions, hourly_avg_value);
 #: (c) the round-4
 #: battery -- after this window lands it is the stalest external
 #: evidence left (42 rows: dedup/text/similarity/sketch families,

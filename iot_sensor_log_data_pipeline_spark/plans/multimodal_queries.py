@@ -283,3 +283,66 @@ def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounded.alias("byte_entropy"),
         (rounded >= 3.5).alias("high_entropy"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_type_sniff",
+    oracle="""
+    WITH typed AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN '\\x89\\x50\\x4E\\x47'::BLOB
+               WHEN 1 THEN '\\xFF\\xD8\\xFF\\xE0'::BLOB
+               WHEN 2 THEN '\\x47\\x49\\x46\\x38'::BLOB
+               ELSE '\\x52\\x49\\x46\\x46'::BLOB
+             END || encode(text) AS media,
+             CASE (CASE WHEN doc_id % 20 = 0 THEN (doc_id % 4 + 1) % 4
+                        ELSE doc_id % 4 END)
+               WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+               WHEN 2 THEN 'gif' ELSE 'riff'
+             END AS declared_kind
+      FROM documents
+    ),
+    sniffed AS (
+      SELECT declared_kind,
+             CASE left(hex(media), 8)
+               WHEN '89504E47' THEN 'png'
+               WHEN 'FFD8FFE0' THEN 'jpeg'
+               WHEN '47494638' THEN 'gif'
+               WHEN '52494646' THEN 'riff'
+               ELSE 'unknown'
+             END AS sniffed_kind
+      FROM typed
+    )
+    SELECT declared_kind, sniffed_kind,
+           count(*) AS n_blobs,
+           declared_kind <> sniffed_kind AS is_mismatch
+    FROM sniffed
+    GROUP BY declared_kind, sniffed_kind
+    ORDER BY declared_kind, sniffed_kind
+    """,
+    tags=("multimodal", "north-star", "sniff", "governance"),
+)
+def multimodal_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-actual container audit
+    (``operators/multimodal.py:sniff_media_type``): every blob's type
+    re-derived from its own magic bytes (4-byte prefix compare, pure
+    codegen, no decode) and cross-tabbed against the declared
+    ``meta.kind`` -- the confusion matrix whose off-diagonal is the
+    mislabeled-asset population (planted here on every 20th doc).
+    The oracle rebuilds the same typed blobs and replays the sniff on
+    the BYTES (left(hex(..), 8)), not the labels."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    typed = MM.attach_typed_media(docs, mislabel_every=20)
+    return (
+        typed.select(
+            F.col("meta.kind").alias("declared_kind"),
+            MM.sniff_media_type(F.col("media")).alias("sniffed_kind"),
+        )
+        .groupBy("declared_kind", "sniffed_kind")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_blobs"))
+        .withColumn(
+            "is_mismatch", F.col("declared_kind") != F.col("sniffed_kind")
+        )
+        .orderBy("declared_kind", "sniffed_kind")
+    )

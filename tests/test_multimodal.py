@@ -70,3 +70,34 @@ def test_metadata_query_prunes_blob_column(spark, docs, tmp_path):
         scan.explain(mode="formatted")
     read_schema = buf.getvalue().split("ReadSchema")[-1]
     assert "media" not in read_schema and "n_bytes" in read_schema
+
+
+def test_sniff_media_type_reads_bytes_not_labels(spark):
+    """The sniffer classifies from the blob's own magic prefix:
+    planted mislabels surface as off-diagonal cells, a truncated/alien
+    prefix sniffs unknown, and correct blobs sit on the diagonal."""
+    from pyspark.sql import functions as F
+
+    from iot_sensor_log_data_pipeline_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(i, f"payload {i}") for i in range(40)], "doc_id long, text string"
+    )
+    typed = MM.attach_typed_media(docs, mislabel_every=20)
+    rows = typed.select(
+        "doc_id",
+        F.col("meta.kind").alias("declared"),
+        MM.sniff_media_type(F.col("media")).alias("sniffed"),
+    ).collect()
+    kinds = [k for k, _ in MM.MAGIC_SIGNATURES]
+    for r in rows:
+        assert r["sniffed"] == kinds[r["doc_id"] % 4]  # bytes, not label
+        if r["doc_id"] % 20 == 0:
+            assert r["declared"] != r["sniffed"]
+        else:
+            assert r["declared"] == r["sniffed"]
+    # alien bytes -> unknown
+    alien = spark.createDataFrame([(b"NOPE not a container",)], "media binary")
+    assert alien.select(
+        MM.sniff_media_type(F.col("media")).alias("k")
+    ).head()["k"] == "unknown"

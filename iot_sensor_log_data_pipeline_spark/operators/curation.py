@@ -868,6 +868,8 @@ def shard_assignment(
     """
     from .text import token_count
 
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     per_doc = docs.select(
         split_bucket(F.col(id_col), n_shards).alias("shard"),
         token_count(F.col(text_col)).alias("__ntok"),
@@ -919,6 +921,8 @@ def quality_threshold_sweep(
     """
     from .text import token_count
 
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
     ths = sorted(thresholds)
     spark = docs.sparkSession
     grid = spark.createDataFrame(
@@ -1002,6 +1006,8 @@ def epoch_upsample(
     example shuffle before sequence packing) can key on
     ``(doc, copy)`` and spread repeats across shards.
     """
+    if not epochs or any(e < 0 for e in epochs.values()):
+        raise ValueError("epochs must be a non-empty map of source -> e >= 0")
     spark = docs.sparkSession
     edf = spark.createDataFrame(
         [(s, float(e)) for s, e in sorted(epochs.items())],

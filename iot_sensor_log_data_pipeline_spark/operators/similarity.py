@@ -1257,6 +1257,12 @@ def pair_similarity_histogram(
     Bins partition [-1, 1] into ``bins`` equal cells; an exact 1.0
     lands in the top bin.
     """
+    if bins < 1 or n_buckets < 1 or not (1 <= sample_buckets <= n_buckets):
+        raise ValueError(
+            f"need bins >= 1, 1 <= sample_buckets <= n_buckets; got "
+            f"bins={bins}, sample_buckets={sample_buckets}, "
+            f"n_buckets={n_buckets}"
+        )
     bucket = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
         .cast("long") % n_buckets

@@ -1005,6 +1005,11 @@ def epoch_upsample(
     Output carries ``copy_idx`` so downstream shuffles (the global
     example shuffle before sequence packing) can key on
     ``(doc, copy)`` and spread repeats across shards.
+
+    Repetition-as-mixture per Muennighoff et al. 2023 (Scaling
+    Data-Constrained Language Models): up-weighting a domain past its
+    natural share IS repeating it; fractional epochs keep the realized
+    token counts exactly on the mixture.
     """
     if not epochs or any(e < 0 for e in epochs.values()):
         raise ValueError("epochs must be a non-empty map of source -> e >= 0")

@@ -1633,7 +1633,9 @@ def lsh_tuning_report(
     hash_mode: str = "oracle",
 ) -> DataFrame:
     """LSH banding cost report -- the observed side of the (bands,
-    rows_per_band) tuning decision.  The S-curve gives the THEORY
+    rows_per_band) tuning decision (the banding analysis of Leskovec,
+    Rajaraman & Ullman, Mining of Massive Datasets ch. 3).  The
+    S-curve gives the THEORY
     (P[candidate | jaccard=s] = 1 - (1 - s^r)^b); what it cannot give
     is the PRICE on this corpus: how many candidate pairs the band
     join will actually emit, which is entirely a property of the

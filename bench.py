@@ -138,6 +138,29 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str,
             (r["query_id"], r["neighbor_id"]) for r in fn().collect()
         }
         out[label] = round(len(exact & approx) / len(exact), 4)
+    # Cogrouped large-by-large join (round 8), at the SAME quantizer
+    # geometry as the "ivf" line (Lloyd-64, 12 probes) so the two
+    # recalls compare the join strategy, not the cell quality.
+    # Disjoint batch/corpus split (the join has no self-exclusion --
+    # its contract is two tables), so its exact reference is over the
+    # same split.
+    corpus = emb.where(F.col("vec_id") >= n_queries)
+    exact_cg = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(corpus, queries, k=k).collect()
+    }
+    cg = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivf_cogroup_join(
+            queries.select("vec_id", "embedding"),
+            corpus,
+            SIM.kmeans_centroids(corpus, 64),
+            k=k,
+            n_probe=12,
+            n_assign=2,
+        ).collect()
+    }
+    out["ivf_cogroup"] = round(len(exact_cg & cg) / len(exact_cg), 4)
     return out
 
 

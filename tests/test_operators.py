@@ -4629,3 +4629,36 @@ def test_key_candidate_report_verdicts(spark):
     assert not single["is_unique"]
     comp = rep[("t", "a,b")]
     assert comp["n_distinct"] == 4 and comp["is_unique"]
+
+
+def test_ivf_cogroup_join_multi_assign_stays_exact_and_deduped(spark):
+    """With n_assign=2 and full probe the join still equals exact
+    brute force -- the dedup collapse removes multi-cell repeats and
+    never duplicates a (query, neighbor) pair."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(90, 8)).astype("float64")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(90)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = df.where("vec_id < 70")
+    batch = df.where("vec_id >= 70")
+    cents = SIM.seed_centroids(corpus, 4)
+
+    out = SIM.ivf_cogroup_join(
+        batch, corpus, cents, k=5, n_probe=4, n_assign=2
+    ).collect()
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in out]
+    assert len(pairs) == len(set(pairs))  # deduped
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["cos_sim"]))
+    for qi in range(70, 90):
+        q = vecs[qi]
+        sims = vecs[:70] @ q / (
+            np.linalg.norm(vecs[:70], axis=1) * np.linalg.norm(q)
+        )
+        order = np.lexsort((np.arange(70), -sims))[:5]
+        assert got[qi] == [(int(n), round(float(sims[n]), 6)) for n in order]

@@ -46,11 +46,13 @@ from pyspark.sql.window import Window
 
 from .similarity import (
     DIM,
+    _cogroup_cell_topk,
     _srp_bands_udf,
     _top_cells_udf,
     cosine,
     hyperplanes,
     kmeans_centroids,
+    l2_norm,
 )
 
 
@@ -417,4 +419,56 @@ def query_ivf_index(
         .select(
             "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
         )
+    )
+
+
+def ivf_index_cogroup_join(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Large-by-large ANN join against a PERSISTED IVF index: the
+    top-``k`` corpus neighbors for EVERY row of an incoming table,
+    with the corpus's cell assignments read straight from the index's
+    inverted lists instead of recomputed -- the build-once /
+    join-many form of ``similarity.ivf_cogroup_join`` (daily
+    embedding-decontamination of incoming batches against a fixed
+    benchmark store).  Only the BATCH side is assigned at join time
+    (centroids loaded driver-side, KBs); the stored ``n_assign``
+    decides the dedup pass, so results match the ad-hoc join called
+    with the same centroids and assignment width (asserted in
+    pytest).  Appends/optimize keep the entries table current, and
+    the amortized corpus pass is exactly what the ad-hoc form pays
+    per call."""
+    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    if cfg["kind"] != "ivf":
+        raise ValueError(f"index at {path} is {cfg['kind']!r}, not ivf")
+    cent_rows = spark.read.parquet(_sub(path, "centroids")).orderBy("cell").collect()
+    centroids = [(int(r["cell"]), list(r["cv"])) for r in cent_rows]
+    probe_cells = _top_cells_udf(centroids, n_probe)
+
+    qa = batch.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    vecs = spark.read.parquet(_sub(path, "vectors"))
+    nb = (
+        spark.read.parquet(_sub(path, "entries"))
+        .join(vecs, "id")
+        .select(
+            F.col("id").alias("neighbor_id"),
+            F.col("vec").alias("nv"),
+            l2_norm(F.col("vec")).alias("nn"),
+            "cell",
+        )
+    )
+    id_type = batch.schema[id_col].dataType.simpleString()
+    return _cogroup_cell_topk(
+        qa, nb, k, id_type, dedup=int(cfg["n_assign"]) > 1
     )

@@ -549,6 +549,17 @@ def ivf_cogroup_join(
         l2_norm(F.col(vec_col)).alias("nn"),
         F.explode(assign_cells(F.col(vec_col))).alias("cell"),
     )
+    return _cogroup_cell_topk(qa, nb, k, id_type, dedup=n_assign > 1)
+
+
+def _cogroup_cell_topk(
+    qa: DataFrame, nb: DataFrame, k: int, id_type: str, dedup: bool
+) -> DataFrame:
+    """Cell-cogrouped scoring core shared by ``ivf_cogroup_join`` and
+    the persisted-index twin (``ann_index.ivf_index_cogroup_join``).
+    ``qa``: (query_id, qv, qn, cell) probe fan-out; ``nb``:
+    (neighbor_id, nv, nn, cell) inverted lists; ``dedup`` collapses
+    multi-assigned pairs before the final rank window."""
 
     def cell_topk(qpdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
         if len(qpdf) == 0 or len(npdf) == 0:
@@ -581,7 +592,7 @@ def ivf_cogroup_join(
             f"query_id {id_type}, neighbor_id {id_type}, cos_sim double",
         )
     )
-    if n_assign > 1:
+    if dedup:
         # multi-assigned corpus rows can surface a pair from several
         # cells with the identical exact score -- collapse before rank
         per_cell = per_cell.groupBy("query_id", "neighbor_id").agg(

@@ -4662,3 +4662,49 @@ def test_ivf_cogroup_join_multi_assign_stays_exact_and_deduped(spark):
         )
         order = np.lexsort((np.arange(70), -sims))[:5]
         assert got[qi] == [(int(n), round(float(sims[n]), 6)) for n in order]
+
+
+def test_ivf_index_cogroup_join_matches_adhoc(spark, tmp_path):
+    """Joining a batch against the persisted IVF index (inverted lists
+    read from disk, stored n_assign drives the dedup) is
+    result-identical to the ad-hoc cogroup join with the same
+    centroids and assignment width -- including after an incremental
+    append."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as ANN
+    from iot_sensor_log_data_pipeline_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(80, 8)).astype("float64")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = df.where("vec_id < 50")
+    extra = df.where("vec_id >= 50 and vec_id < 60")
+    batch = df.where("vec_id >= 60")
+    cents = SIM.seed_centroids(corpus, 4)
+
+    root = str(tmp_path / "ivf_cg")
+    ANN.build_ivf_index(corpus, root, n_cells=4, n_assign=2, centroids=cents, dim=8)
+
+    def key(df_):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+            for r in df_.collect()
+        )
+
+    got = key(ANN.ivf_index_cogroup_join(spark, root, batch, k=5, n_probe=2))
+    want = key(
+        SIM.ivf_cogroup_join(batch, corpus, cents, k=5, n_probe=2, n_assign=2)
+    )
+    assert got == want
+
+    ANN.append_ivf_index(extra, root)
+    got2 = key(ANN.ivf_index_cogroup_join(spark, root, batch, k=5, n_probe=2))
+    want2 = key(
+        SIM.ivf_cogroup_join(
+            batch, corpus.unionByName(extra), cents, k=5, n_probe=2, n_assign=2
+        )
+    )
+    assert got2 == want2
+    assert got2 != got  # the appended rows actually participate

@@ -36,13 +36,15 @@ from ._scratch_cache import ScratchCaches
 
 DIM = 64
 
-#: Scratch cache for the banded LSH index (lifetime contract in
-#: ``_scratch_cache``; ``release_caches()`` for full cleanup).
+#: Scratch cache for the banded LSH index and the pair-histogram's
+#: bin table (lifetime contract in ``_scratch_cache``;
+#: ``release_caches()`` for full cleanup).
 _SCRATCH = ScratchCaches()
 
 
 def release_caches() -> None:
-    """Unpersist scratch cached by earlier ``lsh_topk`` calls."""
+    """Unpersist scratch cached by earlier ``lsh_topk`` /
+    ``pair_similarity_histogram`` calls."""
     _SCRATCH.release()
 
 

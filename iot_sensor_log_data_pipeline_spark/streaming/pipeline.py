@@ -1516,3 +1516,29 @@ def load_budget_ledger(spark, state_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum("admitted_tokens").alias("admitted_tokens"))
     )
+
+
+def optimize_budget_ledger(spark, state_dir: str) -> None:
+    """Compact an ingest-grown token-budget ledger: the per-batch
+    ``batch=<id>`` partial-sum directories fold to ONE row per source
+    under ``batch=-1`` (spends merge by addition -- the mergeable-
+    ledger property), so the per-micro-batch spend read scans one
+    tiny file however long the stream has run.  ``-1`` can never
+    collide with a real batch id, so the replay-exclusion filter
+    keeps compacted rows visible.  Single-writer contract and
+    rmtree+rename swap exactly as ``optimize_history_store``."""
+    import os
+    import shutil
+
+    folded = (
+        spark.read.schema(_BUDGET_STATE_SCHEMA)
+        .parquet(state_dir)
+        .groupBy("source")
+        .agg(F.sum("admitted_tokens").alias("admitted_tokens"))
+    )
+    tmp = state_dir.rstrip("/") + "__next"
+    folded.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "batch=-1")
+    )
+    shutil.rmtree(state_dir)
+    os.rename(tmp, state_dir)

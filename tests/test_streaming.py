@@ -1645,3 +1645,38 @@ def test_token_budget_replay_is_idempotent(spark, tmp_path):
     P.token_budget_apply_batch(b1, 1, out, state, caps={"a": 7})
     total = sum(r["n_tokens"] for r in spark.read.parquet(out).collect())
     assert total <= 7
+
+
+def test_optimize_budget_ledger_preserves_spend_and_enforcement(spark, tmp_path):
+    """Compaction folds the ledger to one row per source with
+    identical totals, and post-compaction batches still see the full
+    lifetime spend (batch=-1 survives the replay-exclusion filter)."""
+    out = str(tmp_path / "obl_out")
+    state = str(tmp_path / "obl_state")
+
+    schema = "doc_id long, source string, text string"
+    P.token_budget_apply_batch(
+        spark.createDataFrame([(1, "a", "t1 t2 t3")], schema),
+        0, out, state, caps={"a": 5},
+    )
+    P.token_budget_apply_batch(
+        spark.createDataFrame([(2, "a", "t4 t5")], schema),
+        1, out, state, caps={"a": 5},
+    )
+    before = {
+        r["source"]: r["admitted_tokens"]
+        for r in P.load_budget_ledger(spark, state).collect()
+    }
+    P.optimize_budget_ledger(spark, state)
+    after = {
+        r["source"]: r["admitted_tokens"]
+        for r in P.load_budget_ledger(spark, state).collect()
+    }
+    assert after == before == {"a": 5}
+    # budget exhausted: a post-compaction batch admits nothing
+    P.token_budget_apply_batch(
+        spark.createDataFrame([(3, "a", "t6")], schema),
+        2, out, state, caps={"a": 5},
+    )
+    total = sum(r["n_tokens"] for r in spark.read.parquet(out).collect())
+    assert total == 5

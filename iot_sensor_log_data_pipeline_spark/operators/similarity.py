@@ -522,9 +522,10 @@ def ivf_cogroup_join(
     with single assignment a (query, neighbor) pair can surface from
     at most one cell, so no dedup pass is needed; ``n_assign > 1``
     multi-assigns corpus vectors to their top cells (the same spill
-    trick the IVF index uses, and what closes the recall gap to
-    ``ivf_topk`` at equal geometry -- measured 0.66 -> 0.82 recall@10
-    on the bench corpus at Lloyd-64/probe-12) at the price of one
+    trick the IVF index uses, giving EXACT recall parity with
+    ``ivf_topk`` -- verified equal, both 0.76 recall@10 at sf0.1 on
+    the identical split + Lloyd-64/probe-12 centroids, vs 0.66 for
+    single assignment) at the price of one
     extra (query, neighbor)-keyed dedup shuffle whose input is
     <= n_probe * k rows per query.
 

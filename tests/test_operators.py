@@ -4708,3 +4708,81 @@ def test_ivf_index_cogroup_join_matches_adhoc(spark, tmp_path):
     )
     assert got2 == want2
     assert got2 != got  # the appended rows actually participate
+
+
+def test_quality_threshold_sweep_hypothesis(spark):
+    """Property: the one-pass sweep equals per-threshold brute-force
+    filtering for random scores and random ascending grids, including
+    all-pass / none-pass thresholds."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from iot_sensor_log_data_pipeline_spark.operators import curation as CU
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=100), min_size=1, max_size=12
+        ),
+        st.lists(
+            st.integers(min_value=-10, max_value=110),
+            min_size=1,
+            max_size=5,
+            unique=True,
+        ),
+    )
+    def run(scores, grid):
+        rows = [(i, "t " * (i % 4 + 1), s) for i, s in enumerate(scores)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, s long")
+        ths = tuple(float(t) for t in sorted(grid))
+        got = {
+            r["threshold"]: (r["kept_docs"], r["kept_tokens"])
+            for r in CU.quality_threshold_sweep(
+                docs, F.col("s").cast("double"), ths
+            ).collect()
+        }
+        for t in ths:
+            keep = [i for i, s in enumerate(scores) if s >= t]
+            toks = sum(i % 4 + 1 for i in keep)
+            assert got[t] == (len(keep), toks), (t, got[t])
+
+    run()
+
+
+def test_epoch_upsample_hypothesis(spark):
+    """Property: per-doc copy counts follow floor(e) + md5-slice(frac)
+    exactly for random fractional epochs (4-decimal grid), and total
+    realized copies per source match the replayed rule."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iot_sensor_log_data_pipeline_spark.operators import curation as CU
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=35000),  # e in [0, 3.5]
+            min_size=1,
+            max_size=3,
+        )
+    )
+    def run(raw):
+        epochs = {f"s{j}": raw[j] / 10_000 for j in range(len(raw))}
+        rows = [(i, f"s{i % len(raw)}") for i in range(60)]
+        docs = spark.createDataFrame(rows, "doc_id long, source string")
+        got = {}
+        for r in CU.epoch_upsample(docs, epochs).collect():
+            got[r["doc_id"]] = got.get(r["doc_id"], 0) + 1
+        want = {}
+        for i, src in rows:
+            e = epochs[src]
+            fb = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10_000
+            n = int(e) + (1 if fb < round((e % 1.0) * 10_000) else 0)
+            if n >= 1:
+                want[i] = n
+        assert got == want
+
+    run()

@@ -1680,3 +1680,33 @@ def test_optimize_budget_ledger_preserves_spend_and_enforcement(spark, tmp_path)
     )
     total = sum(r["n_tokens"] for r in spark.read.parquet(out).collect())
     assert total == 5
+
+
+def test_dd_sink_end_to_end_stream(spark, tmp_path):
+    """Drive start_dd_quantile_sink with a real file-source stream:
+    the persisted store's p50/p99 must sit within the alpha relative
+    error of the exact order statistics over everything ingested."""
+    import numpy as np
+
+    store = str(tmp_path / "dds_store")
+    src = str(tmp_path / "dds_src")
+    ckpt = str(tmp_path / "dds_ckpt")
+    vals = [float(v) for v in np.random.default_rng(2).lognormal(3, 1, 400)]
+    spark.createDataFrame(
+        [(v,) for v in vals], "value double"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("value double").parquet(src)
+    q = P.start_dd_quantile_sink(stream, store, ckpt, alpha=0.01)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["q"]: r["estimate"]
+        for r in P.dd_store_quantiles(
+            spark, store, quantiles=(0.5, 0.99), alpha=0.01
+        ).collect()
+    }
+    for qq in (0.5, 0.99):
+        exact = float(np.quantile(vals, qq, method="lower"))
+        assert abs(got[qq] - exact) / exact <= 0.025, (qq, got[qq], exact)

@@ -151,3 +151,82 @@ def lttb_downsample(
     return df.select(*group_cols, x_col, y_col).groupBy(*group_cols).applyInPandas(
         one_series, schema=out_schema
     )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    order_cols: list[str],
+    k: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection (Page 1954) per series:
+    the sequential control chart that catches SUSTAINED mean shifts a
+    per-row z-score never fires on (each point is individually
+    unremarkable; the cumulative drift is not).  Per group, values are
+    standardized against the group's own mean/std, then folded in
+    ``order_cols`` order:
+
+        s_hi_i = max(0, s_hi_{i-1} + z_i - k)
+        s_lo_i = min(0, s_lo_{i-1} + z_i + k)
+        alarm_i = s_hi_i > h  or  s_lo_i < -h   (both reset to 0 after)
+
+    ``k`` is the slack (shift size, in sigmas, to be insensitive to),
+    ``h`` the decision threshold.  Emits every row with its running
+    statistics and the alarm flag -- the downstream gate keeps alarms.
+
+    Caveat (standard CUSUM practice): standardization uses the
+    group's WHOLE-window mean/std, so a shift that occupies a large
+    fraction of the window biases the baseline z's and can fire the
+    opposite-side sum -- feed a rolling window or a held-out baseline
+    period when the monitored stretch may be mostly-shifted.
+
+    A running recurrence WITH RESET is not a window function (no
+    prefix-decomposable form), so the fold runs as one grouped Arrow
+    pass per series (``applyInPandas`` -- the LTTB precedent:
+    inherently sequential semantics take the grouped-Python path, and
+    parallelism comes from the series key, state is O(1) per group).
+    ``z`` is rounded to 6 decimals BEFORE the fold so an external
+    replay folding the same rounded inputs is bit-identical -- the
+    engine-portability trick the md5 operators use, applied to floats.
+    """
+    import pandas as pd
+
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(*group_cols).agg(
+        F.avg(v).alias("__mu"), F.stddev_samp(v).alias("__sd")
+    )
+    z = F.when(
+        F.col("__sd").isNull() | (F.col("__sd") == 0.0), F.lit(0.0)
+    ).otherwise(F.round((v - F.col("__mu")) / F.col("__sd"), 6))
+    base = df.join(F.broadcast(stats), group_cols).select(
+        *group_cols, *order_cols, z.alias("__z")
+    )
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in base.schema.fields
+        if f.name != "__z"
+    )
+    schema = f"{out_fields}, s_hi double, s_lo double, alarm boolean"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        s_hi = s_lo = 0.0
+        hi, lo, alarm = [], [], []
+        for zv in pdf["__z"].to_numpy():
+            s_hi = max(0.0, s_hi + zv - k)
+            s_lo = min(0.0, s_lo + zv + k)
+            fired = s_hi > h or s_lo < -h
+            hi.append(round(s_hi, 6))
+            lo.append(round(s_lo, 6))
+            alarm.append(fired)
+            if fired:
+                s_hi = s_lo = 0.0
+        out = pdf.drop(columns=["__z"]).copy()
+        out["s_hi"] = hi
+        out["s_lo"] = lo
+        out["alarm"] = alarm
+        return out
+
+    return base.groupBy(*group_cols).applyInPandas(fold, schema)

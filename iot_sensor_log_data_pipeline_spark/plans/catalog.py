@@ -67,12 +67,12 @@ _QUERY_MODULES = (
 #: join, kNN label transfer, LSH banding cost report, pairwise-cosine
 #: calibration histogram, per-source dedup audit, forward + nearest
 #: as-of joins, winsorization, key-candidate uniqueness audit,
-#: media-type sniff audit, output
+#: media-type sniff audit, CUSUM change-point chart, output
 #: sharding, quality threshold sweep, epoch upsample), (c)
 #: re-entries for the five
 #: shingle-family queries whose input path changed this round (the
 #: ``parallelize_small`` wrap at the catalog call sites), (d) the
-#: 3 stalest round-3 rows (the thirty-one bumped for slot space --
+#: 2 stalest round-3 rows (the thirty-two bumped for slot space --
 #: scan_orc_roundtrip, scan_xml_roundtrip, corpus_weighted_sample,
 #: agg_histogram_quantiles, multimodal_byte_histogram,
 #: downsample_lttb_value, downsample_ohlc_10min, profile_events_table,
@@ -83,9 +83,10 @@ _QUERY_MODULES = (
 #: subquery_correlated_q17, subquery_exists_bigorder,
 #: subquery_scalar_avg, null_semantics, hash_functions,
 #: conditional_functions, json_functions, variant_functions,
-#: array_functions, map_functions, math_functions, hourly_avg_value
+#: array_functions, map_functions, math_functions,
+#: string_functions_extended, hourly_avg_value
 #: (smoke-checked by ``entry()`` every round regardless) -- lead the
-#: round-9 refresh).  8+34+5+3 = 50, one full window.
+#: round-9 refresh).  8+35+5+2 = 50, one full window.
 #: By-design rows-only queries (``agg_approx_sketches``,
 #: ``similarity_ivf_ann``, ``similarity_graph_ann``) stay out of the
 #: window: their machinery is covered by oracle twins and bounds /
@@ -137,6 +138,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "quality_winsorize_values",
     "profile_key_candidates",
     "multimodal_type_sniff",
+    "anomaly_cusum_shifts",
     "corpus_shard_assignment",
     "corpus_quality_threshold_sweep",
     "corpus_epoch_upsample",
@@ -146,15 +148,14 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "dedup_clusters",
     "dedup_survivor_selection",
     "corpus_leakage_safe_split",
-    # (d) round-3 battery refresh: the 12 stalest rows that fit the
-    # window (the 22 bumped rows lead round 9's refresh)
+    # (d) round-3 battery refresh: the 2 stalest rows that still fit
+    # the window (the 32 bumped rows lead round 9's refresh)
     "string_functions",
-    "string_functions_extended",
     "date_functions",
 )
 
 #: Round-9 rotation plan: (a) anything new in round 9 plus re-entries
-#: for round-9-edited modules; (b) the 31 round-3 rows bumped from the
+#: for round-9-edited modules; (b) the 32 round-3 rows bumped from the
 #: round-8 window (scan_orc_roundtrip, scan_xml_roundtrip,
 #: corpus_weighted_sample, agg_histogram_quantiles,
 #: multimodal_byte_histogram, downsample_lttb_value,
@@ -167,7 +168,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
 #: subquery_exists_bigorder, subquery_scalar_avg, null_semantics,
 #: hash_functions, conditional_functions, json_functions,
 #: variant_functions, array_functions, map_functions,
-#: math_functions, hourly_avg_value);
+#: math_functions, string_functions_extended, hourly_avg_value);
 #: (c) the round-4
 #: battery -- after this window lands it is the stalest external
 #: evidence left (42 rows: dedup/text/similarity/sketch families,

@@ -959,3 +959,78 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select(F.col("part").alias("l_partkey"), "n_triangles")
     )
+
+
+@register(
+    "anomaly_cusum_shifts",
+    oracle="""
+    WITH RECURSIVE stats AS (
+      SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY user_id
+    ),
+    seq AS (
+      SELECT e.user_id, e.event_id,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS rn,
+             CASE WHEN s.sd IS NULL OR s.sd = 0.0 THEN 0.0
+                  ELSE round((e.value - s.mu) / s.sd, 6) END AS z
+      FROM events e JOIN stats s USING (user_id)
+    ),
+    rec AS (
+      SELECT user_id, event_id, rn,
+             greatest(0.0, z - 0.5) AS s_hi,
+             least(0.0, z + 0.5) AS s_lo,
+             (greatest(0.0, z - 0.5) > 4.0
+              OR least(0.0, z + 0.5) < -4.0) AS alarm,
+             CASE WHEN greatest(0.0, z - 0.5) > 4.0
+                    OR least(0.0, z + 0.5) < -4.0
+                  THEN 0.0 ELSE greatest(0.0, z - 0.5) END AS carry_hi,
+             CASE WHEN greatest(0.0, z - 0.5) > 4.0
+                    OR least(0.0, z + 0.5) < -4.0
+                  THEN 0.0 ELSE least(0.0, z + 0.5) END AS carry_lo
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.rn,
+             greatest(0.0, r.carry_hi + s.z - 0.5),
+             least(0.0, r.carry_lo + s.z + 0.5),
+             (greatest(0.0, r.carry_hi + s.z - 0.5) > 4.0
+              OR least(0.0, r.carry_lo + s.z + 0.5) < -4.0),
+             CASE WHEN greatest(0.0, r.carry_hi + s.z - 0.5) > 4.0
+                    OR least(0.0, r.carry_lo + s.z + 0.5) < -4.0
+                  THEN 0.0 ELSE greatest(0.0, r.carry_hi + s.z - 0.5) END,
+             CASE WHEN greatest(0.0, r.carry_hi + s.z - 0.5) > 4.0
+                    OR least(0.0, r.carry_lo + s.z + 0.5) < -4.0
+                  THEN 0.0 ELSE least(0.0, r.carry_lo + s.z + 0.5) END
+      FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id,
+           round(s_hi, 6) AS s_hi, round(s_lo, 6) AS s_lo, alarm
+    FROM rec
+    ORDER BY user_id, rn
+    """,
+    tags=("timeseries", "anomaly", "cusum", "changepoint"),
+)
+def anomaly_cusum_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point chart (Page 1954;
+    ``operators/timeseries.py:cusum_alarms``): per user, the running
+    high/low cumulative sums of the standardized value with
+    slack k = 0.5 sigma, alarm at h = 4, reset after alarm -- the
+    sequential detector for SUSTAINED mean shifts that per-row
+    z-scores miss.  The recurrence-with-reset is not a window
+    function, so it runs as one grouped Arrow fold per series; z is
+    rounded to 6dp BEFORE the fold so the oracle's recursive-CTE
+    replay folds bit-identical doubles."""
+    from ..operators import timeseries as TS
+
+    ev = parallelize_small(load(spark, sf_dir, "events"))
+    out = TS.cusum_alarms(
+        ev.select("user_id", "event_id", "ts", "value"),
+        "value",
+        ["user_id"],
+        ["ts", "event_id"],
+        k=0.5,
+        h=4.0,
+    )
+    return out.select("user_id", "event_id", "s_hi", "s_lo", "alarm").orderBy(
+        "user_id", "ts", "event_id"
+    )

@@ -4786,3 +4786,36 @@ def test_epoch_upsample_hypothesis(spark):
         assert got == want
 
     run()
+
+
+def test_cusum_alarms_catch_planted_mean_shift(spark):
+    """A sustained +2.5-sigma shift fires within a few points of the
+    change; the long clean baseline stays silent even though no single
+    point is extreme; a constant series (sd = 0) never fires.  (The
+    reset-after-alarm recurrence itself is bit-verified by the
+    recursive-CTE oracle replay in the catalog gate.)"""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import timeseries as TS
+
+    rng = np.random.default_rng(4)
+    pre = rng.normal(0.0, 1.0, 200)
+    post = rng.normal(2.5, 1.0, 30)  # sustained shift, points unremarkable
+    rows = [(int(i), "dev1", float(v)) for i, v in enumerate(np.r_[pre, post])]
+    rows += [(int(i), "flat", 7.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "seq long, dev string, value double")
+    out = sorted(
+        (
+            (r["seq"], r["s_hi"], r["alarm"] and r["s_hi"] > 4.0)
+            for r in TS.cusum_alarms(
+                df, "value", ["dev"], ["seq"], k=0.5, h=4.0
+            ).where("dev = 'dev1'").collect()
+        )
+    )
+    high_alarms = [seq for seq, _, a in out if a]
+    assert high_alarms and 200 <= high_alarms[0] <= 215
+    assert all(seq >= 200 for seq in high_alarms)  # baseline stays quiet
+    flat = TS.cusum_alarms(
+        df.where("dev = 'flat'"), "value", ["dev"], ["seq"]
+    ).collect()
+    assert all(not r["alarm"] and r["s_hi"] == 0.0 for r in flat)

@@ -267,3 +267,111 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+#: CUSUM monitor state: the two running sums per key.
+CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("s_hi", T.DoubleType()),
+        T.StructField("s_lo", T.DoubleType()),
+    ]
+)
+
+#: CUSUM monitor output: one row per ALARM (append-mode semantics --
+#: quiet keys emit nothing).
+CUSUM_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("alarm_ts", T.TimestampType()),
+        T.StructField("s_hi", T.DoubleType()),
+        T.StructField("s_lo", T.DoubleType()),
+        T.StructField("side", T.StringType()),
+    ]
+)
+
+
+def make_cusum_monitor(k: float = 0.5, h: float = 4.0):
+    """Per-key streaming CUSUM fold (the stateful twin of
+    ``operators/timeseries.cusum_alarms``): carries (s_hi, s_lo)
+    across micro-batches in the state store, folds each batch's
+    pre-standardized ``z`` values in event-time order, emits one row
+    per alarm, resets after it.  A shift too slow to fire inside any
+    single micro-batch still fires once its drift accumulates -- the
+    exact failure mode per-batch (stateless) monitoring has."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (dev,) = key
+        rows: list[tuple[int, float]] = []
+        for pdf in pdfs:
+            rows.extend(zip(_epoch_us(pdf["ts"]), pdf["z"].astype(float)))
+        rows.sort()
+        s_hi, s_lo = state.get if state.exists else (0.0, 0.0)
+        alarms: list[tuple[int, float, float, str]] = []
+        for t, z in rows:
+            s_hi = max(0.0, s_hi + z - k)
+            s_lo = min(0.0, s_lo + z + k)
+            if s_hi > h or s_lo < -h:
+                alarms.append(
+                    (t, round(s_hi, 6), round(s_lo, 6),
+                     "high" if s_hi > h else "low")
+                )
+                s_hi, s_lo = 0.0, 0.0
+        state.update((float(s_hi), float(s_lo)))
+        if alarms:
+            yield pd.DataFrame(
+                {
+                    "key": [dev] * len(alarms),
+                    "alarm_ts": pd.to_datetime([a[0] for a in alarms], unit="us"),
+                    "s_hi": [a[1] for a in alarms],
+                    "s_lo": [a[2] for a in alarms],
+                    "side": [a[3] for a in alarms],
+                }
+            )
+
+    return fn
+
+
+def cusum_monitor_stream(
+    events: DataFrame,
+    baseline: DataFrame,
+    key_col: str = "client_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """Streaming CUSUM drift monitor: standardize each arriving value
+    against a FIXED per-key ``baseline`` (key, mu, sd -- trained
+    offline on a known-good period, exactly the held-out-baseline
+    practice the batch operator's docstring prescribes; a tiny
+    broadcast join), then fold per key with persistent (s_hi, s_lo)
+    state.  Emits only alarms.  Within a micro-batch values fold in
+    event-time order; across batches in arrival order -- the only
+    order a stream has.  State is two doubles per key -- millions of
+    devices = millions of tiny state rows, the state store's native
+    shape; no watermark needed (nothing is time-windowed; state never
+    grows past one row per key)."""
+    from pyspark.sql import functions as F
+
+    z = F.when(
+        F.col("__sd").isNull() | (F.col("__sd") == 0.0), F.lit(0.0)
+    ).otherwise(
+        F.round((F.col(value_col).cast("double") - F.col("__mu")) / F.col("__sd"), 6)
+    )
+    scored = events.join(
+        F.broadcast(
+            baseline.select(
+                F.col(key_col), F.col("mu").alias("__mu"), F.col("sd").alias("__sd")
+            )
+        ),
+        key_col,
+    ).select(F.col(key_col).alias("key"), F.col(ts_col).alias("ts"), z.alias("z"))
+    return scored.groupBy("key").applyInPandasWithState(
+        make_cusum_monitor(k=k, h=h),
+        outputStructType=CUSUM_OUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

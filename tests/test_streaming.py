@@ -1710,3 +1710,62 @@ def test_dd_sink_end_to_end_stream(spark, tmp_path):
     for qq in (0.5, 0.99):
         exact = float(np.quantile(vals, qq, method="lower"))
         assert abs(got[qq] - exact) / exact <= 0.025, (qq, got[qq], exact)
+
+
+def test_cusum_monitor_accumulates_across_micro_batches(spark, tmp_path):
+    """The stateful CUSUM monitor fires an alarm whose drift spans TWO
+    micro-batches (each batch alone stays under the threshold --
+    stateless per-batch monitoring would never fire), emits nothing
+    for an in-control key, and resets after the alarm."""
+    import datetime as dt
+
+    from iot_sensor_log_data_pipeline_spark.streaming.stateful import (
+        cusum_monitor_stream,
+    )
+
+    src = str(tmp_path / "cm_src")
+    ckpt = str(tmp_path / "cm_ckpt")
+    os.makedirs(src)
+    baseline = spark.createDataFrame(
+        [("drift", 10.0, 2.0), ("ok", 10.0, 2.0)], "client_id string, mu double, sd double"
+    )
+    schema = "client_id string, ts timestamp, value double"
+
+    def rows(dev, vals, t0):
+        return [
+            (dev, dt.datetime(2024, 1, 1, 0, 0, t0 + i), float(v))
+            for i, v in enumerate(vals)
+        ]
+
+    # z = (value-10)/2; drift sends 12.6 -> z=1.3 -> s_hi += 0.8/event.
+    # 3 events/batch = +2.4 per batch: under h=4 alone, over after two.
+    b1 = rows("drift", [12.6] * 3, 0) + rows("ok", [10.0, 9.8, 10.2], 0)
+    b2 = rows("drift", [12.6] * 3, 10) + rows("ok", [10.1, 9.9, 10.0], 10)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = cusum_monitor_stream(stream, baseline, k=0.5, h=4.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_mon")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM cusum_mon").count() == 0  # under h
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        alarms = spark.sql("SELECT * FROM cusum_mon").collect()
+    finally:
+        q.stop()
+
+    assert len(alarms) == 1
+    a = alarms[0]
+    assert a["key"] == "drift" and a["side"] == "high"
+    # fired on the 5th drift event: 5 * 0.8 = 4.0 < ... 6th: 4.8 > 4
+    assert abs(a["s_hi"] - 4.8) < 1e-6
+    assert a["alarm_ts"].second == 12  # the 6th drift event (t0=10 + 2)

@@ -93,6 +93,8 @@ HEADLINE: tuple[str, ...] = (
     "similarity_knn_label_transfer",
     # round 8: one-pass filter operating-point sweep
     "corpus_quality_threshold_sweep",
+    # round 8: sequential recurrence-with-reset (grouped Arrow fold)
+    "anomaly_cusum_shifts",
 )
 
 

@@ -479,3 +479,74 @@ def key_candidate_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def mutual_information(
+    df: DataFrame, col_pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Mutual information between categorical column pairs -- the
+    association-strength profiler (schema-relationship discovery:
+    which columns carry the same signal, which splits would leak a
+    label, which metadata field actually predicts quality):
+    ``I(X;Y) = sum p(x,y) * ln(p(x,y) / (p(x) p(y)))`` in nats, plus
+    the normalized form ``I / min(H(X), H(Y))`` in [0, 1] (1 = one
+    column determines the other, 0 = independent).
+
+    One joint-count aggregate per pair is the only corpus-sized work;
+    marginals, entropies, and the MI sum all derive from the tiny
+    joint table (|X| x |Y| rows) -- grouped sums over it, a broadcast
+    1-row total, and in-row logs.  NULL categories count as a level
+    (they often ARE the signal).
+    """
+    parts = []
+    for x, y in col_pairs:
+        xc = F.coalesce(F.col(x).cast("string"), F.lit("__null__"))
+        yc = F.coalesce(F.col(y).cast("string"), F.lit("__null__"))
+        joint = df.groupBy(xc.alias("__x"), yc.alias("__y")).agg(
+            F.count(F.lit(1)).cast("double").alias("__nxy")
+        )
+        mx = joint.groupBy("__x").agg(F.sum("__nxy").alias("__nx"))
+        my = joint.groupBy("__y").agg(F.sum("__nxy").alias("__ny"))
+        tot = joint.agg(F.sum("__nxy").alias("__n"))
+        cells = (
+            joint.join(mx, "__x")
+            .join(my, "__y")
+            .crossJoin(F.broadcast(tot))
+        )
+        p_xy = F.col("__nxy") / F.col("__n")
+        term_mi = p_xy * F.log(
+            F.col("__nxy") * F.col("__n") / (F.col("__nx") * F.col("__ny"))
+        )
+        # entropies from the same cell table: group each marginal's
+        # term by its own key first so every level counts exactly once
+        hx = mx.crossJoin(F.broadcast(tot)).agg(
+            (-F.sum((F.col("__nx") / F.col("__n"))
+                    * F.log(F.col("__nx") / F.col("__n")))).alias("h")
+        )
+        hy = my.crossJoin(F.broadcast(tot)).agg(
+            (-F.sum((F.col("__ny") / F.col("__n"))
+                    * F.log(F.col("__ny") / F.col("__n")))).alias("h")
+        )
+        mi = cells.agg(F.sum(term_mi).alias("mi"))
+        parts.append(
+            mi.crossJoin(F.broadcast(hx.select(F.col("h").alias("hx"))))
+            .crossJoin(F.broadcast(hy.select(F.col("h").alias("hy"))))
+            .select(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.round(F.greatest("mi", F.lit(0.0)), 6).alias("mi_nats"),
+                F.round("hx", 6).alias("h_x"),
+                F.round("hy", 6).alias("h_y"),
+                F.round(
+                    F.when(
+                        F.least("hx", "hy") > 0.0,
+                        F.greatest("mi", F.lit(0.0)) / F.least("hx", "hy"),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                ).alias("nmi"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

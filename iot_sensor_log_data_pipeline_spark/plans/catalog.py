@@ -67,12 +67,13 @@ _QUERY_MODULES = (
 #: join, kNN label transfer, LSH banding cost report, pairwise-cosine
 #: calibration histogram, per-source dedup audit, forward + nearest
 #: as-of joins, winsorization, key-candidate uniqueness audit,
-#: media-type sniff audit, CUSUM change-point chart, output
+#: media-type sniff audit, CUSUM change-point chart, mutual
+#: information, output
 #: sharding, quality threshold sweep, epoch upsample), (c)
 #: re-entries for the five
 #: shingle-family queries whose input path changed this round (the
 #: ``parallelize_small`` wrap at the catalog call sites), (d) the
-#: 2 stalest round-3 rows (the thirty-two bumped for slot space --
+#: stalest round-3 row (the thirty-three bumped for slot space --
 #: scan_orc_roundtrip, scan_xml_roundtrip, corpus_weighted_sample,
 #: agg_histogram_quantiles, multimodal_byte_histogram,
 #: downsample_lttb_value, downsample_ohlc_10min, profile_events_table,
@@ -84,9 +85,9 @@ _QUERY_MODULES = (
 #: subquery_scalar_avg, null_semantics, hash_functions,
 #: conditional_functions, json_functions, variant_functions,
 #: array_functions, map_functions, math_functions,
-#: string_functions_extended, hourly_avg_value
+#: string_functions_extended, date_functions, hourly_avg_value
 #: (smoke-checked by ``entry()`` every round regardless) -- lead the
-#: round-9 refresh).  8+35+5+2 = 50, one full window.
+#: round-9 refresh).  8+36+5+1 = 50, one full window.
 #: By-design rows-only queries (``agg_approx_sketches``,
 #: ``similarity_ivf_ann``, ``similarity_graph_ann``) stay out of the
 #: window: their machinery is covered by oracle twins and bounds /
@@ -139,6 +140,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "profile_key_candidates",
     "multimodal_type_sniff",
     "anomaly_cusum_shifts",
+    "profile_mutual_information",
     "corpus_shard_assignment",
     "corpus_quality_threshold_sweep",
     "corpus_epoch_upsample",
@@ -148,14 +150,13 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "dedup_clusters",
     "dedup_survivor_selection",
     "corpus_leakage_safe_split",
-    # (d) round-3 battery refresh: the 2 stalest rows that still fit
-    # the window (the 32 bumped rows lead round 9's refresh)
+    # (d) round-3 battery refresh: the stalest row that still fits
+    # the window (the 33 bumped rows lead round 9's refresh)
     "string_functions",
-    "date_functions",
 )
 
 #: Round-9 rotation plan: (a) anything new in round 9 plus re-entries
-#: for round-9-edited modules; (b) the 32 round-3 rows bumped from the
+#: for round-9-edited modules; (b) the 33 round-3 rows bumped from the
 #: round-8 window (scan_orc_roundtrip, scan_xml_roundtrip,
 #: corpus_weighted_sample, agg_histogram_quantiles,
 #: multimodal_byte_histogram, downsample_lttb_value,
@@ -168,7 +169,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
 #: subquery_exists_bigorder, subquery_scalar_avg, null_semantics,
 #: hash_functions, conditional_functions, json_functions,
 #: variant_functions, array_functions, map_functions,
-#: math_functions, string_functions_extended, hourly_avg_value);
+#: math_functions, string_functions_extended, date_functions,
+#: hourly_avg_value);
 #: (c) the round-4
 #: battery -- after this window lands it is the stalest external
 #: evidence left (42 rows: dedup/text/similarity/sketch families,

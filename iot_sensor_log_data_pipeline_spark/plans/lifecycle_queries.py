@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io_utils import load
+from ..io_utils import load, parallelize_small
 from ..operators.scd import merge_upsert, scd2_apply, snapshot_diff
 from .catalog import register
 
@@ -1172,3 +1172,68 @@ def profile_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     return report.orderBy("table_name", "key_columns")
+
+
+def _mi_block(table: str, x: str, y: str, label_x: str, label_y: str) -> str:
+    """DuckDB replay of one ``mutual_information`` pair (joint counts
+    -> marginals -> MI in nats + entropies + normalized MI)."""
+    return f"""
+    SELECT '{label_x}' AS col_x, '{label_y}' AS col_y,
+           round(greatest(mi, 0.0), 6) AS mi_nats,
+           round(hx, 6) AS h_x, round(hy, 6) AS h_y,
+           round(CASE WHEN least(hx, hy) > 0.0
+                      THEN greatest(mi, 0.0) / least(hx, hy)
+                      ELSE 0.0 END, 6) AS nmi
+    FROM (
+      WITH j AS (
+        SELECT coalesce(CAST({x} AS VARCHAR), '__null__') AS jx,
+               coalesce(CAST({y} AS VARCHAR), '__null__') AS jy,
+               CAST(count(*) AS DOUBLE) AS nxy
+        FROM {table} GROUP BY 1, 2
+      ),
+      mx AS (SELECT jx, sum(nxy) AS nx FROM j GROUP BY jx),
+      my AS (SELECT jy, sum(nxy) AS ny FROM j GROUP BY jy),
+      tot AS (SELECT sum(nxy) AS n FROM j)
+      SELECT
+        (SELECT sum((j.nxy / tot.n) * ln(j.nxy * tot.n / (mx.nx * my.ny)))
+         FROM j JOIN mx USING (jx) JOIN my USING (jy), tot) AS mi,
+        (SELECT -sum((nx / tot.n) * ln(nx / tot.n)) FROM mx, tot) AS hx,
+        (SELECT -sum((ny / tot.n) * ln(ny / tot.n)) FROM my, tot) AS hy
+    )
+    """
+
+
+@register(
+    "profile_mutual_information",
+    oracle=f"""
+    {_mi_block('documents', 'source', 'lang', 'source', 'lang')}
+    UNION ALL
+    {_mi_block(
+        "(SELECT event_type, CAST(CAST(floor(value / 50.0) AS INT) AS VARCHAR)"
+        " AS value_band FROM events)",
+        'event_type', 'value_band', 'event_type', 'value_band')}
+    ORDER BY col_x
+    """,
+    tags=("profiling", "information", "association"),
+)
+def profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information association profile
+    (``operators/profiling.py:mutual_information``): MI in nats,
+    per-column entropies, and normalized MI in [0, 1] for two
+    categorical pairs -- (documents.source, documents.lang) and
+    (events.event_type, 50-unit value band) -- the
+    schema-relationship / label-leak discovery read.  Joint counts
+    are the only corpus-sized agg; everything else derives from the
+    tiny |X| x |Y| table.  The oracle replays joints, marginals,
+    entropies, and the MI sum."""
+    from ..operators.profiling import mutual_information
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    ev = load(spark, sf_dir, "events").withColumn(
+        "value_band",
+        F.floor(F.col("value") / 50.0).cast("int").cast("string"),
+    )
+    out = mutual_information(docs, [("source", "lang")]).unionByName(
+        mutual_information(ev, [("event_type", "value_band")])
+    )
+    return out.orderBy("col_x")

@@ -4819,3 +4819,42 @@ def test_cusum_alarms_catch_planted_mean_shift(spark):
         df.where("dev = 'flat'"), "value", ["dev"], ["seq"]
     ).collect()
     assert all(not r["alarm"] and r["s_hi"] == 0.0 for r in flat)
+
+
+def test_mutual_information_detects_dependence(spark):
+    """A determined column (y = f(x)) scores NMI = 1; an independent
+    uniform pair scores near 0; MI matches a NumPy replay; NULLs count
+    as a level."""
+    import math
+
+    from iot_sensor_log_data_pipeline_spark.operators.profiling import (
+        mutual_information,
+    )
+
+    rows = []
+    for i in range(240):
+        x = f"x{i % 4}"
+        rows.append(
+            (
+                i,
+                x,
+                f"f({x})",                # determined by x
+                f"u{(i * 7 + i // 4) % 3}",  # de-correlated from x
+                None if i % 5 == 0 else "v",  # has NULLs
+            )
+        )
+    df = spark.createDataFrame(rows, "i long, x string, fx string, u string, n string")
+    out = {
+        (r["col_x"], r["col_y"]): r
+        for r in mutual_information(
+            df, [("x", "fx"), ("x", "u"), ("x", "n")]
+        ).collect()
+    }
+    assert out[("x", "fx")]["nmi"] == 1.0
+    assert out[("x", "fx")]["mi_nats"] == round(math.log(4), 6)  # H(x)=ln 4
+    assert out[("x", "u")]["nmi"] < 0.02
+    # NULL level participates: H(n) = H({0.2, 0.8}) > 0, nmi defined
+    assert abs(
+        out[("x", "n")]["h_y"]
+        - round(-(0.2 * math.log(0.2) + 0.8 * math.log(0.8)), 6)
+    ) < 1e-6

@@ -375,3 +375,68 @@ def cusum_monitor_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cusum_monitor_stream_tws(
+    scored: DataFrame,
+    k: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """The CUSUM drift monitor on Spark 4's
+    ``transformWithStateInPandas`` (StatefulProcessor) API -- same
+    semantics as ``cusum_monitor_stream``'s fold (which see), kept so
+    BOTH stateful APIs stay covered, like the counter twin above.
+    Input contract: ``scored`` already carries (key, ts, z) -- the
+    baseline standardization join happens upstream exactly as in the
+    classic form.  Availability-gated on the protobuf dependency."""
+    if not tws_available():
+        raise ModuleNotFoundError(
+            "transformWithStateInPandas needs the protobuf package, which "
+            "this environment does not ship; use cusum_monitor_stream "
+            "(applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class CusumProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._sums = handle.getValueState("sums", "s_hi DOUBLE, s_lo DOUBLE")
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            (dev,) = key
+            pts: list[tuple[int, float]] = []
+            for pdf in rows:
+                pts.extend(zip(_epoch_us(pdf["ts"]), pdf["z"].astype(float)))
+            pts.sort()
+            s_hi, s_lo = self._sums.get() if self._sums.exists() else (0.0, 0.0)
+            alarms: list[dict] = []
+            for t, z in pts:
+                s_hi = max(0.0, s_hi + z - k)
+                s_lo = min(0.0, s_lo + z + k)
+                if s_hi > h or s_lo < -h:
+                    alarms.append(
+                        {
+                            "key": dev,
+                            "alarm_ts": pd.Timestamp(t, unit="us"),
+                            "s_hi": round(s_hi, 6),
+                            "s_lo": round(s_lo, 6),
+                            "side": "high" if s_hi > h else "low",
+                        }
+                    )
+                    s_hi, s_lo = 0.0, 0.0
+            self._sums.update((float(s_hi), float(s_lo)))
+            if alarms:
+                yield pd.DataFrame(
+                    alarms, columns=list(CUSUM_OUT_SCHEMA.fieldNames())
+                )
+
+        def close(self) -> None:
+            pass
+
+    return scored.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=CusumProcessor(),
+        outputStructType=CUSUM_OUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

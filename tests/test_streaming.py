@@ -1769,3 +1769,40 @@ def test_cusum_monitor_accumulates_across_micro_batches(spark, tmp_path):
     # fired on the 5th drift event: 5 * 0.8 = 4.0 < ... 6th: 4.8 > 4
     assert abs(a["s_hi"] - 4.8) < 1e-6
     assert a["alarm_ts"].second == 12  # the 6th drift event (t0=10 + 2)
+
+
+def test_cusum_monitor_tws_gated_or_matches_classic(spark, tmp_path):
+    """The Spark-4 TWS CUSUM twin either fails with the clear protobuf
+    gate error (this container) or reproduces the classic monitor's
+    cross-batch alarm."""
+    import datetime as dt
+
+    from iot_sensor_log_data_pipeline_spark.streaming.stateful import (
+        cusum_monitor_stream_tws,
+        tws_available,
+    )
+
+    src = str(tmp_path / "cmt_src")
+    schema = "key string, ts timestamp, z double"
+    rows = [
+        ("drift", dt.datetime(2024, 1, 1, 0, 0, i), 1.3) for i in range(6)
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    if not tws_available():
+        with pytest.raises(ModuleNotFoundError):
+            cusum_monitor_stream_tws(stream)
+        return
+    out = cusum_monitor_stream_tws(stream, k=0.5, h=4.0)
+    name = f"cusum_tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / "cmt_ckpt"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        alarms = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+    assert len(alarms) == 1 and alarms[0]["side"] == "high"

@@ -300,3 +300,101 @@ def sniff_media_type(media: "F.Column") -> "F.Column":
     for kind, sig in reversed(MAGIC_SIGNATURES):
         out = F.when(prefix == sig, F.lit(kind)).otherwise(out)
     return out
+
+
+def _gear_table() -> "np.ndarray":
+    """256 deterministic 64-bit gear values (md5-derived, the
+    engine-portable trick): ``gear[b] = first 8 bytes of
+    md5('gear:b')``."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(f"gear:{b}".encode()).digest()[:8], "big")
+            for b in range(256)
+        ],
+        dtype=np.uint64,
+    )
+
+
+def cdc_chunk_stats(
+    media_df: "DataFrame",
+    avg_bits: int = 6,
+    min_chunk: int = 16,
+    max_chunk: int = 256,
+    id_col: str = "doc_id",
+    blob_col: str = "media",
+) -> "DataFrame":
+    """Content-defined chunking dedup statistics (Gear-hash CDC -- the
+    rolling-hash boundary scheme of LBFS/restic/FastCDC): chunk cuts
+    land where the data itself says (rolling hash hits a ``2^-avg_bits``
+    mask), so an INSERTION shifts only the chunk it lands in and
+    boundaries downstream re-synchronize -- the property that makes
+    re-encoded/prefixed uploads still share chunks, where
+    ``chunk_dedup_stats``'s fixed windows all shift and nothing
+    matches (proved side-by-side in pytest).
+
+    Per blob: number of CDC chunks and how many occur in at least one
+    other blob.  Expected chunk size ~``2^avg_bits`` bytes, clamped to
+    [min_chunk, max_chunk] (the FastCDC normalization that prevents
+    degenerate tiny/huge chunks on low-entropy runs).
+
+    The rolling fold is a per-BYTE recurrence -- the classic
+    Arrow-batch use case (same contract as dHash): one vectorized
+    pass per blob in numpy, no JVM-expression equivalent, corpus
+    parallelism from the rows.  Chunk identity is md5 of the chunk
+    bytes; the only shuffles are the chunk-hash groupBy and the
+    per-blob rollup, linear in corpus bytes.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    gear = _gear_table()
+    mask = np.uint64((1 << avg_bits) - 1)
+
+    def chunks_of(blob: bytes) -> list[str]:
+        if not blob:
+            return []
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        out, start, h = [], 0, np.uint64(0)
+        one = np.uint64(1)
+        for i in range(len(arr)):
+            h = (h << one) + gear[arr[i]]
+            size = i - start + 1
+            if (size >= min_chunk and (h & mask) == 0) or size >= max_chunk:
+                out.append(hashlib.md5(blob[start : i + 1]).hexdigest())
+                start, h = i + 1, np.uint64(0)
+        if start < len(arr):
+            out.append(hashlib.md5(blob[start:]).hexdigest())
+        return out
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def cdc_chunks(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: chunks_of(bytes(b) if b is not None else b""))
+
+    per_blob = media_df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(cdc_chunks(F.col(blob_col)))).alias("chunk"),
+    )
+    freq = per_blob.groupBy("chunk").agg(F.count(F.lit(1)).alias("blobs_with"))
+    return (
+        per_blob.join(freq, "chunk")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("blobs_with") > 1).cast("long"))
+            .cast("long")
+            .alias("n_dup_chunks"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_dup_chunks",
+            (F.col("n_dup_chunks") / F.col("n_chunks")).alias("dup_chunk_ratio"),
+        )
+    )

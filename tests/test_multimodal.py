@@ -101,3 +101,42 @@ def test_sniff_media_type_reads_bytes_not_labels(spark):
     assert alien.select(
         MM.sniff_media_type(F.col("media")).alias("k")
     ).head()["k"] == "unknown"
+
+
+def test_cdc_chunking_survives_insertion_where_fixed_windows_fail(spark):
+    """A 5-byte prefix insertion shifts every fixed-stride window (the
+    fixed-chunk dup ratio collapses) but content-defined boundaries
+    re-synchronize (the CDC dup ratio stays high) -- the property CDC
+    exists for.  Identical blobs still dedup fully under both."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from iot_sensor_log_data_pipeline_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(9)
+    base = bytes(rng.integers(0, 256, 4096, dtype=np.uint8))
+    rows = [
+        (1, bytearray(base)),
+        (2, bytearray(base)),                      # exact twin
+        (3, bytearray(b"XYZAB" + base)),           # 5-byte insertion
+        (4, bytearray(bytes(rng.integers(0, 256, 4096, dtype=np.uint8)))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+
+    cdc = {
+        r["doc_id"]: r["dup_chunk_ratio"]
+        for r in MM.cdc_chunk_stats(df, avg_bits=6, min_chunk=16,
+                                    max_chunk=256).collect()
+    }
+    fixed = {
+        r["doc_id"]: r["dup_chunk_ratio"]
+        for r in MM.chunk_dedup_stats(df, chunk=64, stride=64).collect()
+    }
+    # exact twins: fully duplicated under both schemes
+    assert cdc[1] == 1.0 and fixed[1] == 1.0
+    # shifted copy: CDC re-synchronizes, fixed windows all miss
+    assert cdc[3] > 0.8, cdc
+    assert fixed[3] < 0.1, fixed
+    # unrelated blob: clean under both
+    assert cdc[4] == 0.0 and fixed[4] == 0.0

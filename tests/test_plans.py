@@ -96,6 +96,10 @@ BNLJ_ALLOWED = {
     # geometry squared, never corpus) + 1-row totals broadcast --
     # similarity.py:pair_similarity_histogram
     "similarity_pair_histogram",
+    # 1-row totals broadcasts onto the tiny joint/marginal cell
+    # tables (the only corpus-sized work is the joint-count agg) --
+    # profiling.py:mutual_information
+    "profile_mutual_information",
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --

@@ -1081,61 +1081,89 @@ def sq8_error_report(
 def embedding_covariance(
     vectors: DataFrame, vec_col: str = "embedding", dim: int = DIM
 ) -> DataFrame:
-    """Full (dim x dim) covariance matrix of an embedding column in ONE
-    corpus pass -- the statistic behind PCA whitening, OPQ rotations,
-    anisotropy diagnosis, and encoder-drift audits.
+    """Full (dim x dim) covariance matrix of an embedding column --
+    the statistic behind PCA whitening, OPQ rotations, anisotropy
+    diagnosis, and encoder-drift audits.
 
-    Plan: per-partition Arrow gemm partials (X^T X as one BLAS matmul
-    per batch, plus column sums and a row count -- the measured-fast
-    path for dense per-partition linear algebra in this engine), each
-    partition emits its dim*dim + dim + 1 numbers as rows, and a
-    (i, j)-keyed hash agg merges the partials; cov = E[xy] - E[x]E[y]
-    needs no second pass.  Shuffle volume is partitions x dim^2 rows,
-    independent of corpus size.  Returns (i, j, cov) for all dim^2
-    cells (the matrix is small; symmetric halves are both emitted so
-    consumers can index either way).
+    Plan: TWO corpus passes, centered.  Pass 1 is a dim-sized Arrow
+    partial-sum agg for the per-dimension means (bounded collect: dim
+    doubles, model geometry, never corpus-sized).  Pass 2 broadcasts
+    the means into per-partition Arrow gemm partials (centered X^T X
+    as one BLAS matmul per batch); a cell-keyed hash agg merges them
+    and cov = sxx_centered / n.  Shuffle volume is partitions x dim^2
+    rows, independent of corpus size.
+
+    Why not the one-pass E[xy] - E[x]E[y] form: with nonzero means the
+    subtraction cancels catastrophically and the surviving
+    partition-order-dependent summation noise can straddle a rounding
+    boundary an oracle sits on the other side of (observed in an
+    external 1e-6 hash gate; the same pitfall
+    ``plans/lifecycle_queries.py:profile_numeric_correlation``
+    documents for raw 10^4-magnitude prices).  Centering keeps every
+    accumulated term at the magnitude of the covariance itself, so
+    relative error stays ~1e-14 instead of being amplified by
+    mean^2 / cov.
+
+    Returns (i, j, cov) for all dim^2 cells (the matrix is small;
+    symmetric halves are both emitted so consumers can index either
+    way).
     """
-    def partials(batches):
-        sxx = np.zeros((dim, dim), dtype="float64")
+    sel = vectors.select(vec_col)
+
+    def mean_partials(batches):
         sx = np.zeros(dim, dtype="float64")
         n = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             M = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-            sxx += M.T @ M
             sx += M.sum(axis=0)
             n += len(pdf)
-        idx = np.arange(dim * dim, dtype="int64")
         yield pd.DataFrame(
             {
-                "cell": idx,
+                "d": np.arange(dim, dtype="int64"),
+                "sx": sx,
+                "n": np.full(dim, n, dtype="int64"),
+            }
+        )
+
+    mean_rows = (
+        sel.mapInPandas(mean_partials, schema="d long, sx double, n long")
+        .groupBy("d")
+        .agg(F.sum("sx").alias("sx"), F.sum("n").alias("n"))
+        .collect()
+    )
+    mu = np.zeros(dim, dtype="float64")
+    for r in mean_rows:
+        if r["n"]:
+            mu[r["d"]] = r["sx"] / r["n"]
+
+    def partials(batches):
+        sxx = np.zeros((dim, dim), dtype="float64")
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype("float64") - mu
+            sxx += M.T @ M
+            n += len(pdf)
+        yield pd.DataFrame(
+            {
+                "cell": np.arange(dim * dim, dtype="int64"),
                 "sxx": sxx.ravel(),
-                "sx_i": np.repeat(sx, dim),
-                "sx_j": np.tile(sx, dim),
                 "n": np.full(dim * dim, n, dtype="int64"),
             }
         )
 
     merged = (
-        vectors.select(vec_col)
-        .mapInPandas(
-            partials, schema="cell long, sxx double, sx_i double, sx_j double, n long"
-        )
+        sel.mapInPandas(partials, schema="cell long, sxx double, n long")
         .groupBy("cell")
-        .agg(
-            F.sum("sxx").alias("sxx"),
-            F.sum("sx_i").alias("sx_i"),
-            F.sum("sx_j").alias("sx_j"),
-            F.sum("n").alias("n"),
-        )
+        .agg(F.sum("sxx").alias("sxx"), F.sum("n").alias("n"))
     )
-    n = F.col("n").cast("double")
-    cov = F.col("sxx") / n - (F.col("sx_i") / n) * (F.col("sx_j") / n)
     return merged.select(
         (F.col("cell") / dim).cast("int").alias("i"),
         F.pmod(F.col("cell"), F.lit(dim)).cast("int").alias("j"),
-        cov.alias("cov"),
+        (F.col("sxx") / F.col("n").cast("double")).alias("cov"),
     )
 
 

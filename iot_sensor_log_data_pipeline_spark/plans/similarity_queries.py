@@ -620,32 +620,39 @@ def similarity_sq8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(unnest(embedding) AS DOUBLE) AS x
       FROM embeddings
     ),
+    m AS (SELECT d, avg(x) AS mu FROM e GROUP BY d),
+    c AS (
+      SELECT e.vec_id, e.d, e.x - m.mu AS xc
+      FROM e JOIN m ON e.d = m.d
+    ),
     prods AS (
       SELECT a.d AS i, b.d AS j,
-             sum(a.x * b.x) AS sxx,
-             sum(a.x) AS sx_i,
-             sum(b.x) AS sx_j,
+             sum(a.xc * b.xc) AS sxx,
              count(*) AS n
-      FROM e a JOIN e b ON a.vec_id = b.vec_id
+      FROM c a JOIN c b ON a.vec_id = b.vec_id
       GROUP BY a.d, b.d
     )
     SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
-           round(sxx / n - (sx_i / n) * (sx_j / n), 6) AS cov
+           round(sxx / n, 6) AS cov
     FROM prods
     ORDER BY i, j
     """,
     tags=("similarity", "north-star", "profiling"),
 )
 def profile_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full embedding covariance matrix in ONE corpus pass
-    (``operators/similarity.py:embedding_covariance``): per-partition
-    Arrow gemm partials (X^T X per batch) merged by a (i, j)-keyed hash
-    agg -- shuffle volume is partitions x dim^2, independent of corpus
-    size.  The statistic behind PCA whitening / OPQ rotation /
-    anisotropy audits.  The oracle replays it as an exploded
-    coordinate self-join (quadratic in dim x corpus -- fine at oracle
-    scale, exactly the plan the gemm path avoids); both sides round
-    the double cells to 1e-6, far above the summation-order noise."""
+    """Full embedding covariance matrix, CENTERED two-pass
+    (``operators/similarity.py:embedding_covariance``): a dim-sized
+    mean agg, then per-partition Arrow gemm partials of centered
+    X^T X merged by a cell-keyed hash agg -- shuffle volume is
+    partitions x dim^2, independent of corpus size.  The statistic
+    behind PCA whitening / OPQ rotation / anisotropy audits.  The
+    oracle replays the SAME centered form as an exploded coordinate
+    self-join (quadratic in dim x corpus -- fine at oracle scale,
+    exactly the plan the gemm path avoids).  Centering matters for
+    the gate, not just taste: the one-pass E[xy] - E[x]E[y] form
+    cancels catastrophically on nonzero-mean data and its
+    partition-order noise straddled the 1e-6 rounding boundary in an
+    external run; centered sums keep relative error ~1e-14."""
     emb = parallelize_small(load(spark, sf_dir, "embeddings"))
     return (
         SIM.embedding_covariance(emb)

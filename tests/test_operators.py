@@ -3757,6 +3757,35 @@ def test_pca_whiten_decorrelates_and_is_partition_stable(spark, sf_dir):
     assert [round(v, 8) for v in evals] == [round(v, 8) for v in evals2]
 
 
+def test_embedding_covariance_survives_large_means(spark):
+    """Catastrophic-cancellation regression: large-magnitude (1e4)
+    near-zero-covariance columns are exactly the data where the
+    one-pass E[xy] - E[x]E[y] form loses ~8 digits to cancellation and
+    partition-order noise crosses a 1e-6 rounding boundary (the
+    round-8 external hash-fail).  The centered two-pass form must
+    match numpy's exact covariance at 1e-6 rounding AND be rounding-
+    stable under repartitioning."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim, n = 6, 2000
+    # mean 1e4, noise O(1) -> cov cells O(1), mean^2/cov ~ 1e8
+    X = 1e4 + rng.standard_normal((n, dim))
+    expect = np.round(np.cov(X, rowvar=False, bias=True), 6)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, v array<double>",
+    )
+    for parts in (1, 13):
+        got = np.zeros((dim, dim))
+        rows = SIM.embedding_covariance(
+            df.repartition(parts), vec_col="v", dim=dim
+        ).collect()
+        for r in rows:
+            got[r["i"], r["j"]] = round(r["cov"], 6)
+        assert np.array_equal(got, expect), np.abs(got - expect).max()
+
+
 def test_decontaminate_spans_excises_exactly_the_covered_tokens(spark):
     """Span-level decontamination: the planted 8-gram's tokens vanish,
     surrounding tokens survive, clean docs pass through unchanged, and

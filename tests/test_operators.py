@@ -142,6 +142,46 @@ def test_asof_join_basics(spark):
     assert tol[(1, "L2")] == 12.0
 
 
+def test_asof_join_null_right_column_stays_atomic(spark):
+    """A NULL inside the matched right row's carried column must come
+    through as NULL -- not be back-filled from a different right row
+    (per-column last/first(ignorenulls) tears the matched tuple; the
+    struct carry keeps it atomic).  Covers backward, forward, and
+    nearest."""
+    from iot_sensor_log_data_pipeline_spark.operators.asof import (
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T12:00:00"), "L")], "k long, ts timestamp, lbl string"
+    )
+    # nearest-prior row (11:00) has v=NULL but w=20; older row (09:00)
+    # has v=9.0 -- a torn implementation would emit (9.0, 20).
+    # Symmetric layout on the forward side.
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T09:00:00"), 9.0, 10.0),
+            (1, ts("2024-01-01T11:00:00"), None, 20.0),
+            (1, ts("2024-01-01T13:00:00"), None, 30.0),
+            (1, ts("2024-01-01T15:00:00"), 15.0, 40.0),
+        ],
+        "k long, ts timestamp, v double, w double",
+    )
+    kw = dict(by=["k"], left_on="ts", right_on="ts",
+              right_cols={"v": "rv", "w": "rw"})
+    back = asof_join(left, right, **kw).collect()[0]
+    assert (back["rv"], back["rw"]) == (None, 20.0)
+    assert back["matched_ts"] == ts("2024-01-01T11:00:00")
+    fwd = asof_join_forward(left, right, **kw).collect()[0]
+    assert (fwd["rv"], fwd["rw"]) == (None, 30.0)
+    assert fwd["matched_ts"] == ts("2024-01-01T13:00:00")
+    near = asof_join_nearest(left, right, **kw).collect()[0]
+    assert (near["rv"], near["rw"]) == (None, 20.0)  # tie -> prior
+    assert near["matched_ts"] == ts("2024-01-01T11:00:00")
+
+
 def test_text_stats_edges(spark):
     df = spark.createDataFrame(
         [(1, "a  double  space"), (2, "xyz")], "id int, text string"

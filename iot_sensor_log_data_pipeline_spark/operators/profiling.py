@@ -350,8 +350,13 @@ def dataset_fingerprint(
 ) -> DataFrame:
     """Order- and partitioning-independent content checksum of a
     DataFrame: ONE row ``(n_rows, checksum_sum, checksum_xor)`` that
-    two datasets share iff they hold the same multiset of rows (up to
-    ``float_decimals`` rounding) -- how you verify a 100 TB copy,
+    two datasets share exactly when they hold the same multiset of
+    rows (up to ``float_decimals`` rounding) WITH OVERWHELMING
+    PROBABILITY -- equality of the fingerprint is probabilistic, not
+    literal ``iff``: each row contributes two independent 60-bit md5
+    slices (one per fold), so an undetected difference needs a
+    simultaneous collision in both a mod-2^62 sum and a 60-bit XOR of
+    distinct hash bits.  This is how you verify a 100 TB copy,
     migration, or replica against its source WITHOUT a global sort or
     a row-level anti-join.
 
@@ -359,8 +364,9 @@ def dataset_fingerprint(
     column order, ``chr(31)`` separators, ``chr(30)`` null sentinel,
     floats via round -> decimal so Spark and external engines format
     identically), then the hashes fold through two COMMUTATIVE
-    aggregates -- a mod-2^62 sum (catches multiplicity changes XOR
-    cancels pairwise) and a 60-bit XOR (catches value perturbations).
+    aggregates over DISJOINT md5 slices -- a mod-2^62 sum of hex chars
+    1-15 (catches multiplicity changes XOR cancels pairwise) and a
+    60-bit XOR of hex chars 16-30 (catches value perturbations).
     Commutativity makes the result independent of row order, partition
     count, and execution plan, and makes fingerprints MERGEABLE: fold
     per-shard fingerprints (sum the sums mod 2^62, XOR the XORs, add
@@ -399,8 +405,11 @@ def dataset_fingerprint(
             e = F.col(c).cast("string")
         norm.append(F.coalesce(e, F.lit("\x1e")))
     h = F.md5(F.concat_ws("\x1f", *norm).cast("binary"))
-    v_sum = F.conv(F.substring(h, 1, 8), 16, 10).cast("decimal(38,0)")
-    v_xor = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    # Disjoint 60-bit slices: sum and XOR see independent hash bits
+    # (decimal(38,0) sum holds ~10^20 rows of 2^60 terms before
+    # overflow -- far past any corpus).
+    v_sum = F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)")
+    v_xor = F.conv(F.substring(h, 16, 15), 16, 10).cast("long")
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.coalesce(F.sum(v_sum) % F.lit(2**62), F.lit(0))

@@ -362,33 +362,48 @@ def misra_gries_summaries(
     into a k-counter dict (per batch: pandas ``value_counts`` first,
     so the Python loop runs per DISTINCT key in the batch, not per
     row).  No shuffle -- the summary is emitted where the data sits.
+
+    NULL keys count like any other key (a NULL GROUP BY group can be a
+    heavy hitter too): per batch they are tallied via ``isna()`` into
+    one sentinel counter -- not through ``value_counts``, whose NaN
+    representation is not a stable dict key across batches -- and
+    emitted as a NULL summary row.
     """
+    sentinel = object()  # in-fold stand-in for the NULL key
 
     def fold(batches):
         counters: dict = {}
-        for pdf in batches:
-            for key, c in pdf[key_col].value_counts().items():
-                c = int(c)
-                if key in counters:
-                    counters[key] += c
-                elif len(counters) < k:
+
+        def add(key, c: int) -> None:
+            nonlocal counters
+            if key in counters:
+                counters[key] += c
+            elif len(counters) < k:
+                counters[key] = c
+            else:
+                # Weighted decrement: subtracting delta from every
+                # counter AND the incoming weight preserves the MG
+                # invariant (total decrement per unit <= n/(k+1)).
+                delta = min(min(counters.values()), c)
+                c -= delta
+                counters = {
+                    ky: cnt - delta for ky, cnt in counters.items() if cnt > delta
+                }
+                if c > 0:
                     counters[key] = c
-                else:
-                    # Weighted decrement: subtracting delta from every
-                    # counter AND the incoming weight preserves the MG
-                    # invariant (total decrement per unit <= n/(k+1)).
-                    delta = min(min(counters.values()), c)
-                    c -= delta
-                    counters = {
-                        ky: cnt - delta
-                        for ky, cnt in counters.items()
-                        if cnt > delta
-                    }
-                    if c > 0:
-                        counters[key] = c
+
+        for pdf in batches:
+            s = pdf[key_col]
+            n_null = int(s.isna().sum())
+            if n_null:
+                add(sentinel, n_null)
+            for key, c in s.dropna().value_counts().items():
+                add(key, int(c))
         yield pd.DataFrame(
             {
-                key_col: list(counters.keys()),
+                key_col: [
+                    None if ky is sentinel else ky for ky in counters
+                ],
                 "count_lo": [int(v) for v in counters.values()],
             }
         )
@@ -419,17 +434,23 @@ def heavy_hitters(
     so the output equals the exact GROUP BY answer at a fraction of its
     cost: the only key-shuffle is over candidate keys (<= k per
     partition), and the recount is a broadcast-semi-join + count.
+    The recount joins NULL-SAFE (``<=>``), so a NULL key that clears
+    phi*n is reported like any other group, matching GROUP BY.
     """
     if k is None:
         k = max(int(1.0 / phi), 8)
     n = df.count()
     cand = (
         misra_gries_summaries(df, key_col=key_col, k=k)
-        .select(key_col)
+        .select(F.col(key_col).alias("__cand_key"))
         .distinct()
     )
     exact = (
-        df.join(F.broadcast(cand), key_col, "left_semi")
+        df.join(
+            F.broadcast(cand),
+            F.col(key_col).eqNullSafe(F.col("__cand_key")),
+            "left_semi",
+        )
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )

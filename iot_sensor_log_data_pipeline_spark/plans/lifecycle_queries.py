@@ -929,9 +929,9 @@ def _fp_oracle() -> str:
       SELECT md5(concat_ws(chr(31), {", ".join(parts)})) AS h FROM lineitem
     )
     SELECT count(*) AS n_rows,
-           CAST(coalesce(sum(CAST(('0x' || substr(h, 1, 8)) AS BIGINT)), 0)
+           CAST(coalesce(sum(CAST(('0x' || substr(h, 1, 15)) AS BIGINT)), 0)
                 % 4611686018427387904 AS BIGINT) AS checksum_sum,
-           coalesce(bit_xor(CAST(('0x' || substr(h, 1, 15)) AS BIGINT)), 0)
+           coalesce(bit_xor(CAST(('0x' || substr(h, 16, 15)) AS BIGINT)), 0)
                AS checksum_xor
     FROM h
     """

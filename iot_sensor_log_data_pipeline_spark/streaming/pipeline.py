@@ -1429,12 +1429,17 @@ def token_budget_apply_batch(
             f"{source_col} string, __cap long",
         )
     )
+    # The ledger stores a FIXED 'source' column whatever the caller's
+    # source_col is (same normalization as the HH store's fixed 'key'),
+    # so readers never depend on writer-side naming; rename back to
+    # source_col only for the in-batch join.
     spent = (
         spark.read.schema(_BUDGET_STATE_SCHEMA)
         .parquet(state_dir)
         .where(F.col("batch") != int(batch_id))
-        .groupBy(source_col)
+        .groupBy("source")
         .agg(F.sum("admitted_tokens").alias("__spent"))
+        .withColumnRenamed("source", source_col)
         if os.path.exists(state_dir)
         else spark.createDataFrame([], f"{source_col} string, __spent long")
     )
@@ -1461,7 +1466,7 @@ def token_budget_apply_batch(
         .parquet(os.path.join(out_dir, f"ingest_batch={int(batch_id)}"))
     )
     (
-        admitted.groupBy(source_col)
+        admitted.groupBy(F.col(source_col).alias("source"))
         .agg(F.sum("__ntok").alias("admitted_tokens"))
         .write.mode("overwrite")
         .parquet(os.path.join(state_dir, f"batch={int(batch_id)}"))

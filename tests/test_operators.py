@@ -3979,6 +3979,24 @@ def test_misra_gries_bounds_and_heavy_hitters_exact(spark):
         assert got == want, (parts, got, want)
 
 
+def test_heavy_hitters_counts_null_keys(spark):
+    """A NULL key above phi*n must be reported like any other GROUP BY
+    group: MG summaries tally NULLs via the sentinel counter (pandas
+    value_counts drops them) and the recount joins null-safe."""
+    from iot_sensor_log_data_pipeline_spark.operators import sketch as SK
+
+    rows = [(None,)] * 40 + [("a",)] * 30 + [(f"c{i}",) for i in range(30)]
+    df = spark.createDataFrame(rows, "key string")
+    for parts in (1, 5):
+        got = {
+            r["key"]: r["n_occurrences"]
+            for r in SK.heavy_hitters(
+                df.repartition(parts), "key", phi=0.2, k=16
+            ).collect()
+        }
+        assert got == {None: 40, "a": 30}, (parts, got)
+
+
 def test_zorder_write_multi_column_skipping(spark, sf_dir, tmp_path):
     """Z-order layout: after clustering events on (user_id, value),
     per-file min/max footers must be selective for BOTH columns --

@@ -1647,6 +1647,33 @@ def test_token_budget_replay_is_idempotent(spark, tmp_path):
     assert total <= 7
 
 
+def test_token_budget_custom_source_col_normalizes_ledger(spark, tmp_path):
+    """A non-default source_col must still write the ledger under the
+    fixed 'source' column: cross-batch enforcement and
+    load_budget_ledger both read it without knowing the caller's
+    naming (the ADVICE round-8 unresolved-column / null-key bug)."""
+    out = str(tmp_path / "tbc_out")
+    state = str(tmp_path / "tbc_state")
+
+    schema = "doc_id long, domain string, text string"
+    b0 = spark.createDataFrame([(1, "a", "t1 t2 t3 t4 t5")], schema)
+    P.token_budget_apply_batch(
+        b0, 0, out, state, caps={"a": 7}, source_col="domain"
+    )
+    ledger = {
+        r["source"]: r["admitted_tokens"]
+        for r in P.load_budget_ledger(spark, state).collect()
+    }
+    assert ledger == {"a": 5}
+    # second batch must see the prior spend under the custom name too
+    b1 = spark.createDataFrame([(2, "a", "u1 u2 u3 u4 u5")], schema)
+    P.token_budget_apply_batch(
+        b1, 1, out, state, caps={"a": 7}, source_col="domain"
+    )
+    total = sum(r["n_tokens"] for r in spark.read.parquet(out).collect())
+    assert total <= 7
+
+
 def test_optimize_budget_ledger_preserves_spend_and_enforcement(spark, tmp_path):
     """Compaction folds the ledger to one row per source with
     identical totals, and post-compaction batches still see the full

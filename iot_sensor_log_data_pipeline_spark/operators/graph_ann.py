@@ -385,6 +385,89 @@ def build_graph_index(
     )
 
 
+def build_seed_hub_index(
+    vectors: DataFrame,
+    path: str,
+    n_hubs: int = 32,
+    k_out: int = 2,
+    r_rev: int = 16,
+    n_entry: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Deterministic hub-routed navigable graph -- the PINNED twin of
+    the NN-descent build, playing the role ``seed_centroids`` plays
+    for IVF: hubs are the ``n_hubs`` corpus vectors with smallest
+    md5(id); every node keeps out-edges to its ``k_out`` best-cosine
+    hubs, every hub keeps its ``r_rev`` best reverse edges (HNSW's
+    upper-layer shape, collapsed to two layers).  Entry points are the
+    first ``n_entry`` corpus ids in md5 order, exactly as
+    ``build_graph_index`` picks them.
+
+    Every stage is one-statement SQL replayable (md5-ordered hub
+    sample, bounded cross score, two ranking windows), so probing the
+    persisted index with ``query_graph_index`` -- the REAL beam-search
+    code path, unchanged -- becomes oracle-checkable end to end; the
+    NN-descent build differs only in how the adjacency was produced.
+
+    Scale shape: ONE corpus pass against a broadcast ``n_hubs``-row
+    side (geometry-bounded, the IVF-assignment cost), two window
+    ranks, no corpus-by-corpus work.  Scoring uses the JVM
+    left-to-right fold (not the einsum scorer): an external engine's
+    ``list_sum`` adds in the same order, so the doubles -- and
+    therefore the ranking cutoffs -- replay bit-identically.
+    """
+    spark = vectors.sparkSession
+    base = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    ).localCheckpoint(eager=True)
+    hubs = (
+        base.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(n_hubs)
+        .select(
+            F.col("id").alias("hub"),
+            F.col("vec").alias("hvec"),
+            F.col("nrm").alias("hnrm"),
+        )
+    )
+    scored = (
+        base.crossJoin(F.broadcast(hubs))
+        .where(F.col("id") != F.col("hub"))
+        .select(
+            F.col("id").alias("src"),
+            F.col("hub").alias("dst"),
+            _score("vec", "hvec", "nrm", "hnrm").alias("score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out_e = _top_n(scored, k_out)
+    w_rev = Window.partitionBy("dst").orderBy(F.desc("score"), F.asc("src"))
+    rev_e = (
+        scored.withColumn("__r", F.row_number().over(w_rev))
+        .where(F.col("__r") <= r_rev)
+        .select(F.col("dst").alias("src"), F.col("src").alias("dst"), "score")
+    )
+    graph = out_e.unionByName(rev_e).dropDuplicates(["src", "dst"])
+    graph.write.mode("overwrite").parquet(_sub(path, "graph"))
+    base.write.mode("overwrite").parquet(_sub(path, "vectors"))
+    (
+        base.select("id")
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(n_entry)
+        .write.mode("overwrite")
+        .parquet(_sub(path, "entries"))
+    )
+    _write_small(
+        spark,
+        [("knn_graph", int(k_out), 0, int(n_entry), 0, 0, 0, int(k_out))],
+        "kind string, k int, n_iter int, n_entry int,"
+        " bands int, rows_per_band int, seed_cap int, build_k int",
+        _sub(path, "config"),
+    )
+
+
 def query_graph_index(
     spark: SparkSession,
     path: str,

@@ -457,6 +457,137 @@ def similarity_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graph_seed_oracle(
+    n_hubs: int = 32,
+    k_out: int = 2,
+    r_rev: int = 16,
+    n_entry: int = 4,
+    beam: int = 8,
+    hops: int = 3,
+    k: int = 5,
+) -> str:
+    """Unrolled beam-search replay of ``query_graph_index`` over the
+    pinned hub graph: one (n_h, s_h, f_h) CTE triple per hop --
+    neighbors-not-in-frontier, exact cosine, merge + top-``beam`` --
+    exactly the operator's per-hop dataflow."""
+    cos = (
+        _DOT.format(d=64, a="{q}", b="{v}")
+        + " / ("
+        + _NORM.format(d=64, a="{q}")
+        + " * "
+        + _NORM.format(d=64, a="{v}")
+        + ")"
+    )
+    q_cos = cos  # formatted per use below
+    hops_sql = []
+    prev = "f0"
+    for h in range(1, hops + 1):
+        hops_sql.append(f"""
+    n{h} AS (
+      SELECT DISTINCT f.query_id, a.dst AS node
+      FROM {prev} f JOIN adj a ON a.src = f.node
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                        WHERE x.query_id = f.query_id AND x.node = a.dst)
+    ),
+    s{h} AS (
+      SELECT n.query_id, n.node,
+             {q_cos.format(q="q.qv", v="b.v")} AS score
+      FROM n{h} n JOIN q ON q.query_id = n.query_id
+      JOIN base b ON b.id = n.node
+    ),
+    f{h} AS (
+      SELECT query_id, node, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, node) AS rn
+        FROM (SELECT * FROM {prev} UNION ALL SELECT * FROM s{h}))
+      WHERE rn <= {beam}
+    )""")
+        prev = f"f{h}"
+    return f"""
+    WITH base AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+    hubs AS (
+      SELECT id, v FROM base
+      ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {n_hubs}
+    ),
+    hd AS (
+      SELECT b.id AS src, h.id AS dst,
+             {q_cos.format(q="b.v", v="h.v")} AS score
+      FROM base b CROSS JOIN hubs h
+      WHERE b.id <> h.id
+    ),
+    out_e AS (
+      SELECT src, dst FROM (
+        SELECT src, dst, row_number() OVER (PARTITION BY src
+                                            ORDER BY score DESC, dst) AS rn
+        FROM hd) WHERE rn <= {k_out}
+    ),
+    rev_e AS (
+      SELECT dst AS src, src AS dst FROM (
+        SELECT src, dst, row_number() OVER (PARTITION BY dst
+                                            ORDER BY score DESC, src) AS rn
+        FROM hd) WHERE rn <= {r_rev}
+    ),
+    adj AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM out_e UNION ALL SELECT src, dst FROM rev_e)
+    ),
+    entries AS (
+      SELECT id FROM base
+      ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {n_entry}
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < 5),
+    s0 AS (
+      SELECT q.query_id, b.id AS node,
+             {q_cos.format(q="q.qv", v="b.v")} AS score
+      FROM q CROSS JOIN entries e JOIN base b ON b.id = e.id
+    ),
+    f0 AS (
+      SELECT query_id, node, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, node) AS rn
+        FROM s0)
+      WHERE rn <= {beam}
+    ),{",".join(hops_sql)}
+    SELECT query_id, neighbor_id, round(score, 6) AS cos_sim, rank
+    FROM (
+      SELECT query_id, node AS neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, node) AS rank
+      FROM {prev} WHERE node <> query_id)
+    WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@register(
+    "similarity_graph_seed_ann",
+    oracle=_graph_seed_oracle(),
+    tags=("similarity", "north-star", "graph", "ann", "persisted-index"),
+)
+def similarity_graph_seed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam-search graph ANN over a PINNED adjacency
+    (``operators/graph_ann.py:build_seed_hub_index``): hubs are the 32
+    md5-smallest corpus vectors, nodes keep 2 out-edges to their best
+    hubs, hubs keep 16 best reverse edges (an HNSW upper layer
+    collapsed to two layers), entry points are the 4 md5-smallest ids
+    -- every stage deterministic and SQL-replayable.  The probe is the
+    UNCHANGED ``query_graph_index`` beam search (beam 8, 3 hops, top
+    5), so the oracle replays the real frontier-expand-merge-prune
+    dataflow hop by hop; the NN-descent production build
+    (``similarity_graph_ann``) differs only in how the adjacency was
+    produced -- the ``seed_centroids`` precedent, applied to graphs."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    root = _index_root(sf_dir, "graph_seed")
+    ANN_GRAPH.build_seed_hub_index(
+        emb, root, n_hubs=32, k_out=2, r_rev=16, n_entry=4
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return ANN_GRAPH.query_graph_index(
+        spark, root, queries, k=5, beam=8, hops=3
+    ).orderBy("query_id", "rank")
+
+
 #: JL projection CTEs shared by the random-projection queries: the
 #: md5-derived (8 x 64) matrix recomputed in SQL (dyadic rationals,
 #: exact in float64) and the sequential-order projected values --

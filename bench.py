@@ -130,6 +130,13 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str,
         ("pq", lambda: SIM.pq_adc_topk(
             emb, queries, k=k, n_codes=256,
             codebooks=SIM.pq_codebooks(emb, m=8, k=256), rerank=100)),
+        # OPQ-lite (round 9): eigenvalue-allocated PCA rotation before
+        # the SAME seed-codebook/rerank geometry as "pq" -- the delta
+        # between these two lines IS the rotation's recall value
+        # (rotation preserves L2, so both compare against the same
+        # exact ground truth).
+        ("opq", lambda: SIM.opq_adc_topk(
+            emb, queries, k=k, n_codes=256, rerank=100, lloyd=True)),
         # graph path: NN-descent build + beam-search probe (round 5) --
         # the highest-recall member; build cost shows under
         # persisted_index_sec, this line measures only accuracy.

@@ -375,6 +375,36 @@ def similarity_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_opq_adc_ann",
+    # Rows-only BY DESIGN: the OPQ rotation is a driver-side
+    # eigendecomposition of the (oracle-checked) covariance matrix --
+    # eigenvectors are not expressible as one SQL statement.  Every
+    # OTHER stage is oracle-checked elsewhere: the centered covariance
+    # via profile_embedding_covariance, the encode/ADC/re-rank pipeline
+    # via similarity_pq_adc_ann (identical code path, identity
+    # rotation); the rotation itself is pinned by pytest (orthogonality,
+    # L2 preservation, determinism) and the recall@10 delta vs raw PQ is
+    # measured every bench round.
+    oracle=None,
+    tags=("similarity", "north-star", "pq", "opq", "ann"),
+)
+def similarity_opq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-lite ANN (``operators/similarity.py:opq_adc_topk``): rotate
+    corpus + queries onto the eigenvalue-allocated PCA basis (Ge et
+    al. 2013's non-parametric OPQ init -- variance balanced across the
+    8 PQ subspaces, L2 preserved exactly), then the same seed-codebook
+    ADC+R pipeline as ``similarity_pq_adc_ann`` (64 codes/subspace,
+    shortlist 50, exact re-rank to top-10).  This is the composition
+    the covariance/whitening operators exist for: covariance -> basis
+    -> coding rotation -> quantizer."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.opq_adc_topk(
+        emb, queries, k=10, m=8, n_codes=64, rerank=50
+    ).orderBy("query_id", "rank")
+
+
+@register(
     "similarity_persisted_lsh_ann",
     oracle=_LSH_ANN_ORACLE,
     tags=("similarity", "north-star", "lsh", "ann", "persisted-index"),

@@ -3797,6 +3797,43 @@ def test_pca_whiten_decorrelates_and_is_partition_stable(spark, sf_dir):
     assert [round(v, 8) for v in evals] == [round(v, 8) for v in evals2]
 
 
+def test_opq_rotation_orthogonal_balanced_and_stable(spark, sf_dir):
+    """OPQ-lite rotation: (1) orthogonal (R^T R = I), so L2 -- and the
+    ground truth any recall number compares against -- is preserved;
+    (2) eigenvalue allocation balances variance across subspaces (the
+    max/min subspace variance ratio must be far below plain PCA
+    ordering's); (3) deterministic under repartitioning; and (4) the
+    full opq_adc_topk composition returns exactly k ranked rows per
+    query over the same schema as raw pq_adc_topk."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(400)
+    mu, R = SIM.opq_rotation(emb, m=8)
+    assert np.abs(R.T @ R - np.eye(64)).max() < 1e-9
+
+    mu2, R2 = SIM.opq_rotation(emb.repartition(7), m=8)
+    assert np.abs(R - R2).max() < 1e-9 and np.abs(mu - mu2).max() < 1e-9
+
+    # Subspace variance balance: rotated per-subspace variance sums.
+    rows = emb.collect()
+    X = np.vstack([r["embedding"] for r in rows]).astype("float64")
+    Z = (X - mu) @ R
+    sub_var = Z.var(axis=0).reshape(8, 8).sum(axis=1)
+    mu_p, V, evals = SIM._pca_basis(emb, k=64)
+    pca_var = ((X - mu_p) @ V).var(axis=0).reshape(8, 8).sum(axis=1)
+    bal_ratio = sub_var.max() / sub_var.min()
+    pca_ratio = pca_var.max() / pca_var.min()
+    assert bal_ratio < pca_ratio, (bal_ratio, pca_ratio)
+    assert bal_ratio < 1.5, bal_ratio  # near-flat across subspaces
+
+    queries = emb.where(F.col("vec_id") < 3)
+    out = SIM.opq_adc_topk(emb, queries, k=5, m=8, n_codes=16, rerank=20)
+    got = out.collect()
+    assert {r["query_id"] for r in got} == {0, 1, 2}
+    assert sorted(r["rank"] for r in got if r["query_id"] == 0) == [1, 2, 3, 4, 5]
+    assert out.columns == ["query_id", "neighbor_id", "l2_dist", "rank"]
+
+
 def test_embedding_covariance_survives_large_means(spark):
     """Catastrophic-cancellation regression: large-magnitude (1e4)
     near-zero-covariance columns are exactly the data where the

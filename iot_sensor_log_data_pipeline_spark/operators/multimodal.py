@@ -70,15 +70,78 @@ def attach_fake_media(docs: DataFrame, kind: str = "image") -> DataFrame:
 
 
 def decode_image(data: bytes):
-    """Real decode entry point -- stubbed per task instructions (no
-    codec libs in the container).  The Spark-side contract (bytes in,
-    array out) is what the pipeline tests."""
+    """Real decode entry point, availability-gated on Pillow exactly
+    like ``sources.avro`` gates on spark-avro: with the codec present
+    it returns the decoded RGB pixel array (H x W x 3 uint8 numpy);
+    without it, a clear ``NotImplementedError`` -- the ONE deliberately
+    absent capability in this build, since the container ships no
+    image libs.  The byte-level family around it (dHash, entropy, CDC
+    chunking, sniffing) needs no codec and stays fully real."""
     if not _HAS_PIL:
         raise NotImplementedError(
             "image decode requires Pillow, which this environment does not "
             "ship; use extract_features (deterministic fake) for plumbing"
         )
-    raise NotImplementedError("real decode path reserved for codec-equipped builds")
+    import io
+
+    import numpy as np
+
+    with Image.open(io.BytesIO(bytes(data))) as img:
+        return np.asarray(img.convert("RGB"))
+
+
+#: Output schema of the Pillow-gated pixel statistics extractor.
+PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_r", T.DoubleType(), False),
+        T.StructField("mean_g", T.DoubleType(), False),
+        T.StructField("mean_b", T.DoubleType(), False),
+    ]
+)
+
+
+def extract_pixel_stats(media_df: DataFrame) -> DataFrame:
+    """Pillow-gated REAL decode pass: per blob, decode to RGB pixels
+    and emit (width, height, per-channel means) -- the minimal honest
+    'did the codec actually run' feature set.  Same ``mapInPandas``
+    batch shape, partitioning, and schema discipline as
+    ``extract_features`` (the codec-free fake); the gate raises at
+    plan-construction time, not inside executors, so a codec-less
+    cluster fails fast instead of per-task."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "extract_pixel_stats requires Pillow; this build gates the real "
+            "decode path (use extract_features for codec-free plumbing)"
+        )
+
+    def pixelize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                arr = decode_image(blob)
+                h, w = arr.shape[0], arr.shape[1]
+                means = arr.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": int(w),
+                        "height": int(h),
+                        "mean_r": float(means[0]),
+                        "mean_g": float(means[1]),
+                        "mean_b": float(means[2]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "mean_r", "mean_g", "mean_b"
+                ],
+            )
+
+    return media_df.select("doc_id", "media").mapInPandas(pixelize, PIXEL_SCHEMA)
 
 
 def extract_features(media_df: DataFrame) -> DataFrame:

@@ -140,3 +140,45 @@ def test_cdc_chunking_survives_insertion_where_fixed_windows_fail(spark):
     assert fixed[3] < 0.1, fixed
     # unrelated blob: clean under both
     assert cdc[4] == 0.0 and fixed[4] == 0.0
+
+
+def test_pixel_decode_gated_on_pillow(spark):
+    """Skip-or-assert gate (the avro/delta pattern): without Pillow the
+    real-decode entry points raise a clear NotImplementedError at plan
+    construction; with it, a generated PNG round-trips through
+    decode_image + extract_pixel_stats with exact dims and channel
+    means."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not-an-image"))], "doc_id long, media binary"
+    )
+    if not MM._HAS_PIL:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            MM.decode_image(b"\x89PNG")
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            MM.extract_pixel_stats(df)
+        return
+
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    arr = np.zeros((4, 6, 3), dtype=np.uint8)
+    arr[:, :, 0] = 200  # solid-ish red with a gradient in green
+    arr[:, :, 1] = np.arange(6, dtype=np.uint8)[None, :] * 10
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    decoded = MM.decode_image(png)
+    assert decoded.shape == (4, 6, 3)
+    assert (decoded == arr).all()
+
+    media = spark.createDataFrame(
+        [(7, bytearray(png))], "doc_id long, media binary"
+    )
+    row = MM.extract_pixel_stats(media).collect()[0]
+    assert (row["width"], row["height"]) == (6, 4)
+    assert row["mean_r"] == 200.0
+    assert abs(row["mean_g"] - float(arr[:, :, 1].mean())) < 1e-9
+    assert row["mean_b"] == 0.0

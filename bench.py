@@ -260,6 +260,23 @@ def persisted_index_breakdown(spark, sf_dir: str) -> dict[str, float]:
         .write.format("noop").mode("overwrite").save(),
         passes=2,
     )
+
+    # PQ (round 9): the encode pass is the build; the probe is the
+    # broadcast lookup-table join over the compressed codes + re-rank.
+    pq_root = scratch_dir("bench_index", "pq")
+    timed(
+        "pq_build",
+        lambda: ANN.build_pq_index(
+            emb, pq_root, m=8, n_codes=64,
+            codebooks=SIM.pq_seed_codebooks(emb, m=8, k=64),
+        ),
+    )
+    timed(
+        "pq_probe",
+        lambda: ANN.query_pq_index(spark, pq_root, queries, k=10, rerank=50)
+        .write.format("noop").mode("overwrite").save(),
+        passes=2,
+    )
     return out
 
 

@@ -472,3 +472,258 @@ def ivf_index_cogroup_join(
     return _cogroup_cell_topk(
         qa, nb, k, id_type, dedup=int(cfg["n_assign"]) > 1
     )
+
+
+def build_pq_index(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    codebooks: list[list[list[float]]] | None = None,
+    rotation: tuple | None = None,
+    dim: int = DIM,
+) -> None:
+    """Materialize a product-quantization index: per-vector packed code
+    arrays (m small ints -- the 64x-compressed corpus representation
+    that makes billion-vector serving memory-feasible), the codebook
+    table, optionally the OPQ rotation, and the exact-re-rank vector
+    table.  The missing member of the persisted family
+    (lsh / ivf / text / graph): at 100 TB the ENCODE pass is the
+    expensive corpus scan, so a serving tier runs it once and probes
+    forever.
+
+    ``codebooks`` pins the quantizer (``pq_seed_codebooks`` for the
+    oracle-checkable twin); default trains the production Lloyd
+    codebooks (``pq_codebooks``).  ``rotation`` is an optional
+    (mu[dim], R[dim, dim]) pair from ``similarity.opq_rotation`` --
+    when present, corpus (here) and queries (at probe) are rotated
+    before coding, making this an OPQ index; the rotation is persisted
+    row-wise so the probe needs nothing but the path.
+
+    Layout (plain parquet, the family contract):
+        <root>/config/     (kind='pq', m, n_codes, dim, rotated)
+        <root>/codebooks/  (subspace, code, cv array<double>)
+        <root>/codes/      (id, codes array<int>)   -- packed, 1 row/vec
+        <root>/rotation/   (i, r array<double>, mu double)  [if OPQ]
+        <root>/vectors/    (id, vec)                -- exact re-rank
+    """
+    from .similarity import (
+        _apply_projection,
+        _pq_codes_udf,
+        pq_codebooks,
+        pq_seed_codebooks,
+    )
+
+    spark = vectors.sparkSession
+    src = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    enc_src = src
+    if rotation is not None:
+        mu, R = rotation
+        enc_src = _apply_projection(
+            src, mu, R, id_col="id", vec_col="vec"
+        ).localCheckpoint(eager=True)
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            enc_src, m=m, k=n_codes, dim=dim, id_col="id", vec_col="vec"
+        )
+    codes_udf = _pq_codes_udf(codebooks)
+    enc_src.select("id", codes_udf(F.col("vec")).alias("codes")).write.mode(
+        "overwrite"
+    ).parquet(_sub(path, "codes"))
+    # Vectors are stored UNROTATED: rotation is orthogonal, so exact
+    # re-rank distances are identical either way, and the raw table
+    # stays reusable by every other index family.
+    src.write.mode("overwrite").parquet(_sub(path, "vectors"))
+    _write_small(
+        spark,
+        [
+            (int(s), int(c), [float(x) for x in cb])
+            for s, sub in enumerate(codebooks)
+            for c, cb in enumerate(sub)
+        ],
+        "subspace int, code int, cv array<double>",
+        _sub(path, "codebooks"),
+    )
+    if rotation is not None:
+        mu, R = rotation
+        _write_small(
+            spark,
+            [
+                (int(i), [float(x) for x in R[i]], float(mu[i]))
+                for i in range(dim)
+            ],
+            "i int, r array<double>, mu double",
+            _sub(path, "rotation"),
+        )
+    _write_small(
+        spark,
+        [("pq", int(m), int(n_codes), int(dim), rotation is not None)],
+        "kind string, m int, n_codes int, dim int, rotated boolean",
+        _sub(path, "config"),
+    )
+
+
+def _load_pq_meta(spark: SparkSession, path: str):
+    """(cfg row, codebooks nested list, rotation-or-None) from a
+    persisted PQ index -- KB-scale driver pulls, the
+    sketch-to-closure pattern."""
+    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    if cfg["kind"] != "pq":
+        raise ValueError(f"index at {path} is {cfg['kind']!r}, not pq")
+    cb_rows = spark.read.parquet(_sub(path, "codebooks")).collect()
+    codebooks: list[list[list[float]]] = [
+        [None] * int(cfg["n_codes"]) for _ in range(int(cfg["m"]))
+    ]
+    for r in cb_rows:
+        codebooks[int(r["subspace"])][int(r["code"])] = list(r["cv"])
+    rotation = None
+    if cfg["rotated"]:
+        import numpy as np
+
+        rot_rows = spark.read.parquet(_sub(path, "rotation")).collect()
+        dim = int(cfg["dim"])
+        R = np.zeros((dim, dim), dtype="float64")
+        mu = np.zeros(dim, dtype="float64")
+        for r in rot_rows:
+            R[int(r["i"])] = list(r["r"])
+            mu[int(r["i"])] = float(r["mu"])
+        rotation = (mu, R)
+    return cfg, codebooks, rotation
+
+
+def append_pq_index(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally encode new vectors against the PERSISTED codebooks
+    (and rotation, if OPQ) -- quantizer state never drifts between
+    build and append, exactly the ``append_ivf_index`` contract.  New
+    ids must be disjoint from those already indexed.  Codebook retrain
+    means re-encoding everything: that is a rebuild by definition, so
+    no optimize job exists for this family (codes cannot skew -- every
+    vector holds exactly m of them)."""
+    from .similarity import _apply_projection, _pq_codes_udf
+
+    spark = vectors.sparkSession
+    cfg, codebooks, rotation = _load_pq_meta(spark, path)
+    # Cast to the PERSISTED element type: appending array<double> rows
+    # into an array<float> vectors table would leave mixed parquet
+    # schemas that fail at read time.
+    stored_t = spark.read.parquet(_sub(path, "vectors")).schema["vec"].dataType
+    src = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast(stored_t).alias("vec")
+    )
+    enc_src = src
+    if rotation is not None:
+        mu, R = rotation
+        enc_src = _apply_projection(
+            src, mu, R, id_col="id", vec_col="vec"
+        ).localCheckpoint(eager=True)
+    codes_udf = _pq_codes_udf(codebooks)
+    enc_src.select("id", codes_udf(F.col("vec")).alias("codes")).write.mode(
+        "append"
+    ).parquet(_sub(path, "codes"))
+    src.write.mode("append").parquet(_sub(path, "vectors"))
+
+
+def query_pq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted PQ index with asymmetric distances: per-query
+    lookup tables broadcast against the stored packed codes
+    (posexploded to the (subspace, code)-keyed join of
+    ``similarity.pq_adc_topk``), optional exact re-rank against the
+    raw vector table.  Result-identical to the ad-hoc operator with
+    the same codebooks/rotation (asserted in pytest), so the
+    catalog's persisted row reuses the ad-hoc oracle unchanged."""
+    from pyspark.sql.window import Window as W
+
+    from .similarity import _apply_projection, _dbl, _pq_query_dists_udf
+
+    cfg, codebooks, rotation = _load_pq_meta(spark, path)
+    n_codes = int(cfg["n_codes"])
+    q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    enc_q = q
+    if rotation is not None:
+        mu, R = rotation
+        enc_q = _apply_projection(q, mu, R, id_col="id", vec_col="vec")
+    qdists_udf = _pq_query_dists_udf(codebooks)
+    qd = enc_q.select(
+        F.col("id").alias("query_id"),
+        F.posexplode(qdists_udf(F.col("vec"))).alias("flat_idx", "d2"),
+    ).select(
+        "query_id",
+        (F.col("flat_idx") / n_codes).cast("int").alias("subspace"),
+        (F.col("flat_idx") % n_codes).alias("code"),
+        "d2",
+    )
+    codes = spark.read.parquet(_sub(path, "codes")).select(
+        F.col("id").alias("neighbor_id"),
+        F.posexplode(F.col("codes")).alias("subspace", "code"),
+    )
+    scored = (
+        codes.join(F.broadcast(qd), ["subspace", "code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round("adc_dist", 6).alias("adc_dist"),
+                "rank",
+            )
+        )
+    shortlist = (
+        scored.withColumn("adc_rank", F.row_number().over(w))
+        .where(F.col("adc_rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    # Exact re-rank in the RAW space (rotation preserves L2, and the
+    # stored vector table is unrotated by contract).
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    nv = spark.read.parquet(_sub(path, "vectors")).select(
+        F.col("id").alias("neighbor_id"), "vec"
+    )
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("query_vec"),
+            F.col("vec"),
+            lambda x, y: (_dbl(x) - _dbl(y)) * (_dbl(x) - _dbl(y)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", l2.alias("l2_dist"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("l2_dist", 6).alias("l2_dist"),
+            "rank",
+        )
+    )

@@ -52,130 +52,96 @@ _QUERY_MODULES = (
 #: ``queries()`` per round, so this tuple -- not module import order --
 #: decides which queries get an external green row this round.  Names
 #: listed here are emitted first, in this order; every other query
-#: follows in registration order.  Round-8 priority: (a) the 8
-#: oracle-backed queries that have NEVER appeared in any external
-#: CORRECTNESS window (4 landed after the round-6 window filled, 4 are
-#: new in round 7), (b) the 13 queries new in round 8 (Gopher quality
-#: gate, benchmark contamination scores, CDC snapshot diff, weighted
-#: SimHash, tokenizer fertility, source overlap, session-interval
-#: overlap join, embedding covariance, span decontamination, numeric
-#: correlation matrix, prefix-filter exact Jaccard join, Misra-Gries
-#: heavy hitters, embedding centroid outliers, Z-order layout
-#: roundtrip, pre-join skew report, DDSketch quantiles, hot-key split
-#: join, dataset fingerprint, incremental join refresh, grouped
-#: DDSketch quantiles, mapInArrow batch stats, cogrouped IVF ANN
-#: join, kNN label transfer, LSH banding cost report, pairwise-cosine
-#: calibration histogram, per-source dedup audit, forward + nearest
-#: as-of joins, winsorization, key-candidate uniqueness audit,
-#: media-type sniff audit, CUSUM change-point chart, mutual
-#: information, output
-#: sharding, quality threshold sweep, epoch upsample), (c)
-#: re-entries for the five
-#: shingle-family queries whose input path changed this round (the
-#: ``parallelize_small`` wrap at the catalog call sites), (d) the
-#: stalest round-3 row (the thirty-three bumped for slot space --
-#: scan_orc_roundtrip, scan_xml_roundtrip, corpus_weighted_sample,
-#: agg_histogram_quantiles, multimodal_byte_histogram,
-#: downsample_lttb_value, downsample_ohlc_10min, profile_events_table,
-#: incremental_rollup_merge, q22_dormant_accounts, q21_waiting_suppliers,
-#: q13_customer_distribution, q8_market_share, scd2_customer_history,
-#: cdc_merge_upsert, udtf_tokenize_lateral, udf_grouped_agg_weighted,
-#: udf_pandas_scalar_bucket, udf_grouped_map_zscore,
-#: subquery_correlated_q17, subquery_exists_bigorder,
-#: subquery_scalar_avg, null_semantics, hash_functions,
-#: conditional_functions, json_functions, variant_functions,
-#: array_functions, map_functions, math_functions,
-#: string_functions_extended, date_functions, hourly_avg_value
-#: (smoke-checked by ``entry()`` every round regardless) -- lead the
-#: round-9 refresh).  8+36+5+1 = 50, one full window.
-#: By-design rows-only queries (``agg_approx_sketches``,
-#: ``similarity_ivf_ann``, ``similarity_graph_ann``) stay out of the
-#: window: their machinery is covered by oracle twins and bounds /
-#: recall pytests, so a driver `no_oracle` row adds no information.
+#: follows in registration order.  Round-9 priority: (a) re-entries
+#: for every round-9-edited code path -- the centered-covariance fix
+#: (the round-8 red row, lead slot), the three as-of joins (struct
+#: carry rewrite), heavy hitters (NULL-key + null-safe recount), the
+#: dataset fingerprint (widened md5 slices; its oracle changed too);
+#: (b) new in round 9: the seed-hub graph ANN twin and the persisted
+#: PQ index probe (both oracle-backed, never external --
+#: guard-test-required) plus first external `no_oracle` rows for the
+#: two rows-only ANN paths that have never appeared in any window
+#: (`similarity_graph_ann`, new `similarity_opq_adc_ann`) -- an
+#: executes-under-driver proof, the round-8 verdict's minimum ask;
+#: (c) the 33 round-3-stale rows bumped from the round-8 window,
+#: externally unconfirmed across five rounds of engine evolution;
+#: (d) the stalest round-4 rows that still fit.
+#: 6+4+33+7 = 50, one full window.
+#: Remaining by-design rows-only queries (``agg_approx_sketches``,
+#: ``similarity_ivf_ann``) stay out: they already hold external
+#: `no_oracle` rows (r1/r3), so another adds no information.
 #: Unknown names fail loudly in tests (``tests/test_catalog_oracle.py``),
 #: and ``tests/test_catalog_oracle.py::test_verify_window_covers_unverified``
 #: fails if any oracle-backed query without an external row is not in
 #: the first 50 of this tuple -- the guard that keeps this rotation
 #: from silently slipping a round.
 _VERIFY_PRIORITY: tuple[str, ...] = (
-    # (a) never externally verified (local-gate green only until now)
-    "multimodal_byte_entropy",
-    "events_rolling_actives",
-    "events_last_touch_attribution",
-    "customer_rfm_segments",
-    "timeseries_ewma_smooth",
-    "timeseries_time_weighted_avg",
-    "anomaly_robust_zscore",
-    "copurchase_triangles",
-    # (b) new in round 8
-    "text_gopher_quality_gate",
-    "corpus_contamination_scores",
-    "cdc_snapshot_diff",
-    "dedup_weighted_simhash",
-    "text_tokenizer_fertility",
-    "corpus_source_overlap",
-    "events_session_overlap",
+    # (a) round-9-edited code paths, red-row fix first
     "profile_embedding_covariance",
-    "corpus_decontaminate_spans",
-    "profile_numeric_correlation",
-    "dedup_prefix_filter_jaccard",
-    "sketch_heavy_hitters",
-    "profile_embedding_outliers",
-    "maintenance_zorder_roundtrip",
-    "profile_join_skew",
-    "sketch_dd_quantiles",
-    "join_hot_key_split",
-    "profile_dataset_fingerprint",
-    "incremental_join_refresh",
-    "sketch_dd_quantiles_grouped",
-    "udf_arrow_map_batches",
-    "similarity_ivf_cogroup_join",
-    "similarity_knn_label_transfer",
-    "dedup_lsh_tuning_report",
-    "similarity_pair_histogram",
-    "dedup_source_audit",
+    "join_asof_purchase_click",
     "join_asof_forward_click",
     "join_asof_nearest_click",
-    "quality_winsorize_values",
-    "profile_key_candidates",
-    "multimodal_type_sniff",
-    "anomaly_cusum_shifts",
-    "profile_mutual_information",
-    "corpus_shard_assignment",
-    "corpus_quality_threshold_sweep",
-    "corpus_epoch_upsample",
-    # (c) re-entry: shingle-input parallelism wrap (round-8 edit)
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_survivor_selection",
-    "corpus_leakage_safe_split",
-    # (d) round-3 battery refresh: the stalest row that still fits
-    # the window (the 33 bumped rows lead round 9's refresh)
-    "string_functions",
+    "sketch_heavy_hitters",
+    "profile_dataset_fingerprint",
+    # (b) new in round 9 + first-evidence rows-only ANN paths
+    "similarity_graph_seed_ann",
+    "similarity_persisted_pq_ann",
+    "similarity_graph_ann",
+    "similarity_opq_adc_ann",
+    # (c) the 33 round-3-stale rows (externally green last in r3)
+    "scan_orc_roundtrip",
+    "scan_xml_roundtrip",
+    "corpus_weighted_sample",
+    "agg_histogram_quantiles",
+    "multimodal_byte_histogram",
+    "downsample_lttb_value",
+    "downsample_ohlc_10min",
+    "profile_events_table",
+    "incremental_rollup_merge",
+    "q22_dormant_accounts",
+    "q21_waiting_suppliers",
+    "q13_customer_distribution",
+    "q8_market_share",
+    "scd2_customer_history",
+    "cdc_merge_upsert",
+    "udtf_tokenize_lateral",
+    "udf_grouped_agg_weighted",
+    "udf_pandas_scalar_bucket",
+    "udf_grouped_map_zscore",
+    "subquery_correlated_q17",
+    "subquery_exists_bigorder",
+    "subquery_scalar_avg",
+    "null_semantics",
+    "hash_functions",
+    "conditional_functions",
+    "json_functions",
+    "variant_functions",
+    "array_functions",
+    "map_functions",
+    "math_functions",
+    "string_functions_extended",
+    "date_functions",
+    "hourly_avg_value",
+    # (d) round-4 battery head (stalest remaining external evidence)
+    "scan_merge_schema",
+    "scd2_point_in_time_join",
+    "profile_psi_drift",
+    "quality_iqr_outliers",
+    "quality_referential_checks",
+    "dedup_exact_documents",
+    "sketch_count_min_tokens",
 )
 
-#: Round-9 rotation plan: (a) anything new in round 9 plus re-entries
-#: for round-9-edited modules; (b) the 33 round-3 rows bumped from the
-#: round-8 window (scan_orc_roundtrip, scan_xml_roundtrip,
-#: corpus_weighted_sample, agg_histogram_quantiles,
-#: multimodal_byte_histogram, downsample_lttb_value,
-#: downsample_ohlc_10min, profile_events_table,
-#: incremental_rollup_merge, q22_dormant_accounts,
-#: q21_waiting_suppliers, q13_customer_distribution, q8_market_share,
-#: scd2_customer_history, cdc_merge_upsert, udtf_tokenize_lateral,
-#: udf_grouped_agg_weighted, udf_pandas_scalar_bucket,
-#: udf_grouped_map_zscore, subquery_correlated_q17,
-#: subquery_exists_bigorder, subquery_scalar_avg, null_semantics,
-#: hash_functions, conditional_functions, json_functions,
-#: variant_functions, array_functions, map_functions,
-#: math_functions, string_functions_extended, date_functions,
-#: hourly_avg_value);
-#: (c) the round-4
-#: battery -- after this window lands it is the stalest external
-#: evidence left (42 rows: dedup/text/similarity/sketch families,
-#: scan_merge_schema, scd2_point_in_time_join, profile_psi_drift,
-#: quality_* checks) -- as many as fit the 50-slot window.
+#: Round-10 rotation plan: (a) anything new in round 10 plus
+#: re-entries for round-10-edited modules; (b) the remainder of the
+#: round-4 battery (the ~34 rows not reached by round 9's (d) tail:
+#: the dedup/text/similarity families -- dedup_simhash,
+#: dedup_byte_chunks, blocked Levenshtein ER, text LM scores, BPE,
+#: hash embeddings, SRP-LSH/IVF/PQ ANN batteries,
+#: sketch_hll_distinct_by_source, join_bloom_pruned_revenue,
+#: multimodal dhash family, scd2/cdc round-4 rows); (c) then the
+#: round-5 relational battery becomes the stalest evidence -- refresh
+#: in registration order as slots allow.
 
 
 @dataclass(frozen=True)

@@ -286,9 +286,10 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, queries, k=10).orderBy("query_id", "rank")
 
 
-@register(
-    "similarity_pq_adc_ann",
-    oracle="""
+#: Shared by ``similarity_pq_adc_ann`` and its persisted-index twin
+#: (same pinned seed codebooks, same encode/ADC/re-rank semantics --
+#: probing the on-disk codes is result-identical, asserted in pytest).
+_PQ_ADC_ORACLE = """
     WITH cent AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                AS code,
@@ -348,7 +349,12 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE rank <= 10
     ORDER BY query_id, rank
-    """,
+    """
+
+
+@register(
+    "similarity_pq_adc_ann",
+    oracle=_PQ_ADC_ORACLE,
     tags=("similarity", "north-star", "pq", "ann"),
 )
 def similarity_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,6 +378,34 @@ def similarity_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebooks=SIM.pq_seed_codebooks(emb, m=8, k=64),
         rerank=50,
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "similarity_persisted_pq_ann",
+    oracle=_PQ_ADC_ORACLE,
+    tags=("similarity", "north-star", "pq", "ann", "persisted-index"),
+)
+def similarity_persisted_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once / probe-many PQ (``operators/ann_index.py:
+    build_pq_index``): the packed per-vector code arrays (the
+    64x-compressed serving representation), codebook table, and
+    re-rank vectors are materialized to parquet, then the SAME 5
+    queries probe the on-disk index -- result-identical to
+    ``similarity_pq_adc_ann`` at identical hyperparameters (seed
+    codebooks, 64 codes/subspace, shortlist 50), so it shares that
+    oracle.  At 100 TB the encode IS the corpus pass; every later
+    query batch pays only the broadcast lookup-table join over the
+    compressed codes plus the shortlist re-rank."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    root = _index_root(sf_dir, "pq")
+    ANN.build_pq_index(
+        emb, root, m=8, n_codes=64,
+        codebooks=SIM.pq_seed_codebooks(emb, m=8, k=64),
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return ANN.query_pq_index(spark, root, queries, k=10, rerank=50).orderBy(
+        "query_id", "rank"
+    )
 
 
 @register(

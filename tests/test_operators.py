@@ -1203,6 +1203,65 @@ def test_persisted_ivf_index_matches_adhoc(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_persisted_pq_index_matches_adhoc_and_appends(spark, sf_dir, tmp_path):
+    """(1) Probing a persisted PQ index is result-identical to the
+    ad-hoc ``pq_adc_topk`` at the same seed codebooks / rerank (the
+    shared-oracle contract); (2) appended vectors are encoded under
+    the FROZEN codebooks and become findable; (3) an OPQ-rotated index
+    returns the same neighbor ids/ranks as the ad-hoc
+    ``opq_adc_topk``."""
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as ANN
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    cbs = SIM.pq_seed_codebooks(emb, m=8, k=16)
+    root = str(tmp_path / "pq")
+    ANN.build_pq_index(emb, root, m=8, n_codes=16, codebooks=cbs)
+    got = sorted(
+        tuple(r)
+        for r in ANN.query_pq_index(spark, root, queries, k=10, rerank=30).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in SIM.pq_adc_topk(
+            emb, queries, k=10, n_codes=16, codebooks=cbs, rerank=30
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # append: a synthetic near-duplicate of query 0 must become its #1.
+    q0 = [float(x) for x in emb.where("vec_id = 0").head()["embedding"]]
+    new_id = 10_000_000
+    extra = spark.createDataFrame(
+        [(new_id, [x * 1.0001 for x in q0])], "vec_id long, embedding array<double>"
+    )
+    ANN.append_pq_index(extra, root)
+    after = ANN.query_pq_index(spark, root, queries, k=10, rerank=30)
+    top0 = after.where("query_id = 0 AND rank = 1").head()
+    assert top0["neighbor_id"] == new_id
+
+    # OPQ-rotated persisted index: same ids/ranks as the ad-hoc path.
+    rot = SIM.opq_rotation(emb, m=8)
+    root2 = str(tmp_path / "opq")
+    ANN.build_pq_index(emb, root2, m=8, n_codes=16, rotation=rot)
+    got2 = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ANN.query_pq_index(
+            spark, root2, queries, k=10, rerank=30
+        ).collect()
+    )
+    # ad-hoc opq with the same quantizer: Lloyd-trained rotated-space
+    # codebooks are the build default, so mirror with lloyd=True.
+    want2 = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in SIM.opq_adc_topk(
+            emb, queries, k=10, n_codes=16, rerank=30, lloyd=True
+        ).collect()
+    )
+    assert got2 == want2 and len(got2) > 0
+
+
 def test_persisted_index_kind_mismatch_raises(spark, sf_dir, tmp_path):
     from iot_sensor_log_data_pipeline_spark.io_utils import load
     from iot_sensor_log_data_pipeline_spark.operators import ann_index as ANN

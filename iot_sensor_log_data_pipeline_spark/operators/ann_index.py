@@ -195,6 +195,67 @@ def query_lsh_index(
     )
 
 
+def _read_with_segments(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """A built table unioned with its streaming segment tree
+    (``<name>_stream/batch=<id>/``) when one exists -- how the probe
+    path sees stream-ingested rows without any rebuild.  The partition
+    column from the segment layout is dropped; columns align by
+    name."""
+    main = spark.read.parquet(_sub(path, name))
+    seg_dir = _sub(path, f"{name}_stream")
+    if os.path.exists(seg_dir):
+        seg = (
+            spark.read.option("basePath", seg_dir)
+            .parquet(seg_dir)
+            .select(*main.columns)
+        )
+        main = main.unionByName(seg)
+    return main
+
+
+def _top_cells_udf_from_path(spark: SparkSession, path: str):
+    """(assignment UDF over the persisted centroids, stored vector
+    element type) -- the frozen-quantizer encode state a streaming
+    ingest batch needs, all KB-scale driver pulls."""
+    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    if cfg["kind"] != "ivf":
+        raise ValueError(f"index at {path} is {cfg['kind']!r}, not ivf")
+    cent_rows = spark.read.parquet(_sub(path, "centroids")).orderBy("cell").collect()
+    centroids = [(int(r["cell"]), list(r["cv"])) for r in cent_rows]
+    stored_t = spark.read.parquet(_sub(path, "vectors")).schema["vec"].dataType
+    return _top_cells_udf(centroids, int(cfg["n_assign"])), stored_t
+
+
+def optimize_ivf_stream_segments(spark: SparkSession, path: str) -> None:
+    """Compact the streaming segment trees of an ingest-fed IVF index:
+    fold ``entries_stream/batch=*`` and ``vectors_stream/batch=*``
+    each into a single ``batch=-1`` tree (rows just concatenate --
+    segments carry no aggregation state), so the probe-side union
+    scans one file set however long the stream has run.  Each tree
+    swaps independently (rmtree + rename, the optimize-family
+    contract): they are separate append-only stores, so a crash
+    between the two swaps leaves both self-consistent.  The MAIN
+    tables are never touched -- absorbing segments into them would
+    need a cross-directory atomic swap the filesystem cannot give us;
+    the union read makes absorption unnecessary.  Single-writer,
+    stream stopped."""
+    import shutil
+
+    for name in ("entries_stream", "vectors_stream"):
+        seg_dir = _sub(path, name)
+        if not os.path.exists(seg_dir):
+            continue
+        merged = (
+            spark.read.option("basePath", seg_dir).parquet(seg_dir).drop("batch")
+        )
+        tmp = seg_dir.rstrip("/") + "__next"
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "batch=-1")
+        )
+        shutil.rmtree(seg_dir)
+        os.rename(tmp, seg_dir)
+
+
 def build_ivf_index(
     vectors: DataFrame,
     path: str,
@@ -311,6 +372,17 @@ def optimize_ivf_index(
     cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
     if cfg["kind"] != "ivf":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not ivf")
+    if os.path.exists(_sub(path, "entries_stream")):
+        # Splitting cells while stream segments reference the OLD cell
+        # ids would strand their postings on the wrong side of the
+        # split; absorbing them here would need a cross-directory
+        # atomic swap.  Rebuild (or re-append the segment vectors)
+        # after draining the stream instead.
+        raise ValueError(
+            "index has streaming ingest segments; re-balance requires a "
+            "rebuild that absorbs them (drain the stream, then "
+            "build_ivf_index over the unioned vectors)"
+        )
 
     entries = spark.read.parquet(_sub(path, "entries"))
     oversized = [
@@ -396,7 +468,7 @@ def query_ivf_index(
         F.col(vec_col).alias("query_vec"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
-    entries = spark.read.parquet(_sub(path, "entries"))
+    entries = _read_with_segments(spark, path, "entries")
     cand = (
         entries.join(F.broadcast(probes), "cell")
         .where(F.col("id") != F.col("query_id"))
@@ -404,7 +476,7 @@ def query_ivf_index(
         .agg(F.first("query_vec").alias("query_vec"))
         .select("query_id", F.col("id").alias("neighbor_id"), "query_vec")
     )
-    vecs = spark.read.parquet(_sub(path, "vectors")).select(
+    vecs = _read_with_segments(spark, path, "vectors").select(
         F.col("id").alias("neighbor_id"), "vec"
     )
     scored = cand.join(vecs, "neighbor_id").select(
@@ -457,9 +529,9 @@ def ivf_index_cogroup_join(
         l2_norm(F.col(vec_col)).alias("qn"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
-    vecs = spark.read.parquet(_sub(path, "vectors"))
+    vecs = _read_with_segments(spark, path, "vectors")
     nb = (
-        spark.read.parquet(_sub(path, "entries"))
+        _read_with_segments(spark, path, "entries")
         .join(vecs, "id")
         .select(
             F.col("id").alias("neighbor_id"),

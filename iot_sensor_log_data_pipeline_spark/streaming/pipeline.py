@@ -1338,6 +1338,76 @@ def optimize_dd_store(spark, store_dir: str) -> None:
     os.rename(tmp, store_dir)
 
 
+def ivf_ingest_apply_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch of the streaming IVF index ingest sink: encode
+    the arriving vectors against the index's PERSISTED centroids
+    (frozen quantizer -- cell routing never drifts between build and
+    ingest, the ``append_ivf_index`` contract) and write the batch's
+    postings and re-rank vectors as whole-directory OVERWRITES of
+    ``entries_stream/batch=<id>/`` and ``vectors_stream/batch=<id>/``
+    under the index root -- the per-batch-id idempotent segment layout
+    every persisted store here uses (a replayed batch rewrites its own
+    directories, in any crash order).  The probe path unions the
+    stream segments with the built tables automatically
+    (``ann_index.query_ivf_index``), so a vector is findable the
+    micro-batch after it arrives; caller contract: ids disjoint from
+    everything already indexed (ingest never dedups -- put a dedup
+    gate upstream).  Vectors are cast to the PERSISTED element type so
+    a double-typed stream cannot corrupt a float table."""
+    import os
+
+    from ..operators.ann_index import _sub, _top_cells_udf_from_path
+
+    if not batch.take(1):
+        return
+    spark = batch.sparkSession
+    assign_cells, stored_t = _top_cells_udf_from_path(spark, index_path)
+    base = batch.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast(stored_t).alias("vec")
+    ).localCheckpoint(eager=True)  # one computation, two writes
+    base.select("id", F.explode(assign_cells(F.col("vec"))).alias("cell")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(_sub(index_path, "entries_stream"), f"batch={int(batch_id)}"))
+    base.write.mode("overwrite").parquet(
+        os.path.join(_sub(index_path, "vectors_stream"), f"batch={int(batch_id)}")
+    )
+
+
+def start_ivf_ingest_sink(
+    stream_vectors: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Streaming index maintenance: keep a persisted IVF index CURRENT
+    from an unbounded embedding stream -- the ingest-side complement of
+    ``ann_match_stream`` (which probes; this one indexes).  Semantics,
+    segment layout, and replay contract in ``ivf_ingest_apply_batch``;
+    compact the grown segment trees with
+    ``ann_index.optimize_ivf_stream_segments`` (stream stopped,
+    single-writer -- the family contract), and re-balance hot cells
+    with ``optimize_ivf_index`` as usual."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        ivf_ingest_apply_batch(
+            batch, batch_id, index_path, id_col=id_col, vec_col=vec_col
+        )
+
+    return (
+        stream_vectors.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def with_observed_quality(
     df: DataFrame, value_col: str = "value", name: str = "quality"
 ) -> DataFrame:

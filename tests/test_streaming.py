@@ -1833,3 +1833,66 @@ def test_cusum_monitor_tws_gated_or_matches_classic(spark, tmp_path):
     finally:
         q.stop()
     assert len(alarms) == 1 and alarms[0]["side"] == "high"
+
+
+def test_ivf_ingest_sink_indexes_replays_and_compacts(spark, tmp_path):
+    """Streaming IVF ingest: (1) a vector arriving in a micro-batch is
+    findable by the probe the batch after (segment union); (2)
+    replaying a batch id is idempotent; (3) compacting the segment
+    trees changes nothing the probe sees; (4) re-balance refuses while
+    segments exist (stranded-postings guard)."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as ANN
+    from iot_sensor_log_data_pipeline_spark.operators import similarity as SIM
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = load(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "ivf_stream")
+    ANN.build_ivf_index(
+        emb, root, n_cells=16, n_assign=2, centroids=SIM.seed_centroids(emb, 16)
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+
+    # near-duplicate of query 0 arrives on the "stream" (double-typed
+    # on purpose: the cast-to-stored-type path).
+    q0 = [float(x) for x in emb.where("vec_id = 0").head()["embedding"]]
+    new_id = 20_000_000
+    b0 = spark.createDataFrame(
+        [(new_id, [x * 1.0001 for x in q0])], "vec_id long, embedding array<double>"
+    )
+    P.ivf_ingest_apply_batch(b0, 0, root)
+    top = ANN.query_ivf_index(spark, root, queries, k=5, n_probe=4)
+    assert top.where("query_id = 0 AND rank = 1").head()["neighbor_id"] == new_id
+
+    before = sorted(tuple(r) for r in top.collect())
+    P.ivf_ingest_apply_batch(b0, 0, root)  # crash replay
+    again = sorted(
+        tuple(r)
+        for r in ANN.query_ivf_index(spark, root, queries, k=5, n_probe=4).collect()
+    )
+    assert again == before
+
+    b1 = spark.createDataFrame(
+        [(new_id + 1, [float(x) for x in np.ones(64)])],
+        "vec_id long, embedding array<double>",
+    )
+    P.ivf_ingest_apply_batch(b1, 1, root)
+    ANN.optimize_ivf_stream_segments(spark, root)
+    after = sorted(
+        tuple(r)
+        for r in ANN.query_ivf_index(spark, root, queries, k=5, n_probe=4).collect()
+    )
+    # compaction must preserve batch-0 results; batch-1's all-ones
+    # vector may enter some top-5, so compare the batch-0 near-dup row.
+    assert (
+        ANN.query_ivf_index(spark, root, queries, k=5, n_probe=4)
+        .where("query_id = 0 AND rank = 1")
+        .head()["neighbor_id"]
+        == new_id
+    )
+    assert len(after) > 0
+
+    with pytest.raises(ValueError, match="streaming ingest segments"):
+        ANN.optimize_ivf_index(spark, root, cell_cap=1)

@@ -113,6 +113,39 @@ def weighted_sample(
     )
 
 
+def bottomk_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-addressed UNIFORM sample of exactly ``k`` rows: the
+    documents with the ``k`` smallest ``md5(id)`` keys (min-wise /
+    bottom-k sampling).  The deterministic fixed-size sample every
+    profiling or eyeballing job wants, with three properties an
+    RNG-based ``.sample()`` lacks at 100 TB:
+
+    - REPRODUCIBLE: membership depends only on content ids -- same
+      sample across runs, partitionings, and engines (the oracle
+      replays it as ORDER BY md5 LIMIT k).
+    - MERGEABLE: bottom-k of a union == bottom-k of the per-shard
+      bottom-ks, so per-shard (or per-micro-batch) candidates fold
+      without re-scanning -- the property the streaming sample sink
+      (``streaming/pipeline.py:start_sample_sink``) is built on.
+    - APPEND-STABLE: new data can only DISPLACE members (never
+      reshuffle the survivors), so sample drift across snapshots is
+      exactly the displaced set.
+
+    Scale shape: a stateless per-row key + top-k, planned as
+    TakeOrderedAndProject (per-partition heaps, k-row gather, no
+    global sort).  Emits ``sample_key`` so consumers can fold samples
+    themselves."""
+    return (
+        df.withColumn("sample_key", F.md5(F.col(id_col).cast("string")))
+        .orderBy(F.asc("sample_key"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def dup_ngram_fraction(text: Column | str, n: int) -> Column:
     """Fraction of word n-gram *positions* occupied by a repeated
     n-gram: 1 - distinct/total (the Gopher-style 'duplicate n-gram

@@ -66,7 +66,7 @@ _QUERY_MODULES = (
 #: (c) the 33 round-3-stale rows bumped from the round-8 window,
 #: externally unconfirmed across five rounds of engine evolution;
 #: (d) the stalest round-4 rows that still fit.
-#: 6+4+33+7 = 50, one full window.
+#: 6+5+33+6 = 50, one full window.
 #: Remaining by-design rows-only queries (``agg_approx_sketches``,
 #: ``similarity_ivf_ann``) stay out: they already hold external
 #: `no_oracle` rows (r1/r3), so another adds no information.
@@ -86,6 +86,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     # (b) new in round 9 + first-evidence rows-only ANN paths
     "similarity_graph_seed_ann",
     "similarity_persisted_pq_ann",
+    "corpus_content_sample",
     "similarity_graph_ann",
     "similarity_opq_adc_ann",
     # (c) the 33 round-3-stale rows (externally green last in r3)
@@ -129,7 +130,6 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "quality_iqr_outliers",
     "quality_referential_checks",
     "dedup_exact_documents",
-    "sketch_count_min_tokens",
 )
 
 #: Round-10 rotation plan: (a) anything new in round 10 plus

@@ -416,6 +416,33 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_content_sample",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           md5(CAST(doc_id AS VARCHAR)) AS sample_key
+    FROM documents
+    ORDER BY sample_key ASC, doc_id
+    LIMIT 100
+    """,
+    tags=("curation", "sampling"),
+)
+def corpus_content_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed uniform bottom-k sample
+    (``operators/curation.py:bottomk_sample``): the 100 docs with the
+    smallest md5(id) keys -- reproducible across runs/engines,
+    mergeable (bottom-k of per-shard bottom-ks), append-stable (new
+    data only displaces, never reshuffles).  The fixed-size sample a
+    profiling or eyeballing job wants where ``.sample()`` gives a
+    different corpus every run.  Plans as TakeOrderedAndProject;
+    streaming maintenance twin: ``streaming/pipeline.py:
+    start_sample_sink``."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return CU.bottomk_sample(docs, k=100).select(
+        "doc_id", "source", "n_chars", "sample_key"
+    )
+
+
+@register(
     "corpus_mixture_weights",
     oracle=f"""
     WITH pg AS (

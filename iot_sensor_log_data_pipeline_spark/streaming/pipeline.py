@@ -1338,6 +1338,87 @@ def optimize_dd_store(spark, store_dir: str) -> None:
     os.rename(tmp, store_dir)
 
 
+def sample_apply_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of the streaming bottom-k sample sink: the
+    batch's own bottom-``k`` candidates (full rows + ``sample_key``)
+    land as an idempotent ``batch=<id>/`` overwrite.  Correctness
+    rests on min-wise mergeability: any corpus-wide bottom-k member is
+    necessarily in its own batch's bottom-k, so the union of per-batch
+    candidate sets always contains the true sample and
+    ``load_sample_store`` just takes the global bottom-k over
+    <= k x batches candidate rows -- a uniform fixed-size sample over
+    everything EVER ingested with no per-key state and no rescan."""
+    import os
+
+    from ..operators.curation import bottomk_sample
+
+    if not batch.take(1):
+        return
+    bottomk_sample(batch, k, id_col=id_col).write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"batch={int(batch_id)}")
+    )
+
+
+def start_sample_sink(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Streaming uniform-sample maintenance: keep a content-addressed
+    bottom-``k`` sample (``operators/curation.py:bottomk_sample``) of
+    an unbounded ingest stream -- the sample-family member of the
+    persisted-store sinks (CMS / heavy hitters / DDSketch / budget
+    ledger / this).  Per-batch-id idempotent overwrites, single
+    writer, compaction via ``optimize_sample_store`` with the stream
+    stopped -- the family contract."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        sample_apply_batch(batch, batch_id, store_dir, k, id_col=id_col)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def load_sample_store(spark, store_dir: str, k: int) -> DataFrame:
+    """The live sample: global bottom-``k`` over every batch's
+    candidate rows (bottom-k of bottom-ks == bottom-k of the union)."""
+    return (
+        spark.read.option("basePath", store_dir)
+        .parquet(store_dir)
+        .drop("batch")
+        .orderBy(F.asc("sample_key"))
+        .limit(k)
+    )
+
+
+def optimize_sample_store(spark, store_dir: str, k: int) -> None:
+    """Compact an ingest-grown sample store to exactly the current
+    ``k`` winners under ``batch=-1`` (displaced candidates can never
+    re-enter -- keys only compete downward -- so dropping them changes
+    no future sample).  rmtree + rename swap, single-writer, stream
+    stopped: the store family contract."""
+    import os
+    import shutil
+
+    merged = load_sample_store(spark, store_dir, k).coalesce(1)
+    tmp = store_dir.rstrip("/") + "__next"
+    merged.write.mode("overwrite").parquet(os.path.join(tmp, "batch=-1"))
+    shutil.rmtree(store_dir)
+    os.rename(tmp, store_dir)
+
+
 def ivf_ingest_apply_batch(
     batch: DataFrame,
     batch_id: int,

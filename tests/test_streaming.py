@@ -1896,3 +1896,38 @@ def test_ivf_ingest_sink_indexes_replays_and_compacts(spark, tmp_path):
 
     with pytest.raises(ValueError, match="streaming ingest segments"):
         ANN.optimize_ivf_index(spark, root, cell_cap=1)
+
+
+def test_sample_sink_maintains_exact_bottomk(spark, tmp_path):
+    """Streaming bottom-k sample: the live view equals the batch
+    bottom-k over everything ingested (min-wise mergeability), replay
+    is idempotent, and compaction changes nothing."""
+    import hashlib
+
+    store = str(tmp_path / "sample_store")
+    schema = "doc_id long, text string"
+    rows = [(i, f"doc {i}") for i in range(60)]
+    b0 = spark.createDataFrame(rows[:30], schema)
+    b1 = spark.createDataFrame(rows[30:], schema)
+    P.sample_apply_batch(b0, 0, store, k=5)
+    P.sample_apply_batch(b1, 1, store, k=5)
+    P.sample_apply_batch(b1, 1, store, k=5)  # crash replay
+
+    def exact(upto):
+        return sorted(
+            (hashlib.md5(str(i).encode()).hexdigest(), i) for i, _ in upto
+        )[:5]
+
+    want = [i for _, i in exact(rows)]
+    got = [r["doc_id"] for r in P.load_sample_store(spark, store, k=5).collect()]
+    assert got == want
+
+    P.optimize_sample_store(spark, store, k=5)
+    got2 = [r["doc_id"] for r in P.load_sample_store(spark, store, k=5).collect()]
+    assert got2 == want
+    # a later batch can still displace members
+    b2 = spark.createDataFrame([(i, f"doc {i}") for i in range(60, 120)], schema)
+    P.sample_apply_batch(b2, 2, store, k=5)
+    want3 = [i for _, i in exact(rows + [(i, None) for i in range(60, 120)])]
+    got3 = [r["doc_id"] for r in P.load_sample_store(spark, store, k=5).collect()]
+    assert got3 == want3

@@ -137,7 +137,13 @@ def append_lsh_index(
     planes = [list(r["w"]) for r in plane_rows]
     bands_udf = _srp_bands_udf(planes, cfg["bands"], cfg["rows_per_band"])
 
-    base = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # Cast to the PERSISTED element type: appending array<double> rows
+    # into an array<float> vectors table would leave mixed parquet
+    # schemas that fail at read time (same guard as append_pq_index).
+    stored_t = spark.read.parquet(_sub(path, "vectors")).schema["vec"].dataType
+    base = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast(stored_t).alias("vec")
+    )
     entries = base.select(
         "id", F.posexplode(bands_udf(F.col("vec"))).alias("band_id", "bucket")
     )
@@ -323,7 +329,11 @@ def append_ivf_index(
     centroids = [(int(r["cell"]), list(r["cv"])) for r in cent_rows]
     assign_cells = _top_cells_udf(centroids, cfg["n_assign"])
 
-    base = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # Same persisted-element-type guard as append_lsh_index/_pq_index.
+    stored_t = spark.read.parquet(_sub(path, "vectors")).schema["vec"].dataType
+    base = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast(stored_t).alias("vec")
+    )
     entries = base.select("id", F.explode(assign_cells(F.col("vec"))).alias("cell"))
     entries.write.mode("append").parquet(_sub(path, "entries"))
     base.write.mode("append").parquet(_sub(path, "vectors"))

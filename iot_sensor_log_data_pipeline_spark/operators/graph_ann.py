@@ -639,10 +639,14 @@ def append_graph_index(
         F.col("query_id").alias("src"),
         F.col("neighbor_id").alias("dst"),
     )
+    # Persisted-element-type guard (same as the ann_index appends):
+    # a double-typed batch must not leave mixed parquet schemas in a
+    # float vectors table.
+    stored_t = spark.read.parquet(_sub(path, "vectors")).schema["vec"].dataType
     base = vectors.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
+        F.col(vec_col).cast(stored_t).alias("vec"),
+        l2_norm(F.col(vec_col).cast(stored_t)).alias("nrm"),
     )
     # Exact (unrounded) scores for the stored edges: recompute from
     # the vectors rather than reusing the probe's display-rounded

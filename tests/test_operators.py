@@ -5041,3 +5041,41 @@ def test_mutual_information_detects_dependence(spark):
         out[("x", "n")]["h_y"]
         - round(-(0.2 * math.log(0.2) + 0.8 * math.log(0.8)), 6)
     ) < 1e-6
+
+
+def test_index_appends_cast_to_stored_element_type(spark, sf_dir, tmp_path):
+    """Appending a double-typed batch into a float-typed index must not
+    leave mixed parquet schemas (read-time FAILED_READ_FILE): every
+    append path casts to the persisted element type.  Covers LSH, IVF,
+    and graph appends (the PQ path is covered in its own test)."""
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as ANN
+    from iot_sensor_log_data_pipeline_spark.operators import graph_ann as GA
+
+    emb = load(spark, sf_dir, "embeddings").limit(100)
+    q0 = [float(x) for x in emb.where("vec_id = 0").head()["embedding"]]
+    extra = spark.createDataFrame(
+        [(30_000_000, [x * 1.0001 for x in q0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.where(F.col("vec_id") < 2)
+
+    lsh_root = str(tmp_path / "lsh")
+    ANN.build_lsh_index(emb, lsh_root, bands=8, rows_per_band=4,
+                        planes=SIM.hash_hyperplanes(32, dim=64))
+    ANN.append_lsh_index(extra, lsh_root)
+    assert ANN.query_lsh_index(spark, lsh_root, queries, k=5).count() > 0
+
+    ivf_root = str(tmp_path / "ivf")
+    ANN.build_ivf_index(emb, ivf_root, n_cells=8, n_assign=2,
+                        centroids=SIM.seed_centroids(emb, 8))
+    ANN.append_ivf_index(extra, ivf_root)
+    assert (
+        ANN.query_ivf_index(spark, ivf_root, queries, k=5, n_probe=4)
+        .where("query_id = 0 AND rank = 1").head()["neighbor_id"] == 30_000_000
+    )
+
+    g_root = str(tmp_path / "graph")
+    GA.build_graph_index(emb, g_root, k=4, n_iter=1)
+    GA.append_graph_index(extra, g_root)
+    assert GA.query_graph_index(spark, g_root, queries, k=5).count() > 0

@@ -95,6 +95,14 @@ HEADLINE: tuple[str, ...] = (
     "corpus_quality_threshold_sweep",
     # round 8: sequential recurrence-with-reset (grouped Arrow fold)
     "anomaly_cusum_shifts",
+    # round 9: pinned hub graph build + unchanged beam-search probe
+    "similarity_graph_seed_ann",
+    # round 9: persisted PQ build + compressed-code ADC probe
+    "similarity_persisted_pq_ann",
+    # round 9: OPQ rotation (covariance -> eigh -> LPT allocation) + ADC
+    "similarity_opq_adc_ann",
+    # round 9: content-addressed bottom-k sample (TakeOrdered shape)
+    "corpus_content_sample",
 )
 
 
@@ -131,10 +139,15 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str,
             emb, queries, k=k, n_codes=256,
             codebooks=SIM.pq_codebooks(emb, m=8, k=256), rerank=100)),
         # OPQ-lite (round 9): eigenvalue-allocated PCA rotation before
-        # the SAME seed-codebook/rerank geometry as "pq" -- the delta
-        # between these two lines IS the rotation's recall value
-        # (rotation preserves L2, so both compare against the same
-        # exact ground truth).
+        # the SAME Lloyd/rerank geometry as "pq" -- the delta between
+        # these two lines is the rotation's recall effect ON THIS
+        # CORPUS.  Caveat: the synthetic bench embeddings are
+        # near-isotropic (eigenvalue ratio ~1.9), so the rotation has
+        # nothing to decorrelate here and can land at or slightly
+        # below raw PQ; its win case -- correlated, steep-spectrum
+        # vectors, the shape real encoders emit -- is pinned in
+        # test_opq_rotation_beats_raw_pq_on_anisotropic_data
+        # (0.98 vs 0.88 at a 100:1 spectrum).
         ("opq", lambda: SIM.opq_adc_topk(
             emb, queries, k=k, n_codes=256, rerank=100, lloyd=True)),
         # graph path: NN-descent build + beam-search probe (round 5) --

@@ -724,7 +724,15 @@ def pq_adc_topk(
     rank), ascending distance, self-matches excluded.
     """
     if codebooks is None:
-        codebooks = pq_seed_codebooks(vectors, m=m, k=n_codes, id_col=id_col, vec_col=vec_col)
+        # Derive dim from the data (bounded head() pull, the knn_graph
+        # pattern): the trainer's dim default is the corpus constant,
+        # and training 32-dim vectors under dim=64 would hand subspace
+        # 0 the whole vector and the rest empty slices.
+        sample = vectors.select(vec_col).head()
+        data_dim = len(sample[0]) if sample is not None else m
+        codebooks = pq_seed_codebooks(
+            vectors, m=m, k=n_codes, dim=data_dim, id_col=id_col, vec_col=vec_col
+        )
     codes_udf = _pq_codes_udf(codebooks)
     qdists_udf = _pq_query_dists_udf(codebooks)
 
@@ -1346,7 +1354,9 @@ def opq_adc_topk(
         vec_col=vec_col,
         m=m,
         n_codes=n_codes,
-        codebooks=train(rv, m=m, k=n_codes, id_col=id_col, vec_col=vec_col),
+        codebooks=train(
+            rv, m=m, k=n_codes, dim=dim, id_col=id_col, vec_col=vec_col
+        ),
         rerank=rerank,
     )
 

@@ -3893,6 +3893,48 @@ def test_opq_rotation_orthogonal_balanced_and_stable(spark, sf_dir):
     assert out.columns == ["query_id", "neighbor_id", "l2_dist", "rank"]
 
 
+def test_opq_rotation_beats_raw_pq_on_anisotropic_data(spark):
+    """The value proposition: on CORRELATED, anisotropic vectors (a
+    random rotation of a steep 100:1 spectrum -- the shape real
+    encoder embeddings have), the eigenvalue-allocated rotation must
+    beat raw PQ recall at identical quantizer geometry.  Also the
+    regression test for the dim-forwarding bug where a 16-dim corpus
+    trained codebooks under the 64-dim default (subspace 0 got the
+    whole vector, the rest empty slices).  Ground truth is exact L2 --
+    the metric PQ ranks by."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim, m, n = 16, 4, 1200
+    Q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+    X = rng.standard_normal((n, dim)) @ np.diag(np.geomspace(10.0, 0.1, dim)) @ Q.T
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.where(F.col("vec_id") < 5)
+    truth = {}
+    for q in range(5):
+        ex = ((X - X[q]) ** 2).sum(-1)
+        ex[q] = np.inf
+        truth[q] = {int(i) for i in np.argsort(ex)[:10]}
+
+    def recall(out):
+        return sum(
+            1 for r in out.collect() if r["neighbor_id"] in truth[r["query_id"]]
+        ) / 50
+
+    pq = recall(SIM.pq_adc_topk(
+        df, queries, k=10, m=m, n_codes=32,
+        codebooks=SIM.pq_seed_codebooks(df, m=m, k=32, dim=dim), rerank=40,
+    ))
+    opq = recall(SIM.opq_adc_topk(
+        df, queries, k=10, m=m, n_codes=32, rerank=40, dim=dim,
+    ))
+    assert opq > pq, (opq, pq)          # measured 0.98 vs 0.88
+    assert opq >= 0.9, opq
+
+
 def test_embedding_covariance_survives_large_means(spark):
     """Catastrophic-cancellation regression: large-magnitude (1e4)
     near-zero-covariance columns are exactly the data where the

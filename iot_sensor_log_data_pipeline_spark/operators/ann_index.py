@@ -175,7 +175,7 @@ def query_lsh_index(
         F.col(vec_col).alias("query_vec"),
         F.posexplode(bands_udf(F.col(vec_col))).alias("band_id", "bucket"),
     )
-    entries = spark.read.parquet(_sub(path, "entries"))
+    entries = _read_with_segments(spark, path, "entries")
     cand = (
         entries.join(F.broadcast(qb), ["band_id", "bucket"])
         .where(F.col("id") != F.col("query_id"))
@@ -183,7 +183,7 @@ def query_lsh_index(
         .agg(F.first("query_vec").alias("query_vec"))
         .select("query_id", F.col("id").alias("neighbor_id"), "query_vec")
     )
-    vecs = spark.read.parquet(_sub(path, "vectors")).select(
+    vecs = _read_with_segments(spark, path, "vectors").select(
         F.col("id").alias("neighbor_id"), "vec"
     )
     scored = cand.join(vecs, "neighbor_id").select(
@@ -232,22 +232,21 @@ def _top_cells_udf_from_path(spark: SparkSession, path: str):
     return _top_cells_udf(centroids, int(cfg["n_assign"])), stored_t
 
 
-def optimize_ivf_stream_segments(spark: SparkSession, path: str) -> None:
-    """Compact the streaming segment trees of an ingest-fed IVF index:
-    fold ``entries_stream/batch=*`` and ``vectors_stream/batch=*``
-    each into a single ``batch=-1`` tree (rows just concatenate --
-    segments carry no aggregation state), so the probe-side union
-    scans one file set however long the stream has run.  Each tree
-    swaps independently (rmtree + rename, the optimize-family
-    contract): they are separate append-only stores, so a crash
-    between the two swaps leaves both self-consistent.  The MAIN
-    tables are never touched -- absorbing segments into them would
-    need a cross-directory atomic swap the filesystem cannot give us;
-    the union read makes absorption unnecessary.  Single-writer,
-    stream stopped."""
+def optimize_stream_segments(spark: SparkSession, path: str) -> None:
+    """Compact the streaming segment trees of an ingest-fed index
+    (any kind): fold every ``<table>_stream/batch=*`` tree into a
+    single ``batch=-1`` tree (rows just concatenate -- segments carry
+    no aggregation state), so the probe-side union scans one file set
+    however long the stream has run.  Each tree swaps independently
+    (rmtree + rename, the optimize-family contract): they are
+    separate append-only stores, so a crash between swaps leaves
+    every tree self-consistent.  The MAIN tables are never touched --
+    absorbing segments into them would need a cross-directory atomic
+    swap the filesystem cannot give us; the union read makes
+    absorption unnecessary.  Single-writer, stream stopped."""
     import shutil
 
-    for name in ("entries_stream", "vectors_stream"):
+    for name in ("entries_stream", "vectors_stream", "codes_stream"):
         seg_dir = _sub(path, name)
         if not os.path.exists(seg_dir):
             continue
@@ -260,6 +259,10 @@ def optimize_ivf_stream_segments(spark: SparkSession, path: str) -> None:
         )
         shutil.rmtree(seg_dir)
         os.rename(tmp, seg_dir)
+
+
+#: Back-compat alias (round-9 name before the sink went family-wide).
+optimize_ivf_stream_segments = optimize_stream_segments
 
 
 def build_ivf_index(
@@ -749,7 +752,7 @@ def query_pq_index(
         (F.col("flat_idx") % n_codes).alias("code"),
         "d2",
     )
-    codes = spark.read.parquet(_sub(path, "codes")).select(
+    codes = _read_with_segments(spark, path, "codes").select(
         F.col("id").alias("neighbor_id"),
         F.posexplode(F.col("codes")).alias("subspace", "code"),
     )
@@ -781,7 +784,7 @@ def query_pq_index(
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
-    nv = spark.read.parquet(_sub(path, "vectors")).select(
+    nv = _read_with_segments(spark, path, "vectors").select(
         F.col("id").alias("neighbor_id"), "vec"
     )
     l2 = F.aggregate(

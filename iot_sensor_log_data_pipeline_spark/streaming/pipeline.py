@@ -1419,65 +1419,110 @@ def optimize_sample_store(spark, store_dir: str, k: int) -> None:
     os.rename(tmp, store_dir)
 
 
-def ivf_ingest_apply_batch(
+def index_ingest_apply_batch(
     batch: DataFrame,
     batch_id: int,
     index_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    """One micro-batch of the streaming IVF index ingest sink: encode
-    the arriving vectors against the index's PERSISTED centroids
-    (frozen quantizer -- cell routing never drifts between build and
-    ingest, the ``append_ivf_index`` contract) and write the batch's
-    postings and re-rank vectors as whole-directory OVERWRITES of
-    ``entries_stream/batch=<id>/`` and ``vectors_stream/batch=<id>/``
-    under the index root -- the per-batch-id idempotent segment layout
-    every persisted store here uses (a replayed batch rewrites its own
-    directories, in any crash order).  The probe path unions the
-    stream segments with the built tables automatically
-    (``ann_index.query_ivf_index``), so a vector is findable the
+    """One micro-batch of the streaming index ingest sink, dispatching
+    on the index's persisted ``kind`` (lsh / ivf / pq): encode the
+    arriving vectors against the index's PERSISTED quantizer state
+    (planes / centroids / codebooks+rotation -- frozen, the append-*
+    contract: routing never drifts between build and ingest) and
+    write the batch's encoded rows and re-rank vectors as
+    whole-directory OVERWRITES of ``<table>_stream/batch=<id>/``
+    under the index root -- the per-batch-id idempotent segment
+    layout every persisted store here uses (a replayed batch rewrites
+    its own directories, in any crash order).  The probe paths union
+    the stream segments with the built tables automatically
+    (``ann_index._read_with_segments``), so a vector is findable the
     micro-batch after it arrives; caller contract: ids disjoint from
     everything already indexed (ingest never dedups -- put a dedup
-    gate upstream).  Vectors are cast to the PERSISTED element type so
-    a double-typed stream cannot corrupt a float table."""
+    gate upstream).  Vectors are cast to the PERSISTED element type
+    so a double-typed stream cannot corrupt a float table."""
     import os
 
-    from ..operators.ann_index import _sub, _top_cells_udf_from_path
+    from ..operators import ann_index as AI
 
     if not batch.take(1):
         return
     spark = batch.sparkSession
-    assign_cells, stored_t = _top_cells_udf_from_path(spark, index_path)
+    cfg = spark.read.parquet(AI._sub(index_path, "config")).collect()[0]
+    kind = cfg["kind"]
+
+    def seg(table: str) -> str:
+        return os.path.join(
+            AI._sub(index_path, f"{table}_stream"), f"batch={int(batch_id)}"
+        )
+
+    stored_t = spark.read.parquet(AI._sub(index_path, "vectors")).schema[
+        "vec"
+    ].dataType
     base = batch.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast(stored_t).alias("vec")
     ).localCheckpoint(eager=True)  # one computation, two writes
-    base.select("id", F.explode(assign_cells(F.col("vec"))).alias("cell")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(_sub(index_path, "entries_stream"), f"batch={int(batch_id)}"))
-    base.write.mode("overwrite").parquet(
-        os.path.join(_sub(index_path, "vectors_stream"), f"batch={int(batch_id)}")
-    )
+
+    if kind == "ivf":
+        assign_cells, _ = AI._top_cells_udf_from_path(spark, index_path)
+        base.select(
+            "id", F.explode(assign_cells(F.col("vec"))).alias("cell")
+        ).write.mode("overwrite").parquet(seg("entries"))
+        base.write.mode("overwrite").parquet(seg("vectors"))
+    elif kind == "lsh":
+        from ..operators.similarity import _srp_bands_udf
+
+        plane_rows = (
+            spark.read.parquet(AI._sub(index_path, "planes"))
+            .orderBy("plane_id")
+            .collect()
+        )
+        planes = [list(r["w"]) for r in plane_rows]
+        bands_udf = _srp_bands_udf(planes, cfg["bands"], cfg["rows_per_band"])
+        base.select(
+            "id", F.posexplode(bands_udf(F.col("vec"))).alias("band_id", "bucket")
+        ).write.mode("overwrite").parquet(seg("entries"))
+        base.write.mode("overwrite").parquet(seg("vectors"))
+    elif kind == "pq":
+        from ..operators.similarity import _apply_projection, _pq_codes_udf
+
+        _, codebooks, rotation = AI._load_pq_meta(spark, index_path)
+        enc_src = base
+        if rotation is not None:
+            mu, R = rotation
+            enc_src = _apply_projection(
+                base, mu, R, id_col="id", vec_col="vec"
+            ).localCheckpoint(eager=True)
+        codes_udf = _pq_codes_udf(codebooks)
+        enc_src.select("id", codes_udf(F.col("vec")).alias("codes")).write.mode(
+            "overwrite"
+        ).parquet(seg("codes"))
+        base.write.mode("overwrite").parquet(seg("vectors"))
+    else:
+        raise ValueError(f"no streaming ingest for index kind {kind!r}")
 
 
-def start_ivf_ingest_sink(
+def start_index_ingest_sink(
     stream_vectors: DataFrame,
     index_path: str,
     checkpoint: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> StreamingQuery:
-    """Streaming index maintenance: keep a persisted IVF index CURRENT
-    from an unbounded embedding stream -- the ingest-side complement of
-    ``ann_match_stream`` (which probes; this one indexes).  Semantics,
-    segment layout, and replay contract in ``ivf_ingest_apply_batch``;
-    compact the grown segment trees with
-    ``ann_index.optimize_ivf_stream_segments`` (stream stopped,
-    single-writer -- the family contract), and re-balance hot cells
-    with ``optimize_ivf_index`` as usual."""
+    """Streaming index maintenance for the whole persisted ANN family
+    (lsh / ivf / pq, dispatched on the index's own config): keep a
+    persisted index CURRENT from an unbounded embedding stream -- the
+    ingest-side complement of ``ann_match_stream`` (which probes; this
+    one indexes).  Semantics, segment layout, and replay contract in
+    ``index_ingest_apply_batch``; compact the grown segment trees with
+    ``ann_index.optimize_stream_segments`` (stream stopped,
+    single-writer -- the family contract), and re-balance IVF hot
+    cells with ``optimize_ivf_index`` as usual (it refuses while
+    segments exist)."""
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        ivf_ingest_apply_batch(
+        index_ingest_apply_batch(
             batch, batch_id, index_path, id_col=id_col, vec_col=vec_col
         )
 
@@ -1487,6 +1532,11 @@ def start_ivf_ingest_sink(
         .outputMode("append")
         .start()
     )
+
+
+#: Back-compat aliases (round-9 names before the sink went family-wide).
+ivf_ingest_apply_batch = index_ingest_apply_batch
+start_ivf_ingest_sink = start_index_ingest_sink
 
 
 def with_observed_quality(

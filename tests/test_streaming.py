@@ -1931,3 +1931,45 @@ def test_sample_sink_maintains_exact_bottomk(spark, tmp_path):
     want3 = [i for _, i in exact(rows + [(i, None) for i in range(60, 120)])]
     got3 = [r["doc_id"] for r in P.load_sample_store(spark, store, k=5).collect()]
     assert got3 == want3
+
+
+def test_index_ingest_sink_dispatches_lsh_and_pq(spark, tmp_path):
+    """The family-wide ingest dispatcher: LSH and PQ indexes also
+    absorb streamed vectors via segments, the probes see them, and
+    segment compaction preserves results."""
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as ANN
+    from iot_sensor_log_data_pipeline_spark.operators import similarity as SIM
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 2)
+    q0 = [float(x) for x in emb.where("vec_id = 0").head()["embedding"]]
+    new_id = 40_000_000
+    extra = spark.createDataFrame(
+        [(new_id, [x * 1.0001 for x in q0])], "vec_id long, embedding array<double>"
+    )
+
+    lsh_root = str(tmp_path / "lsh")
+    ANN.build_lsh_index(emb, lsh_root, bands=8, rows_per_band=4,
+                        planes=SIM.hash_hyperplanes(32, dim=64))
+    P.index_ingest_apply_batch(extra, 0, lsh_root)
+    got = ANN.query_lsh_index(spark, lsh_root, queries, k=5)
+    assert got.where("query_id = 0 AND rank = 1").head()["neighbor_id"] == new_id
+
+    pq_root = str(tmp_path / "pq")
+    ANN.build_pq_index(emb, pq_root, m=8, n_codes=16,
+                       codebooks=SIM.pq_seed_codebooks(emb, m=8, k=16))
+    P.index_ingest_apply_batch(extra, 0, pq_root)
+    got = ANN.query_pq_index(spark, pq_root, queries, k=5, rerank=20)
+    assert got.where("query_id = 0 AND rank = 1").head()["neighbor_id"] == new_id
+
+    ANN.optimize_stream_segments(spark, lsh_root)
+    ANN.optimize_stream_segments(spark, pq_root)
+    assert (
+        ANN.query_lsh_index(spark, lsh_root, queries, k=5)
+        .where("query_id = 0 AND rank = 1").head()["neighbor_id"] == new_id
+    )
+    assert (
+        ANN.query_pq_index(spark, pq_root, queries, k=5, rerank=20)
+        .where("query_id = 0 AND rank = 1").head()["neighbor_id"] == new_id
+    )

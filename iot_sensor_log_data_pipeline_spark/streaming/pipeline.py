@@ -238,6 +238,96 @@ def start_cdc_merge_sink(
     )
 
 
+def start_scd2_sink(
+    changes: DataFrame,
+    dim_dir: str,
+    keys: list[str],
+    compare_cols: list[str],
+    effective_ts_col: str,
+    checkpoint: str,
+):
+    """Streaming SCD Type-2 maintenance: each micro-batch of dimension
+    changes closes the affected current rows (``valid_to`` = change
+    ts) and appends new current versions via ``operators.scd.
+    scd2_apply`` inside ``foreachBatch`` -- the history-keeping sibling
+    of ``start_cdc_merge_sink`` (which keeps only latest-wins state).
+
+    Replay idempotency comes from SCD2's own semantics, not a ledger:
+    when the table already reflects a batch, replaying it finds every
+    changed key's current row EQUAL to the incoming values (-> classed
+    'unchanged', nothing closes or opens) and every insert key already
+    present (-> anti-join drops it), so a crash between write and
+    checkpoint commit replays to the identical table.  Within a batch,
+    the highest-``effective_ts_col`` row per key wins before the apply
+    (sub-batch intermediate versions collapse -- use a smaller trigger
+    when every intermediate version must be kept; ties broken by the
+    row's compare tuple for determinism).  Same single-writer,
+    explicit-schema, fail-don't-truncate, and two-phase-swap contracts
+    as the CDC sink."""
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        scd2_sink_apply_batch(
+            batch, batch_id, dim_dir, keys, compare_cols, effective_ts_col
+        )
+
+    return (
+        changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+
+
+def scd2_sink_apply_batch(
+    batch: DataFrame,
+    batch_id: int,
+    dim_dir: str,
+    keys: list[str],
+    compare_cols: list[str],
+    effective_ts_col: str,
+) -> None:
+    """One micro-batch of ``start_scd2_sink`` -- module-level so the
+    replay-idempotency and bootstrap contracts are directly testable
+    (the ``cms_apply_batch`` convention)."""
+    import os
+    import shutil
+
+    from ..operators.scd import OPEN_END, scd2_apply
+
+    if not batch.take(1):
+        return
+    spark = batch.sparkSession
+
+    def bootstrap(latest: DataFrame) -> DataFrame:
+        return latest.select(
+            *keys,
+            *compare_cols,
+            F.col(effective_ts_col).alias("valid_from"),
+            F.lit(OPEN_END).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(effective_ts_col), *[F.desc(c) for c in compare_cols]
+    )
+    latest = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if os.path.isdir(dim_dir):
+        # Explicit schema (the CDC sink's failure contract): drift or
+        # unreadable files fail the batch for a checkpointed retry
+        # instead of truncating the history.
+        dim = spark.read.schema(bootstrap(latest).schema).parquet(dim_dir)
+        merged = scd2_apply(dim, latest, keys, compare_cols, effective_ts_col)
+    else:
+        merged = bootstrap(latest)
+    tmp = f"{dim_dir}__next_{batch_id}"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(dim_dir, ignore_errors=True)
+    shutil.move(tmp, dim_dir)
+
+
 def near_dup_match_stream(
     stream_docs: DataFrame,
     corpus_bands: DataFrame,

@@ -1973,3 +1973,51 @@ def test_index_ingest_sink_dispatches_lsh_and_pq(spark, tmp_path):
         ANN.query_pq_index(spark, pq_root, queries, k=5, rerank=20)
         .where("query_id = 0 AND rank = 1").head()["neighbor_id"] == new_id
     )
+
+
+def test_scd2_sink_keeps_history_and_replays_idempotently(spark, tmp_path):
+    """Streaming SCD2: (1) first batch bootstraps the dim, (2) a value
+    change closes the old version and opens a new current one, (3)
+    replaying a batch (crash recovery) changes nothing -- SCD2's own
+    semantics make the apply idempotent, (4) in-batch multi-versions
+    collapse to the latest, (5) a no-op update opens no version."""
+    from datetime import datetime
+
+    dim = str(tmp_path / "scd2_dim")
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    schema = "cust_id long, segment string, eff_ts timestamp"
+    args = (["cust_id"], ["segment"], "eff_ts")
+
+    b0 = spark.createDataFrame(
+        [(1, "bronze", ts("2024-01-01T00:00:00")),
+         (2, "silver", ts("2024-01-01T00:00:00"))], schema)
+    P.scd2_sink_apply_batch(b0, 0, dim, *args)
+    rows = {(r["cust_id"], r["segment"], r["is_current"])
+            for r in spark.read.parquet(dim).collect()}
+    assert rows == {(1, "bronze", True), (2, "silver", True)}
+
+    # batch 1: cust 1 changes twice in-batch (collapses to gold),
+    # cust 2 re-sends its current value (no-op), cust 3 inserts.
+    b1 = spark.createDataFrame(
+        [(1, "silver", ts("2024-02-01T00:00:00")),
+         (1, "gold", ts("2024-03-01T00:00:00")),
+         (2, "silver", ts("2024-03-01T00:00:00")),
+         (3, "bronze", ts("2024-03-01T00:00:00"))], schema)
+    P.scd2_sink_apply_batch(b1, 1, dim, *args)
+
+    def state():
+        return sorted(
+            (r["cust_id"], r["segment"], str(r["valid_from"]),
+             str(r["valid_to"]), r["is_current"])
+            for r in spark.read.parquet(dim).collect()
+        )
+
+    after = state()
+    cur = {(c, s) for c, s, _, _, curr in after if curr}
+    assert cur == {(1, "gold"), (2, "silver"), (3, "bronze")}
+    closed = [r for r in after if r[0] == 1 and not r[4]]
+    assert len(closed) == 1 and closed[0][3].startswith("2024-03-01")
+    assert len([r for r in after if r[0] == 2]) == 1  # no-op: one version
+
+    P.scd2_sink_apply_batch(b1, 1, dim, *args)  # crash replay
+    assert state() == after

@@ -833,3 +833,46 @@ def hash_embedding(
     return dense.where(
         F.exists(F.col(out_col), lambda v: v != 0.0)
     )
+
+
+#: Apache/nginx Common Log Format line shape: host, identd, user,
+#: [timestamp], "METHOD path protocol", status, bytes ('-' = none).
+CLF_PATTERN = (
+    r'^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) ([^"]*)" (\d{3}) (\d+|-)$'
+)
+
+
+def parse_common_log(line: Column | str) -> Column:
+    """Parse an Apache/nginx Common-Log-Format line into a typed
+    struct -- the grok-style extraction every log-analytics ingest
+    starts with, as ONE pure-codegen expression (nine
+    ``regexp_extract`` groups over a shared anchored pattern; Catalyst
+    collapses them into a single regex program per row, no UDF, no
+    Python).  Unparseable lines yield a struct of nulls/empty fields
+    (``host`` empty) rather than an error -- route them to a dead-letter
+    filter with ``parsed.host = ''``.
+
+    Fields: host, identd, user, ts_raw (the bracketed timestamp text,
+    left raw -- timezone-offset parsing is the caller's locale
+    decision), method, path, protocol, status int, n_bytes long
+    (NULL for the CLF ``-`` no-content marker).
+    """
+    c = F.col(line) if isinstance(line, str) else line
+
+    def g(i: int) -> Column:
+        return F.regexp_extract(c, CLF_PATTERN, i)
+
+    return F.struct(
+        g(1).alias("host"),
+        g(2).alias("identd"),
+        g(3).alias("user"),
+        g(4).alias("ts_raw"),
+        g(5).alias("method"),
+        g(6).alias("path"),
+        g(7).alias("protocol"),
+        F.nullif(g(8), F.lit("")).cast("int").alias("status"),
+        F.when(g(9) == "-", F.lit(None))
+        .otherwise(F.nullif(g(9), F.lit("")))
+        .cast("long")
+        .alias("n_bytes"),
+    )

@@ -241,3 +241,52 @@ def cusum_alarms(
         return out
 
     return base.groupBy(*group_cols).applyInPandas(fold, schema)
+
+
+def seasonal_residual_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    series_col: str = "event_type",
+    threshold: float = 3.0,
+):
+    """Seasonal-baseline residual anomaly scoring: per (series,
+    hour-of-day) mean/std baseline, residual z = (x - mu) / sigma,
+    flagged at ``|z| >= threshold`` -- the detector diurnal telemetry
+    actually needs: a reading normal at 14:00 can be an outlier at
+    03:00, and a GLOBAL z-score (``anomaly_rolling_zscore``'s frame,
+    ``anomaly_robust_zscore``'s corpus stats) averages the cycle away
+    in both the mean AND the inflated sigma.  The additive
+    seasonal-decomposition special case with a cyclic seasonal index
+    -- STL's job when the period is known a priori.
+
+    Scale shape: ONE hash agg over (series x 24) keys -- the baseline
+    table is seasonality-sized, never corpus-sized -- broadcast back
+    for the in-row residual; no window, no shuffle of the facts beyond
+    the agg's partial/final exchange.  Returns every row with
+    ``season_hour / baseline_mean / residual_z / is_anomaly``; filter
+    or threshold downstream.
+    """
+    hod = F.hour(F.col(ts_col))
+    base = (
+        df.groupBy(F.col(series_col).alias("__s"), hod.alias("__h"))
+        .agg(
+            F.avg(value_col).alias("baseline_mean"),
+            F.stddev_pop(value_col).alias("__sd"),
+        )
+    )
+    z = (F.col(value_col) - F.col("baseline_mean")) / F.col("__sd")
+    return (
+        df.join(
+            F.broadcast(base),
+            (F.col(series_col) == F.col("__s")) & (hod == F.col("__h")),
+        )
+        .where(F.col("__sd") > 0)
+        .select(
+            "*",
+            hod.alias("season_hour"),
+            z.alias("residual_z"),
+            (F.abs(z) >= F.lit(float(threshold))).alias("is_anomaly"),
+        )
+        .drop("__s", "__h", "__sd")
+    )

@@ -66,7 +66,7 @@ _QUERY_MODULES = (
 #: (c) the 33 round-3-stale rows bumped from the round-8 window,
 #: externally unconfirmed across five rounds of engine evolution;
 #: (d) the stalest round-4 rows that still fit.
-#: 6+5+33+6 = 50, one full window.
+#: 6+7+33+4 = 50, one full window.
 #: Remaining by-design rows-only queries (``agg_approx_sketches``,
 #: ``similarity_ivf_ann``) stay out: they already hold external
 #: `no_oracle` rows (r1/r3), so another adds no information.
@@ -87,6 +87,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_graph_seed_ann",
     "similarity_persisted_pq_ann",
     "corpus_content_sample",
+    "anomaly_seasonal_residual",
+    "logs_clf_parse_roundtrip",
     "similarity_graph_ann",
     "similarity_opq_adc_ann",
     # (c) the 33 round-3-stale rows (externally green last in r3)
@@ -128,8 +130,6 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "scd2_point_in_time_join",
     "profile_psi_drift",
     "quality_iqr_outliers",
-    "quality_referential_checks",
-    "dedup_exact_documents",
 )
 
 #: Round-10 rotation plan: (a) anything new in round 10 plus

@@ -892,6 +892,135 @@ def anomaly_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "logs_clf_parse_roundtrip",
+    oracle=r"""
+    WITH lines AS (
+      SELECT printf('10.0.%d.%d - user%d [%s +0000] "GET /api/%s HTTP/1.1" %d %s',
+                    user_id % 250, event_id % 250, user_id,
+                    strftime(ts, '%d/%b/%Y:%H:%M:%S'),
+                    event_type,
+                    200 + (event_id % 3) * 100,
+                    CASE WHEN event_id % 10 = 0 THEN '-'
+                         ELSE CAST(CAST(floor(abs(value) * 100) AS BIGINT)
+                                   AS VARCHAR) END) AS line
+      FROM events
+    ),
+    p AS (
+      SELECT regexp_extract(line,
+               '^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) ([^"]*)" (\d{3}) (\d+|-)$',
+               6) AS path,
+             CAST(regexp_extract(line,
+               '^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) ([^"]*)" (\d{3}) (\d+|-)$',
+               8) AS INT) AS status,
+             CASE WHEN regexp_extract(line,
+               '^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) ([^"]*)" (\d{3}) (\d+|-)$',
+               9) = '-' THEN NULL
+             ELSE CAST(regexp_extract(line,
+               '^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) ([^"]*)" (\d{3}) (\d+|-)$',
+               9) AS BIGINT) END AS n_bytes
+      FROM lines
+    )
+    SELECT path, status,
+           count(*) AS n_requests,
+           CAST(coalesce(sum(n_bytes), 0) AS BIGINT) AS total_bytes,
+           CAST(sum(CASE WHEN n_bytes IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_no_content
+    FROM p GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("reference", "logs", "parsing"),
+)
+def logs_clf_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Log-Format parse roundtrip
+    (``operators/text.py:parse_common_log``): events are formatted as
+    CLF access-log lines JVM-side (deterministic host/user/status/
+    bytes derivations, '-' no-content markers included), parsed back
+    through the grok-style nine-group regex struct, and aggregated per
+    (path, status) -- the scan-side extraction every log-analytics
+    ingest runs first, proven against DuckDB replaying the identical
+    format + regex + aggregate.  Pure codegen end to end: one regex
+    program per row, no UDF."""
+    from ..operators.text import parse_common_log
+
+    ev = load(spark, sf_dir, "events")
+    bytes_s = (
+        F.when(F.col("event_id") % 10 == 0, F.lit("-"))
+        .otherwise(
+            F.floor(F.abs(F.col("value")) * 100).cast("long").cast("string")
+        )
+    )
+    line = F.format_string(
+        '10.0.%d.%d - user%d [%s +0000] "GET /api/%s HTTP/1.1" %d %s',
+        F.col("user_id") % 250,
+        F.col("event_id") % 250,
+        F.col("user_id"),
+        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"),
+        F.col("event_type"),
+        (F.lit(200) + (F.col("event_id") % 3) * 100).cast("int"),
+        bytes_s,
+    )
+    parsed = ev.select(parse_common_log(line).alias("p"))
+    return (
+        parsed.groupBy(
+            F.col("p.path").alias("path"), F.col("p.status").alias("status")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.coalesce(F.sum("p.n_bytes"), F.lit(0)).alias("total_bytes"),
+            F.sum(F.col("p.n_bytes").isNull().cast("long")).alias("n_no_content"),
+        )
+        .orderBy("path", "status")
+    )
+
+
+@register(
+    "anomaly_seasonal_residual",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS h,
+             avg(value) AS mu, stddev_pop(value) AS sd
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_type, e.event_id, e.value,
+           CAST(EXTRACT(hour FROM e.ts) AS INT) AS season_hour,
+           round((e.value - b.mu) / b.sd, 4) AS residual_z
+    FROM events e
+    JOIN base b ON e.event_type = b.event_type
+               AND EXTRACT(hour FROM e.ts) = b.h
+    WHERE b.sd > 0
+    ORDER BY abs((e.value - b.mu) / b.sd) DESC, e.event_id
+    LIMIT 100
+    """,
+    tags=("reference", "timeseries", "anomaly", "seasonal"),
+)
+def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline residual anomalies
+    (``operators/timeseries.py:seasonal_residual_anomalies``): per
+    (series, hour-of-day) mean/std baseline, residual z-score, top-100
+    by |z| -- the detector diurnal telemetry needs, where a reading
+    normal at 14:00 is an outlier at 03:00 and a global z-score
+    averages the cycle into both the mean and an inflated sigma.  The
+    baseline table is series x 24 rows (seasonality-sized, broadcast)
+    whatever the corpus size; one hash agg + one in-row residual."""
+    from ..operators.timeseries import seasonal_residual_anomalies
+
+    events = load(spark, sf_dir, "events")
+    scored = seasonal_residual_anomalies(
+        events, ts_col="ts", value_col="value", series_col="event_type"
+    )
+    return (
+        scored.orderBy(F.abs(F.col("residual_z")).desc(), "event_id")
+        .limit(100)
+        .select(
+            "event_type",
+            "event_id",
+            "value",
+            F.col("season_hour").cast("int").alias("season_hour"),
+            F.round("residual_z", 4).alias("residual_z"),
+        )
+    )
+
+
+@register(
     "copurchase_triangles",
     oracle="""
     WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

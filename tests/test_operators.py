@@ -5121,3 +5121,59 @@ def test_index_appends_cast_to_stored_element_type(spark, sf_dir, tmp_path):
     GA.build_graph_index(emb, g_root, k=4, n_iter=1)
     GA.append_graph_index(extra, g_root)
     assert GA.query_graph_index(spark, g_root, queries, k=5).count() > 0
+
+
+def test_parse_common_log_fields_and_dead_letter(spark):
+    """CLF parser: a well-formed line extracts every typed field
+    ('-' bytes -> NULL), a malformed line yields the empty-host
+    dead-letter struct instead of raising."""
+    from iot_sensor_log_data_pipeline_spark.operators.text import parse_common_log
+
+    df = spark.createDataFrame(
+        [
+            (1, '127.0.0.1 - frank [10/Oct/2000:13:55:36 +0000] '
+                '"GET /apache_pb.gif HTTP/1.0" 200 2326'),
+            (2, '10.1.1.1 - - [10/Oct/2000:13:55:36 +0000] '
+                '"POST /submit HTTP/1.1" 404 -'),
+            (3, "totally not a log line"),
+        ],
+        "id long, line string",
+    )
+    rows = {r["id"]: r["p"] for r in
+            df.select("id", parse_common_log("line").alias("p")).collect()}
+    ok = rows[1]
+    assert (ok["host"], ok["user"], ok["method"], ok["path"],
+            ok["protocol"], ok["status"], ok["n_bytes"]) == (
+        "127.0.0.1", "frank", "GET", "/apache_pb.gif", "HTTP/1.0", 200, 2326)
+    assert rows[2]["n_bytes"] is None and rows[2]["status"] == 404
+    assert rows[3]["host"] == "" and rows[3]["status"] is None
+
+
+def test_seasonal_residual_flags_off_cycle_reading(spark):
+    """Planted diurnal cycle: a value normal at its OWN hour's level
+    but far from another hour's baseline is flagged only when it
+    appears at the wrong hour; global z-scoring would miss it."""
+    from datetime import datetime, timedelta
+
+    from iot_sensor_log_data_pipeline_spark.operators.timeseries import (
+        seasonal_residual_anomalies,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    i = 0
+    for day in range(20):
+        for hour, level in ((3, 10.0), (14, 100.0)):
+            rows.append((i, base + timedelta(days=day, hours=hour),
+                         level + (i % 5) * 0.1))
+            i += 1
+    # the plant: a 100-level reading at 03:00 (normal for 14:00)
+    rows.append((999, base + timedelta(days=21, hours=3), 100.0))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    df = df.withColumn("event_type", F.lit("temp"))
+    out = {r["event_id"]: r for r in seasonal_residual_anomalies(df).collect()}
+    # the plant sits inside its own hour's baseline, inflating that
+    # hour's sigma (the standard masking effect), so z lands ~4.5 --
+    # still far over threshold.
+    assert out[999]["is_anomaly"] and out[999]["residual_z"] > 3
+    assert not any(r["is_anomaly"] for eid, r in out.items() if eid != 999)

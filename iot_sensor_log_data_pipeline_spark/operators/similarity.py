@@ -1513,3 +1513,65 @@ def pair_similarity_histogram(
             ).alias("frac_ge"),
         )
     )
+
+
+def dim_truncation_report(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of PREFIX-truncated cosine search vs the full-dim
+    exact answer, one row per prefix width -- the measurement behind
+    the Matryoshka-style serving decision (Kusupati et al., NeurIPS
+    2022): if the first d components already recover the full-dim
+    neighbors, the ANN index stores and scores d/dim the bytes, and
+    every probe's matmul shrinks by the same factor.  Run this report
+    BEFORE building a 100 TB index family, the way
+    ``lsh_tuning_report`` prices banding before the pair join.
+
+    Per prefix width the corpus streams once against the broadcast
+    query set (``brute_force_topk``'s exact shape -- queries bounded,
+    never corpus x corpus); the per-dim top-k lists union with a
+    ``dim_prefix`` tag, left-join the full-dim pair set, and one
+    grouped agg yields hits and recall.  len(dims) bounded passes, no
+    driver-side loops over data.
+
+    Ties inside a truncated ranking break on neighbor id -- the same
+    deterministic order the full-dim search and the SQL oracle use, so
+    recall is exactly replayable."""
+    full = brute_force_topk(
+        vectors, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    parts = []
+    for d in dims:
+        tv = vectors.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, int(d)).alias(vec_col)
+        )
+        tq = queries.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, int(d)).alias(vec_col)
+        )
+        parts.append(
+            brute_force_topk(tv, tq, k=k, id_col=id_col, vec_col=vec_col)
+            .select("query_id", "neighbor_id")
+            .withColumn("dim_prefix", F.lit(int(d)).cast("long"))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.join(full, ["query_id", "neighbor_id"], "left")
+        .groupBy("dim_prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("dim_prefix")
+    )

@@ -104,3 +104,63 @@ def hot_key_split_join(
     # dropping them with ~is_hot's 3VL is safe).
     cold_out = fact.where(cold_pred).join(dim.where(~is_hot), key, how)
     return hot_out.unionByName(cold_out)
+
+
+def salt_advisor(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    target_pairs: int = 1_000_000,
+    k: int = 20,
+) -> DataFrame:
+    """Per-hot-key mitigation plan: the planning step BETWEEN
+    ``profiling.join_skew_report`` (which ranks the hot keys) and the
+    two executors above (which need a strategy and a salt width as
+    inputs).  For the ``k`` keys with the largest exact join fan-out
+    it emits the strategy a 100 TB fact-fact join would pick:
+
+    - ``as-is``       fan-out <= ``target_pairs``; AQE handles it.
+    - ``split``       hot key, but one side is single-row -- routing
+                      it through ``hot_key_split_join`` broadcasts
+                      that side's rows for the key; no salting needed
+                      because the matched payload is key-count-sized.
+    - ``salt``        both sides plural AND over target: salt the
+                      bigger side, explode the smaller; ``salt_factor``
+                      = ceil(est_pairs / target_pairs) spreads the
+                      key's output evenly at the target task size.
+
+    ``target_pairs`` is the per-task output budget (rows one reducer
+    should own -- derive it from executor memory / row width, the same
+    sizing exercise as ``spark.sql.shuffle.partitions``).
+
+    Cost shape: identical to ``join_skew_report`` -- two (key, count)
+    aggs carrying one long per distinct key, an equi-join of the count
+    tables, a TakeOrdered top-k; the advice columns are per-row
+    arithmetic on the counts.  One-statement-SQL-replayable, so the
+    catalog row is fully oracle-checked.
+    """
+    cl = left.groupBy(key).agg(F.count(F.lit(1)).alias("n_left"))
+    cr = right.groupBy(key).agg(F.count(F.lit(1)).alias("n_right"))
+    est = F.col("n_left") * F.col("n_right")
+    tp = F.lit(int(target_pairs))
+    strategy = (
+        F.when(est <= tp, F.lit("as-is"))
+        .when((F.col("n_left") == 1) | (F.col("n_right") == 1), F.lit("split"))
+        .otherwise(F.lit("salt"))
+    )
+    # The width only means something on the salt path: as-is needs no
+    # spreading and split routes around the shuffle entirely.
+    salt = F.when(strategy == "salt", F.ceil(est / tp)).otherwise(F.lit(1))
+    return (
+        cl.join(cr, key)
+        .select(
+            key,
+            "n_left",
+            "n_right",
+            est.alias("est_pairs"),
+            salt.cast("long").alias("salt_factor"),
+            strategy.alias("strategy"),
+        )
+        .orderBy(F.desc("est_pairs"), F.asc(key))
+        .limit(k)
+    )

@@ -876,3 +876,70 @@ def parse_common_log(line: Column | str) -> Column:
         .cast("long")
         .alias("n_bytes"),
     )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` adjacent-token collocations by pointwise mutual
+    information: PMI(a, b) = ln(p(a,b) / (p(a) p(b))) with p(a,b) the
+    corpus bigram MLE and p(.) the unigram MLE -- the classic
+    collocation statistic (Church & Hanks, CL 1990).  Where
+    ``bigram_logprob`` scores DOCUMENTS by how typical their
+    transitions are, this ranks the TRANSITIONS themselves: the
+    multiword units a tokenizer-merge pass, a stop-phrase list, or a
+    boilerplate detector is built from.
+
+    ``min_count`` drops rare bigrams, whose MLE PMI is maximal by
+    construction (two singleton tokens seen together once score
+    ln(T^2/B) regardless of meaning) -- the standard guard from the
+    original paper.
+
+    Scale shape: one unigram and one bigram explode (token-linear, two
+    corpus passes), vocab-/pair-keyed map-combined hash aggs, two
+    equi-joins of the (filtered, pair-count-sized) bigram table back
+    to unigram counts, two 1-row totals broadcasts, TakeOrdered top-k.
+    The PMI operand tree is fixed as
+    ln((n_ab * T * T) / (B * n_a * n_b)) so an external oracle folding
+    the same doubles lands bit-identically before the rounding."""
+    toks = docs.select(tokens(text_col).alias("l"))
+    m = F.greatest(F.size("l") - 1, F.lit(0))
+    zipped = F.arrays_zip(F.slice("l", 1, m), F.slice("l", 2, m))
+    bg = toks.select(F.explode(zipped).alias("p")).select(
+        F.col("p").getField("0").alias("a"),
+        F.col("p").getField("1").alias("b"),
+    )
+    un = _SCRATCH.cache(
+        toks.select(F.explode("l").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    bn = _SCRATCH.cache(
+        bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    tot = un.agg(F.sum("n").alias("__t"))
+    btot = bn.agg(F.sum("n_ab").cast("double").alias("__bt"))
+    na = un.select(F.col("w").alias("a"), F.col("n").alias("n_a"))
+    nb = un.select(F.col("w").alias("b"), F.col("n").alias("n_b"))
+    pmi = F.log(
+        (F.col("n_ab").cast("double") * F.col("__t") * F.col("__t"))
+        / (F.col("__bt") * F.col("n_a") * F.col("n_b"))
+    )
+    return (
+        bn.where(F.col("n_ab") >= int(min_count))
+        .join(na, "a")
+        .join(nb, "b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "a",
+            "b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(int(k))
+    )

@@ -1237,3 +1237,41 @@ def profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         mutual_information(ev, [("event_type", "value_band")])
     )
     return out.orderBy("col_x")
+
+
+@register(
+    "profile_salt_advisor",
+    oracle="""
+    WITH cl AS (SELECT user_id, count(*) AS n_left FROM events
+                WHERE event_type = 'click' GROUP BY 1),
+    cr AS (SELECT user_id, count(*) AS n_right FROM events
+           WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT cl.user_id, cl.n_left, cr.n_right,
+           cl.n_left * cr.n_right AS est_pairs,
+           CASE WHEN cl.n_left * cr.n_right > 40
+                     AND cl.n_left <> 1 AND cr.n_right <> 1
+                THEN CAST(ceil(CAST(cl.n_left * cr.n_right AS DOUBLE) / 40)
+                          AS BIGINT) ELSE 1 END AS salt_factor,
+           CASE WHEN cl.n_left * cr.n_right <= 40 THEN 'as-is'
+                WHEN cl.n_left = 1 OR cr.n_right = 1 THEN 'split'
+                ELSE 'salt' END AS strategy
+    FROM cl JOIN cr USING (user_id)
+    ORDER BY est_pairs DESC, user_id
+    LIMIT 20
+    """,
+    tags=("profiling", "join", "skew", "planning"),
+)
+def profile_salt_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key mitigation plan (``operators/skew.py:salt_advisor``):
+    for the 20 hottest click-x-purchase attribution-join users, the
+    strategy (as-is / split / salt) and the salt width that spreads
+    each key's output to a 40-pair task budget -- the planning step
+    between ``profile_join_skew``'s ranking and the skew-join
+    executors.  Cost is two one-long-per-key count aggs + TakeOrdered;
+    the advice columns are per-row arithmetic."""
+    from ..operators.skew import salt_advisor
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return salt_advisor(clicks, buys, "user_id", target_pairs=40, k=20)

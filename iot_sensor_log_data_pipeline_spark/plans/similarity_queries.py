@@ -1091,3 +1091,73 @@ def similarity_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pair_similarity_histogram(
         emb, sample_buckets=1, n_buckets=4, bins=40
     ).orderBy("bin")
+
+
+def _trunc_rank_cte(name: str, d: int, k: int) -> str:
+    """Top-``k``-per-query CTE ranked by cosine over the first ``d``
+    embedding components -- the SQL twin of one ``dim_truncation_report``
+    pass (same fold order, same (score DESC, id) tiebreak)."""
+    cos = (
+        _DOT.format(d=d, a="q.qv", b="e.embedding")
+        + " / ("
+        + _NORM.format(d=d, a="q.qv")
+        + " * "
+        + _NORM.format(d=d, a="e.embedding")
+        + ")"
+    )
+    return f"""
+    {name} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos} DESC, e.vec_id) AS rn
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+      WHERE rn <= {k}
+    )"""
+
+
+_TRUNC_DIMS = (8, 16, 32)
+
+_DIM_TRUNCATION_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 5),
+    {_trunc_rank_cte("full_rank", 64, 10)},
+    {",".join(_trunc_rank_cte(f"t{d}", d, 10) for d in _TRUNC_DIMS)},
+    u AS (
+      {" UNION ALL ".join(
+          f"SELECT CAST({d} AS BIGINT) AS dim_prefix, query_id, neighbor_id FROM t{d}"
+          for d in _TRUNC_DIMS)}
+    )
+    SELECT u.dim_prefix,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN f.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           round(CAST(sum(CASE WHEN f.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) / count(*), 6) AS recall_at_k
+    FROM u LEFT JOIN full_rank f
+      ON f.query_id = u.query_id AND f.neighbor_id = u.neighbor_id
+    GROUP BY u.dim_prefix
+    ORDER BY u.dim_prefix
+    """
+
+
+@register(
+    "similarity_dim_truncation",
+    oracle=_DIM_TRUNCATION_ORACLE,
+    tags=("similarity", "north-star", "ann", "planning"),
+)
+def similarity_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-truncation recall report
+    (``operators/similarity.py:dim_truncation_report``): recall@10 of
+    cosine search over the first 8/16/32 embedding components vs the
+    full 64-dim exact answer -- the Matryoshka-style serving
+    measurement a team runs BEFORE sizing a 100 TB index (store d/64
+    of the bytes iff this report says the neighbors survive).  One
+    broadcast-queries corpus pass per width, a union, one grouped agg;
+    the oracle replays each ranking with the same fold order and
+    tiebreak."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.dim_truncation_report(
+        emb, queries, dims=_TRUNC_DIMS, k=10
+    ).orderBy("dim_prefix")

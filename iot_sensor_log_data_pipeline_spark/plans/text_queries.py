@@ -981,3 +981,42 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars") / F.greatest(F.col("bpe_tokens"), F.lit(1)), 6
         ).alias("chars_per_bpe_token"),
     ).orderBy("source")
+
+
+@register(
+    "text_bigram_pmi",
+    oracle=f"""
+    WITH toks AS (SELECT {_TOKS} AS l FROM documents),
+    bg AS (
+      SELECT l[i+1] AS a, l[i+2] AS b
+      FROM (SELECT l, unnest(range(greatest(len(l) - 1, 0))) AS i
+            FROM toks)
+    ),
+    un AS (SELECT w, CAST(count(*) AS DOUBLE) AS n
+           FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w),
+    bn AS (SELECT a, b, count(*) AS n_ab FROM bg GROUP BY a, b),
+    tot AS (SELECT sum(n) AS t FROM un),
+    btot AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS bt FROM bn)
+    SELECT bn.a, bn.b, CAST(bn.n_ab AS BIGINT) AS n_ab,
+           round(ln((CAST(bn.n_ab AS DOUBLE) * tot.t * tot.t)
+                    / (btot.bt * na.n * nb.n)), 6) AS pmi
+    FROM bn
+    JOIN un na ON na.w = bn.a
+    JOIN un nb ON nb.w = bn.b
+    CROSS JOIN tot CROSS JOIN btot
+    WHERE bn.n_ab >= 5
+    ORDER BY pmi DESC, bn.a, bn.b
+    LIMIT 50
+    """,
+    tags=("text", "north-star", "collocation", "pmi"),
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (``operators/text.py:bigram_pmi``): the 50
+    strongest adjacent-token associations by pointwise mutual
+    information with the standard min-count guard -- the statistic
+    tokenizer merges, stop-phrase lists, and boilerplate detectors
+    are derived from.  Two token-linear explodes, map-combined hash
+    aggs, pair-table equi-joins, two 1-row totals broadcasts,
+    TakeOrdered."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return TX.bigram_pmi(docs, min_count=5, k=50)

@@ -100,6 +100,13 @@ BNLJ_ALLOWED = {
     # tables (the only corpus-sized work is the joint-count agg) --
     # profiling.py:mutual_information
     "profile_mutual_information",
+    # brute_force_topk's 5-row broadcast-queries theta join, once per
+    # prefix width (similarity_topk_cosine's exact shape) --
+    # similarity.py:dim_truncation_report
+    "similarity_dim_truncation",
+    # two 1-row totals broadcasts (unigram total T, bigram total B)
+    # onto the min-count-filtered pair table -- text.py:bigram_pmi
+    "text_bigram_pmi",
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --

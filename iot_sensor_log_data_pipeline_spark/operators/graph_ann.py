@@ -81,11 +81,12 @@ DEFAULT_SEED_CAP = 16
 
 
 def _build_geometry(cfg) -> dict[str, int]:
-    """Build geometry from a persisted index config row, with module
-    defaults (and ``build_k = 2 * k``, ``knn_graph``'s own default) for
-    indexes persisted before the geometry columns existed -- an older
-    4-column config must keep appending/optimizing, not die on a
-    missing field."""
+    """Build geometry from a persisted index config row, with the
+    defaults in force WHEN PRE-GEOMETRY INDEXES WERE BUILT (rounds
+    <= 8: ``build_k = 2 * k``, not today's ``3 * k``) for configs
+    persisted before the geometry columns existed -- an older
+    4-column config must keep appending/optimizing with the widths its
+    edges were actually built at, not die on a missing field."""
     d = cfg.asDict()
     k = int(d["k"])
     return {
@@ -196,7 +197,7 @@ def _einsum_scores(
 def knn_graph(
     vectors: DataFrame,
     k: int = DEFAULT_K,
-    n_iter: int = 2,
+    n_iter: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bands: int = 16,
@@ -213,15 +214,20 @@ def knn_graph(
     <= (2 * build_k)^2 per node per round (out-degree build_k by
     ``top_k``, reverse degree build_k by the reverse-edge cap below).
 
-    ``build_k`` (default ``2 * k``) is the neighbor-list width DURING
+    ``build_k`` (default ``3 * k``) is the neighbor-list width DURING
     refinement, pruned to ``k`` at the end: NN-descent explores through
     the current lists, so a wider working list is the paper's lever
     against local optima (Dong et al. 2011 use K well above the served
     k).  Measured at sf0.1 with capped seeds: build_k = k stalls at
-    edge-recall 0.82; build_k = 2k reaches 0.98 (probe recall@10 1.0)
-    for ~1.2x the uncapped build time."""
+    edge-recall 0.82 even with two rounds; the round-8 default
+    (n_iter = 2, build_k = 2k) reached probe recall@10 0.985 over 20
+    queries; ONE round at build_k = 3k reaches 1.0 at 0.63x that
+    build's wall-clock -- per-node candidate work is similar
+    ((2*3k)^2 * 1 vs (2*2k)^2 * 2) but each round also pays a fixed
+    barrier (localCheckpoint materialization + window prune), so fewer,
+    wider rounds win.  Both measurements in SCALE.md."""
     if build_k is None:
-        build_k = 2 * k
+        build_k = 3 * k
     if build_k < k:
         raise ValueError(f"build_k ({build_k}) must be >= k ({k})")
     if planes is None:
@@ -324,7 +330,7 @@ def build_graph_index(
     vectors: DataFrame,
     path: str,
     k: int = DEFAULT_K,
-    n_iter: int = 2,
+    n_iter: int = 1,
     n_entry: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -376,7 +382,7 @@ def build_graph_index(
                 int(bands),
                 int(rows_per_band),
                 int(seed_cap),
-                int(build_k if build_k is not None else 2 * k),
+                int(build_k if build_k is not None else 3 * k),
             )
         ],
         "kind string, k int, n_iter int, n_entry int,"
@@ -570,7 +576,7 @@ def graph_topk(
     beam: int = 32,
     hops: int = 5,
     graph_k: int = DEFAULT_K,
-    n_iter: int = 2,
+    n_iter: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:

@@ -103,6 +103,12 @@ HEADLINE: tuple[str, ...] = (
     "similarity_opq_adc_ann",
     # round 9: content-addressed bottom-k sample (TakeOrdered shape)
     "corpus_content_sample",
+    # round 9: per-hot-key skew mitigation plan (count-only shuffles)
+    "profile_salt_advisor",
+    # round 9: Matryoshka prefix-truncation recall report (3 widths)
+    "similarity_dim_truncation",
+    # round 9: bigram-PMI collocation mining (two explodes + totals)
+    "text_bigram_pmi",
 )
 
 

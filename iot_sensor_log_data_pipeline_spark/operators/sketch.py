@@ -610,3 +610,79 @@ def ddsketch_quantiles_grouped(
         .select(*group_cols, "q", F.round(est, 6).alias("estimate"))
         .orderBy(*group_cols, "q")
     )
+
+
+def hll_set_overlap(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    p: int = HLL_P,
+) -> DataFrame:
+    """Pairwise distinct-set overlap between groups from ONE pass of
+    HyperLogLog sketches: |A|, |B|, |A u B| by register-wise max-merge
+    (the sketch's defining mergeability -- union costs nothing beyond
+    re-max), |A n B| by inclusion-exclusion, and the derived Jaccard --
+    the cross-source vocabulary/user/id overlap read that would
+    otherwise need an exact distinct of every pairwise union (a
+    corpus-sized shuffle PER PAIR at 100 TB; here each extra pair
+    re-aggregates <= 2^p already-built register rows).
+
+    Standard sketch composition (union is exact-in-sketch; the
+    intersection estimate inherits inclusion-exclusion's additive
+    error, fine for the macro read this serves -- per-pair error
+    bounds are pinned in pytest).  Output per (a < b) pair:
+    ``est_a/est_b/est_union/est_intersect/est_jaccard``.
+
+    Shape: one grouped register build (the only corpus-sized agg),
+    then everything downstream is (n_groups + n_pairs) x 2^p rows:
+    a tiny group-list self-join, two register equi-joins, one re-max,
+    the estimate aggs.  All estimate arithmetic reuses
+    ``hll_estimate``'s integer-exact denominators, so the whole report
+    replays in one SQL statement."""
+    regs = hll_registers(df, key_col, p=p, group_cols=(group_col,))
+    est = hll_estimate(regs, p=p, group_cols=(group_col,))
+    groups = regs.select(group_col).distinct()
+    pairs = groups.select(F.col(group_col).alias("ga")).join(
+        groups.select(F.col(group_col).alias("gb")),
+        F.col("ga") < F.col("gb"),
+    )
+    ra = pairs.join(
+        regs.withColumnRenamed(group_col, "ga"), "ga"
+    ).select("ga", "gb", "register", "max_rank")
+    rb = pairs.join(
+        regs.withColumnRenamed(group_col, "gb"), "gb"
+    ).select("ga", "gb", "register", "max_rank")
+    ureg = (
+        ra.unionByName(rb)
+        .groupBy("ga", "gb", "register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    uest = hll_estimate(ureg, p=p, group_cols=("ga", "gb")).withColumnRenamed(
+        "est_distinct", "est_union"
+    )
+    ea = est.select(
+        F.col(group_col).alias("ga"), F.col("est_distinct").alias("est_a")
+    )
+    eb = est.select(
+        F.col(group_col).alias("gb"), F.col("est_distinct").alias("est_b")
+    )
+    inter = F.round(
+        F.greatest(
+            F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0.0)
+        ),
+        4,
+    )
+    return (
+        uest.join(ea, "ga")
+        .join(eb, "gb")
+        .select(
+            F.col("ga").alias(f"{group_col}_a"),
+            F.col("gb").alias(f"{group_col}_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            inter.alias("est_intersect"),
+            F.round(inter / F.col("est_union"), 6).alias("est_jaccard"),
+        )
+        .orderBy(f"{group_col}_a", f"{group_col}_b")
+    )

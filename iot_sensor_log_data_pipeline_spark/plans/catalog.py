@@ -66,7 +66,7 @@ _QUERY_MODULES = (
 #: (c) the 33 round-3-stale rows bumped from the round-8 window,
 #: externally unconfirmed across five rounds of engine evolution;
 #: (d) the stalest round-4 rows that still fit.
-#: 6+7+3+33+1 = 50, one full window.
+#: 6+7+4+33 = 50, one full window.
 #: Remaining by-design rows-only queries (``agg_approx_sketches``,
 #: ``similarity_ivf_ann``) stay out: they already hold external
 #: `no_oracle` rows (r1/r3), so another adds no information.
@@ -96,6 +96,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "profile_salt_advisor",
     "similarity_dim_truncation",
     "text_bigram_pmi",
+    "sketch_hll_source_overlap",
     # (c) the 33 round-3-stale rows (externally green last in r3)
     "scan_orc_roundtrip",
     "scan_xml_roundtrip",
@@ -130,17 +131,18 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "string_functions_extended",
     "date_functions",
     "hourly_avg_value",
-    # (d) round-4 battery head (stalest remaining external evidence;
-    # scd2_point_in_time_join / profile_psi_drift / quality_iqr_outliers
-    # were bumped to round 10 to make room for the (b2) first-evidence
-    # rows -- they hold green r4 external rows, the new queries hold none)
-    "scan_merge_schema",
+    # (d) the round-4 battery head (scan_merge_schema,
+    # scd2_point_in_time_join, profile_psi_drift, quality_iqr_outliers)
+    # was bumped whole to round 10 to make room for the (b2)
+    # first-evidence rows -- those four hold green r4 external rows,
+    # the new queries hold none
 )
 
 #: Round-10 rotation plan: (a) anything new in round 10 plus
-#: re-entries for round-10-edited modules; (b) the three round-4 rows
-#: bumped from this window (scd2_point_in_time_join, profile_psi_drift,
-#: quality_iqr_outliers) and the remainder of the round-4 battery (the ~34 rows not reached by round 9's (d) tail:
+#: re-entries for round-10-edited modules; (b) the four round-4 rows
+#: bumped from this window (scan_merge_schema, scd2_point_in_time_join,
+#: profile_psi_drift, quality_iqr_outliers) and the remainder of the
+#: round-4 battery (the ~34 rows not reached by round 9's (d) tail:
 #: the dedup/text/similarity families -- dedup_simhash,
 #: dedup_byte_chunks, blocked Levenshtein ER, text LM scores, BPE,
 #: hash embeddings, SRP-LSH/IVF/PQ ANN batteries,

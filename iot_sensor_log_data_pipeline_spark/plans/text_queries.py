@@ -1020,3 +1020,94 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered."""
     docs = parallelize_small(load(spark, sf_dir, "documents"))
     return TX.bigram_pmi(docs, min_count=5, k=50)
+
+
+def _hll_overlap_oracle() -> str:
+    from ..operators.sketch import HLL_P, _HLL_RANK_BITS
+
+    m = 1 << HLL_P
+    two49 = 1 << (_HLL_RANK_BITS + 1)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # Embed the PYTHON-computed numerator literal on both sides (the
+    # Spark plan uses F.lit of the same product), so the only
+    # cross-engine float ops are one division (exact-integer
+    # denominator) and the rare linear-counting ln -- the _dd_oracle
+    # constant-embedding pattern.
+    num = repr(alpha * m * m * float(two49))
+    est = (
+        f"round(CASE WHEN e_raw <= {2.5 * m!r} AND zeros > 0"
+        f" THEN {float(m)!r} * ln({float(m)!r} / CAST(zeros AS DOUBLE))"
+        f" ELSE e_raw END, 4)"
+    )
+    inner = (
+        f"SELECT {{keys}}, {num} / CAST(s_present + ({m} - n_present)"
+        f" * {two49} AS DOUBLE) AS e_raw, {m} - n_present AS zeros"
+        f" FROM (SELECT {{keys}}, sum(CAST(1 AS BIGINT)"
+        f" << CAST({_HLL_RANK_BITS + 1} - max_rank AS INT)) AS s_present,"
+        f" count(*) AS n_present FROM {{src}} GROUP BY {{keys}})"
+    )
+    return f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+    h AS (SELECT source, md5(token) AS d FROM tok),
+    r AS (SELECT source,
+                 CAST(('0x' || substr(d, 1, 2)) AS BIGINT) AS register,
+                 CAST(('0x' || substr(d, 3, 12)) AS BIGINT) AS v
+          FROM h),
+    regs AS (SELECT source, register,
+                    CAST(max({_HLL_RANK_BITS} - (CASE WHEN v = 0 THEN 0
+                             ELSE length(bin(v)) END) + 1) AS BIGINT)
+                      AS max_rank
+             FROM r GROUP BY source, register),
+    est AS (SELECT source, {est} AS est_distinct
+            FROM ({inner.format(keys="source", src="regs")})),
+    pairs AS (SELECT a.source AS ga, b.source AS gb
+              FROM (SELECT DISTINCT source FROM regs) a
+              JOIN (SELECT DISTINCT source FROM regs) b
+                ON a.source < b.source),
+    uregs AS (SELECT ga, gb, register, max(max_rank) AS max_rank FROM (
+                SELECT p.ga, p.gb, r.register, r.max_rank
+                FROM pairs p JOIN regs r ON r.source = p.ga
+                UNION ALL
+                SELECT p.ga, p.gb, r.register, r.max_rank
+                FROM pairs p JOIN regs r ON r.source = p.gb)
+              GROUP BY ga, gb, register),
+    uest AS (SELECT ga, gb, {est} AS est_union
+             FROM ({inner.format(keys="ga, gb", src="uregs")}))
+    SELECT source_a, source_b, est_a, est_b, est_union,
+           round(greatest(est_a + est_b - est_union, 0.0), 4)
+             AS est_intersect,
+           round(round(greatest(est_a + est_b - est_union, 0.0), 4)
+                 / est_union, 6) AS est_jaccard
+    FROM (SELECT u.ga AS source_a, u.gb AS source_b,
+                 ea.est_distinct AS est_a, eb.est_distinct AS est_b,
+                 u.est_union
+          FROM uest u
+          JOIN est ea ON ea.source = u.ga
+          JOIN est eb ON eb.source = u.gb)
+    ORDER BY source_a, source_b
+    """
+
+
+@register(
+    "sketch_hll_source_overlap",
+    oracle=_hll_overlap_oracle(),
+    tags=("text", "sketch", "hll", "overlap", "north-star"),
+)
+def sketch_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources from ONE sketch
+    pass (``operators/sketch.py:hll_set_overlap``): per source-pair
+    the HLL estimates of |A|, |B|, |A u B| (register max-merge --
+    union is free in the sketch), inclusion-exclusion |A n B|, and
+    Jaccard -- the cross-source contamination/redundancy macro-read
+    that exact distinct would pay a corpus shuffle PER PAIR for.
+    The one corpus-sized agg is the grouped register build;
+    everything after is (pairs x 256) rows.  The oracle replays
+    registers integer-exactly and the estimates with embedded
+    constants."""
+    from ..operators import sketch as SK
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    return SK.hll_set_overlap(toks, "token", "source")

@@ -5258,3 +5258,32 @@ def test_bigram_pmi_ranks_collocations_over_frequency(spark):
     # min_count=2 drops the one-off 'rare pair'? No -- it appears 5x
     # (once per repeated doc); 'kong hong' (1x) is the dropped one.
     assert ("kong", "hong") not in by_pair
+
+
+def test_hll_set_overlap_tracks_true_overlap(spark):
+    """Planted half-overlapping key sets: the sketch union/intersection
+    estimates land within HLL error of truth (p=8 -> ~6.5% relative),
+    the disjoint pair reads near-zero Jaccard, and the half-overlap
+    pair's Jaccard is materially higher."""
+    from iot_sensor_log_data_pipeline_spark.operators.sketch import (
+        hll_set_overlap,
+    )
+
+    rows = (
+        [("a", f"k{i}") for i in range(2000)]          # A = 0..1999
+        + [("b", f"k{i}") for i in range(1000, 3000)]  # B = 1000..2999
+        + [("c", f"x{i}") for i in range(2000)]        # C disjoint
+    )
+    df = spark.createDataFrame(rows, "g string, key string")
+    out = {
+        (r["g_a"], r["g_b"]): r for r in hll_set_overlap(df, "key", "g").collect()
+    }
+    ab = out[("a", "b")]
+    # truth: |A|=|B|=2000, union=3000, intersect=1000, jaccard=1/3
+    assert abs(ab["est_union"] - 3000) / 3000 < 0.2
+    # intersection inherits inclusion-exclusion's additive error (the
+    # union and both sides each carry ~6.5% of their OWN magnitude)
+    assert 400 < ab["est_intersect"] < 1600
+    ac = out[("a", "c")]
+    assert ac["est_jaccard"] < 0.1
+    assert ab["est_jaccard"] > ac["est_jaccard"] + 0.1

@@ -107,6 +107,9 @@ BNLJ_ALLOWED = {
     # two 1-row totals broadcasts (unigram total T, bigram total B)
     # onto the min-count-filtered pair table -- text.py:bigram_pmi
     "text_bigram_pmi",
+    # n_groups x n_groups '<' self-join of the DISTINCT group list
+    # (sources: a handful of rows) -- sketch.py:hll_set_overlap
+    "sketch_hll_source_overlap",
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --

@@ -640,6 +640,16 @@ def hll_set_overlap(
     ``hll_estimate``'s integer-exact denominators, so the whole report
     replays in one SQL statement."""
     regs = hll_registers(df, key_col, p=p, group_cols=(group_col,))
+    return hll_overlap_from_registers(regs, group_col, p=p)
+
+
+def hll_overlap_from_registers(
+    regs: DataFrame, group_col: str, p: int = HLL_P
+) -> DataFrame:
+    """The pair algebra of ``hll_set_overlap`` over an ALREADY-BUILT
+    grouped register table -- so a persisted streaming register store
+    (``streaming/pipeline.py:load_hll_store``) yields the same live
+    overlap report without re-scanning any corpus."""
     est = hll_estimate(regs, p=p, group_cols=(group_col,))
     groups = regs.select(group_col).distinct()
     pairs = groups.select(F.col(group_col).alias("ga")).join(

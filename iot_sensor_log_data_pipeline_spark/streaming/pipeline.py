@@ -1204,6 +1204,101 @@ def optimize_cms_store(spark, store_dir: str) -> None:
     os.rename(tmp, store_dir)
 
 
+def hll_apply_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    key_col: str = "key",
+    group_col: str | None = None,
+) -> None:
+    """One micro-batch of the streaming HyperLogLog maintenance sink
+    (module-level so replay idempotency is directly testable).
+
+    The batch folds to its (optionally grouped) register table
+    (``operators/sketch.py:hll_registers`` -- <= groups x 2^p rows no
+    matter the batch size) written as a whole-directory overwrite of
+    ``batch=<id>/``.  Registers merge by MAX, which is idempotent as
+    well as associative -- even a hypothetical double-fold could not
+    change an estimate -- but the per-batch-id overwrite layout is
+    kept anyway so every store in this module honors one contract."""
+    import os
+
+    from ..operators.sketch import hll_registers
+
+    if not batch.take(1):
+        return
+    groups = (group_col,) if group_col else ()
+    regs = hll_registers(batch, key_col, group_cols=groups)
+    regs.write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"batch={int(batch_id)}")
+    )
+
+
+def start_hll_sink(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    key_col: str = "key",
+    group_col: str | None = None,
+) -> StreamingQuery:
+    """Streaming distinct-count maintenance: keep a PERSISTED
+    HyperLogLog register store (optionally per group) over everything
+    ever ingested -- "how many distinct users/tokens/ids has each
+    source seen, ever?" without per-key state.  Completes the
+    streaming sketch-sink family (CMS = frequencies, MG = heavy
+    hitters, DDSketch = quantiles, HLL = cardinalities).
+
+    The merged store feeds ``hll_estimate`` for the counts and
+    ``hll_set_overlap``'s register algebra for cross-group overlap --
+    a LIVE source-overlap dashboard from bounded state.  Same
+    contracts as the sibling sinks: per-batch-id directory overwrite,
+    single writer, compact only with the stream stopped."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        hll_apply_batch(
+            batch, batch_id, store_dir, key_col=key_col, group_col=group_col
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def load_hll_store(spark, store_dir: str, group_col: str | None = None) -> DataFrame:
+    """The live merged register table: max over every batch directory
+    (HLL registers merge by max).  Feed the result to
+    ``operators/sketch.py:hll_estimate`` (with ``group_cols=(group,)``
+    when grouped)."""
+    prefix = f"{group_col} string, " if group_col else ""
+    regs = (
+        spark.read.schema(f"{prefix}register long, max_rank long, batch long")
+        .option("basePath", store_dir)
+        .parquet(store_dir)
+    )
+    keys = ([group_col] if group_col else []) + ["register"]
+    return regs.groupBy(*keys).agg(F.max("max_rank").alias("max_rank"))
+
+
+def optimize_hll_store(
+    spark, store_dir: str, group_col: str | None = None
+) -> None:
+    """Compact an ingest-grown HLL store to a single pre-merged
+    ``batch=-1`` tree (<= groups x 2^p rows).  Estimates are unchanged
+    (max is associative); same single-writer / stream-stopped contract
+    and rmtree+rename swap as ``optimize_cms_store``."""
+    import os
+    import shutil
+
+    merged = load_hll_store(spark, store_dir, group_col=group_col).coalesce(1)
+    tmp = store_dir.rstrip("/") + "__next"
+    merged.write.mode("overwrite").parquet(os.path.join(tmp, "batch=-1"))
+    shutil.rmtree(store_dir)
+    os.rename(tmp, store_dir)
+
+
 def _mg_merge_cap(pairs: list[tuple], k: int) -> list[tuple]:
     """Merge (key, count) pairs by summation, then re-cap to at most
     ``k`` rows with the mergeable-summaries rule (Agarwal et al. 2012):

@@ -2021,3 +2021,83 @@ def test_scd2_sink_keeps_history_and_replays_idempotently(spark, tmp_path):
 
     P.scd2_sink_apply_batch(b1, 1, dim, *args)  # crash replay
     assert state() == after
+
+
+def test_hll_sink_maintains_mergeable_registers(spark, tmp_path):
+    """Streaming HLL maintenance: after two micro-batches the merged
+    store's estimates track per-group TRUE distinct counts within HLL
+    error; replaying a batch id changes nothing (max is idempotent);
+    compaction folds to batch=-1 with identical registers; and the
+    persisted registers feed the overlap pair algebra directly."""
+    from iot_sensor_log_data_pipeline_spark.operators.sketch import (
+        hll_estimate,
+        hll_overlap_from_registers,
+    )
+
+    store = str(tmp_path / "hll_store")
+    schema = "src string, key string"
+    b0 = spark.createDataFrame(
+        [("a", f"k{i}") for i in range(500)]
+        + [("b", f"k{i}") for i in range(250, 750)],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [("a", f"k{i}") for i in range(400, 600)]  # 100 new for a
+        + [("c", f"z{i}") for i in range(500)],
+        schema,
+    )
+    P.hll_apply_batch(b0, 0, store, key_col="key", group_col="src")
+    P.hll_apply_batch(b0, 0, store, key_col="key", group_col="src")  # replay
+    P.hll_apply_batch(b1, 1, store, key_col="key", group_col="src")
+
+    def ests():
+        regs = P.load_hll_store(spark, store, group_col="src")
+        return {
+            r["src"]: r["est_distinct"]
+            for r in hll_estimate(regs, group_cols=("src",)).collect()
+        }
+
+    est = ests()
+    true = {"a": 600, "b": 500, "c": 500}
+    for g, t in true.items():
+        assert abs(est[g] - t) / t < 0.2, (g, est[g], t)
+
+    # overlap algebra straight off the persisted store: a and b share
+    # 250..599 (350 keys); c is disjoint from both
+    regs = P.load_hll_store(spark, store, group_col="src")
+    ov = {
+        (r["src_a"], r["src_b"]): r
+        for r in hll_overlap_from_registers(regs, "src").collect()
+    }
+    assert ov[("a", "b")]["est_jaccard"] > ov[("a", "c")]["est_jaccard"]
+    assert ov[("a", "c")]["est_jaccard"] < 0.1
+
+    P.optimize_hll_store(spark, store, group_col="src")
+    dirs = sorted(d for d in os.listdir(store) if d.startswith("batch="))
+    assert dirs == ["batch=-1"]
+    assert ests() == est
+
+
+def test_hll_sink_end_to_end_stream(spark, tmp_path):
+    """Drive start_hll_sink with a real file-source stream; the merged
+    grouped estimates see every ingested key."""
+    from iot_sensor_log_data_pipeline_spark.operators.sketch import hll_estimate
+
+    store = str(tmp_path / "hll_store")
+    src = str(tmp_path / "hll_src")
+    ckpt = str(tmp_path / "hll_ckpt")
+    rows = [("s%d" % (i % 2), "u%d" % (i % 40)) for i in range(200)]
+    spark.createDataFrame(rows, "src string, key string").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("src string, key string").parquet(src)
+    q = P.start_hll_sink(stream, store, ckpt, key_col="key", group_col="src")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    regs = P.load_hll_store(spark, store, group_col="src")
+    est = {
+        r["src"]: r["est_distinct"]
+        for r in hll_estimate(regs, group_cols=("src",)).collect()
+    }
+    # each source saw 20 distinct users
+    assert abs(est["s0"] - 20) / 20 < 0.25 and abs(est["s1"] - 20) / 20 < 0.25

@@ -344,3 +344,67 @@ def zorder_write(
         for f in os.listdir(path)
         if f.endswith(".parquet") and not f.startswith((".", "_"))
     )
+
+
+def table_layout_report(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Per-partition file-layout audit -- the read that DECIDES whether
+    ``optimize_parquet_table`` / ``zorder_write`` is worth a run, the
+    way ``join_skew_report`` decides a skew strategy before paying for
+    the join.  For every leaf partition: file count, total bytes,
+    min/avg/max file bytes, the small-file count (< half the target --
+    the files whose per-task scheduling + open overhead dominates at
+    1000 executors), the file count a compaction WOULD produce
+    (ceil(total / target)), and the verdict: ``compact`` when the
+    current layout carries more than 2x the post-compaction file count
+    AND at least 2 surplus files, else ``ok``.
+
+    Cost shape: filesystem METADATA only (one recursive listing -- the
+    same listing `optimize_parquet_table` itself does; on an object
+    store this is the LIST call, never a data read), returned as a
+    partition-count-sized DataFrame.  ``target_file_bytes`` defaults
+    to the classic 128 MiB scan-split sweet spot; pass the store's
+    actual block/split size.
+
+    Extends the reference's threshold trigger
+    (``sensor-log-compactor.py:67`` -- compact when the COUNTER passes
+    100 files) with the size awareness the counter lacks: 100 files of
+    127 MiB each are healthy; 100 files of 40 KiB are the problem."""
+    rows = []
+    base = table_dir.rstrip("/")
+    for part_dir in _partition_dirs(table_dir):
+        files = [
+            os.path.join(part_dir, f)
+            for f in os.listdir(part_dir)
+            if not f.startswith((".", "_"))
+            and os.path.isfile(os.path.join(part_dir, f))
+        ]
+        if not files:
+            continue
+        sizes = sorted(os.path.getsize(f) for f in files)
+        total = sum(sizes)
+        n = len(sizes)
+        ideal = max(1, -(-total // target_file_bytes))  # ceil
+        rel = os.path.relpath(part_dir, base)
+        rows.append(
+            (
+                "." if rel == "." else rel,
+                n,
+                int(total),
+                int(sizes[0]),
+                int(total / n),
+                int(sizes[-1]),
+                sum(1 for s in sizes if s < target_file_bytes // 2),
+                int(ideal),
+                "compact" if (n > 2 * ideal and n - ideal >= 2) else "ok",
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "partition string, n_files long, total_bytes long, min_bytes long,"
+        " avg_bytes long, max_bytes long, n_small long,"
+        " ideal_n_files long, verdict string",
+    ).orderBy("partition")

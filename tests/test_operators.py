@@ -5287,3 +5287,36 @@ def test_hll_set_overlap_tracks_true_overlap(spark):
     ac = out[("a", "c")]
     assert ac["est_jaccard"] < 0.1
     assert ab["est_jaccard"] > ac["est_jaccard"] + 0.1
+
+
+def test_table_layout_report_flags_fragmentation_and_clears_after_optimize(
+    spark, tmp_path
+):
+    """A deliberately fragmented partitioned table reads 'compact';
+    after optimize_parquet_table the same report reads 'ok' with the
+    file count at the report's own ideal."""
+    from iot_sensor_log_data_pipeline_spark.operators.compaction import (
+        optimize_parquet_table,
+        table_layout_report,
+    )
+
+    table = str(tmp_path / "frag")
+    df = spark.createDataFrame(
+        [(i, i % 2, "x" * 50) for i in range(2000)], "id long, p int, pad string"
+    )
+    # 16 files per partition of a tiny table -> all of them "small"
+    df.repartition(16).write.partitionBy("p").parquet(table)
+
+    rep = {r["partition"]: r for r in table_layout_report(spark, table).collect()}
+    assert set(rep) == {"p=0", "p=1"}
+    for r in rep.values():
+        assert r["n_files"] == 16
+        assert r["verdict"] == "compact"
+        assert r["n_small"] == 16
+        assert r["ideal_n_files"] == 1
+
+    optimize_parquet_table(spark, table)
+    rep2 = {r["partition"]: r for r in table_layout_report(spark, table).collect()}
+    for r in rep2.values():
+        assert r["verdict"] == "ok", r
+        assert r["n_files"] == 1

@@ -943,3 +943,63 @@ def bigram_pmi(
         .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
         .limit(int(k))
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    stride: int = 192,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize overlapping token-window chunks -- the write-path
+    transform feeding embedding, retrieval indexing, and
+    fixed-context-window training: (doc, chunk_id, start_tok,
+    n_tokens, chunk_text) with ``chunk_tokens``-token windows every
+    ``stride`` tokens (overlap = chunk_tokens - stride, so a passage
+    split by one window boundary is whole in a neighbor).
+
+    Chunk boundary rule, chosen to be exactly SQL-replayable: windows
+    start at 0, stride, 2*stride, ... while the start is inside the
+    document, and a trailing window is emitted only if the PREVIOUS
+    window did not already reach the end -- so ends strictly increase,
+    no chunk is a suffix-duplicate of its predecessor, and every token
+    is covered.
+
+    Scale shape: one tokenize + one in-row sequence/explode
+    (token-linear output bounded by ~n_tokens/stride chunks per doc),
+    pure JVM expressions, no UDF, no shuffle at all -- chunking
+    pipelines into whatever downstream agg/write follows."""
+    if stride <= 0 or chunk_tokens < stride:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    toked = docs.select(
+        F.col(id_col), tokens(text_col).alias("l")
+    ).where(F.size("l") > 0)
+    n = F.size("l")
+    last_i = F.floor((n - 1) / stride).cast("int")
+    out = (
+        toked.select(
+            id_col,
+            "l",
+            n.alias("__n"),
+            F.explode(F.sequence(F.lit(0), last_i)).alias("chunk_id"),
+        )
+        .withColumn("start_tok", F.col("chunk_id") * stride)
+        # drop trailing windows whose predecessor already reached the end
+        .where(
+            (F.col("chunk_id") == 0)
+            | (F.col("start_tok") - stride + chunk_tokens < F.col("__n"))
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.least(
+                F.lit(chunk_tokens), F.col("__n") - F.col("start_tok")
+            ).cast("long").alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice("l", F.col("start_tok") + 1, chunk_tokens)
+            ).alias("chunk_text"),
+        )
+    )
+    return out

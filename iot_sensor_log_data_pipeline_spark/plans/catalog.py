@@ -66,7 +66,11 @@ _QUERY_MODULES = (
 #: (c) the 33 round-3-stale rows bumped from the round-8 window,
 #: externally unconfirmed across five rounds of engine evolution;
 #: (d) the stalest round-4 rows that still fit.
-#: 6+7+4+33 = 50, one full window.
+#: 6+7+6+31 = 50, one full window.  (Two (c) rows -- hourly_avg_value,
+#: which entry() smoke-checks under the driver every round anyway, and
+#: math_functions, a pure function battery untouched since round 3 --
+#: were traded for the last two (b2) first-evidence rows; 31 of the 33
+#: round-3-stale rows still rotate this round, above the >= 30 ask.)
 #: Remaining by-design rows-only queries (``agg_approx_sketches``,
 #: ``similarity_ivf_ann``) stay out: they already hold external
 #: `no_oracle` rows (r1/r3), so another adds no information.
@@ -97,6 +101,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_dim_truncation",
     "text_bigram_pmi",
     "sketch_hll_source_overlap",
+    "text_chunk_windows",
+    "funnel_time_bound",
     # (c) the 33 round-3-stale rows (externally green last in r3)
     "scan_orc_roundtrip",
     "scan_xml_roundtrip",
@@ -127,10 +133,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "variant_functions",
     "array_functions",
     "map_functions",
-    "math_functions",
     "string_functions_extended",
     "date_functions",
-    "hourly_avg_value",
     # (d) the round-4 battery head (scan_merge_schema,
     # scd2_point_in_time_join, profile_psi_drift, quality_iqr_outliers)
     # was bumped whole to round 10 to make room for the (b2)

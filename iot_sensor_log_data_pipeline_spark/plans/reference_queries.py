@@ -1163,3 +1163,70 @@ def anomaly_cusum_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "s_hi", "s_lo", "alarm").orderBy(
         "user_id", "ts", "event_id"
     )
+
+
+@register(
+    "funnel_time_bound",
+    oracle="""
+    WITH stage1 AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    stage2 AS (
+      SELECT e.user_id, min(e.ts) AS click_ts
+      FROM events e JOIN stage1 s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+        AND e.ts <= s.signup_ts + INTERVAL 48 HOUR
+      GROUP BY e.user_id
+    ),
+    stage3 AS (
+      SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM events e JOIN stage2 s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.click_ts
+        AND e.ts <= s.click_ts + INTERVAL 48 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT 'signup' AS stage, count(*) AS n_users FROM stage1
+    UNION ALL SELECT 'signup>click<=48h', count(*) FROM stage2
+    UNION ALL SELECT 'signup>click<=48h>purchase<=48h', count(*) FROM stage3
+    ORDER BY stage
+    """,
+    tags=("analytics", "funnel", "events", "conversion-window"),
+)
+def funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: like ``funnel_conversion`` but each
+    stage must land within 48 h of the previous stage's first event --
+    the product-analytics semantics ('converted within N days'), where
+    the unbounded funnel overstates late conversions.  Same plan
+    shape: one keyed min-agg + previous-stage equi-join per stage; the
+    window is an extra in-row predicate, not an extra shuffle."""
+    events = load(spark, sf_dir, "events")
+    gap = F.expr("INTERVAL 48 HOURS")
+
+    def first_within(event_type: str, prev, prev_ts: str, out_ts: str):
+        src = events.where(F.col("event_type") == event_type).select(
+            "user_id", "ts"
+        )
+        if prev is not None:
+            src = (
+                src.join(prev, "user_id")
+                .where(F.col("ts") > F.col(prev_ts))
+                .where(F.col("ts") <= F.col(prev_ts) + gap)
+            )
+        return src.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+
+    s1 = first_within("signup", None, "", "signup_ts")
+    s2 = first_within("click", s1, "signup_ts", "click_ts")
+    s3 = first_within("purchase", s2, "click_ts", "purchase_ts")
+
+    def tally(df, stage):
+        return df.agg(
+            F.lit(stage).alias("stage"), F.count(F.lit(1)).alias("n_users")
+        ).select("stage", "n_users")
+
+    return (
+        tally(s1, "signup")
+        .unionByName(tally(s2, "signup>click<=48h"))
+        .unionByName(tally(s3, "signup>click<=48h>purchase<=48h"))
+        .orderBy("stage")
+    )

@@ -1111,3 +1111,37 @@ def sketch_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(TX.tokens(F.col("text"))).alias("token")
     )
     return SK.hll_set_overlap(toks, "token", "source")
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    c AS (
+      SELECT doc_id, l, len(l) AS n,
+             unnest(range(CAST(floor((len(l) - 1) / 24) AS BIGINT) + 1)) AS i
+      FROM toks WHERE len(l) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * 24 AS BIGINT) AS start_tok,
+           CAST(least(32, n - i * 24) AS BIGINT) AS n_tokens,
+           array_to_string(l[i * 24 + 1 : least(i * 24 + 32, n)], ' ')
+             AS chunk_text
+    FROM c
+    WHERE i = 0 OR i * 24 - 24 + 32 < n
+    ORDER BY doc_id, chunk_id
+    """,
+    tags=("text", "north-star", "chunking", "rag"),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/context-window chunk materialization
+    (``operators/text.py:chunk_documents``): 32-token windows every 24
+    tokens (8-token overlap) with strictly-increasing ends and no
+    suffix-duplicate tails -- the write-path transform feeding
+    embedding and retrieval indexing.  Pure JVM sequence/explode/slice,
+    token-linear output, zero shuffles."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return TX.chunk_documents(docs, chunk_tokens=32, stride=24).orderBy(
+        "doc_id", "chunk_id"
+    )

@@ -5320,3 +5320,38 @@ def test_table_layout_report_flags_fragmentation_and_clears_after_optimize(
     for r in rep2.values():
         assert r["verdict"] == "ok", r
         assert r["n_files"] == 1
+
+
+def test_chunk_documents_covers_every_token_without_suffix_dups(spark):
+    """Chunk boundary contract: every token index is inside some chunk,
+    consecutive chunks overlap by chunk_tokens - stride, ends strictly
+    increase (no chunk is a suffix-duplicate of its predecessor), and
+    the chunk text is the exact token slice."""
+    from iot_sensor_log_data_pipeline_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(23))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, "solo")], "doc_id long, text string"
+    )
+    out = chunk_documents(docs, chunk_tokens=8, stride=5).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    # doc 1: 23 tokens, starts 0,5,10,15 (start 20: chunk 15..22 already
+    # reached the end, so no trailing suffix-dup)
+    starts = [r["start_tok"] for r in by_doc[1]]
+    assert starts == [0, 5, 10, 15]
+    covered = set()
+    for r in by_doc[1]:
+        covered.update(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
+        toks = r["chunk_text"].split(" ")
+        assert toks == [f"w{i}" for i in range(r["start_tok"], r["start_tok"] + r["n_tokens"])]
+    assert covered == set(range(23))
+    ends = [r["start_tok"] + r["n_tokens"] for r in by_doc[1]]
+    assert ends == sorted(set(ends))  # strictly increasing
+
+    # short docs: one chunk, full text
+    assert [r["chunk_text"] for r in by_doc[2]] == ["a b c"]
+    assert by_doc[2][0]["n_tokens"] == 3
+    assert [r["chunk_text"] for r in by_doc[3]] == ["solo"]

@@ -66,11 +66,13 @@ _QUERY_MODULES = (
 #: (c) the 33 round-3-stale rows bumped from the round-8 window,
 #: externally unconfirmed across five rounds of engine evolution;
 #: (d) the stalest round-4 rows that still fit.
-#: 6+7+6+31 = 50, one full window.  (Two (c) rows -- hourly_avg_value,
-#: which entry() smoke-checks under the driver every round anyway, and
-#: math_functions, a pure function battery untouched since round 3 --
-#: were traded for the last two (b2) first-evidence rows; 31 of the 33
-#: round-3-stale rows still rotate this round, above the >= 30 ask.)
+#: 6+7+7+30 = 50, one full window.  (Three (c) rows were traded for
+#: (b2) first-evidence rows: hourly_avg_value, which entry()
+#: smoke-checks under the driver every round anyway, and the
+#: math_functions / hash_functions pure batteries, untouched since
+#: round 3; 30 of the 33 round-3-stale rows still rotate this round,
+#: meeting the >= 30 ask exactly -- the three traded rows lead the
+#: round-10 (b) section.)
 #: Remaining by-design rows-only queries (``agg_approx_sketches``,
 #: ``similarity_ivf_ann``) stay out: they already hold external
 #: `no_oracle` rows (r1/r3), so another adds no information.
@@ -103,6 +105,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "sketch_hll_source_overlap",
     "text_chunk_windows",
     "funnel_time_bound",
+    "text_chunk_retrieval",
     # (c) the 33 round-3-stale rows (externally green last in r3)
     "scan_orc_roundtrip",
     "scan_xml_roundtrip",
@@ -127,7 +130,6 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "subquery_exists_bigorder",
     "subquery_scalar_avg",
     "null_semantics",
-    "hash_functions",
     "conditional_functions",
     "json_functions",
     "variant_functions",
@@ -143,10 +145,10 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
 )
 
 #: Round-10 rotation plan: (a) anything new in round 10 plus
-#: re-entries for round-10-edited modules; (b) the four round-4 rows
-#: bumped from this window (scan_merge_schema, scd2_point_in_time_join,
-#: profile_psi_drift, quality_iqr_outliers) and the remainder of the
-#: round-4 battery (the ~34 rows not reached by round 9's (d) tail:
+#: re-entries for round-10-edited modules; (b) the rows bumped from
+#: this window (hourly_avg_value, math_functions, hash_functions,
+#: scan_merge_schema, scd2_point_in_time_join, profile_psi_drift,
+#: quality_iqr_outliers) and the remainder of the round-4 battery (the ~34 rows not reached by round 9's (d) tail:
 #: the dedup/text/similarity families -- dedup_simhash,
 #: dedup_byte_chunks, blocked Levenshtein ER, text LM scores, BPE,
 #: hash embeddings, SRP-LSH/IVF/PQ ANN batteries,

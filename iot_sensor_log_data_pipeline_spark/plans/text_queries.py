@@ -1145,3 +1145,130 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.chunk_documents(docs, chunk_tokens=32, stride=24).orderBy(
         "doc_id", "chunk_id"
     )
+
+
+def _chunk_retrieval_oracle() -> str:
+    from .similarity_queries import _DOT, _NORM
+
+    cos = (
+        _DOT.format(d=64, a="q.qv", b="v.v")
+        + " / ("
+        + _NORM.format(d=64, a="q.qv")
+        + " * "
+        + _NORM.format(d=64, a="v.v")
+        + ")"
+    )
+    hash_cells = """
+      SELECT {key}, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS idx,
+             CASE WHEN CAST(('0x' || substr(md5(t), 9, 1)) AS BIGINT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM {src}
+    """
+    densify = """
+      SELECT g.{key}, list(coalesce(c2.val, 0.0) ORDER BY g.d) AS {out}
+      FROM (SELECT {key}, d
+            FROM (SELECT {key} FROM {cells} GROUP BY {key}
+                  HAVING sum(CASE WHEN val <> 0 THEN 1 ELSE 0 END) > 0)
+            CROSS JOIN range(64) t(d)) g
+      LEFT JOIN {cells} c2 ON c2.{key} = g.{key} AND c2.idx = g.d
+      GROUP BY g.{key}
+    """
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    cgen AS (
+      SELECT doc_id, l, len(l) AS n,
+             unnest(range(CAST(floor((len(l) - 1) / 24) AS BIGINT) + 1)) AS i
+      FROM toks WHERE len(l) > 0
+    ),
+    chunks AS (
+      SELECT doc_id * 100 + i AS ck, doc_id AS chunk_doc,
+             CAST(i AS BIGINT) AS chunk_id,
+             array_to_string(l[i * 24 + 1 : least(i * 24 + 32, n)], ' ')
+               AS chunk_text
+      FROM cgen WHERE i = 0 OR i * 24 - 24 + 32 < n
+    ),
+    ctok AS (SELECT ck, unnest(list_filter(
+               string_split_regex(chunk_text, ' +'), t -> t <> '')) AS t
+             FROM chunks),
+    ccells0 AS ({hash_cells.format(key="ck", src="ctok")}),
+    ccells AS (SELECT ck, idx, sum(s) AS val FROM ccells0 GROUP BY ck, idx),
+    cvec AS ({densify.format(key="ck", cells="ccells", out="v")}),
+    qtok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+             WHERE doc_id < 2),
+    qcells0 AS ({hash_cells.format(key="doc_id", src="qtok")}),
+    qcells AS (SELECT doc_id, idx, sum(s) AS val FROM qcells0
+               GROUP BY doc_id, idx),
+    qvec AS ({densify.format(key="doc_id", cells="qcells", out="qv")}),
+    scored AS (
+      SELECT q.doc_id AS query_doc, c.chunk_doc, c.chunk_id, c.ck,
+             {cos} AS cos
+      FROM qvec q
+      JOIN cvec v ON TRUE
+      JOIN chunks c ON c.ck = v.ck AND c.chunk_doc <> q.doc_id
+    )
+    SELECT query_doc, chunk_doc, chunk_id, round(cos, 6) AS cos_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
+                                       ORDER BY cos DESC, ck) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    ORDER BY query_doc, rank
+    """
+
+
+@register(
+    "text_chunk_retrieval",
+    oracle=_chunk_retrieval_oracle(),
+    tags=("text", "north-star", "chunking", "rag", "similarity"),
+)
+def text_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full RAG read path as one declarative composition: chunk the
+    corpus (``chunk_documents``, 32/24 windows), hash-embed every chunk
+    and the query documents (``hash_embedding`` -- the engine's
+    trained-model-free text->vector producer), score by exact cosine
+    against the broadcast queries, top-5 chunks per query excluding
+    the query's own document.  Every stage already holds its own
+    oracle-checked row; this row proves the COMPOSITION replays
+    bit-for-bit (chunk boundaries -> token hashing -> sign cells ->
+    dense fold -> cosine -> ranking) in one SQL statement."""
+    from ..operators.similarity import cosine
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    chunks = TX.chunk_documents(docs, chunk_tokens=32, stride=24).select(
+        (F.col("doc_id") * 100 + F.col("chunk_id")).alias("ck"),
+        F.col("doc_id").alias("chunk_doc"),
+        "chunk_id",
+        "chunk_text",
+    )
+    cemb = TX.hash_embedding(
+        chunks, dim=64, id_col="ck", text_col="chunk_text"
+    )
+    qemb = TX.hash_embedding(docs.where(F.col("doc_id") < 2), dim=64).select(
+        F.col("doc_id").alias("query_doc"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        cemb.join(chunks.select("ck", "chunk_doc", "chunk_id"), "ck")
+        .join(F.broadcast(qemb), F.col("chunk_doc") != F.col("query_doc"))
+        .select(
+            "query_doc",
+            "chunk_doc",
+            "chunk_id",
+            "ck",
+            cosine(F.col("qv"), F.col("embedding")).alias("cos"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_doc").orderBy(F.desc("cos"), F.asc("ck"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_doc",
+            "chunk_doc",
+            "chunk_id",
+            F.round("cos", 6).alias("cos_sim"),
+            "rank",
+        )
+        .orderBy("query_doc", "rank")
+    )

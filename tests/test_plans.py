@@ -110,6 +110,9 @@ BNLJ_ALLOWED = {
     # n_groups x n_groups '<' self-join of the DISTINCT group list
     # (sources: a handful of rows) -- sketch.py:hll_set_overlap
     "sketch_hll_source_overlap",
+    # 2-row broadcast-queries theta join (brute_force_topk's shape)
+    # over the chunk embeddings -- plans/text_queries.py
+    "text_chunk_retrieval",
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --

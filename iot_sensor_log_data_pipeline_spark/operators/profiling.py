@@ -559,3 +559,101 @@ def mutual_information(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def ks_drift_report(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 100,
+) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov distance of every group's
+    value distribution against the REST of the corpus -- the
+    nonparametric "which source looks different?" audit that PSI's
+    fixed-bin log-ratio blurs (KS is a sup over the whole CDF, so a
+    shift concentrated anywhere shows at full strength; PSI dilutes it
+    across bins).  One row per group: (group, n, ks_stat).
+
+    Binned deliberately: exact KS needs a global per-group sort of the
+    raw values; on equi-width bins the statistic is computed on
+    groups x n_bins cumulative counts instead, with error bounded by
+    the bin mass (refine by raising ``n_bins`` -- state stays
+    geometry-sized).  The sup is evaluated at bin right edges, the
+    standard binned-ECDF convention.
+
+    Scale shape: one global min/max scalar pass (1-row broadcast), one
+    (group, bin) hash agg over the corpus -- the only data-sized step,
+    map-side combined -- then windows/joins over groups x n_bins rows.
+    NULL values are excluded (the ``histogram_quantiles`` contract);
+    single-group inputs yield n_rest = 0 and are refused."""
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("double")
+    stats = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
+    binned = (
+        df.select(F.col(group_col).alias("grp"), v.alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "grp",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.greatest(
+                    F.least(
+                        F.floor(
+                            (F.col("__v") - F.col("lo"))
+                            * n_bins
+                            / (F.col("hi") - F.col("lo"))
+                        ).cast("int"),
+                        F.lit(n_bins - 1),
+                    ),
+                    F.lit(0),
+                )
+            )
+            .alias("bin"),
+        )
+    )
+    counts = binned.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("grp").agg(F.sum("n").alias("n_g"))
+    grand = totals.agg(F.sum("n_g").alias("n_all"))
+    spark = df.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    grid = totals.crossJoin(bins)
+    cells = grid.join(counts, ["grp", "bin"], "left").select(
+        "grp", "bin", "n_g", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    wg = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cells = cells.withColumn("cum_g", F.sum("n").over(wg))
+    allc = (
+        cells.groupBy("bin")
+        .agg(F.sum("n").alias("n_b"))
+        .withColumn(
+            "cum_all",
+            F.sum("n_b").over(
+                Window.orderBy("bin").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        .select("bin", "cum_all")
+    )
+    diff = F.abs(
+        F.col("cum_g") / F.col("n_g")
+        - (F.col("cum_all") - F.col("cum_g"))
+        / (F.col("n_all") - F.col("n_g"))
+    )
+    return (
+        cells.join(allc, "bin")
+        .crossJoin(F.broadcast(grand))
+        .where(F.col("n_all") > F.col("n_g"))  # refuse single-group input
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.first("n_g").alias("n"),
+            F.round(F.max(diff), 6).alias("ks_stat"),
+        )
+        .orderBy(group_col)
+    )

@@ -1275,3 +1275,54 @@ def profile_salt_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.where(F.col("event_type") == "click").select("user_id")
     buys = ev.where(F.col("event_type") == "purchase").select("user_id")
     return salt_advisor(clicks, buys, "user_id", target_pairs=40, k=20)
+
+
+@register(
+    "profile_ks_drift",
+    oracle="""
+    WITH stats AS (SELECT min(CAST(value AS DOUBLE)) AS lo,
+                          max(CAST(value AS DOUBLE)) AS hi
+                   FROM events WHERE value IS NOT NULL),
+    b AS (SELECT event_type AS grp,
+                 CASE WHEN s.hi = s.lo THEN 0
+                      ELSE greatest(least(CAST(floor(
+                               (CAST(value AS DOUBLE) - s.lo) * 100
+                               / (s.hi - s.lo)) AS INT), 99), 0) END AS bin
+          FROM events, stats s WHERE value IS NOT NULL),
+    counts AS (SELECT grp, bin, count(*) AS n FROM b GROUP BY grp, bin),
+    totals AS (SELECT grp, sum(n) AS n_g FROM counts GROUP BY grp),
+    grand AS (SELECT sum(n_g) AS n_all FROM totals),
+    grid AS (SELECT t.grp, t.n_g, r.bin
+             FROM totals t CROSS JOIN range(100) r(bin)),
+    cells AS (SELECT g.grp, g.bin, g.n_g, coalesce(c.n, 0) AS n
+              FROM grid g LEFT JOIN counts c
+                ON c.grp = g.grp AND c.bin = g.bin),
+    cum AS (SELECT grp, bin, n_g,
+                   sum(n) OVER (PARTITION BY grp ORDER BY bin) AS cum_g
+            FROM cells),
+    allcum AS (SELECT bin, sum(n_b) OVER (ORDER BY bin) AS cum_all
+               FROM (SELECT bin, sum(n) AS n_b FROM cells GROUP BY bin))
+    SELECT c.grp AS event_type, CAST(max(c.n_g) AS BIGINT) AS n,
+           round(max(abs(CAST(cum_g AS BIGINT) / CAST(n_g AS BIGINT)
+                 - CAST(cum_all - cum_g AS BIGINT)
+                   / CAST(n_all - n_g AS BIGINT))), 6) AS ks_stat
+    FROM cum c JOIN allcum a USING (bin) CROSS JOIN grand
+    WHERE n_all > n_g
+    GROUP BY c.grp
+    ORDER BY event_type
+    """,
+    tags=("profiling", "drift", "ks", "nonparametric"),
+)
+def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS audit
+    (``operators/profiling.py:ks_drift_report``): for every event type,
+    the Kolmogorov-Smirnov distance between its value distribution and
+    the rest of the corpus -- the nonparametric 'which group looks
+    different' read; a sup over the CDF, so a concentrated shift shows
+    at full strength where PSI's per-bin log-ratio dilutes it.  One
+    (group, bin) hash agg is the only corpus-sized step; the statistic
+    itself lives on groups x 100 cumulative rows."""
+    from ..operators.profiling import ks_drift_report
+
+    ev = load(spark, sf_dir, "events")
+    return ks_drift_report(ev, "value", "event_type", n_bins=100)

@@ -5355,3 +5355,32 @@ def test_chunk_documents_covers_every_token_without_suffix_dups(spark):
     assert [r["chunk_text"] for r in by_doc[2]] == ["a b c"]
     assert by_doc[2][0]["n_tokens"] == 3
     assert [r["chunk_text"] for r in by_doc[3]] == ["solo"]
+
+
+def test_ks_drift_report_flags_shifted_group(spark):
+    """A planted +0.5-range shift in one group dominates the KS
+    ranking; same-distribution groups read near zero; a single-group
+    input yields no rows (n_rest = 0 is refused, not divided by)."""
+    from iot_sensor_log_data_pipeline_spark.operators.profiling import (
+        ks_drift_report,
+    )
+
+    rows = (
+        [("a", i / 1000.0) for i in range(1000)]
+        + [("b", (i + 0.5) / 1000.0) for i in range(1000)]  # interleaved, same dist
+        + [("c", 0.5 + i / 2000.0) for i in range(1000)]    # shifted half-range up
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in ks_drift_report(df, "v", "g", n_bins=50).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["c"]["ks_stat"] > 0.4
+    assert out["a"]["ks_stat"] < 0.3 and out["b"]["ks_stat"] < 0.3
+    assert out["c"]["ks_stat"] > out["a"]["ks_stat"] + 0.2
+    assert out["a"]["n"] == 1000
+
+    solo = ks_drift_report(
+        spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double"),
+        "v",
+        "g",
+    )
+    assert solo.count() == 0

@@ -109,6 +109,12 @@ HEADLINE: tuple[str, ...] = (
     "similarity_dim_truncation",
     # round 9: bigram-PMI collocation mining (two explodes + totals)
     "text_bigram_pmi",
+    # round 9: one-register-build pairwise source overlap (HLL algebra)
+    "sketch_hll_source_overlap",
+    # round 9: chunk -> hash-embed -> cosine top-k (the RAG read path)
+    "text_chunk_retrieval",
+    # round 9: binned two-sample KS vs rest (one (group,bin) hash agg)
+    "profile_ks_drift",
 )
 
 

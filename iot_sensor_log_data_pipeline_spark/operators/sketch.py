@@ -696,3 +696,56 @@ def hll_overlap_from_registers(
         )
         .orderBy(f"{group_col}_a", f"{group_col}_b")
     )
+
+
+def cms_join_size(
+    left_counts: DataFrame,
+    right_counts: DataFrame,
+    key_col: str = "key",
+    count_col: str = "n",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Equi-join OUTPUT-size estimate by Count-Min inner product
+    (Cormode & Muthukrishnan 2005 §4.2): the true join size is
+    sum_k n_a(k) * n_b(k) = <a, b>; the row-wise inner product of the
+    two sketches' cells overestimates it (colliding keys only ADD
+    mass), so min over the d rows is the classic a^T b estimator --
+    upper-bounded error epsilon * ||a||_1 * ||b||_1 with the standard
+    CMS guarantees.
+
+    This is THE join-planning primitive at 100 TB: pricing a fact-fact
+    join exactly needs a count-table equi-join (a shuffle of every
+    distinct key on both sides); two fixed-geometry sketches (d x w
+    cells each, KBs) answer it from one broadcast-sized join of cells
+    -- and each side's sketch can come from a maintained stream store
+    (``streaming/pipeline.py:load_cms_store``), so the price of a join
+    against a live table is known WITHOUT scanning it.
+
+    Returns ONE row (exact_pairs, est_pairs) -- the exact value rides
+    along as the correctness gate (est >= exact by construction,
+    asserted in pytest); production planning reads est alone."""
+    a = cms_build(left_counts, key_col, count_col, depth=depth, width=width)
+    b = cms_build(right_counts, key_col, count_col, depth=depth, width=width)
+    ip = (
+        a.select("row", "bucket", F.col("cell_count").alias("ca"))
+        .join(
+            b.select("row", "bucket", F.col("cell_count").alias("cb")),
+            ["row", "bucket"],
+        )
+        .groupBy("row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+        .agg(F.min("ip").alias("est_pairs"))
+    )
+    exact = (
+        left_counts.select(key_col, F.col(count_col).alias("__na"))
+        .join(
+            right_counts.select(key_col, F.col(count_col).alias("__nb")),
+            key_col,
+        )
+        .agg(F.coalesce(F.sum(F.col("__na") * F.col("__nb")), F.lit(0)).alias("exact_pairs"))
+    )
+    return exact.crossJoin(F.broadcast(ip)).select(
+        F.col("exact_pairs").cast("long").alias("exact_pairs"),
+        F.coalesce(F.col("est_pairs"), F.lit(0)).cast("long").alias("est_pairs"),
+    )

@@ -66,16 +66,16 @@ _QUERY_MODULES = (
 #: (c) the 33 round-3-stale rows bumped from the round-8 window,
 #: externally unconfirmed across five rounds of engine evolution;
 #: (d) the stalest round-4 rows that still fit.
-#: 6+7+8+29 = 50, one full window.  (Four (c) rows were traded for
-#: (b2) first-evidence rows, one under the round-8 verdict's >= 30
+#: 6+7+9+28 = 50, one full window.  (Five (c) rows were traded for
+#: (b2) first-evidence rows, two under the round-8 verdict's >= 30
 #: stale-rotation ask -- a deliberate call: a query with ZERO external
 #: evidence outranks a re-confirmation that was green in round 3, and
-#: the four traded rows are the LOWEST-risk of the 33 by construction:
+#: the five traded rows are the LOWEST-risk of the 33 by construction:
 #: hourly_avg_value is smoke-checked under the driver every round via
-#: entry(), and math/hash/conditional_functions are pure literal
-#: function batteries no engine evolution has ever touched (their
-#: modules are unchanged since round 3).  All four lead the round-10
-#: (b) section.)
+#: entry(), and math/hash/conditional_functions/null_semantics are
+#: pure literal function/semantics batteries no engine evolution has
+#: ever touched (their module is unchanged since round 3).  All five
+#: lead the round-10 (b) section.)
 #: Remaining by-design rows-only queries (``agg_approx_sketches``,
 #: ``similarity_ivf_ann``) stay out: they already hold external
 #: `no_oracle` rows (r1/r3), so another adds no information.
@@ -110,6 +110,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "funnel_time_bound",
     "text_chunk_retrieval",
     "profile_ks_drift",
+    "sketch_cms_join_size",
     # (c) the 33 round-3-stale rows (externally green last in r3)
     "scan_orc_roundtrip",
     "scan_xml_roundtrip",
@@ -133,7 +134,6 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "subquery_correlated_q17",
     "subquery_exists_bigorder",
     "subquery_scalar_avg",
-    "null_semantics",
     "json_functions",
     "variant_functions",
     "array_functions",
@@ -150,9 +150,9 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
 #: Round-10 rotation plan: (a) anything new in round 10 plus
 #: re-entries for round-10-edited modules; (b) the rows bumped from
 #: this window (hourly_avg_value, math_functions, hash_functions,
-#: conditional_functions, scan_merge_schema, scd2_point_in_time_join,
-#: profile_psi_drift, quality_iqr_outliers) and the remainder of the
-#: round-4 battery (the ~34 rows not reached by round 9's (d) tail:
+#: conditional_functions, null_semantics, scan_merge_schema,
+#: scd2_point_in_time_join, profile_psi_drift, quality_iqr_outliers)
+#: and the remainder of the round-4 battery (the ~34 rows not reached by round 9's (d) tail:
 #: the dedup/text/similarity families -- dedup_simhash,
 #: dedup_byte_chunks, blocked Levenshtein ER, text LM scores, BPE,
 #: hash embeddings, SRP-LSH/IVF/PQ ANN batteries,

@@ -1326,3 +1326,59 @@ def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return ks_drift_report(ev, "value", "event_type", n_bins=100)
+
+
+@register(
+    "sketch_cms_join_size",
+    oracle="""
+    WITH ca AS (SELECT user_id, count(*) AS n FROM events
+                WHERE event_type = 'click' GROUP BY user_id),
+    cb AS (SELECT user_id, count(*) AS n FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id),
+    rows_ AS (SELECT unnest(range(4)) AS row_id),
+    sa AS (SELECT row_id,
+                  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                        || '#' || row_id), 1, 8)) AS BIGINT) % 1024 AS bucket,
+                  sum(n) AS c
+           FROM ca CROSS JOIN rows_ GROUP BY 1, 2),
+    sb AS (SELECT row_id,
+                  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                        || '#' || row_id), 1, 8)) AS BIGINT) % 1024 AS bucket,
+                  sum(n) AS c
+           FROM cb CROSS JOIN rows_ GROUP BY 1, 2),
+    ip AS (SELECT sa.row_id, sum(sa.c * sb.c) AS ip
+           FROM sa JOIN sb ON sa.row_id = sb.row_id AND sa.bucket = sb.bucket
+           GROUP BY sa.row_id),
+    exact AS (SELECT coalesce(sum(ca.n * cb.n), 0) AS exact_pairs
+              FROM ca JOIN cb USING (user_id))
+    SELECT CAST(exact_pairs AS BIGINT) AS exact_pairs,
+           CAST(coalesce((SELECT min(ip) FROM ip), 0) AS BIGINT) AS est_pairs
+    FROM exact
+    """,
+    tags=("sketch", "count-min", "join", "planning"),
+)
+def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation by CMS inner product
+    (``operators/sketch.py:cms_join_size``): the click-x-purchase
+    attribution join's exact output size next to the sketch estimate
+    (min over rows of the cell-wise inner product -- Cormode &
+    Muthukrishnan's a^T b estimator, an upper bound by construction).
+    The planning primitive that prices a fact-fact join from two
+    KB-sized sketches instead of a distinct-key shuffle of both
+    sides; completes the skew-planning family (`profile_join_skew`
+    ranks keys, `profile_salt_advisor` picks strategies, this prices
+    the TOTAL)."""
+    from ..operators.sketch import cms_join_size
+
+    ev = load(spark, sf_dir, "events")
+    ca = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cb = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cms_join_size(ca, cb, key_col="user_id")

@@ -5384,3 +5384,30 @@ def test_ks_drift_report_flags_shifted_group(spark):
         "g",
     )
     assert solo.count() == 0
+
+
+def test_cms_join_size_upper_bounds_exact(spark):
+    """The inner-product estimator's contract: est >= exact always
+    (collisions only add mass), and with 1024-wide rows over a handful
+    of keys the estimate is exact."""
+    from iot_sensor_log_data_pipeline_spark.operators.sketch import cms_join_size
+
+    ca = spark.createDataFrame(
+        [("a", 10), ("b", 3), ("only-left", 7)], "k string, n long"
+    )
+    cb = spark.createDataFrame(
+        [("a", 4), ("b", 5), ("only-right", 9)], "k string, n long"
+    )
+    r = cms_join_size(ca, cb, key_col="k").collect()[0]
+    assert r["exact_pairs"] == 10 * 4 + 3 * 5
+    assert r["est_pairs"] >= r["exact_pairs"]
+    assert r["est_pairs"] == r["exact_pairs"]  # no collisions at this scale
+
+    # disjoint key sets: exact 0; the estimate may carry collision mass
+    # but must not go negative or null
+    r0 = cms_join_size(
+        spark.createDataFrame([("x", 2)], "k string, n long"),
+        spark.createDataFrame([("y", 2)], "k string, n long"),
+        key_col="k",
+    ).collect()[0]
+    assert r0["exact_pairs"] == 0 and r0["est_pairs"] >= 0

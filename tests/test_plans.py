@@ -113,6 +113,12 @@ BNLJ_ALLOWED = {
     # 2-row broadcast-queries theta join (brute_force_topk's shape)
     # over the chunk embeddings -- plans/text_queries.py
     "text_chunk_retrieval",
+    # two 1-row broadcasts (global min/max bin edges, grand total) --
+    # profiling.py:ks_drift_report
+    "profile_ks_drift",
+    # 1-row broadcast of the sketch inner-product estimate onto the
+    # 1-row exact tally -- sketch.py:cms_join_size
+    "sketch_cms_join_size",
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --

@@ -727,16 +727,7 @@ def cms_join_size(
     asserted in pytest); production planning reads est alone."""
     a = cms_build(left_counts, key_col, count_col, depth=depth, width=width)
     b = cms_build(right_counts, key_col, count_col, depth=depth, width=width)
-    ip = (
-        a.select("row", "bucket", F.col("cell_count").alias("ca"))
-        .join(
-            b.select("row", "bucket", F.col("cell_count").alias("cb")),
-            ["row", "bucket"],
-        )
-        .groupBy("row")
-        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
-        .agg(F.min("ip").alias("est_pairs"))
-    )
+    ip = cms_inner_product(a, b)
     exact = (
         left_counts.select(key_col, F.col(count_col).alias("__na"))
         .join(
@@ -748,4 +739,24 @@ def cms_join_size(
     return exact.crossJoin(F.broadcast(ip)).select(
         F.col("exact_pairs").cast("long").alias("exact_pairs"),
         F.coalesce(F.col("est_pairs"), F.lit(0)).cast("long").alias("est_pairs"),
+    )
+
+
+def cms_inner_product(a_cells: DataFrame, b_cells: DataFrame) -> DataFrame:
+    """The estimator core of ``cms_join_size`` over two ALREADY-BUILT
+    cell tables (same geometry required): one row ``(est_pairs)`` =
+    min over sketch rows of the cell-wise inner product.  Feed it two
+    persisted streaming stores (``streaming/pipeline.py:
+    load_cms_store``) and the join between two LIVE tables is priced
+    without scanning either -- the cells are KB-sized, the join is
+    broadcast-trivial."""
+    return (
+        a_cells.select("row", "bucket", F.col("cell_count").alias("ca"))
+        .join(
+            b_cells.select("row", "bucket", F.col("cell_count").alias("cb")),
+            ["row", "bucket"],
+        )
+        .groupBy("row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+        .agg(F.min("ip").alias("est_pairs"))
     )

@@ -447,6 +447,79 @@ def ann_match_stream(
     )
 
 
+def ks_score_batch(
+    batch: DataFrame,
+    batch_id: int,
+    reference: DataFrame,
+    value_col: str,
+    out_dir: str,
+    n_bins: int = 100,
+) -> None:
+    """One micro-batch of the streaming KS monitor (module-level so the
+    scoring path is directly testable): label the static reference and
+    the batch as two groups, run the binned two-sample KS
+    (``operators/profiling.py:ks_drift_report`` -- group-vs-rest over
+    two groups IS the two-sample statistic), and overwrite one
+    (ks_stat, n_rows) row into ``batch_id=<id>/`` (the PSI monitor's
+    idempotent per-batch layout).  Bin edges derive from the UNION's
+    min/max, so range drift beyond the reference shows as edge mass,
+    never as clamped-away signal."""
+    import os
+
+    from ..operators.profiling import ks_drift_report
+
+    if not batch.take(1):
+        return
+    spark = batch.sparkSession
+    u = reference.select(
+        F.lit("ref").alias("__side"), F.col(value_col).alias("__v")
+    ).unionByName(
+        batch.select(F.lit("cur").alias("__side"), F.col(value_col).alias("__v"))
+    )
+    rows = (
+        ks_drift_report(u, "__v", "__side", n_bins=n_bins)
+        .where(F.col("__side") == "cur")
+        .collect()
+    )
+    ks = float(rows[0]["ks_stat"]) if rows else 0.0
+    n = int(rows[0]["n"]) if rows else 0
+    spark.createDataFrame(
+        spark.sparkContext.parallelize([(ks, n)], 1),
+        "ks_stat double, n_rows long",
+    ).write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_id={int(batch_id)}")
+    )
+
+
+def start_ks_monitor(
+    stream: DataFrame,
+    reference: DataFrame,
+    value_col: str,
+    out_dir: str,
+    checkpoint: str,
+    n_bins: int = 100,
+) -> StreamingQuery:
+    """Streaming nonparametric drift monitor: per micro-batch the
+    binned two-sample Kolmogorov-Smirnov distance against a static
+    reference snapshot, appended as an idempotent per-batch drift log
+    -- the KS twin of ``start_psi_monitor`` (KS is a sup over the CDF:
+    a shift concentrated anywhere shows at full strength where PSI's
+    per-bin log-ratio dilutes it; run both, they catch different
+    shapes).  Cache ``reference`` upstream for long-running monitors.
+    Only a scalar leaves each batch."""
+
+    def score_batch(batch: DataFrame, batch_id: int) -> None:
+        ks_score_batch(
+            batch, batch_id, reference, value_col, out_dir, n_bins=n_bins
+        )
+
+    return (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def start_psi_monitor(
     stream: DataFrame,
     reference: DataFrame,

@@ -2101,3 +2101,74 @@ def test_hll_sink_end_to_end_stream(spark, tmp_path):
     }
     # each source saw 20 distinct users
     assert abs(est["s0"] - 20) / 20 < 0.25 and abs(est["s1"] - 20) / 20 < 0.25
+
+
+def test_ks_monitor_flags_shifted_batch(spark, tmp_path):
+    """Streaming KS monitor: an in-distribution batch logs a small
+    statistic, a shifted batch a large one; replaying a batch id
+    overwrites its own row (idempotent layout); the drift log exposes
+    batch_id as a partition column."""
+    out = str(tmp_path / "ks_log")
+    reference = spark.createDataFrame(
+        [(i / 1000.0,) for i in range(1000)], "v double"
+    )
+    ok_batch = spark.createDataFrame(
+        [((i + 0.5) / 1000.0,) for i in range(1000)], "v double"
+    )
+    bad_batch = spark.createDataFrame(
+        [(0.6 + i / 2500.0,) for i in range(1000)], "v double"
+    )
+    P.ks_score_batch(ok_batch, 0, reference, "v", out)
+    P.ks_score_batch(ok_batch, 0, reference, "v", out)  # replay
+    P.ks_score_batch(bad_batch, 1, reference, "v", out)
+    log = {
+        r["batch_id"]: r
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    }
+    assert set(log) == {0, 1}
+    assert log[0]["ks_stat"] < 0.1
+    assert log[1]["ks_stat"] > 0.5
+    assert log[1]["n_rows"] == 1000
+
+
+def test_ks_monitor_end_to_end_stream(spark, tmp_path):
+    """Drive start_ks_monitor with a real file-source stream."""
+    out = str(tmp_path / "ks_log")
+    src = str(tmp_path / "ks_src")
+    ckpt = str(tmp_path / "ks_ckpt")
+    reference = spark.createDataFrame(
+        [(i / 500.0,) for i in range(500)], "v double"
+    )
+    spark.createDataFrame(
+        [(2.0 + i / 500.0,) for i in range(500)], "v double"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("v double").parquet(src)
+    q = P.start_ks_monitor(stream, reference, "v", out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.option("basePath", out).parquet(out).collect()
+    assert rows and rows[0]["ks_stat"] > 0.9  # fully disjoint ranges
+
+
+def test_cms_stores_price_a_join_without_scanning(spark, tmp_path):
+    """The join between two LIVE ingested tables is priced from their
+    maintained CMS stores alone: inner product over the merged cells
+    upper-bounds (here: equals, no collisions) the exact join size."""
+    from iot_sensor_log_data_pipeline_spark.operators.sketch import (
+        cms_inner_product,
+    )
+
+    sa, sb = str(tmp_path / "cms_a"), str(tmp_path / "cms_b")
+    a0 = spark.createDataFrame([("u1",)] * 4 + [("u2",)] * 2, "key string")
+    a1 = spark.createDataFrame([("u1",)] * 1 + [("u3",)] * 5, "key string")
+    b0 = spark.createDataFrame([("u1",)] * 3 + [("u2",)] * 7, "key string")
+    P.cms_apply_batch(a0, 0, sa)
+    P.cms_apply_batch(a1, 1, sa)
+    P.cms_apply_batch(b0, 0, sb)
+    est = cms_inner_product(
+        P.load_cms_store(spark, sa), P.load_cms_store(spark, sb)
+    ).collect()[0]["est_pairs"]
+    # exact: u1 -> 5*3, u2 -> 2*7, u3 unmatched
+    assert est == 5 * 3 + 2 * 7

@@ -1343,7 +1343,12 @@ def opq_adc_topk(
     and one covariance pass over raw PQ -- all corpus-linear, no new
     shuffle."""
     mu, R = opq_rotation(vectors, m=m, vec_col=vec_col, dim=dim)
-    rv = _apply_projection(vectors, mu, R, id_col=id_col, vec_col=vec_col)
+    # The rotated corpus feeds three scans (codebook training, encode,
+    # re-rank); scratch-cache it so the Arrow matmul runs once, not
+    # three times (measured at sf0.1: 4.25 -> 3.62 s).
+    rv = _SCRATCH.cache(
+        _apply_projection(vectors, mu, R, id_col=id_col, vec_col=vec_col)
+    )
     rq = _apply_projection(queries, mu, R, id_col=id_col, vec_col=vec_col)
     train = pq_codebooks if lloyd else pq_seed_codebooks
     return pq_adc_topk(

@@ -5411,3 +5411,60 @@ def test_cms_join_size_upper_bounds_exact(spark):
         key_col="k",
     ).collect()[0]
     assert r0["exact_pairs"] == 0 and r0["est_pairs"] >= 0
+
+
+def test_chunk_documents_properties_hypothesis(spark):
+    """Property over random doc lengths and window geometries: every
+    token index is covered by exactly the chunks a pure-Python
+    reference emits -- same starts, same lengths, same text -- and
+    ends strictly increase (no suffix-duplicate tails)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iot_sensor_log_data_pipeline_spark.operators.text import chunk_documents
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=4),
+        st.integers(min_value=2, max_value=12),  # chunk_tokens
+        st.integers(min_value=1, max_value=12),  # stride (capped below)
+    )
+    def run(lengths, chunk_tokens, stride):
+        stride = min(stride, chunk_tokens)
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate(lengths)],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            (r["doc_id"], r["chunk_id"], r["start_tok"], r["n_tokens"], r["chunk_text"])
+            for r in chunk_documents(
+                docs, chunk_tokens=chunk_tokens, stride=stride
+            ).collect()
+        )
+
+        expect = []
+        for i, n in enumerate(lengths):
+            toks = [f"t{j}" for j in range(n)]
+            prev_end = -1
+            ci = 0
+            for s in range(0, n, stride):
+                if s > 0 and (s - stride) + chunk_tokens >= n:
+                    ci += 1
+                    continue  # predecessor already reached the end
+                chunk = toks[s : s + chunk_tokens]
+                end = s + len(chunk)
+                assert end > prev_end
+                prev_end = end
+                expect.append((i, ci, s, len(chunk), " ".join(chunk)))
+                ci += 1
+        assert got == sorted(expect)
+        covered = {
+            (d, t)
+            for (d, _c, s, ln, _tx) in expect
+            for t in range(s, s + ln)
+        }
+        assert covered == {
+            (i, t) for i, n in enumerate(lengths) for t in range(n)
+        }
+
+    run()

@@ -349,3 +349,15 @@ def test_pack_sequences_window_is_partitioned(plans):
     # every Window operator's partition spec must be non-empty
     for m in re.finditer(r"Arguments:.*?partition.*", p):
         assert "source" in m.group(0) or "PartitionBy" in m.group(0)
+
+
+def test_chunk_windows_plan_has_no_shuffle(plans):
+    """chunk_documents claims 'zero shuffles' -- pin it: the chunk
+    materialization plan contains no Exchange at all (the orderBy the
+    catalog wrapper adds for oracle comparison is the ONLY allowed
+    one: a rangepartitioning exchange for the final sort)."""
+    plan = plans["text_chunk_windows"]
+    body = plan.split("rangepartitioning", 1)[0]
+    assert "Exchange hashpartitioning" not in body
+    # the operator itself: sequence/explode/slice, all codegen'd
+    assert "Generate explode" in plan or "explode" in plan

@@ -1792,6 +1792,56 @@ def start_index_ingest_sink(
     )
 
 
+def start_chunk_embed_ingest_sink(
+    stream_docs: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    embed_dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """The RAG WRITE path as one streaming sink: documents stream in,
+    each micro-batch is chunked (``operators/text.py:chunk_documents``
+    -- a narrow, shuffle-free transform), every chunk is hash-embedded
+    (``hash_embedding``, the engine's trained-model-free text->vector
+    producer), and the chunk vectors land in a persisted ANN index via
+    ``index_ingest_apply_batch`` -- so a document's chunks are
+    probe-findable the micro-batch after the document arrives, against
+    any index kind in the family (lsh / ivf / pq).
+
+    Chunk ids are ``doc_id * 10^6 + chunk_id`` (recover the document
+    as ``id div 10^6``); caller contract: doc ids disjoint from
+    everything already indexed, and documents longer than 10^6 / stride
+    tokens are refused upstream by the id scheme, not silently folded.
+    The read side of this path is the batch ``text_chunk_retrieval``
+    catalog query; this sink is its streaming write twin."""
+    from ..operators.text import chunk_documents, hash_embedding
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        chunks = chunk_documents(
+            batch, chunk_tokens=chunk_tokens, stride=stride,
+            id_col=id_col, text_col=text_col,
+        ).select(
+            (F.col(id_col) * 1_000_000 + F.col("chunk_id")).alias("vec_id"),
+            "chunk_text",
+        )
+        vecs = hash_embedding(
+            chunks, dim=embed_dim, id_col="vec_id", text_col="chunk_text"
+        )
+        index_ingest_apply_batch(vecs, batch_id, index_path)
+
+    return (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 #: Back-compat aliases (round-9 names before the sink went family-wide).
 ivf_ingest_apply_batch = index_ingest_apply_batch
 start_ivf_ingest_sink = start_index_ingest_sink

@@ -2172,3 +2172,55 @@ def test_cms_stores_price_a_join_without_scanning(spark, tmp_path):
     ).collect()[0]["est_pairs"]
     # exact: u1 -> 5*3, u2 -> 2*7, u3 unmatched
     assert est == 5 * 3 + 2 * 7
+
+
+def test_rag_write_path_streams_end_to_end(spark, tmp_path):
+    """The full RAG write path as a stream: a documents file-stream is
+    chunked, hash-embedded, and ingested into a persisted LSH index;
+    a probe with a streamed document's own embedding finds that
+    document's chunk at rank 1 the batch after it arrived."""
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as AI
+    from iot_sensor_log_data_pipeline_spark.operators import similarity as SIM
+    from iot_sensor_log_data_pipeline_spark.operators.text import hash_embedding
+
+    root = str(tmp_path / "rag_idx")
+    src = str(tmp_path / "rag_src")
+    ckpt = str(tmp_path / "rag_ckpt")
+
+    # static bootstrap corpus -> initial index (chunk ids in doc*1e6 space)
+    base_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta " * 10), (2, "one two three four " * 10)],
+        "doc_id long, text string",
+    )
+    base_vecs = hash_embedding(
+        base_docs.selectExpr("doc_id * 1000000 AS vec_id", "text AS chunk_text"),
+        dim=64, id_col="vec_id", text_col="chunk_text",
+    )
+    AI.build_lsh_index(
+        base_vecs, root, bands=16, rows_per_band=4,
+        planes=SIM.hash_hyperplanes(64, dim=64),
+        id_col="vec_id", vec_col="embedding",
+    )
+
+    streamed_text = "zebra quark lumen vortex " * 10
+    spark.createDataFrame(
+        [(7, streamed_text)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = P.start_chunk_embed_ingest_sink(stream, root, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # probe with the streamed doc's own full-text embedding
+    probe = hash_embedding(
+        spark.createDataFrame(
+            [(0, streamed_text)], "doc_id long, text string"
+        ).selectExpr("doc_id AS vec_id", "text AS chunk_text"),
+        dim=64, id_col="vec_id", text_col="chunk_text",
+    )
+    hits = AI.query_lsh_index(spark, root, probe, k=3).collect()
+    assert hits, "no hits from the persisted index"
+    top = [r for r in hits if r["rank"] == 1][0]
+    assert top["neighbor_id"] // 1_000_000 == 7  # the streamed doc's chunk

@@ -520,6 +520,91 @@ def start_ks_monitor(
     )
 
 
+def lateness_score_batch(
+    batch: DataFrame,
+    batch_id: int,
+    ts_col: str,
+    out_dir: str,
+) -> None:
+    """One micro-batch of the lateness monitor: quantiles of
+    (batch_max_ts - ts) in seconds -- how far behind the stream's own
+    frontier each event arrived, the number `withWatermark` delays
+    should be DERIVED from instead of guessed.  p50/p95/p99/max per
+    batch into the idempotent ``batch_id=<id>`` log layout.  The
+    frontier is the batch's own max event time (deterministic given
+    batch content -- no wall clock, so replays log identical rows)."""
+    import os
+
+    if not batch.take(1):
+        return
+    spark = batch.sparkSession
+    ts = F.col(ts_col).cast("timestamp").cast("double")
+    row = (
+        batch.select(ts.alias("__ts"))
+        .where(F.col("__ts").isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("__ts").alias("__mx"),
+        )
+        .collect()[0]
+    )
+    mx = row["__mx"]
+    q = (
+        batch.select((F.lit(mx) - ts).alias("lag_s"))
+        .where(F.col("lag_s").isNotNull())
+        .agg(
+            F.expr("percentile(lag_s, 0.5)").alias("p50"),
+            F.expr("percentile(lag_s, 0.95)").alias("p95"),
+            F.expr("percentile(lag_s, 0.99)").alias("p99"),
+            F.max("lag_s").alias("max_s"),
+        )
+        .collect()[0]
+    )
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [
+                (
+                    int(row["n"]),
+                    float(q["p50"]),
+                    float(q["p95"]),
+                    float(q["p99"]),
+                    float(q["max_s"]),
+                )
+            ],
+            1,
+        ),
+        "n_rows long, p50_s double, p95_s double, p99_s double, max_s double",
+    ).write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_id={int(batch_id)}")
+    )
+
+
+def start_lateness_monitor(
+    stream: DataFrame,
+    ts_col: str,
+    out_dir: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Event-time lateness monitor: per micro-batch the p50/p95/p99/max
+    of how far each event trails the batch's own event-time frontier --
+    the measurement a watermark delay is sized from ('p99 lateness is
+    40 s, so withWatermark 1 minute holds state long enough and drops
+    almost nothing').  Guessed watermarks either leak state (too long)
+    or silently drop the late tail (too short); this log replaces the
+    guess with the stream's own distribution, and re-checking it over
+    time catches lateness REGIME changes (a new upstream buffer, a
+    slow region) before they become dropped data."""
+
+    def score_batch(batch: DataFrame, batch_id: int) -> None:
+        lateness_score_batch(batch, batch_id, ts_col, out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def start_psi_monitor(
     stream: DataFrame,
     reference: DataFrame,

@@ -2224,3 +2224,45 @@ def test_rag_write_path_streams_end_to_end(spark, tmp_path):
     assert hits, "no hits from the persisted index"
     top = [r for r in hits if r["rank"] == 1][0]
     assert top["neighbor_id"] // 1_000_000 == 7  # the streamed doc's chunk
+
+
+def test_lateness_monitor_measures_event_time_lag(spark, tmp_path):
+    """Planted lateness: 90% of a batch is at the frontier, 10% trails
+    by 100 s -- p50 reads 0, p95/p99/max read the tail; replaying a
+    batch id overwrites its own row."""
+    import datetime as dt
+
+    out = str(tmp_path / "late_log")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(base,)] * 90 + [(base - dt.timedelta(seconds=100),)] * 10
+    batch = spark.createDataFrame(rows, "ts timestamp")
+    P.lateness_score_batch(batch, 0, "ts", out)
+    P.lateness_score_batch(batch, 0, "ts", out)  # replay
+    log = spark.read.option("basePath", out).parquet(out).collect()
+    assert len(log) == 1
+    r = log[0]
+    assert r["n_rows"] == 100
+    assert r["p50_s"] == 0.0
+    assert r["p95_s"] == 100.0 and r["max_s"] == 100.0
+
+
+def test_lateness_monitor_end_to_end_stream(spark, tmp_path):
+    """Drive start_lateness_monitor with a real file-source stream."""
+    import datetime as dt
+
+    out = str(tmp_path / "late_log")
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [(base - dt.timedelta(seconds=i % 30),) for i in range(300)],
+        "ts timestamp",
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp").parquet(src)
+    q = P.start_lateness_monitor(stream, "ts", out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.option("basePath", out).parquet(out).collect()
+    assert rows and rows[0]["max_s"] == 29.0

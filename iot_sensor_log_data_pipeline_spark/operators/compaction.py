@@ -408,3 +408,66 @@ def table_layout_report(
         " avg_bytes long, max_bytes long, n_small long,"
         " ideal_n_files long, verdict string",
     ).orderBy("partition")
+
+
+def expire_partitions(
+    spark: SparkSession,
+    table_dir: str,
+    partition_col: str,
+    cutoff: str,
+    dry_run: bool = True,
+) -> DataFrame:
+    """Retention for a hive-partitioned table: drop every
+    ``<partition_col>=<value>`` directory whose value sorts strictly
+    below ``cutoff`` -- the generalized form of the reference's A17
+    source truncation (``sensor-log-compactor.py:125-139``), applied to
+    time-partitioned layouts (``log_hour=2024-01-01-03`` etc.) instead
+    of a flat prefix, and DETERMINISTIC: the caller passes the cutoff
+    explicitly (derive it from the data's own max partition or a policy
+    job), never a wall clock inside the operator.
+
+    ``dry_run=True`` (the default) only REPORTS what would go --
+    (partition_value, n_files, total_bytes, action) -- the review step
+    a retention job runs first; ``dry_run=False`` deletes the listed
+    directories and returns the same report with action='deleted'.
+    Values compare as strings, which is correct exactly when the
+    partition format is zero-padded lexicographic-chronological (the
+    engine's ``log_hour`` format is); numeric partition schemes should
+    pass zero-padded cutoffs of the same width.
+
+    Cost: one directory listing + per-partition file stats (metadata
+    only, the ``table_layout_report`` contract); the delete is a
+    filesystem remove of whole partition directories -- no data pass,
+    no rewrite, partition pruning's storage-side twin."""
+    prefix = f"{partition_col}="
+    rows = []
+    doomed: list[str] = []
+    base = table_dir.rstrip("/")
+    for name in sorted(os.listdir(base)):
+        full = os.path.join(base, name)
+        if not (os.path.isdir(full) and name.startswith(prefix)):
+            continue
+        value = name[len(prefix):]
+        if value >= cutoff:
+            continue
+        files = [
+            os.path.join(full, f)
+            for f in os.listdir(full)
+            if not f.startswith((".", "_")) and os.path.isfile(os.path.join(full, f))
+        ]
+        rows.append(
+            (
+                value,
+                len(files),
+                int(sum(os.path.getsize(f) for f in files)),
+                "would-delete" if dry_run else "deleted",
+            )
+        )
+        doomed.append(full)
+    if not dry_run:
+        for full in doomed:
+            shutil.rmtree(full)
+    return spark.createDataFrame(
+        rows,
+        "partition_value string, n_files long, total_bytes long, action string",
+    ).orderBy("partition_value")

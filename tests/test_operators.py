@@ -5468,3 +5468,38 @@ def test_chunk_documents_properties_hypothesis(spark):
         }
 
     run()
+
+
+def test_expire_partitions_dry_run_then_delete(spark, tmp_path):
+    """Retention contract: dry run only reports, delete drops exactly
+    the sub-cutoff partition directories, surviving data stays
+    readable, and an empty-match cutoff is a no-op."""
+    from iot_sensor_log_data_pipeline_spark.operators.compaction import (
+        expire_partitions,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 3}") for i in range(30)],
+        "id long, day string",
+    )
+    df.write.partitionBy("day").parquet(table)
+
+    rep = expire_partitions(spark, table, "day", "2024-01-03").collect()
+    assert [(r["partition_value"], r["action"]) for r in rep] == [
+        ("2024-01-01", "would-delete"),
+        ("2024-01-02", "would-delete"),
+    ]
+    assert spark.read.parquet(table).count() == 30  # dry run touched nothing
+
+    rep2 = expire_partitions(
+        spark, table, "day", "2024-01-03", dry_run=False
+    ).collect()
+    assert all(r["action"] == "deleted" for r in rep2)
+    left = spark.read.parquet(table)
+    assert left.count() == 10
+    # partition-column type inference reads the value back as a DATE
+    assert [str(r["day"]) for r in left.select("day").distinct().collect()] == [
+        "2024-01-03"
+    ]
+    assert expire_partitions(spark, table, "day", "2024-01-01").count() == 0

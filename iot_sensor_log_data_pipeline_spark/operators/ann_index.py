@@ -216,6 +216,14 @@ def _read_with_segments(spark: SparkSession, path: str, name: str) -> DataFrame:
             .select(*main.columns)
         )
         main = main.unionByName(seg)
+    # Tombstoned ids vanish from EVERY read (postings, codes, re-rank
+    # vectors) the moment delete_from_index commits -- not merely from
+    # final results: a posting that ranked and then disappeared at the
+    # re-rank join would silently shrink top-k below k.
+    tomb_dir = _sub(path, "tombstones")
+    if os.path.exists(tomb_dir):
+        tombs = spark.read.parquet(tomb_dir).select("id")
+        main = main.join(tombs, "id", "left_anti")
     return main
 
 
@@ -812,3 +820,74 @@ def query_pq_index(
             "rank",
         )
     )
+
+
+def delete_from_index(
+    ids: DataFrame, path: str, id_col: str = "vec_id"
+) -> None:
+    """Tombstone deletes for the persisted ANN family (lsh / ivf /
+    pq) -- the takedown/right-to-be-forgotten path a 100 TB serving
+    index needs: APPEND the ids to ``tombstones/`` and every probe
+    excludes them immediately (the ``_read_with_segments`` anti-join
+    covers postings, codes, re-rank vectors, and stream segments in
+    one hook), without rewriting a single data file.  The bytes
+    remain on disk until ``apply_deletes`` -- logical-then-physical,
+    the standard two-phase deletion contract (Delta/Iceberg delete
+    vectors follow the same shape).
+
+    Scale shape: the tombstone table is deletion-sized, the probe-side
+    anti-join shuffles nothing extra (broadcast while small, hash join
+    when takedowns grow huge), and repeated deletes of the same id are
+    harmless (anti-join semantics are idempotent)."""
+    ids.select(F.col(id_col).cast("long").alias("id")).write.mode(
+        "append"
+    ).parquet(_sub(path, "tombstones"))
+
+
+def apply_deletes(spark: SparkSession, path: str) -> None:
+    """Physically rewrite an index minus its tombstones and clear the
+    tombstone table -- run on the OPTIMIZE cadence, after takedown
+    volume makes the probe-side anti-join worth retiring.  Each main
+    table rewrites via the read-then-swap contract (localCheckpoint
+    materializes before the overwrite); each stream-segment tree folds
+    to a filtered ``batch=-1`` (so a batch id replayed AFTER the
+    rewrite would resurrect nothing -- its directory overwrite lands
+    beside the compacted tree exactly as after
+    ``optimize_stream_segments``).  Single-writer, stream stopped --
+    the family contract."""
+    import shutil
+
+    tomb_dir = _sub(path, "tombstones")
+    if not os.path.exists(tomb_dir):
+        return
+    tombs = (
+        spark.read.parquet(tomb_dir)
+        .select("id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for name in ("entries", "vectors", "codes"):
+        d = _sub(path, name)
+        if os.path.exists(d):
+            kept = (
+                spark.read.parquet(d)
+                .join(tombs, "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            kept.write.mode("overwrite").parquet(d)
+        seg_dir = _sub(path, f"{name}_stream")
+        if os.path.exists(seg_dir):
+            kept = (
+                spark.read.option("basePath", seg_dir)
+                .parquet(seg_dir)
+                .drop("batch")
+                .join(tombs, "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            tmp = seg_dir.rstrip("/") + "__next"
+            kept.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(tmp, "batch=-1")
+            )
+            shutil.rmtree(seg_dir)
+            os.rename(tmp, seg_dir)
+    shutil.rmtree(tomb_dir)

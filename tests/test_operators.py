@@ -5503,3 +5503,68 @@ def test_expire_partitions_dry_run_then_delete(spark, tmp_path):
         "2024-01-03"
     ]
     assert expire_partitions(spark, table, "day", "2024-01-01").count() == 0
+
+
+def test_index_tombstone_deletes_across_family(spark, tmp_path):
+    """Tombstone deletes: a deleted id vanishes from LSH and PQ probes
+    immediately (logical), including ids living only in stream
+    segments; apply_deletes physically retires the rows and clears the
+    tombstone table; probe results are identical before and after the
+    physical pass; re-deleting is idempotent."""
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as AI
+    from iot_sensor_log_data_pipeline_spark.operators import similarity as SIM
+    from iot_sensor_log_data_pipeline_spark.streaming.pipeline import (
+        index_ingest_apply_batch,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.where("vec_id >= 5 AND vec_id < 60")
+    streamed = emb.where("vec_id >= 60 AND vec_id < 70")
+    queries = emb.where("vec_id < 5")
+
+    for kind, build, probe in (
+        (
+            "lsh",
+            lambda p: AI.build_lsh_index(
+                corpus, p, bands=16, rows_per_band=4,
+                planes=SIM.hash_hyperplanes(64, dim=64),
+            ),
+            lambda p: AI.query_lsh_index(spark, p, queries, k=50),
+        ),
+        (
+            "pq",
+            lambda p: AI.build_pq_index(
+                corpus, p, m=8, n_codes=16,
+                codebooks=SIM.pq_seed_codebooks(corpus, m=8, k=16),
+            ),
+            lambda p: AI.query_pq_index(spark, p, queries, k=50, rerank=60),
+        ),
+    ):
+        root = str(tmp_path / f"idx_{kind}")
+        build(root)
+        index_ingest_apply_batch(streamed, 0, root)
+
+        before = {r["neighbor_id"] for r in probe(root).collect()}
+        victims = sorted(before)[:2] + [65]  # one from the stream segment
+        vdf = spark.createDataFrame([(int(v),) for v in set(victims)], "vec_id long")
+        AI.delete_from_index(vdf, root)
+        AI.delete_from_index(vdf, root)  # idempotent
+
+        logical = probe(root)
+        got = {r["neighbor_id"] for r in logical.collect()}
+        assert not (got & set(victims)), (kind, got & set(victims))
+        logical_rows = sorted(tuple(r) for r in logical.collect())
+
+        AI.apply_deletes(spark, root)
+        import os as _os
+
+        assert not _os.path.exists(_os.path.join(root, "tombstones"))
+        after_rows = sorted(tuple(r) for r in probe(root).collect())
+        assert after_rows == logical_rows, kind
+        vec_ids = {
+            r["id"] for r in spark.read.parquet(
+                _os.path.join(root, "vectors")
+            ).collect()
+        }
+        assert not (vec_ids & set(victims)), kind

@@ -97,6 +97,17 @@ def _build_geometry(cfg) -> dict[str, int]:
     }
 
 
+def _graph_tombstones(spark, path: str):
+    """The distinct tombstoned ids of a graph index, or None -- the
+    graph twin of the ann_index family's read-layer delete hook."""
+    import os as _os
+
+    tomb = _sub(path, "tombstones")
+    if _os.path.exists(tomb):
+        return spark.read.parquet(tomb).select("id").distinct()
+    return None
+
+
 def lsh_seed_pairs(
     banded: DataFrame, seed_cap: int = DEFAULT_SEED_CAP
 ) -> DataFrame:
@@ -501,6 +512,20 @@ def query_graph_index(
     adj = spark.read.parquet(_sub(path, "graph")).select("src", "dst")
     vecs = spark.read.parquet(_sub(path, "vectors"))
     entries = spark.read.parquet(_sub(path, "entries"))
+    # Tombstoned nodes vanish from every read: as results (vectors,
+    # entries) AND as routing (edges in BOTH directions) -- the beam
+    # must never traverse or return a deleted node.  Routing through a
+    # deleted hub is lost until apply_graph_deletes +
+    # optimize_graph_index re-link its neighborhood (the refinement
+    # round IS the repair pass); recall degrades gracefully as
+    # tombstones accumulate, never correctness.
+    tombs = _graph_tombstones(spark, path)
+    if tombs is not None:
+        vecs = vecs.join(tombs, "id", "left_anti")
+        entries = entries.join(tombs, "id", "left_anti")
+        adj = adj.join(
+            tombs.select(F.col("id").alias("src")), "src", "left_anti"
+        ).join(tombs.select(F.col("id").alias("dst")), "dst", "left_anti")
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -745,3 +770,64 @@ def optimize_graph_index(
         .write.mode("overwrite")
         .parquet(_sub(path, "entries"))
     )
+
+
+def delete_from_graph_index(
+    ids: DataFrame, path: str, id_col: str = "vec_id"
+) -> None:
+    """Tombstone deletes for the graph index -- the knn_graph member of
+    the family-wide takedown path (``ann_index.delete_from_index`` for
+    lsh/ivf/pq): APPEND ids to ``tombstones/``; every probe excludes
+    them the same moment, as results AND as routing (edges in both
+    directions drop at read time).  Routing that passed THROUGH a
+    deleted hub is lost until the physical pass re-links its
+    neighborhood -- graceful recall degradation, never a returned
+    deleted row.  Repeat deletes are idempotent."""
+    ids.select(F.col(id_col).cast("long").alias("id")).write.mode(
+        "append"
+    ).parquet(_sub(path, "tombstones"))
+
+
+def apply_graph_deletes(spark: SparkSession, path: str, n_refine: int = 1) -> None:
+    """Physically retire a graph index's tombstones: rewrite vectors
+    and edges minus the deleted nodes (edges filtered on BOTH ends),
+    run ``n_refine`` NN-descent refinement rounds so neighborhoods
+    that routed through deleted hubs re-link (the repair pass --
+    neighbors-of-neighbors reconnects what the hub connected), refresh
+    the md5-deterministic entry points from the SURVIVING nodes, and
+    clear the tombstone table.  Read-then-swap via localCheckpoint,
+    single-writer, stream stopped -- the family contract."""
+    import os as _os
+    import shutil
+
+    tombs = _graph_tombstones(spark, path)
+    if tombs is None:
+        return
+    tombs = tombs.localCheckpoint(eager=True)
+    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    base = (
+        spark.read.parquet(_sub(path, "vectors"))
+        .join(tombs, "id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    graph = (
+        spark.read.parquet(_sub(path, "graph"))
+        .join(tombs.select(F.col("id").alias("src")), "src", "left_anti")
+        .join(tombs.select(F.col("id").alias("dst")), "dst", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    build_k = _build_geometry(cfg)["build_k"]
+    if n_refine:
+        graph = _top_n(graph, build_k).localCheckpoint(eager=True)
+        graph = _refine(base, graph, build_k, n_refine)
+    final = _top_n(graph, int(cfg["k"])).localCheckpoint(eager=True)
+    base.write.mode("overwrite").parquet(_sub(path, "vectors"))
+    final.write.mode("overwrite").parquet(_sub(path, "graph"))
+    (
+        base.select("id")
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(int(cfg["n_entry"]))
+        .write.mode("overwrite")
+        .parquet(_sub(path, "entries"))
+    )
+    shutil.rmtree(_sub(path, "tombstones"))

@@ -5568,3 +5568,47 @@ def test_index_tombstone_deletes_across_family(spark, tmp_path):
             ).collect()
         }
         assert not (vec_ids & set(victims)), kind
+
+
+def test_graph_index_tombstone_deletes(spark, tmp_path):
+    """Graph tombstones: a deleted node never appears in probe results
+    (logical), apply_graph_deletes retires it physically, refreshes
+    entry points from survivors, clears the tombstones, and the
+    surviving neighborhood re-links (probes still return k rows)."""
+    import os as _os
+
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import graph_ann as GA
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.where("vec_id >= 5 AND vec_id < 80")
+    queries = emb.where("vec_id < 3")
+    root = str(tmp_path / "gidx")
+    GA.build_graph_index(corpus, root, k=6, n_entry=8)
+
+    before = GA.query_graph_index(spark, root, queries, k=6).collect()
+    victims = sorted({r["neighbor_id"] for r in before})[:2]
+    vdf = spark.createDataFrame([(int(v),) for v in victims], "vec_id long")
+    GA.delete_from_graph_index(vdf, root)
+
+    logical = GA.query_graph_index(spark, root, queries, k=6).collect()
+    assert not ({r["neighbor_id"] for r in logical} & set(victims))
+    assert logical, "probe returned nothing under tombstones"
+
+    GA.apply_graph_deletes(spark, root)
+    assert not _os.path.exists(_os.path.join(root, "tombstones"))
+    after = GA.query_graph_index(spark, root, queries, k=6).collect()
+    assert not ({r["neighbor_id"] for r in after} & set(victims))
+    # per query still k results after the repair pass
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in after)
+    assert all(v == 6 for v in per_q.values()), per_q
+    vec_ids = {
+        r["id"] for r in spark.read.parquet(_os.path.join(root, "vectors")).collect()
+    }
+    assert not (vec_ids & set(victims))
+    entries = {
+        r["id"] for r in spark.read.parquet(_os.path.join(root, "entries")).collect()
+    }
+    assert len(entries) == 8 and not (entries & set(victims))

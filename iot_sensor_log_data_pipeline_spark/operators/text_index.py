@@ -182,6 +182,17 @@ def query_text_index(
     postings = spark.read.parquet(_sub(path, "postings")).where(
         F.col("term").isin(*active_terms)
     )
+    doclens = spark.read.parquet(_sub(path, "doclens"))
+    # Tombstoned docs vanish from postings AND doclens immediately --
+    # and because df is computed live from the (filtered) postings,
+    # idf is takedown-correct at once; only the 1-row N/avgdl stats
+    # stay stale until apply_text_deletes (a bounded, documented skew:
+    # both are corpus-scale denominators, not per-doc state).
+    tomb_dir = _sub(path, "tombstones")
+    if os.path.exists(tomb_dir):
+        tombs = spark.read.parquet(tomb_dir).select("id").distinct()
+        postings = postings.join(tombs, "id", "left_anti")
+        doclens = doclens.join(tombs, "id", "left_anti")
     # Per-term document frequency: <= |query_terms| rows to the driver
     # (each (term, id) posting is one matching doc).
     df_rows = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
@@ -198,7 +209,6 @@ def query_text_index(
             for i, t in enumerate(active_terms)
         ]
     )
-    doclens = spark.read.parquet(_sub(path, "doclens"))
     scored = per_doc.join(doclens, "id")
     score = F.lit(0.0)
     for i, t in enumerate(active_terms):
@@ -344,3 +354,71 @@ def optimize_text_index(
     shutil.rmtree(final)
     os.rename(tmp, final)
     merged_stop.write.mode("overwrite").parquet(_sub(path, "stopterms"))
+
+
+def delete_from_text_index(
+    ids: DataFrame, path: str, id_col: str = "doc_id"
+) -> None:
+    """Tombstone deletes for the inverted text index -- the BM25 member
+    of the family-wide takedown path: APPEND doc ids to
+    ``tombstones/``; probes exclude the docs immediately, and because
+    per-term df is computed live from the filtered postings, idf is
+    takedown-correct the same moment.  Only the 1-row N/avgdl stats
+    lag until ``apply_text_deletes`` -- corpus-scale denominators, not
+    per-doc state, so the skew is bounded and shrinks to zero at the
+    physical pass.  Repeat deletes are idempotent."""
+    ids.select(F.col(id_col).cast("long").alias("id")).write.mode(
+        "append"
+    ).parquet(_sub(path, "tombstones"))
+
+
+def apply_text_deletes(spark: SparkSession, path: str) -> None:
+    """Physically retire a text index's tombstones: rewrite postings
+    and doclens minus the deleted docs (read-then-swap), recompute the
+    N/avgdl stats row from the SURVIVING doclens (closing the
+    documented logical-phase skew), and clear the tombstone table.
+    Stop terms stay stopped (they were corpus-frequency-derived;
+    deletion only ever lowers frequencies, so keeping them is
+    conservative, never wrong).  Single-writer, probes stopped -- the
+    family contract."""
+    import shutil
+
+    tomb_dir = _sub(path, "tombstones")
+    if not os.path.exists(tomb_dir):
+        return
+    tombs = (
+        spark.read.parquet(tomb_dir)
+        .select("id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    doclens = (
+        spark.read.parquet(_sub(path, "doclens"))
+        .join(tombs, "id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    postings = (
+        spark.read.parquet(_sub(path, "postings"))
+        .join(tombs, "id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    doclens.write.mode("overwrite").parquet(_sub(path, "doclens"))
+    postings.write.mode("overwrite").parquet(_sub(path, "postings"))
+    agg = doclens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    old_stats = spark.read.parquet(_sub(path, "stats")).head()
+    _write_small(
+        spark,
+        [
+            (
+                float(agg["n"]),
+                float(agg["avgdl"] or 0.0),
+                old_stats["max_df"],
+                old_stats["max_df_frac"],
+            )
+        ],
+        "n_docs double, avgdl double, max_df double, max_df_frac double",
+        _sub(path, "stats"),
+    )
+    shutil.rmtree(tomb_dir)

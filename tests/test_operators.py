@@ -5612,3 +5612,47 @@ def test_graph_index_tombstone_deletes(spark, tmp_path):
         r["id"] for r in spark.read.parquet(_os.path.join(root, "entries")).collect()
     }
     assert len(entries) == 8 and not (entries & set(victims))
+
+
+def test_text_index_tombstone_deletes(spark, tmp_path):
+    """Text-index tombstones: a deleted doc vanishes from BM25 results
+    immediately with takedown-correct df; apply_text_deletes retires
+    the rows, recomputes N/avgdl from survivors, preserves the
+    stop-term policy columns, and clears the tombstones."""
+    import os as _os
+
+    from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engine spark catalyst"),
+            (2, "spark shuffle exchange"),
+            (3, "catalyst optimizer rules"),
+            (4, "totally unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "tidx")
+    TI.build_text_index(docs, root)
+
+    before = TI.query_text_index(spark, root, ("spark",), k=4).collect()
+    assert {r["doc_id"] for r in before} == {1, 2}
+
+    TI.delete_from_text_index(
+        spark.createDataFrame([(1,)], "doc_id long"), root
+    )
+    logical = TI.query_text_index(spark, root, ("spark",), k=4).collect()
+    assert {r["doc_id"] for r in logical} == {2}
+
+    TI.apply_text_deletes(spark, root)
+    assert not _os.path.exists(_os.path.join(root, "tombstones"))
+    after = TI.query_text_index(spark, root, ("spark",), k=4).collect()
+    assert {r["doc_id"] for r in after} == {2}
+    stats = spark.read.parquet(_os.path.join(root, "stats")).head()
+    assert stats["n_docs"] == 3.0
+    assert "max_df" in stats.asDict()  # policy columns preserved
+    ids = {
+        r["id"]
+        for r in spark.read.parquet(_os.path.join(root, "doclens")).collect()
+    }
+    assert ids == {2, 3, 4}

@@ -1503,6 +1503,12 @@ def load_winnowing_index(spark, path: str) -> tuple[DataFrame, int, int]:
 
     cfg = spark.read.parquet(os.path.join(path, "config")).head()
     postings = spark.read.parquet(os.path.join(path, "postings"))
+    # Tombstoned docs vanish from every probe immediately (the
+    # family-wide takedown hook; see delete_from_winnowing_index).
+    tomb_dir = os.path.join(path, "tombstones")
+    if os.path.exists(tomb_dir):
+        tombs = spark.read.parquet(tomb_dir).select("doc_id").distinct()
+        postings = postings.join(tombs, "doc_id", "left_anti")
     return postings, int(cfg["k"]), int(cfg["w"])
 
 
@@ -1724,3 +1730,51 @@ def source_dedup_audit(
         )
         .withColumnRenamed("__src", source_col)
     )
+
+
+def delete_from_winnowing_index(
+    ids: DataFrame, path: str, id_col: str = "doc_id"
+) -> None:
+    """Tombstone deletes for the winnowing fingerprint index -- the
+    MOSS-overlap member of the family-wide takedown path: APPEND doc
+    ids to ``tombstones/``; every probe (batch pair mining and the
+    streaming gate, both of which read through
+    ``load_winnowing_index``) excludes the docs the same moment.  The
+    append-side fp ledger keeps the deleted docs' df contributions
+    until the physical pass -- deletion only LOWERS true frequencies,
+    so stop-fp pruning stays conservative, never wrong.  Repeat
+    deletes are idempotent."""
+    import os
+
+    ids.select(F.col(id_col).cast("long").alias("doc_id")).write.mode(
+        "append"
+    ).parquet(os.path.join(path, "tombstones"))
+
+
+def apply_winnowing_deletes(spark, path: str) -> None:
+    """Physically retire a winnowing index's tombstones: rewrite the
+    postings minus the deleted docs (read-then-swap, preserving the
+    (fp, doc_id) range layout the probe's row-group pruning relies
+    on) and clear the tombstone table.  Single-writer, probes and the
+    streaming gate stopped -- the family contract."""
+    import os
+    import shutil
+
+    tomb_dir = os.path.join(path, "tombstones")
+    if not os.path.exists(tomb_dir):
+        return
+    tombs = (
+        spark.read.parquet(tomb_dir)
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    kept = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .join(tombs, "doc_id", "left_anti")
+        .repartitionByRange("fp", "doc_id")
+        .sortWithinPartitions("fp", "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    kept.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    shutil.rmtree(tomb_dir)

@@ -5656,3 +5656,49 @@ def test_text_index_tombstone_deletes(spark, tmp_path):
         for r in spark.read.parquet(_os.path.join(root, "doclens")).collect()
     }
     assert ids == {2, 3, 4}
+
+
+def test_winnowing_index_tombstone_deletes(spark, tmp_path):
+    """Winnowing tombstones: a deleted doc stops matching immediately
+    (all probes read through the filtered loader), the physical pass
+    retires its postings and clears the tombstone table."""
+    import os as _os
+
+    root = str(tmp_path / "widx")
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different content with no shared runs at all okay"),
+        ],
+        "doc_id long, text string",
+    )
+    DD.build_winnowing_index(docs, root, k=4, w=4)
+
+    probe = spark.createDataFrame(
+        [(99, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string",
+    )
+
+    def matched_corpus_ids():
+        postings, k, w = DD.load_winnowing_index(spark, root)
+        pf = DD.winnowing_fingerprints(probe, k, w).select("fp")
+        return {
+            r["doc_id"] for r in postings.join(pf, "fp").collect()
+        }
+
+    assert matched_corpus_ids() == {1, 2}
+
+    DD.delete_from_winnowing_index(
+        spark.createDataFrame([(1,)], "doc_id long"), root
+    )
+    assert matched_corpus_ids() == {2}
+
+    DD.apply_winnowing_deletes(spark, root)
+    assert not _os.path.exists(_os.path.join(root, "tombstones"))
+    assert matched_corpus_ids() == {2}
+    ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(_os.path.join(root, "postings")).collect()
+    }
+    assert 1 not in ids

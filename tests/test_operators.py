@@ -5702,3 +5702,46 @@ def test_winnowing_index_tombstone_deletes(spark, tmp_path):
         for r in spark.read.parquet(_os.path.join(root, "postings")).collect()
     }
     assert 1 not in ids
+
+
+def test_hll_registers_merge_property_hypothesis(spark):
+    """The mergeability invariant every HLL consumer (streaming sink,
+    overlap algebra) rests on, stated exactly: registers(A union B) ==
+    max-merge(registers(A), registers(B)) -- bit-for-bit, for random
+    key multisets including overlap and duplicates."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iot_sensor_log_data_pipeline_spark.operators.sketch import hll_registers
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=50), max_size=40),
+        st.lists(st.integers(min_value=20, max_value=80), max_size=40),
+    )
+    def run(keys_a, keys_b):
+        if not keys_a and not keys_b:
+            return
+        fa = spark.createDataFrame([(f"k{k}",) for k in keys_a] or [("__none__",)], "key string")
+        fb = spark.createDataFrame([(f"k{k}",) for k in keys_b] or [("__none__",)], "key string")
+        if not keys_a:
+            fa = fa.where("key <> '__none__'")
+        if not keys_b:
+            fb = fb.where("key <> '__none__'")
+        direct = {
+            (r["register"], r["max_rank"])
+            for r in hll_registers(fa.unionByName(fb), "key").collect()
+        }
+        from pyspark.sql import functions as F2
+
+        merged = {
+            (r["register"], r["max_rank"])
+            for r in hll_registers(fa, "key")
+            .unionByName(hll_registers(fb, "key"))
+            .groupBy("register")
+            .agg(F2.max("max_rank").alias("max_rank"))
+            .collect()
+        }
+        assert direct == merged
+
+    run()

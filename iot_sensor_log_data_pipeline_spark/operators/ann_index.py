@@ -251,7 +251,16 @@ def optimize_stream_segments(spark: SparkSession, path: str) -> None:
     every tree self-consistent.  The MAIN tables are never touched --
     absorbing segments into them would need a cross-directory atomic
     swap the filesystem cannot give us; the union read makes
-    absorption unnecessary.  Single-writer, stream stopped."""
+    absorption unnecessary.  Single-writer, stream stopped.
+
+    The fold is full-row DISTINCT: a batch directory replayed after
+    its tree was compacted (at-least-once delivery, checkpoint behind
+    the fold) lands beside ``batch=-1`` holding rows the fold already
+    absorbed, and without the distinct every such row would double in
+    probe results.  Rows here are unique per id by the ingest
+    contract (one vector/codes row per id, one entry per (id, band |
+    cell)), so full-row duplicates are always replay artifacts; the
+    distinct costs one segment-sized shuffle at optimize cadence."""
     import shutil
 
     for name in ("entries_stream", "vectors_stream", "codes_stream"):
@@ -259,7 +268,10 @@ def optimize_stream_segments(spark: SparkSession, path: str) -> None:
         if not os.path.exists(seg_dir):
             continue
         merged = (
-            spark.read.option("basePath", seg_dir).parquet(seg_dir).drop("batch")
+            spark.read.option("basePath", seg_dir)
+            .parquet(seg_dir)
+            .drop("batch")
+            .distinct()
         )
         tmp = seg_dir.rstrip("/") + "__next"
         merged.coalesce(1).write.mode("overwrite").parquet(
@@ -844,17 +856,31 @@ def delete_from_index(
     ).parquet(_sub(path, "tombstones"))
 
 
-def apply_deletes(spark: SparkSession, path: str) -> None:
-    """Physically rewrite an index minus its tombstones and clear the
-    tombstone table -- run on the OPTIMIZE cadence, after takedown
-    volume makes the probe-side anti-join worth retiring.  Each main
-    table rewrites via the read-then-swap contract (localCheckpoint
-    materializes before the overwrite); each stream-segment tree folds
-    to a filtered ``batch=-1`` (so a batch id replayed AFTER the
-    rewrite would resurrect nothing -- its directory overwrite lands
-    beside the compacted tree exactly as after
+def apply_deletes(
+    spark: SparkSession, path: str, retire_tombstones: bool = False
+) -> None:
+    """Physically rewrite an index minus its tombstones -- run on the
+    OPTIMIZE cadence, after takedown volume makes the probe-side
+    anti-join worth retiring.  Each main table rewrites via the
+    read-then-swap contract (localCheckpoint materializes before the
+    overwrite); each stream-segment tree folds to a filtered
+    ``batch=-1`` (so a batch id replayed AFTER the rewrite would
+    resurrect nothing into the COMPACTED tree -- its directory
+    overwrite lands beside it exactly as after
     ``optimize_stream_segments``).  Single-writer, stream stopped --
-    the family contract."""
+    the family contract.
+
+    The tombstone table is KEPT by default (rewritten compacted, one
+    distinct file): a stopped-but-not-checkpointed ingest stream can
+    replay an in-flight batch that CONTAINED deleted ids, and if the
+    tombstones were dropped with the rewrite those ids would
+    resurrect unmasked -- fatal for a right-to-be-forgotten path.
+    Retained tombstones keep replayed rows invisible to every probe
+    and the next ``apply_deletes`` scrubs them physically; the cost is
+    an anti-join against total takedown history (deletion-sized, tiny
+    vs the corpus).  Pass ``retire_tombstones=True`` only when the
+    caller ASSERTS no replay is possible (streams stopped after a
+    clean checkpoint commit, or batch-only index)."""
     import shutil
 
     tomb_dir = _sub(path, "tombstones")
@@ -881,6 +907,7 @@ def apply_deletes(spark: SparkSession, path: str) -> None:
                 spark.read.option("basePath", seg_dir)
                 .parquet(seg_dir)
                 .drop("batch")
+                .distinct()  # replayed-batch duplicates fold to one row
                 .join(tombs, "id", "left_anti")
                 .localCheckpoint(eager=True)
             )
@@ -890,4 +917,7 @@ def apply_deletes(spark: SparkSession, path: str) -> None:
             )
             shutil.rmtree(seg_dir)
             os.rename(tmp, seg_dir)
-    shutil.rmtree(tomb_dir)
+    if retire_tombstones:
+        shutil.rmtree(tomb_dir)
+    else:
+        tombs.coalesce(1).write.mode("overwrite").parquet(tomb_dir)

@@ -584,11 +584,18 @@ def ks_drift_report(
     Scale shape: one global min/max scalar pass (1-row broadcast), one
     (group, bin) hash agg over the corpus -- the only data-sized step,
     map-side combined -- then windows/joins over groups x n_bins rows.
-    NULL values are excluded (the ``histogram_quantiles`` contract);
-    single-group inputs yield n_rest = 0 and are refused."""
+    NULL values are excluded (the ``histogram_quantiles`` contract),
+    and so are NULL GROUP KEYS: a null group would flow into the
+    totals/grand denominators but fall out of the equi-joined
+    (grp, bin) grid, silently inflating every other group's rest-CDF
+    denominator (ks_stat too high) while reporting cum_g = 0 for
+    itself -- rows with an unknown group are out of scope for a
+    group-vs-rest audit, not a phantom group.  Single-group inputs
+    yield n_rest = 0 and are refused."""
     from pyspark.sql.window import Window
 
     v = F.col(value_col).cast("double")
+    df = df.where(F.col(group_col).isNotNull())
     stats = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
     binned = (
         df.select(F.col(group_col).alias("grp"), v.alias("__v"))

@@ -160,7 +160,7 @@ def udf_pandas_scalar_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_grouped_map_zscore",
     oracle="""
     SELECT event_id,
-           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) AS zscore
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) + 0.0 AS zscore
     FROM events
     WHERE user_id < 20
     WINDOW w AS (PARTITION BY user_id)

@@ -390,7 +390,7 @@ def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(
                ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                         AS BIGINT) + 1.0) / 4294967296.0)
-               / n_chars, 10) AS sample_key
+               / n_chars, 10) + 0.0 AS sample_key
       FROM documents
       WHERE n_chars > 0
     )
@@ -521,7 +521,7 @@ _DSIR_CTE = f"""
     weights AS (
       SELECT d.doc_id,
              coalesce(s.n_tokens, 0) AS n_tokens,
-             round(coalesce(s.log_weight, 0.0), 6) AS log_weight
+             round(coalesce(s.log_weight, 0.0), 6) + 0.0 AS log_weight
       FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
     )
 """
@@ -565,7 +565,7 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(
                ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                             AS BIGINT) + 0.5) / 4294967296.0))
-               - log_weight, 8) AS sample_key
+               - log_weight, 8) + 0.0 AS sample_key
       FROM weights
     )
     SELECT doc_id, n_tokens, log_weight, sample_key
@@ -653,7 +653,7 @@ _NRM = (
         FROM scored)
       WHERE rn = 1
     )
-    SELECT doc_id, bench_id, round(cos_sim, 6) AS cos_sim
+    SELECT doc_id, bench_id, round(cos_sim, 6) + 0.0 AS cos_sim
     FROM best WHERE cos_sim >= 0.9
     ORDER BY doc_id
     """,
@@ -1020,7 +1020,7 @@ def corpus_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT sum(n_tokens) AS t FROM shards)
     SELECT shard, n_docs, n_tokens,
            round(n_tokens / t, 6) AS token_frac,
-           round(n_tokens / t - 0.125, 6) AS balance_dev
+           round(n_tokens / t - 0.125, 6) + 0.0 AS balance_dev
     FROM shards, tot
     ORDER BY shard
     """,

@@ -365,7 +365,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_sum(list_transform(range(64),
              i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
-             / (a.nrm * b.nrm), 6) AS cos_sim
+             / (a.nrm * b.nrm), 6) + 0.0 AS cos_sim
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE list_sum(list_transform(range(64),
             i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
@@ -626,7 +626,7 @@ _SEMDEDUP_ASSIGN_CTE = f"""
     "dedup_semantic_pairs",
     oracle=f"""
     WITH {_SEMDEDUP_ASSIGN_CTE}
-    SELECT cell, id_a, id_b, round(cos_sim, 6) AS cos_sim
+    SELECT cell, id_a, id_b, round(cos_sim, 6) + 0.0 AS cos_sim
     FROM sem_pairs
     WHERE cos_sim >= 0.3
     ORDER BY cell, id_a, id_b

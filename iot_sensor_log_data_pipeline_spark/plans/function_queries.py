@@ -178,7 +178,7 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_max(embedding) AS max_elem,
            list_min(embedding) AS min_elem,
            len(embedding[1:8]) AS slice_len,
-           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6)
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) + 0.0
                AS elem_sum,
            round(sqrt(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,

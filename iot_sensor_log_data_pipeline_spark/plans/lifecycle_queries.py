@@ -623,8 +623,8 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     )
     SELECT e.event_type,
-           round(f.lo_fence, 6) AS lo_fence,
-           round(f.hi_fence, 6) AS hi_fence,
+           round(f.lo_fence, 6) + 0.0 AS lo_fence,
+           round(f.hi_fence, 6) + 0.0 AS hi_fence,
            count(*) AS n_rows,
            CAST(sum(CASE WHEN CAST(e.value AS DOUBLE) < f.lo_fence
                            OR CAST(e.value AS DOUBLE) > f.hi_fence
@@ -756,7 +756,7 @@ def profile_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base
     )
     SELECT CAST(a.d AS INT) AS i, CAST(b.d AS INT) AS j,
-           round(corr(a.x, b.x), 6) AS corr
+           round(corr(a.x, b.x), 6) + 0.0 AS corr
     FROM e a JOIN e b ON a.rid = b.rid
     GROUP BY a.d, b.d
     ORDER BY i, j
@@ -1179,8 +1179,8 @@ def _mi_block(table: str, x: str, y: str, label_x: str, label_y: str) -> str:
     -> marginals -> MI in nats + entropies + normalized MI)."""
     return f"""
     SELECT '{label_x}' AS col_x, '{label_y}' AS col_y,
-           round(greatest(mi, 0.0), 6) AS mi_nats,
-           round(hx, 6) AS h_x, round(hy, 6) AS h_y,
+           round(greatest(mi, 0.0), 6) + 0.0 AS mi_nats,
+           round(hx, 6) + 0.0 AS h_x, round(hy, 6) + 0.0 AS h_y,
            round(CASE WHEN least(hx, hy) > 0.0
                       THEN greatest(mi, 0.0) / least(hx, hy)
                       ELSE 0.0 END, 6) AS nmi
@@ -1282,13 +1282,15 @@ def profile_salt_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH stats AS (SELECT min(CAST(value AS DOUBLE)) AS lo,
                           max(CAST(value AS DOUBLE)) AS hi
-                   FROM events WHERE value IS NOT NULL),
+                   FROM events
+                   WHERE value IS NOT NULL AND event_type IS NOT NULL),
     b AS (SELECT event_type AS grp,
                  CASE WHEN s.hi = s.lo THEN 0
                       ELSE greatest(least(CAST(floor(
                                (CAST(value AS DOUBLE) - s.lo) * 100
                                / (s.hi - s.lo)) AS INT), 99), 0) END AS bin
-          FROM events, stats s WHERE value IS NOT NULL),
+          FROM events, stats s
+          WHERE value IS NOT NULL AND event_type IS NOT NULL),
     counts AS (SELECT grp, bin, count(*) AS n FROM b GROUP BY grp, bin),
     totals AS (SELECT grp, sum(n) AS n_g FROM counts GROUP BY grp),
     grand AS (SELECT sum(n_g) AS n_all FROM totals),

@@ -344,7 +344,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            count(*) AS n,
-           round(sum(c_acctbal), 2) AS sum_acctbal
+           round(sum(c_acctbal), 2) + 0.0 AS sum_acctbal
     FROM customer
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment

@@ -121,7 +121,7 @@ def histogram_max_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "value_props_corr",
     oracle="""
-    SELECT round(corr(value, CAST(props ->> '$.k' AS DOUBLE)), 6) AS corr_value_k,
+    SELECT round(corr(value, CAST(props ->> '$.k' AS DOUBLE)), 6) + 0.0 AS corr_value_k,
            count(*) AS n
     FROM events
     """,
@@ -144,7 +144,7 @@ def value_props_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hourly_corr",
     oracle=f"""
     SELECT strftime(ts, '{HOUR_FMT_DUCK}') AS log_hour,
-           round(corr(value, CAST(props ->> '$.k' AS DOUBLE)), 6) AS corr_value_k
+           round(corr(value, CAST(props ->> '$.k' AS DOUBLE)), 6) + 0.0 AS corr_value_k
     FROM events
     GROUP BY 1
     HAVING count(*) >= 5
@@ -547,7 +547,7 @@ def gapfill_10min_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
                    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
     )
     SELECT event_type, event_id, value,
-           round((value - s / n) / sqrt((ss - s * s / n) / (n - 1)), 4) AS z
+           round((value - s / n) / sqrt((ss - s * s / n) / (n - 1)), 4) + 0.0 AS z
     FROM r
     WHERE n >= 5
     ORDER BY abs((value - s / n) / sqrt((ss - s * s / n) / (n - 1))) DESC, event_id
@@ -850,7 +850,7 @@ def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY e.event_type
     )
     SELECT event_type, event_id, value,
-           round(0.6745 * (value - med) / mad, 4) AS robust_z
+           round(0.6745 * (value - med) / mad, 4) + 0.0 AS robust_z
     FROM events JOIN m2 USING (event_type)
     WHERE mad > 0
     ORDER BY abs(0.6745 * (value - med) / mad) DESC, event_id
@@ -982,7 +982,7 @@ def logs_clf_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type, e.event_id, e.value,
            CAST(EXTRACT(hour FROM e.ts) AS INT) AS season_hour,
-           round((e.value - b.mu) / b.sd, 4) AS residual_z
+           round((e.value - b.mu) / b.sd, 4) + 0.0 AS residual_z
     FROM events e
     JOIN base b ON e.event_type = b.event_type
                AND EXTRACT(hour FROM e.ts) = b.h
@@ -1133,7 +1133,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
     )
     SELECT user_id, event_id,
-           round(s_hi, 6) AS s_hi, round(s_lo, 6) AS s_lo, alarm
+           round(s_hi, 6) AS s_hi, round(s_lo, 6) + 0.0 AS s_lo, alarm
     FROM rec
     ORDER BY user_id, rn
     """,

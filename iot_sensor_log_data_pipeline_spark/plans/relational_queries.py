@@ -209,7 +209,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_dims",
     oracle="""
     SELECT r.r_name, n.n_name, count(*) AS n_customers,
-           round(sum(c.c_acctbal), 2) AS total_acctbal
+           round(sum(c.c_acctbal), 2) + 0.0 AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -273,12 +273,12 @@ def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_semi_anti_balance",
     oracle="""
     SELECT 'with_open_order' AS cohort, count(*) AS n_customers,
-           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_acctbal
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) + 0.0 AS avg_acctbal
     FROM customer
     WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
     UNION ALL
     SELECT 'without_open_order' AS cohort, count(*) AS n_customers,
-           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_acctbal
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) + 0.0 AS avg_acctbal
     FROM customer
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
     ORDER BY cohort

@@ -51,7 +51,7 @@ _NORM = (
       FROM embeddings e CROSS JOIN q
       WHERE e.vec_id <> q.query_id
     )
-    SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+    SELECT query_id, neighbor_id, round(cos_sim, 6) + 0.0 AS cos_sim, rank
     FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
@@ -112,7 +112,7 @@ _LSH_ANN_ORACLE = f"""
       JOIN embeddings qe ON qe.vec_id = cand.query_id
       JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
     )
-    SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+    SELECT query_id, neighbor_id, round(cos_sim, 6) + 0.0 AS cos_sim, rank
     FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
@@ -227,7 +227,7 @@ _IVF_SEED_ORACLE = f"""
       JOIN embeddings qe ON qe.vec_id = cand.query_id
       JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
     )
-    SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+    SELECT query_id, neighbor_id, round(cos_sim, 6) + 0.0 AS cos_sim, rank
     FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
@@ -613,7 +613,7 @@ def _graph_seed_oracle(
         FROM s0)
       WHERE rn <= {beam}
     ),{",".join(hops_sql)}
-    SELECT query_id, neighbor_id, round(score, 6) AS cos_sim, rank
+    SELECT query_id, neighbor_id, round(score, 6) + 0.0 AS cos_sim, rank
     FROM (
       SELECT query_id, node AS neighbor_id, score,
              row_number() OVER (PARTITION BY query_id
@@ -738,7 +738,7 @@ def similarity_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN embeddings qe ON qe.vec_id = s.query_id
       JOIN embeddings ne ON ne.vec_id = s.neighbor_id
     )
-    SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+    SELECT query_id, neighbor_id, round(cos_sim, 6) + 0.0 AS cos_sim, rank
     FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
@@ -784,8 +784,8 @@ def similarity_rp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e JOIN stats s USING (d)
     )
     SELECT d,
-           round(min(dmin), 10) AS dmin,
-           round(min(dmax), 10) AS dmax,
+           round(min(dmin), 10) + 0.0 AS dmin,
+           round(min(dmax), 10) + 0.0 AS dmax,
            round(avg((x - dq) * (x - dq)), 10) AS mse,
            round(max(abs(x - dq)), 10) AS max_abs_err
     FROM err GROUP BY d ORDER BY d
@@ -828,7 +828,7 @@ def similarity_sq8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.d, b.d
     )
     SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
-           round(sxx / n, 6) AS cov
+           round(sxx / n, 6) + 0.0 AS cov
     FROM prods
     ORDER BY i, j
     """,
@@ -847,7 +847,13 @@ def profile_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate, not just taste: the one-pass E[xy] - E[x]E[y] form
     cancels catastrophically on nonzero-mean data and its
     partition-order noise straddled the 1e-6 rounding boundary in an
-    external run; centered sums keep relative error ~1e-14."""
+    external run; centered sums keep relative error ~1e-14.  The
+    oracle's trailing ``+ 0.0`` collapses IEEE ``-0.0``: DuckDB's
+    ``round(DOUBLE)`` keeps the sign of zero (C ``round`` semantics)
+    where Spark's ``F.round`` goes through BigDecimal and emits
+    ``+0.0`` -- at sf0.01 exactly 2 of 4,096 cells have cov in
+    (-5e-7, 0), so without the collapse the external value hash
+    diverges on two cells that are numerically equal."""
     emb = parallelize_small(load(spark, sf_dir, "embeddings"))
     return (
         SIM.embedding_covariance(emb)
@@ -875,7 +881,7 @@ def profile_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY e.vec_id, e.label
     )
     SELECT vec_id, label,
-           round(dp / (na * nb), 6) AS cos_centroid,
+           round(dp / (na * nb), 6) + 0.0 AS cos_centroid,
            dp / (na * nb) < 0.0 AS is_outlier
     FROM s ORDER BY vec_id
     """,
@@ -969,7 +975,7 @@ _COGROUP_RANKED = f"""
     "similarity_ivf_cogroup_join",
     oracle=f"""
     {_COGROUP_RANKED}
-    SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+    SELECT query_id, neighbor_id, round(cos_sim, 6) + 0.0 AS cos_sim, rank
     FROM ranked
     WHERE rank <= 3
     ORDER BY query_id, rank
@@ -1004,7 +1010,7 @@ def similarity_ivf_cogroup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes AS (
       SELECT r.query_id, c.label,
              count(*) AS votes,
-             round(avg(round(r.cos_sim, 6)), 6) AS mean_sim
+             round(avg(round(r.cos_sim, 6)), 6) + 0.0 AS mean_sim
       FROM ranked r JOIN corpus c ON c.vec_id = r.neighbor_id
       WHERE r.rank <= 5
       GROUP BY r.query_id, c.label
@@ -1066,7 +1072,7 @@ def similarity_knn_label_transfer(spark: SparkSession, sf_dir: str) -> DataFrame
     ),
     tot AS (SELECT sum(n_pairs) AS t FROM hist)
     SELECT g.range AS bin,
-           round(-1.0 + g.range * (2.0 / 40), 6) AS cos_lo,
+           round(-1.0 + g.range * (2.0 / 40), 6) + 0.0 AS cos_lo,
            CAST(coalesce(h.n_pairs, 0) AS BIGINT) AS n_pairs,
            round(coalesce(ge.n_ge, 0) / t, 6) AS frac_ge
     FROM range(40) g

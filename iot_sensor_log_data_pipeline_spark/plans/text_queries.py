@@ -425,7 +425,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT sum(term_n) AS total_n FROM vocab)
     SELECT t.doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           round(avg(ln(v.term_n / tot.total_n)), 6) AS avg_logprob
+           round(avg(ln(v.term_n / tot.total_n)), 6) + 0.0 AS avg_logprob
     FROM tok t JOIN vocab v ON v.term = t.term CROSS JOIN tot
     GROUP BY t.doc_id
     ORDER BY t.doc_id
@@ -609,7 +609,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     bn AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS n_ab FROM bg GROUP BY a, b),
     cn AS (SELECT a, sum(n_ab) AS n_a FROM bn GROUP BY a)
     SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(avg(ln(n_ab / n_a)), 6) AS avg_logprob
+           round(avg(ln(n_ab / n_a)), 6) + 0.0 AS avg_logprob
     FROM bg
     JOIN bn ON bg.a = bn.a AND bg.b = bn.b
     JOIN cn ON bg.a = cn.a
@@ -647,7 +647,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     grid AS (SELECT doc_id, d FROM docs_with CROSS JOIN range(64) t(d))
     SELECT g.doc_id, g.d AS dim_idx,
-           round(coalesce(c.val, 0.0), 6) AS val
+           round(coalesce(c.val, 0.0), 6) + 0.0 AS val
     FROM grid g LEFT JOIN cells c ON c.doc_id = g.doc_id AND c.idx = g.d
     ORDER BY g.doc_id, g.d
     """,
@@ -714,7 +714,7 @@ def text_bm25_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT t.doc_id,
              CAST(count(*) AS BIGINT) AS n_tokens,
-             round(avg(ln(v.term_n / tot.total_n)), 6) AS avg_logprob
+             round(avg(ln(v.term_n / tot.total_n)), 6) + 0.0 AS avg_logprob
       FROM tok t JOIN vocab v ON v.term = t.term CROSS JOIN tot
       GROUP BY t.doc_id
     ),
@@ -846,7 +846,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id,
            coalesce(p.n_tokens, 0) AS n_tokens,
-           round(pri.log_prior + coalesce(p.token_sum, 0.0), 6) AS nb_logit,
+           round(pri.log_prior + coalesce(p.token_sum, 0.0), 6) + 0.0 AS nb_logit,
            (round(pri.log_prior + coalesce(p.token_sum, 0.0), 6) > 0) AS keep
     FROM documents d LEFT JOIN per p USING (doc_id) CROSS JOIN pri
     ORDER BY d.doc_id
@@ -999,7 +999,7 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     btot AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS bt FROM bn)
     SELECT bn.a, bn.b, CAST(bn.n_ab AS BIGINT) AS n_ab,
            round(ln((CAST(bn.n_ab AS DOUBLE) * tot.t * tot.t)
-                    / (btot.bt * na.n * nb.n)), 6) AS pmi
+                    / (btot.bt * na.n * nb.n)), 6) + 0.0 AS pmi
     FROM bn
     JOIN un na ON na.w = bn.a
     JOIN un nb ON nb.w = bn.b
@@ -1181,7 +1181,7 @@ def _chunk_retrieval_oracle() -> str:
       FROM toks WHERE len(l) > 0
     ),
     chunks AS (
-      SELECT doc_id * 100 + i AS ck, doc_id AS chunk_doc,
+      SELECT doc_id * 1000000 + i AS ck, doc_id AS chunk_doc,
              CAST(i AS BIGINT) AS chunk_id,
              array_to_string(l[i * 24 + 1 : least(i * 24 + 32, n)], ' ')
                AS chunk_text
@@ -1206,7 +1206,7 @@ def _chunk_retrieval_oracle() -> str:
       JOIN cvec v ON TRUE
       JOIN chunks c ON c.ck = v.ck AND c.chunk_doc <> q.doc_id
     )
-    SELECT query_doc, chunk_doc, chunk_id, round(cos, 6) AS cos_sim,
+    SELECT query_doc, chunk_doc, chunk_id, round(cos, 6) + 0.0 AS cos_sim,
            CAST(rank AS BIGINT) AS rank
     FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
                                        ORDER BY cos DESC, ck) AS rank
@@ -1234,8 +1234,15 @@ def text_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine
 
     docs = parallelize_small(load(spark, sf_dir, "documents"))
+    # Chunk key = doc_id * 10^6 + chunk_id -- the SAME key scheme as the
+    # streaming write twin (streaming/pipeline.py:
+    # start_chunk_embed_ingest_sink), which asserts chunk_id < 10^6.  A
+    # narrower multiplier (an earlier revision used 100) collides a
+    # >=100-chunk document (~2,400+ tokens at 32/24) into the next
+    # doc's key space, and because the oracle replays the same formula
+    # the correctness harness cannot see the corruption.
     chunks = TX.chunk_documents(docs, chunk_tokens=32, stride=24).select(
-        (F.col("doc_id") * 100 + F.col("chunk_id")).alias("ck"),
+        (F.col("doc_id") * 1_000_000 + F.col("chunk_id")).alias("ck"),
         F.col("doc_id").alias("chunk_doc"),
         "chunk_id",
         "chunk_text",

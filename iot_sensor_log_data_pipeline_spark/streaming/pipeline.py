@@ -549,6 +549,14 @@ def lateness_score_batch(
         .collect()[0]
     )
     mx = row["__mx"]
+    if mx is None:
+        # Non-empty batch whose ts values are all NULL (or uncastable):
+        # there is no event-time frontier to lag against, and letting
+        # it through would percentile an empty set (None) and raise
+        # TypeError on the float() casts below, killing the whole
+        # streaming query.  Skip the batch like an empty one -- rows
+        # with no event time are invisible to a lateness audit.
+        return
     q = (
         batch.select((F.lit(mx) - ts).alias("lag_s"))
         .where(F.col("lag_s").isNotNull())
@@ -1877,6 +1885,32 @@ def start_index_ingest_sink(
     )
 
 
+def chunk_vec_ids(chunks: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Project ``chunk_documents`` output to the family chunk-key
+    space: ``vec_id = doc_id * 10^6 + chunk_id``.  The id expression
+    ASSERTS ``chunk_id < 10^6`` (``assert_true`` fused into the
+    projection -- no extra pass, and Catalyst cannot prune it because
+    vec_id depends on it): an overflowing document would otherwise
+    silently collide into the next doc's vec_id space, corrupting
+    retrieval and any later tombstone takedown of the collided doc."""
+    guard = F.assert_true(
+        F.col("chunk_id") < 1_000_000,
+        F.concat(
+            F.lit("chunk_id overflow for doc_id="),
+            F.col(id_col).cast("string"),
+            F.lit(": >= 1_000_000 chunks collides into the next "
+                  "doc's vec_id space"),
+        ),
+    )
+    return chunks.select(
+        F.when(
+            guard.isNull(),
+            F.col(id_col) * 1_000_000 + F.col("chunk_id"),
+        ).alias("vec_id"),
+        "chunk_text",
+    )
+
+
 def start_chunk_embed_ingest_sink(
     stream_docs: DataFrame,
     index_path: str,
@@ -1898,21 +1932,26 @@ def start_chunk_embed_ingest_sink(
 
     Chunk ids are ``doc_id * 10^6 + chunk_id`` (recover the document
     as ``id div 10^6``); caller contract: doc ids disjoint from
-    everything already indexed, and documents longer than 10^6 / stride
-    tokens are refused upstream by the id scheme, not silently folded.
-    The read side of this path is the batch ``text_chunk_retrieval``
-    catalog query; this sink is its streaming write twin."""
+    everything already indexed.  A document with >= 10^6 chunks
+    (~10^6 * stride tokens) would silently collide into the NEXT
+    doc's vec_id space -- corrupting retrieval and any later
+    tombstone takedown for the collided doc -- so the id expression
+    itself asserts ``chunk_id < 10^6`` (``assert_true`` fused into the
+    projection: no extra pass, and the batch FAILS LOUDLY instead of
+    folding).  The read side of this path is the batch
+    ``text_chunk_retrieval`` catalog query; this sink is its streaming
+    write twin."""
     from ..operators.text import chunk_documents, hash_embedding
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
             return
-        chunks = chunk_documents(
-            batch, chunk_tokens=chunk_tokens, stride=stride,
-            id_col=id_col, text_col=text_col,
-        ).select(
-            (F.col(id_col) * 1_000_000 + F.col("chunk_id")).alias("vec_id"),
-            "chunk_text",
+        chunks = chunk_vec_ids(
+            chunk_documents(
+                batch, chunk_tokens=chunk_tokens, stride=stride,
+                id_col=id_col, text_col=text_col,
+            ),
+            id_col=id_col,
         )
         vecs = hash_embedding(
             chunks, dim=embed_dim, id_col="vec_id", text_col="chunk_text"

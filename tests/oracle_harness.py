@@ -38,8 +38,12 @@ def _canon_cell(v) -> str:
         f = float(v)
         if math.isnan(f):
             return "<nan>"
-        if f == 0.0:
-            f = 0.0  # collapse -0.0
+        # Do NOT collapse -0.0: the driver's value hash distinguishes
+        # the two IEEE zeros, and round 9's only external red row
+        # (profile_embedding_covariance) was exactly this divergence --
+        # DuckDB round(DOUBLE) preserves -0.0 where Spark F.round emits
+        # +0.0 -- masked locally by the collapse that used to live here.
+        # repr() keeps the sign: repr(-0.0) == '-0.0'.
         return repr(f)
     if isinstance(v, (bool, np.bool_)):
         return f"bool:{bool(v)}"
@@ -131,6 +135,33 @@ def compare_frames(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]
     return problems
 
 
+def negative_zero_cells(df: pd.DataFrame) -> dict[str, int]:
+    """Column -> count of IEEE ``-0.0`` cells.  The engine's policy is
+    that NO catalog query and NO oracle emits ``-0.0`` at all: Spark's
+    ``F.round`` never produces one (BigDecimal semantics) but DuckDB's
+    ``round(DOUBLE)`` and un-rounded expressions on either engine can,
+    and the driver's value hash distinguishes the two zeros.  Oracles
+    collapse with a trailing ``+ 0.0``; Spark plans that could emit a
+    raw ``-0.0`` must normalize too.  Zero tolerance here means the
+    flake class cannot re-enter with new data or new queries."""
+    bad: dict[str, int] = {}
+    for c in df.columns:
+        s = df[c]
+        if s.dtype.kind == "f":
+            n = int(((s == 0.0) & np.signbit(s.fillna(1.0))).sum())
+            if n:
+                bad[c] = n
+        elif s.dtype == object:
+            cnt = sum(
+                1
+                for v in s.dropna()
+                if isinstance(v, float) and v == 0.0 and math.copysign(1.0, v) < 0
+            )
+            if cnt:
+                bad[c] = cnt
+    return bad
+
+
 def driver_unhashable_columns(df: pd.DataFrame) -> list[str]:
     """Columns an external verifier cannot sort/hash: the driver's
     canonicalizer does a plain pandas ``sort_values`` + hash over every
@@ -157,7 +188,14 @@ def check_query(spark, name: str, sf_dir: str) -> list[str]:
     unhashable = driver_unhashable_columns(spark_pdf)
     if unhashable:
         return [f"driver-unhashable top-level columns (explode/stringify): {unhashable}"]
+    problems: list[str] = []
+    nz = negative_zero_cells(spark_pdf)
+    if nz:
+        problems.append(f"spark output contains -0.0 cells: {nz}")
     if entry.oracle is None:
-        return [] if len(spark_pdf) >= 0 else ["spark query failed"]
+        return problems if len(spark_pdf) >= 0 else problems + ["spark query failed"]
     oracle_pdf = run_oracle(entry.oracle, sf_dir)
-    return compare_frames(spark_pdf, oracle_pdf)
+    nz_o = negative_zero_cells(oracle_pdf)
+    if nz_o:
+        problems.append(f"oracle output contains -0.0 cells (add '+ 0.0'): {nz_o}")
+    return problems + compare_frames(spark_pdf, oracle_pdf)

@@ -5386,6 +5386,30 @@ def test_ks_drift_report_flags_shifted_group(spark):
     assert solo.count() == 0
 
 
+def test_ks_drift_report_ignores_null_group(spark):
+    """Rows with a NULL group key are out of scope, not a phantom
+    group: they must not appear as an output row AND must not inflate
+    the rest-CDF denominator of real groups.  Regression for the bug
+    where null-group mass entered totals/grand but fell out of the
+    equi-joined grid, making every group's rest-CDF top out below 1
+    (ks_stat silently too high)."""
+    from iot_sensor_log_data_pipeline_spark.operators.profiling import (
+        ks_drift_report,
+    )
+
+    base = [("a", i / 100.0) for i in range(100)] + [
+        ("b", (i + 0.5) / 100.0) for i in range(100)
+    ]
+    clean = spark.createDataFrame(base, "g string, v double")
+    noisy = spark.createDataFrame(
+        base + [(None, 0.7) for _ in range(500)], "g string, v double"
+    )
+    ref = {r["g"]: r["ks_stat"] for r in ks_drift_report(clean, "v", "g").collect()}
+    got = {r["g"]: r["ks_stat"] for r in ks_drift_report(noisy, "v", "g").collect()}
+    assert set(got) == {"a", "b"}  # no null output row
+    assert got == ref  # null mass changed nothing
+
+
 def test_cms_join_size_upper_bounds_exact(spark):
     """The inner-product estimator's contract: est >= exact always
     (collisions only add mass), and with 1024-wide rows over a handful
@@ -5508,9 +5532,13 @@ def test_expire_partitions_dry_run_then_delete(spark, tmp_path):
 def test_index_tombstone_deletes_across_family(spark, tmp_path):
     """Tombstone deletes: a deleted id vanishes from LSH and PQ probes
     immediately (logical), including ids living only in stream
-    segments; apply_deletes physically retires the rows and clears the
-    tombstone table; probe results are identical before and after the
-    physical pass; re-deleting is idempotent."""
+    segments; apply_deletes physically retires the rows but KEEPS the
+    tombstone table (so a crash-window replay of an in-flight ingest
+    batch that contained deleted ids stays masked -- the
+    right-to-be-forgotten contract); probe results are identical
+    before and after the physical pass; a replayed batch re-inserting
+    a victim stays invisible; retire_tombstones=True clears the table
+    for the clean-stop case; re-deleting is idempotent."""
     from iot_sensor_log_data_pipeline_spark.io_utils import load
     from iot_sensor_log_data_pipeline_spark.operators import ann_index as AI
     from iot_sensor_log_data_pipeline_spark.operators import similarity as SIM
@@ -5559,7 +5587,9 @@ def test_index_tombstone_deletes_across_family(spark, tmp_path):
         AI.apply_deletes(spark, root)
         import os as _os
 
-        assert not _os.path.exists(_os.path.join(root, "tombstones"))
+        # default: tombstones survive the physical pass (crash-window
+        # replay protection), compacted to a distinct set
+        assert _os.path.exists(_os.path.join(root, "tombstones"))
         after_rows = sorted(tuple(r) for r in probe(root).collect())
         assert after_rows == logical_rows, kind
         vec_ids = {
@@ -5568,6 +5598,20 @@ def test_index_tombstone_deletes_across_family(spark, tmp_path):
             ).collect()
         }
         assert not (vec_ids & set(victims)), kind
+
+        # crash-window replay: the same ingest batch (containing
+        # victim 65) fires again after the rewrite -- the retained
+        # tombstones must keep it masked at probe time
+        index_ingest_apply_batch(streamed, 0, root)
+        replayed = {r["neighbor_id"] for r in probe(root).collect()}
+        assert not (replayed & set(victims)), (kind, replayed & set(victims))
+
+        # clean-stop retirement: second physical pass scrubs the
+        # replayed rows and may now drop the tombstone table
+        AI.apply_deletes(spark, root, retire_tombstones=True)
+        assert not _os.path.exists(_os.path.join(root, "tombstones"))
+        final_rows = sorted(tuple(r) for r in probe(root).collect())
+        assert final_rows == logical_rows, kind
 
 
 def test_graph_index_tombstone_deletes(spark, tmp_path):

@@ -2226,6 +2226,29 @@ def test_rag_write_path_streams_end_to_end(spark, tmp_path):
     assert top["neighbor_id"] // 1_000_000 == 7  # the streamed doc's chunk
 
 
+def test_chunk_vec_ids_guards_overflow(spark):
+    """The chunk-key projection asserts chunk_id < 10^6 instead of
+    silently folding an overflowing document into the next doc's
+    vec_id space (which would corrupt retrieval AND tombstone
+    takedowns for the collided doc)."""
+    import pytest as _pytest
+
+    ok = spark.createDataFrame(
+        [(3, 999_999, "tail chunk"), (3, 0, "head chunk")],
+        "doc_id long, chunk_id long, chunk_text string",
+    )
+    got = {r["vec_id"] for r in P.chunk_vec_ids(ok).collect()}
+    assert got == {3_000_000, 3_999_999}
+
+    bad = spark.createDataFrame(
+        [(3, 1_000_000, "overflow chunk")],
+        "doc_id long, chunk_id long, chunk_text string",
+    )
+    with _pytest.raises(Exception) as exc:
+        P.chunk_vec_ids(bad).collect()
+    assert "chunk_id overflow for doc_id=3" in str(exc.value)
+
+
 def test_lateness_monitor_measures_event_time_lag(spark, tmp_path):
     """Planted lateness: 90% of a batch is at the frontier, 10% trails
     by 100 s -- p50 reads 0, p95/p99/max read the tail; replaying a
@@ -2244,6 +2267,14 @@ def test_lateness_monitor_measures_event_time_lag(spark, tmp_path):
     assert r["n_rows"] == 100
     assert r["p50_s"] == 0.0
     assert r["p95_s"] == 100.0 and r["max_s"] == 100.0
+
+    # a non-empty batch whose ts values are ALL NULL has no event-time
+    # frontier: it must be skipped (no row, no TypeError inside
+    # foreachBatch), exactly like an empty batch
+    null_batch = spark.createDataFrame([(None,)] * 5, "ts timestamp")
+    P.lateness_score_batch(null_batch, 1, "ts", out)
+    log = spark.read.option("basePath", out).parquet(out).collect()
+    assert len(log) == 1  # still only batch 0's row
 
 
 def test_lateness_monitor_end_to_end_stream(spark, tmp_path):

@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "iot_sensor_log_data_pipeline_spark.plans.multimodal_queries",
     "iot_sensor_log_data_pipeline_spark.plans.pipeline_queries",
     "iot_sensor_log_data_pipeline_spark.plans.tpch_extra_queries",
+    "iot_sensor_log_data_pipeline_spark.plans.partsupp_queries",
     "iot_sensor_log_data_pipeline_spark.plans.advanced_queries",
     "iot_sensor_log_data_pipeline_spark.plans.lifecycle_queries",
     "iot_sensor_log_data_pipeline_spark.plans.function_queries",
@@ -85,66 +86,72 @@ _QUERY_MODULES = (
 #: the first 50 of this tuple -- the guard that keeps this rotation
 #: from silently slipping a round.
 _VERIFY_PRIORITY: tuple[str, ...] = (
-    # (a) round-9-edited code paths, red-row fix first
+    # Round-10 window, per the pre-planned rotation (round-9 comment
+    # below).  (a) the red-row fix: covariance re-enters with the
+    # oracle's -0.0 collapse (the true root cause -- DuckDB round()
+    # keeps the sign of zero, Spark F.round does not).
     "profile_embedding_covariance",
-    "join_asof_purchase_click",
-    "join_asof_forward_click",
-    "join_asof_nearest_click",
-    "sketch_heavy_hitters",
-    "profile_dataset_fingerprint",
-    # (b) new in round 9 + first-evidence rows-only ANN paths
-    "similarity_graph_seed_ann",
-    "similarity_persisted_pq_ann",
-    "corpus_content_sample",
-    "anomaly_seasonal_residual",
-    "logs_clf_parse_roundtrip",
-    "similarity_graph_ann",
-    "similarity_opq_adc_ann",
-    # (b2) new oracle-backed queries added later in round 9 (the guard
-    # test forces first-evidence rows into this window)
-    "profile_salt_advisor",
-    "similarity_dim_truncation",
-    "text_bigram_pmi",
-    "sketch_hll_source_overlap",
-    "text_chunk_windows",
-    "funnel_time_bound",
-    "text_chunk_retrieval",
+    # (b) new in round 10: the TPC-H partsupp family (derived
+    # stand-in; first external evidence) + the CDC-complete
+    # incremental join view.
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_relation",
+    "q20_potential_promotion",
+    # (c) round-10-edited code paths re-enter: ks_drift (NULL-group
+    # fix) and chunk retrieval (key space widened to the sink's 10^6).
     "profile_ks_drift",
-    "sketch_cms_join_size",
-    # (c) the 33 round-3-stale rows (externally green last in r3)
-    "scan_orc_roundtrip",
-    "scan_xml_roundtrip",
-    "corpus_weighted_sample",
-    "agg_histogram_quantiles",
-    "multimodal_byte_histogram",
-    "downsample_lttb_value",
-    "downsample_ohlc_10min",
-    "profile_events_table",
-    "incremental_rollup_merge",
-    "q22_dormant_accounts",
-    "q21_waiting_suppliers",
-    "q13_customer_distribution",
-    "q8_market_share",
-    "scd2_customer_history",
-    "cdc_merge_upsert",
-    "udtf_tokenize_lateral",
-    "udf_grouped_agg_weighted",
-    "udf_pandas_scalar_bucket",
-    "udf_grouped_map_zscore",
-    "subquery_correlated_q17",
-    "subquery_exists_bigorder",
-    "subquery_scalar_avg",
-    "json_functions",
-    "variant_functions",
-    "array_functions",
-    "map_functions",
-    "string_functions_extended",
-    "date_functions",
-    # (d) the round-4 battery head (scan_merge_schema,
-    # scd2_point_in_time_join, profile_psi_drift, quality_iqr_outliers)
-    # was bumped whole to round 10 to make room for the (b2)
-    # first-evidence rows -- those four hold green r4 external rows,
-    # the new queries hold none
+    "text_chunk_retrieval",
+    # (d) the 9 rows bumped from the round-9 window (green r3/r4 rows,
+    # lowest risk -- the deliberate trade documented last round).
+    "hourly_avg_value",
+    "math_functions",
+    "hash_functions",
+    "conditional_functions",
+    "null_semantics",
+    "scan_merge_schema",
+    "scd2_point_in_time_join",
+    "profile_psi_drift",
+    "quality_iqr_outliers",
+    # (e) the round-4 battery: stalest external evidence (r4), five
+    # rounds of engine evolution since.  32 of 36; the four deferred
+    # to round 11 (similarity_label_centroids, text_top_tokens,
+    # text_token_stats, sketch_hll_by_source) are trivial aggregates
+    # over modules unchanged since round 4, with family twins green
+    # this round or last.
+    "dedup_exact_documents",
+    "dedup_simhash",
+    "dedup_ngram_containment",
+    "dedup_passage_chunks",
+    "dedup_embedding_cosine",
+    "dedup_entity_fuzzy_names",
+    "multimodal_chunk_dedup",
+    "multimodal_phash_dedup",
+    "graph_pagerank_neardup",
+    "join_bloom_pruned_revenue",
+    "basket_part_cooccurrence",
+    "events_path_trigrams",
+    "quality_referential_checks",
+    "corpus_mixture_weights",
+    "similarity_topk_cosine",
+    "similarity_lsh_ann",
+    "similarity_ivf_seed_ann",
+    "similarity_pq_adc_ann",
+    "sketch_count_min_tokens",
+    "sketch_hll_distinct_tokens",
+    "text_language_id",
+    "text_quality_score",
+    "text_repetition_stats",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "text_bm25_search",
+    "text_tfidf_top_terms",
+    "text_bpe_pairs",
+    "text_fingerprint_clusters",
+    "text_hash_embedding",
+    "text_pii_redact",
+    "text_vocab_coverage",
 )
 
 #: Round-10 rotation plan: (a) anything new in round 10 plus

@@ -2,7 +2,8 @@
 
 Round-2 additions (VERDICT.md next-round item 4): the four remaining
 TPC-H query shapes implementable without a ``partsupp`` table
-(Q2/Q9/Q11/Q16/Q20 need it and are skipped on purpose).  Shapes follow
+(Q2/Q9/Q11/Q16/Q20 need it -- they live in ``partsupp_queries.py``
+over a deterministic derived stand-in since round 10).  Shapes follow
 the public TPC-H specification; constants are adapted to the synthetic
 corpus (nations are ``NATION_0..24``, ``p_type`` has six plain values,
 ``lineitem`` carries only ``l_shipdate``, ``customer`` has no phone):

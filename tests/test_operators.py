@@ -5789,3 +5789,33 @@ def test_hll_registers_merge_property_hypothesis(spark):
         assert direct == merged
 
     run()
+
+
+def test_derived_partsupp_invariants(spark):
+    """The partsupp stand-in's contract: one row per distinct
+    (l_partkey, l_suppkey) pair in lineitem, md5-derived attributes in
+    their documented domains, and bit-stable across derivations (the
+    DuckDB oracles replay the same formulas, so any nondeterminism
+    here would flake all five TPC-H rows)."""
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.plans.partsupp_queries import (
+        derived_partsupp,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ps = derived_partsupp(spark, sf)
+    rows = ps.collect()
+    pairs = {(r["ps_partkey"], r["ps_suppkey"]) for r in rows}
+    assert len(pairs) == len(rows)  # key uniqueness
+    expected = {
+        (r["l_partkey"], r["l_suppkey"])
+        for r in load(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .collect()
+    }
+    assert pairs == expected
+    assert all(1 <= r["ps_availqty"] <= 9999 for r in rows)
+    assert all(100.0 <= r["ps_supplycost"] < 1000.0 for r in rows)
+    again = {tuple(r) for r in derived_partsupp(spark, sf).collect()}
+    assert again == {tuple(r) for r in rows}  # deterministic replay

@@ -119,6 +119,9 @@ BNLJ_ALLOWED = {
     # 1-row broadcast of the sketch inner-product estimate onto the
     # 1-row exact tally -- sketch.py:cms_join_size
     "sketch_cms_join_size",
+    # Q11's scalar HAVING threshold: 1-row total-stock-value broadcast
+    # onto the per-part sums -- plans/partsupp_queries.py
+    "q11_important_stock",
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --

@@ -165,9 +165,9 @@ def incremental_join_delta(
     tracks |delta| + matching-base, not |base|.  Disable only when
     delta keys are a large fraction of base keys.
 
-    Insert-only by contract: deletes/updates need the CDC path
-    (``merge_upsert`` / ``scd2_apply``) to retract stored join rows,
-    which an append-only delta cannot express.
+    Insert-only by contract: deletes/updates need the retraction
+    algebra (``incremental_join_cdc_delta``), which an append-only
+    delta cannot express.
     """
     keys = [on] if isinstance(on, str) else list(on)
     b_new = b_old.unionByName(delta_b)
@@ -181,3 +181,82 @@ def incremental_join_delta(
     else:
         a_for_db = a_old
     return delta_a.join(b_new, keys).unionByName(a_for_db.join(delta_b, keys))
+
+
+def apply_cdc(
+    base: DataFrame, cdc: DataFrame, pk: str, op_col: str = "op"
+) -> DataFrame:
+    """Apply a CDC batch to a pk-unique table: ``insert``/``update``
+    rows upsert (``merge_upsert``), ``delete`` rows anti-join out by
+    primary key (their payload columns are ignored).  One anti-join +
+    one union -- both broadcastable while the batch is delta-sized."""
+    upserts = cdc.where(F.col(op_col).isin("insert", "update")).drop(op_col)
+    dels = cdc.where(F.col(op_col) == "delete").select(pk).distinct()
+    return merge_upsert(base, upserts, [pk]).join(
+        F.broadcast(dels), pk, "left_anti"
+    )
+
+
+def incremental_join_cdc_delta(
+    a_old: DataFrame,
+    cdc_a: DataFrame,
+    b_old: DataFrame,
+    cdc_b: DataFrame,
+    on: list[str] | str,
+    pk_a: str,
+    pk_b: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Delta of a materialized inner-join view under FULL CDC
+    (insert / update / delete) -- the retraction algebra
+    ``incremental_join_delta`` refuses by contract.  CDC batches carry
+    ``op_col`` in {insert, update, delete} plus the base schema; both
+    bases are pk-unique.  Returns the stored view's maintenance delta
+    with an ``action`` column: ``retract`` rows to remove (multiset
+    semantics), ``insert`` rows to append, such that
+
+        apply(V, delta)  ==  apply_cdc(A) ⋈ apply_cdc(B)
+
+    (pinned in pytest as an exceptAll identity, including join-key
+    moves and delete-then-reinsert).
+
+    How it stays delta-sized: every view row that changes has its join
+    key in the AFFECTED-KEY set K -- the join keys of the cdc rows'
+    OLD base images (a pk semi-join pulls them) plus the cdc rows' NEW
+    images (an updated row that MOVES join key affects both its old
+    and new key's groups).  Both old and new views are recomputed only
+    restricted to K (semi-join pruned scans -- Catalyst pushes the
+    broadcast key set into the base scans), and the retract/insert
+    sets are their multiset differences.  Cost tracks |K|-matching
+    rows, never |base|; the full re-join never runs."""
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def affected_keys(base: DataFrame, cdc: DataFrame, pk: str) -> DataFrame:
+        old_images = base.join(
+            F.broadcast(cdc.select(pk).distinct()), pk, "left_semi"
+        ).select(*keys)
+        new_images = cdc.where(
+            F.col(op_col).isin("insert", "update")
+        ).select(*keys)
+        return old_images.unionByName(new_images)
+
+    k = (
+        affected_keys(a_old, cdc_a, pk_a)
+        .unionByName(affected_keys(b_old, cdc_b, pk_b))
+        .distinct()
+    )
+    a_new = apply_cdc(a_old, cdc_a, pk_a, op_col)
+    b_new = apply_cdc(b_old, cdc_b, pk_b, op_col)
+
+    def restrict(df: DataFrame) -> DataFrame:
+        return df.join(F.broadcast(k), keys, "left_semi")
+
+    old_view = restrict(a_old).join(restrict(b_old), keys)
+    new_view = restrict(a_new).join(restrict(b_new), keys)
+    retract = old_view.exceptAll(new_view).select(
+        F.lit("retract").alias("action"), "*"
+    )
+    insert = new_view.exceptAll(old_view).select(
+        F.lit("insert").alias("action"), "*"
+    )
+    return retract.unionByName(insert)

@@ -99,6 +99,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "q11_important_stock",
     "q16_parts_supplier_relation",
     "q20_potential_promotion",
+    "incremental_join_cdc_refresh",
     # (c) round-10-edited code paths re-enter: ks_drift (NULL-group
     # fix) and chunk retrieval (key space widened to the sink's 10^6).
     "profile_ks_drift",

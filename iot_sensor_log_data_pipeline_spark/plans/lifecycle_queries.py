@@ -1010,6 +1010,120 @@ def incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_join_cdc_refresh",
+    oracle="""
+    WITH a_old AS (
+      SELECT o_orderkey, o_custkey AS c_custkey, o_orderstatus, o_totalprice
+      FROM orders
+    ),
+    a_new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 100 = 0 THEN c_custkey + 1
+                  ELSE c_custkey END AS c_custkey,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM a_old WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, c_custkey, o_orderstatus, o_totalprice
+      FROM a_old WHERE o_orderkey % 193 = 0
+    ),
+    b_old AS (SELECT c_custkey, c_name FROM customer),
+    b_new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 50 = 0 THEN c_name || '*'
+                  ELSE c_name END AS c_name
+      FROM b_old WHERE c_custkey % 101 <> 0
+    ),
+    old_view AS (
+      SELECT a.o_orderkey, a.c_custkey, a.o_orderstatus, a.o_totalprice,
+             b.c_name
+      FROM a_old a JOIN b_old b USING (c_custkey)
+    ),
+    new_view AS (
+      SELECT a.o_orderkey, a.c_custkey, a.o_orderstatus, a.o_totalprice,
+             b.c_name
+      FROM a_new a JOIN b_new b USING (c_custkey)
+    ),
+    delta AS (
+      SELECT 'retract' AS action, *
+      FROM (SELECT * FROM old_view EXCEPT ALL SELECT * FROM new_view)
+      UNION ALL
+      SELECT 'insert' AS action, *
+      FROM (SELECT * FROM new_view EXCEPT ALL SELECT * FROM old_view)
+    )
+    SELECT action, o_orderkey, c_custkey, o_orderstatus, o_totalprice, c_name
+    FROM delta
+    ORDER BY action, o_orderkey, c_custkey
+    """,
+    tags=("incremental", "join", "cdc", "warehouse", "scale"),
+)
+def incremental_join_cdc_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized orders-x-customer
+    join under FULL CDC (``operators/scd.py:incremental_join_cdc_delta``
+    -- the retraction algebra ``incremental_join_refresh``'s
+    insert-only contract refuses): every-97th order is deleted,
+    every-100th surviving order is updated (price bump AND a join-key
+    move to the next customer -- the case that touches two key
+    groups), every-193rd is re-inserted under a new key; every-101st
+    customer is deleted and every-50th renamed.  The query returns
+    the retract/insert delta the stored view applies.  The engine
+    computes it delta-sized -- CDC keys -> affected-join-key set ->
+    semi-pruned recompute of ONLY those keys' view rows -> multiset
+    diff; the oracle replays the same answer as a FULL re-join
+    EXCEPT ALL diff, which is exactly the full-recompute-equality
+    claim."""
+    from ..operators.scd import incremental_join_cdc_delta
+
+    a_old = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    b_old = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pk = F.col("o_orderkey")
+    cdc_a = (
+        a_old.where(pk % 97 == 0)
+        .select("*", F.lit("delete").alias("op"))
+        .unionByName(
+            a_old.where((pk % 100 == 0) & (pk % 97 != 0)).select(
+                "o_orderkey",
+                (F.col("c_custkey") + 1).alias("c_custkey"),
+                "o_orderstatus",
+                (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+                F.lit("update").alias("op"),
+            )
+        )
+        .unionByName(
+            a_old.where(pk % 193 == 0).select(
+                (pk + 10_000_000).alias("o_orderkey"),
+                "c_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                F.lit("insert").alias("op"),
+            )
+        )
+    )
+    ck = F.col("c_custkey")
+    cdc_b = (
+        b_old.where(ck % 101 == 0)
+        .select("*", F.lit("delete").alias("op"))
+        .unionByName(
+            b_old.where((ck % 50 == 0) & (ck % 101 != 0)).select(
+                "c_custkey",
+                F.concat(F.col("c_name"), F.lit("*")).alias("c_name"),
+                F.lit("update").alias("op"),
+            )
+        )
+    )
+    return incremental_join_cdc_delta(
+        a_old, cdc_a, b_old, cdc_b,
+        on="c_custkey", pk_a="o_orderkey", pk_b="c_custkey",
+    ).orderBy("action", "o_orderkey", "c_custkey")
+
+
 def _dd_grouped_oracle() -> str:
     import math
 

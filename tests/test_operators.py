@@ -5819,3 +5819,63 @@ def test_derived_partsupp_invariants(spark):
     assert all(100.0 <= r["ps_supplycost"] < 1000.0 for r in rows)
     again = {tuple(r) for r in derived_partsupp(spark, sf).collect()}
     assert again == {tuple(r) for r in rows}  # deterministic replay
+
+
+def test_incremental_join_cdc_delta_identity(spark):
+    """The CDC view-maintenance contract: applying the retract/insert
+    delta to the stored join reproduces the full re-join exactly
+    (multiset), across update (including a join-key MOVE), delete,
+    and delete-then-reinsert batches."""
+    from iot_sensor_log_data_pipeline_spark.operators.scd import (
+        apply_cdc,
+        incremental_join_cdc_delta,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 6.0), (3, 20, 7.0), (4, 30, 8.0)],
+        "pk long, k long, v double",
+    )
+    b = spark.createDataFrame(
+        [(10, "x"), (20, "y"), (30, "z"), (40, "w")], "k long, name string"
+    )
+
+    def view(af, bf):
+        return sorted(tuple(r) for r in af.join(bf, "k").collect())
+
+    def apply_delta(old_rows, delta):
+        rows = list(old_rows)
+        for r in delta.collect():
+            t = tuple(r)[1:]  # drop action
+            if r["action"] == "retract":
+                rows.remove(t)  # multiset remove; raises if absent
+            else:
+                rows.append(t)
+        return sorted(rows)
+
+    # batch 1: update pk=1 moving join key 10 -> 20 (two key groups
+    # touched), delete pk=3, plain value update pk=4; delete customer 40
+    cdc_a1 = spark.createDataFrame(
+        [(1, 20, 5.5, "update"), (3, None, None, "delete"),
+         (4, 30, 9.0, "update")],
+        "pk long, k long, v double, op string",
+    )
+    cdc_b1 = spark.createDataFrame([(40, None, "delete")],
+                                   "k long, name string, op string")
+    d1 = incremental_join_cdc_delta(a, cdc_a1, b, cdc_b1,
+                                    on="k", pk_a="pk", pk_b="k")
+    a1 = apply_cdc(a, cdc_a1, "pk")
+    b1 = apply_cdc(b, cdc_b1, "k")
+    assert apply_delta(view(a, b), d1) == view(a1, b1)
+
+    # batch 2: reinsert pk=3 under a different join key + new customer
+    cdc_a2 = spark.createDataFrame([(3, 40, 7.5, "insert")],
+                                   "pk long, k long, v double, op string")
+    cdc_b2 = spark.createDataFrame([(40, "w2", "insert")],
+                                   "k long, name string, op string")
+    d2 = incremental_join_cdc_delta(a1, cdc_a2, b1, cdc_b2,
+                                    on="k", pk_a="pk", pk_b="k")
+    a2 = apply_cdc(a1, cdc_a2, "pk")
+    b2 = apply_cdc(b1, cdc_b2, "k")
+    assert apply_delta(view(a1, b1), d2) == view(a2, b2)
+    # the reinserted row is visible in the final view
+    assert any(r[0] == 40 and r[1] == 3 for r in view(a2, b2))

@@ -613,6 +613,48 @@ def start_lateness_monitor(
     )
 
 
+def watermark_from_lateness(
+    spark: SparkSession,
+    lateness_dir: str,
+    margin_factor: float = 1.5,
+    floor_seconds: int = 10,
+) -> str:
+    """Size a ``withWatermark`` delay FROM a recorded lateness profile
+    (``start_lateness_monitor``'s log) instead of guessing: take the
+    worst per-batch p99 event-time lag observed, multiply by
+    ``margin_factor``, round up to whole seconds, floor at
+    ``floor_seconds``.  The sizing rule (documented in SCALE.md):
+
+        watermark = max(floor, ceil(max_batches(p99_s) * 1.5))
+
+    p99 (not max) so one pathological replayed event cannot inflate
+    state retention unboundedly; MAX over batches so the delay covers
+    the worst lateness REGIME seen, not the average batch; the 1.5x
+    margin absorbs regime drift between re-profilings.  Too-short
+    watermarks silently drop the late tail; too-long ones hold
+    watermark-bounded state (dedup/session/window) proportionally
+    longer -- this turns that trade-off into a measured number.
+    Returns a ``'<n> seconds'`` string accepted by every sink's
+    ``watermark=`` parameter.  Driver-side cost: one tiny aggregate
+    over the batches x 1-row log."""
+    import math
+
+    row = (
+        spark.read.option("basePath", lateness_dir)
+        .parquet(lateness_dir)
+        .agg(F.max("p99_s").alias("p99"))
+        .collect()[0]
+    )
+    p99 = row["p99"]
+    if p99 is None:
+        raise ValueError(
+            f"lateness log at {lateness_dir!r} is empty -- run "
+            "start_lateness_monitor over a representative stream first"
+        )
+    secs = max(int(floor_seconds), int(math.ceil(float(p99) * margin_factor)))
+    return f"{secs} seconds"
+
+
 def start_psi_monitor(
     stream: DataFrame,
     reference: DataFrame,

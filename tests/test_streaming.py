@@ -707,6 +707,68 @@ def test_curation_ingest_stream_gates_and_dedups(spark, tmp_path):
     assert 3 not in got and 4 not in got
 
 
+def test_watermark_sized_from_measured_lateness(spark, tmp_path):
+    """The lateness monitor closes its loop: profile a stream whose
+    p99 lag is a planted 40 s, derive the watermark
+    (ceil(40 * 1.5) = 60 s), and construct the curation ingest sink
+    from the MEASURED number -- a duplicate arriving 50 s late (inside
+    the sized watermark) still dedups.  A guessed 10 s watermark
+    would have expired the fingerprint state before it arrived."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    late_log = str(tmp_path / "late_log")
+    # profile: 99 on-time events, 1 trailing by 40 s => p99 ~= 40
+    profile = spark.createDataFrame(
+        [(base,)] * 95 + [(base - dt.timedelta(seconds=40),)] * 5,
+        "ts timestamp",
+    )
+    P.lateness_score_batch(profile, 0, "ts", late_log)
+    wm = P.watermark_from_lateness(spark, late_log)
+    secs = int(wm.split()[0])
+    assert wm.endswith("seconds") and 40 <= secs <= 60
+
+    rows = [
+        (1, base, "the quick brown fox jumps over the lazy dog"),
+        (2, base + dt.timedelta(seconds=55),
+         "the new data arrived after the big window closed today"),
+        # reordered duplicate of doc 1, 50 s late vs the frontier
+        (3, base + dt.timedelta(seconds=5),
+         "dog lazy the over jumps fox brown quick the"),
+    ]
+    src = str(tmp_path / "wm_src")
+    spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, text string"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).parquet(src)
+    q = (
+        P.curation_ingest_stream(stream, min_quality=0.3, lang="en",
+                                 watermark=wm)
+        .writeStream.format("memory")
+        .queryName("wm_curated")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"] for r in spark.table("wm_curated").collect()}
+    finally:
+        q.stop()
+    assert 2 in got
+    assert len(got & {1, 3}) == 1  # the late reordered twin deduped
+
+    # an empty profile refuses loudly instead of guessing
+    import pytest as _pytest
+
+    empty_profile = spark.createDataFrame([], "ts timestamp")
+    P.lateness_score_batch(empty_profile, 0, "ts", str(tmp_path / "none"))
+    with _pytest.raises(Exception):
+        P.watermark_from_lateness(spark, str(tmp_path / "none"))
+
+
 def test_verbatim_match_stream_flags_shared_run(spark, tmp_path):
     """Streaming verbatim matching: an arriving doc that embeds a
     20-token block from the indexed corpus produces exactly the

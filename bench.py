@@ -115,7 +115,38 @@ HEADLINE: tuple[str, ...] = (
     "text_chunk_retrieval",
     # round 9: binned two-sample KS vs rest (one (group,bin) hash agg)
     "profile_ks_drift",
+    # round 10: TPC-H Q9 over the derived partsupp (the composite-key
+    # lineitem x partsupp join + exact-DECIMAL signed money)
+    "q9_product_type_profit",
+    # round 10: CDC view maintenance (affected-key recompute + exceptAll)
+    "incremental_join_cdc_refresh",
 )
+
+
+def wait_for_quiet_machine(
+    threshold: float = 3.0, timeout_s: int = 180, poll_s: int = 5
+) -> dict:
+    """Gate the run on ambient load: spin-wait until the 1-minute load
+    average drops below ``threshold`` (or the timeout passes), and
+    report what happened INTO the result JSON -- a bench artifact taken
+    on a busy machine must say so loudly instead of reading as a code
+    regression.  Round-9 postmortem: the committed artifact ran at
+    load 6.14 and printed graph_build 11.25 s where a quiet machine
+    measures 8.8 s -- the artifact hid an actual improvement."""
+    initial = os.getloadavg()[0]
+    waited = 0
+    load = initial
+    while load > threshold and waited < timeout_s:
+        time.sleep(poll_s)
+        waited += poll_s
+        load = os.getloadavg()[0]
+    return {
+        "threshold": threshold,
+        "initial": round(initial, 2),
+        "at_start": round(load, 2),
+        "waited_sec": waited,
+        "gate_passed": load <= threshold,
+    }
 
 
 def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str, float]:
@@ -347,6 +378,9 @@ def streaming_throughput(spark, n_rows: int = 200_000, passes: int = 2) -> float
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = default_parallelism()
+    # Load gate BEFORE the session spins up (round 10): wait out
+    # ambient load, and record the gate verdict in the artifact.
+    load_gate = wait_for_quiet_machine()
     spark = get_spark(
         app_name="engine-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
@@ -359,6 +393,12 @@ def main() -> None:
     # measure the plan, not first-run JIT.
     warm = entries[names[0]].fn(spark, "/root/testdata/sf0.001")
     warm.write.format("noop").mode("overwrite").save()
+
+    # Streaming throughput is measured FIRST (round-10 protocol): it
+    # historically ran last, after the index builds, on a hot machine
+    # -- the metric's round-over-round drift tracked end-of-run load,
+    # not code (64k-115k band across identical code).
+    stream_rps = streaming_throughput(spark)
 
     # Two full passes in fixed order, min-of-2 per query: the second
     # pass reuses JIT-compiled codegen and OS page cache, so the min is
@@ -391,7 +431,6 @@ def main() -> None:
     timings["similarity_persisted_lsh_ann_probe"] = index_breakdown["lsh_probe"]
     timings["text_bm25_persisted_index_probe"] = index_breakdown["text_probe"]
     total = round(sum(timings.values()), 3)
-    stream_rps = streaming_throughput(spark)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -413,6 +452,7 @@ def main() -> None:
                     "start": round(load_start, 2),
                     "end": round(os.getloadavg()[0], 2),
                 },
+                "load_gate": load_gate,
                 "timing_passes": n_passes,
             }
         )

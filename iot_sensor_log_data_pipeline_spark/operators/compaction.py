@@ -346,6 +346,46 @@ def zorder_write(
     )
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    path: str,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a Hive-bucketed parquet table: rows are
+    hash-distributed into ``n_buckets`` files by ``bucket_col`` (and
+    sorted within each bucket when ``sort``), with the bucket spec
+    recorded in the session catalog.  THE co-location layout for a
+    100 TB warehouse: two tables bucketed the same way join with NO
+    exchange on either side -- the scan's output partitioning already
+    satisfies the join's distribution requirement, so the cluster
+    never moves either table again for any join on that key
+    (asserted on the physical plan in
+    ``tests/test_plans.py::test_bucketed_tables_join_without_exchange``).
+    Amortization math: one bucketed write (a single hash exchange)
+    replaces the per-query shuffle of EVERY subsequent join/agg on the
+    key -- the same pay-once-scan-many contract as ``zorder_write``,
+    but for distribution instead of clustering.
+
+    ``path`` makes it an external table (data in the caller's scratch
+    or lake location, not the warehouse dir); the DROP handles
+    re-registration across runs.  Plain parquet directory reads do NOT
+    see bucket specs -- consumers must read via ``spark.table``."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table)
+
+
 def table_layout_report(
     spark: SparkSession,
     table_dir: str,

@@ -100,6 +100,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "q16_parts_supplier_relation",
     "q20_potential_promotion",
     "incremental_join_cdc_refresh",
+    "maintenance_bucketed_join",
     # (c) round-10-edited code paths re-enter: ks_drift (NULL-group
     # fix) and chunk retrieval (key space widened to the sink's 10^6).
     "profile_ks_drift",
@@ -116,11 +117,11 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "profile_psi_drift",
     "quality_iqr_outliers",
     # (e) the round-4 battery: stalest external evidence (r4), five
-    # rounds of engine evolution since.  32 of 36; the four deferred
+    # rounds of engine evolution since.  31 of 36; the five deferred
     # to round 11 (similarity_label_centroids, text_top_tokens,
-    # text_token_stats, sketch_hll_by_source) are trivial aggregates
-    # over modules unchanged since round 4, with family twins green
-    # this round or last.
+    # text_token_stats, sketch_hll_by_source, text_vocab_coverage)
+    # are trivial aggregates/reports over modules unchanged since
+    # round 4, with family twins green this round or last.
     "dedup_exact_documents",
     "dedup_simhash",
     "dedup_ngram_containment",
@@ -152,7 +153,6 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "text_fingerprint_clusters",
     "text_hash_embedding",
     "text_pii_redact",
-    "text_vocab_coverage",
 )
 
 #: Round-10 rotation plan: (a) anything new in round 10 plus

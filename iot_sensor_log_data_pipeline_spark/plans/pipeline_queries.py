@@ -433,6 +433,60 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "maintenance_bucketed_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    tags=("pipeline", "maintenance", "bucketing", "layout", "scale"),
+)
+def maintenance_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join
+    (``operators/compaction.py:write_bucketed_table``): orders and
+    customer are persisted as same-spec Hive-bucketed tables (16
+    buckets on the customer key), then joined THROUGH THE CATALOG --
+    the layout under which this join, and every future join on the
+    key, runs with no exchange on either side (plan-asserted in
+    ``test_bucketed_tables_join_without_exchange``; this row proves
+    the bucketed write+read is value-lossless against the raw-table
+    oracle).  The pay-once distribution layout a 100 TB fact table
+    uses for its hottest join key."""
+    import os as _os
+
+    from ..operators.compaction import write_bucketed_table
+
+    pid = _os.getpid()
+    ta, tb = f"eng_bkt_orders_{pid}", f"eng_bkt_customer_{pid}"
+    write_bucketed_table(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                             "o_totalprice"),
+        ta, "o_custkey", 16, _scratch("bucketed_orders"),
+    )
+    write_bucketed_table(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        tb, "c_custkey", 16, _scratch("bucketed_customer"),
+    )
+    return (
+        spark.table(ta)
+        .join(spark.table(tb), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "maintenance_zorder_roundtrip",
     oracle="""
     SELECT event_type,

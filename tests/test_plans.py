@@ -142,6 +142,10 @@ SIDE_EFFECT = {
     # graph build writes the k-NN index, and the beam search itself
     # runs eagerly (localCheckpoint per hop) during construction
     "similarity_graph_ann",
+    # writes + catalog-registers the two bucketed tables on
+    # construction; its exchange-free plan claim is asserted directly
+    # in test_bucketed_tables_join_without_exchange
+    "maintenance_bucketed_join",
 }
 
 
@@ -364,3 +368,53 @@ def test_chunk_windows_plan_has_no_shuffle(plans):
     assert "Exchange hashpartitioning" not in body
     # the operator itself: sequence/explode/slice, all codegen'd
     assert "Generate explode" in plan or "explode" in plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """The bucketing contract: two tables written with the same bucket
+    spec on the join key SortMergeJoin with ZERO Exchange nodes (the
+    scans' output partitioning satisfies the join), while the same
+    data as plain parquet shuffles both sides.  Broadcast is disabled
+    for the assertion so the exchange-free-ness comes from bucketing,
+    not from one side being small."""
+    import os as _os
+
+    from iot_sensor_log_data_pipeline_spark.operators.compaction import (
+        write_bucketed_table,
+    )
+
+    orders = load(spark, SF, "orders").select("o_orderkey", "o_custkey",
+                                              "o_totalprice")
+    cust = load(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    pid = _os.getpid()
+    ta, tb = f"test_bkt_orders_{pid}", f"test_bkt_cust_{pid}"
+    write_bucketed_table(orders, ta, "o_custkey", 8, str(tmp_path / "bo"))
+    write_bucketed_table(cust, tb, "c_custkey", 8, str(tmp_path / "bc"))
+
+    plain_a = str(tmp_path / "po")
+    plain_b = str(tmp_path / "pc")
+    orders.write.parquet(plain_a)
+    cust.write.parquet(plain_b)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = spark.table(ta).join(
+            spark.table(tb), F.col("o_custkey") == F.col("c_custkey")
+        )
+        plan_b = bucketed._jdf.queryExecution().executedPlan().toString()
+        plain = spark.read.parquet(plain_a).join(
+            spark.read.parquet(plain_b),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan_p = plain._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+    assert "SortMergeJoin" in plan_b
+    assert "Exchange" not in plan_b, plan_b  # co-located: no shuffle at all
+    assert "Exchange" in plan_p  # the same join without bucketing shuffles
+    # and the bucketed join returns the same rows
+    assert bucketed.count() == plain.count()

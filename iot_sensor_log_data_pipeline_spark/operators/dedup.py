@@ -1498,11 +1498,23 @@ def build_winnowing_index(
 def load_winnowing_index(spark, path: str) -> tuple[DataFrame, int, int]:
     """(postings, k, w): the persisted fingerprint table (already
     stop-fp pruned at build time) plus the gram/window geometry the
-    probe side must reproduce."""
+    probe side must reproduce.  Streaming segment trees
+    (``postings_stream/batch=<id>``, written by
+    ``streaming.pipeline.winnowing_ingest_apply_batch``) union in
+    automatically, so a streamed document matches probes the
+    micro-batch after it arrives."""
     import os
 
     cfg = spark.read.parquet(os.path.join(path, "config")).head()
     postings = spark.read.parquet(os.path.join(path, "postings"))
+    seg_dir = os.path.join(path, "postings_stream")
+    if os.path.exists(seg_dir):
+        seg = (
+            spark.read.option("basePath", seg_dir)
+            .parquet(seg_dir)
+            .select(*postings.columns)
+        )
+        postings = postings.unionByName(seg)
     # Tombstoned docs vanish from every probe immediately (the
     # family-wide takedown hook; see delete_from_winnowing_index).
     tomb_dir = os.path.join(path, "tombstones")
@@ -1510,6 +1522,96 @@ def load_winnowing_index(spark, path: str) -> tuple[DataFrame, int, int]:
         tombs = spark.read.parquet(tomb_dir).select("doc_id").distinct()
         postings = postings.join(tombs, "doc_id", "left_anti")
     return postings, int(cfg["k"]), int(cfg["w"])
+
+
+def winnowing_ingest_apply_batch(
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of the streaming winnowing-index ingest: the
+    arriving documents' fingerprints land as a whole-directory
+    OVERWRITE of ``postings_stream/batch=<id>`` -- the per-batch-id
+    idempotent segment layout (a replayed batch rewrites its own
+    directory).  The build-time df cap guards this batch's marginal
+    contribution: new fingerprints whose stored-plus-batch df would
+    exceed the cap are skipped.  The stored df is measured against the
+    main postings and every segment EXCEPT this batch's own id -- the
+    "reads exclude the current batch id" replay contract, so a
+    replayed batch reaches the same keep/skip decision it reached the
+    first time instead of double-counting its own prior write.
+    Cap-drift posture and caller contract (disjoint ids) match
+    ``append_winnowing_index``."""
+    import os
+
+    if not batch.take(1):
+        return
+    spark = batch.sparkSession
+    cfg = spark.read.parquet(os.path.join(path, "config")).head()
+    k, w, cap = int(cfg["k"]), int(cfg["w"]), int(cfg["max_fp_df"])
+
+    new_fp = _cache_scratch(
+        winnowing_fingerprints(batch, k, w, id_col, text_col).select(
+            F.col(id_col).alias("doc_id"), "fp"
+        )
+    )
+    stored = spark.read.parquet(os.path.join(path, "postings"))
+    seg_dir = os.path.join(path, "postings_stream")
+    if os.path.exists(seg_dir):
+        prior = (
+            spark.read.option("basePath", seg_dir)
+            .parquet(seg_dir)
+            .where(F.col("batch") != int(batch_id))
+            .select(*stored.columns)
+        )
+        stored = stored.unionByName(prior)
+    stored_df = (
+        stored.join(new_fp.select("fp").distinct(), "fp")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__stored"))
+    )
+    new_df = new_fp.groupBy("fp").agg(F.count(F.lit(1)).alias("__new"))
+    ok = (
+        new_df.join(stored_df, "fp", "left")
+        .where(
+            F.coalesce("__stored", F.lit(0)) + F.col("__new") <= cap
+        )
+        .select("fp")
+    )
+    (
+        new_fp.join(ok, "fp")
+        .write.mode("overwrite")
+        .parquet(os.path.join(seg_dir, f"batch={int(batch_id)}"))
+    )
+
+
+def optimize_winnowing_stream_segments(spark, path: str) -> None:
+    """Fold the winnowing index's ``postings_stream/batch=*`` tree
+    into one ``batch=-1`` tree (full-row distinct -- replayed-batch
+    duplicates collapse; rows are unique per (doc_id, fp) by the
+    ingest contract).  rmtree + rename swap, single-writer, stream
+    stopped -- the segment-compaction contract shared with the ANN
+    and text indexes."""
+    import os
+    import shutil
+
+    seg_dir = os.path.join(path, "postings_stream")
+    if not os.path.exists(seg_dir):
+        return
+    merged = (
+        spark.read.option("basePath", seg_dir)
+        .parquet(seg_dir)
+        .drop("batch")
+        .distinct()
+    )
+    tmp = seg_dir.rstrip("/") + "__next"
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "batch=-1")
+    )
+    shutil.rmtree(seg_dir)
+    os.rename(tmp, seg_dir)
 
 
 def append_winnowing_index(
@@ -1751,12 +1853,19 @@ def delete_from_winnowing_index(
     ).parquet(os.path.join(path, "tombstones"))
 
 
-def apply_winnowing_deletes(spark, path: str) -> None:
+def apply_winnowing_deletes(
+    spark, path: str, retire_tombstones: bool = False
+) -> None:
     """Physically retire a winnowing index's tombstones: rewrite the
     postings minus the deleted docs (read-then-swap, preserving the
     (fp, doc_id) range layout the probe's row-group pruning relies
-    on) and clear the tombstone table.  Single-writer, probes and the
-    streaming gate stopped -- the family contract."""
+    on) and fold the streaming segment tree, if any, to a filtered
+    ``batch=-1``.  The tombstone table is KEPT by default (compacted)
+    -- with a streaming ingest path, a replayed in-flight batch that
+    contained deleted docs must stay masked; pass
+    ``retire_tombstones=True`` only when no replay is possible.
+    Single-writer, probes and the streaming gate stopped -- the
+    family contract."""
     import os
     import shutil
 
@@ -1777,4 +1886,23 @@ def apply_winnowing_deletes(spark, path: str) -> None:
         .localCheckpoint(eager=True)
     )
     kept.write.mode("overwrite").parquet(os.path.join(path, "postings"))
-    shutil.rmtree(tomb_dir)
+    seg_dir = os.path.join(path, "postings_stream")
+    if os.path.exists(seg_dir):
+        seg_kept = (
+            spark.read.option("basePath", seg_dir)
+            .parquet(seg_dir)
+            .drop("batch")
+            .distinct()
+            .join(tombs, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        tmp = seg_dir.rstrip("/") + "__next"
+        seg_kept.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "batch=-1")
+        )
+        shutil.rmtree(seg_dir)
+        os.rename(tmp, seg_dir)
+    if retire_tombstones:
+        shutil.rmtree(tomb_dir)
+    else:
+        tombs.coalesce(1).write.mode("overwrite").parquet(tomb_dir)

@@ -69,6 +69,30 @@ def _sub(path: str, name: str) -> str:
     return os.path.join(path, name)
 
 
+def _read_with_segments(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """A built table unioned with its streaming segment tree
+    (``<name>_stream/batch=<id>/``) when one exists -- how probes see
+    stream-ingested documents without a rebuild (the exact
+    ``ann_index._read_with_segments`` contract; tombstone filtering
+    stays at the call sites, applied to the union)."""
+    main = spark.read.parquet(_sub(path, name))
+    seg_dir = _sub(path, f"{name}_stream")
+    if os.path.exists(seg_dir):
+        seg = (
+            spark.read.option("basePath", seg_dir)
+            .parquet(seg_dir)
+            .select(*main.columns)
+        )
+        main = main.unionByName(seg)
+    return main
+
+
+def _has_segments(path: str) -> bool:
+    return os.path.exists(_sub(path, "doclens_stream")) or os.path.exists(
+        _sub(path, "postings_stream")
+    )
+
+
 def build_text_index(
     docs: DataFrame,
     path: str,
@@ -166,9 +190,6 @@ def query_text_index(
     Query terms in the index's stop-term table contribute zero (their
     postings were dropped at build time).  Returns (doc_id, bm25),
     descending, doc-id tiebreak."""
-    stats = spark.read.parquet(_sub(path, "stats")).collect()[0]
-    n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
-
     stopped = {
         r["term"]
         for r in spark.read.parquet(_sub(path, "stopterms"))
@@ -179,10 +200,10 @@ def query_text_index(
     if not active_terms:
         return spark.createDataFrame([], "doc_id long, bm25 double")
 
-    postings = spark.read.parquet(_sub(path, "postings")).where(
+    postings = _read_with_segments(spark, path, "postings").where(
         F.col("term").isin(*active_terms)
     )
-    doclens = spark.read.parquet(_sub(path, "doclens"))
+    doclens = _read_with_segments(spark, path, "doclens")
     # Tombstoned docs vanish from postings AND doclens immediately --
     # and because df is computed live from the (filtered) postings,
     # idf is takedown-correct at once; only the 1-row N/avgdl stats
@@ -193,6 +214,21 @@ def query_text_index(
         tombs = spark.read.parquet(tomb_dir).select("id").distinct()
         postings = postings.join(tombs, "id", "left_anti")
         doclens = doclens.join(tombs, "id", "left_anti")
+    if _has_segments(path):
+        # Stream segments exist: the persisted 1-row stats can't see
+        # them, so N/avgdl derive LIVE from the (tombstone-filtered)
+        # doclens union -- one doc-count-sized aggregate, and as a
+        # side effect takedown-correct immediately.  The no-segment
+        # path keeps the persisted stats row (zero extra pass, the
+        # bench-measured probe cost).
+        agg = doclens.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("dl").alias("avgdl"),
+        ).collect()[0]
+        n, avgdl = float(agg["n"]), float(agg["avgdl"] or 0.0)
+    else:
+        stats = spark.read.parquet(_sub(path, "stats")).collect()[0]
+        n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
     # Per-term document frequency: <= |query_terms| rows to the driver
     # (each (term, id) posting is one matching doc).
     df_rows = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
@@ -356,6 +392,82 @@ def optimize_text_index(
     merged_stop.write.mode("overwrite").parquet(_sub(path, "stopterms"))
 
 
+def text_ingest_apply_batch(
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of the streaming text-index ingest: tokenize
+    the arriving documents against the index's PERSISTED stop-term
+    policy (frozen, like every append-* quantizer contract) and write
+    the batch's postings and doclens as whole-directory OVERWRITES of
+    ``postings_stream/batch=<id>`` / ``doclens_stream/batch=<id>`` --
+    the per-batch-id idempotent segment layout the ANN family uses
+    (a replayed batch rewrites its own directories, any crash order).
+    Probes union the segments automatically (``_read_with_segments``)
+    and derive N/avgdl live while segments exist, so a document is
+    BM25-searchable the micro-batch after it arrives.
+
+    Stop-policy drift: a NEW term crossing the df cap via streamed
+    docs is not stopped until ``optimize_text_index`` re-evaluates
+    the persisted policy against the grown corpus -- the cap is a
+    cost guard, not a correctness gate (the ``append_winnowing_index``
+    posture).  Caller contract: ids disjoint from everything already
+    indexed (ingest never dedups -- put a dedup gate upstream)."""
+    if not batch.take(1):
+        return
+    spark = batch.sparkSession
+    base = batch.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    ).localCheckpoint(eager=True)  # one computation, two derived writes
+
+    def seg(table: str) -> str:
+        return os.path.join(_sub(path, f"{table}_stream"), f"batch={int(batch_id)}")
+
+    base.select("id", token_count(F.col("__text")).alias("dl")).write.mode(
+        "overwrite"
+    ).parquet(seg("doclens"))
+    tok = base.select("id", F.explode(tokens("__text")).alias("term"))
+    postings = tok.groupBy("term", "id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    stop_terms = spark.read.parquet(_sub(path, "stopterms")).select("term")
+    postings.join(F.broadcast(stop_terms), "term", "left_anti").write.mode(
+        "overwrite"
+    ).parquet(seg("postings"))
+
+
+def optimize_text_stream_segments(spark: SparkSession, path: str) -> None:
+    """Compact the text index's streaming segment trees: fold every
+    ``<table>_stream/batch=*`` into one ``batch=-1`` tree so the probe
+    union scans one file set however long the stream ran.  The fold is
+    full-row DISTINCT (rows are unique per (term, id) / id by the
+    ingest contract, so duplicates are always replayed-batch
+    artifacts) and each tree swaps independently via rmtree + rename
+    -- the ``ann_index.optimize_stream_segments`` contract verbatim.
+    Single-writer, stream stopped."""
+    import shutil
+
+    for name in ("postings_stream", "doclens_stream"):
+        seg_dir = _sub(path, name)
+        if not os.path.exists(seg_dir):
+            continue
+        merged = (
+            spark.read.option("basePath", seg_dir)
+            .parquet(seg_dir)
+            .drop("batch")
+            .distinct()
+        )
+        tmp = seg_dir.rstrip("/") + "__next"
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "batch=-1")
+        )
+        shutil.rmtree(seg_dir)
+        os.rename(tmp, seg_dir)
+
+
 def delete_from_text_index(
     ids: DataFrame, path: str, id_col: str = "doc_id"
 ) -> None:
@@ -372,15 +484,25 @@ def delete_from_text_index(
     ).parquet(_sub(path, "tombstones"))
 
 
-def apply_text_deletes(spark: SparkSession, path: str) -> None:
+def apply_text_deletes(
+    spark: SparkSession, path: str, retire_tombstones: bool = False
+) -> None:
     """Physically retire a text index's tombstones: rewrite postings
-    and doclens minus the deleted docs (read-then-swap), recompute the
+    and doclens minus the deleted docs (read-then-swap), fold each
+    streaming segment tree to a filtered ``batch=-1`` (full-row
+    distinct -- replayed-batch duplicates collapse), and recompute the
     N/avgdl stats row from the SURVIVING doclens (closing the
-    documented logical-phase skew), and clear the tombstone table.
-    Stop terms stay stopped (they were corpus-frequency-derived;
-    deletion only ever lowers frequencies, so keeping them is
-    conservative, never wrong).  Single-writer, probes stopped -- the
-    family contract."""
+    documented logical-phase skew).  Stop terms stay stopped (they
+    were corpus-frequency-derived; deletion only ever lowers
+    frequencies, so keeping them is conservative, never wrong).
+
+    The tombstone table is KEPT by default (compacted), exactly as in
+    ``ann_index.apply_deletes``: with a streaming ingest path a
+    stopped-but-not-checkpointed stream can replay an in-flight batch
+    containing deleted ids, and dropped tombstones would let them
+    resurrect unmasked.  Pass ``retire_tombstones=True`` only when no
+    replay is possible (clean checkpoint commit, or batch-only
+    index).  Single-writer, probes stopped -- the family contract."""
     import shutil
 
     tomb_dir = _sub(path, "tombstones")
@@ -404,6 +526,24 @@ def apply_text_deletes(spark: SparkSession, path: str) -> None:
     )
     doclens.write.mode("overwrite").parquet(_sub(path, "doclens"))
     postings.write.mode("overwrite").parquet(_sub(path, "postings"))
+    for name in ("postings_stream", "doclens_stream"):
+        seg_dir = _sub(path, name)
+        if not os.path.exists(seg_dir):
+            continue
+        kept = (
+            spark.read.option("basePath", seg_dir)
+            .parquet(seg_dir)
+            .drop("batch")
+            .distinct()
+            .join(tombs, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        tmp = seg_dir.rstrip("/") + "__next"
+        kept.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "batch=-1")
+        )
+        shutil.rmtree(seg_dir)
+        os.rename(tmp, seg_dir)
     agg = doclens.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
@@ -421,4 +561,7 @@ def apply_text_deletes(spark: SparkSession, path: str) -> None:
         "n_docs double, avgdl double, max_df double, max_df_frac double",
         _sub(path, "stats"),
     )
-    shutil.rmtree(tomb_dir)
+    if retire_tombstones:
+        shutil.rmtree(tomb_dir)
+    else:
+        tombs.coalesce(1).write.mode("overwrite").parquet(tomb_dir)

@@ -2013,6 +2013,65 @@ ivf_ingest_apply_batch = index_ingest_apply_batch
 start_ivf_ingest_sink = start_index_ingest_sink
 
 
+def start_text_index_ingest_sink(
+    stream_docs: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Streaming maintenance for the persisted BM25 text index: keep
+    it current from an unbounded document stream -- a document is
+    searchable the micro-batch after it arrives, with live N/avgdl.
+    Semantics, segment layout, and replay contract in
+    ``operators/text_index.py:text_ingest_apply_batch``; compact the
+    grown segment trees with ``optimize_text_stream_segments`` and
+    re-evaluate the stop-term policy with ``optimize_text_index``
+    (stream stopped, single-writer -- the family contract)."""
+    from ..operators.text_index import text_ingest_apply_batch
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        text_ingest_apply_batch(
+            batch, batch_id, index_path, id_col=id_col, text_col=text_col
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def start_winnowing_ingest_sink(
+    stream_docs: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Streaming maintenance for the persisted winnowing fingerprint
+    index: arriving documents' fingerprints are probe-matchable (by
+    ``winnowing_match_stream`` and batch pair mining, both of which
+    read through ``load_winnowing_index``) the micro-batch after they
+    arrive.  Semantics, df-cap replay contract, and segment layout in
+    ``operators/dedup.py:winnowing_ingest_apply_batch``; compact with
+    ``optimize_winnowing_stream_segments``."""
+    from ..operators.dedup import winnowing_ingest_apply_batch
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        winnowing_ingest_apply_batch(
+            batch, batch_id, index_path, id_col=id_col, text_col=text_col
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def with_observed_quality(
     df: DataFrame, value_col: str = "value", name: str = "quality"
 ) -> DataFrame:

@@ -5662,7 +5662,8 @@ def test_text_index_tombstone_deletes(spark, tmp_path):
     """Text-index tombstones: a deleted doc vanishes from BM25 results
     immediately with takedown-correct df; apply_text_deletes retires
     the rows, recomputes N/avgdl from survivors, preserves the
-    stop-term policy columns, and clears the tombstones."""
+    stop-term policy columns, and keeps the tombstones by default
+    (retire_tombstones=True clears them for the clean-stop case)."""
     import os as _os
 
     from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
@@ -5689,6 +5690,11 @@ def test_text_index_tombstone_deletes(spark, tmp_path):
     assert {r["doc_id"] for r in logical} == {2}
 
     TI.apply_text_deletes(spark, root)
+    # default: tombstones retained (crash-window replay protection)
+    assert _os.path.exists(_os.path.join(root, "tombstones"))
+    after = TI.query_text_index(spark, root, ("spark",), k=4).collect()
+    assert {r["doc_id"] for r in after} == {2}
+    TI.apply_text_deletes(spark, root, retire_tombstones=True)
     assert not _os.path.exists(_os.path.join(root, "tombstones"))
     after = TI.query_text_index(spark, root, ("spark",), k=4).collect()
     assert {r["doc_id"] for r in after} == {2}
@@ -5705,7 +5711,8 @@ def test_text_index_tombstone_deletes(spark, tmp_path):
 def test_winnowing_index_tombstone_deletes(spark, tmp_path):
     """Winnowing tombstones: a deleted doc stops matching immediately
     (all probes read through the filtered loader), the physical pass
-    retires its postings and clears the tombstone table."""
+    retires its postings and keeps the tombstones by default
+    (retire_tombstones=True clears them for the clean-stop case)."""
     import os as _os
 
     root = str(tmp_path / "widx")
@@ -5739,6 +5746,10 @@ def test_winnowing_index_tombstone_deletes(spark, tmp_path):
     assert matched_corpus_ids() == {2}
 
     DD.apply_winnowing_deletes(spark, root)
+    # default: tombstones retained (crash-window replay protection)
+    assert _os.path.exists(_os.path.join(root, "tombstones"))
+    assert matched_corpus_ids() == {2}
+    DD.apply_winnowing_deletes(spark, root, retire_tombstones=True)
     assert not _os.path.exists(_os.path.join(root, "tombstones"))
     assert matched_corpus_ids() == {2}
     ids = {

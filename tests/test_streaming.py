@@ -2359,3 +2359,114 @@ def test_lateness_monitor_end_to_end_stream(spark, tmp_path):
         q.stop()
     rows = spark.read.option("basePath", out).parquet(out).collect()
     assert rows and rows[0]["max_s"] == 29.0
+
+
+def test_text_index_ingest_stream_end_to_end(spark, tmp_path):
+    """Streaming BM25 index maintenance: a document streamed into a
+    persisted text index is searchable the batch after it arrives
+    with live N/avgdl; a replayed batch changes nothing (idempotent
+    segments); optimize folds the segment tree and preserves results;
+    a tombstoned streamed doc stays masked through the physical pass."""
+    from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
+
+    root = str(tmp_path / "tidx_stream")
+    base = spark.createDataFrame(
+        [(1, "spark engine spark catalyst"), (2, "unrelated words entirely")],
+        "doc_id long, text string",
+    )
+    TI.build_text_index(base, root)
+
+    src = str(tmp_path / "tidx_src")
+    spark.createDataFrame(
+        [(7, "spark spark spark streaming arrival")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = P.start_text_index_ingest_sink(stream, root, str(tmp_path / "tidx_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    hits = TI.query_text_index(spark, root, ("spark",), k=5).collect()
+    assert {r["doc_id"] for r in hits} == {1, 7}
+    top = max(hits, key=lambda r: r["bm25"])
+    assert top["doc_id"] == 7  # tf 3 beats tf 2 at similar length
+    rows_before = sorted(tuple(r) for r in hits)
+
+    # replayed batch (same id, same data) rewrites its own segment --
+    # scores identical, no duplicate postings
+    replay = spark.createDataFrame(
+        [(7, "spark spark spark streaming arrival")],
+        "doc_id long, text string",
+    )
+    TI.text_ingest_apply_batch(replay, 0, root)
+    assert sorted(
+        tuple(r) for r in TI.query_text_index(spark, root, ("spark",), k=5).collect()
+    ) == rows_before
+
+    TI.optimize_text_stream_segments(spark, root)
+    assert sorted(
+        tuple(r) for r in TI.query_text_index(spark, root, ("spark",), k=5).collect()
+    ) == rows_before
+
+    # takedown of the STREAMED doc: masked at once, physically retired,
+    # still masked if its batch replays after the rewrite
+    TI.delete_from_text_index(
+        spark.createDataFrame([(7,)], "doc_id long"), root
+    )
+    assert {r["doc_id"] for r in
+            TI.query_text_index(spark, root, ("spark",), k=5).collect()} == {1}
+    TI.apply_text_deletes(spark, root)
+    TI.text_ingest_apply_batch(replay, 0, root)  # crash-window replay
+    assert {r["doc_id"] for r in
+            TI.query_text_index(spark, root, ("spark",), k=5).collect()} == {1}
+
+
+def test_winnowing_ingest_stream_end_to_end(spark, tmp_path):
+    """Streaming winnowing-index maintenance: a streamed document
+    matches probes the batch after it arrives; replay is idempotent
+    (same keep/skip decision, no duplicate postings); the df cap
+    holds across stream segments; segment fold preserves matches."""
+    from iot_sensor_log_data_pipeline_spark.operators import dedup as DD
+
+    root = str(tmp_path / "widx_stream")
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    base = spark.createDataFrame(
+        [(1, shared), (2, "completely different content with no shared runs at all")],
+        "doc_id long, text string",
+    )
+    DD.build_winnowing_index(base, root, k=4, w=4)
+
+    src = str(tmp_path / "widx_src")
+    spark.createDataFrame(
+        [(9, shared)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = P.start_winnowing_ingest_sink(stream, root, str(tmp_path / "widx_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    probe = spark.createDataFrame([(99, shared)], "doc_id long, text string")
+
+    def matched():
+        postings, k, w = DD.load_winnowing_index(spark, root)
+        pf = DD.winnowing_fingerprints(probe, k, w).select("fp")
+        return sorted(
+            tuple(r) for r in postings.join(pf, "fp").collect()
+        )
+
+    first = matched()
+    assert {t[1] for t in first} >= {1, 9}  # streamed doc matches now
+
+    # replay: same batch id recomputes the same decision and rewrites
+    # its own directory -- posting multiset unchanged
+    DD.winnowing_ingest_apply_batch(
+        spark.createDataFrame([(9, shared)], "doc_id long, text string"), 0, root
+    )
+    assert matched() == first
+
+    DD.optimize_winnowing_stream_segments(spark, root)
+    assert matched() == first

@@ -108,6 +108,28 @@ def _graph_tombstones(spark, path: str):
     return None
 
 
+def _read_graph_table(
+    spark, path: str, name: str, exclude_batch: int | None = None
+):
+    """A graph-index table unioned with its streaming segment tree
+    (``<name>_stream/batch=<id>``) when one exists -- the knn_graph
+    member of the family segment contract.  ``exclude_batch`` drops
+    one batch id from the union: the ingest path's own probe reads
+    main + every segment EXCEPT the one it is about to (re)write, so
+    a replayed batch links against the same graph it saw the first
+    time instead of its own prior write."""
+    import os as _os
+
+    main = spark.read.parquet(_sub(path, name))
+    seg_dir = _sub(path, f"{name}_stream")
+    if _os.path.exists(seg_dir):
+        seg = spark.read.option("basePath", seg_dir).parquet(seg_dir)
+        if exclude_batch is not None:
+            seg = seg.where(F.col("batch") != int(exclude_batch))
+        main = main.unionByName(seg.select(*main.columns))
+    return main
+
+
 def lsh_seed_pairs(
     banded: DataFrame, seed_cap: int = DEFAULT_SEED_CAP
 ) -> DataFrame:
@@ -494,6 +516,7 @@ def query_graph_index(
     hops: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _exclude_batch: int | None = None,
 ) -> DataFrame:
     """Batched greedy beam search over a persisted k-NN graph:
     (query_id, neighbor_id, cos_sim, rank), descending cosine,
@@ -504,13 +527,18 @@ def query_graph_index(
     neighbor lists, exact cosine scores the (small) touched set, and a
     per-query window keeps the best ``beam``.  State is
     |queries| x beam rows between hops -- query-batch-sized, never
-    corpus-sized.
+    corpus-sized.  Streaming segment trees union in automatically
+    (``graph_ingest_apply_batch``'s bidirectional edges make streamed
+    nodes reachable from the unchanged entry points);
+    ``_exclude_batch`` is the ingest path's replay-determinism hook.
     """
     cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
     if cfg["kind"] != "knn_graph":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not knn_graph")
-    adj = spark.read.parquet(_sub(path, "graph")).select("src", "dst")
-    vecs = spark.read.parquet(_sub(path, "vectors"))
+    adj = _read_graph_table(spark, path, "graph", _exclude_batch).select(
+        "src", "dst"
+    )
+    vecs = _read_graph_table(spark, path, "vectors", _exclude_batch)
     entries = spark.read.parquet(_sub(path, "entries"))
     # Tombstoned nodes vanish from every read: as results (vectors,
     # entries) AND as routing (edges in BOTH directions) -- the beam
@@ -653,6 +681,30 @@ def append_graph_index(
     refreshes entry points.  Caller contract: ids must be disjoint
     from ids already indexed (append never dedups)."""
     spark = vectors.sparkSession
+    edges, base = _link_batch(
+        spark, path, vectors, beam, hops, id_col, vec_col
+    )
+    edges.write.mode("append").parquet(_sub(path, "graph"))
+    base.write.mode("append").parquet(_sub(path, "vectors"))
+
+
+def _link_batch(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    beam: int,
+    hops: int,
+    id_col: str,
+    vec_col: str,
+    exclude_batch: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(edges, base) for inserting ``vectors`` into the graph at
+    ``path`` -- the shared search-then-link core of the batch append
+    and the streaming ingest: beam-search hits become forward edges,
+    reverse edges make the new nodes reachable, and one batch-local
+    NN-descent links intra-batch mutual neighbors.  With
+    ``exclude_batch`` set, every index read skips that segment id
+    (the ingest replay contract)."""
     cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
     if cfg["kind"] != "knn_graph":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not knn_graph")
@@ -666,6 +718,7 @@ def append_graph_index(
         hops=hops,
         id_col=id_col,
         vec_col=vec_col,
+        _exclude_batch=exclude_batch,
     ).select(
         F.col("query_id").alias("src"),
         F.col("neighbor_id").alias("dst"),
@@ -682,7 +735,7 @@ def append_graph_index(
     # Exact (unrounded) scores for the stored edges: recompute from
     # the vectors rather than reusing the probe's display-rounded
     # cosine, so appended edges carry the same precision as built ones.
-    old_vecs = spark.read.parquet(_sub(path, "vectors"))
+    old_vecs = _read_graph_table(spark, path, "vectors", exclude_batch)
     nv = base.select(
         F.col("id").alias("src"), F.col("vec").alias("va"), F.col("nrm").alias("na")
     )
@@ -717,8 +770,47 @@ def append_graph_index(
             build_k=geo["build_k"],
         )
         edges = edges.unionByName(intra)
-    edges.write.mode("append").parquet(_sub(path, "graph"))
-    base.write.mode("append").parquet(_sub(path, "vectors"))
+    return edges, base
+
+
+def graph_ingest_apply_batch(
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    beam: int = 32,
+    hops: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch of the streaming graph-index ingest -- HNSW's
+    search-then-link insertion under the family segment contract:
+    each arriving vector beam-searches the index (main + every
+    segment EXCEPT this batch's own id -- a replayed batch links
+    against the same graph it saw the first time), its hits become
+    forward edges, reverse edges make it reachable from the unchanged
+    entry points, intra-batch NN-descent links mutual near-neighbors
+    within the batch, and everything lands as whole-directory
+    OVERWRITES of ``graph_stream/batch=<id>`` /
+    ``vectors_stream/batch=<id>``.  Probes union segments
+    automatically, so a vector is beam-findable the micro-batch after
+    it arrives.  ``optimize_graph_index`` absorbs the segments on the
+    maintenance cadence (refinement then covers streamed nodes too).
+    Caller contract: ids disjoint from everything already indexed."""
+    import os as _os
+
+    if not batch.take(1):
+        return
+    spark = batch.sparkSession
+    edges, base = _link_batch(
+        spark, path, batch, beam, hops, id_col, vec_col,
+        exclude_batch=int(batch_id),
+    )
+    edges.write.mode("overwrite").parquet(
+        _os.path.join(_sub(path, "graph_stream"), f"batch={int(batch_id)}")
+    )
+    base.write.mode("overwrite").parquet(
+        _os.path.join(_sub(path, "vectors_stream"), f"batch={int(batch_id)}")
+    )
 
 
 def optimize_graph_index(
@@ -746,7 +838,20 @@ def optimize_graph_index(
     no LSH re-banding, no full NN-descent restart.  The rewrite
     materializes via localCheckpoint before overwriting the directory
     it was read from (same read-then-swap contract as the parquet
-    compactor)."""
+    compactor).
+
+    Streaming segment trees are ABSORBED here (stream stopped,
+    single-writer): the union of main + segments is deduplicated (by
+    id for vectors, full-row for edges), refined, written to the main
+    tables, and the segment trees removed LAST.  A crash between the
+    main writes and the segment removal leaves duplicates the dedup
+    collapses on the next run -- re-running the optimize is the
+    recovery, and it is idempotent.  Absorption is what lets the
+    refinement rounds cover streamed nodes (probe-derived lists gain
+    the cross-links a fresh build would have found)."""
+    import os as _os
+    import shutil
+
     cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
     if cfg["kind"] != "knn_graph":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not knn_graph")
@@ -755,13 +860,18 @@ def optimize_graph_index(
         # Persisted build-time width; module default for indexes that
         # predate the persisted-geometry config schema.
         build_k = _build_geometry(cfg)["build_k"]
-    base = spark.read.parquet(_sub(path, "vectors")).localCheckpoint(eager=True)
+    base = (
+        _read_graph_table(spark, path, "vectors")
+        .dropDuplicates(["id"])
+        .localCheckpoint(eager=True)
+    )
     graph = _top_n(
-        spark.read.parquet(_sub(path, "graph")), build_k
+        _read_graph_table(spark, path, "graph").distinct(), build_k
     ).localCheckpoint(eager=True)
     if n_refine:
         graph = _refine(base, graph, build_k, n_refine)
     final = _top_n(graph, k).localCheckpoint(eager=True)
+    base.write.mode("overwrite").parquet(_sub(path, "vectors"))
     final.write.mode("overwrite").parquet(_sub(path, "graph"))
     (
         base.select("id")
@@ -770,6 +880,10 @@ def optimize_graph_index(
         .write.mode("overwrite")
         .parquet(_sub(path, "entries"))
     )
+    for name in ("graph_stream", "vectors_stream"):
+        seg_dir = _sub(path, name)
+        if _os.path.exists(seg_dir):
+            shutil.rmtree(seg_dir)
 
 
 def delete_from_graph_index(
@@ -788,15 +902,26 @@ def delete_from_graph_index(
     ).parquet(_sub(path, "tombstones"))
 
 
-def apply_graph_deletes(spark: SparkSession, path: str, n_refine: int = 1) -> None:
+def apply_graph_deletes(
+    spark: SparkSession,
+    path: str,
+    n_refine: int = 1,
+    retire_tombstones: bool = False,
+) -> None:
     """Physically retire a graph index's tombstones: rewrite vectors
     and edges minus the deleted nodes (edges filtered on BOTH ends),
     run ``n_refine`` NN-descent refinement rounds so neighborhoods
     that routed through deleted hubs re-link (the repair pass --
-    neighbors-of-neighbors reconnects what the hub connected), refresh
-    the md5-deterministic entry points from the SURVIVING nodes, and
-    clear the tombstone table.  Read-then-swap via localCheckpoint,
-    single-writer, stream stopped -- the family contract."""
+    neighbors-of-neighbors reconnects what the hub connected), and
+    refresh the md5-deterministic entry points from the SURVIVING
+    nodes.  Streaming segment trees are absorbed into the rewrite
+    (dedup makes re-running after a crash the recovery, exactly as in
+    ``optimize_graph_index``).  The tombstone table is KEPT by
+    default (compacted): with a streaming ingest path, a replayed
+    in-flight batch that contained deleted ids must stay masked --
+    pass ``retire_tombstones=True`` only when no replay is possible.
+    Read-then-swap via localCheckpoint, single-writer, stream
+    stopped -- the family contract."""
     import os as _os
     import shutil
 
@@ -806,12 +931,14 @@ def apply_graph_deletes(spark: SparkSession, path: str, n_refine: int = 1) -> No
     tombs = tombs.localCheckpoint(eager=True)
     cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
     base = (
-        spark.read.parquet(_sub(path, "vectors"))
+        _read_graph_table(spark, path, "vectors")
+        .dropDuplicates(["id"])
         .join(tombs, "id", "left_anti")
         .localCheckpoint(eager=True)
     )
     graph = (
-        spark.read.parquet(_sub(path, "graph"))
+        _read_graph_table(spark, path, "graph")
+        .distinct()
         .join(tombs.select(F.col("id").alias("src")), "src", "left_anti")
         .join(tombs.select(F.col("id").alias("dst")), "dst", "left_anti")
         .localCheckpoint(eager=True)
@@ -830,4 +957,13 @@ def apply_graph_deletes(spark: SparkSession, path: str, n_refine: int = 1) -> No
         .write.mode("overwrite")
         .parquet(_sub(path, "entries"))
     )
-    shutil.rmtree(_sub(path, "tombstones"))
+    for name in ("graph_stream", "vectors_stream"):
+        seg_dir = _sub(path, name)
+        if _os.path.exists(seg_dir):
+            shutil.rmtree(seg_dir)
+    if retire_tombstones:
+        shutil.rmtree(_sub(path, "tombstones"))
+    else:
+        tombs.coalesce(1).write.mode("overwrite").parquet(
+            _sub(path, "tombstones")
+        )

@@ -2013,6 +2013,39 @@ ivf_ingest_apply_batch = index_ingest_apply_batch
 start_ivf_ingest_sink = start_index_ingest_sink
 
 
+def start_graph_ingest_sink(
+    stream_vectors: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    beam: int = 32,
+    hops: int = 5,
+) -> StreamingQuery:
+    """Streaming maintenance for the persisted k-NN graph index --
+    HNSW-style search-then-link insertion per micro-batch: each
+    arriving vector is beam-findable the batch after it arrives.
+    Semantics, bidirectional-edge reachability, and the
+    reads-exclude-own-batch replay contract in
+    ``operators/graph_ann.py:graph_ingest_apply_batch``;
+    ``optimize_graph_index`` absorbs the segments (and extends its
+    refinement to the streamed nodes) on the maintenance cadence."""
+    from ..operators.graph_ann import graph_ingest_apply_batch
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        graph_ingest_apply_batch(
+            batch, batch_id, index_path,
+            beam=beam, hops=hops, id_col=id_col, vec_col=vec_col,
+        )
+
+    return (
+        stream_vectors.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def start_text_index_ingest_sink(
     stream_docs: DataFrame,
     index_path: str,

@@ -5617,8 +5617,9 @@ def test_index_tombstone_deletes_across_family(spark, tmp_path):
 def test_graph_index_tombstone_deletes(spark, tmp_path):
     """Graph tombstones: a deleted node never appears in probe results
     (logical), apply_graph_deletes retires it physically, refreshes
-    entry points from survivors, clears the tombstones, and the
-    surviving neighborhood re-links (probes still return k rows)."""
+    entry points from survivors, keeps the tombstones by default
+    (retire_tombstones=True clears them), and the surviving
+    neighborhood re-links (probes still return k rows)."""
     import os as _os
 
     from iot_sensor_log_data_pipeline_spark.io_utils import load
@@ -5640,6 +5641,9 @@ def test_graph_index_tombstone_deletes(spark, tmp_path):
     assert logical, "probe returned nothing under tombstones"
 
     GA.apply_graph_deletes(spark, root)
+    # default: tombstones retained (crash-window replay protection)
+    assert _os.path.exists(_os.path.join(root, "tombstones"))
+    GA.apply_graph_deletes(spark, root, retire_tombstones=True)
     assert not _os.path.exists(_os.path.join(root, "tombstones"))
     after = GA.query_graph_index(spark, root, queries, k=6).collect()
     assert not ({r["neighbor_id"] for r in after} & set(victims))

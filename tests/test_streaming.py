@@ -2470,3 +2470,57 @@ def test_winnowing_ingest_stream_end_to_end(spark, tmp_path):
 
     DD.optimize_winnowing_stream_segments(spark, root)
     assert matched() == first
+
+
+def test_graph_ingest_stream_end_to_end(spark, tmp_path):
+    """Streaming graph-index maintenance (search-then-link): a vector
+    streamed into a persisted k-NN graph is beam-findable at rank 1
+    for its own embedding the batch after it arrives (reverse edges
+    make it reachable from unchanged entry points); a replayed batch
+    is idempotent; optimize absorbs the segments (trees gone) and the
+    streamed node stays findable."""
+    import os as _os
+
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import graph_ann as GA
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.where("vec_id >= 10 AND vec_id < 60")
+    streamed = emb.where("vec_id >= 60 AND vec_id < 64")
+    root = str(tmp_path / "gidx_stream")
+    GA.build_graph_index(corpus, root, k=6, n_entry=8)
+
+    src = str(tmp_path / "gidx_src")
+    streamed.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(streamed.schema).parquet(src)
+    q = P.start_graph_ingest_sink(stream, root, str(tmp_path / "gidx_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    probe = emb.where("vec_id = 61").selectExpr(
+        "vec_id + 1000 AS vec_id", "embedding"
+    )  # same vector, new id, so self-exclusion doesn't hide it
+    hits = GA.query_graph_index(spark, root, probe, k=5).collect()
+    top = [r for r in hits if r["rank"] == 1][0]
+    assert top["neighbor_id"] == 61  # the streamed vector, at rank 1
+    rows_before = sorted(tuple(r) for r in hits)
+
+    # replay: identical segment rewrite, identical probe results
+    GA.graph_ingest_apply_batch(streamed, 0, root)
+    assert sorted(
+        tuple(r) for r in GA.query_graph_index(spark, root, probe, k=5).collect()
+    ) == rows_before
+
+    # absorption: segments fold into the main tables, trees removed,
+    # the streamed node survives refinement and stays rank 1
+    GA.optimize_graph_index(spark, root)
+    assert not _os.path.exists(_os.path.join(root, "graph_stream"))
+    assert not _os.path.exists(_os.path.join(root, "vectors_stream"))
+    after = GA.query_graph_index(spark, root, probe, k=5).collect()
+    assert [r for r in after if r["rank"] == 1][0]["neighbor_id"] == 61
+    vec_ids = {
+        r["id"] for r in spark.read.parquet(_os.path.join(root, "vectors")).collect()
+    }
+    assert {60, 61, 62, 63} <= vec_ids

@@ -53,38 +53,18 @@ _QUERY_MODULES = (
 #: ``queries()`` per round, so this tuple -- not module import order --
 #: decides which queries get an external green row this round.  Names
 #: listed here are emitted first, in this order; every other query
-#: follows in registration order.  Round-9 priority: (a) re-entries
-#: for every round-9-edited code path -- the centered-covariance fix
-#: (the round-8 red row, lead slot), the three as-of joins (struct
-#: carry rewrite), heavy hitters (NULL-key + null-safe recount), the
-#: dataset fingerprint (widened md5 slices; its oracle changed too);
-#: (b) new in round 9: the seed-hub graph ANN twin and the persisted
-#: PQ index probe (both oracle-backed, never external --
-#: guard-test-required) plus first external `no_oracle` rows for the
-#: two rows-only ANN paths that have never appeared in any window
-#: (`similarity_graph_ann`, new `similarity_opq_adc_ann`) -- an
-#: executes-under-driver proof, the round-8 verdict's minimum ask;
-#: (c) the 33 round-3-stale rows bumped from the round-8 window,
-#: externally unconfirmed across five rounds of engine evolution;
-#: (d) the stalest round-4 rows that still fit.
-#: 6+7+9+28 = 50, one full window.  (Five (c) rows were traded for
-#: (b2) first-evidence rows, two under the round-8 verdict's >= 30
-#: stale-rotation ask -- a deliberate call: a query with ZERO external
-#: evidence outranks a re-confirmation that was green in round 3, and
-#: the five traded rows are the LOWEST-risk of the 33 by construction:
-#: hourly_avg_value is smoke-checked under the driver every round via
-#: entry(), and math/hash/conditional_functions/null_semantics are
-#: pure literal function/semantics batteries no engine evolution has
-#: ever touched (their module is unchanged since round 3).  All five
-#: lead the round-10 (b) section.)
-#: Remaining by-design rows-only queries (``agg_approx_sketches``,
-#: ``similarity_ivf_ann``) stay out: they already hold external
-#: `no_oracle` rows (r1/r3), so another adds no information.
-#: Unknown names fail loudly in tests (``tests/test_catalog_oracle.py``),
-#: and ``tests/test_catalog_oracle.py::test_verify_window_covers_unverified``
-#: fails if any oracle-backed query without an external row is not in
-#: the first 50 of this tuple -- the guard that keeps this rotation
-#: from silently slipping a round.
+#: follows in registration order.  The round-10 window rationale is
+#: inline in the tuple below; prior-round rationales live in git
+#: history.  Standing rules: by-design rows-only queries
+#: (``agg_approx_sketches``, ``similarity_ivf_ann``,
+#: ``similarity_graph_ann``, ``similarity_opq_adc_ann``) stay out once
+#: they hold an external `no_oracle` row -- another adds no
+#: information.  Unknown names fail loudly in tests
+#: (``tests/test_catalog_oracle.py``), and
+#: ``test_verify_window_covers_unverified`` fails if any oracle-backed
+#: query without an external row is not in the first 50 of this tuple
+#: -- the guard that keeps this rotation from silently slipping a
+#: round.
 _VERIFY_PRIORITY: tuple[str, ...] = (
     # Round-10 window, per the pre-planned rotation (round-9 comment
     # below).  (a) the red-row fix: covariance re-enters with the
@@ -155,19 +135,18 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "text_pii_redact",
 )
 
-#: Round-10 rotation plan: (a) anything new in round 10 plus
-#: re-entries for round-10-edited modules; (b) the rows bumped from
-#: this window (hourly_avg_value, math_functions, hash_functions,
-#: conditional_functions, null_semantics, scan_merge_schema,
-#: scd2_point_in_time_join, profile_psi_drift, quality_iqr_outliers)
-#: and the remainder of the round-4 battery (the ~34 rows not reached by round 9's (d) tail:
-#: the dedup/text/similarity families -- dedup_simhash,
-#: dedup_byte_chunks, blocked Levenshtein ER, text LM scores, BPE,
-#: hash embeddings, SRP-LSH/IVF/PQ ANN batteries,
-#: sketch_hll_distinct_by_source, join_bloom_pruned_revenue,
-#: multimodal dhash family, scd2/cdc round-4 rows); (c) then the
-#: round-5 relational battery becomes the stalest evidence -- refresh
-#: in registration order as slots allow.
+#: Round-11 rotation plan: (a) anything new in round 11 plus
+#: re-entries for round-11-edited modules (the graph-ingest refactor
+#: touched query_graph_index, so similarity_graph_seed_ann re-enters
+#: if not green in r10); (b) the five rows deferred from this window
+#: (similarity_label_centroids, text_top_tokens, text_token_stats,
+#: sketch_hll_by_source, text_vocab_coverage -- trivial, modules
+#: unchanged since r4); (c) then the round-5 relational battery
+#: becomes the stalest evidence (q1/q3/q5/q6/q7/q10/q12/q14/q15/
+#: q17/q18/q19, the join/agg/window batteries, function batteries
+#: greened in r5) -- refresh in registration order as slots allow;
+#: (d) if any round-10 row comes back red, its fix re-enters at the
+#: head, same as covariance did this round.
 
 
 @dataclass(frozen=True)

@@ -5894,3 +5894,84 @@ def test_incremental_join_cdc_delta_identity(spark):
     assert apply_delta(view(a1, b1), d2) == view(a2, b2)
     # the reinserted row is visible in the final view
     assert any(r[0] == 40 and r[1] == 3 for r in view(a2, b2))
+
+
+def test_incremental_join_cdc_delta_property_hypothesis(spark):
+    """The CDC view-maintenance identity, stated exactly for random
+    CDC batches on both sides: apply(V_old, delta) == full re-join of
+    the CDC-applied bases (multiset), for arbitrary mixes of inserts,
+    deletes, and updates -- including updates that move the join key
+    and keys shared by many rows on the A side."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iot_sensor_log_data_pipeline_spark.operators.scd import (
+        apply_cdc,
+        incremental_join_cdc_delta,
+    )
+
+    keys = st.integers(min_value=0, max_value=5)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        # base A: up to 8 rows, pks 0..7, many-per-join-key allowed
+        st.lists(keys, min_size=1, max_size=8),
+        # ops on A: (pk, op, new_key) -- op 0=del, 1=update, 2=insert
+        st.lists(
+            st.tuples(st.integers(0, 11), st.integers(0, 2), keys),
+            max_size=6,
+        ),
+        # B-side deletes + inserts over join keys
+        st.lists(st.tuples(keys, st.integers(0, 1)), max_size=4),
+    )
+    def run(a_keys, a_ops, b_ops):
+        a_rows = [(pk, k, float(pk * 10 + k)) for pk, k in enumerate(a_keys)]
+        b_rows = [(k, f"n{k}") for k in range(6)]
+        a = spark.createDataFrame(a_rows, "pk long, k long, v double")
+        b = spark.createDataFrame(b_rows, "k long, name string")
+
+        seen_a: dict[int, tuple] = {}
+        existing = {pk for pk, _, _ in a_rows}
+        for pk, op, nk in a_ops:
+            if pk in seen_a:
+                continue  # one op per pk per batch (CDC batch contract)
+            if op == 0 and pk in existing:
+                seen_a[pk] = (pk, None, None, "delete")
+            elif op == 1 and pk in existing:
+                seen_a[pk] = (pk, nk, float(pk + 100), "update")
+            elif op == 2 and pk not in existing:
+                seen_a[pk] = (pk, nk, float(pk + 200), "insert")
+        seen_b: dict[int, tuple] = {}
+        for k, op in b_ops:
+            if k in seen_b:
+                continue
+            if op == 0 and k < 6:
+                seen_b[k] = (k, None, "delete")
+            elif op == 1 and k >= 6:
+                seen_b[k] = (k, f"new{k}", "insert")
+        cdc_a = spark.createDataFrame(
+            list(seen_a.values()) or [(999, 0, 0.0, "insert")],
+            "pk long, k long, v double, op string",
+        )
+        cdc_b = spark.createDataFrame(
+            list(seen_b.values()) or [(99, "x", "insert")],
+            "k long, name string, op string",
+        )
+
+        delta = incremental_join_cdc_delta(
+            a, cdc_a, b, cdc_b, on="k", pk_a="pk", pk_b="k"
+        ).collect()
+        old_view = sorted(tuple(r) for r in a.join(b, "k").collect())
+        a2, b2 = apply_cdc(a, cdc_a, "pk"), apply_cdc(b, cdc_b, "k")
+        new_view = sorted(tuple(r) for r in a2.join(b2, "k").collect())
+
+        applied = list(old_view)
+        for r in delta:
+            t = tuple(r)[1:]
+            if r["action"] == "retract":
+                applied.remove(t)  # raises ValueError if over-retracted
+            else:
+                applied.append(t)
+        assert sorted(applied) == new_view
+
+    run()

@@ -1573,17 +1573,29 @@ def winnowing_ingest_apply_batch(
         .agg(F.count(F.lit(1)).alias("__stored"))
     )
     new_df = new_fp.groupBy("fp").agg(F.count(F.lit(1)).alias("__new"))
-    ok = (
-        new_df.join(stored_df, "fp", "left")
-        .where(
-            F.coalesce("__stored", F.lit(0)) + F.col("__new") <= cap
-        )
-        .select("fp")
+    totals = new_df.join(stored_df, "fp", "left").select(
+        "fp",
+        "__new",
+        (F.coalesce("__stored", F.lit(0)) + F.col("__new")).alias("__total"),
     )
+    ok = totals.where(F.col("__total") <= cap).select("fp")
     (
         new_fp.join(ok, "fp")
         .write.mode("overwrite")
         .parquet(os.path.join(seg_dir, f"batch={int(batch_id)}"))
+    )
+    # Overflow ledger, segment form: skipped-fp counts land as the
+    # same idempotent batch-keyed overwrite (the batch-appended ledger
+    # of ``append_winnowing_index`` would double on replay), so
+    # ``optimize_winnowing_index`` can measure TRUE df for streamed
+    # corpora too.
+    (
+        totals.where(F.col("__total") > cap)
+        .select("fp", F.col("__new").cast("long").alias("overflow_df"))
+        .write.mode("overwrite")
+        .parquet(
+            os.path.join(path, "overflow_stream", f"batch={int(batch_id)}")
+        )
     )
 
 
@@ -1684,7 +1696,11 @@ def optimize_winnowing_index(spark, path: str) -> None:
     (append only guards each batch's marginal contribution) are
     dropped entirely, restoring the cost bound without re-reading any
     document -- one postings scan, one df agg, one rewrite.  Layout is
-    re-range-partitioned on (fp, id) like a fresh build.
+    re-range-partitioned on (fp, id) like a fresh build.  Streaming
+    segment trees (postings and the batch-keyed overflow ledger) are
+    ABSORBED: their rows join the df measurement and the rewrite, and
+    the trees are removed last -- the absorption is distinct-based, so
+    re-running after a crash is the recovery.
 
     Filesystem contract: the postings rewrite swaps directories with
     ``rmtree`` + ``rename`` -- a local/posix-rename assumption, same
@@ -1700,15 +1716,40 @@ def optimize_winnowing_index(spark, path: str) -> None:
     cfg = spark.read.parquet(os.path.join(path, "config")).head()
     cap = int(cfg["max_fp_df"])
     postings = spark.read.parquet(os.path.join(path, "postings"))
+    # Absorb streaming segments into the rewrite (full-row distinct, so
+    # a crash between the main write and the segment removal is
+    # recovered by re-running -- the graph-optimize absorption
+    # contract).  Without this, segment postings would escape the
+    # re-prune and the fold.
+    seg_dir = os.path.join(path, "postings_stream")
+    have_segments = os.path.isdir(seg_dir)
+    if have_segments:
+        seg = (
+            spark.read.option("basePath", seg_dir)
+            .parquet(seg_dir)
+            .drop("batch")
+            .select(*postings.columns)
+        )
+        postings = postings.unionByName(seg).distinct()
     stored = postings.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+    over_parts = []
     ledger_dir = os.path.join(path, "overflow")
     have_ledger = os.path.isdir(ledger_dir)
     if have_ledger:
-        over = (
-            spark.read.parquet(ledger_dir)
-            .groupBy("fp")
-            .agg(F.sum("overflow_df").alias("__over"))
+        over_parts.append(spark.read.parquet(ledger_dir))
+    seg_ledger_dir = os.path.join(path, "overflow_stream")
+    have_seg_ledger = os.path.isdir(seg_ledger_dir)
+    if have_seg_ledger:
+        over_parts.append(
+            spark.read.option("basePath", seg_ledger_dir)
+            .parquet(seg_ledger_dir)
+            .select("fp", "overflow_df")
         )
+    if over_parts:
+        over = over_parts[0]
+        for p in over_parts[1:]:
+            over = over.unionByName(p)
+        over = over.groupBy("fp").agg(F.sum("overflow_df").alias("__over"))
         stored = stored.join(over, "fp", "left").select(
             "fp",
             (F.col("__df") + F.coalesce("__over", F.lit(0))).alias("__df"),
@@ -1724,11 +1765,15 @@ def optimize_winnowing_index(spark, path: str) -> None:
     final = os.path.join(path, "postings")
     shutil.rmtree(final)
     os.rename(tmp, final)
+    if have_segments:
+        shutil.rmtree(seg_dir, ignore_errors=True)
     if have_ledger:
         # Every overflow fingerprint has true df > cap and was just
         # dropped entirely -- the ledger is settled.  Only deleted
         # when it was actually read and applied above.
         shutil.rmtree(ledger_dir, ignore_errors=True)
+    if have_seg_ledger:
+        shutil.rmtree(seg_ledger_dir, ignore_errors=True)
 
 
 def lsh_tuning_report(

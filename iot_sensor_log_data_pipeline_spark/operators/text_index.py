@@ -350,9 +350,16 @@ def optimize_text_index(
     The cap re-evaluates the BUILD-time policy (persisted in
     ``stats/``) against the CURRENT corpus size; pass ``max_df`` /
     ``max_df_frac`` to override it.  An index built uncapped with no
-    override is a no-op.  After the re-prune, probes return exactly
-    what a fresh rebuild over the union corpus with the same policy
-    returns (pytest).
+    override only absorbs segments.  After the re-prune, probes
+    return exactly what a fresh rebuild over the union corpus with
+    the same policy returns (pytest).
+
+    Streaming segment trees are ABSORBED (stream stopped): postings
+    and doclens unions fold into the main tables (full-row distinct --
+    re-running after a crash is the recovery), the N/avgdl stats row
+    recomputes from the union (the cap evaluates against the TRUE
+    corpus size, and probes regain the zero-extra-pass stats path),
+    and the segment trees are removed last.
 
     Filesystem contract: the postings rewrite swaps directories with
     ``rmtree`` + ``rename`` (local/posix-rename, same as the other
@@ -360,36 +367,76 @@ def optimize_text_index(
     import shutil
 
     stats = spark.read.parquet(_sub(path, "stats")).head()
+    segmented = _has_segments(path)
+    postings = spark.read.parquet(_sub(path, "postings"))
+    doclens = spark.read.parquet(_sub(path, "doclens"))
+    if segmented:
+        postings = _read_with_segments(spark, path, "postings").distinct()
+        doclens = (
+            _read_with_segments(spark, path, "doclens")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        agg = doclens.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("dl").alias("avgdl"),
+        ).collect()[0]
+        n_docs, avgdl = float(agg["n"]), float(agg["avgdl"] or 0.0)
+    else:
+        n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
     if max_df is None and max_df_frac is None:
         max_df = None if stats["max_df"] is None else int(stats["max_df"])
         max_df_frac = stats["max_df_frac"]
-    if max_df is None and max_df_frac is None:
-        return  # uncapped index: nothing to prune
-    cap = max(max_df or 0, math.ceil((max_df_frac or 0.0) * float(stats["n_docs"])))
+    capped = max_df is not None or max_df_frac is not None
+    if not capped and not segmented:
+        return  # uncapped, no segments: nothing to do
 
-    postings = spark.read.parquet(_sub(path, "postings"))
-    drifted = (
-        postings.groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
-        .where(F.col("df") > cap)
-        .localCheckpoint(eager=True)  # materialize before the rewrites below
-    )
-    if drifted.isEmpty():
+    if capped:
+        cap = max(max_df or 0, math.ceil((max_df_frac or 0.0) * n_docs))
+        drifted = (
+            postings.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+            .where(F.col("df") > cap)
+            .localCheckpoint(eager=True)  # materialize before rewrites
+        )
+    else:
+        drifted = None
+    if (drifted is None or drifted.isEmpty()) and not segmented:
         return
-    merged_stop = (
-        spark.read.parquet(_sub(path, "stopterms"))
-        .unionByName(drifted)
-        .localCheckpoint(eager=True)  # reads stopterms/, which we overwrite next
+    if drifted is not None and not drifted.isEmpty():
+        merged_stop = (
+            spark.read.parquet(_sub(path, "stopterms"))
+            .unionByName(drifted)
+            .localCheckpoint(eager=True)  # reads the dir overwritten below
+        )
+        pruned = postings.join(
+            F.broadcast(drifted.select("term")), "term", "left_anti"
+        )
+    else:
+        merged_stop = None
+        pruned = postings
+    pruned = pruned.repartitionByRange("term", "id").sortWithinPartitions(
+        "term", "id"
     )
-    pruned = postings.join(
-        F.broadcast(drifted.select("term")), "term", "left_anti"
-    ).repartitionByRange("term", "id").sortWithinPartitions("term", "id")
     tmp = _sub(path, "postings__next")
     pruned.write.mode("overwrite").parquet(tmp)
     final = _sub(path, "postings")
     shutil.rmtree(final)
     os.rename(tmp, final)
-    merged_stop.write.mode("overwrite").parquet(_sub(path, "stopterms"))
+    if merged_stop is not None:
+        merged_stop.write.mode("overwrite").parquet(_sub(path, "stopterms"))
+    if segmented:
+        doclens.write.mode("overwrite").parquet(_sub(path, "doclens"))
+        _write_small(
+            spark,
+            [(n_docs, avgdl, stats["max_df"], stats["max_df_frac"])],
+            "n_docs double, avgdl double, max_df double, max_df_frac double",
+            _sub(path, "stats"),
+        )
+        for name in ("postings_stream", "doclens_stream"):
+            seg_dir = _sub(path, name)
+            if os.path.exists(seg_dir):
+                shutil.rmtree(seg_dir)
 
 
 def text_ingest_apply_batch(

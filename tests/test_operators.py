@@ -5975,3 +5975,76 @@ def test_incremental_join_cdc_delta_property_hypothesis(spark):
         assert sorted(applied) == new_view
 
     run()
+
+
+def test_text_index_optimize_absorbs_segments(spark, tmp_path):
+    """optimize_text_index folds streaming segments into the main
+    tables: trees removed, stats row refreshed to the union corpus
+    (probes regain the fast stats path), BM25 results unchanged, and
+    a cap re-evaluated against the TRUE (union) corpus size."""
+    import os as _os
+
+    from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
+
+    root = str(tmp_path / "tidx_absorb")
+    TI.build_text_index(
+        spark.createDataFrame(
+            [(1, "spark engine catalyst"), (2, "unrelated words entirely")],
+            "doc_id long, text string",
+        ),
+        root,
+    )
+    TI.text_ingest_apply_batch(
+        spark.createDataFrame(
+            [(7, "spark spark streaming arrival")], "doc_id long, text string"
+        ),
+        0,
+        root,
+    )
+    before = sorted(
+        tuple(r) for r in TI.query_text_index(spark, root, ("spark",), k=5).collect()
+    )
+    TI.optimize_text_index(spark, root)
+    assert not _os.path.exists(_os.path.join(root, "postings_stream"))
+    assert not _os.path.exists(_os.path.join(root, "doclens_stream"))
+    after = sorted(
+        tuple(r) for r in TI.query_text_index(spark, root, ("spark",), k=5).collect()
+    )
+    assert after == before
+    stats = spark.read.parquet(_os.path.join(root, "stats")).head()
+    assert stats["n_docs"] == 3.0  # union corpus, not the stale build row
+
+
+def test_winnowing_optimize_absorbs_segments_and_stream_ledger(spark, tmp_path):
+    """optimize_winnowing_index absorbs streamed postings AND the
+    batch-keyed overflow ledger: a fingerprint whose TRUE df (stored +
+    stream-skipped) exceeds the cap loses its pre-existing postings
+    too, and all segment/ledger trees are cleared."""
+    import os as _os
+
+    from iot_sensor_log_data_pipeline_spark.operators import dedup as DD
+
+    root = str(tmp_path / "widx_absorb")
+    hot = "aa bb cc dd ee ff gg hh"  # one shared run across every doc
+    base = spark.createDataFrame(
+        [(1, hot), (2, hot)], "doc_id long, text string"
+    )
+    DD.build_winnowing_index(base, root, k=4, w=4, max_fp_df=3)
+
+    # stream three more copies: total df for the hot fps would be 5 > 3,
+    # so the batch is SKIPPED (cap guard) and lands in the ledger
+    DD.winnowing_ingest_apply_batch(
+        spark.createDataFrame(
+            [(3, hot), (4, hot), (5, hot)], "doc_id long, text string"
+        ),
+        0,
+        root,
+    )
+    assert _os.path.isdir(_os.path.join(root, "overflow_stream"))
+
+    DD.optimize_winnowing_index(spark, root)
+    assert not _os.path.exists(_os.path.join(root, "postings_stream"))
+    assert not _os.path.exists(_os.path.join(root, "overflow_stream"))
+    # true df 5 > cap 3: the hot fingerprints' stored postings dropped
+    postings = spark.read.parquet(_os.path.join(root, "postings"))
+    assert postings.count() == 0

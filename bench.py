@@ -120,6 +120,8 @@ HEADLINE: tuple[str, ...] = (
     "q9_product_type_profit",
     # round 10: CDC view maintenance (affected-key recompute + exceptAll)
     "incremental_join_cdc_refresh",
+    # round 10: IVF-PQ residual composite (cell-pruned ADC + re-rank)
+    "similarity_ivfpq_ann",
 )
 
 
@@ -165,6 +167,7 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str,
         (r["query_id"], r["neighbor_id"])
         for r in SIM.brute_force_topk(emb, queries, k=k).collect()
     }
+    _IVFPQ_TRAINED = SIM.ivfpq_trained_quantizers(emb, n_cells=16, m=8, n_codes=64)
     out = {}
     approx_runs = (
         # same md5-derived planes as the catalog's similarity_lsh_ann
@@ -197,6 +200,16 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str,
         # the highest-recall member; build cost shows under
         # persisted_index_sec, this line measures only accuracy.
         ("graph", lambda: GA.graph_topk(emb, queries, k=k)),
+        # IVF-PQ (round 10): the residual composite at PRODUCTION
+        # quantizers (Lloyd coarse + Lloyd residual codebooks, trained
+        # once here and reused) -- the delta vs the catalog query's
+        # md5-seeded 0.64 is the training effect.  NOTE: ranks by
+        # exact-L2 like "pq", compared against the cosine exact set
+        # (same convention as every line here).
+        ("ivfpq", lambda: SIM.ivfpq_topk(
+            emb, queries, k=k, n_cells=16, n_probe=8, n_codes=64,
+            rerank=100,
+            centroids=_IVFPQ_TRAINED[0], codebooks=_IVFPQ_TRAINED[1])),
     )
     for label, fn in approx_runs:
         approx = {

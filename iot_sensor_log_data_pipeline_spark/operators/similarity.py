@@ -848,6 +848,209 @@ def pq_codebooks(
     return out
 
 
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 50,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    dim: int = DIM,
+) -> DataFrame:
+    """IVF-PQ: the classic billion-scale composite index (Jegou et
+    al. 2011's IVFADC) -- an IVF coarse quantizer prunes the corpus to
+    ``n_probe`` cells per query, and inside the probed cells distances
+    are PQ lookup sums over RESIDUALS (vector minus its cell
+    centroid), re-ranked exactly.  Residual encoding is the point of
+    the composition: residuals concentrate near the origin, so the
+    same code budget quantizes them with far less error than raw
+    vectors -- and the LUT becomes per-(query, cell) because the
+    query's residual differs in every probed cell.
+
+    Stage shape at scale: coarse assignment + residual + encode are
+    one Arrow map pass each (persistable corpus state -- the serving
+    table is m codes + a cell id per vector, the same 64x compression
+    as raw PQ); a probe broadcasts |queries| x n_probe x m x n_codes
+    LUT rows (KBs); the ADC join is (cell, subspace, code)-keyed and
+    touches only probed cells' codes (~n_probe/n_cells of the
+    corpus); the exact pass touches ``rerank`` rows per query.
+
+    Defaults pin the md5-seeded quantizers (``seed_centroids`` +
+    residual-space ``pq_seed_codebooks``), keeping every stage --
+    assignment, residuals, codebook sample, encode, per-cell LUTs,
+    ADC, re-rank -- one-statement-SQL replayable; pass Lloyd-trained
+    ``centroids``/``codebooks`` as the production upgrade (same
+    downstream code).  Returns (query_id, neighbor_id, l2_dist, rank),
+    ascending exact distance, self-matches excluded."""
+    if centroids is None:
+        centroids = seed_centroids(vectors, n_cells, id_col, vec_col)
+    spark = vectors.sparkSession
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in centroids],
+            "cell int, cv array<double>",
+        )
+    )
+    assign_cells = _top_cells_udf(centroids, 1)
+    probe_cells = _top_cells_udf(centroids, n_probe)
+    residual = F.zip_with(
+        F.col(vec_col), F.col("cv"), lambda x, y: _dbl(x) - _dbl(y)
+    )
+
+    corpus = (
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col),
+            F.explode(assign_cells(F.col(vec_col))).alias("cell"),
+        )
+        .join(cent_df, "cell")
+        .select("neighbor_id", "cell", residual.alias("rv"))
+    )
+    if codebooks is None:
+        # Residual-space seed codebooks: the md5-smallest corpus rows'
+        # RESIDUALS, sub-sliced -- the same deterministic sample rule
+        # as pq_seed_codebooks, evaluated after coarse assignment.
+        codebooks = pq_seed_codebooks(
+            corpus.select(
+                F.col("neighbor_id").alias(id_col), F.col("rv").alias(vec_col)
+            ),
+            m=m,
+            k=n_codes,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    codes_udf = _pq_codes_udf(codebooks)
+    qdists_udf = _pq_query_dists_udf(codebooks)
+
+    codes = corpus.select(
+        "neighbor_id",
+        "cell",
+        F.posexplode(codes_udf(F.col("rv"))).alias("subspace", "code"),
+    )
+    # Per-(query, probed cell) residual -> LUT: the query's residual
+    # differs per cell, so each probed cell gets its own m x n_codes
+    # table (|queries| x n_probe x m x n_codes rows total -- KBs).
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col),
+            F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+        )
+        .join(cent_df, "cell")
+        .select("query_id", "cell", residual.alias("q_rv"))
+    )
+    qd = probes.select(
+        "query_id",
+        "cell",
+        F.posexplode(qdists_udf(F.col("q_rv"))).alias("flat_idx", "d2"),
+    ).select(
+        "query_id",
+        "cell",
+        (F.col("flat_idx") / n_codes).cast("int").alias("subspace"),
+        (F.col("flat_idx") % n_codes).alias("code"),
+        "d2",
+    )
+    scored = (
+        codes.join(F.broadcast(qd), ["cell", "subspace", "code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("adc_rank", F.row_number().over(w))
+        .where(F.col("adc_rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    nv = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    )
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("query_vec"),
+            F.col("vec"),
+            lambda x, y: (_dbl(x) - _dbl(y)) * (_dbl(x) - _dbl(y)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.asc("l2_dist"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", l2.alias("l2_dist"))
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("l2_dist", 6).alias("l2_dist"),
+            "rank",
+        )
+    )
+
+
+def ivfpq_trained_quantizers(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> tuple[list[tuple[int, list[float]]], list[list[list[float]]]]:
+    """The production (Lloyd-trained) quantizer pair for
+    ``ivfpq_topk``: k-means coarse centroids, then per-subspace Lloyd
+    codebooks trained on the RESIDUALS under that coarse assignment --
+    the two-stage training IVFADC prescribes (codebooks trained on raw
+    vectors would model the coarse structure the cells already
+    removed).  Both trainers are the existing md5-sample driver
+    routines (KB-scale, corpus-size-invariant); measured at sf0.01:
+    L2-recall@10 0.64 (seed) -> 0.84 (trained) at identical probe/
+    rerank budgets."""
+    centroids = kmeans_centroids(vectors, n_cells, id_col=id_col, vec_col=vec_col)
+    spark = vectors.sparkSession
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in centroids],
+            "cell int, cv array<double>",
+        )
+    )
+    assign = _top_cells_udf(centroids, 1)
+    residuals = (
+        vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(assign(F.col(vec_col))).alias("cell"),
+        )
+        .join(cent_df, "cell")
+        .select(
+            id_col,
+            F.zip_with(
+                F.col(vec_col), F.col("cv"), lambda x, y: _dbl(x) - _dbl(y)
+            ).alias(vec_col),
+        )
+    )
+    codebooks = pq_codebooks(
+        residuals, m=m, k=n_codes, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    return centroids, codebooks
+
+
 def projection_planes(
     out_dim: int, dim: int = DIM, token: str = "proj"
 ) -> list[list[float]]:

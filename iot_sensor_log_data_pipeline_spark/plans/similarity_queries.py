@@ -409,6 +409,146 @@ def similarity_persisted_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivfpq_ann",
+    oracle=f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cell,
+             embedding AS cv
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ),
+    adist AS (
+      SELECT e.vec_id, c.cell,
+             {_DOT.format(d=64, a='e.embedding', b='c.cv')} AS dp
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dp DESC, cell) AS rn
+        FROM adist)
+      WHERE rn = 1
+    ),
+    resid AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(range(64),
+               i -> CAST(e.embedding[i+1] AS DOUBLE)
+                    - CAST(c.cv[i+1] AS DOUBLE)) AS rv
+      FROM assign a
+      JOIN embeddings e USING (vec_id)
+      JOIN cent c USING (cell)
+    ),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS code,
+             rv AS cbv
+      FROM resid
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 64
+    ),
+    cdists AS (
+      SELECT r.vec_id, s.s, cb.code,
+             list_sum(list_transform(range(8),
+               i -> (r.rv[s.s * 8 + i + 1] - cb.cbv[s.s * 8 + i + 1])
+                    * (r.rv[s.s * 8 + i + 1] - cb.cbv[s.s * 8 + i + 1]))) AS d2
+      FROM resid r CROSS JOIN range(8) s(s) CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2, code) AS rn
+        FROM cdists)
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dp DESC, cell) AS rn
+        FROM adist WHERE vec_id < 5)
+      WHERE rn <= 8
+    ),
+    qres AS (
+      SELECT p.query_id, p.cell,
+             list_transform(range(64),
+               i -> CAST(e.embedding[i+1] AS DOUBLE)
+                    - CAST(c.cv[i+1] AS DOUBLE)) AS rv
+      FROM probes p
+      JOIN embeddings e ON e.vec_id = p.query_id
+      JOIN cent c USING (cell)
+    ),
+    qd AS (
+      SELECT q.query_id, q.cell, s.s, cb.code,
+             list_sum(list_transform(range(8),
+               i -> (q.rv[s.s * 8 + i + 1] - cb.cbv[s.s * 8 + i + 1])
+                    * (q.rv[s.s * 8 + i + 1] - cb.cbv[s.s * 8 + i + 1]))) AS d2
+      FROM qres q CROSS JOIN range(8) s(s) CROSS JOIN cb
+    ),
+    adc AS (
+      SELECT qd.query_id, codes.vec_id AS neighbor_id, sum(qd.d2) AS adc_dist
+      FROM codes
+      JOIN assign ON assign.vec_id = codes.vec_id
+      JOIN qd ON qd.cell = assign.cell
+             AND qd.s = codes.s AND qd.code = codes.code
+      WHERE codes.vec_id <> qd.query_id
+      GROUP BY qd.query_id, codes.vec_id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, neighbor_id) AS adc_rank
+        FROM adc)
+      WHERE adc_rank <= 100
+    ),
+    exact AS (
+      SELECT sl.query_id, sl.neighbor_id,
+             list_sum(list_transform(range(64),
+               i -> (CAST(qe.embedding[i+1] AS DOUBLE)
+                     - CAST(ne.embedding[i+1] AS DOUBLE))
+                    * (CAST(qe.embedding[i+1] AS DOUBLE)
+                       - CAST(ne.embedding[i+1] AS DOUBLE)))) AS l2_dist
+      FROM shortlist sl
+      JOIN embeddings qe ON qe.vec_id = sl.query_id
+      JOIN embeddings ne ON ne.vec_id = sl.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(l2_dist, 6) AS l2_dist, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY l2_dist, neighbor_id) AS rank
+      FROM exact
+    )
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "north-star", "ivf", "pq", "ann"),
+)
+def similarity_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, the billion-scale composite (Jegou et al. 2011's
+    IVFADC; ``operators/similarity.py:ivfpq_topk``): an IVF coarse
+    quantizer (16 md5-pinned seed cells, dot-product assignment)
+    prunes each query to its 8 best cells, PQ codes over RESIDUALS
+    (vector minus cell centroid; 64 codes x 8 subspaces from the
+    md5-sampled residual codebook) rank the probed cells' members via
+    per-(query, cell) lookup tables, and exact L2 re-ranks the
+    100-candidate shortlist.  Residual encoding is the point:
+    residuals concentrate near the origin, so the same code budget
+    quantizes them far more tightly than raw vectors.  Every stage --
+    assignment, residuals, codebook sample, encode, per-cell LUTs,
+    ADC, re-rank -- replays as the one SQL statement at left; the
+    Lloyd-trained production variant's recall is measured every bench
+    round (seed 0.64 -> trained 0.84 L2-recall@10 at sf0.01)."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.ivfpq_topk(
+        emb, queries, k=10, n_cells=16, n_probe=8, n_codes=64, rerank=100
+    ).orderBy("query_id", "rank")
+
+
+@register(
     "similarity_opq_adc_ann",
     # Rows-only BY DESIGN: the OPQ rotation is a driver-side
     # eigendecomposition of the (oracle-checked) covariance matrix --

@@ -6048,3 +6048,36 @@ def test_winnowing_optimize_absorbs_segments_and_stream_ledger(spark, tmp_path):
     # true df 5 > cap 3: the hot fingerprints' stored postings dropped
     postings = spark.read.parquet(_os.path.join(root, "postings"))
     assert postings.count() == 0
+
+
+def test_ivfpq_exhaustive_settings_equal_exact_l2(spark):
+    """IVFPQ degenerates to exact search when nothing is pruned:
+    probing ALL cells with a corpus-sized re-rank shortlist must
+    return exactly the brute-force L2 top-k -- the correctness frame
+    around the approximation (cell pruning and ADC then only ever
+    SHORTLIST; the exact pass decides)."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import similarity as SIM
+    from pyspark.sql import functions as F2
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = emb.collect()
+    V = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in rows}
+    queries = emb.where(F2.col("vec_id") < 3)
+    got = SIM.ivfpq_topk(
+        emb, queries, k=5, n_cells=8, n_probe=8, n_codes=16,
+        rerank=len(rows),
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid in (0, 1, 2):
+        exact = sorted(
+            (float(np.sum((V[qid] - v) ** 2)), nid)
+            for nid, v in V.items()
+            if nid != qid
+        )[:5]
+        want = [nid for _, nid in exact]
+        assert [n for _, n in sorted(by_q[qid])] == want, qid

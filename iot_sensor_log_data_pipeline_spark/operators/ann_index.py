@@ -670,6 +670,237 @@ def build_pq_index(
     )
 
 
+def _centroid_df(spark: SparkSession, centroids) -> DataFrame:
+    return F.broadcast(
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in centroids],
+            "cell int, cv array<double>",
+        )
+    )
+
+
+def _ivfpq_encode(
+    df: DataFrame,
+    centroids,
+    codebooks,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cell, codes) for ``df`` under the IVF-PQ quantizer pair:
+    single-cell dot-product assignment, element-wise residual against
+    the cell centroid, PQ encode of the residual -- the shared encode
+    of the build pass and the streaming ingest (one Arrow pass each
+    for assignment and coding, one broadcast centroid join)."""
+    from .similarity import _dbl, _pq_codes_udf
+
+    spark = df.sparkSession
+    assign = _top_cells_udf(centroids, 1)
+    codes_udf = _pq_codes_udf(codebooks)
+    residual = F.zip_with(
+        F.col("vec"), F.col("cv"), lambda x, y: _dbl(x) - _dbl(y)
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.explode(assign(F.col(vec_col))).alias("cell"),
+        )
+        .join(_centroid_df(spark, centroids), "cell")
+        .select("id", "cell", codes_udf(residual).alias("codes"))
+    )
+
+
+def build_ivfpq_index(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 64,
+    centroids=None,
+    codebooks=None,
+    dim: int = DIM,
+) -> None:
+    """Materialize an IVF-PQ index (IVFADC) -- the billion-scale
+    serving composite: coarse centroid table, residual-space codebook
+    table, the (cell id + m codes)-per-vector serving table, and the
+    exact-re-rank vectors.  Pass ``centroids`` + ``codebooks``
+    TOGETHER or neither: the codebooks live in the residual space the
+    centroids define (a mismatched pair silently mis-codes), so the
+    default trains the production pair
+    (``similarity.ivfpq_trained_quantizers``: coarse k-means, then
+    residual-space Lloyd codebooks); seed both from
+    ``seed_centroids`` + residual ``pq_seed_codebooks`` for the
+    oracle-checkable twin.
+
+    Layout (plain parquet, the family contract):
+        <root>/config/     (kind='ivfpq', m, n_codes, n_cells, dim)
+        <root>/centroids/  (cell, cv array<double>)
+        <root>/codebooks/  (subspace, code, cv array<double>)
+        <root>/codes/      (id, cell, codes array<int>)
+        <root>/vectors/    (id, vec)
+    """
+    from .similarity import ivfpq_trained_quantizers
+
+    if (centroids is None) != (codebooks is None):
+        raise ValueError(
+            "pass centroids and codebooks together (codebooks live in "
+            "the residual space the centroids define) or neither"
+        )
+    if centroids is None:
+        centroids, codebooks = ivfpq_trained_quantizers(
+            vectors, n_cells=n_cells, m=m, n_codes=n_codes,
+            id_col=id_col, vec_col=vec_col, dim=dim,
+        )
+    spark = vectors.sparkSession
+    _ivfpq_encode(vectors, centroids, codebooks, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(_sub(path, "codes"))
+    vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).write.mode(
+        "overwrite"
+    ).parquet(_sub(path, "vectors"))
+    _write_small(
+        spark,
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "cell int, cv array<double>",
+        _sub(path, "centroids"),
+    )
+    _write_small(
+        spark,
+        [
+            (int(s), int(c), [float(x) for x in cb])
+            for s, sub in enumerate(codebooks)
+            for c, cb in enumerate(sub)
+        ],
+        "subspace int, code int, cv array<double>",
+        _sub(path, "codebooks"),
+    )
+    _write_small(
+        spark,
+        [("ivfpq", int(m), int(n_codes), int(len(centroids)), int(dim))],
+        "kind string, m int, n_codes int, n_cells int, dim int",
+        _sub(path, "config"),
+    )
+
+
+def _load_ivfpq_meta(spark: SparkSession, path: str):
+    """(cfg row, centroids list, codebooks nested list) from a
+    persisted IVF-PQ index -- KB-scale driver pulls."""
+    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    if cfg["kind"] != "ivfpq":
+        raise ValueError(f"index at {path} is {cfg['kind']!r}, not ivfpq")
+    cent_rows = spark.read.parquet(_sub(path, "centroids")).orderBy("cell").collect()
+    centroids = [(int(r["cell"]), list(r["cv"])) for r in cent_rows]
+    cb_rows = spark.read.parquet(_sub(path, "codebooks")).collect()
+    codebooks: list[list[list[float]]] = [
+        [None] * int(cfg["n_codes"]) for _ in range(int(cfg["m"]))
+    ]
+    for r in cb_rows:
+        codebooks[int(r["subspace"])][int(r["code"])] = list(r["cv"])
+    return cfg, centroids, codebooks
+
+
+def query_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 8,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index: per query, LUTs for its
+    ``n_probe`` best cells (each cell gets its own table -- the
+    query's residual differs per cell), a (cell, subspace, code)-keyed
+    ADC join that touches only probed cells' codes, and an exact-L2
+    re-rank of the ``rerank`` shortlist against the stored vectors.
+    Stream segments union in; tombstoned ids vanish from codes and
+    re-rank vectors alike.  Result-identical to
+    ``similarity.ivfpq_topk`` at identical quantizers/budgets
+    (asserted in pytest)."""
+    from .similarity import _dbl, _pq_query_dists_udf
+
+    cfg, centroids, codebooks = _load_ivfpq_meta(spark, path)
+    n_codes = int(cfg["n_codes"])
+    probe_cells = _top_cells_udf(centroids, n_probe)
+    qdists_udf = _pq_query_dists_udf(codebooks)
+    residual = F.zip_with(
+        F.col(vec_col), F.col("cv"), lambda x, y: _dbl(x) - _dbl(y)
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col),
+            F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+        )
+        .join(_centroid_df(spark, centroids), "cell")
+        .select("query_id", "cell", residual.alias("q_rv"))
+    )
+    qd = probes.select(
+        "query_id",
+        "cell",
+        F.posexplode(qdists_udf(F.col("q_rv"))).alias("flat_idx", "d2"),
+    ).select(
+        "query_id",
+        "cell",
+        (F.col("flat_idx") / n_codes).cast("int").alias("subspace"),
+        (F.col("flat_idx") % n_codes).alias("code"),
+        "d2",
+    )
+    codes = _read_with_segments(spark, path, "codes").select(
+        F.col("id").alias("neighbor_id"),
+        "cell",
+        F.posexplode(F.col("codes")).alias("subspace", "code"),
+    )
+    scored = (
+        codes.join(F.broadcast(qd), ["cell", "subspace", "code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("adc_rank", F.row_number().over(w))
+        .where(F.col("adc_rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    nv = _read_with_segments(spark, path, "vectors").select(
+        F.col("id").alias("neighbor_id"), "vec"
+    )
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("query_vec"),
+            F.col("vec"),
+            lambda x, y: (_dbl(x) - _dbl(y)) * (_dbl(x) - _dbl(y)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.asc("l2_dist"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", l2.alias("l2_dist"))
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("l2_dist", 6).alias("l2_dist"),
+            "rank",
+        )
+    )
+
+
 def _load_pq_meta(spark: SparkSession, path: str):
     """(cfg row, codebooks nested list, rotation-or-None) from a
     persisted PQ index -- KB-scale driver pulls, the

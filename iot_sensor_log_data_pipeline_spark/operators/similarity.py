@@ -1004,6 +1004,62 @@ def ivfpq_topk(
     )
 
 
+def _ivfpq_residual_frame(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id_col, vec_col=residual) under single-cell dot-product
+    assignment -- the shared residual construction of the IVF-PQ
+    quantizer trainers."""
+    spark = vectors.sparkSession
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in centroids],
+            "cell int, cv array<double>",
+        )
+    )
+    assign = _top_cells_udf(centroids, 1)
+    return (
+        vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(assign(F.col(vec_col))).alias("cell"),
+        )
+        .join(cent_df, "cell")
+        .select(
+            id_col,
+            F.zip_with(
+                F.col(vec_col), F.col("cv"), lambda x, y: _dbl(x) - _dbl(y)
+            ).alias(vec_col),
+        )
+    )
+
+
+def ivfpq_seed_quantizers(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> tuple[list[tuple[int, list[float]]], list[list[list[float]]]]:
+    """The md5-pinned, SQL-replayable quantizer pair for
+    ``ivfpq_topk`` / ``build_ivfpq_index``: ``seed_centroids`` coarse
+    cells + residual-space ``pq_seed_codebooks`` -- exactly the pair
+    the catalog oracle replays, so a persisted index built from it is
+    result-identical to the ad-hoc query.
+    ``ivfpq_trained_quantizers`` is the production upgrade."""
+    centroids = seed_centroids(vectors, n_cells, id_col, vec_col)
+    residuals = _ivfpq_residual_frame(vectors, centroids, id_col, vec_col)
+    codebooks = pq_seed_codebooks(
+        residuals, m=m, k=n_codes, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    return centroids, codebooks
+
+
 def ivfpq_trained_quantizers(
     vectors: DataFrame,
     n_cells: int = 16,
@@ -1023,28 +1079,7 @@ def ivfpq_trained_quantizers(
     L2-recall@10 0.64 (seed) -> 0.84 (trained) at identical probe/
     rerank budgets."""
     centroids = kmeans_centroids(vectors, n_cells, id_col=id_col, vec_col=vec_col)
-    spark = vectors.sparkSession
-    cent_df = F.broadcast(
-        spark.createDataFrame(
-            [(int(c), [float(x) for x in v]) for c, v in centroids],
-            "cell int, cv array<double>",
-        )
-    )
-    assign = _top_cells_udf(centroids, 1)
-    residuals = (
-        vectors.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.explode(assign(F.col(vec_col))).alias("cell"),
-        )
-        .join(cent_df, "cell")
-        .select(
-            id_col,
-            F.zip_with(
-                F.col(vec_col), F.col("cv"), lambda x, y: _dbl(x) - _dbl(y)
-            ).alias(vec_col),
-        )
-    )
+    residuals = _ivfpq_residual_frame(vectors, centroids, id_col, vec_col)
     codebooks = pq_codebooks(
         residuals, m=m, k=n_codes, dim=dim, id_col=id_col, vec_col=vec_col
     )

@@ -408,9 +408,10 @@ def similarity_persisted_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "similarity_ivfpq_ann",
-    oracle=f"""
+#: Shared by ``similarity_ivfpq_ann`` and its persisted-index twin
+#: (same seed quantizer pair, same probe/rerank budgets --
+#: result-identical, asserted in pytest).
+_IVFPQ_ORACLE = f"""
     WITH cent AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                AS cell,
@@ -523,7 +524,12 @@ def similarity_persisted_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE rank <= 10
     ORDER BY query_id, rank
-    """,
+    """
+
+
+@register(
+    "similarity_ivfpq_ann",
+    oracle=_IVFPQ_ORACLE,
     tags=("similarity", "north-star", "ivf", "pq", "ann"),
 )
 def similarity_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,6 +551,33 @@ def similarity_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5)
     return SIM.ivfpq_topk(
         emb, queries, k=10, n_cells=16, n_probe=8, n_codes=64, rerank=100
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "similarity_persisted_ivfpq_ann",
+    oracle=_IVFPQ_ORACLE,
+    tags=("similarity", "north-star", "ivf", "pq", "ann", "persisted-index"),
+)
+def similarity_persisted_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once / probe-many IVF-PQ (``operators/ann_index.py:
+    build_ivfpq_index``): the (cell id + 8 codes)-per-vector serving
+    table, coarse centroids, residual codebooks, and re-rank vectors
+    materialize to parquet, then the same 5 queries probe the on-disk
+    index -- result-identical to ``similarity_ivfpq_ann`` at the same
+    seed quantizer pair and budgets, so it shares that oracle.  At
+    100 TB the assignment+encode IS the corpus pass; every later
+    query batch pays per-(query, cell) broadcast LUTs over the probed
+    cells' compressed codes plus the shortlist re-rank."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    root = _index_root(sf_dir, "ivfpq")
+    cents, cbs = SIM.ivfpq_seed_quantizers(emb, n_cells=16, m=8, n_codes=64)
+    ANN.build_ivfpq_index(
+        emb, root, n_cells=16, m=8, n_codes=64, centroids=cents, codebooks=cbs
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return ANN.query_ivfpq_index(
+        spark, root, queries, k=10, n_probe=8, rerank=100
     ).orderBy("query_id", "rank")
 
 

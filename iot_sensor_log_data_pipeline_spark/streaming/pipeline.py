@@ -1892,6 +1892,12 @@ def index_ingest_apply_batch(
             "overwrite"
         ).parquet(seg("codes"))
         base.write.mode("overwrite").parquet(seg("vectors"))
+    elif kind == "ivfpq":
+        _, centroids, codebooks = AI._load_ivfpq_meta(spark, index_path)
+        AI._ivfpq_encode(
+            base, centroids, codebooks, id_col="id", vec_col="vec"
+        ).write.mode("overwrite").parquet(seg("codes"))
+        base.write.mode("overwrite").parquet(seg("vectors"))
     else:
         raise ValueError(f"no streaming ingest for index kind {kind!r}")
 

@@ -6081,3 +6081,72 @@ def test_ivfpq_exhaustive_settings_equal_exact_l2(spark):
         )[:5]
         want = [nid for _, nid in exact]
         assert [n for _, n in sorted(by_q[qid])] == want, qid
+
+
+def test_persisted_ivfpq_parity_ingest_and_takedown(spark, tmp_path):
+    """The persisted IVF-PQ twin: probing the on-disk index with the
+    same seed quantizer pair and budgets is row-identical to the
+    ad-hoc ivfpq_topk; a stream-ingested vector is probe-findable at
+    rank 1 for its own embedding; a tombstoned streamed id vanishes
+    logically and stays gone through the physical pass."""
+    import os as _os
+
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as AI
+    from iot_sensor_log_data_pipeline_spark.operators import similarity as SIM
+    from iot_sensor_log_data_pipeline_spark.streaming.pipeline import (
+        index_ingest_apply_batch,
+    )
+    from pyspark.sql import functions as F2
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.where("vec_id >= 5 AND vec_id < 60")
+    streamed = emb.where("vec_id >= 60 AND vec_id < 64")
+    queries = emb.where("vec_id < 3")
+    root = str(tmp_path / "ivfpq_idx")
+
+    cents, cbs = SIM.ivfpq_seed_quantizers(corpus, n_cells=8, m=8, n_codes=16)
+    adhoc = sorted(
+        tuple(r)
+        for r in SIM.ivfpq_topk(
+            corpus, queries, k=5, n_probe=4, rerank=30,
+            centroids=cents, codebooks=cbs,
+        ).collect()
+    )
+    AI.build_ivfpq_index(
+        corpus, root, n_cells=8, m=8, n_codes=16,
+        centroids=cents, codebooks=cbs,
+    )
+    persisted = sorted(
+        tuple(r)
+        for r in AI.query_ivfpq_index(
+            spark, root, queries, k=5, n_probe=4, rerank=30
+        ).collect()
+    )
+    assert persisted == adhoc
+
+    # streaming ingest: the dispatcher's ivfpq branch
+    index_ingest_apply_batch(streamed, 0, root)
+    probe = emb.where("vec_id = 61").selectExpr(
+        "vec_id + 1000 AS vec_id", "embedding"
+    )
+    hits = AI.query_ivfpq_index(spark, root, probe, k=5, n_probe=8, rerank=30)
+    top = [r for r in hits.collect() if r["rank"] == 1][0]
+    assert top["neighbor_id"] == 61
+
+    # takedown: masked logically, still masked after the physical pass
+    AI.delete_from_index(
+        spark.createDataFrame([(61,)], "vec_id long"), root
+    )
+    got = {r["neighbor_id"]
+           for r in AI.query_ivfpq_index(spark, root, probe, k=5,
+                                         n_probe=8, rerank=30).collect()}
+    assert 61 not in got
+    AI.apply_deletes(spark, root)
+    got = {r["neighbor_id"]
+           for r in AI.query_ivfpq_index(spark, root, probe, k=5,
+                                         n_probe=8, rerank=30).collect()}
+    assert 61 not in got
+    ids = {r["id"] for r in spark.read.parquet(
+        _os.path.join(root, "codes")).collect()}
+    assert 61 not in ids

@@ -167,7 +167,7 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str,
         (r["query_id"], r["neighbor_id"])
         for r in SIM.brute_force_topk(emb, queries, k=k).collect()
     }
-    _IVFPQ_TRAINED = SIM.ivfpq_trained_quantizers(emb, n_cells=16, m=8, n_codes=64)
+    _IVFPQ_TRAINED = SIM.ivfpq_trained_quantizers(emb, n_cells=64, m=8, n_codes=64)
     out = {}
     approx_runs = (
         # same md5-derived planes as the catalog's similarity_lsh_ann
@@ -202,13 +202,17 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str,
         ("graph", lambda: GA.graph_topk(emb, queries, k=k)),
         # IVF-PQ (round 10): the residual composite at PRODUCTION
         # quantizers (Lloyd coarse + Lloyd residual codebooks, trained
-        # once here and reused) -- the delta vs the catalog query's
-        # md5-seeded 0.64 is the training effect.  NOTE: ranks by
+        # once above and reused) -- the delta vs the catalog query's
+        # md5-seeded 0.64 is the training effect.  Geometry 64 cells /
+        # 16 probes / rerank 200 (25% scan fraction): measured at
+        # sf0.1, 16/8/100 reads 0.66 and finer cells + a deeper
+        # shortlist buy 0.80 -- residual tightness tracks cell size,
+        # the same lever as the IVF line's 64/12.  NOTE: ranks by
         # exact-L2 like "pq", compared against the cosine exact set
         # (same convention as every line here).
         ("ivfpq", lambda: SIM.ivfpq_topk(
-            emb, queries, k=k, n_cells=16, n_probe=8, n_codes=64,
-            rerank=100,
+            emb, queries, k=k, n_cells=64, n_probe=16, n_codes=64,
+            rerank=200,
             centroids=_IVFPQ_TRAINED[0], codebooks=_IVFPQ_TRAINED[1])),
     )
     for label, fn in approx_runs:

@@ -546,7 +546,9 @@ def similarity_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, residuals, codebook sample, encode, per-cell LUTs,
     ADC, re-rank -- replays as the one SQL statement at left; the
     Lloyd-trained production variant's recall is measured every bench
-    round (seed 0.64 -> trained 0.84 L2-recall@10 at sf0.01)."""
+    round (seed 0.64 -> trained 0.84 L2-recall@10 at sf0.01; at sf0.1
+    the bench runs the trained pair at 64 cells / 16 probes /
+    rerank 200 -- finer cells tighten residuals -- reading 0.80)."""
     emb = parallelize_small(load(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 5)
     return SIM.ivfpq_topk(

@@ -587,6 +587,47 @@ def bm25_rank(
     )
 
 
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of N
+    ranked retrieval lists: score(d) = sum over lists of
+    1 / (k0 + rank_d) -- THE standard hybrid-retrieval combiner
+    (sparse BM25 + dense vectors) because it needs no score
+    calibration across heterogeneous scorers, only ranks.  Documents
+    missing from a list simply contribute nothing (union semantics);
+    ``n_sources`` reports how many lists surfaced each survivor --
+    the agreement signal re-rankers often gate on.
+
+    Scale shape: inputs are top-k lists BY CONSTRUCTION (bounded rows
+    however big the corpus), so the fuse is a union + one tiny hash
+    agg + TakeOrdered -- the expensive work already happened inside
+    each retriever.  Returns (id_col, rrf_score, n_sources), rrf
+    descending, id tiebreak, top ``k``."""
+    contrib = None
+    for df in ranked:
+        c = df.select(
+            F.col(id_col),
+            (
+                F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col).cast("double"))
+            ).alias("__c"),
+        )
+        contrib = c if contrib is None else contrib.unionByName(c)
+    return (
+        contrib.groupBy(id_col)
+        .agg(
+            F.round(F.sum("__c"), 6).alias("rrf_score"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     *,

@@ -83,6 +83,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "maintenance_bucketed_join",
     "similarity_ivfpq_ann",
     "similarity_persisted_ivfpq_ann",
+    "text_hybrid_rrf_search",
     # (c) round-10-edited code paths re-enter: ks_drift (NULL-group
     # fix) and chunk retrieval (key space widened to the sink's 10^6).
     "profile_ks_drift",
@@ -99,14 +100,14 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "profile_psi_drift",
     "quality_iqr_outliers",
     # (e) the round-4 battery: stalest external evidence (r4), five
-    # rounds of engine evolution since.  29 of 36; the seven deferred
+    # rounds of engine evolution since.  28 of 36; the eight deferred
     # to round 11 (similarity_label_centroids, text_top_tokens,
     # text_token_stats, sketch_hll_by_source, text_vocab_coverage,
-    # events_path_trigrams, quality_referential_checks) are trivial
-    # aggregates/reports over modules unchanged since round 4, with
-    # family twins green this round or last -- each traded for a
-    # first-evidence round-10 row, which the window rules rank
-    # strictly higher.
+    # events_path_trigrams, quality_referential_checks,
+    # corpus_mixture_weights) are trivial aggregates/reports over
+    # modules unchanged since round 4, with family twins green this
+    # round or last -- each traded for a first-evidence round-10 row,
+    # which the window rules rank strictly higher.
     "dedup_exact_documents",
     "dedup_simhash",
     "dedup_ngram_containment",
@@ -118,7 +119,6 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "graph_pagerank_neardup",
     "join_bloom_pruned_revenue",
     "basket_part_cooccurrence",
-    "corpus_mixture_weights",
     "similarity_topk_cosine",
     "similarity_lsh_ann",
     "similarity_ivf_seed_ann",
@@ -144,8 +144,9 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
 #: if not green in r10); (b) the seven rows deferred from this window
 #: (similarity_label_centroids, text_top_tokens, text_token_stats,
 #: sketch_hll_by_source, text_vocab_coverage, events_path_trigrams,
-#: quality_referential_checks -- trivial, modules unchanged since
-#: r4); (c) then the round-5 relational battery
+#: quality_referential_checks, corpus_mixture_weights -- trivial,
+#: modules unchanged since r4); (c) then the round-5 relational
+#: battery
 #: becomes the stalest evidence (q1/q3/q5/q6/q7/q10/q12/q14/q15/
 #: q17/q18/q19, the join/agg/window batteries, function batteries
 #: greened in r5) -- refresh in registration order as slots allow;

@@ -347,6 +347,127 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bm25_rank(docs, _BM25_TERMS, k=15, k1=_BM25_K1, b=_BM25_B)
 
 
+_RRF_QUERY_TEXT = " ".join(_BM25_TERMS)
+_HASH_CELLS = """
+      SELECT {key} CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS idx,
+             CASE WHEN CAST(('0x' || substr(md5(t), 9, 1)) AS BIGINT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM {src}
+"""
+
+
+def _hybrid_rrf_oracle() -> str:
+    from .similarity_queries import _DOT, _NORM
+
+    cos = (
+        _DOT.format(d=64, a="q.qv", b="d.v")
+        + " / ("
+        + _NORM.format(d=64, a="q.qv")
+        + " * "
+        + _NORM.format(d=64, a="d.v")
+        + ")"
+    )
+    q_values = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             {_NTOK} AS dl,
+             {", ".join(f"{sql} AS tf{i}" for i, sql in _BM25_TF.items())}
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(dl) AS avgdl,
+             {", ".join(f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}" for i in _BM25_TF)}
+      FROM base
+    ),
+    sparse AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM (SELECT doc_id, round({_BM25_SCORE}, 6) AS bm25
+            FROM base CROSS JOIN stats)
+      WHERE bm25 > 0
+    ),
+    tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    cells0 AS ({_HASH_CELLS.format(key="doc_id,", src="tok")}),
+    cells AS (SELECT doc_id, idx, sum(s) AS val FROM cells0
+              GROUP BY doc_id, idx),
+    docs_with AS (
+      SELECT doc_id FROM cells GROUP BY doc_id
+      HAVING sum(CASE WHEN val <> 0 THEN 1 ELSE 0 END) > 0
+    ),
+    dvec AS (
+      SELECT g.doc_id, list(coalesce(c.val, 0.0) ORDER BY g.d) AS v
+      FROM (SELECT doc_id, d FROM docs_with CROSS JOIN range(64) t(d)) g
+      LEFT JOIN cells c ON c.doc_id = g.doc_id AND c.idx = g.d
+      GROUP BY g.doc_id
+    ),
+    qtok AS (SELECT t FROM (VALUES {q_values}) qt(t)),
+    qcells0 AS ({_HASH_CELLS.format(key="", src="qtok")}),
+    qcells AS (SELECT idx, sum(s) AS val FROM qcells0 GROUP BY idx),
+    qvec AS (
+      SELECT list(coalesce(qc.val, 0.0) ORDER BY g.d) AS qv
+      FROM range(64) g(d) LEFT JOIN qcells qc ON qc.idx = g.d
+    ),
+    dense AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+      FROM (SELECT d.doc_id, {cos} AS cos FROM dvec d CROSS JOIN qvec q)
+    ),
+    contrib AS (
+      SELECT doc_id, 1.0 / (60 + r) AS c FROM sparse WHERE r <= 15
+      UNION ALL
+      SELECT doc_id, 1.0 / (60 + r) AS c FROM dense WHERE r <= 15
+    )
+    SELECT doc_id, round(sum(c), 6) AS rrf_score,
+           CAST(count(*) AS BIGINT) AS n_sources
+    FROM contrib GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+    """
+
+
+@register(
+    "text_hybrid_rrf_search",
+    oracle=_hybrid_rrf_oracle(),
+    tags=("text", "north-star", "retrieval", "rag", "similarity"),
+)
+def text_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (``operators/text.py:rrf_fuse``): BM25 top-15
+    for the fixed term bag FUSED with dense top-15 (hash-embedding
+    cosine for the same query text) by reciprocal-rank fusion --
+    score = sum of 1/(60 + rank), the calibration-free combiner
+    production RAG stacks run because sparse and dense scores are not
+    comparable but ranks are.  Both retrievers already hold their own
+    oracle-checked rows (text_bm25_search, text_hash_embedding /
+    similarity_topk_cosine); this row proves the COMPOSITION --
+    ranking, union, fusion arithmetic, agreement counts -- replays in
+    one SQL statement.  The fuse itself touches only the two bounded
+    top-k lists; n_sources = 2 marks docs both retrievers agree on."""
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import brute_force_topk
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    sparse = TX.bm25_rank(docs, _BM25_TERMS, k=15, k1=_BM25_K1, b=_BM25_B)
+    # Bounded-input global rank: the window runs over <= 15 rows by
+    # construction (post-limit), so the single-task window is correct
+    # -- the lit(1) partition key states that to the plan audit.
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("bm25"), F.asc("doc_id"))
+    sparse = sparse.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "rank"
+    )
+    demb = TX.hash_embedding(docs, dim=64)
+    qemb = TX.hash_embedding(
+        spark.createDataFrame(
+            [(-1, _RRF_QUERY_TEXT)], "doc_id long, text string"
+        ),
+        dim=64,
+    )
+    dense = brute_force_topk(
+        demb, qemb, k=15, id_col="doc_id", vec_col="embedding"
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return TX.rrf_fuse([sparse, dense], k=10)
+
+
 @register(
     "text_tfidf_top_terms",
     oracle=f"""

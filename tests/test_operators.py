@@ -6150,3 +6150,23 @@ def test_persisted_ivfpq_parity_ingest_and_takedown(spark, tmp_path):
     ids = {r["id"] for r in spark.read.parquet(
         _os.path.join(root, "codes")).collect()}
     assert 61 not in ids
+
+
+def test_rrf_fuse_union_semantics_and_ordering(spark):
+    """RRF contract: score = sum over lists of 1/(k0 + rank); a doc
+    missing from one list contributes only its present term; agreement
+    shows in n_sources; ordering is score-desc with id tiebreak."""
+    from iot_sensor_log_data_pipeline_spark.operators.text import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank long")
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b], k0=60, k=10).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[2]["n_sources"] == 2 and out[1]["n_sources"] == 1
+    assert abs(out[2]["rrf_score"] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert abs(out[1]["rrf_score"] - round(1 / 61, 6)) < 1e-9
+    ordered = [r["doc_id"] for r in rrf_fuse([a, b], k0=60, k=10).collect()]
+    assert ordered[0] == 2  # two sources beat any single source here
+    # id tiebreak: docs 1 and 4(b rank2=1/62) vs 3... explicit check:
+    # scores: 2: 1/62+1/61, 1: 1/61, 4: 1/62, 3: 1/63
+    assert ordered == [2, 1, 4, 3]

@@ -122,6 +122,10 @@ BNLJ_ALLOWED = {
     # Q11's scalar HAVING threshold: 1-row total-stock-value broadcast
     # onto the per-part sums -- plans/partsupp_queries.py
     "q11_important_stock",
+    # hybrid retrieval: bm25_rank's 1-row stats broadcast + the 1-row
+    # query-embedding theta join (brute_force_topk's shape) -- both
+    # bounded build sides; plans/text_queries.py:text_hybrid_rrf_search
+    "text_hybrid_rrf_search",
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --

@@ -12,7 +12,7 @@ on the business key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Open-ended validity sentinel (avoids NULL-end-date three-valued
@@ -184,12 +184,61 @@ def incremental_join_delta(
 
 
 def apply_cdc(
-    base: DataFrame, cdc: DataFrame, pk: str, op_col: str = "op"
+    base: DataFrame,
+    cdc: DataFrame,
+    pk: str,
+    op_col: str = "op",
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Apply a CDC batch to a pk-unique table: ``insert``/``update``
     rows upsert (``merge_upsert``), ``delete`` rows anti-join out by
     primary key (their payload columns are ignored).  One anti-join +
-    one union -- both broadcastable while the batch is delta-sized."""
+    one union -- both broadcastable while the batch is delta-sized.
+
+    Per-pk ordering contract: the implementation applies upserts then
+    anti-joins delete pks, so WITHIN one batch it cannot order ops on
+    the same pk -- a delete followed by a re-insert of the same pk
+    would silently resolve to the delete.  Two ways to stay correct:
+
+    * pass ``seq_col`` (a per-row change-sequence / LSN column) and
+      the batch may carry any op mix per pk -- one delta-sized window
+      keeps the highest-sequence row per pk (ties broken by op:
+      non-delete wins, matching apply-in-order semantics where the
+      later op is the survivor), so delete-then-reinsert resolves to
+      the reinsert; the sequence column is dropped from the output;
+    * without ``seq_col``, a batch must carry AT MOST ONE row per pk
+      (the usual compacted-CDC contract).  Violations raise
+      ValueError via one delta-sized count job rather than resolving
+      delete-last silently.
+    """
+    if seq_col is not None:
+        w = Window.partitionBy(pk).orderBy(
+            F.desc(seq_col),
+            # equal sequence: a delete ordered before a non-delete of
+            # the same pk means the non-delete happened "after" in
+            # apply-in-order semantics; deterministic either way.
+            F.when(F.col(op_col) == "delete", F.lit(0)).otherwise(F.lit(1)).desc(),
+        )
+        cdc = (
+            cdc.withColumn("__cdc_rn", F.row_number().over(w))
+            .where(F.col("__cdc_rn") == 1)
+            .drop("__cdc_rn", seq_col)
+        )
+    else:
+        dup = (
+            cdc.groupBy(pk)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"CDC batch carries {int(dup[0]['count'])} rows for "
+                f"{pk}={dup[0][pk]!r}; without seq_col a batch must be "
+                "pk-compacted (at most one op per pk) -- pass seq_col "
+                "to resolve multi-op pks by change sequence"
+            )
     upserts = cdc.where(F.col(op_col).isin("insert", "update")).drop(op_col)
     dels = cdc.where(F.col(op_col) == "delete").select(pk).distinct()
     return merge_upsert(base, upserts, [pk]).join(

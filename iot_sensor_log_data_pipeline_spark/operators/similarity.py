@@ -886,8 +886,23 @@ def ivfpq_topk(
     assignment, residuals, codebook sample, encode, per-cell LUTs,
     ADC, re-rank -- one-statement-SQL replayable; pass Lloyd-trained
     ``centroids``/``codebooks`` as the production upgrade (same
-    downstream code).  Returns (query_id, neighbor_id, l2_dist, rank),
-    ascending exact distance, self-matches excluded."""
+    downstream code).  Pass them TOGETHER or neither (the same
+    contract as ``build_ivfpq_index``): the codebooks live in the
+    residual space the centroids define, so pairing supplied
+    codebooks with fresh seed centroids silently mis-codes.  When
+    codebooks are supplied, the per-subspace code count is derived
+    from them (``len(codebooks[0])``) and overrides ``n_codes`` --
+    the LUT flattens by the codebooks' actual size, so a stale param
+    would mis-decode (subspace, code) without any error.  Returns
+    (query_id, neighbor_id, l2_dist, rank), ascending exact distance,
+    self-matches excluded."""
+    if (centroids is None) != (codebooks is None):
+        raise ValueError(
+            "pass centroids and codebooks together (codebooks live in "
+            "the residual space the centroids define) or neither"
+        )
+    if codebooks is not None:
+        n_codes = len(codebooks[0])
     if centroids is None:
         centroids = seed_centroids(vectors, n_cells, id_col, vec_col)
     spark = vectors.sparkSession

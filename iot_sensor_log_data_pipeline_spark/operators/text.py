@@ -608,6 +608,11 @@ def rrf_fuse(
     agg + TakeOrdered -- the expensive work already happened inside
     each retriever.  Returns (id_col, rrf_score, n_sources), rrf
     descending, id tiebreak, top ``k``."""
+    if not ranked:
+        raise ValueError(
+            "rrf_fuse needs at least one ranked list -- a retriever "
+            "pipeline that produced no lists has nothing to fuse"
+        )
     contrib = None
     for df in ranked:
         c = df.select(

@@ -69,12 +69,25 @@ def _sub(path: str, name: str) -> str:
     return os.path.join(path, name)
 
 
+#: Marker file ``optimize_text_index`` holds while absorbing stream
+#: segments into the main tables.  A crash inside the absorb window
+#: leaves absorbed rows in the main tables AND in the segment trees;
+#: while the marker exists, ``_read_with_segments`` dedups the union
+#: (full-row distinct -- absorbed rows are exact copies of segment
+#: rows), so probes stay correct in the half-absorbed state instead
+#: of silently double-counting tf/df until the optimize is re-run.
+_ABSORB_MARKER = "_absorbing"
+
+
 def _read_with_segments(spark: SparkSession, path: str, name: str) -> DataFrame:
     """A built table unioned with its streaming segment tree
     (``<name>_stream/batch=<id>/``) when one exists -- how probes see
     stream-ingested documents without a rebuild (the exact
     ``ann_index._read_with_segments`` contract; tombstone filtering
-    stays at the call sites, applied to the union)."""
+    stays at the call sites, applied to the union).  If a crashed
+    absorb left its ``_absorbing`` marker behind, the union is
+    full-row-deduped (see ``_ABSORB_MARKER``) -- the healthy path
+    pays nothing."""
     main = spark.read.parquet(_sub(path, name))
     seg_dir = _sub(path, f"{name}_stream")
     if os.path.exists(seg_dir):
@@ -84,6 +97,8 @@ def _read_with_segments(spark: SparkSession, path: str, name: str) -> DataFrame:
             .select(*main.columns)
         )
         main = main.unionByName(seg)
+        if os.path.exists(_sub(path, _ABSORB_MARKER)):
+            main = main.distinct()
     return main
 
 
@@ -418,6 +433,14 @@ def optimize_text_index(
     pruned = pruned.repartitionByRange("term", "id").sortWithinPartitions(
         "term", "id"
     )
+    if segmented:
+        # Absorb window opens: from the postings swap below until the
+        # segment trees are removed, absorbed rows exist in BOTH the
+        # main tables and the segments.  The marker makes probes dedup
+        # the union in that window (``_ABSORB_MARKER``); re-running
+        # the optimize after a crash remains the full recovery.
+        with open(_sub(path, _ABSORB_MARKER), "w") as fh:
+            fh.write("absorb in progress; probes dedup segment unions\n")
     tmp = _sub(path, "postings__next")
     pruned.write.mode("overwrite").parquet(tmp)
     final = _sub(path, "postings")
@@ -437,6 +460,7 @@ def optimize_text_index(
             seg_dir = _sub(path, name)
             if os.path.exists(seg_dir):
                 shutil.rmtree(seg_dir)
+        os.remove(_sub(path, _ABSORB_MARKER))
 
 
 def text_ingest_apply_batch(

@@ -468,6 +468,185 @@ def text_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.rrf_fuse([sparse, dense], k=10)
 
 
+def _hybrid_rrf_persisted_oracle() -> str:
+    """Stage-for-stage replay of the PERSISTED hybrid serving path:
+    the sparse/dvec/qvec CTEs are those of ``_hybrid_rrf_oracle``;
+    the dense retriever replays the SRP-LSH probe (md5-derived plane
+    matrix, sign bits, 16x4 band buckets, bucket-join candidates,
+    exact cosine re-rank -- the ``_LSH_ANN_ORACLE`` machinery) over
+    the hash-embedded documents instead of brute force."""
+    from .similarity_queries import _DOT, _NORM
+
+    cos = (
+        _DOT.format(d=64, a="q.qv", b="d.v")
+        + " / ("
+        + _NORM.format(d=64, a="q.qv")
+        + " * "
+        + _NORM.format(d=64, a="d.v")
+        + ")"
+    )
+    q_values = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             {_NTOK} AS dl,
+             {", ".join(f"{sql} AS tf{i}" for i, sql in _BM25_TF.items())}
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(dl) AS avgdl,
+             {", ".join(f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}" for i in _BM25_TF)}
+      FROM base
+    ),
+    sparse AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM (SELECT doc_id, round({_BM25_SCORE}, 6) AS bm25
+            FROM base CROSS JOIN stats)
+      WHERE bm25 > 0
+    ),
+    tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    cells0 AS ({_HASH_CELLS.format(key="doc_id,", src="tok")}),
+    cells AS (SELECT doc_id, idx, sum(s) AS val FROM cells0
+              GROUP BY doc_id, idx),
+    docs_with AS (
+      SELECT doc_id FROM cells GROUP BY doc_id
+      HAVING sum(CASE WHEN val <> 0 THEN 1 ELSE 0 END) > 0
+    ),
+    dvec AS (
+      SELECT g.doc_id, list(coalesce(c.val, 0.0) ORDER BY g.d) AS v
+      FROM (SELECT doc_id, d FROM docs_with CROSS JOIN range(64) t(d)) g
+      LEFT JOIN cells c ON c.doc_id = g.doc_id AND c.idx = g.d
+      GROUP BY g.doc_id
+    ),
+    qtok AS (SELECT t FROM (VALUES {q_values}) qt(t)),
+    qcells0 AS ({_HASH_CELLS.format(key="", src="qtok")}),
+    qcells AS (SELECT idx, sum(s) AS val FROM qcells0 GROUP BY idx),
+    qvec AS (
+      SELECT list(coalesce(qc.val, 0.0) ORDER BY g.d) AS qv
+      FROM range(64) g(d) LEFT JOIN qcells qc ON qc.idx = g.d
+    ),
+    plane_vals AS (
+      SELECT j, d,
+             CAST(('0x' || substr(md5('plane:' || j || ':' || d), 1, 8)) AS BIGINT)
+               / 2147483648.0 - 1.0 AS w
+      FROM range(64) t1(j) CROSS JOIN range(64) t2(d)
+    ),
+    planes AS (
+      SELECT j, list(w ORDER BY d) AS wv FROM plane_vals GROUP BY j
+    ),
+    dsig AS (
+      SELECT d.doc_id, p.j,
+             CASE WHEN list_sum(list_transform(range(64),
+                 i -> CAST(d.v[i+1] AS DOUBLE) * p.wv[i+1])) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM dvec d CROSS JOIN planes p
+    ),
+    dbands AS (
+      SELECT doc_id, j // 4 AS band_id,
+             string_agg(bit, '' ORDER BY j) AS bucket
+      FROM dsig GROUP BY doc_id, j // 4
+    ),
+    qsig AS (
+      SELECT p.j,
+             CASE WHEN list_sum(list_transform(range(64),
+                 i -> CAST(q.qv[i+1] AS DOUBLE) * p.wv[i+1])) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM qvec q CROSS JOIN planes p
+    ),
+    qbands AS (
+      SELECT j // 4 AS band_id, string_agg(bit, '' ORDER BY j) AS bucket
+      FROM qsig GROUP BY j // 4
+    ),
+    cand AS (
+      SELECT DISTINCT c.doc_id
+      FROM dbands c JOIN qbands q USING (band_id, bucket)
+    ),
+    dense AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+      FROM (SELECT d.doc_id, {cos} AS cos
+            FROM cand JOIN dvec d USING (doc_id) CROSS JOIN qvec q)
+    ),
+    contrib AS (
+      SELECT doc_id, 1.0 / (60 + r) AS c FROM sparse WHERE r <= 15
+      UNION ALL
+      SELECT doc_id, 1.0 / (60 + r) AS c FROM dense WHERE r <= 15
+    )
+    SELECT doc_id, round(sum(c), 6) AS rrf_score,
+           CAST(count(*) AS BIGINT) AS n_sources
+    FROM contrib GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+    """
+
+
+@register(
+    "text_hybrid_rrf_persisted",
+    oracle=_hybrid_rrf_persisted_oracle(),
+    tags=("text", "north-star", "retrieval", "rag", "similarity",
+          "persisted-index"),
+)
+def text_hybrid_rrf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid serving READ path, build-once / probe-many: BM25
+    top-15 probed from the PERSISTED inverted index
+    (``operators/text_index.py:query_text_index``) fused by
+    reciprocal ranks with dense top-15 probed from a PERSISTED
+    SRP-LSH index over the documents' hash embeddings
+    (``operators/ann_index.py:query_lsh_index``, 16 bands x 4
+    md5-derived hyperplanes).  ``text_hybrid_rrf_search`` proved the
+    fusion over AD-HOC retrievers; this row replaces both with index
+    probes -- the production RAG stack shape, where the corpus-scale
+    passes happened once at build time and each query costs a
+    term-pruned postings read plus a band-bucket candidate join.
+    Probe==ad-hoc identities exist per retriever (pytest), so the
+    oracle replays BM25 + SRP banding + cosine re-rank + fusion
+    stage-for-stage in one SQL statement."""
+    import os as _os
+
+    from pyspark.sql.window import Window
+
+    from ..io_utils import scratch_dir
+    from ..operators import ann_index as ANN
+    from ..operators import text_index as TI
+    from ..operators.similarity import hash_hyperplanes
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    sf_name = _os.path.basename(sf_dir.rstrip("/")) or "corpus"
+
+    troot = scratch_dir("text_index", sf_name)
+    TI.build_text_index(docs, troot)
+    sparse = TI.query_text_index(
+        spark, troot, _BM25_TERMS, k=15, k1=_BM25_K1, b=_BM25_B
+    )
+    # Bounded-input global rank (<= 15 rows post-limit, same audit
+    # posture as the ad-hoc hybrid).
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("bm25"), F.asc("doc_id"))
+    sparse = sparse.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "rank"
+    )
+
+    demb = TX.hash_embedding(docs, dim=64)
+    lroot = scratch_dir("ann_index", sf_name, "lsh_docs")
+    ANN.build_lsh_index(
+        demb,
+        lroot,
+        id_col="doc_id",
+        bands=16,
+        rows_per_band=4,
+        planes=hash_hyperplanes(64, dim=64),
+    )
+    qemb = TX.hash_embedding(
+        spark.createDataFrame(
+            [(-1, _RRF_QUERY_TEXT)], "doc_id long, text string"
+        ),
+        dim=64,
+    )
+    dense = ANN.query_lsh_index(
+        spark, lroot, qemb, k=15, id_col="doc_id"
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return TX.rrf_fuse([sparse, dense], k=10)
+
+
 @register(
     "text_tfidf_top_terms",
     oracle=f"""

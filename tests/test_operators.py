@@ -6170,3 +6170,220 @@ def test_rrf_fuse_union_semantics_and_ordering(spark):
     # id tiebreak: docs 1 and 4(b rank2=1/62) vs 3... explicit check:
     # scores: 2: 1/62+1/61, 1: 1/61, 4: 1/62, 3: 1/63
     assert ordered == [2, 1, 4, 3]
+
+
+def test_rrf_fuse_empty_input_raises(spark):
+    """ADVICE r10: an empty ranked-list list must fail with a clear
+    ValueError, not an opaque NoneType AttributeError."""
+    import pytest as _pytest
+
+    from iot_sensor_log_data_pipeline_spark.operators.text import rrf_fuse
+
+    with _pytest.raises(ValueError, match="at least one ranked list"):
+        rrf_fuse([])
+
+
+def test_ivfpq_topk_quantizer_guards(spark):
+    """ADVICE r10: ivfpq_topk must (a) refuse codebooks without
+    centroids (residual codebooks live in the space the centroids
+    define), and (b) derive the per-subspace code count from the
+    supplied codebooks -- a 64-code codebook passed with the default
+    n_codes=16 param used to mis-decode (subspace, code) silently."""
+    import pytest as _pytest
+
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import similarity as SIM
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.where("vec_id >= 5 AND vec_id < 60")
+    queries = emb.where("vec_id < 2")
+    cents, cbs = SIM.ivfpq_seed_quantizers(corpus, n_cells=8, m=8, n_codes=32)
+
+    with _pytest.raises(ValueError, match="together"):
+        SIM.ivfpq_topk(corpus, queries, codebooks=cbs)
+    with _pytest.raises(ValueError, match="together"):
+        SIM.ivfpq_topk(corpus, queries, centroids=cents)
+
+    # n_codes derived from the codebooks: leaving the param at its
+    # default (16) must give the same rows as stating 32 explicitly.
+    derived = sorted(
+        tuple(r)
+        for r in SIM.ivfpq_topk(
+            corpus, queries, k=5, n_probe=4, rerank=30,
+            centroids=cents, codebooks=cbs,
+        ).collect()
+    )
+    explicit = sorted(
+        tuple(r)
+        for r in SIM.ivfpq_topk(
+            corpus, queries, k=5, n_probe=4, rerank=30, n_codes=32,
+            centroids=cents, codebooks=cbs,
+        ).collect()
+    )
+    assert derived == explicit and derived
+
+
+def test_apply_cdc_per_pk_ordering_contract(spark):
+    """ADVICE r10: apply_cdc cannot order same-pk ops within a batch,
+    so (a) without seq_col a multi-op pk raises instead of silently
+    resolving delete-last, and (b) with seq_col the highest-sequence
+    op wins -- delete-then-reinsert resolves to the reinsert, and
+    reinsert-then-delete resolves to the delete."""
+    import pytest as _pytest
+
+    from iot_sensor_log_data_pipeline_spark.operators.scd import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "pk long, v double"
+    )
+    multi = spark.createDataFrame(
+        [(1, None, "delete", 1), (1, 11.0, "insert", 2)],
+        "pk long, v double, op string, seq long",
+    )
+    with _pytest.raises(ValueError, match="at most one op per pk"):
+        apply_cdc(base, multi.drop("seq"), "pk")
+
+    # delete@1 then reinsert@2: the reinsert survives
+    got = {r["pk"]: r["v"] for r in apply_cdc(base, multi, "pk", seq_col="seq").collect()}
+    assert got == {1: 11.0, 2: 20.0}
+
+    # reinsert@1 then delete@2: the delete survives
+    rev = spark.createDataFrame(
+        [(1, 11.0, "insert", 1), (1, None, "delete", 2)],
+        "pk long, v double, op string, seq long",
+    )
+    got = {r["pk"]: r["v"] for r in apply_cdc(base, rev, "pk", seq_col="seq").collect()}
+    assert got == {2: 20.0}
+
+    # seq_col output hygiene: the sequence column is dropped
+    cols = apply_cdc(base, multi, "pk", seq_col="seq").columns
+    assert "seq" not in cols
+
+
+def test_text_index_probe_correct_in_crashed_absorb_window(spark, tmp_path):
+    """ADVICE r10: a crash between the absorb's main-table rewrites
+    and the segment-tree removal leaves absorbed rows in BOTH places.
+    The ``_absorbing`` marker makes probes dedup the union, so BM25
+    stays exactly right in the half-absorbed state; re-running the
+    optimize remains the recovery and clears the marker."""
+    import os as _os
+    import shutil as _shutil
+
+    from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
+
+    root = str(tmp_path / "tidx_crash")
+    TI.build_text_index(
+        spark.createDataFrame(
+            [(1, "spark engine catalyst"), (2, "unrelated words entirely")],
+            "doc_id long, text string",
+        ),
+        root,
+    )
+    TI.text_ingest_apply_batch(
+        spark.createDataFrame(
+            [(7, "spark spark streaming arrival")], "doc_id long, text string"
+        ),
+        0,
+        root,
+    )
+    healthy = sorted(
+        tuple(r) for r in TI.query_text_index(spark, root, ("spark",), k=5).collect()
+    )
+
+    # Crash injection: fail the optimize exactly at segment removal,
+    # after every main-table rewrite has landed.
+    real_rmtree = _shutil.rmtree
+
+    def crashing_rmtree(p, *a, **kw):
+        if str(p).endswith("_stream"):
+            raise OSError("injected crash before segment removal")
+        return real_rmtree(p, *a, **kw)
+
+    _shutil.rmtree = crashing_rmtree
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(OSError, match="injected crash"):
+            TI.optimize_text_index(spark, root)
+    finally:
+        _shutil.rmtree = real_rmtree
+
+    # Half-absorbed: marker held, segments still present, main tables
+    # already absorbed -- the probe must NOT double-count tf/df.
+    assert _os.path.exists(_os.path.join(root, "_absorbing"))
+    assert _os.path.exists(_os.path.join(root, "postings_stream"))
+    during = sorted(
+        tuple(r) for r in TI.query_text_index(spark, root, ("spark",), k=5).collect()
+    )
+    assert during == healthy
+
+    # Re-run is the recovery: segments gone, marker gone, results same.
+    TI.optimize_text_index(spark, root)
+    assert not _os.path.exists(_os.path.join(root, "_absorbing"))
+    assert not _os.path.exists(_os.path.join(root, "postings_stream"))
+    after = sorted(
+        tuple(r) for r in TI.query_text_index(spark, root, ("spark",), k=5).collect()
+    )
+    assert after == healthy
+
+
+def test_hybrid_rrf_persisted_matches_adhoc_retriever_composition(spark):
+    """The persisted hybrid serving path (text_hybrid_rrf_persisted)
+    is row-identical to fusing the AD-HOC retrievers at the same
+    geometry -- bm25_rank and lsh_topk with the identical term bag,
+    band count, and md5 hyperplanes -- proving the index probes add
+    nothing beyond build-once amortization (the per-retriever
+    probe==ad-hoc identities composed end-to-end)."""
+    from pyspark.sql import functions as F2
+    from pyspark.sql.window import Window
+
+    from iot_sensor_log_data_pipeline_spark.io_utils import load, parallelize_small
+    from iot_sensor_log_data_pipeline_spark.operators import text as TX
+    from iot_sensor_log_data_pipeline_spark.operators.similarity import (
+        hash_hyperplanes,
+        lsh_topk,
+    )
+    from iot_sensor_log_data_pipeline_spark.plans import catalog
+    from iot_sensor_log_data_pipeline_spark.plans.text_queries import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _RRF_QUERY_TEXT,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    persisted = sorted(
+        tuple(r)
+        for r in catalog.all_entries()["text_hybrid_rrf_persisted"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    sparse = TX.bm25_rank(docs, _BM25_TERMS, k=15, k1=_BM25_K1, b=_BM25_B)
+    w = Window.partitionBy(F2.lit(1)).orderBy(
+        F2.desc("bm25"), F2.asc("doc_id")
+    )
+    sparse = sparse.withColumn("rank", F2.row_number().over(w)).select(
+        "doc_id", "rank"
+    )
+    demb = TX.hash_embedding(docs, dim=64)
+    qemb = TX.hash_embedding(
+        spark.createDataFrame(
+            [(-1, _RRF_QUERY_TEXT)], "doc_id long, text string"
+        ),
+        dim=64,
+    )
+    dense = lsh_topk(
+        demb,
+        queries=qemb,
+        k=15,
+        id_col="doc_id",
+        bands=16,
+        rows_per_band=4,
+        planes=hash_hyperplanes(64, dim=64),
+    ).select(F2.col("neighbor_id").alias("doc_id"), "rank")
+    adhoc = sorted(
+        tuple(r) for r in TX.rrf_fuse([sparse, dense], k=10).collect()
+    )
+    assert persisted == adhoc and persisted

@@ -151,10 +151,17 @@ def wait_for_quiet_machine(
     }
 
 
-def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str, float]:
+def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 50) -> dict[str, float]:
     """recall@k of the approximate ANN paths vs brute-force cosine on
     the bench corpus -- printed every round so quantizer/banding work
-    is measurable, not just 'still runs'."""
+    is measurable, not just 'still runs'.
+
+    n_queries 5 -> 50 in round 11: 5 queries x 10 neighbors = 50
+    exact pairs gave the recall lines a +-0.1 sampling band (the
+    round-10 ivfpq '0.80' measured 0.67 over 50 queries at identical
+    geometry), which is wider than the effects being tracked.  Every
+    recall value re-baselines this round; round-over-round deltas
+    start from BENCH_r11."""
     from pyspark.sql import functions as F
 
     from iot_sensor_log_data_pipeline_spark.io_utils import load
@@ -167,7 +174,13 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str,
         (r["query_id"], r["neighbor_id"])
         for r in SIM.brute_force_topk(emb, queries, k=k).collect()
     }
-    _IVFPQ_TRAINED = SIM.ivfpq_trained_quantizers(emb, n_cells=64, m=8, n_codes=64)
+    # Corpus-scaled IVF-PQ geometry (round 11, similarity.py:
+    # ivfpq_geometry): cells/probes/assignment derived from N at a 25%
+    # scan budget instead of a hard-coded 64/16.
+    _IVFPQ_GEO = SIM.ivfpq_geometry(emb.count(), scan_fraction=0.25, k=k)
+    _IVFPQ_TRAINED = SIM.ivfpq_trained_quantizers(
+        emb, n_cells=_IVFPQ_GEO["n_cells"], m=8, n_codes=64
+    )
     out = {}
     approx_runs = (
         # same md5-derived planes as the catalog's similarity_lsh_ann
@@ -200,19 +213,28 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str,
         # the highest-recall member; build cost shows under
         # persisted_index_sec, this line measures only accuracy.
         ("graph", lambda: GA.graph_topk(emb, queries, k=k)),
-        # IVF-PQ (round 10): the residual composite at PRODUCTION
-        # quantizers (Lloyd coarse + Lloyd residual codebooks, trained
-        # once above and reused) -- the delta vs the catalog query's
-        # md5-seeded 0.64 is the training effect.  Geometry 64 cells /
-        # 16 probes / rerank 200 (25% scan fraction): measured at
-        # sf0.1, 16/8/100 reads 0.66 and finer cells + a deeper
-        # shortlist buy 0.80 -- residual tightness tracks cell size,
-        # the same lever as the IVF line's 64/12.  NOTE: ranks by
-        # exact-L2 like "pq", compared against the cosine exact set
-        # (same convention as every line here).
+        # IVF-PQ (round 10; geometry derived since round 11): the
+        # residual composite at PRODUCTION quantizers (Lloyd coarse +
+        # Lloyd residual codebooks, trained once above and reused) at
+        # the ivfpq_geometry plan -- n_cells ~ 4 sqrt(N), 2-way
+        # multi-assignment, probes filling a 25% scan budget.
+        # Round-11 measurement (50 queries, sf0.1): the ADC shortlist
+        # is lossless inside probed cells, so recall == the coarse
+        # ceiling; the old 64/16 single-assign geometry ceilinged at
+        # 0.67 and the derived 256/32/assign-2 plan reads 0.79 at the
+        # same 25% scan (0.86 @ 38%, 0.91 @ 50%).  The remaining gap
+        # to pq's ~0.9+ is the corpus: near-isotropic synthetic
+        # vectors have no cluster structure for the coarse quantizer
+        # to exploit -- the clustered-data case (real encoder output)
+        # is pinned >= 0.9 at 25% scan in
+        # test_ivfpq_geometry_hits_target_on_clustered_data.  NOTE:
+        # ranks by exact-L2 like "pq", compared against the cosine
+        # exact set (same convention as every line here).
         ("ivfpq", lambda: SIM.ivfpq_topk(
-            emb, queries, k=k, n_cells=64, n_probe=16, n_codes=64,
-            rerank=200,
+            emb, queries, k=k,
+            n_cells=_IVFPQ_GEO["n_cells"], n_probe=_IVFPQ_GEO["n_probe"],
+            n_codes=64, rerank=_IVFPQ_GEO["rerank"],
+            n_assign=_IVFPQ_GEO["n_assign"],
             centroids=_IVFPQ_TRAINED[0], codebooks=_IVFPQ_TRAINED[1])),
     )
     for label, fn in approx_runs:

@@ -201,21 +201,50 @@ def query_lsh_index(
     )
 
 
+#: Marker + manifest for segment absorption (``absorb_stream_segments``).
+#: The marker is held across the absorb's main-table rewrites so probes
+#: dedup the union in the crash window (the text-index ``_absorbing``
+#: contract); the manifest records WHICH batch ids have been folded into
+#: the main tables, permanently excluding them from segment reads -- so
+#: a batch replayed AFTER its absorb (at-least-once delivery, checkpoint
+#: behind the absorb) recreates its directory but never double-counts.
+#: Batch ids are unique per index lifetime by the ingest contract (a
+#: replayed id carries the same rows; reusing an id for new data was
+#: already a replay-idempotency violation before absorption existed).
+_ABSORB_MARKER = "_absorbing"
+_ABSORB_MANIFEST = "_absorbed.json"
+
+
+def _absorbed_batches(path: str) -> dict[str, list[int]]:
+    import json
+
+    mf = _sub(path, _ABSORB_MANIFEST)
+    if not os.path.exists(mf):
+        return {}
+    with open(mf) as fh:
+        return {k: list(v) for k, v in json.load(fh).items()}
+
+
 def _read_with_segments(spark: SparkSession, path: str, name: str) -> DataFrame:
     """A built table unioned with its streaming segment tree
     (``<name>_stream/batch=<id>/``) when one exists -- how the probe
     path sees stream-ingested rows without any rebuild.  The partition
     column from the segment layout is dropped; columns align by
-    name."""
+    name.  Batches listed in the absorb manifest are excluded (their
+    rows live in the main table now), and a crashed absorb's marker
+    makes the union full-row-distinct until the re-run finishes the
+    job -- the healthy path pays neither."""
     main = spark.read.parquet(_sub(path, name))
     seg_dir = _sub(path, f"{name}_stream")
     if os.path.exists(seg_dir):
-        seg = (
-            spark.read.option("basePath", seg_dir)
-            .parquet(seg_dir)
-            .select(*main.columns)
-        )
+        seg = spark.read.option("basePath", seg_dir).parquet(seg_dir)
+        absorbed = _absorbed_batches(path).get(f"{name}_stream", [])
+        if absorbed:
+            seg = seg.where(~F.col("batch").isin(absorbed))
+        seg = seg.select(*main.columns)
         main = main.unionByName(seg)
+        if os.path.exists(_sub(path, _ABSORB_MARKER)):
+            main = main.distinct()
     # Tombstoned ids vanish from EVERY read (postings, codes, re-rank
     # vectors) the moment delete_from_index commits -- not merely from
     # final results: a posting that ranked and then disappeared at the
@@ -283,6 +312,94 @@ def optimize_stream_segments(spark: SparkSession, path: str) -> None:
 
 #: Back-compat alias (round-9 name before the sink went family-wide).
 optimize_ivf_stream_segments = optimize_stream_segments
+
+
+def absorb_stream_segments(spark: SparkSession, path: str) -> None:
+    """Absorb the streaming segment trees of an ingest-fed index (any
+    of lsh / ivf / pq / ivfpq) INTO the main tables, retiring the
+    trees entirely -- the maintenance step that keeps a long-running
+    stream's probe plan scanning one file set instead of an
+    ever-growing union (``optimize_stream_segments`` folds the trees
+    but leaves the union read in place; this removes it).
+
+    Commit protocol (single-writer, stream stopped; the text-index
+    absorb contract extended with a replay manifest):
+
+    1. the ``_absorbing`` marker is written -- probes full-row-dedup
+       the main+segment union while it exists, so every crash window
+       below stays correct (absorbed rows are exact copies of segment
+       rows);
+    2. each main table is rewritten as (main UNION segments) DISTINCT,
+       materialized BEFORE the swap (localCheckpoint), swapped with
+       tmp-write + rmtree + rename;
+    3. the absorb manifest (``_absorbed.json``) is atomically replaced
+       (os.replace) recording the stream batch ids now living in the
+       main tables: segment reads exclude those ids FOREVER, so a
+       batch replayed after its absorb (at-least-once delivery,
+       checkpoint behind the absorb) recreates its directory but never
+       double-counts -- the wrongness the fold-only design left to a
+       documented re-run;
+    4. the segment trees are removed, then the marker.
+
+    A crash anywhere re-runs to completion (every step is idempotent);
+    probes are correct at every intermediate state -- before the
+    manifest lands the marker's distinct covers, after it the batch
+    exclusion does.  Tombstoned ids are filtered during the rewrite
+    (they were already invisible to probes), which doubles as the
+    physical half of a pending takedown for the absorbed rows.
+
+    Batch ids must be unique per index lifetime (the existing ingest
+    contract: a replayed id carries the same rows).  Fold output
+    (``batch=-1``) is absorbed but NOT recorded in the manifest -- the
+    fold, not the stream, writes that id, so a post-absorb fold of new
+    batches must stay readable."""
+    import json
+    import shutil
+
+    marker = _sub(path, _ABSORB_MARKER)
+    absorbed = _absorbed_batches(path)
+    seg_names = [
+        n
+        for n in ("entries_stream", "vectors_stream", "codes_stream")
+        if os.path.exists(_sub(path, n))
+    ]
+    if not seg_names:
+        return
+    with open(marker, "w") as fh:
+        fh.write("absorb in progress; probes dedup segment unions\n")
+
+    new_ids: dict[str, list[int]] = {}
+    for seg_name in seg_names:
+        main_name = seg_name[: -len("_stream")]
+        seg_dir = _sub(path, seg_name)
+        ids = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(seg_dir)
+            if d.startswith("batch=")
+        ]
+        new_ids[seg_name] = sorted(
+            set(i for i in ids if i >= 0) | set(absorbed.get(seg_name, []))
+        )
+        # _read_with_segments gives main ∪ (segments minus already-
+        # absorbed) minus tombstones, deduped under the marker we just
+        # wrote; materialize before the directory swap reads from it.
+        merged = _read_with_segments(spark, path, main_name).localCheckpoint(
+            eager=True
+        )
+        tmp = _sub(path, f"{main_name}__next")
+        merged.write.mode("overwrite").parquet(tmp)
+        final = _sub(path, main_name)
+        shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    mf_tmp = _sub(path, _ABSORB_MANIFEST + ".tmp")
+    with open(mf_tmp, "w") as fh:
+        json.dump(new_ids, fh)
+    os.replace(mf_tmp, _sub(path, _ABSORB_MANIFEST))
+
+    for seg_name in seg_names:
+        shutil.rmtree(_sub(path, seg_name))
+    os.remove(marker)
 
 
 def build_ivf_index(

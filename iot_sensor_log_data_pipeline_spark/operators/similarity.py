@@ -862,6 +862,7 @@ def ivfpq_topk(
     centroids: list[tuple[int, list[float]]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
     dim: int = DIM,
+    n_assign: int = 1,
 ) -> DataFrame:
     """IVF-PQ: the classic billion-scale composite index (Jegou et
     al. 2011's IVFADC) -- an IVF coarse quantizer prunes the corpus to
@@ -912,7 +913,18 @@ def ivfpq_topk(
             "cell int, cv array<double>",
         )
     )
-    assign_cells = _top_cells_udf(centroids, 1)
+    # Multi-assignment (n_assign > 1): each corpus vector is encoded
+    # under its n_assign nearest cells -- the standard IVF fix for the
+    # boundary problem (a true neighbor sitting just across a Voronoi
+    # face of every probed cell), which round-11 measurement showed is
+    # the ENTIRE recall gap at fixed scan fraction (the ADC shortlist
+    # inside probed cells was already lossless).  Storage and the
+    # effective scanned fraction scale by n_assign; per-(query,
+    # neighbor, cell) ADC sums reduce by MIN across the cells a
+    # neighbor was found in (each cell's sum is a complete distance
+    # estimate under that cell's residual -- summing across cells
+    # would double-count).
+    assign_cells = _top_cells_udf(centroids, n_assign)
     probe_cells = _top_cells_udf(centroids, n_probe)
     residual = F.zip_with(
         F.col(vec_col), F.col("cv"), lambda x, y: _dbl(x) - _dbl(y)
@@ -931,8 +943,27 @@ def ivfpq_topk(
         # Residual-space seed codebooks: the md5-smallest corpus rows'
         # RESIDUALS, sub-sliced -- the same deterministic sample rule
         # as pq_seed_codebooks, evaluated after coarse assignment.
+        # Always trained on NEAREST-cell residuals (rank 0 of the
+        # multi-assignment): under n_assign > 1 a vector has one
+        # residual per assigned cell, and the md5-ordered sample must
+        # stay deterministic -- id ties between a vector's own
+        # residuals would make it order-dependent.
+        seed_src = corpus
+        if n_assign > 1:
+            seed_src = (
+                vectors.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col),
+                    F.posexplode(assign_cells(F.col(vec_col))).alias(
+                        "__a_rank", "cell"
+                    ),
+                )
+                .where(F.col("__a_rank") == 0)
+                .join(cent_df, "cell")
+                .select("neighbor_id", "cell", residual.alias("rv"))
+            )
         codebooks = pq_seed_codebooks(
-            corpus.select(
+            seed_src.select(
                 F.col("neighbor_id").alias(id_col), F.col("rv").alias(vec_col)
             ),
             m=m,
@@ -972,11 +1003,16 @@ def ivfpq_topk(
         (F.col("flat_idx") % n_codes).alias("code"),
         "d2",
     )
-    scored = (
+    per_cell = (
         codes.join(F.broadcast(qd), ["cell", "subspace", "code"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("d2").alias("adc_dist"))
+        .groupBy("query_id", "neighbor_id", "cell")
+        .agg(F.sum("d2").alias("cell_dist"))
+    )
+    # min over cells: with n_assign == 1 this is the identity (one
+    # cell per neighbor), keeping the catalog oracle's replay exact.
+    scored = per_cell.groupBy("query_id", "neighbor_id").agg(
+        F.min("cell_dist").alias("adc_dist")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
@@ -1050,6 +1086,53 @@ def _ivfpq_residual_frame(
             ).alias(vec_col),
         )
     )
+
+
+def ivfpq_geometry(
+    n_vectors: int,
+    scan_fraction: float = 0.25,
+    n_assign: int = 2,
+    k: int = 10,
+) -> dict[str, int]:
+    """Corpus-scaled IVF-PQ probe geometry (the ``quantizer_plan``
+    precedent from SemDeDup): derive (n_cells, n_probe, n_assign,
+    rerank) from the corpus size instead of hard-coding a geometry
+    that silently stops fitting as the corpus grows.
+
+    Round-11 measurement (sf0.1, 50 queries, Lloyd quantizers): the
+    ADC shortlist inside probed cells was LOSSLESS at every tested
+    code budget -- recall@10 equalled the coarse-stage ceiling exactly
+    (64 cells / 16 probes: ceiling 0.67 = recall 0.67; 256/64: 0.83 =
+    0.83), so code budget and rerank depth bought nothing and the two
+    real levers are cell granularity and multi-assignment.  Hence:
+
+    * ``n_cells``: ~4 * sqrt(N) rounded up to a power of two, clamped
+      to [16, 65536] -- finer cells track local structure, and cell
+      population ~sqrt(N)/4 keeps both the assignment matmul
+      (N x n_cells) and per-cell scans balanced as N grows.
+    * ``n_assign``: 2 by default -- each vector is encoded under its
+      two nearest cells, so a true neighbor just across the Voronoi
+      face of every probed cell stays findable.  Costs 2x code
+      storage (codes are m bytes/vector; the vectors table still
+      dominates the index) and counts against the scan budget.
+    * ``n_probe``: the largest count keeping the expected scanned
+      fraction (n_assign * n_probe / n_cells) within
+      ``scan_fraction``, floor 4.
+    * ``rerank``: 20 * k, floor 100 -- deep enough that the exact
+      pass decides (measured lossless well below this).
+    """
+    import math as _math
+
+    root = max(16, int(4 * _math.sqrt(max(n_vectors, 1))))
+    n_cells = 1 << (root - 1).bit_length()  # next power of two
+    n_cells = max(16, min(65536, n_cells))
+    n_probe = max(4, int(n_cells * scan_fraction / max(n_assign, 1)))
+    return {
+        "n_cells": n_cells,
+        "n_probe": n_probe,
+        "n_assign": n_assign,
+        "rerank": max(100, 20 * k),
+    }
 
 
 def ivfpq_seed_quantizers(
@@ -1613,6 +1696,109 @@ def opq_adc_topk(
         m=m,
         n_codes=n_codes,
         codebooks=train(
+            rv, m=m, k=n_codes, dim=dim, id_col=id_col, vec_col=vec_col
+        ),
+        rerank=rerank,
+    )
+
+
+def opq_seed_rotation(dim: int = DIM) -> list[list[float]]:
+    """Pinned orthogonal coding rotation for the OPQ oracle twin: a
+    signed Walsh-Hadamard transform, R = D1 H D2 / sqrt(dim) with
+    R[i][j] = s1(i) * s2(j) * (-1)^popcount(i AND j) / sqrt(dim) and
+    md5-derived sign flips (``s(i) = +1 iff the first 8 hex chars of
+    md5('rot1:i') are even`` -- the ``hash_hyperplanes`` portability
+    idiom).  This is the classic structured randomized rotation
+    (the HD blocks of Ailon & Chazelle 2009's fast JL transform, and
+    the random-rotation baseline OPQ is measured against in Ge, He,
+    Ke & Sun 2013 §4): every output coordinate mixes ALL input
+    coordinates with equal weight, spreading per-subspace variance --
+    the cheap approximation of eigenvalue allocation -- while staying
+    EXACTLY orthogonal (H H^T = dim * I, so R R^T = I; requires dim a
+    power of two).
+
+    Exactness contract: with dim = 64 every entry is +-1/8 -- a power
+    of two, so ``x * R[i][j]`` is exact in float64 -- and applying the
+    rotation with a left-to-right fold gives BIT-IDENTICAL rotated
+    vectors in any engine that sums the same order (Spark
+    ``F.aggregate`` == DuckDB ``list_sum``): the one stage
+    ``opq_rotation`` (data-derived PCA) can never replay in SQL is
+    exact here by construction."""
+    if dim & (dim - 1):
+        raise ValueError(f"dim ({dim}) must be a power of two (Hadamard)")
+
+    def sgn(tag: str, i: int) -> float:
+        h = int(hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:8], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
+    s1 = [sgn("rot1", i) for i in range(dim)]
+    s2 = [sgn("rot2", j) for j in range(dim)]
+    root = float(dim) ** 0.5
+    return [
+        [
+            s1[i] * s2[j] * (1.0 if bin(i & j).count("1") % 2 == 0 else -1.0) / root
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
+
+
+def _rotate_expr(vec_col: str, R: list[list[float]]) -> Column:
+    """Rotated vector as a pure column expression: out[j] =
+    fold_i(x[i] * R[i][j]), left-to-right -- the summation order
+    DuckDB's ``list_sum`` replays bit-for-bit (no numpy matmul, whose
+    pairwise blocking would re-order the additions).  dim^2 literals
+    ride in the plan (64 KB at dim 64); JVM-side whole-stage codegen,
+    no Python."""
+    dim = len(R)
+    cols = []
+    for j in range(dim):
+        col_j = F.array(*[F.lit(float(R[i][j])) for i in range(dim)])
+        cols.append(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), col_j, lambda x, r: _dbl(x) * r),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    return F.array(*cols)
+
+
+def opq_seed_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int | None = None,
+    dim: int = DIM,
+) -> DataFrame:
+    """PQ-ADC in a PINNED rotated space -- the oracle-checkable twin
+    of ``opq_adc_topk`` (the ``seed_centroids`` / ``seed_hub``
+    precedent): ``opq_seed_rotation``'s signed-Hadamard rotation
+    replaces the data-derived PCA basis, so rotation + seed-codebook
+    sample + encode + lookup tables + ADC rank + exact re-rank all
+    replay in one SQL statement.  The re-rank computes L2 in the
+    ROTATED space -- equal to original-space L2 because the rotation
+    is exactly orthogonal, so 'true top-k' keeps its meaning.
+    Same stage shape and cost as ``opq_adc_topk`` minus the
+    covariance pass; ``opq_adc_topk(lloyd=True)`` remains the
+    production path."""
+    R = opq_seed_rotation(dim)
+    rot = _rotate_expr(vec_col, R)
+    rv = vectors.select(F.col(id_col), rot.alias(vec_col))
+    rq = queries.select(F.col(id_col), rot.alias(vec_col))
+    return pq_adc_topk(
+        rv,
+        rq,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        m=m,
+        n_codes=n_codes,
+        codebooks=pq_seed_codebooks(
             rv, m=m, k=n_codes, dim=dim, id_col=id_col, vec_col=vec_col
         ),
         rerank=rerank,

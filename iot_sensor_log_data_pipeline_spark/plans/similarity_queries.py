@@ -613,6 +613,122 @@ def similarity_opq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+#: Sign factor of the signed-Hadamard seed rotation, replayed in SQL:
+#: s(tag, x) = +1 iff the first 8 hex chars of md5('tag:x') are even
+#: (the ``hash_hyperplanes`` idiom).
+_ROT_SGN = (
+    "(CASE WHEN CAST(('0x' || substr(md5('{tag}:' || {x}), 1, 8)) AS BIGINT)"
+    " % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+)
+
+
+@register(
+    "similarity_opq_seed_ann",
+    oracle=f"""
+    WITH rmat AS (
+      SELECT i, j,
+             {_ROT_SGN.format(tag="rot1", x="i")}
+             * {_ROT_SGN.format(tag="rot2", x="j")}
+             * (CASE WHEN bit_count(CAST(i AS BIGINT) & CAST(j AS BIGINT))
+                          % 2 = 0
+                     THEN 1.0 ELSE -1.0 END) / 8.0 AS r
+      FROM range(64) a(i) CROSS JOIN range(64) b(j)
+    ),
+    rcols AS (SELECT j, list(r ORDER BY i) AS col FROM rmat GROUP BY j),
+    rv0 AS (
+      SELECT e.vec_id, rc.j,
+             list_sum(list_transform(range(64),
+               i -> CAST(e.embedding[i+1] AS DOUBLE) * rc.col[i+1])) AS val
+      FROM embeddings e CROSS JOIN rcols rc
+    ),
+    remb AS (SELECT vec_id, list(val ORDER BY j) AS rv
+             FROM rv0 GROUP BY vec_id),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS code,
+             rv AS cv
+      FROM remb
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 64
+    ),
+    dists AS (
+      SELECT e.vec_id, s.s, c.code,
+             list_sum(list_transform(range(8),
+               i -> (CAST(e.rv[s.s * 8 + i + 1] AS DOUBLE)
+                     - CAST(c.cv[s.s * 8 + i + 1] AS DOUBLE))
+                    * (CAST(e.rv[s.s * 8 + i + 1] AS DOUBLE)
+                       - CAST(c.cv[s.s * 8 + i + 1] AS DOUBLE)))) AS d2
+      FROM remb e
+      CROSS JOIN range(8) s(s)
+      CROSS JOIN cent c
+    ),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2, code) AS rn
+        FROM dists)
+      WHERE rn = 1
+    ),
+    qd AS (SELECT vec_id AS query_id, s, code, d2 FROM dists
+           WHERE vec_id < 5),
+    adc AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, sum(q.d2) AS adc_dist
+      FROM codes c JOIN qd q ON q.s = c.s AND q.code = c.code
+      WHERE c.vec_id <> q.query_id
+      GROUP BY q.query_id, c.vec_id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, neighbor_id)
+                    AS adc_rank
+        FROM adc)
+      WHERE adc_rank <= 50
+    ),
+    exact AS (
+      SELECT sl.query_id, sl.neighbor_id,
+             list_sum(list_transform(range(64),
+               i -> (CAST(qe.rv[i+1] AS DOUBLE) - CAST(ne.rv[i+1] AS DOUBLE))
+                    * (CAST(qe.rv[i+1] AS DOUBLE)
+                       - CAST(ne.rv[i+1] AS DOUBLE)))) AS l2_dist
+      FROM shortlist sl
+      JOIN remb qe ON qe.vec_id = sl.query_id
+      JOIN remb ne ON ne.vec_id = sl.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(l2_dist, 6) AS l2_dist, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY l2_dist, neighbor_id) AS rank
+      FROM exact
+    )
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "north-star", "pq", "opq", "ann"),
+)
+def similarity_opq_seed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPQ pipeline with a PINNED rotation
+    (``operators/similarity.py:opq_seed_adc_topk``): a signed
+    Walsh-Hadamard rotation -- exactly orthogonal, entries +-1/8,
+    md5-derived sign flips -- replaces ``similarity_opq_adc_ann``'s
+    data-derived PCA basis, making rotate + seed-codebook sample +
+    encode + lookup tables + ADC rank + exact re-rank replayable in
+    ONE SQL statement (the ``similarity_ivf_seed_ann`` /
+    ``similarity_graph_seed_ann`` precedent).  This closes the last
+    rows-only gap in the OPQ family: the eigendecomposition stays
+    rows-only by nature, but the rotated-space ADC machinery itself
+    now has full external value evidence.  Rotation applied as a
+    left-to-right JVM fold so both engines sum in the same order;
+    products are exact (power-of-two entries), so rotated vectors are
+    bit-identical across engines."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.opq_seed_adc_topk(
+        emb, queries, k=10, m=8, n_codes=64, rerank=50
+    ).orderBy("query_id", "rank")
+
+
 @register(
     "similarity_persisted_lsh_ann",
     oracle=_LSH_ANN_ORACLE,

@@ -6387,3 +6387,306 @@ def test_hybrid_rrf_persisted_matches_adhoc_retriever_composition(spark):
         tuple(r) for r in TX.rrf_fuse([sparse, dense], k=10).collect()
     )
     assert persisted == adhoc and persisted
+
+
+def test_opq_seed_rotation_properties_and_exhaustive_equality(spark):
+    """The pinned OPQ rotation is exactly orthogonal with +-1/8
+    entries (signed Walsh-Hadamard), and opq_seed_adc_topk under
+    exhaustive settings (corpus-sized re-rank) returns the exact
+    brute-force L2 neighbor ORDER -- the rotation preserves L2, so
+    ADC only ever shortlists and the exact pass decides."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import similarity as SIM
+
+    R = np.array(SIM.opq_seed_rotation(64))
+    assert np.abs(R @ R.T - np.eye(64)).max() == 0.0  # exactly orthogonal
+    assert set(np.abs(R).ravel().tolist()) == {0.125}
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.where("vec_id < 80")
+    queries = emb.where("vec_id < 3")
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype="float64")
+            for r in corpus.collect()}
+    got = SIM.opq_seed_adc_topk(
+        corpus, queries, k=5, m=8, n_codes=16, rerank=len(rows)
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid in (0, 1, 2):
+        exact = sorted(
+            (float(np.sum((rows[qid] - v) ** 2)), nid)
+            for nid, v in rows.items()
+            if nid != qid
+        )[:5]
+        want = [nid for _, nid in exact]
+        assert [n for _, n in sorted(by_q[qid])] == want
+
+
+def test_ivfpq_geometry_plan_and_multi_assign_recall(spark):
+    """ivfpq_geometry derives a power-of-two cell count ~4 sqrt(N)
+    with probes filling the scan budget; multi-assignment (the
+    round-11 coarse-recall lever) strictly lifts recall over single
+    assignment at the same cells/probes on the real corpus, and
+    exhaustive settings still degenerate to exact search."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import similarity as SIM
+
+    g = SIM.ivfpq_geometry(2000)
+    assert g == {"n_cells": 256, "n_probe": 32, "n_assign": 2, "rerank": 200}
+    assert SIM.ivfpq_geometry(100)["n_cells"] >= 16  # clamp floor
+    big = SIM.ivfpq_geometry(10**9)
+    assert big["n_cells"] == 65536  # clamp ceiling
+    assert big["n_assign"] * big["n_probe"] / big["n_cells"] <= 0.25 + 1e-9
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.cache()
+    queries = emb.where("vec_id < 10")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(corpus, queries, k=5).collect()
+    }
+    cents, cbs = SIM.ivfpq_trained_quantizers(corpus, n_cells=16, m=8, n_codes=32)
+    rec = {}
+    for n_assign in (1, 2):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in SIM.ivfpq_topk(
+                corpus, queries, k=5, n_probe=4, rerank=100,
+                n_assign=n_assign, centroids=cents, codebooks=cbs,
+            ).collect()
+        }
+        rec[n_assign] = len(exact & got) / len(exact)
+    assert rec[2] >= rec[1]
+
+    # Exhaustive frame with multi-assignment: probing ALL cells with a
+    # corpus-sized shortlist must still return exact L2 top-k (the
+    # per-cell MIN reduction may not corrupt distances).
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype="float64")
+            for r in corpus.where("vec_id < 80").collect()}
+    small = corpus.where("vec_id < 80")
+    got = SIM.ivfpq_topk(
+        small, small.where("vec_id < 3"), k=5, n_cells=8, n_probe=8,
+        n_codes=16, rerank=len(rows), n_assign=2,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid in (0, 1, 2):
+        want = [nid for _, nid in sorted(
+            (float(np.sum((rows[qid] - v) ** 2)), nid)
+            for nid, v in rows.items() if nid != qid
+        )[:5]]
+        assert [n for _, n in sorted(by_q[qid])] == want
+
+
+def test_ivfpq_geometry_hits_target_on_clustered_data(spark):
+    """The derived IVF-PQ plan reaches recall@10 >= 0.9 at a 25% scan
+    budget on CLUSTERED vectors -- the shape real encoders emit and
+    the case the coarse quantizer exists for.  (The bench corpus is
+    near-isotropic, which caps its coarse ceiling at ~0.79 @ 25%;
+    this test pins the claim that the geometry, not the operator, is
+    corpus-bound there.)"""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(7)
+    n_clusters, per = 40, 50
+    centers = rng.normal(0, 10.0, size=(n_clusters, 64))
+    X = np.vstack([
+        centers[c] + rng.normal(0, 0.8, size=(per, 64))
+        for c in range(n_clusters)
+    ])
+    n = len(X)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    queries = df.where("vec_id < 20")
+
+    exact = set()
+    for q in range(20):
+        d = sorted(
+            (float(np.sum((X[q] - X[j]) ** 2)), j)
+            for j in range(n) if j != q
+        )[:10]
+        exact |= {(q, j) for _, j in d}
+
+    geo = SIM.ivfpq_geometry(n, scan_fraction=0.25, k=10)
+    cents, cbs = SIM.ivfpq_trained_quantizers(
+        df, n_cells=geo["n_cells"], m=8, n_codes=64
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivfpq_topk(
+            df, queries, k=10,
+            n_cells=geo["n_cells"], n_probe=geo["n_probe"],
+            rerank=geo["rerank"], n_assign=geo["n_assign"],
+            centroids=cents, codebooks=cbs,
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"clustered-corpus recall {recall} < 0.9"
+
+
+def test_ann_index_absorb_stream_segments_parity_replay_and_crash(spark, tmp_path):
+    """absorb_stream_segments retires the segment trees of an
+    ingest-fed index: (a) probe results are unchanged by the absorb,
+    (b) a batch REPLAYED after its absorb recreates its directory but
+    never double-counts (the manifest excludes its id forever), and
+    (c) a crash inside the absorb window leaves probes correct (the
+    marker dedups) and re-running completes the job."""
+    import os as _os
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as AI
+    from iot_sensor_log_data_pipeline_spark.operators import similarity as SIM
+    from iot_sensor_log_data_pipeline_spark.streaming.pipeline import (
+        index_ingest_apply_batch,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.where("vec_id >= 10 AND vec_id < 60")
+    batch0 = emb.where("vec_id >= 60 AND vec_id < 64")
+    batch1 = emb.where("vec_id >= 64 AND vec_id < 68")
+    queries = emb.where("vec_id < 3")
+    root = str(tmp_path / "lsh_absorb")
+
+    AI.build_lsh_index(
+        corpus, root, bands=16, rows_per_band=4,
+        planes=SIM.hash_hyperplanes(64, dim=64),
+    )
+    index_ingest_apply_batch(batch0, 0, root)
+    index_ingest_apply_batch(batch1, 1, root)
+    before = sorted(
+        tuple(r)
+        for r in AI.query_lsh_index(spark, root, queries, k=5).collect()
+    )
+
+    # (c) crash injection FIRST: fail exactly at segment-tree removal,
+    # after the main rewrites and the manifest landed.
+    real_rmtree = _shutil.rmtree
+
+    def crashing_rmtree(p, *a, **kw):
+        if str(p).endswith("_stream"):
+            raise OSError("injected crash before segment removal")
+        return real_rmtree(p, *a, **kw)
+
+    _shutil.rmtree = crashing_rmtree
+    try:
+        with _pytest.raises(OSError, match="injected crash"):
+            AI.absorb_stream_segments(spark, root)
+    finally:
+        _shutil.rmtree = real_rmtree
+    assert _os.path.exists(_os.path.join(root, "_absorbing"))
+    assert _os.path.exists(_os.path.join(root, "entries_stream"))
+    during = sorted(
+        tuple(r)
+        for r in AI.query_lsh_index(spark, root, queries, k=5).collect()
+    )
+    assert during == before  # half-absorbed state probes correctly
+
+    # re-run is the recovery: trees gone, marker gone, parity holds (a)
+    AI.absorb_stream_segments(spark, root)
+    assert not _os.path.exists(_os.path.join(root, "_absorbing"))
+    assert not _os.path.exists(_os.path.join(root, "entries_stream"))
+    assert not _os.path.exists(_os.path.join(root, "vectors_stream"))
+    after = sorted(
+        tuple(r)
+        for r in AI.query_lsh_index(spark, root, queries, k=5).collect()
+    )
+    assert after == before
+
+    # (b) replay batch 0 after its absorb: the directory reappears but
+    # the manifest keeps its rows out of every probe.
+    index_ingest_apply_batch(batch0, 0, root)
+    assert _os.path.exists(_os.path.join(root, "entries_stream"))
+    replayed = sorted(
+        tuple(r)
+        for r in AI.query_lsh_index(spark, root, queries, k=5).collect()
+    )
+    assert replayed == before
+
+    # a genuinely NEW batch after the absorb stays probe-visible
+    batch2 = emb.where("vec_id >= 68 AND vec_id < 70")
+    index_ingest_apply_batch(batch2, 2, root)
+    probe = emb.where("vec_id = 68").selectExpr(
+        "vec_id + 1000 AS vec_id", "embedding"
+    )
+    hits = AI.query_lsh_index(spark, root, probe, k=3)
+    assert 68 in {r["neighbor_id"] for r in hits.collect()}
+
+    # absorbing again folds the replay artifact + the new batch:
+    # results must be IDENTICAL across that absorb (same corpus, 68/69
+    # now in the main tables instead of a segment tree).
+    pre_absorb2 = sorted(
+        tuple(r)
+        for r in AI.query_lsh_index(spark, root, queries, k=5).collect()
+    )
+    AI.absorb_stream_segments(spark, root)
+    assert not _os.path.exists(_os.path.join(root, "entries_stream"))
+    hits = AI.query_lsh_index(spark, root, probe, k=3)
+    assert 68 in {r["neighbor_id"] for r in hits.collect()}
+    final = sorted(
+        tuple(r)
+        for r in AI.query_lsh_index(spark, root, queries, k=5).collect()
+    )
+    assert final == pre_absorb2
+
+
+def test_ann_index_absorb_covers_codes_tree_ivfpq(spark, tmp_path):
+    """The absorb handles the PQ-family layout too (codes_stream +
+    vectors_stream): after absorbing a streamed batch into an IVF-PQ
+    index, the trees are gone, probe results are unchanged, and the
+    streamed vector stays findable from the main tables."""
+    import os as _os
+
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as AI
+    from iot_sensor_log_data_pipeline_spark.operators import similarity as SIM
+    from iot_sensor_log_data_pipeline_spark.streaming.pipeline import (
+        index_ingest_apply_batch,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.where("vec_id >= 5 AND vec_id < 60")
+    streamed = emb.where("vec_id >= 60 AND vec_id < 64")
+    queries = emb.where("vec_id < 3")
+    root = str(tmp_path / "ivfpq_absorb")
+
+    cents, cbs = SIM.ivfpq_seed_quantizers(corpus, n_cells=8, m=8, n_codes=16)
+    AI.build_ivfpq_index(
+        corpus, root, n_cells=8, m=8, n_codes=16,
+        centroids=cents, codebooks=cbs,
+    )
+    index_ingest_apply_batch(streamed, 0, root)
+    before = sorted(
+        tuple(r)
+        for r in AI.query_ivfpq_index(
+            spark, root, queries, k=5, n_probe=8, rerank=60
+        ).collect()
+    )
+    AI.absorb_stream_segments(spark, root)
+    assert not _os.path.exists(_os.path.join(root, "codes_stream"))
+    assert not _os.path.exists(_os.path.join(root, "vectors_stream"))
+    after = sorted(
+        tuple(r)
+        for r in AI.query_ivfpq_index(
+            spark, root, queries, k=5, n_probe=8, rerank=60
+        ).collect()
+    )
+    assert after == before
+    probe = emb.where("vec_id = 61").selectExpr(
+        "vec_id + 1000 AS vec_id", "embedding"
+    )
+    hits = AI.query_ivfpq_index(spark, root, probe, k=5, n_probe=8, rerank=60)
+    top = [r for r in hits.collect() if r["rank"] == 1][0]
+    assert top["neighbor_id"] == 61

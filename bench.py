@@ -372,6 +372,28 @@ def persisted_index_breakdown(spark, sf_dir: str) -> dict[str, float]:
         .write.format("noop").mode("overwrite").save(),
         passes=2,
     )
+
+    # IVF-PQ (round 11): the flagship serving composite at the derived
+    # geometry, built with the default production quantizers (Lloyd
+    # coarse + residual codebooks) -- the build line is the REAL
+    # amortized cost: train + assign + residual-encode.
+    ivfpq_root = scratch_dir("bench_index", "ivfpq")
+    ivfpq_geo = SIM.ivfpq_geometry(emb.count(), scan_fraction=0.25)
+    timed(
+        "ivfpq_build",
+        lambda: ANN.build_ivfpq_index(
+            emb, ivfpq_root, n_cells=ivfpq_geo["n_cells"], m=8, n_codes=64,
+            n_assign=ivfpq_geo["n_assign"],
+        ),
+    )
+    timed(
+        "ivfpq_probe",
+        lambda: ANN.query_ivfpq_index(
+            spark, ivfpq_root, queries, k=10,
+            n_probe=ivfpq_geo["n_probe"], rerank=ivfpq_geo["rerank"],
+        ).write.format("noop").mode("overwrite").save(),
+        passes=2,
+    )
     return out
 
 

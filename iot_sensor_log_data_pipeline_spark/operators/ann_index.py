@@ -277,10 +277,10 @@ def optimize_stream_segments(spark: SparkSession, path: str) -> None:
     however long the stream has run.  Each tree swaps independently
     (rmtree + rename, the optimize-family contract): they are
     separate append-only stores, so a crash between swaps leaves
-    every tree self-consistent.  The MAIN tables are never touched --
-    absorbing segments into them would need a cross-directory atomic
-    swap the filesystem cannot give us; the union read makes
-    absorption unnecessary.  Single-writer, stream stopped.
+    every tree self-consistent.  The MAIN tables are never touched;
+    use ``absorb_stream_segments`` (round 11) to retire the trees
+    entirely -- the fold is the lighter mid-stream compaction, the
+    absorb the full maintenance pass.  Single-writer, stream stopped.
 
     The fold is full-row DISTINCT: a batch directory replayed after
     its tree was compacted (at-least-once delivery, checkpoint behind
@@ -802,16 +802,19 @@ def _ivfpq_encode(
     codebooks,
     id_col: str,
     vec_col: str,
+    n_assign: int = 1,
 ) -> DataFrame:
     """(id, cell, codes) for ``df`` under the IVF-PQ quantizer pair:
-    single-cell dot-product assignment, element-wise residual against
-    the cell centroid, PQ encode of the residual -- the shared encode
-    of the build pass and the streaming ingest (one Arrow pass each
-    for assignment and coding, one broadcast centroid join)."""
+    ``n_assign``-cell dot-product assignment (one codes row per
+    assigned cell -- multi-assignment is the coarse-recall lever, see
+    ``similarity.ivfpq_geometry``), element-wise residual against
+    each cell centroid, PQ encode of the residual -- the shared
+    encode of the build pass and the streaming ingest (one Arrow pass
+    each for assignment and coding, one broadcast centroid join)."""
     from .similarity import _dbl, _pq_codes_udf
 
     spark = df.sparkSession
-    assign = _top_cells_udf(centroids, 1)
+    assign = _top_cells_udf(centroids, n_assign)
     codes_udf = _pq_codes_udf(codebooks)
     residual = F.zip_with(
         F.col("vec"), F.col("cv"), lambda x, y: _dbl(x) - _dbl(y)
@@ -838,6 +841,7 @@ def build_ivfpq_index(
     centroids=None,
     codebooks=None,
     dim: int = DIM,
+    n_assign: int = 1,
 ) -> None:
     """Materialize an IVF-PQ index (IVFADC) -- the billion-scale
     serving composite: coarse centroid table, residual-space codebook
@@ -871,9 +875,9 @@ def build_ivfpq_index(
             id_col=id_col, vec_col=vec_col, dim=dim,
         )
     spark = vectors.sparkSession
-    _ivfpq_encode(vectors, centroids, codebooks, id_col, vec_col).write.mode(
-        "overwrite"
-    ).parquet(_sub(path, "codes"))
+    _ivfpq_encode(
+        vectors, centroids, codebooks, id_col, vec_col, n_assign=n_assign
+    ).write.mode("overwrite").parquet(_sub(path, "codes"))
     vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).write.mode(
         "overwrite"
     ).parquet(_sub(path, "vectors"))
@@ -895,8 +899,17 @@ def build_ivfpq_index(
     )
     _write_small(
         spark,
-        [("ivfpq", int(m), int(n_codes), int(len(centroids)), int(dim))],
-        "kind string, m int, n_codes int, n_cells int, dim int",
+        [
+            (
+                "ivfpq",
+                int(m),
+                int(n_codes),
+                int(len(centroids)),
+                int(dim),
+                int(n_assign),
+            )
+        ],
+        "kind string, m int, n_codes int, n_cells int, dim int, n_assign int",
         _sub(path, "config"),
     )
 
@@ -971,11 +984,16 @@ def query_ivfpq_index(
         "cell",
         F.posexplode(F.col("codes")).alias("subspace", "code"),
     )
-    scored = (
+    per_cell = (
         codes.join(F.broadcast(qd), ["cell", "subspace", "code"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("d2").alias("adc_dist"))
+        .groupBy("query_id", "neighbor_id", "cell")
+        .agg(F.sum("d2").alias("cell_dist"))
+    )
+    # min over cells (identity under single assignment): each cell's
+    # sum is a complete distance estimate under that cell's residual.
+    scored = per_cell.groupBy("query_id", "neighbor_id").agg(
+        F.min("cell_dist").alias("adc_dist")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")

@@ -66,92 +66,86 @@ _QUERY_MODULES = (
 #: -- the guard that keeps this rotation from silently slipping a
 #: round.
 _VERIFY_PRIORITY: tuple[str, ...] = (
-    # Round-10 window, per the pre-planned rotation (round-9 comment
-    # below).  (a) the red-row fix: covariance re-enters with the
-    # oracle's -0.0 collapse (the true root cause -- DuckDB round()
-    # keeps the sign of zero, Spark F.round does not).
-    "profile_embedding_covariance",
-    # (b) new in round 10: the TPC-H partsupp family (derived
-    # stand-in; first external evidence) + the CDC-complete
-    # incremental join view.
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_parts_supplier_relation",
-    "q20_potential_promotion",
-    "incremental_join_cdc_refresh",
-    "maintenance_bucketed_join",
+    # Round-11 window, per the pre-planned rotation (round-10 comment
+    # in git history).  (a) new in round 11 -- first external
+    # evidence: the persisted hybrid RRF serving path, the pinned
+    # Walsh-Hadamard OPQ twin (closes the last rows-only gap in the
+    # OPQ family), and the end-to-end corpus-assembly macro.
+    "text_hybrid_rrf_persisted",
+    "similarity_opq_seed_ann",
+    "corpus_assemble_end_to_end",
+    # (b) round-11-edited code paths re-enter: ivfpq_topk gained
+    # multi-assignment (per-cell ADC min restructure) + the quantizer
+    # guards; _read_with_segments gained the absorb manifest/marker
+    # (ann_index family + text index); apply_cdc gained the per-pk
+    # ordering contract (incremental_join_cdc_delta calls it).
     "similarity_ivfpq_ann",
     "similarity_persisted_ivfpq_ann",
-    "text_hybrid_rrf_search",
-    # (c) round-10-edited code paths re-enter: ks_drift (NULL-group
-    # fix) and chunk retrieval (key space widened to the sink's 10^6).
-    "profile_ks_drift",
-    "text_chunk_retrieval",
-    # (d) the 9 rows bumped from the round-9 window (green r3/r4 rows,
-    # lowest risk -- the deliberate trade documented last round).
-    "hourly_avg_value",
-    "math_functions",
-    "hash_functions",
-    "conditional_functions",
-    "null_semantics",
-    "scan_merge_schema",
-    "scd2_point_in_time_join",
-    "profile_psi_drift",
-    "quality_iqr_outliers",
-    # (e) the round-4 battery: stalest external evidence (r4), five
-    # rounds of engine evolution since.  28 of 36; the eight deferred
-    # to round 11 (similarity_label_centroids, text_top_tokens,
-    # text_token_stats, sketch_hll_by_source, text_vocab_coverage,
-    # events_path_trigrams, quality_referential_checks,
-    # corpus_mixture_weights) are trivial aggregates/reports over
-    # modules unchanged since round 4, with family twins green this
-    # round or last -- each traded for a first-evidence round-10 row,
-    # which the window rules rank strictly higher.
-    "dedup_exact_documents",
-    "dedup_simhash",
-    "dedup_ngram_containment",
-    "dedup_passage_chunks",
-    "dedup_embedding_cosine",
-    "dedup_entity_fuzzy_names",
-    "multimodal_chunk_dedup",
-    "multimodal_phash_dedup",
-    "graph_pagerank_neardup",
-    "join_bloom_pruned_revenue",
-    "basket_part_cooccurrence",
-    "similarity_topk_cosine",
-    "similarity_lsh_ann",
-    "similarity_ivf_seed_ann",
-    "similarity_pq_adc_ann",
-    "sketch_count_min_tokens",
-    "sketch_hll_distinct_tokens",
-    "text_language_id",
-    "text_quality_score",
-    "text_repetition_stats",
-    "text_unigram_logprob",
-    "text_bigram_logprob",
-    "text_bm25_search",
-    "text_tfidf_top_terms",
-    "text_bpe_pairs",
-    "text_fingerprint_clusters",
-    "text_hash_embedding",
-    "text_pii_redact",
+    "similarity_persisted_lsh_ann",
+    "text_bm25_persisted_index",
+    "incremental_join_cdc_refresh",
+    # (c) the eight rows deferred from the round-10 window: stalest
+    # external evidence (r4), seven rounds of engine evolution since.
+    "similarity_label_centroids",
+    "text_top_tokens",
+    "text_token_stats",
+    "sketch_hll_by_source",
+    "text_vocab_coverage",
+    "events_path_trigrams",
+    "quality_referential_checks",
+    "corpus_mixture_weights",
+    # (d) the round-5 battery -- now the stalest evidence class (37
+    # rows, six rounds of engine evolution since).  34 of 37 fit this
+    # window; the three deferred to round 12 (hourly_avg_by_type,
+    # histogram_max_value, json_serialize) are trivial
+    # reference-module queries whose siblings in the same module went
+    # green r7-r10 (hourly_avg_value r10, sensor_wire_roundtrip /
+    # compaction_roundtrip r7).
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority_check",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q12_late_shipments",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q18_large_volume",
+    "q19_disjunctive_predicates",
+    "agg_full_set",
+    "agg_percentiles",
+    "compaction_projection",
+    "corpus_semantic_decontamination",
+    "cube_lineitem_flags",
+    "dedup_at_least_once",
+    "grouping_sets_part",
+    "hourly_corr",
+    "join_broadcast_dims",
+    "join_full_outer_nations",
+    "join_left_order_counts",
+    "join_semi_anti_balance",
+    "join_theta_size_bands",
+    "monotonic_sequence",
+    "pivot_daily_event_values",
+    "rollup_order_status_priority",
+    "row_transform_flatten",
+    "sessionize_events",
+    "setops_user_cohorts",
+    "topk_orders_global",
+    "unpivot_order_measures",
+    "value_props_corr",
 )
 
-#: Round-11 rotation plan: (a) anything new in round 11 plus
-#: re-entries for round-11-edited modules (the graph-ingest refactor
-#: touched query_graph_index, so similarity_graph_seed_ann re-enters
-#: if not green in r10); (b) the seven rows deferred from this window
-#: (similarity_label_centroids, text_top_tokens, text_token_stats,
-#: sketch_hll_by_source, text_vocab_coverage, events_path_trigrams,
-#: quality_referential_checks, corpus_mixture_weights -- trivial,
-#: modules unchanged since r4); (c) then the round-5 relational
-#: battery
-#: becomes the stalest evidence (q1/q3/q5/q6/q7/q10/q12/q14/q15/
-#: q17/q18/q19, the join/agg/window batteries, function batteries
-#: greened in r5) -- refresh in registration order as slots allow;
-#: (d) if any round-10 row comes back red, its fix re-enters at the
-#: head, same as covariance did this round.
+#: Round-12 rotation plan: (a) anything new in round 12 plus
+#: re-entries for round-12-edited code paths; (b) the three rows
+#: deferred from this window (hourly_avg_by_type, histogram_max_value,
+#: json_serialize -- trivial reference-module queries, siblings green
+#: r7-r10); (c) then the oldest remaining evidence is the r7 battery
+#: (50 rows: scan roundtrips, window functions, winnowing/semantic
+#: dedup, curation family) -- refresh in registration order as slots
+#: allow; (d) if any round-11 row comes back red, its fix re-enters at
+#: the head, same as covariance did in round 10.
 
 
 @dataclass(frozen=True)

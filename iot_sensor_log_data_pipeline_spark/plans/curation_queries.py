@@ -1115,3 +1115,124 @@ def corpus_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelize_small(load(spark, sf_dir, "documents"))
     epochs = {f"src{i}": 0.5 + (i % 4) * 0.75 for i in range(20)}
     return CU.epoch_upsample(docs, epochs).orderBy("doc_id", "copy_idx")
+
+
+@register(
+    "corpus_assemble_end_to_end",
+    oracle=f"""
+    WITH gated AS (
+      SELECT doc_id, text, source, {_TOKS} AS l
+      FROM documents
+      WHERE lang = 'en' AND ({_QUALITY}) >= 0.72
+    ),
+    ex AS (
+      SELECT doc_id, source, l FROM (
+        SELECT doc_id, source, l,
+               min(doc_id) OVER (PARTITION BY text) AS me
+        FROM gated)
+      WHERE doc_id = me
+    ),
+    nd AS (
+      SELECT doc_id, source, l FROM (
+        SELECT doc_id, source, l,
+               min(doc_id) OVER (PARTITION BY
+                 md5(array_to_string(list_sort(list_distinct(l)), ' '))) AS mf
+        FROM ex)
+      WHERE doc_id = mf
+    ),
+    surv AS (SELECT doc_id, source, CAST(len(l) AS BIGINT) AS n_tokens FROM nd),
+    pg AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tks
+           FROM surv GROUP BY source),
+    tot AS (SELECT CAST(sum(tks) AS DOUBLE) AS total_tokens FROM pg),
+    shr AS (SELECT source, tks / total_tokens AS token_share
+            FROM pg CROSS JOIN tot),
+    z AS (SELECT sum(pow(token_share, 0.3)) AS z FROM shr),
+    tg AS (
+      SELECT source,
+             CAST(floor(8000.0 * (pow(token_share, 0.3) / z)) AS BIGINT)
+               AS token_budget
+      FROM shr CROSS JOIN z
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM surv
+    ),
+    sel AS (
+      SELECT c.doc_id, c.source, c.n_tokens
+      FROM cum c JOIN tg t USING (source)
+      WHERE c.cum_tokens <= t.token_budget
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING)
+                   - n_tokens) // 512 AS BIGINT) AS chunk_id
+      FROM sel
+    )
+    SELECT doc_id, source, n_tokens, chunk_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 4 AS shard
+    FROM packed
+    ORDER BY doc_id
+    """,
+    tags=("curation", "north-star", "pipeline", "macro"),
+)
+def corpus_assemble_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-corpus assembly as one declarative plan --
+    every stage already holds its own green row; this row proves the
+    composition stays a single Catalyst plan with no materialization
+    between stages (the ``text_chunk_retrieval`` composition
+    precedent):
+
+      1. quality gate (lang == 'en', blended score >= 0.72 -- the
+         ``corpus_curation_pipeline`` thresholds),
+      2. exact-dedup survivors (min doc_id per text),
+      3. near-dup survivors (min doc_id per bag-of-words fingerprint,
+         ``text.fingerprint`` -- catches permutation/repetition dups
+         exact dedup misses),
+      4. mixture weights -> token-budget fill (temperature alpha=0.3
+         shares of an 8k budget, greedy md5-order fill --
+         ``curation.token_budget_sample``, which IS the
+         mixture-weights stage materialized),
+      5. greedy sequence packing into ~512-token chunks per source,
+      6. deterministic md5 output sharding (4 shards).
+
+    Returns the assembled-corpus manifest (doc_id, source, n_tokens,
+    chunk_id, shard).  Scale shape: three narrow filters + three
+    per-group windows (text / fingerprint / source partitions) + one
+    domain-count broadcast -- no corpus-global sort, no driver loop;
+    every shuffle key is either content-derived (dedup) or the source
+    shard (fill/pack)."""
+    from pyspark.sql.window import Window
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    t = F.col("text")
+    gated = docs.where(
+        (F.col("lang") == "en") & (TX.quality_score(t) >= 0.72)
+    )
+    w_text = Window.partitionBy("text")
+    w_fp = Window.partitionBy(TX.fingerprint(t))
+    surv = (
+        gated.withColumn("__me", F.min("doc_id").over(w_text))
+        .where(F.col("doc_id") == F.col("__me"))
+        .withColumn("__mf", F.min("doc_id").over(w_fp))
+        .where(F.col("doc_id") == F.col("__mf"))
+        .select("doc_id", "text", "source")
+    )
+    sel = CU.token_budget_sample(surv, total_tokens=8_000, alpha=0.3)
+    w_pack = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return sel.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w_pack) - F.col("n_tokens")) / 512
+        ).cast("long").alias("chunk_id"),
+        CU.split_bucket("doc_id", 4).alias("shard"),
+    ).orderBy("doc_id")

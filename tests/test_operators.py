@@ -6690,3 +6690,56 @@ def test_ann_index_absorb_covers_codes_tree_ivfpq(spark, tmp_path):
     hits = AI.query_ivfpq_index(spark, root, probe, k=5, n_probe=8, rerank=60)
     top = [r for r in hits.collect() if r["rank"] == 1][0]
     assert top["neighbor_id"] == 61
+
+
+def test_persisted_ivfpq_multi_assign_parity(spark, tmp_path):
+    """build_ivfpq_index(n_assign=2) stores one codes row per assigned
+    cell and query_ivfpq_index reproduces the ad-hoc multi-assign
+    ivfpq_topk row-for-row; a streamed batch encodes with the STORED
+    n_assign (segment codes rows double too)."""
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as AI
+    from iot_sensor_log_data_pipeline_spark.operators import similarity as SIM
+    from iot_sensor_log_data_pipeline_spark.streaming.pipeline import (
+        index_ingest_apply_batch,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.where("vec_id >= 5 AND vec_id < 60")
+    queries = emb.where("vec_id < 3")
+    root = str(tmp_path / "ivfpq_ma")
+
+    cents, cbs = SIM.ivfpq_seed_quantizers(corpus, n_cells=8, m=8, n_codes=16)
+    adhoc = sorted(
+        tuple(r)
+        for r in SIM.ivfpq_topk(
+            corpus, queries, k=5, n_probe=4, rerank=30, n_assign=2,
+            centroids=cents, codebooks=cbs,
+        ).collect()
+    )
+    AI.build_ivfpq_index(
+        corpus, root, n_cells=8, m=8, n_codes=16, n_assign=2,
+        centroids=cents, codebooks=cbs,
+    )
+    n_corpus = corpus.count()
+    codes = spark.read.parquet(str(tmp_path / "ivfpq_ma" / "codes"))
+    assert codes.count() == 2 * n_corpus  # one row per assigned cell
+    persisted = sorted(
+        tuple(r)
+        for r in AI.query_ivfpq_index(
+            spark, root, queries, k=5, n_probe=4, rerank=30
+        ).collect()
+    )
+    assert persisted == adhoc and persisted
+
+    # streamed batch encodes under the stored n_assign=2
+    streamed = emb.where("vec_id >= 60 AND vec_id < 62")
+    index_ingest_apply_batch(streamed, 0, root)
+    seg = spark.read.parquet(str(tmp_path / "ivfpq_ma" / "codes_stream"))
+    assert seg.count() == 2 * streamed.count()
+    probe = emb.where("vec_id = 60").selectExpr(
+        "vec_id + 1000 AS vec_id", "embedding"
+    )
+    hits = AI.query_ivfpq_index(spark, root, probe, k=5, n_probe=8, rerank=30)
+    top = [r for r in hits.collect() if r["rank"] == 1][0]
+    assert top["neighbor_id"] == 60

@@ -67,6 +67,10 @@ BNLJ_ALLOWED = {
     # temperature mixture's two 1-row broadcasts (corpus total, Z)
     # under the budget join -- curation.py:token_budget_sample
     "corpus_token_budget_sample",
+    # the same two 1-row broadcasts, re-expanded per budget-CTE branch
+    # by the macro composition (bounded build sides throughout) --
+    # plans/curation_queries.py:corpus_assemble_end_to_end
+    "corpus_assemble_end_to_end",
     # out_dim x n_bins literal grid cross join (40 rows) --
     # operators/profiling.py:embedding_drift
     "profile_embedding_drift",
@@ -422,3 +426,21 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     assert "Exchange" in plan_p  # the same join without bucketing shuffles
     # and the bucketed join returns the same rows
     assert bucketed.count() == plain.count()
+
+
+def test_corpus_assembly_macro_is_one_declarative_plan(spark):
+    """corpus_assemble_end_to_end composes gate -> exact dedup ->
+    near-dup -> budget fill -> packing -> sharding as ONE Catalyst
+    plan: no cartesian product, no row-at-a-time Python, no driver
+    loop between stages, and every Window carries a partition spec
+    (text / fingerprint / source) -- no corpus-through-one-task
+    cliff."""
+    import re
+
+    entry = catalog.all_entries()["corpus_assemble_end_to_end"]
+    df = entry.fn(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan.replace("BatchEvalPythonUDTF", "")
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not re.search(r"Window \[[^\n]*\], \[\], \[", opt)

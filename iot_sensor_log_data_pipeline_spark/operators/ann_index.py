@@ -158,11 +158,18 @@ def query_lsh_index(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a persisted SRP-LSH index: band-bucket candidates from the
     postings scan, exact cosine re-rank against the stored vectors.
     Same result contract as ``similarity.lsh_topk`` -- (query_id,
-    neighbor_id, cos_sim, rank)."""
+    neighbor_id, cos_sim, rank).
+
+    ``allowed`` (optional, 1 column named ``id_col``): metadata-filtered
+    search -- postings LEFT SEMI joined on the allow-list BEFORE the
+    re-rank, the family-wide contract documented at
+    ``similarity.filtered_ivf_topk`` (for LSH the recall lever under
+    selectivity is more bands, not more probes)."""
     cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
     if cfg["kind"] != "lsh":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not lsh")
@@ -176,6 +183,10 @@ def query_lsh_index(
         F.posexplode(bands_udf(F.col(vec_col))).alias("band_id", "bucket"),
     )
     entries = _read_with_segments(spark, path, "entries")
+    if allowed is not None:
+        entries = entries.join(
+            allowed.select(F.col(id_col).alias("id")), "id", "left_semi"
+        )
     cand = (
         entries.join(F.broadcast(qb), ["band_id", "bucket"])
         .where(F.col("id") != F.col("query_id"))
@@ -601,11 +612,19 @@ def query_ivf_index(
     n_probe: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a persisted IVF index: nearest-``n_probe`` cells per query
     (centroids loaded driver-side, KBs), postings equi-join on the cell
     id, exact cosine re-rank.  Same result contract as
-    ``similarity.ivf_topk``."""
+    ``similarity.ivf_topk``.
+
+    ``allowed`` (optional, 1 column named ``id_col``): metadata-filtered
+    search against the SAME index -- the postings are LEFT SEMI joined
+    on the allow-list before the re-rank, so all k results satisfy the
+    filter and the re-rank cost shrinks with the selectivity (raise
+    ``n_probe`` ~ 1/selectivity to hold recall; see
+    ``similarity.filtered_ivf_topk`` for the cost model)."""
     cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
     if cfg["kind"] != "ivf":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not ivf")
@@ -619,6 +638,10 @@ def query_ivf_index(
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
     entries = _read_with_segments(spark, path, "entries")
+    if allowed is not None:
+        entries = entries.join(
+            allowed.select(F.col(id_col).alias("id")), "id", "left_semi"
+        )
     cand = (
         entries.join(F.broadcast(probes), "cell")
         .where(F.col("id") != F.col("query_id"))
@@ -940,6 +963,7 @@ def query_ivfpq_index(
     rerank: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a persisted IVF-PQ index: per query, LUTs for its
     ``n_probe`` best cells (each cell gets its own table -- the
@@ -949,7 +973,14 @@ def query_ivfpq_index(
     Stream segments union in; tombstoned ids vanish from codes and
     re-rank vectors alike.  Result-identical to
     ``similarity.ivfpq_topk`` at identical quantizers/budgets
-    (asserted in pytest)."""
+    (asserted in pytest).
+
+    ``allowed`` (optional, 1 column named ``id_col``): metadata-filtered
+    search -- the codes scan is LEFT SEMI joined on the allow-list
+    BEFORE the ADC join, so both the shortlist and the final k satisfy
+    the filter and the ADC/re-rank cost shrinks with selectivity
+    (family contract: ``similarity.filtered_ivf_topk``; keep the
+    ``rerank`` budget sized to the FILTERED shortlist)."""
     from .similarity import _dbl, _pq_query_dists_udf
 
     cfg, centroids, codebooks = _load_ivfpq_meta(spark, path)
@@ -979,7 +1010,12 @@ def query_ivfpq_index(
         (F.col("flat_idx") % n_codes).alias("code"),
         "d2",
     )
-    codes = _read_with_segments(spark, path, "codes").select(
+    codes_src = _read_with_segments(spark, path, "codes")
+    if allowed is not None:
+        codes_src = codes_src.join(
+            allowed.select(F.col(id_col).alias("id")), "id", "left_semi"
+        )
+    codes = codes_src.select(
         F.col("id").alias("neighbor_id"),
         "cell",
         F.posexplode(F.col("codes")).alias("subspace", "code"),
@@ -1109,6 +1145,7 @@ def query_pq_index(
     rerank: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a persisted PQ index with asymmetric distances: per-query
     lookup tables broadcast against the stored packed codes
@@ -1116,7 +1153,12 @@ def query_pq_index(
     ``similarity.pq_adc_topk``), optional exact re-rank against the
     raw vector table.  Result-identical to the ad-hoc operator with
     the same codebooks/rotation (asserted in pytest), so the
-    catalog's persisted row reuses the ad-hoc oracle unchanged."""
+    catalog's persisted row reuses the ad-hoc oracle unchanged.
+
+    ``allowed`` (optional, 1 column named ``id_col``): metadata-filtered
+    search -- the codes scan is LEFT SEMI joined on the allow-list
+    BEFORE the ADC join (family contract:
+    ``similarity.filtered_ivf_topk``)."""
     from pyspark.sql.window import Window as W
 
     from .similarity import _apply_projection, _dbl, _pq_query_dists_udf
@@ -1138,7 +1180,12 @@ def query_pq_index(
         (F.col("flat_idx") % n_codes).alias("code"),
         "d2",
     )
-    codes = _read_with_segments(spark, path, "codes").select(
+    codes_src = _read_with_segments(spark, path, "codes")
+    if allowed is not None:
+        codes_src = codes_src.join(
+            allowed.select(F.col(id_col).alias("id")), "id", "left_semi"
+        )
+    codes = codes_src.select(
         F.col("id").alias("neighbor_id"),
         F.posexplode(F.col("codes")).alias("subspace", "code"),
     )

@@ -493,6 +493,108 @@ def ivf_topk(
     )
 
 
+def filtered_ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    match_col: str | None = None,
+    allowed: DataFrame | None = None,
+    n_cells: int = 64,
+    n_probe: int = 12,
+    n_assign: int = 2,
+    sample_size: int = 2048,
+    kmeans_iter: int = 10,
+    seed: int = 42,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Metadata-FILTERED approximate top-k over an IVF layout -- the
+    attribute-constrained vector search every serving store implements
+    (per-tenant / same-category / allow-listed retrieval): the filter
+    is applied to the candidate set BEFORE the exact cosine re-rank,
+    so the k results all satisfy it (post-filtering the unfiltered
+    top-k instead can return < k rows and silently drops valid
+    neighbors that ranked k+1..k/selectivity).
+
+    Two constraint shapes, composable:
+
+    - ``match_col``: neighbor must carry the SAME value as the query
+      in this column (label = label, tenant = tenant) -- the equality
+      travels as an extra predicate on the candidate join, staying
+      inside the same shuffle;
+    - ``allowed``: a 1-column (``id_col``) allow-list DataFrame; the
+      neighbor side is LEFT SEMI joined on it before scoring (the
+      vector-DB "filtered by ids from a metadata query" form; Spark
+      broadcasts it when small, shuffles when not -- declarative
+      either way).
+
+    Selectivity is the scale knob: filtered candidates per query ~=
+    selectivity * n_assign * n_probe / n_cells of the corpus, so at a
+    fixed recall target ``n_probe`` should grow ~ 1/selectivity (a 5%
+    filter wants ~20x the probes of an unfiltered search, still far
+    below brute force).  For selectivity below ~1/n_cells, partition
+    the index BY the attribute instead (one IVF tree per tenant) --
+    documented, not automated.
+
+    Same quantizer contract as ``ivf_topk``: pass ``centroids`` to pin
+    (SQL-replayable), else the sampled Lloyd's quantizer trains here.
+    """
+    if match_col is None and allowed is None:
+        raise ValueError("filtered_ivf_topk needs match_col and/or allowed; "
+                         "use ivf_topk for the unfiltered search")
+    if centroids is None:
+        centroids = kmeans_centroids(
+            vectors,
+            n_cells,
+            id_col=id_col,
+            vec_col=vec_col,
+            sample_size=sample_size,
+            n_iter=kmeans_iter,
+            seed=seed,
+        )
+    assign_cells = _top_cells_udf(centroids, n_assign)
+    probe_cells = _top_cells_udf(centroids, n_probe)
+
+    nb_cols = [
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(assign_cells(F.col(vec_col))).alias("cell"),
+    ]
+    q_cols = [
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    ]
+    if match_col is not None:
+        nb_cols.append(F.col(match_col).alias("nb_attr"))
+        q_cols.append(F.col(match_col).alias("q_attr"))
+    assigned = vectors.select(*nb_cols)
+    if allowed is not None:
+        assigned = assigned.join(
+            allowed.select(F.col(id_col).alias("neighbor_id")),
+            "neighbor_id",
+            "left_semi",
+        )
+    probes = queries.select(*q_cols)
+    cand = assigned.join(F.broadcast(probes), "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    if match_col is not None:
+        cand = cand.where(F.col("nb_attr") == F.col("q_attr"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("query_vec"), F.col("vec")).alias("cos_sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
 def ivf_cogroup_join(
     a: DataFrame,
     b: DataFrame,

@@ -772,6 +772,21 @@ def vocab_coverage(
     )
 
 
+def _bigram_frame(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, a, b): one row per adjacent token pair -- the shared
+    explode of the bigram-LM family (MLE and Kneser-Ney scorers)."""
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("l"))
+    m = F.greatest(F.size("l") - 1, F.lit(0))
+    zipped = F.arrays_zip(F.slice("l", 1, m), F.slice("l", 2, m))
+    return toks.select(id_col, F.explode(zipped).alias("p")).select(
+        id_col,
+        F.col("p").getField("0").alias("a"),
+        F.col("p").getField("1").alias("b"),
+    )
+
+
 def bigram_logprob(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -794,16 +809,7 @@ def bigram_logprob(
     per-doc avg.  Docs with < 2 tokens have no bigrams and are
     omitted.
     """
-    toks = docs.select(F.col(id_col), tokens(text_col).alias("l"))
-    m = F.greatest(F.size("l") - 1, F.lit(0))
-    zipped = F.arrays_zip(F.slice("l", 1, m), F.slice("l", 2, m))
-    bg = toks.select(
-        id_col, F.explode(zipped).alias("p")
-    ).select(
-        id_col,
-        F.col("p").getField("0").alias("a"),
-        F.col("p").getField("1").alias("b"),
-    )
+    bg = _bigram_frame(docs, id_col, text_col)
     bn = _SCRATCH.cache(
         bg.groupBy("a", "b").agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
     )
@@ -818,6 +824,109 @@ def bigram_logprob(
                 "avg_logprob"
             ),
         )
+    )
+
+
+def kneser_ney_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under an interpolated
+    Kneser-Ney model (Kneser & Ney 1995; Chen & Goodman 1999's
+    interpolated form with a fixed absolute discount) -- the smoothing
+    the KenLM models real pipelines (CCNet, Gopher) score with, one
+    order down so every statistic stays a count table:
+
+        p(b|a) = (c(a,b) - d) / c(a)  +  d * t(a) / c(a) * r(b) / T
+
+    where t(a) = distinct continuations of context ``a``, r(b) =
+    distinct left-contexts of ``b`` (the continuation probability:
+    "how many contexts does ``b`` complete", the reason 'Francisco'
+    scores low despite being frequent), and T = total distinct bigram
+    types.  Scoring the training corpus itself means c(a,b) >= 1 > d,
+    so the discounted term never clips and the model is exact --
+    unlike the MLE (``bigram_logprob``) it also redistributes mass by
+    context DIVERSITY, separating boilerplate-glued tokens (high
+    count, one context) from genuinely productive ones.
+
+    Scale shape: identical to ``bigram_logprob`` plus two more
+    aggregations DERIVED from the cached bigram-type table (context
+    fan-out and continuation fan-in are both bn-keyed hash aggs, no
+    extra corpus pass) and a 1-row type-total broadcast (the
+    scalar-subquery BNLJ shape, allowlisted in the plan audit).  Docs
+    with < 2 tokens have no bigrams and are omitted.
+    """
+    bg = _bigram_frame(docs, id_col, text_col)
+    bn = _SCRATCH.cache(
+        bg.groupBy("a", "b").agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
+    )
+    cn = bn.groupBy("a").agg(
+        F.sum("n_ab").alias("n_a"),
+        F.count(F.lit(1)).cast("double").alias("t_a"),
+    )
+    rb = bn.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("r_b"))
+    types = bn.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    d = F.lit(float(discount))
+    p_kn = (F.col("n_ab") - d) / F.col("n_a") + (
+        d * F.col("t_a") / F.col("n_a")
+    ) * (F.col("r_b") / F.col("n_types"))
+    return (
+        bg.join(bn, ["a", "b"])
+        .join(cn, "a")
+        .join(rb, "b")
+        .crossJoin(F.broadcast(types))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(F.log(p_kn)), 6).alias("avg_logprob"),
+        )
+    )
+
+
+def blocklist_hit_tokens(text_col: Column | str, terms: list[str]) -> Column:
+    """The blocklisted-token subarray of ``tokens(text_col)`` -- the
+    one match expression both the batch audit (``blocklist_hits``) and
+    the streaming ingest gate share, so the two paths can never drift
+    on match semantics (whole-token, shared tokenizer, sorted-deduped
+    literal list)."""
+    if not terms:
+        raise ValueError("blocklist_hits needs at least one term")
+    lit_terms = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    return F.filter(tokens(text_col), lambda t: F.array_contains(lit_terms, t))
+
+
+def blocklist_hits(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-level blocklist audit -- the C4-style badwords gate
+    (Raffel et al. 2020 drop any page containing a listed word;
+    Penedo et al. 2023 RefinedWeb keep a weighted variant): per
+    document, the number of blocklisted token OCCURRENCES, the sorted
+    distinct terms that hit, and the keep verdict (no hits).  Matching
+    is on whole tokens from the shared ``tokens()`` split -- substring
+    matching is deliberately NOT offered (the Scunthorpe false-positive
+    class); callers wanting phrase rules should use ``decontamination``
+    shingles instead.
+
+    Scale shape: ZERO shuffle -- the blocklist travels as an array
+    literal inside the plan and every output column is a higher-order
+    expression over the token array (one codegen'd scan pass).  That
+    is the right shape up to lists of a few thousand terms (C4's
+    per-language lists are ~400-2000); for 100k+ term lists switch to
+    explode + broadcast-hash semi-join, which trades the literal for
+    one map-side join at the same single corpus pass.
+    """
+    hits = blocklist_hit_tokens(text_col, terms)
+    return docs.select(
+        F.col(id_col),
+        F.size(hits).cast("long").alias("n_hits"),
+        F.array_join(F.array_sort(F.array_distinct(hits)), ",").alias("hit_terms"),
+        (F.size(hits) == 0).alias("keep"),
     )
 
 

@@ -74,6 +74,14 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "text_hybrid_rrf_persisted",
     "similarity_opq_seed_ann",
     "corpus_assemble_end_to_end",
+    # -- added mid-round: metadata-filtered vector search, interpolated
+    # Kneser-Ney LM scoring, and the C4-style token blocklist gate all
+    # ship with full oracles and no external row yet, so they must be
+    # inside the window (three more r5-battery rows defer to round 12
+    # to make room -- see the tail comment).
+    "similarity_filtered_seed_ann",
+    "text_kneser_ney_logprob",
+    "text_blocklist_filter",
     # (b) round-11-edited code paths re-enter: ivfpq_topk gained
     # multi-assignment (per-cell ADC min restructure) + the quantizer
     # guards; _read_with_segments gained the absorb manifest/marker
@@ -132,16 +140,20 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "row_transform_flatten",
     "sessionize_events",
     "setops_user_cohorts",
-    "topk_orders_global",
-    "unpivot_order_measures",
-    "value_props_corr",
+    # topk_orders_global / unpivot_order_measures / value_props_corr
+    # deferred to round 12: the three mid-round additions above took
+    # their window slots, and all three hold green r5 rows on
+    # single-operator plans (global top-k, unpivot, corr) untouched
+    # since.
 )
 
 #: Round-12 rotation plan: (a) anything new in round 12 plus
-#: re-entries for round-12-edited code paths; (b) the three rows
+#: re-entries for round-12-edited code paths; (b) the six rows
 #: deferred from this window (hourly_avg_by_type, histogram_max_value,
 #: json_serialize -- trivial reference-module queries, siblings green
-#: r7-r10); (c) then the oldest remaining evidence is the r7 battery
+#: r7-r10 -- plus topk_orders_global, unpivot_order_measures,
+#: value_props_corr, displaced by the mid-round additions);
+#: (c) then the oldest remaining evidence is the r7 battery
 #: (50 rows: scan roundtrips, window functions, winnowing/semantic
 #: dedup, curation family) -- refresh in registration order as slots
 #: allow; (d) if any round-11 row comes back red, its fix re-enters at

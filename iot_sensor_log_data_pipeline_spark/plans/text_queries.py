@@ -930,6 +930,85 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_kneser_ney_logprob",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    bg AS (
+      SELECT doc_id, l[i+1] AS a, l[i+2] AS b
+      FROM (SELECT doc_id, l, unnest(range(greatest(len(l) - 1, 0))) AS i
+            FROM toks)
+    ),
+    bn AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS n_ab FROM bg GROUP BY a, b),
+    cn AS (SELECT a, sum(n_ab) AS n_a, CAST(count(*) AS DOUBLE) AS t_a
+           FROM bn GROUP BY a),
+    rb AS (SELECT b, CAST(count(*) AS DOUBLE) AS r_b FROM bn GROUP BY b),
+    tt AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM bn)
+    SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((n_ab - 0.75) / n_a
+                        + (0.75 * t_a / n_a) * (r_b / n_types))), 6) + 0.0
+             AS avg_logprob
+    FROM bg
+    JOIN bn ON bg.a = bn.a AND bg.b = bn.b
+    JOIN cn ON bg.a = cn.a
+    JOIN rb ON bg.b = rb.b
+    CROSS JOIN tt
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """,
+    tags=("text", "quality", "lm", "kneser-ney"),
+)
+def text_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney LM scoring
+    (``operators/text.py:kneser_ney_logprob``, d = 0.75): the smoothing
+    family real KenLM quality filters use, redistributing mass by
+    context DIVERSITY -- a token glued to one boilerplate context
+    scores low as a continuation even when its raw count is high,
+    which the bigram MLE cannot see.  Same one-explode shape as
+    ``text_bigram_logprob`` plus two bn-derived hash aggs and a 1-row
+    type-total broadcast."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return TX.kneser_ney_logprob(docs).orderBy("doc_id")
+
+
+#: The C4-style badwords list for the catalog gate: one term the
+#: synthetic corpus actually contains ('dup', ~5% of docs) plus two it
+#: does not -- so the query exercises hit, multi-miss, and keep paths.
+_BLOCKLIST = ("dup", "junk", "spam")
+
+
+@register(
+    "text_blocklist_filter",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_filter(l, t -> list_contains(['dup', 'junk', 'spam'], t))
+               AS hits
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(hits) AS BIGINT) AS n_hits,
+           coalesce(array_to_string(list_sort(list_distinct(hits)), ','), '')
+             AS hit_terms,
+           len(hits) = 0 AS keep
+    FROM h
+    ORDER BY doc_id
+    """,
+    tags=("text", "curation", "blocklist", "c4"),
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level blocklist gate (``operators/text.py:blocklist_hits``,
+    C4's badwords rule): per document the blocklisted-token occurrence
+    count, the distinct terms that hit, and the keep verdict.  ZERO
+    shuffle -- the list is an array literal and every column is a
+    higher-order expression over the shared ``tokens()`` split, one
+    codegen'd corpus pass (the whole-token contract avoids the
+    Scunthorpe substring false-positive class by construction)."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return TX.blocklist_hits(docs, list(_BLOCKLIST)).orderBy("doc_id")
+
+
+@register(
     "text_hash_embedding",
     oracle=f"""
     WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),

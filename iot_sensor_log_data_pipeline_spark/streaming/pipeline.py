@@ -720,22 +720,31 @@ def curation_ingest_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     watermark: str = "10 minutes",
+    blocklist: list[str] | None = None,
 ) -> DataFrame:
     """Ingest-time corpus curation: the batch curation pipeline's
-    gates (language-ID, quality floor, exact dedup) applied IN FLIGHT
-    so junk and duplicates never land in the raw zone -- the streaming
-    front door to the ``operators/curation.py`` family.
+    gates (language-ID, quality floor, blocklist, exact dedup) applied
+    IN FLIGHT so junk and duplicates never land in the raw zone -- the
+    streaming front door to the ``operators/curation.py`` family.
 
     Stages, all stateless column expressions except the final dedup:
     predicted language filter (``text.predicted_language`` marker
-    argmax), quality floor (``text.quality_score`` blend), and
+    argmax), quality floor (``text.quality_score`` blend), optional
+    token blocklist drop (``text.blocklist_hits``'s C4 badwords rule:
+    any whole-token hit rejects the document; the list rides the plan
+    as an array literal, same zero-state cost as the other gates), and
     fingerprint-keyed ``dropDuplicatesWithinWatermark`` (canonical
     md5 over the sorted token set, so reordered copies of a document
     within the watermark window dedup too -- state is bounded by the
     watermark, never corpus-sized).  Emits the surviving rows with
     (lang_pred, quality, fingerprint) columns in append mode.
     """
-    from ..operators.text import fingerprint, predicted_language, quality_score
+    from ..operators.text import (
+        blocklist_hit_tokens,
+        fingerprint,
+        predicted_language,
+        quality_score,
+    )
 
     out = stream.select(
         "*",
@@ -745,6 +754,10 @@ def curation_ingest_stream(
     ).where(F.col("quality") >= min_quality)
     if lang is not None:
         out = out.where(F.col("lang_pred") == lang)
+    if blocklist:
+        out = out.where(
+            F.size(blocklist_hit_tokens(text_col, blocklist)) == 0
+        )
     return (
         out.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])

@@ -6743,3 +6743,231 @@ def test_persisted_ivfpq_multi_assign_parity(spark, tmp_path):
     hits = AI.query_ivfpq_index(spark, root, probe, k=5, n_probe=8, rerank=30)
     top = [r for r in hits.collect() if r["rank"] == 1][0]
     assert top["neighbor_id"] == 60
+
+
+def test_filtered_ivf_topk_exhaustive_equals_filtered_brute_force(spark):
+    """At full probe width (n_probe = n_cells, n_assign = 1) the IVF
+    candidate set is the whole corpus, so the filtered search must
+    EQUAL the exact brute-force top-k over the label-restricted
+    corpus -- filter semantics verified with zero approximation."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where("vec_id < 80")
+    queries = corpus.where("vec_id < 3")
+    cents = SIM.seed_centroids(corpus, 8)
+    got = SIM.filtered_ivf_topk(
+        corpus, queries, k=5, match_col="label",
+        n_cells=8, n_probe=8, n_assign=1, centroids=cents,
+    ).collect()
+    q_labels = {r["vec_id"]: r["label"] for r in queries.collect()}
+    want = []
+    for qid, lbl in q_labels.items():
+        same = corpus.where(F.col("label") == lbl)
+        want += [
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in SIM.brute_force_topk(
+                same, queries.where(F.col("vec_id") == qid), k=5
+            ).collect()
+        ]
+    assert sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in got) == sorted(want)
+    # every returned neighbor carries the query's label
+    nb_labels = {r["vec_id"]: r["label"] for r in corpus.collect()}
+    assert all(nb_labels[r["neighbor_id"]] == q_labels[r["query_id"]] for r in got)
+
+
+def test_filtered_ivf_topk_allowed_list_and_guard(spark):
+    import pytest as _pytest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where("vec_id < 60")
+    queries = corpus.where("vec_id < 2")
+    with _pytest.raises(ValueError, match="match_col and/or allowed"):
+        SIM.filtered_ivf_topk(corpus, queries)
+    allowed = corpus.where("vec_id % 3 = 0").select("vec_id")
+    cents = SIM.seed_centroids(corpus, 8)
+    got = SIM.filtered_ivf_topk(
+        corpus, queries, k=4, allowed=allowed,
+        n_cells=8, n_probe=8, n_assign=1, centroids=cents,
+    ).collect()
+    sub = corpus.where("vec_id % 3 = 0")
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in SIM.brute_force_topk(sub, queries, k=4).collect()
+    )
+    assert sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in got) == want
+    assert all(r["neighbor_id"] % 3 == 0 for r in got)
+
+
+def test_query_ivf_index_allowed_matches_adhoc_filtered(spark, tmp_path):
+    """The persisted index's allow-list probe must be result-identical
+    to the ad-hoc filtered search at the same quantizer and probe
+    width (the build-once/probe-many parity contract of the family)."""
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as AI
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where("vec_id < 80")
+    queries = emb.where("vec_id >= 80 AND vec_id < 83")
+    allowed = corpus.where("label IN (1, 2, 3)").select("vec_id")
+    cents = SIM.seed_centroids(corpus, 8)
+    root = str(tmp_path / "ivf_filtered")
+    AI.build_ivf_index(corpus, root, n_cells=8, n_assign=2, centroids=cents)
+    persisted = sorted(
+        tuple(r)
+        for r in AI.query_ivf_index(
+            spark, root, queries, k=5, n_probe=4, allowed=allowed
+        ).collect()
+    )
+    adhoc = sorted(
+        tuple(r)
+        for r in SIM.filtered_ivf_topk(
+            corpus, queries, k=5, allowed=allowed,
+            n_cells=8, n_probe=4, n_assign=2, centroids=cents,
+        ).collect()
+    )
+    assert persisted == adhoc and persisted
+
+
+def test_kneser_ney_logprob_matches_python(spark):
+    """Interpolated-KN scoring vs a hand-rolled reference, plus the
+    model identity: p(.|a) sums to exactly 1 over the full continuation
+    vocabulary for every context."""
+    import math
+    from collections import Counter
+
+    from iot_sensor_log_data_pipeline_spark.operators.text import (
+        kneser_ney_logprob,
+    )
+
+    texts = {1: "a b a b c", 2: "a b", 3: "c c c b", 4: "solo"}
+    d = 0.75
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in kneser_ney_logprob(df).collect()
+    }
+
+    bigrams = {k: list(zip(t.split(), t.split()[1:])) for k, t in texts.items()}
+    bn = Counter(b for bs in bigrams.values() for b in bs)
+    n_a = Counter()
+    t_a = Counter()
+    r_b = Counter()
+    for (a, b), c in bn.items():
+        n_a[a] += c
+        t_a[a] += 1
+        r_b[b] += 1
+    T = len(bn)
+
+    def p_kn(a, b):
+        return (bn[(a, b)] - d) / n_a[a] + d * t_a[a] / n_a[a] * r_b[b] / T
+
+    # identity: sum over the full continuation vocab is 1 per context
+    for a in n_a:
+        full = sum(
+            max(bn.get((a, b), 0) - d, 0.0) / n_a[a]
+            + d * t_a[a] / n_a[a] * r_b[b] / T
+            for b in r_b
+        )
+        assert abs(full - 1.0) < 1e-12, (a, full)
+
+    for k, bs in bigrams.items():
+        if not bs:
+            assert k not in got
+            continue
+        want = sum(math.log(p_kn(a, b)) for a, b in bs) / len(bs)
+        assert got[k][0] == len(bs)
+        assert abs(got[k][1] - round(want, 6)) < 1e-9, (k, got[k], want)
+
+
+def test_blocklist_hits_whole_token_semantics(spark):
+    import pytest as _pytest
+
+    from iot_sensor_log_data_pipeline_spark.operators.text import blocklist_hits
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean text only"),
+            (2, "spam spam eggs"),
+            (3, "scunthorpe is a town"),   # substring 'thorpe' must NOT hit
+            (4, "junk and spam mixed"),
+        ],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="at least one term"):
+        blocklist_hits(df, [])
+    got = {r["doc_id"]: r for r in blocklist_hits(df, ["spam", "junk", "thorpe"]).collect()}
+    assert (got[1]["n_hits"], got[1]["hit_terms"], got[1]["keep"]) == (0, "", True)
+    assert (got[2]["n_hits"], got[2]["hit_terms"], got[2]["keep"]) == (2, "spam", False)
+    assert (got[3]["n_hits"], got[3]["keep"]) == (0, True)
+    assert (got[4]["n_hits"], got[4]["hit_terms"], got[4]["keep"]) == (2, "junk,spam", False)
+
+
+def test_query_index_allowed_family_parity(spark, tmp_path):
+    """Family-wide filtered-probe contract: probing the FULL index
+    with an allow-list must be result-identical to probing an index
+    built over ONLY the allowed subset at the same frozen quantizers
+    -- for lsh (same planes => same buckets), pq (per-vector codes
+    are subset-independent), and ivfpq (ditto, per assigned cell).
+    That identity is what makes the semi-join a real filter, not an
+    approximation layered on an approximation."""
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as AI
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where("vec_id < 80")
+    queries = emb.where("vec_id >= 80 AND vec_id < 83")
+    allowed = corpus.where("vec_id % 2 = 0").select("vec_id")
+    sub = corpus.where("vec_id % 2 = 0")
+
+    # -- lsh (deterministic planes from the shared seed)
+    full, part = str(tmp_path / "l_full"), str(tmp_path / "l_sub")
+    AI.build_lsh_index(corpus, full, bands=8, rows_per_band=2)
+    AI.build_lsh_index(sub, part, bands=8, rows_per_band=2)
+    got = sorted(
+        tuple(r)
+        for r in AI.query_lsh_index(
+            spark, full, queries, k=5, allowed=allowed
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in AI.query_lsh_index(spark, part, queries, k=5).collect()
+    )
+    assert got == want and got
+
+    # -- pq (pinned seed codebooks, with exact re-rank)
+    cbs = SIM.pq_seed_codebooks(corpus, m=8, k=8)
+    full, part = str(tmp_path / "p_full"), str(tmp_path / "p_sub")
+    AI.build_pq_index(corpus, full, m=8, n_codes=8, codebooks=cbs)
+    AI.build_pq_index(sub, part, m=8, n_codes=8, codebooks=cbs)
+    got = sorted(
+        tuple(r)
+        for r in AI.query_pq_index(
+            spark, full, queries, k=5, rerank=20, allowed=allowed
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in AI.query_pq_index(spark, part, queries, k=5, rerank=20).collect()
+    )
+    assert got == want and got
+    assert all(r[1] % 2 == 0 for r in got)  # neighbor_id respects the filter
+
+    # -- ivfpq (pinned centroid+codebook pair)
+    cents, rcbs = SIM.ivfpq_seed_quantizers(corpus, n_cells=8, m=8, n_codes=8)
+    full, part = str(tmp_path / "q_full"), str(tmp_path / "q_sub")
+    AI.build_ivfpq_index(
+        corpus, full, n_cells=8, m=8, n_codes=8, centroids=cents, codebooks=rcbs
+    )
+    AI.build_ivfpq_index(
+        sub, part, n_cells=8, m=8, n_codes=8, centroids=cents, codebooks=rcbs
+    )
+    got = sorted(
+        tuple(r)
+        for r in AI.query_ivfpq_index(
+            spark, full, queries, k=5, n_probe=8, rerank=20, allowed=allowed
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in AI.query_ivfpq_index(
+            spark, part, queries, k=5, n_probe=8, rerank=20
+        ).collect()
+    )
+    assert got == want and got

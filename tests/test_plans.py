@@ -40,6 +40,9 @@ BNLJ_ALLOWED = {
     "text_bm25_search",  # crossJoin(broadcast(1-row stats)) -- operators/text.py
     "text_tfidf_top_terms",  # crossJoin(broadcast(1-row n_docs)) -- operators/text.py
     "text_unigram_logprob",  # crossJoin(broadcast(1-row total_n)) -- operators/text.py
+    # crossJoin(broadcast(1-row bigram-type total)) -- the KN
+    # continuation-probability denominator, operators/text.py:kneser_ney_logprob
+    "text_kneser_ney_logprob",
     # 1-row stats broadcast + <=n_bins x 5-quantile rank-range join
     # (both build sides bounded by sketch geometry) -- operators/sketch.py
     "agg_histogram_quantiles",

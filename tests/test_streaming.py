@@ -707,6 +707,48 @@ def test_curation_ingest_stream_gates_and_dedups(spark, tmp_path):
     assert 3 not in got and 4 not in got
 
 
+def test_curation_ingest_stream_blocklist_gate(spark, tmp_path):
+    """The C4-style badwords rule applied in flight: any whole-token
+    blocklist hit rejects the document before it lands; substring
+    look-alikes pass (same `blocklist_hit_tokens` expression as the
+    batch audit, so the two paths cannot drift)."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0, 0),
+         "the quick brown fox jumps over the lazy dog"),
+        (2, datetime(2024, 1, 1, 10, 0, 5),
+         "this sentence contains spam and it should not land at all"),
+        (3, datetime(2024, 1, 1, 10, 0, 9),
+         "the scunthorpe residents write perfectly reasonable sentences and the town is fine"),
+    ]
+    src = str(tmp_path / "bl_src")
+    spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, text string"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).parquet(src)
+    q = (
+        P.curation_ingest_stream(
+            stream, min_quality=0.3, lang="en",
+            blocklist=["spam", "thorpe"],
+        )
+        .writeStream.format("memory")
+        .queryName("bl_curated")
+        .option("checkpointLocation", str(tmp_path / "bl_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"] for r in spark.table("bl_curated").collect()}
+    finally:
+        q.stop()
+    assert 2 not in got          # whole-token 'spam' hit -> dropped
+    assert 1 in got and 3 in got  # clean + substring-only survive
+
+
 def test_watermark_sized_from_measured_lateness(spark, tmp_path):
     """The lateness monitor closes its loop: profile a stream whose
     p99 lag is a planted 40 s, derive the watermark

@@ -516,6 +516,7 @@ def query_graph_index(
     hops: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
     _exclude_batch: int | None = None,
 ) -> DataFrame:
     """Batched greedy beam search over a persisted k-NN graph:
@@ -531,6 +532,19 @@ def query_graph_index(
     (``graph_ingest_apply_batch``'s bidirectional edges make streamed
     nodes reachable from the unchanged entry points);
     ``_exclude_batch`` is the ingest path's replay-determinism hook.
+
+    ``allowed`` (optional, 1 column named ``id_col``): metadata-filtered
+    search with the filtered-HNSW strategy -- the filter applies to
+    RESULTS only, never to routing (excluding non-matching nodes from
+    traversal would disconnect the graph exactly when the filter is
+    selective).  Every node the beam scores is tested against the
+    allow-list and accumulated into a per-query hit set; final top-k
+    ranks the hits, so k results are returned whenever the walk
+    touches k matching nodes.  Under high selectivity widen ``beam``
+    (~1/selectivity) so the walk keeps touching matches; below
+    selectivity ~ 1/beam the family answer applies -- partition the
+    index by the attribute (`similarity.filtered_ivf_topk` cost
+    model).
     """
     cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
     if cfg["kind"] != "knn_graph":
@@ -579,6 +593,11 @@ def query_graph_index(
         )
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("node"))
+    allow = (
+        None
+        if allowed is None
+        else allowed.select(F.col(id_col).alias("node"))
+    )
 
     frontier = score_nodes(
         q.select("query_id").crossJoin(
@@ -591,6 +610,14 @@ def query_graph_index(
         .drop("__r")
         .localCheckpoint(eager=True)
     )
+    # Filtered search: hits accumulate every scored node that passes
+    # the allow-list, independent of whether it survives beam
+    # truncation -- routing (the frontier) stays unfiltered.
+    hits = (
+        None
+        if allow is None
+        else frontier.join(allow, "node", "left_semi").localCheckpoint(eager=True)
+    )
     for _ in range(hops):
         nbrs = (
             frontier.select("query_id", F.col("node").alias("src"))
@@ -602,15 +629,23 @@ def query_graph_index(
         )
         if nbrs.isEmpty():
             break  # every query's neighborhood is already in the beam
-        merged = frontier.unionByName(score_nodes(nbrs))
+        scored_nbrs = score_nodes(nbrs)
+        if hits is not None:
+            hits = (
+                hits.unionByName(scored_nbrs.join(allow, "node", "left_semi"))
+                .dropDuplicates(["query_id", "node"])
+                .localCheckpoint(eager=True)
+            )
+        merged = frontier.unionByName(scored_nbrs)
         frontier = (
             merged.withColumn("__r", F.row_number().over(w))
             .where(F.col("__r") <= beam)
             .drop("__r")
             .localCheckpoint(eager=True)
         )
+    result_set = frontier if hits is None else hits
     return (
-        frontier.where(F.col("node") != F.col("query_id"))
+        result_set.where(F.col("node") != F.col("query_id"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(

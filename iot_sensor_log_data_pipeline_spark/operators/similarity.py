@@ -595,6 +595,112 @@ def filtered_ivf_topk(
     )
 
 
+def ivf_probe_sweep(
+    vectors: DataFrame,
+    queries: DataFrame,
+    probes: tuple[int, ...] = (1, 2, 4, 8),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_assign: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    n_cells: int = 64,
+    sample_size: int = 2048,
+    kmeans_iter: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Recall/cost SWEEP for an IVF layout -- measure, don't guess:
+    for each candidate ``n_probe`` level, recall@k of the probe stage
+    against the exact top-k AND the fraction of the corpus the re-rank
+    would touch, from ONE plan (no per-level re-probing).  The output
+    (n_probe, recall_at_k, scan_frac) is the curve a serving team
+    reads to pick the probe width for a latency budget -- the IVF twin
+    of ``prefix-truncation recall`` (`similarity_dim_truncation`).
+
+    Because the IVF re-rank inside probed cells is exact, an exact
+    neighbor that enters the candidate set always survives to the
+    final top-k -- so candidate coverage IS end-to-end recall, and one
+    (query, neighbor)-keyed table of "first probe level at which this
+    neighbor becomes a candidate" (min query-side rank over the
+    neighbor's assigned cells) prices every level at once.
+
+    Scale shape: the ground truth is the one brute-force pass (query
+    batch broadcast, corpus streamed once -- the sweep is a
+    measurement you run on a bounded query SAMPLE, exactly like the
+    bench's recall block), the sweep itself adds one postings-shaped
+    join at max(probes) width plus two aggregations over
+    (levels x pairs) rows -- levels are literal and pairs are bounded
+    by the query sample, never the corpus.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            vectors,
+            n_cells,
+            id_col=id_col,
+            vec_col=vec_col,
+            sample_size=sample_size,
+            n_iter=kmeans_iter,
+            seed=seed,
+        )
+    spark = vectors.sparkSession
+    max_p = max(probes)
+    probe_cells = _top_cells_udf(centroids, max_p)
+    assign_cells = _top_cells_udf(centroids, n_assign)
+
+    exact = brute_force_topk(
+        vectors, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    probe_ranked = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(probe_cells(F.col(vec_col))).alias("cell_pos", "cell"),
+    ).select("query_id", (F.col("cell_pos") + 1).alias("cell_rank"), "cell")
+    assigned = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(assign_cells(F.col(vec_col))).alias("cell"),
+    )
+    minr = (
+        assigned.join(F.broadcast(probe_ranked), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("cell_rank").alias("first_probe"))
+    )
+    n_corpus = vectors.count()
+    n_q = queries.count()
+    levels = spark.createDataFrame([(int(p),) for p in probes], "n_probe int")
+
+    per_pair = exact.join(minr, ["query_id", "neighbor_id"], "left")
+    rec = (
+        levels.crossJoin(per_pair)
+        .groupBy("n_probe")
+        .agg(
+            F.avg(
+                F.when(F.col("first_probe") <= F.col("n_probe"), 1.0).otherwise(0.0)
+            ).alias("recall")
+        )
+    )
+    scan = (
+        levels.crossJoin(minr)
+        .groupBy("n_probe")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("first_probe") <= F.col("n_probe"), 1).otherwise(0)
+                )
+                / F.lit(float(n_q) * (float(n_corpus) - 1.0))
+            ).alias("scan")
+        )
+    )
+    return (
+        rec.join(scan, "n_probe")
+        .select(
+            "n_probe",
+            F.round("recall", 6).alias("recall_at_k"),
+            F.round("scan", 6).alias("scan_frac"),
+        )
+        .orderBy("n_probe")
+    )
+
+
 def ivf_cogroup_join(
     a: DataFrame,
     b: DataFrame,

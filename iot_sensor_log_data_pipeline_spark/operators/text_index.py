@@ -198,13 +198,21 @@ def query_text_index(
     k: int = 15,
     k1: float = 1.2,
     b: float = 0.75,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-``k`` from a persisted index: term-pruned postings
     scan, per-term df (bounded collect), pivot to tf columns in term
     order, length-normalized score identical to ``text.bm25_rank``.
     Query terms in the index's stop-term table contribute zero (their
     postings were dropped at build time).  Returns (doc_id, bm25),
-    descending, doc-id tiebreak."""
+    descending, doc-id tiebreak.
+
+    ``allowed`` (optional, 1 column named ``doc_id``): metadata-filtered
+    retrieval -- the scored doc set is LEFT SEMI joined on the
+    allow-list before ranking, while df / N / avgdl stay
+    CORPUS-GLOBAL (the Lucene filtered-query convention: a filter
+    narrows the result set, it does not re-weight term rarity), so a
+    doc's score is identical filtered and unfiltered."""
     stopped = {
         r["term"]
         for r in spark.read.parquet(_sub(path, "stopterms"))
@@ -260,6 +268,10 @@ def query_text_index(
             for i, t in enumerate(active_terms)
         ]
     )
+    if allowed is not None:
+        per_doc = per_doc.join(
+            allowed.select(F.col("doc_id").alias("id")), "id", "left_semi"
+        )
     scored = per_doc.join(doclens, "id")
     score = F.lit(0.0)
     for i, t in enumerate(active_terms):

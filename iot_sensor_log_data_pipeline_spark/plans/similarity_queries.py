@@ -348,6 +348,103 @@ def similarity_filtered_seed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_probe_sweep",
+    oracle=f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cell,
+             embedding AS cv
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ),
+    dots AS (
+      SELECT e.vec_id, c.cell,
+             {_DOT.format(d=64, a='e.embedding', b='c.cv')} AS dp
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    ranked AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn
+      FROM dots
+    ),
+    assigned AS (SELECT vec_id, cell FROM ranked WHERE rn <= 2),
+    probe_ranked AS (
+      SELECT vec_id AS query_id, cell, rn AS cell_rank
+      FROM ranked WHERE vec_id < 5 AND rn <= 8
+    ),
+    minr AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             min(p.cell_rank) AS first_probe
+      FROM probe_ranked p JOIN assigned a USING (cell)
+      WHERE a.vec_id <> p.query_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_DOT.format(d=64, a='q.embedding', b='n.embedding')}
+                          / ({_NORM.format(d=64, a='q.embedding')}
+                             * {_NORM.format(d=64, a='n.embedding')}) DESC,
+                          n.vec_id
+               ) AS rank
+        FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      ) WHERE rank <= 10
+    ),
+    lv AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
+    rec AS (
+      SELECT lv.n_probe,
+             avg(CASE WHEN m.first_probe IS NOT NULL
+                       AND m.first_probe <= lv.n_probe
+                      THEN 1.0 ELSE 0.0 END) AS recall
+      FROM lv CROSS JOIN exact e
+      LEFT JOIN minr m
+        ON m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id
+      GROUP BY 1
+    ),
+    scan AS (
+      SELECT lv.n_probe,
+             sum(CASE WHEN m.first_probe <= lv.n_probe THEN 1 ELSE 0 END)
+               / ((SELECT count(*) FROM embeddings WHERE vec_id < 5)
+                  * ((SELECT count(*) FROM embeddings) - 1.0)) AS scan
+      FROM lv CROSS JOIN minr m
+      GROUP BY 1
+    )
+    SELECT CAST(lv.n_probe AS INT) AS n_probe,
+           round(rec.recall, 6) + 0.0 AS recall_at_k,
+           round(scan.scan, 6) + 0.0 AS scan_frac
+    FROM lv JOIN rec USING (n_probe) JOIN scan USING (n_probe)
+    ORDER BY n_probe
+    """,
+    tags=("similarity", "north-star", "ivf", "recall", "tuning"),
+)
+def similarity_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall/cost curve that sizes an IVF serving deployment
+    (``operators/similarity.py:ivf_probe_sweep``): for n_probe in
+    (1, 2, 4, 8) over the pinned 16-cell seed quantizer, recall@10 of
+    the probe stage vs the exact top-10 and the corpus fraction the
+    re-rank touches -- ONE plan prices every level via the
+    first-probe-level table (min query-cell rank over each neighbor's
+    assigned cells), because the exact in-cell re-rank makes candidate
+    coverage equal end-to-end recall.  Measure-don't-guess: this is
+    the query a team runs on a sample before picking probe width for
+    a latency budget."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.ivf_probe_sweep(
+        emb,
+        queries,
+        probes=(1, 2, 4, 8),
+        k=10,
+        n_assign=2,
+        centroids=SIM.seed_centroids(emb, 16),
+    )
+
+
+@register(
     "similarity_ivf_ann",
     # Rows-only BY DESIGN: the sampled-Lloyd's quantizer is an iterative
     # driver-side refinement (10 Lloyd rounds over a 2048-row md5 sample)

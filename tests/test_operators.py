@@ -6971,3 +6971,85 @@ def test_query_index_allowed_family_parity(spark, tmp_path):
         ).collect()
     )
     assert got == want and got
+
+
+def test_query_graph_index_allowed_filtered_results(spark, tmp_path):
+    """Filtered graph search (results-only filter, routing untouched):
+    with an exhaustive beam the hit set covers every reachable allowed
+    node, so the filtered probe equals brute force over the allowed
+    subset; a selective probe returns only allowed ids."""
+    from iot_sensor_log_data_pipeline_spark.operators import graph_ann as GA
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where("vec_id < 40")
+    queries = emb.where("vec_id >= 40 AND vec_id < 42")
+    allowed = corpus.where("vec_id % 2 = 0").select("vec_id")
+    root = str(tmp_path / "g_filtered")
+    GA.build_graph_index(corpus, root, k=8, n_iter=2)
+
+    got = GA.query_graph_index(
+        spark, root, queries, k=5, beam=64, hops=6, allowed=allowed
+    ).collect()
+    assert got and all(r["neighbor_id"] % 2 == 0 for r in got)
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in SIM.brute_force_topk(
+            corpus.where("vec_id % 2 = 0"), queries, k=5
+        ).collect()
+    )
+    assert sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in got) == want
+
+    # narrow beam: still only allowed ids, results well-formed
+    narrow = GA.query_graph_index(
+        spark, root, queries, k=3, beam=8, hops=3, allowed=allowed
+    ).collect()
+    assert all(r["neighbor_id"] % 2 == 0 for r in narrow)
+
+
+def test_query_text_index_allowed_keeps_global_stats(spark, tmp_path):
+    """Filtered BM25 (Lucene filtered-query convention): the allow-list
+    narrows the RESULT SET but df/N/avgdl stay corpus-global, so each
+    surviving doc keeps its unfiltered score -- and docs ranked past k
+    unfiltered surface once their betters are filtered out."""
+    from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    root = str(tmp_path / "t_filtered")
+    TI.build_text_index(docs, root)
+    terms = ("spark", "join", "window")
+    full = {
+        r["doc_id"]: r["bm25"]
+        for r in TI.query_text_index(spark, root, terms, k=10_000).collect()
+    }
+    allowed = docs.where("doc_id % 3 = 0").select("doc_id")
+    got = TI.query_text_index(
+        spark, root, terms, k=10, allowed=allowed
+    ).collect()
+    assert got and all(r["doc_id"] % 3 == 0 for r in got)
+    # score identity: filtered scores equal the unfiltered ones
+    assert all(abs(full[r["doc_id"]] - r["bm25"]) < 1e-12 for r in got)
+    # ranking identity: exactly the top-10 allowed docs by global score
+    want = sorted(
+        ((-s, d) for d, s in full.items() if d % 3 == 0)
+    )[:10]
+    assert [r["doc_id"] for r in got] == [d for _, d in want]
+
+
+def test_ivf_probe_sweep_monotone_and_exhaustive(spark):
+    """The sweep's structural guarantees: recall and scan fraction are
+    non-decreasing in n_probe, and probing every cell reaches recall
+    1.0 at scan fraction 1.0 (n_assign >= 1 puts every neighbor in
+    some probed cell)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where("vec_id < 60")
+    queries = corpus.where("vec_id < 3")
+    cents = SIM.seed_centroids(corpus, 8)
+    rows = SIM.ivf_probe_sweep(
+        corpus, queries, probes=(1, 4, 8), k=5, n_assign=2, centroids=cents
+    ).collect()
+    assert [r["n_probe"] for r in rows] == [1, 4, 8]
+    recalls = [r["recall_at_k"] for r in rows]
+    scans = [r["scan_frac"] for r in rows]
+    assert recalls == sorted(recalls) and scans == sorted(scans)
+    assert recalls[-1] == 1.0 and scans[-1] == 1.0
+    assert scans[0] < 1.0  # a 1-probe scan must touch a strict subset

@@ -67,6 +67,10 @@ BNLJ_ALLOWED = {
     # 5-row broadcast-queries theta join in the reduced JL space --
     # similarity_topk_cosine's exact shape, operators/similarity.py:rp_ann_topk
     "similarity_rp_ann",
+    # the exact-baseline theta join (5-query broadcast side) + two
+    # 4-row literal probe-level cross joins onto query-sample-bounded
+    # pair tables -- operators/similarity.py:ivf_probe_sweep
+    "similarity_probe_sweep",
     # temperature mixture's two 1-row broadcasts (corpus total, Z)
     # under the budget join -- curation.py:token_budget_sample
     "corpus_token_budget_sample",

@@ -701,6 +701,110 @@ def ivf_probe_sweep(
     )
 
 
+def mmr_rerank(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 15,
+    lam: float = 0.75,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell &
+    Goldstein, SIGIR'98) -- the post-retrieval step RAG serving stacks
+    run so the k passages handed to the model aren't k paraphrases of
+    the same one: greedily select from the top-``pool`` exact-cosine
+    candidates, each step maximizing
+
+        mmr(c) = lam * rel(c) - (1 - lam) * max_{s in S} sim(c, s)
+
+    (relevance traded against similarity to what's already selected;
+    the first pick's penalty term is 0).  Ties break on lower
+    neighbor id, fully deterministic.
+
+    Scale shape: relevance and the pairwise candidate similarities
+    are JVM cosine folds (one broadcast-queries scoring pass + one
+    pool^2-per-query self-join -- pool is a serving constant, never
+    the corpus), and only the greedy selection itself -- a
+    sequentially dependent argmax over <= pool rows per query, not
+    SQL-expressible without unrolling -- runs in an Arrow
+    ``applyInPandas`` over the per-query pair table.  All arithmetic
+    the Python side performs on the JVM-computed doubles is
+    order-fixed (multiply, subtract, running max), so results replay
+    bit-identically in SQL; keep ``lam`` dyadic (0.75 default) so
+    ``1 - lam`` is exact in both engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    scored = vectors.join(
+        F.broadcast(q), F.col(id_col) != F.col("query_id")
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        cosine(F.col("query_vec"), F.col(vec_col)).alias("rel"),
+        F.col(vec_col).alias("vec"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("neighbor_id"))
+    cand = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= pool)
+        .drop("__r")
+    )
+    a = cand.select(
+        "query_id",
+        F.col("neighbor_id").alias("a"),
+        F.col("rel").alias("rel_a"),
+        F.col("vec").alias("va"),
+    )
+    b = cand.select(
+        "query_id", F.col("neighbor_id").alias("b"), F.col("vec").alias("vb")
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "rel_a",
+            "b",
+            cosine(F.col("va"), F.col("vb")).alias("sim"),
+        )
+    )
+    lam_f = float(lam)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rels = {}
+        sims = {}
+        for row in pdf.itertuples(index=False):
+            rels[int(row.a)] = float(row.rel_a)
+            sims[(int(row.a), int(row.b))] = float(row.sim)
+        selected: list[int] = []
+        out = []
+        remaining = set(rels)
+        for step in range(1, min(k, len(rels)) + 1):
+            best_id, best_score = None, None
+            for c in sorted(remaining):
+                pen = max((sims[(c, s)] for s in selected), default=0.0)
+                score = lam_f * rels[c] - (1.0 - lam_f) * pen
+                if best_score is None or score > best_score:
+                    best_id, best_score = c, score
+            selected.append(best_id)
+            remaining.discard(best_id)
+            out.append((qid, best_id, best_score, step))
+        return pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "mmr", "rank"]
+        )
+
+    picked = pairs.groupBy("query_id").applyInPandas(
+        greedy, "query_id long, neighbor_id long, mmr double, rank long"
+    )
+    return picked.select(
+        "query_id", "neighbor_id", F.round("mmr", 6).alias("mmr"), "rank"
+    ).orderBy("query_id", "rank")
+
+
 def ivf_cogroup_join(
     a: DataFrame,
     b: DataFrame,

@@ -83,6 +83,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "text_kneser_ney_logprob",
     "text_blocklist_filter",
     "similarity_probe_sweep",
+    "similarity_mmr_rerank",
     # (b) round-11-edited code paths re-enter: ivfpq_topk gained
     # multi-assignment (per-cell ADC min restructure) + the quantizer
     # guards; _read_with_segments gained the absorb manifest/marker
@@ -139,21 +140,21 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "pivot_daily_event_values",
     "rollup_order_status_priority",
     "row_transform_flatten",
-    "sessionize_events",
-    # setops_user_cohorts / topk_orders_global / unpivot_order_measures
-    # / value_props_corr deferred to round 12: the four mid-round
-    # additions above took their window slots, and all four hold green
-    # r5 rows on single-operator plans (set ops, global top-k, unpivot,
-    # corr) untouched since.
+    # sessionize_events / setops_user_cohorts / topk_orders_global /
+    # unpivot_order_measures / value_props_corr deferred to round 12:
+    # the five mid-round additions above took their window slots, and
+    # all five hold green r5 rows on single-operator plans
+    # (sessionization, set ops, global top-k, unpivot, corr) untouched
+    # since.
 )
 
 #: Round-12 rotation plan: (a) anything new in round 12 plus
-#: re-entries for round-12-edited code paths; (b) the seven rows
+#: re-entries for round-12-edited code paths; (b) the eight rows
 #: deferred from this window (hourly_avg_by_type, histogram_max_value,
 #: json_serialize -- trivial reference-module queries, siblings green
-#: r7-r10 -- plus setops_user_cohorts, topk_orders_global,
-#: unpivot_order_measures, value_props_corr, displaced by the
-#: mid-round additions);
+#: r7-r10 -- plus sessionize_events, setops_user_cohorts,
+#: topk_orders_global, unpivot_order_measures, value_props_corr,
+#: displaced by the mid-round additions);
 #: (c) then the oldest remaining evidence is the r7 battery
 #: (50 rows: scan roundtrips, window functions, winnowing/semantic
 #: dedup, curation family) -- refresh in registration order as slots

@@ -444,6 +444,112 @@ def similarity_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Candidate relevance + pairwise-similarity CTEs shared by the MMR
+#: oracle's three unrolled greedy steps.
+_MMR_BASE = f"""
+    cand AS (
+      SELECT query_id, neighbor_id, rel FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               {_DOT.format(d=64, a='q.embedding', b='n.embedding')}
+                 / ({_NORM.format(d=64, a='q.embedding')}
+                    * {_NORM.format(d=64, a='n.embedding')}) AS rel,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_DOT.format(d=64, a='q.embedding', b='n.embedding')}
+                          / ({_NORM.format(d=64, a='q.embedding')}
+                             * {_NORM.format(d=64, a='n.embedding')}) DESC,
+                          n.vec_id
+               ) AS rn
+        FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      ) WHERE rn <= 10
+    ),
+    sims AS (
+      SELECT ca.query_id, ca.neighbor_id AS a, cb.neighbor_id AS b,
+             {_DOT.format(d=64, a='ea.embedding', b='eb.embedding')}
+               / ({_NORM.format(d=64, a='ea.embedding')}
+                  * {_NORM.format(d=64, a='eb.embedding')}) AS sim
+      FROM cand ca
+      JOIN cand cb ON cb.query_id = ca.query_id
+                  AND cb.neighbor_id <> ca.neighbor_id
+      JOIN embeddings ea ON ea.vec_id = ca.neighbor_id
+      JOIN embeddings eb ON eb.vec_id = cb.neighbor_id
+    )
+    """
+
+
+@register(
+    "similarity_mmr_rerank",
+    oracle=f"""
+    WITH {_MMR_BASE},
+    s1 AS (
+      SELECT query_id, neighbor_id, mmr FROM (
+        SELECT query_id, neighbor_id, 0.75 * rel - 0.25 * 0.0 AS mmr,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY 0.75 * rel - 0.25 * 0.0 DESC,
+                                           neighbor_id) AS rn
+        FROM cand) WHERE rn = 1
+    ),
+    r2 AS (
+      SELECT c.query_id, c.neighbor_id,
+             0.75 * c.rel - 0.25 * s.sim AS mmr
+      FROM cand c
+      JOIN s1 ON s1.query_id = c.query_id AND c.neighbor_id <> s1.neighbor_id
+      JOIN sims s ON s.query_id = c.query_id
+                 AND s.a = c.neighbor_id AND s.b = s1.neighbor_id
+    ),
+    s2 AS (
+      SELECT query_id, neighbor_id, mmr FROM (
+        SELECT query_id, neighbor_id, mmr,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY mmr DESC, neighbor_id) AS rn
+        FROM r2) WHERE rn = 1
+    ),
+    r3 AS (
+      SELECT c.query_id, c.neighbor_id,
+             0.75 * c.rel - 0.25 * greatest(sa.sim, sb.sim) AS mmr
+      FROM cand c
+      JOIN s1 ON s1.query_id = c.query_id AND c.neighbor_id <> s1.neighbor_id
+      JOIN s2 ON s2.query_id = c.query_id AND c.neighbor_id <> s2.neighbor_id
+      JOIN sims sa ON sa.query_id = c.query_id
+                  AND sa.a = c.neighbor_id AND sa.b = s1.neighbor_id
+      JOIN sims sb ON sb.query_id = c.query_id
+                  AND sb.a = c.neighbor_id AND sb.b = s2.neighbor_id
+    ),
+    s3 AS (
+      SELECT query_id, neighbor_id, mmr FROM (
+        SELECT query_id, neighbor_id, mmr,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY mmr DESC, neighbor_id) AS rn
+        FROM r3) WHERE rn = 1
+    )
+    SELECT query_id, neighbor_id, round(mmr, 6) + 0.0 AS mmr,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, neighbor_id, mmr, 1 AS rank FROM s1
+      UNION ALL SELECT query_id, neighbor_id, mmr, 2 FROM s2
+      UNION ALL SELECT query_id, neighbor_id, mmr, 3 FROM s3
+    )
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "north-star", "retrieval", "mmr", "diversity"),
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR result diversification
+    (``operators/similarity.py:mmr_rerank``, Carbonell & Goldstein
+    SIGIR'98): pick 3 of the top-10 exact-cosine candidates per query,
+    each step maximizing 0.75*rel - 0.25*max-sim-to-selected -- the
+    post-retrieval step that stops a RAG context window being k
+    paraphrases of one passage.  The greedy recursion is the ONE
+    non-SQL stage (an order-fixed Arrow fold over <= pool rows per
+    query); the oracle replays it exactly by unrolling the three
+    selection steps (the hop-unrolled beam-search precedent), so every
+    arithmetic step is externally value-checked."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.mmr_rerank(emb, queries, k=3, pool=10, lam=0.75)
+
+
 @register(
     "similarity_ivf_ann",
     # Rows-only BY DESIGN: the sampled-Lloyd's quantizer is an iterative

@@ -7053,3 +7053,31 @@ def test_ivf_probe_sweep_monotone_and_exhaustive(spark):
     assert recalls == sorted(recalls) and scans == sorted(scans)
     assert recalls[-1] == 1.0 and scans[-1] == 1.0
     assert scans[0] < 1.0  # a 1-probe scan must touch a strict subset
+
+
+def test_mmr_rerank_diversifies_and_matches_hand_greedy(spark):
+    """MMR behavior on a crafted pool: the first pick is the most
+    relevant candidate, and the second pick skips the near-duplicate
+    of the first (rel-rank 2) for the diverse candidate -- plus exact
+    score agreement with the hand-computed greedy."""
+    import math
+
+    q = [1.0, 0.0, 0.0]
+    c1 = [1.0, 0.1, 0.0]    # most relevant
+    c2 = [1.0, 0.11, 0.0]   # near-duplicate of c1, rel-rank 2
+    c3 = [0.9, 0.0, 0.44]   # less relevant, diverse (orthogonal-ish)
+    rows = [(0, q), (1, c1), (2, c2), (3, c3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = SIM.mmr_rerank(
+        df, df.where("vec_id = 0"), k=2, pool=3, lam=0.5
+    ).collect()
+    assert [(r["rank"], r["neighbor_id"]) for r in got] == [(1, 1), (2, 3)]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    want1 = 0.5 * cos(q, c1) - 0.5 * 0.0
+    want2 = 0.5 * cos(q, c3) - 0.5 * cos(c3, c1)
+    assert abs(got[0]["mmr"] - round(want1, 6)) < 1e-12
+    assert abs(got[1]["mmr"] - round(want2, 6)) < 1e-12

@@ -71,6 +71,9 @@ BNLJ_ALLOWED = {
     # 4-row literal probe-level cross joins onto query-sample-bounded
     # pair tables -- operators/similarity.py:ivf_probe_sweep
     "similarity_probe_sweep",
+    # the same exact-baseline theta join feeding the pool-bounded MMR
+    # pair table -- operators/similarity.py:mmr_rerank
+    "similarity_mmr_rerank",
     # temperature mixture's two 1-row broadcasts (corpus total, Z)
     # under the budget join -- curation.py:token_budget_sample
     "corpus_token_budget_sample",

@@ -508,6 +508,7 @@ def filtered_ivf_topk(
     kmeans_iter: int = 10,
     seed: int = 42,
     centroids: list[tuple[int, list[float]]] | None = None,
+    negate: bool = False,
 ) -> DataFrame:
     """Metadata-FILTERED approximate top-k over an IVF layout -- the
     attribute-constrained vector search every serving store implements
@@ -522,7 +523,11 @@ def filtered_ivf_topk(
     - ``match_col``: neighbor must carry the SAME value as the query
       in this column (label = label, tenant = tenant) -- the equality
       travels as an extra predicate on the candidate join, staying
-      inside the same shuffle;
+      inside the same shuffle; with ``negate=True`` the predicate
+      flips to inequality, which is HARD-NEGATIVE MINING (the
+      embedding-training shape: the most similar vectors that are NOT
+      the query's class make the most informative contrastive
+      negatives);
     - ``allowed``: a 1-column (``id_col``) allow-list DataFrame; the
       neighbor side is LEFT SEMI joined on it before scoring (the
       vector-DB "filtered by ids from a metadata query" form; Spark
@@ -543,6 +548,8 @@ def filtered_ivf_topk(
     if match_col is None and allowed is None:
         raise ValueError("filtered_ivf_topk needs match_col and/or allowed; "
                          "use ivf_topk for the unfiltered search")
+    if negate and match_col is None:
+        raise ValueError("negate=True needs match_col")
     if centroids is None:
         centroids = kmeans_centroids(
             vectors,
@@ -581,7 +588,11 @@ def filtered_ivf_topk(
         F.col("neighbor_id") != F.col("query_id")
     )
     if match_col is not None:
-        cand = cand.where(F.col("nb_attr") == F.col("q_attr"))
+        cand = cand.where(
+            F.col("nb_attr") != F.col("q_attr")
+            if negate
+            else F.col("nb_attr") == F.col("q_attr")
+        )
     scored = cand.select(
         "query_id",
         "neighbor_id",

@@ -587,6 +587,122 @@ def bm25_rank(
     )
 
 
+def bm25_prf_rank(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    *,
+    fb_k: int = 5,
+    n_expand: int = 5,
+    alpha: float = 0.5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 with RM3 pseudo-relevance feedback (Lavrenko & Croft 2001;
+    Abdul-Jaleel et al., TREC 2004) -- the classic query-expansion
+    loop: rank once with the original terms, treat the top-``fb_k``
+    docs as pseudo-relevant, estimate a relevance model
+    P(w|R) = sum_d w_d * tf(w,d)/|d| (w_d = the doc's normalized
+    stage-1 score), take the top-``n_expand`` new terms, and re-score
+    the corpus with the interpolated weighted query
+    (alpha spread over the originals, 1-alpha over the expansion
+    terms by normalized P(w|R)) -- so documents matching the TOPIC of
+    the top results rank even when they miss the literal query words.
+
+    Determinism/oracle discipline: stage-1 weights reuse
+    ``bm25_rank``'s ROUNDED scores (both engines rank from identical
+    doubles), P(w|R) and the term weights round to 9 decimals before
+    any selection or arithmetic that feeds ranking, and the final
+    weighted score rounds to 6 -- every sum crossing an engine
+    boundary is over <= fb_k or <= n_expand addends.
+
+    Scale shape: stage 1 is ``bm25_rank``'s single codegen'd scan;
+    the relevance model touches only the ``fb_k`` feedback docs; the
+    re-score is one token explode pruned AT THE SCAN by the broadcast
+    (<= len(query_terms) + n_expand)-row query model, per-(doc, term)
+    map-combined counts, a term-keyed df agg bounded by the model
+    size, and a 1-row corpus-stats broadcast -- token-linear total,
+    no vocabulary-wide shuffle.
+    """
+    spark = docs.sparkSession
+    fb = bm25_rank(
+        docs, query_terms, k=fb_k, k1=k1, b=b, id_col=id_col, text_col=text_col
+    )
+    fb_docs = docs.join(fb, id_col).select(
+        F.col(id_col), F.col("bm25"), tokens(text_col).alias("l")
+    )
+    tok = fb_docs.select(
+        id_col, "bm25", F.size("l").alias("dl"), F.explode("l").alias("term")
+    )
+    per = tok.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.first("bm25").alias("bm25"),
+        F.first("dl").alias("dl"),
+    )
+    wsum = fb.agg(F.sum("bm25").alias("ws"))
+    pr = (
+        per.select("term", (F.col("bm25") * F.col("tf") / F.col("dl")).alias("c"))
+        .groupBy("term")
+        .agg(F.sum("c").alias("num"))
+        .crossJoin(F.broadcast(wsum))
+        .select("term", F.round(F.col("num") / F.col("ws"), 9).alias("p_rm"))
+    )
+    expansion = (
+        pr.where(~F.col("term").isin(*query_terms))
+        .orderBy(F.desc("p_rm"), F.asc("term"))
+        .limit(n_expand)
+    )
+    z = expansion.agg(F.sum("p_rm").alias("z"))
+    exp_w = expansion.crossJoin(F.broadcast(z)).select(
+        "term",
+        F.round(F.lit(1.0 - alpha) * F.col("p_rm") / F.col("z"), 9).alias("w"),
+    )
+    orig_w = spark.createDataFrame(
+        [(t, float(alpha) / len(query_terms)) for t in query_terms],
+        "term string, w double",
+    )
+    qmodel = orig_w.unionByName(exp_w)
+
+    tok2 = docs.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("dl"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    tf2 = (
+        tok2.join(F.broadcast(qmodel), "term")
+        .groupBy(id_col, "term")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("tf"),
+            F.first("dl").alias("dl"),
+            F.first("w").alias("w"),
+        )
+    )
+    df2 = tf2.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    stats2 = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(token_count(F.col(text_col))).alias("avgdl"),
+    )
+    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    sat = (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf2.join(df2, "term")
+        .crossJoin(F.broadcast(stats2))
+        .select(id_col, (F.col("w") * idf * sat).alias("s"))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("s"), 6).alias("prf_score"))
+    )
+    return (
+        scored.where(F.col("prf_score") > 0)
+        .orderBy(F.desc("prf_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def rrf_fuse(
     ranked: list[DataFrame],
     id_col: str = "doc_id",

@@ -84,6 +84,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "text_blocklist_filter",
     "similarity_probe_sweep",
     "similarity_mmr_rerank",
+    "similarity_hard_negatives",
+    "text_bm25_prf_search",
     # (b) round-11-edited code paths re-enter: ivfpq_topk gained
     # multi-assignment (per-cell ADC min restructure) + the quantizer
     # guards; _read_with_segments gained the absorb manifest/marker
@@ -138,23 +140,24 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "join_theta_size_bands",
     "monotonic_sequence",
     "pivot_daily_event_values",
-    "rollup_order_status_priority",
-    "row_transform_flatten",
+    # rollup_order_status_priority / row_transform_flatten /
     # sessionize_events / setops_user_cohorts / topk_orders_global /
     # unpivot_order_measures / value_props_corr deferred to round 12:
-    # the five mid-round additions above took their window slots, and
-    # all five hold green r5 rows on single-operator plans
-    # (sessionization, set ops, global top-k, unpivot, corr) untouched
-    # since.
+    # the seven mid-round additions above took their window slots, and
+    # all seven hold green r5 rows on single-operator plans (rollup,
+    # struct flatten, sessionization, set ops, global top-k, unpivot,
+    # corr) untouched since.
 )
 
 #: Round-12 rotation plan: (a) anything new in round 12 plus
-#: re-entries for round-12-edited code paths; (b) the eight rows
+#: re-entries for round-12-edited code paths; (b) the ten rows
 #: deferred from this window (hourly_avg_by_type, histogram_max_value,
 #: json_serialize -- trivial reference-module queries, siblings green
-#: r7-r10 -- plus sessionize_events, setops_user_cohorts,
-#: topk_orders_global, unpivot_order_measures, value_props_corr,
-#: displaced by the mid-round additions);
+#: r7-r10 -- plus rollup_order_status_priority, row_transform_flatten,
+#: sessionize_events, setops_user_cohorts, topk_orders_global,
+#: unpivot_order_measures, value_props_corr, displaced by the seven
+#: mid-round additions, which lead this window as first-evidence
+#: rows);
 #: (c) then the oldest remaining evidence is the r7 battery
 #: (50 rows: scan roundtrips, window functions, winnowing/semantic
 #: dedup, curation family) -- refresh in registration order as slots

@@ -444,6 +444,88 @@ def similarity_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_hard_negatives",
+    oracle=f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cell,
+             embedding AS cv
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ),
+    dots AS (
+      SELECT e.vec_id, c.cell,
+             {_DOT.format(d=64, a='e.embedding', b='c.cv')} AS dp
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn
+        FROM dots)
+      WHERE rn <= 2
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT vec_id AS query_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell) AS rn
+        FROM dots WHERE vec_id < 5)
+      WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a USING (cell)
+      WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_DOT.format(d=64, a='qe.embedding', b='ne.embedding')}
+               / ({_NORM.format(d=64, a='qe.embedding')}
+                  * {_NORM.format(d=64, a='ne.embedding')}) AS cos_sim
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+      WHERE ne.label <> qe.label
+    )
+    SELECT query_id, neighbor_id, round(cos_sim, 6) + 0.0 AS cos_sim, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "north-star", "ivf", "ann", "hard-negatives"),
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining
+    (``operators/similarity.py:filtered_ivf_topk(negate=True)``): the
+    top-10 most-similar DIFFERENT-label vectors per query -- the
+    contrastive-training data shape (the negatives an embedding model
+    learns most from are the ones closest to the anchor that are not
+    its class).  Same pinned 16-cell seed quantizer as the filtered
+    search with the match predicate flipped to inequality; negatives
+    are the ~90%-selectivity case so the unfiltered probe width (4)
+    already holds recall -- the documented n_probe ~ 1/selectivity
+    rule from the other side."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.filtered_ivf_topk(
+        emb,
+        queries,
+        k=10,
+        match_col="label",
+        negate=True,
+        n_cells=16,
+        n_probe=4,
+        n_assign=2,
+        centroids=SIM.seed_centroids(emb, 16),
+    ).orderBy("query_id", "rank")
+
+
 #: Candidate relevance + pairwise-similarity CTEs shared by the MMR
 #: oracle's three unrolled greedy steps.
 _MMR_BASE = f"""

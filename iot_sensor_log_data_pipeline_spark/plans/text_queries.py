@@ -347,6 +347,107 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bm25_rank(docs, _BM25_TERMS, k=15, k1=_BM25_K1, b=_BM25_B)
 
 
+@register(
+    "text_bm25_prf_search",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             {_NTOK} AS dl,
+             {", ".join(f"{sql} AS tf{i}" for i, sql in _BM25_TF.items())}
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(dl) AS avgdl,
+             {", ".join(f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}" for i in _BM25_TF)}
+      FROM base
+    ),
+    fb AS (
+      SELECT doc_id, bm25
+      FROM (SELECT doc_id, round({_BM25_SCORE}, 6) AS bm25
+            FROM base CROSS JOIN stats)
+      WHERE bm25 > 0
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 5
+    ),
+    fbtok AS (
+      SELECT d.doc_id, f.bm25, len({_TOKS}) AS dl, unnest({_TOKS}) AS term
+      FROM documents d JOIN fb f USING (doc_id)
+    ),
+    per AS (
+      SELECT term, doc_id, count(*) AS tf,
+             min(bm25) AS bm25, min(dl) AS dl
+      FROM fbtok GROUP BY term, doc_id
+    ),
+    wsum AS (SELECT sum(bm25) AS ws FROM fb),
+    pr AS (
+      SELECT term,
+             round(sum(bm25 * tf / dl) / (SELECT ws FROM wsum), 9) AS p_rm
+      FROM per GROUP BY term
+    ),
+    expansion AS (
+      SELECT term, p_rm FROM pr
+      WHERE term NOT IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+      ORDER BY p_rm DESC, term LIMIT 5
+    ),
+    z AS (SELECT sum(p_rm) AS z FROM expansion),
+    qmodel AS (
+      SELECT term, 0.5 / {len(_BM25_TERMS)} AS w
+      FROM (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}) t(term)
+      UNION ALL
+      SELECT term, round(0.5 * p_rm / (SELECT z FROM z), 9) AS w
+      FROM expansion
+    ),
+    tok2 AS (
+      SELECT doc_id, {_NTOK} AS dl, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf2 AS (
+      SELECT t.doc_id, t.term,
+             CAST(count(*) AS DOUBLE) AS tf,
+             min(t.dl) AS dl, min(q.w) AS w
+      FROM tok2 t JOIN qmodel q USING (term)
+      GROUP BY t.doc_id, t.term
+    ),
+    df2 AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf2 GROUP BY term),
+    stats2 AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg({_NTOK}) AS avgdl
+      FROM documents
+    ),
+    scored AS (
+      SELECT tf2.doc_id,
+             tf2.w * ln(1.0 + (s2.n - d2.df + 0.5) / (d2.df + 0.5))
+                   * (tf2.tf * {_BM25_K1 + 1.0!r}
+                      / (tf2.tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r}
+                         + {_BM25_B!r} * tf2.dl / s2.avgdl))) AS s
+      FROM tf2 JOIN df2 d2 USING (term) CROSS JOIN stats2 s2
+    )
+    SELECT doc_id, prf_score
+    FROM (SELECT doc_id, round(sum(s), 6) AS prf_score
+          FROM scored GROUP BY doc_id)
+    WHERE prf_score > 0
+    ORDER BY prf_score DESC, doc_id
+    LIMIT 10
+    """,
+    tags=("text", "north-star", "retrieval", "prf", "rm3"),
+)
+def text_bm25_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback
+    (``operators/text.py:bm25_prf_rank``): rank with the original
+    terms, mine expansion terms from the top-5 docs' relevance model
+    P(w|R), and re-score the corpus with the interpolated weighted
+    query -- documents matching the TOPIC of the top results rank
+    even when they miss the literal query words.  Stage 1 is the
+    single-scan bm25_rank; the re-score is one token explode pruned
+    at the scan by the broadcast 8-row query model; every sum that
+    feeds a ranking decision is bounded (fb_k or n_expand addends)
+    and rounded before use."""
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    return TX.bm25_prf_rank(
+        docs, _BM25_TERMS, fb_k=5, n_expand=5, alpha=0.5, k=10,
+        k1=_BM25_K1, b=_BM25_B,
+    )
+
+
 _RRF_QUERY_TEXT = " ".join(_BM25_TERMS)
 _HASH_CELLS = """
       SELECT {key} CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS idx,

@@ -7081,3 +7081,64 @@ def test_mmr_rerank_diversifies_and_matches_hand_greedy(spark):
     want2 = 0.5 * cos(q, c3) - 0.5 * cos(c3, c1)
     assert abs(got[0]["mmr"] - round(want1, 6)) < 1e-12
     assert abs(got[1]["mmr"] - round(want2, 6)) < 1e-12
+
+
+def test_filtered_ivf_topk_negate_mines_hard_negatives(spark):
+    """negate=True flips the match predicate: at full probe width the
+    result equals brute force over the DIFFERENT-label subset (the
+    hard-negative mining contract); negate without match_col raises."""
+    import pytest as _pytest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where("vec_id < 80")
+    queries = corpus.where("vec_id < 3")
+    with _pytest.raises(ValueError, match="negate=True needs match_col"):
+        SIM.filtered_ivf_topk(corpus, queries, allowed=corpus.select("vec_id"),
+                              negate=True)
+    cents = SIM.seed_centroids(corpus, 8)
+    got = SIM.filtered_ivf_topk(
+        corpus, queries, k=5, match_col="label", negate=True,
+        n_cells=8, n_probe=8, n_assign=1, centroids=cents,
+    ).collect()
+    labels = {r["vec_id"]: r["label"] for r in corpus.collect()}
+    want = []
+    for r in queries.collect():
+        neg = corpus.where(F.col("label") != labels[r["vec_id"]])
+        want += [
+            (x["query_id"], x["neighbor_id"], x["rank"])
+            for x in SIM.brute_force_topk(
+                neg, queries.where(F.col("vec_id") == r["vec_id"]), k=5
+            ).collect()
+        ]
+    assert sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in got) == sorted(want)
+    assert all(labels[r["neighbor_id"]] != labels[r["query_id"]] for r in got)
+
+
+def test_bm25_prf_surfaces_topic_docs_missing_query_terms(spark):
+    """The RM3 point: a document containing none of the literal query
+    words but sharing the feedback docs' topic vocabulary scores > 0
+    in the PRF ranking (plain BM25 gives it exactly nothing)."""
+    from iot_sensor_log_data_pipeline_spark.operators.text import (
+        bm25_prf_rank,
+        bm25_rank,
+    )
+
+    rows = [
+        # on-topic docs matching the query terms + topic word 'shuffle'
+        (1, "spark join shuffle spark join shuffle plan"),
+        (2, "spark join shuffle exchange spark shuffle"),
+        (3, "join shuffle spark plan shuffle stage"),
+        # the target: topic vocabulary only, no query terms
+        (4, "shuffle exchange stage plan shuffle shuffle"),
+        # off-topic noise
+        (5, "banana apple orange pear grape melon"),
+        (6, "red green blue yellow purple pink"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = ("spark", "join")
+    plain = {r["doc_id"] for r in bm25_rank(docs, q, k=10).collect()}
+    assert 4 not in plain
+    prf = {r["doc_id"]: r["prf_score"] for r in
+           bm25_prf_rank(docs, q, fb_k=3, n_expand=3, k=10).collect()}
+    assert 4 in prf and prf[4] > 0
+    assert 5 not in prf and 6 not in prf  # off-topic stays out

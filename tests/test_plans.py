@@ -74,6 +74,13 @@ BNLJ_ALLOWED = {
     # the same exact-baseline theta join feeding the pool-bounded MMR
     # pair table -- operators/similarity.py:mmr_rerank
     "similarity_mmr_rerank",
+    # the seed-quantizer probe skeleton of similarity_filtered_seed_ann
+    # with the match predicate flipped -- same bounded broadcasts
+    "similarity_hard_negatives",
+    # bm25_rank's 1-row stats broadcast (twice: feedback + re-score)
+    # plus the <= fb_k/n_expand-row wsum/z broadcasts --
+    # operators/text.py:bm25_prf_rank
+    "text_bm25_prf_search",
     # temperature mixture's two 1-row broadcasts (corpus total, Z)
     # under the budget join -- curation.py:token_budget_sample
     "corpus_token_budget_sample",

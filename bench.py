@@ -122,6 +122,16 @@ HEADLINE: tuple[str, ...] = (
     "incremental_join_cdc_refresh",
     # round 10: IVF-PQ residual composite (cell-pruned ADC + re-rank)
     "similarity_ivfpq_ann",
+    # round 11: metadata-filtered vector search (pre-re-rank predicate)
+    "similarity_filtered_seed_ann",
+    # round 11: MMR diversification (pool-bounded Arrow greedy)
+    "similarity_mmr_rerank",
+    # round 11: RM3 feedback loop (two ranked passes + 8-term model)
+    "text_bm25_prf_search",
+    # round 11: interpolated Kneser-Ney scoring (bigram-type-table aggs)
+    "text_kneser_ney_logprob",
+    # round 11: zero-shuffle token blocklist gate (array-literal scan)
+    "text_blocklist_filter",
 )
 
 

@@ -25,6 +25,16 @@ class ScratchCaches:
         self._live.append(df)
         return df
 
+    def cache_more(self, df: DataFrame) -> DataFrame:
+        """Cache an ADDITIONAL intermediate for the same operator call
+        (multi-stage operators like ``bm25_prf_rank`` cache each
+        stage's tiny derived table).  Does NOT release -- the next
+        ``cache()`` call (i.e. the next operator call) drops the whole
+        set at once, preserving the one-call-lifetime contract."""
+        df = df.cache()
+        self._live.append(df)
+        return df
+
     def release(self) -> None:
         while self._live:
             self._live.pop().unpersist()

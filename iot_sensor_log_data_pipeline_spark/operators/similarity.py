@@ -643,6 +643,8 @@ def ivf_probe_sweep(
     (levels x pairs) rows -- levels are literal and pairs are bounded
     by the query sample, never the corpus.
     """
+    if not probes or any(int(p) < 1 for p in probes):
+        raise ValueError("probes must be a non-empty tuple of levels >= 1")
     if centroids is None:
         centroids = kmeans_centroids(
             vectors,
@@ -677,11 +679,17 @@ def ivf_probe_sweep(
     )
     n_corpus = vectors.count()
     n_q = queries.count()
+    if n_q == 0 or n_corpus < 2:
+        raise ValueError(
+            "ivf_probe_sweep needs a non-empty query sample and >= 2 "
+            "corpus vectors (the recall denominator is the exact "
+            "top-k over queries x (corpus - self))"
+        )
     levels = spark.createDataFrame([(int(p),) for p in probes], "n_probe int")
 
     per_pair = exact.join(minr, ["query_id", "neighbor_id"], "left")
     rec = (
-        levels.crossJoin(per_pair)
+        per_pair.crossJoin(F.broadcast(levels))
         .groupBy("n_probe")
         .agg(
             F.avg(
@@ -690,7 +698,7 @@ def ivf_probe_sweep(
         )
     )
     scan = (
-        levels.crossJoin(minr)
+        minr.crossJoin(F.broadcast(levels))
         .groupBy("n_probe")
         .agg(
             (
@@ -745,6 +753,11 @@ def mmr_rerank(
     bit-identically in SQL; keep ``lam`` dyadic (0.75 default) so
     ``1 - lam`` is exact in both engines.
     """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1] (1 = pure relevance)")
+    if k < 1 or pool < 2:
+        raise ValueError("mmr_rerank needs k >= 1 and pool >= 2 "
+                         "(one candidate has nothing to diversify against)")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )

@@ -30,7 +30,8 @@ _SCRATCH = ScratchCaches()
 
 def release_caches() -> None:
     """Unpersist scratch cached by earlier ``unigram_logprob`` /
-    ``bigram_logprob`` calls."""
+    ``bigram_logprob`` / ``kneser_ney_logprob`` / ``bm25_prf_rank``
+    calls."""
     _SCRATCH.release()
 
 #: Minimal per-language stopword anchors for the n-gram/stopword
@@ -625,11 +626,29 @@ def bm25_prf_rank(
     map-combined counts, a term-keyed df agg bounded by the model
     size, and a 1-row corpus-stats broadcast -- token-linear total,
     no vocabulary-wide shuffle.
+
+    A query whose terms match nothing yields an empty feedback set;
+    the model then degrades to the alpha-weighted original query
+    (expansion rows are simply absent), which scores every doc 0 --
+    the same empty result plain BM25 returns.
     """
+    if not query_terms:
+        raise ValueError("bm25_prf_rank needs at least one query term")
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1] (1 = no expansion)")
+    if fb_k < 1 or n_expand < 1:
+        raise ValueError("fb_k and n_expand must be >= 1")
     spark = docs.sparkSession
-    fb = bm25_rank(
+    # Cached: fb (<= fb_k rows) feeds the token scan AND the weight
+    # normalizer; expansion (<= n_expand rows) feeds the weight table
+    # AND its normalizer; qmodel (<= |Q| + n_expand rows) is the
+    # re-score join's build side.  Without the caches every reference
+    # re-expands the stage-1 corpus scan into the plan (the macro-query
+    # branch fan-out class recorded in SCALE.md) -- measured at 132
+    # exchanges vs ~20 cached.
+    fb = _SCRATCH.cache(bm25_rank(
         docs, query_terms, k=fb_k, k1=k1, b=b, id_col=id_col, text_col=text_col
-    )
+    ))
     fb_docs = docs.join(fb, id_col).select(
         F.col(id_col), F.col("bm25"), tokens(text_col).alias("l")
     )
@@ -649,7 +668,7 @@ def bm25_prf_rank(
         .crossJoin(F.broadcast(wsum))
         .select("term", F.round(F.col("num") / F.col("ws"), 9).alias("p_rm"))
     )
-    expansion = (
+    expansion = _SCRATCH.cache_more(
         pr.where(~F.col("term").isin(*query_terms))
         .orderBy(F.desc("p_rm"), F.asc("term"))
         .limit(n_expand)
@@ -663,7 +682,7 @@ def bm25_prf_rank(
         [(t, float(alpha) / len(query_terms)) for t in query_terms],
         "term string, w double",
     )
-    qmodel = orig_w.unionByName(exp_w)
+    qmodel = _SCRATCH.cache_more(orig_w.unionByName(exp_w))
 
     tok2 = docs.select(
         F.col(id_col), token_count(F.col(text_col)).alias("dl"),
@@ -678,11 +697,20 @@ def bm25_prf_rank(
             F.first("w").alias("w"),
         )
     )
-    df2 = tf2.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     stats2 = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg(token_count(F.col(text_col))).alias("avgdl"),
     )
+    # Per-term document frequency as a map-combined aggregate + tiny
+    # broadcast join.  NOT a count-over-Window.partitionBy(term): the
+    # model has <= |Q| + n_expand terms, and a common term can match
+    # most of the corpus, so a term-partitioned window funnels ~N rows
+    # through one task -- a scale cliff.  The agg partial-combines to
+    # <= model-size rows per task; its price is that df2 re-expands
+    # the (scan-pruned) tf2 subtree once more in the plan, which is a
+    # second linear parallel pass, not a cliff (the branch fan-out
+    # class recorded in SCALE.md).
+    df2 = tf2.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     sat = (
         F.col("tf")
@@ -690,7 +718,7 @@ def bm25_prf_rank(
         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
     )
     scored = (
-        tf2.join(df2, "term")
+        tf2.join(F.broadcast(df2), "term")
         .crossJoin(F.broadcast(stats2))
         .select(id_col, (F.col("w") * idf * sat).alias("s"))
         .groupBy(id_col)
@@ -974,6 +1002,12 @@ def kneser_ney_logprob(
     scalar-subquery BNLJ shape, allowlisted in the plan audit).  Docs
     with < 2 tokens have no bigrams and are omitted.
     """
+    if not 0.0 < discount < 1.0:
+        raise ValueError(
+            "discount must be in (0, 1): scoring the training corpus "
+            "means every c(a,b) >= 1, and d < 1 is what keeps the "
+            "discounted term positive without a max() clip"
+        )
     bg = _bigram_frame(docs, id_col, text_col)
     bn = _SCRATCH.cache(
         bg.groupBy("a", "b").agg(F.count(F.lit(1)).cast("double").alias("n_ab"))

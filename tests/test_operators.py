@@ -7142,3 +7142,42 @@ def test_bm25_prf_surfaces_topic_docs_missing_query_terms(spark):
            bm25_prf_rank(docs, q, fb_k=3, n_expand=3, k=10).collect()}
     assert 4 in prf and prf[4] > 0
     assert 5 not in prf and 6 not in prf  # off-topic stays out
+
+
+def test_round11_operator_guards(spark):
+    """Edge-contract sweep for the round-11 additions: bad parameters
+    fail loudly at plan time; a no-match PRF query returns empty
+    instead of crashing on its empty feedback set."""
+    import pytest as _pytest
+
+    from iot_sensor_log_data_pipeline_spark.operators.text import (
+        bm25_prf_rank,
+        kneser_ney_logprob,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where("vec_id < 20")
+    queries = corpus.where("vec_id < 2")
+    with _pytest.raises(ValueError, match="non-empty tuple"):
+        SIM.ivf_probe_sweep(corpus, queries, probes=())
+    with _pytest.raises(ValueError, match="non-empty query sample"):
+        SIM.ivf_probe_sweep(
+            corpus, corpus.where("vec_id < 0"), probes=(1, 2),
+            centroids=SIM.seed_centroids(corpus, 4),
+        )
+    with _pytest.raises(ValueError, match="lam must be"):
+        SIM.mmr_rerank(corpus, queries, lam=1.5)
+    with _pytest.raises(ValueError, match="pool >= 2"):
+        SIM.mmr_rerank(corpus, queries, pool=1)
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a c d e")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="discount must be"):
+        kneser_ney_logprob(docs, discount=1.0)
+    with _pytest.raises(ValueError, match="at least one query term"):
+        bm25_prf_rank(docs, ())
+    with _pytest.raises(ValueError, match="alpha must be"):
+        bm25_prf_rank(docs, ("a",), alpha=2.0)
+    # no-match query: empty result, no crash on the empty feedback set
+    assert bm25_prf_rank(docs, ("zzz",)).count() == 0

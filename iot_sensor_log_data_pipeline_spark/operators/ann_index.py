@@ -236,6 +236,60 @@ def _absorbed_batches(path: str) -> dict[str, list[int]]:
         return {k: list(v) for k, v in json.load(fh).items()}
 
 
+#: Sidecar INSIDE a segment tree listing the original batch ids the
+#: fold merged into ``batch=-1``.  Living inside the tree makes it
+#: atomic with the fold's data swap (one rename commits both), parquet
+#: directory listings skip the ``_`` prefix, and reads exclude the
+#: listed ids exactly like absorbed ones -- so a batch directory
+#: replayed AFTER its fold never double-counts against ``batch=-1``
+#: (previously a documented until-next-fold window), and the absorb
+#: manifest can record fold-destroyed ids it could no longer see.
+_FOLDED_SIDECAR = "_folded_ids.json"
+
+
+def _folded_ids(seg_dir: str) -> list[int]:
+    import json
+
+    sc = os.path.join(seg_dir, _FOLDED_SIDECAR)
+    if not os.path.exists(sc):
+        return []
+    with open(sc) as fh:
+        return [int(i) for i in json.load(fh)]
+
+
+def _recover_swap(path: str, main_name: str) -> None:
+    """Re-run recovery for ``_swap_dir``'s crash window: a missing
+    main table with its ``__old`` twin present is restored (the
+    pre-swap state; the interrupted maintenance simply re-runs), and
+    stale ``__old`` / ``__next`` staging directories are cleared."""
+    import shutil
+
+    final = _sub(path, main_name)
+    old = final + "__old"
+    tmp = final + "__next"
+    if not os.path.exists(final) and os.path.exists(old):
+        os.rename(old, final)
+    for stale in (old, tmp):
+        if os.path.exists(final) and os.path.exists(stale):
+            shutil.rmtree(stale)
+
+
+def _swap_dir(final: str, tmp: str) -> None:
+    """Replace ``final`` with ``tmp`` via rename-aside (never
+    rmtree-then-rename: deleting a large parquet dir first leaves a
+    long window with NO main table if the process dies).  The only
+    vulnerable window is between the two renames -- two metadata ops
+    -- and ``_recover_swap`` restores the aside copy on re-run."""
+    import shutil
+
+    old = final + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(final, old)
+    os.rename(tmp, final)
+    shutil.rmtree(old)
+
+
 def _read_with_segments(spark: SparkSession, path: str, name: str) -> DataFrame:
     """A built table unioned with its streaming segment tree
     (``<name>_stream/batch=<id>/``) when one exists -- how the probe
@@ -249,9 +303,14 @@ def _read_with_segments(spark: SparkSession, path: str, name: str) -> DataFrame:
     seg_dir = _sub(path, f"{name}_stream")
     if os.path.exists(seg_dir):
         seg = spark.read.option("basePath", seg_dir).parquet(seg_dir)
-        absorbed = _absorbed_batches(path).get(f"{name}_stream", [])
-        if absorbed:
-            seg = seg.where(~F.col("batch").isin(absorbed))
+        # Excluded ids: absorbed into the main table (manifest) or
+        # folded into batch=-1 (tree sidecar) -- either way a
+        # same-numbered directory is an at-least-once replay whose
+        # rows already flow through another read path.
+        gone = set(_absorbed_batches(path).get(f"{name}_stream", []))
+        gone |= set(_folded_ids(seg_dir))
+        if gone:
+            seg = seg.where(~F.col("batch").isin(sorted(gone)))
         seg = seg.select(*main.columns)
         main = main.unionByName(seg)
         if os.path.exists(_sub(path, _ABSORB_MARKER)):
@@ -293,30 +352,45 @@ def optimize_stream_segments(spark: SparkSession, path: str) -> None:
     entirely -- the fold is the lighter mid-stream compaction, the
     absorb the full maintenance pass.  Single-writer, stream stopped.
 
-    The fold is full-row DISTINCT: a batch directory replayed after
-    its tree was compacted (at-least-once delivery, checkpoint behind
-    the fold) lands beside ``batch=-1`` holding rows the fold already
-    absorbed, and without the distinct every such row would double in
-    probe results.  Rows here are unique per id by the ingest
-    contract (one vector/codes row per id, one entry per (id, band |
-    cell)), so full-row duplicates are always replay artifacts; the
-    distinct costs one segment-sized shuffle at optimize cadence."""
+    The fold records the original batch ids it merges in a
+    ``_folded_ids.json`` sidecar INSIDE the new tree -- committed
+    atomically with the data by the same rename -- and reads exclude
+    sidecar-listed ids exactly like absorbed ones, so a batch
+    directory replayed after its fold (at-least-once delivery,
+    checkpoint behind the fold) never double-counts against
+    ``batch=-1``, and a later ``absorb_stream_segments`` can still
+    record the fold-destroyed ids in its manifest.  Directories whose
+    id is already in the absorb manifest or the sidecar are replays
+    and are excluded from the merge (their rows already flow through
+    the main table or ``batch=-1``); the merge stays full-row
+    DISTINCT as a final belt against duplicate rows inside one
+    replayed-then-appended directory."""
+    import json
     import shutil
 
+    absorbed_all = _absorbed_batches(path)
     for name in ("entries_stream", "vectors_stream", "codes_stream"):
         seg_dir = _sub(path, name)
         if not os.path.exists(seg_dir):
             continue
-        merged = (
-            spark.read.option("basePath", seg_dir)
-            .parquet(seg_dir)
-            .drop("batch")
-            .distinct()
+        gone = set(absorbed_all.get(name, [])) | set(_folded_ids(seg_dir))
+        live_ids = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(seg_dir)
+            if d.startswith("batch=")
+            and int(d.split("=", 1)[1]) >= 0
+            and int(d.split("=", 1)[1]) not in gone
         )
+        seg = spark.read.option("basePath", seg_dir).parquet(seg_dir)
+        if gone:
+            seg = seg.where(~F.col("batch").isin(sorted(gone)))
+        merged = seg.drop("batch").distinct()
         tmp = seg_dir.rstrip("/") + "__next"
         merged.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(tmp, "batch=-1")
         )
+        with open(os.path.join(tmp, _FOLDED_SIDECAR), "w") as fh:
+            json.dump(sorted(set(_folded_ids(seg_dir)) | set(live_ids)), fh)
         shutil.rmtree(seg_dir)
         os.rename(tmp, seg_dir)
 
@@ -342,7 +416,11 @@ def absorb_stream_segments(spark: SparkSession, path: str) -> None:
        rows);
     2. each main table is rewritten as (main UNION segments) DISTINCT,
        materialized BEFORE the swap (localCheckpoint), swapped with
-       tmp-write + rmtree + rename;
+       tmp-write + rename-aside (``_swap_dir``: the old table moves to
+       ``__old`` and is deleted only after the new one is in place, so
+       no crash window leaves the index without a main table;
+       ``_recover_swap`` at re-run start restores an interrupted
+       swap's aside copy);
     3. the absorb manifest (``_absorbed.json``) is atomically replaced
        (os.replace) recording the stream batch ids now living in the
        main tables: segment reads exclude those ids FOREVER, so a
@@ -360,21 +438,32 @@ def absorb_stream_segments(spark: SparkSession, path: str) -> None:
     physical half of a pending takedown for the absorbed rows.
 
     Batch ids must be unique per index lifetime (the existing ingest
-    contract: a replayed id carries the same rows).  Fold output
-    (``batch=-1``) is absorbed but NOT recorded in the manifest -- the
-    fold, not the stream, writes that id, so a post-absorb fold of new
-    batches must stay readable."""
+    contract: a replayed id carries the same rows).  The manifest
+    records every stream-written id now living in the main tables:
+    the directory ids present at absorb time PLUS the ids an earlier
+    fold merged into ``batch=-1`` (read from the tree's
+    ``_folded_ids.json`` sidecar -- without it a replay of a
+    folded-then-absorbed batch would double-count, since the fold
+    destroyed its directory id).  ``batch=-1`` itself is absorbed but
+    never listed -- the fold, not the stream, writes that id, so a
+    post-absorb fold of new batches must stay readable."""
     import json
     import shutil
 
     marker = _sub(path, _ABSORB_MARKER)
     absorbed = _absorbed_batches(path)
-    seg_names = [
-        n
-        for n in ("entries_stream", "vectors_stream", "codes_stream")
-        if os.path.exists(_sub(path, n))
-    ]
+    all_names = ("entries_stream", "vectors_stream", "codes_stream")
+    # Re-run recovery first: restore any main table caught mid-swap
+    # and clear stale staging dirs -- BEFORE anything reads them.
+    for seg_name in all_names:
+        _recover_swap(path, seg_name[: -len("_stream")])
+    seg_names = [n for n in all_names if os.path.exists(_sub(path, n))]
     if not seg_names:
+        # A crash between segment removal and marker removal leaves
+        # the marker orphaned; without this cleanup every future
+        # probe would pay the marker's full-union distinct forever.
+        if os.path.exists(marker):
+            os.remove(marker)
         return
     with open(marker, "w") as fh:
         fh.write("absorb in progress; probes dedup segment unions\n")
@@ -389,19 +478,19 @@ def absorb_stream_segments(spark: SparkSession, path: str) -> None:
             if d.startswith("batch=")
         ]
         new_ids[seg_name] = sorted(
-            set(i for i in ids if i >= 0) | set(absorbed.get(seg_name, []))
+            set(i for i in ids if i >= 0)
+            | set(_folded_ids(seg_dir))
+            | set(absorbed.get(seg_name, []))
         )
         # _read_with_segments gives main ∪ (segments minus already-
-        # absorbed) minus tombstones, deduped under the marker we just
-        # wrote; materialize before the directory swap reads from it.
+        # absorbed/folded) minus tombstones, deduped under the marker
+        # we just wrote; materialize before the swap reads from it.
         merged = _read_with_segments(spark, path, main_name).localCheckpoint(
             eager=True
         )
         tmp = _sub(path, f"{main_name}__next")
         merged.write.mode("overwrite").parquet(tmp)
-        final = _sub(path, main_name)
-        shutil.rmtree(final)
-        os.rename(tmp, final)
+        _swap_dir(_sub(path, main_name), tmp)
 
     mf_tmp = _sub(path, _ABSORB_MANIFEST + ".tmp")
     with open(mf_tmp, "w") as fh:

@@ -599,24 +599,28 @@ def query_graph_index(
         else allowed.select(F.col(id_col).alias("node"))
     )
 
-    frontier = score_nodes(
+    scored_entries = score_nodes(
         q.select("query_id").crossJoin(
             F.broadcast(entries.select(F.col("id").alias("node")))
         )
     )
     frontier = (
-        frontier.withColumn("__r", F.row_number().over(w))
+        scored_entries.withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") <= beam)
         .drop("__r")
         .localCheckpoint(eager=True)
     )
     # Filtered search: hits accumulate every scored node that passes
     # the allow-list, independent of whether it survives beam
-    # truncation -- routing (the frontier) stays unfiltered.
+    # truncation -- routing (the frontier) stays unfiltered.  Seeded
+    # from the PRE-truncation entry scores: with more entry points
+    # than beam, an allowed entry scored just past the cutoff must
+    # still enter the hit set (the every-scored-node contract).
     hits = (
         None
         if allow is None
-        else frontier.join(allow, "node", "left_semi").localCheckpoint(eager=True)
+        else scored_entries.join(allow, "node", "left_semi")
+        .localCheckpoint(eager=True)
     )
     for _ in range(hops):
         nbrs = (

@@ -202,22 +202,46 @@ def apply_cdc(
 
     * pass ``seq_col`` (a per-row change-sequence / LSN column) and
       the batch may carry any op mix per pk -- one delta-sized window
-      keeps the highest-sequence row per pk (ties broken by op:
-      non-delete wins, matching apply-in-order semantics where the
-      later op is the survivor), so delete-then-reinsert resolves to
-      the reinsert; the sequence column is dropped from the output;
+      keeps the highest-sequence row per pk (a delete/non-delete tie
+      at the same sequence resolves non-delete, matching
+      apply-in-order semantics where the later op survives), so
+      delete-then-reinsert resolves to the reinsert; the sequence
+      column is dropped from the output.  TWO NON-DELETES tied at the
+      same (pk, sequence) carry genuinely different payloads with no
+      order between them, so that raises ValueError (a delta-sized
+      check) instead of letting shuffle order pick the survivor;
     * without ``seq_col``, a batch must carry AT MOST ONE row per pk
       (the usual compacted-CDC contract).  Violations raise
       ValueError via one delta-sized count job rather than resolving
       delete-last silently.
     """
     if seq_col is not None:
+        is_upsert = F.when(F.col(op_col) == "delete", F.lit(0)).otherwise(
+            F.lit(1)
+        )
+        amb = (
+            cdc.where(F.col(op_col) != "delete")
+            .groupBy(pk, seq_col)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if amb:
+            raise ValueError(
+                f"CDC batch carries {int(amb[0]['count'])} non-delete rows "
+                f"for {pk}={amb[0][pk]!r} at {seq_col}="
+                f"{amb[0][seq_col]!r}; equal-sequence upserts have no "
+                "defined order -- assign distinct sequences (or compact "
+                "the batch) instead of letting partitioning pick one"
+            )
         w = Window.partitionBy(pk).orderBy(
             F.desc(seq_col),
             # equal sequence: a delete ordered before a non-delete of
             # the same pk means the non-delete happened "after" in
-            # apply-in-order semantics; deterministic either way.
-            F.when(F.col(op_col) == "delete", F.lit(0)).otherwise(F.lit(1)).desc(),
+            # apply-in-order semantics; deterministic either way (the
+            # two-upsert tie was rejected above).
+            is_upsert.desc(),
         )
         cdc = (
             cdc.withColumn("__cdc_rn", F.row_number().over(w))

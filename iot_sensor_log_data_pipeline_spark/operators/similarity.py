@@ -758,14 +758,18 @@ def mmr_rerank(
     if k < 1 or pool < 2:
         raise ValueError("mmr_rerank needs k >= 1 and pool >= 2 "
                          "(one candidate has nothing to diversify against)")
+    # The real id type threads through to the Arrow schema (the
+    # _cogroup_cell_topk convention) -- a hard cast('long') would NULL
+    # out string ids and collapse every query into one greedy group.
+    id_type = vectors.schema[id_col].dataType.simpleString()
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
     scored = vectors.join(
         F.broadcast(q), F.col(id_col) != F.col("query_id")
     ).select(
-        F.col("query_id").cast("long").alias("query_id"),
-        F.col(id_col).cast("long").alias("neighbor_id"),
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
         cosine(F.col("query_vec"), F.col(vec_col)).alias("rel"),
         F.col(vec_col).alias("vec"),
     )
@@ -798,13 +802,13 @@ def mmr_rerank(
     lam_f = float(lam)
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = int(pdf["query_id"].iloc[0])
+        qid = pdf["query_id"].iloc[0]
         rels = {}
         sims = {}
         for row in pdf.itertuples(index=False):
-            rels[int(row.a)] = float(row.rel_a)
-            sims[(int(row.a), int(row.b))] = float(row.sim)
-        selected: list[int] = []
+            rels[row.a] = float(row.rel_a)
+            sims[(row.a, row.b)] = float(row.sim)
+        selected: list = []
         out = []
         remaining = set(rels)
         for step in range(1, min(k, len(rels)) + 1):
@@ -822,7 +826,8 @@ def mmr_rerank(
         )
 
     picked = pairs.groupBy("query_id").applyInPandas(
-        greedy, "query_id long, neighbor_id long, mmr double, rank long"
+        greedy,
+        f"query_id {id_type}, neighbor_id {id_type}, mmr double, rank long",
     )
     return picked.select(
         "query_id", "neighbor_id", F.round("mmr", 6).alias("mmr"), "rank"

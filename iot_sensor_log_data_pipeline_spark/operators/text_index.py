@@ -415,6 +415,13 @@ def optimize_text_index(
         max_df = None if stats["max_df"] is None else int(stats["max_df"])
         max_df_frac = stats["max_df_frac"]
     capped = max_df is not None or max_df_frac is not None
+    if not segmented and os.path.exists(_sub(path, _ABSORB_MARKER)):
+        # A crash between segment removal and marker removal in an
+        # earlier run leaves the marker orphaned -- and every probe
+        # paying the marker's union-distinct forever.  No segments
+        # means the absorb finished its rewrites; only this cleanup
+        # remained.
+        os.remove(_sub(path, _ABSORB_MARKER))
     if not capped and not segmented:
         return  # uncapped, no segments: nothing to do
 

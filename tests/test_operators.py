@@ -7181,3 +7181,162 @@ def test_round11_operator_guards(spark):
         bm25_prf_rank(docs, ("a",), alpha=2.0)
     # no-match query: empty result, no crash on the empty feedback set
     assert bm25_prf_rank(docs, ("zzz",)).count() == 0
+
+
+def test_fold_absorb_replay_compositions_never_double_count(spark, tmp_path):
+    """The fold/absorb/replay composition matrix (round-11 review
+    findings): (a) fold -> replay of the folded batch (sidecar
+    exclusion closes the old until-next-fold window), (b) fold ->
+    absorb -> replay (the manifest must list fold-destroyed ids read
+    from the sidecar), (c) absorb -> replay -> fold (the fold must be
+    manifest-aware and not launder absorbed rows into batch=-1)."""
+    import json as _json
+    import os as _os
+
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as AI
+    from iot_sensor_log_data_pipeline_spark.streaming.pipeline import (
+        index_ingest_apply_batch,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.where("vec_id >= 10 AND vec_id < 60")
+    batch0 = emb.where("vec_id >= 60 AND vec_id < 64")
+    queries = emb.where("vec_id < 3")
+
+    def probe(root):
+        return sorted(
+            tuple(r)
+            for r in AI.query_lsh_index(spark, root, queries, k=5).collect()
+        )
+
+    def rowcount(root):
+        return AI._read_with_segments(spark, root, "entries").count()
+
+    # (a) fold, then the folded batch replays
+    root = str(tmp_path / "fold_replay")
+    AI.build_lsh_index(corpus, root, bands=16, rows_per_band=4,
+                       planes=SIM.hash_hyperplanes(64, dim=64))
+    index_ingest_apply_batch(batch0, 0, root)
+    want = probe(root)
+    n_want = rowcount(root)
+    AI.optimize_stream_segments(spark, root)
+    sidecar = _os.path.join(root, "entries_stream", "_folded_ids.json")
+    assert _json.load(open(sidecar)) == [0]
+    index_ingest_apply_batch(batch0, 0, root)  # replay after the fold
+    assert rowcount(root) == n_want and probe(root) == want
+
+    # (b) fold -> absorb -> replay: manifest carries the sidecar ids
+    AI.absorb_stream_segments(spark, root)
+    mf = _json.load(open(_os.path.join(root, "_absorbed.json")))
+    assert 0 in mf["entries_stream"]
+    index_ingest_apply_batch(batch0, 0, root)  # replay after the absorb
+    assert rowcount(root) == n_want and probe(root) == want
+
+    # (c) absorb -> replay -> fold: the fold must not launder the
+    # replayed (already-absorbed) rows into batch=-1
+    root2 = str(tmp_path / "absorb_fold")
+    AI.build_lsh_index(corpus, root2, bands=16, rows_per_band=4,
+                       planes=SIM.hash_hyperplanes(64, dim=64))
+    index_ingest_apply_batch(batch0, 0, root2)
+    AI.absorb_stream_segments(spark, root2)
+    index_ingest_apply_batch(batch0, 0, root2)  # replay
+    AI.optimize_stream_segments(spark, root2)  # fold sees the replay dir
+    assert rowcount(root2) == n_want and probe(root2) == want
+
+
+def test_absorb_swap_recovery_and_orphaned_marker(spark, tmp_path):
+    """(1) A crash between the swap's two renames (main table moved
+    aside, replacement not yet in place) recovers on re-run via
+    _recover_swap; (2) an orphaned _absorbing marker with no segment
+    trees is cleared by the next absorb call instead of taxing every
+    probe with the union-distinct forever (ann + text families)."""
+    import os as _os
+
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as AI
+    from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
+    from iot_sensor_log_data_pipeline_spark.streaming.pipeline import (
+        index_ingest_apply_batch,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.where("vec_id >= 10 AND vec_id < 60")
+    batch0 = emb.where("vec_id >= 60 AND vec_id < 64")
+    queries = emb.where("vec_id < 3")
+    root = str(tmp_path / "swap_rec")
+    AI.build_lsh_index(corpus, root, bands=16, rows_per_band=4,
+                       planes=SIM.hash_hyperplanes(64, dim=64))
+    index_ingest_apply_batch(batch0, 0, root)
+    want = sorted(
+        tuple(r)
+        for r in AI.query_lsh_index(spark, root, queries, k=5).collect()
+    )
+    # simulate the mid-swap crash: entries moved aside, no replacement
+    _os.rename(_os.path.join(root, "entries"),
+               _os.path.join(root, "entries") + "__old")
+    AI.absorb_stream_segments(spark, root)  # re-run = recovery + absorb
+    assert not _os.path.exists(_os.path.join(root, "entries__old"))
+    got = sorted(
+        tuple(r)
+        for r in AI.query_lsh_index(spark, root, queries, k=5).collect()
+    )
+    assert got == want
+
+    # orphaned marker, no segments: next absorb clears it (ann family)
+    open(_os.path.join(root, "_absorbing"), "w").write("orphan\n")
+    AI.absorb_stream_segments(spark, root)
+    assert not _os.path.exists(_os.path.join(root, "_absorbing"))
+
+    # text-index twin: orphaned marker cleared by the next optimize
+    docs = load(spark, "/root/testdata/sf0.001", "documents").where("doc_id < 40")
+    troot = str(tmp_path / "text_marker")
+    TI.build_text_index(docs, troot)
+    open(_os.path.join(troot, "_absorbing"), "w").write("orphan\n")
+    TI.optimize_text_index(spark, troot)
+    assert not _os.path.exists(_os.path.join(troot, "_absorbing"))
+
+
+def test_apply_cdc_equal_sequence_semantics(spark):
+    """Equal-sequence ties in the seq_col path: delete + upsert at the
+    same (pk, seq) resolves to the upsert (apply-in-order semantics),
+    while TWO upserts at the same (pk, seq) raise instead of letting
+    shuffle order pick a survivor."""
+    import pytest as _pytest
+
+    from iot_sensor_log_data_pipeline_spark.operators.scd import apply_cdc
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    ok = spark.createDataFrame(
+        [(1, "DEL", "delete", 5), (1, "re", "insert", 5), (2, "B2", "update", 3)],
+        "k long, v string, op string, seq long",
+    )
+    got = {r["k"]: r["v"] for r in apply_cdc(base, ok, "k", seq_col="seq").collect()}
+    assert got == {1: "re", 2: "B2"}
+
+    bad = spark.createDataFrame(
+        [(1, "x", "update", 5), (1, "y", "update", 5)],
+        "k long, v string, op string, seq long",
+    )
+    with _pytest.raises(ValueError, match="equal-sequence upserts"):
+        apply_cdc(base, bad, "k", seq_col="seq")
+
+
+def test_query_graph_index_allowed_seeds_from_all_scored_entries(spark, tmp_path):
+    """The hit set must be seeded from every SCORED entry point, not
+    the beam-truncated frontier: with hops=0 and beam=1 the results
+    are exactly the allowed entries (all of which were scored), never
+    just the single beam survivor."""
+    from iot_sensor_log_data_pipeline_spark.operators import graph_ann as GA
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where("vec_id < 40")
+    queries = emb.where("vec_id >= 40 AND vec_id < 41")
+    allowed = corpus.where("vec_id % 2 = 0").select("vec_id")
+    root = str(tmp_path / "g_seed")
+    GA.build_graph_index(corpus, root, k=8, n_iter=1, n_entry=32)
+    got = GA.query_graph_index(
+        spark, root, queries, k=2, beam=1, hops=0, allowed=allowed
+    ).collect()
+    assert len(got) == 2  # pre-fix: at most the 1 beam survivor
+    assert all(r["neighbor_id"] % 2 == 0 for r in got)

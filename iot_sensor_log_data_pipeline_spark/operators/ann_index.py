@@ -290,6 +290,61 @@ def _swap_dir(final: str, tmp: str) -> None:
     shutil.rmtree(old)
 
 
+def _fold_tree(
+    spark: SparkSession,
+    path: str,
+    tree_name: str,
+    excluded: set[int] | None = None,
+    transform=None,
+) -> None:
+    """Fold ONE streaming segment tree to ``batch=-1`` under the
+    crash-safe contract shared by every index family (ann / text /
+    winnowing folds and the physical-delete segment rewrites):
+
+    - re-run recovery first (``_recover_swap``): a tree caught
+      mid-swap is restored from its ``__old`` aside, so a crashed fold
+      never strands the folded data in ``__next`` with probes silently
+      serving main-only results;
+    - directories whose id is in ``excluded`` (the family's absorb
+      manifest) or in the tree's own ``_folded_ids.json`` sidecar are
+      at-least-once replays of rows already flowing through another
+      read path -- skipped, never re-merged;
+    - the merge is full-row DISTINCT; ``transform`` (optional) applies
+      last (the delete rewrites pass their tombstone anti-join);
+    - the sidecar accumulates every id ever folded and is written INTO
+      the staged tree, so one rename commits data + ledger atomically;
+    - the swap is rename-aside (``_swap_dir``), never rmtree-first.
+    """
+    import json
+
+    _recover_swap(path, tree_name)
+    seg_dir = _sub(path, tree_name)
+    if not os.path.exists(seg_dir):
+        return
+    gone = set(excluded or ()) | set(_folded_ids(seg_dir))
+    live = sorted(
+        {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(seg_dir)
+            if d.startswith("batch=") and int(d.split("=", 1)[1]) >= 0
+        }
+        - gone
+    )
+    seg = spark.read.option("basePath", seg_dir).parquet(seg_dir)
+    if gone:
+        seg = seg.where(~F.col("batch").isin(sorted(gone)))
+    merged = seg.drop("batch").distinct()
+    if transform is not None:
+        merged = transform(merged)
+    tmp = seg_dir + "__next"
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "batch=-1")
+    )
+    with open(os.path.join(tmp, _FOLDED_SIDECAR), "w") as fh:
+        json.dump(sorted(set(_folded_ids(seg_dir)) | set(live)), fh)
+    _swap_dir(seg_dir, tmp)
+
+
 def _read_with_segments(spark: SparkSession, path: str, name: str) -> DataFrame:
     """A built table unioned with its streaming segment tree
     (``<name>_stream/batch=<id>/``) when one exists -- how the probe
@@ -365,34 +420,9 @@ def optimize_stream_segments(spark: SparkSession, path: str) -> None:
     the main table or ``batch=-1``); the merge stays full-row
     DISTINCT as a final belt against duplicate rows inside one
     replayed-then-appended directory."""
-    import json
-    import shutil
-
     absorbed_all = _absorbed_batches(path)
     for name in ("entries_stream", "vectors_stream", "codes_stream"):
-        seg_dir = _sub(path, name)
-        if not os.path.exists(seg_dir):
-            continue
-        gone = set(absorbed_all.get(name, [])) | set(_folded_ids(seg_dir))
-        live_ids = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(seg_dir)
-            if d.startswith("batch=")
-            and int(d.split("=", 1)[1]) >= 0
-            and int(d.split("=", 1)[1]) not in gone
-        )
-        seg = spark.read.option("basePath", seg_dir).parquet(seg_dir)
-        if gone:
-            seg = seg.where(~F.col("batch").isin(sorted(gone)))
-        merged = seg.drop("batch").distinct()
-        tmp = seg_dir.rstrip("/") + "__next"
-        merged.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(tmp, "batch=-1")
-        )
-        with open(os.path.join(tmp, _FOLDED_SIDECAR), "w") as fh:
-            json.dump(sorted(set(_folded_ids(seg_dir)) | set(live_ids)), fh)
-        shutil.rmtree(seg_dir)
-        os.rename(tmp, seg_dir)
+        _fold_tree(spark, path, name, set(absorbed_all.get(name, [])))
 
 
 #: Back-compat alias (round-9 name before the sink went family-wide).
@@ -453,10 +483,12 @@ def absorb_stream_segments(spark: SparkSession, path: str) -> None:
     marker = _sub(path, _ABSORB_MARKER)
     absorbed = _absorbed_batches(path)
     all_names = ("entries_stream", "vectors_stream", "codes_stream")
-    # Re-run recovery first: restore any main table caught mid-swap
-    # and clear stale staging dirs -- BEFORE anything reads them.
+    # Re-run recovery first: restore any main table OR segment tree
+    # caught mid-swap and clear stale staging dirs -- BEFORE anything
+    # reads them (a crashed fold's tree recovers here too).
     for seg_name in all_names:
         _recover_swap(path, seg_name[: -len("_stream")])
+        _recover_swap(path, seg_name)
     seg_names = [n for n in all_names if os.path.exists(_sub(path, n))]
     if not seg_names:
         # A crash between segment removal and marker removal leaves
@@ -468,7 +500,13 @@ def absorb_stream_segments(spark: SparkSession, path: str) -> None:
     with open(marker, "w") as fh:
         fh.write("absorb in progress; probes dedup segment unions\n")
 
-    new_ids: dict[str, list[int]] = {}
+    # Seed from the FULL prior manifest: a tree absent right now (its
+    # removal already happened, or only some trees were replayed) must
+    # keep its recorded ids -- rewriting from only the trees on disk
+    # would drop keys and reopen the replay double-count.
+    new_ids: dict[str, list[int]] = {
+        k: sorted(set(int(i) for i in v)) for k, v in absorbed.items()
+    }
     for seg_name in seg_names:
         main_name = seg_name[: -len("_stream")]
         seg_dir = _sub(path, seg_name)

@@ -1505,16 +1505,25 @@ def load_winnowing_index(spark, path: str) -> tuple[DataFrame, int, int]:
     micro-batch after it arrives."""
     import os
 
+    from .ann_index import _ABSORB_MARKER, _absorbed_batches, _folded_ids
+
     cfg = spark.read.parquet(os.path.join(path, "config")).head()
     postings = spark.read.parquet(os.path.join(path, "postings"))
     seg_dir = os.path.join(path, "postings_stream")
     if os.path.exists(seg_dir):
-        seg = (
-            spark.read.option("basePath", seg_dir)
-            .parquet(seg_dir)
-            .select(*postings.columns)
-        )
-        postings = postings.unionByName(seg)
+        seg = spark.read.option("basePath", seg_dir).parquet(seg_dir)
+        # The family segment contract: ids folded into batch=-1
+        # (sidecar) or absorbed into the main postings (manifest) are
+        # replays when their directory reappears -- excluded here so
+        # local-overlap counts never double.
+        gone = set(_absorbed_batches(path).get("postings_stream", []))
+        gone |= set(_folded_ids(seg_dir))
+        if gone:
+            seg = seg.where(~F.col("batch").isin(sorted(gone)))
+        postings = postings.unionByName(seg.select(*postings.columns))
+        if os.path.exists(os.path.join(path, _ABSORB_MARKER)):
+            # crashed absorb window: rows exist in main AND segments
+            postings = postings.distinct()
     # Tombstoned docs vanish from every probe immediately (the
     # family-wide takedown hook; see delete_from_winnowing_index).
     tomb_dir = os.path.join(path, "tombstones")
@@ -1603,27 +1612,17 @@ def optimize_winnowing_stream_segments(spark, path: str) -> None:
     """Fold the winnowing index's ``postings_stream/batch=*`` tree
     into one ``batch=-1`` tree (full-row distinct -- replayed-batch
     duplicates collapse; rows are unique per (doc_id, fp) by the
-    ingest contract).  rmtree + rename swap, single-writer, stream
-    stopped -- the segment-compaction contract shared with the ANN
-    and text indexes."""
-    import os
-    import shutil
+    ingest contract) under the shared crash-safe fold contract
+    (``ann_index._fold_tree``: re-run recovery, replay-directory
+    exclusion via manifest + sidecar, rename-aside swap) --
+    single-writer, stream stopped."""
+    from .ann_index import _absorbed_batches, _fold_tree
 
-    seg_dir = os.path.join(path, "postings_stream")
-    if not os.path.exists(seg_dir):
-        return
-    merged = (
-        spark.read.option("basePath", seg_dir)
-        .parquet(seg_dir)
-        .drop("batch")
-        .distinct()
+    absorbed = _absorbed_batches(path)
+    _fold_tree(
+        spark, path, "postings_stream",
+        set(absorbed.get("postings_stream", [])),
     )
-    tmp = seg_dir.rstrip("/") + "__next"
-    merged.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(tmp, "batch=-1")
-    )
-    shutil.rmtree(seg_dir)
-    os.rename(tmp, seg_dir)
 
 
 def append_winnowing_index(
@@ -1713,24 +1712,40 @@ def optimize_winnowing_index(spark, path: str) -> None:
     import os
     import shutil
 
+    from .ann_index import (
+        _ABSORB_MANIFEST,
+        _ABSORB_MARKER,
+        _absorbed_batches,
+        _folded_ids,
+        _recover_swap,
+        _swap_dir,
+    )
+
+    for name in ("postings", "postings_stream"):
+        _recover_swap(path, name)
     cfg = spark.read.parquet(os.path.join(path, "config")).head()
     cap = int(cfg["max_fp_df"])
     postings = spark.read.parquet(os.path.join(path, "postings"))
-    # Absorb streaming segments into the rewrite (full-row distinct, so
-    # a crash between the main write and the segment removal is
-    # recovered by re-running -- the graph-optimize absorption
-    # contract).  Without this, segment postings would escape the
-    # re-prune and the fold.
+    # Absorb streaming segments into the rewrite.  Replay directories
+    # (manifest/sidecar-listed ids) are excluded like every other
+    # read; the ``_absorbing`` marker written below keeps probes
+    # correct (union-distinct) in the window between the postings
+    # swap and the segment-tree removal.
     seg_dir = os.path.join(path, "postings_stream")
     have_segments = os.path.isdir(seg_dir)
+    marker = os.path.join(path, _ABSORB_MARKER)
+    if not have_segments and os.path.exists(marker):
+        os.remove(marker)  # orphaned by a crash after tree removal
+    prior_absorbed = _absorbed_batches(path)
     if have_segments:
-        seg = (
-            spark.read.option("basePath", seg_dir)
-            .parquet(seg_dir)
-            .drop("batch")
-            .select(*postings.columns)
-        )
-        postings = postings.unionByName(seg).distinct()
+        seg = spark.read.option("basePath", seg_dir).parquet(seg_dir)
+        gone = set(prior_absorbed.get("postings_stream", []))
+        gone |= set(_folded_ids(seg_dir))
+        if gone:
+            seg = seg.where(~F.col("batch").isin(sorted(gone)))
+        postings = postings.unionByName(
+            seg.drop("batch").select(*postings.columns)
+        ).distinct()
     stored = postings.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
     over_parts = []
     ledger_dir = os.path.join(path, "overflow")
@@ -1740,11 +1755,15 @@ def optimize_winnowing_index(spark, path: str) -> None:
     seg_ledger_dir = os.path.join(path, "overflow_stream")
     have_seg_ledger = os.path.isdir(seg_ledger_dir)
     if have_seg_ledger:
-        over_parts.append(
-            spark.read.option("basePath", seg_ledger_dir)
-            .parquet(seg_ledger_dir)
-            .select("fp", "overflow_df")
+        seg_ledger = spark.read.option("basePath", seg_ledger_dir).parquet(
+            seg_ledger_dir
         )
+        gone_l = set(prior_absorbed.get("overflow_stream", []))
+        if gone_l:
+            seg_ledger = seg_ledger.where(
+                ~F.col("batch").isin(sorted(gone_l))
+            )
+        over_parts.append(seg_ledger.select("fp", "overflow_df"))
     if over_parts:
         over = over_parts[0]
         for p in over_parts[1:]:
@@ -1760,11 +1779,43 @@ def optimize_winnowing_index(spark, path: str) -> None:
         .repartitionByRange("fp", "doc_id")
         .sortWithinPartitions("fp", "doc_id")
     )
+    if have_segments:
+        with open(marker, "w") as fh:
+            fh.write("absorb in progress; probes dedup segment unions\n")
     tmp = os.path.join(path, "postings__next")
     pruned.write.mode("overwrite").parquet(tmp)
-    final = os.path.join(path, "postings")
-    shutil.rmtree(final)
-    os.rename(tmp, final)
+    _swap_dir(os.path.join(path, "postings"), tmp)
+    if have_segments or have_seg_ledger:
+        # Absorb manifest (the ann_index contract): a batch replayed
+        # after its tree is removed recreates its directory but stays
+        # excluded from every read forever.
+        import json as _json
+
+        new_ids = {
+            k: sorted(set(int(i) for i in v))
+            for k, v in prior_absorbed.items()
+        }
+        for tree, present in (
+            ("postings_stream", have_segments),
+            ("overflow_stream", have_seg_ledger),
+        ):
+            tdir = os.path.join(path, tree)
+            if not present:
+                continue
+            ids = {
+                int(d.split("=", 1)[1])
+                for d in os.listdir(tdir)
+                if d.startswith("batch=") and int(d.split("=", 1)[1]) >= 0
+            }
+            new_ids[tree] = sorted(
+                ids
+                | set(_folded_ids(tdir))
+                | set(new_ids.get(tree, []))
+            )
+        mf_tmp = os.path.join(path, _ABSORB_MANIFEST + ".tmp")
+        with open(mf_tmp, "w") as fh:
+            _json.dump(new_ids, fh)
+        os.replace(mf_tmp, os.path.join(path, _ABSORB_MANIFEST))
     if have_segments:
         shutil.rmtree(seg_dir, ignore_errors=True)
     if have_ledger:
@@ -1774,6 +1825,8 @@ def optimize_winnowing_index(spark, path: str) -> None:
         shutil.rmtree(ledger_dir, ignore_errors=True)
     if have_seg_ledger:
         shutil.rmtree(seg_ledger_dir, ignore_errors=True)
+    if os.path.exists(marker):
+        os.remove(marker)
 
 
 def lsh_tuning_report(
@@ -1931,22 +1984,16 @@ def apply_winnowing_deletes(
         .localCheckpoint(eager=True)
     )
     kept.write.mode("overwrite").parquet(os.path.join(path, "postings"))
-    seg_dir = os.path.join(path, "postings_stream")
-    if os.path.exists(seg_dir):
-        seg_kept = (
-            spark.read.option("basePath", seg_dir)
-            .parquet(seg_dir)
-            .drop("batch")
-            .distinct()
-            .join(tombs, "doc_id", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        tmp = seg_dir.rstrip("/") + "__next"
-        seg_kept.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(tmp, "batch=-1")
-        )
-        shutil.rmtree(seg_dir)
-        os.rename(tmp, seg_dir)
+    from .ann_index import _absorbed_batches as _ab
+    from .ann_index import _fold_tree as _ft
+
+    _ft(
+        spark,
+        path,
+        "postings_stream",
+        set(_ab(path).get("postings_stream", [])),
+        transform=lambda df: df.join(tombs, "doc_id", "left_anti"),
+    )
     if retire_tombstones:
         shutil.rmtree(tomb_dir)
     else:

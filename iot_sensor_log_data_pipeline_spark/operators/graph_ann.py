@@ -604,6 +604,11 @@ def query_graph_index(
             F.broadcast(entries.select(F.col("id").alias("node")))
         )
     )
+    if allow is not None:
+        # Materialize once: both the beam truncation and the hit-set
+        # seed read it, and an un-checkpointed lineage would run the
+        # entry-scoring job twice.
+        scored_entries = scored_entries.localCheckpoint(eager=True)
     frontier = (
         scored_entries.withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") <= beam)

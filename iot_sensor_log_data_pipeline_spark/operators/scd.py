@@ -216,6 +216,12 @@ def apply_cdc(
       delete-last silently.
     """
     if seq_col is not None:
+        # Byte-identical duplicate rows are at-least-once replay
+        # artifacts (a connector retry), not conflicts -- collapse
+        # them BEFORE the ambiguity check so healthy replays never
+        # halt the pipeline; only genuinely different payloads at the
+        # same (pk, sequence) raise.
+        cdc = cdc.dropDuplicates()
         is_upsert = F.when(F.col(op_col) == "delete", F.lit(0)).otherwise(
             F.lit(1)
         )
@@ -249,6 +255,7 @@ def apply_cdc(
             .drop("__cdc_rn", seq_col)
         )
     else:
+        cdc = cdc.dropDuplicates()  # same replay-artifact tolerance
         dup = (
             cdc.groupBy(pk)
             .count()

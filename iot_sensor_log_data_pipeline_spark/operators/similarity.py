@@ -758,10 +758,13 @@ def mmr_rerank(
     if k < 1 or pool < 2:
         raise ValueError("mmr_rerank needs k >= 1 and pool >= 2 "
                          "(one candidate has nothing to diversify against)")
-    # The real id type threads through to the Arrow schema (the
+    # The real id types thread through to the Arrow schema (the
     # _cogroup_cell_topk convention) -- a hard cast('long') would NULL
     # out string ids and collapse every query into one greedy group.
-    id_type = vectors.schema[id_col].dataType.simpleString()
+    # query_id comes from ``queries``, neighbor_id from ``vectors``;
+    # each output slot uses its own side's type.
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    n_id_type = vectors.schema[id_col].dataType.simpleString()
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
@@ -827,7 +830,7 @@ def mmr_rerank(
 
     picked = pairs.groupBy("query_id").applyInPandas(
         greedy,
-        f"query_id {id_type}, neighbor_id {id_type}, mmr double, rank long",
+        f"query_id {q_id_type}, neighbor_id {n_id_type}, mmr double, rank long",
     )
     return picked.select(
         "query_id", "neighbor_id", F.round("mmr", 6).alias("mmr"), "rank"

@@ -61,7 +61,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ann_index import _write_small
+from .ann_index import (
+    _ABSORB_MANIFEST,
+    _absorbed_batches,
+    _fold_tree,
+    _folded_ids,
+    _recover_swap,
+    _swap_dir,
+    _write_small,
+)
 from .text import token_count, tokens
 
 
@@ -91,12 +99,15 @@ def _read_with_segments(spark: SparkSession, path: str, name: str) -> DataFrame:
     main = spark.read.parquet(_sub(path, name))
     seg_dir = _sub(path, f"{name}_stream")
     if os.path.exists(seg_dir):
-        seg = (
-            spark.read.option("basePath", seg_dir)
-            .parquet(seg_dir)
-            .select(*main.columns)
-        )
-        main = main.unionByName(seg)
+        seg = spark.read.option("basePath", seg_dir).parquet(seg_dir)
+        # Ids folded into batch=-1 (tree sidecar) or absorbed into the
+        # main tables (manifest) are replays when their directory
+        # reappears -- excluded, the ann_index contract.
+        gone = set(_absorbed_batches(path).get(f"{name}_stream", []))
+        gone |= set(_folded_ids(seg_dir))
+        if gone:
+            seg = seg.where(~F.col("batch").isin(sorted(gone)))
+        main = main.unionByName(seg.select(*main.columns))
         if os.path.exists(_sub(path, _ABSORB_MARKER)):
             main = main.distinct()
     return main
@@ -415,6 +426,8 @@ def optimize_text_index(
         max_df = None if stats["max_df"] is None else int(stats["max_df"])
         max_df_frac = stats["max_df_frac"]
     capped = max_df is not None or max_df_frac is not None
+    for name in ("postings", "postings_stream", "doclens_stream"):
+        _recover_swap(path, name)
     if not segmented and os.path.exists(_sub(path, _ABSORB_MARKER)):
         # A crash between segment removal and marker removal in an
         # earlier run leaves the marker orphaned -- and every probe
@@ -462,12 +475,12 @@ def optimize_text_index(
             fh.write("absorb in progress; probes dedup segment unions\n")
     tmp = _sub(path, "postings__next")
     pruned.write.mode("overwrite").parquet(tmp)
-    final = _sub(path, "postings")
-    shutil.rmtree(final)
-    os.rename(tmp, final)
+    _swap_dir(_sub(path, "postings"), tmp)
     if merged_stop is not None:
         merged_stop.write.mode("overwrite").parquet(_sub(path, "stopterms"))
     if segmented:
+        import json as _json
+
         doclens.write.mode("overwrite").parquet(_sub(path, "doclens"))
         _write_small(
             spark,
@@ -475,6 +488,30 @@ def optimize_text_index(
             "n_docs double, avgdl double, max_df double, max_df_frac double",
             _sub(path, "stats"),
         )
+        # Absorb manifest (the ann_index contract): record every
+        # stream batch id now living in the main tables -- directory
+        # ids present at absorb time plus fold-destroyed sidecar ids
+        # plus any prior manifest -- so a batch replayed after the
+        # absorb recreates its directory but never double-counts
+        # tf/df against the merged postings.
+        prior = _absorbed_batches(path)
+        new_ids = {k: sorted(set(int(i) for i in v)) for k, v in prior.items()}
+        for name in ("postings_stream", "doclens_stream"):
+            seg_dir = _sub(path, name)
+            if not os.path.exists(seg_dir):
+                continue
+            ids = {
+                int(d.split("=", 1)[1])
+                for d in os.listdir(seg_dir)
+                if d.startswith("batch=") and int(d.split("=", 1)[1]) >= 0
+            }
+            new_ids[name] = sorted(
+                ids | set(_folded_ids(seg_dir)) | set(new_ids.get(name, []))
+            )
+        mf_tmp = _sub(path, _ABSORB_MANIFEST + ".tmp")
+        with open(mf_tmp, "w") as fh:
+            _json.dump(new_ids, fh)
+        os.replace(mf_tmp, _sub(path, _ABSORB_MANIFEST))
         for name in ("postings_stream", "doclens_stream"):
             seg_dir = _sub(path, name)
             if os.path.exists(seg_dir):
@@ -535,27 +572,13 @@ def optimize_text_stream_segments(spark: SparkSession, path: str) -> None:
     union scans one file set however long the stream ran.  The fold is
     full-row DISTINCT (rows are unique per (term, id) / id by the
     ingest contract, so duplicates are always replayed-batch
-    artifacts) and each tree swaps independently via rmtree + rename
-    -- the ``ann_index.optimize_stream_segments`` contract verbatim.
-    Single-writer, stream stopped."""
-    import shutil
-
+    artifacts) under the shared crash-safe fold contract
+    (``ann_index._fold_tree``: re-run recovery, replay-directory
+    exclusion via the absorb manifest + the tree's ``_folded_ids``
+    sidecar, rename-aside swap).  Single-writer, stream stopped."""
+    absorbed = _absorbed_batches(path)
     for name in ("postings_stream", "doclens_stream"):
-        seg_dir = _sub(path, name)
-        if not os.path.exists(seg_dir):
-            continue
-        merged = (
-            spark.read.option("basePath", seg_dir)
-            .parquet(seg_dir)
-            .drop("batch")
-            .distinct()
-        )
-        tmp = seg_dir.rstrip("/") + "__next"
-        merged.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(tmp, "batch=-1")
-        )
-        shutil.rmtree(seg_dir)
-        os.rename(tmp, seg_dir)
+        _fold_tree(spark, path, name, set(absorbed.get(name, [])))
 
 
 def delete_from_text_index(
@@ -616,24 +639,15 @@ def apply_text_deletes(
     )
     doclens.write.mode("overwrite").parquet(_sub(path, "doclens"))
     postings.write.mode("overwrite").parquet(_sub(path, "postings"))
+    absorbed = _absorbed_batches(path)
     for name in ("postings_stream", "doclens_stream"):
-        seg_dir = _sub(path, name)
-        if not os.path.exists(seg_dir):
-            continue
-        kept = (
-            spark.read.option("basePath", seg_dir)
-            .parquet(seg_dir)
-            .drop("batch")
-            .distinct()
-            .join(tombs, "id", "left_anti")
-            .localCheckpoint(eager=True)
+        _fold_tree(
+            spark,
+            path,
+            name,
+            set(absorbed.get(name, [])),
+            transform=lambda df: df.join(tombs, "id", "left_anti"),
         )
-        tmp = seg_dir.rstrip("/") + "__next"
-        kept.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(tmp, "batch=-1")
-        )
-        shutil.rmtree(seg_dir)
-        os.rename(tmp, seg_dir)
     agg = doclens.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]

@@ -7340,3 +7340,125 @@ def test_query_graph_index_allowed_seeds_from_all_scored_entries(spark, tmp_path
     ).collect()
     assert len(got) == 2  # pre-fix: at most the 1 beam survivor
     assert all(r["neighbor_id"] % 2 == 0 for r in got)
+
+
+def test_second_review_fix_battery(spark, tmp_path):
+    """Round-11 second review pass, regression battery:
+    (1) the absorb manifest preserves keys for trees absent on disk;
+    (2) a fold caught mid-swap (tree moved aside) recovers on the next
+        fold instead of stranding the folded data;
+    (3) apply_cdc tolerates byte-identical replayed rows in both
+        paths (only genuinely different payloads raise);
+    (4) mmr_rerank works with string ids end-to-end;
+    (5) text + winnowing indexes never double-count a batch replayed
+        after its absorb (the manifest port)."""
+    import json as _json
+    import os as _os
+
+    from iot_sensor_log_data_pipeline_spark.io_utils import load
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as AI
+    from iot_sensor_log_data_pipeline_spark.operators import dedup as DD
+    from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
+    from iot_sensor_log_data_pipeline_spark.operators.scd import apply_cdc
+    from iot_sensor_log_data_pipeline_spark.streaming.pipeline import (
+        index_ingest_apply_batch,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.where("vec_id >= 10 AND vec_id < 50")
+    batch0 = emb.where("vec_id >= 60 AND vec_id < 63")
+    queries = emb.where("vec_id < 2")
+
+    # (1) manifest keys survive for absent trees
+    root = str(tmp_path / "mf_keys")
+    AI.build_lsh_index(corpus, root, bands=8, rows_per_band=2)
+    index_ingest_apply_batch(batch0, 0, root)
+    AI.absorb_stream_segments(spark, root)
+    index_ingest_apply_batch(batch0, 0, root)      # replay both trees
+    import shutil as _shutil
+    _shutil.rmtree(_os.path.join(root, "vectors_stream"))  # partial replay
+    AI.absorb_stream_segments(spark, root)
+    mf = _json.load(open(_os.path.join(root, "_absorbed.json")))
+    assert mf["vectors_stream"] == [0] and mf["entries_stream"] == [0]
+
+    # (2) fold mid-swap crash recovery
+    root2 = str(tmp_path / "fold_crash")
+    AI.build_lsh_index(corpus, root2, bands=8, rows_per_band=2)
+    index_ingest_apply_batch(batch0, 0, root2)
+    want = sorted(
+        tuple(r)
+        for r in AI.query_lsh_index(spark, root2, queries, k=5).collect()
+    )
+    _os.rename(_os.path.join(root2, "entries_stream"),
+               _os.path.join(root2, "entries_stream") + "__old")
+    AI.optimize_stream_segments(spark, root2)  # recovery + fold
+    assert _os.path.exists(_os.path.join(root2, "entries_stream"))
+    assert not _os.path.exists(_os.path.join(root2, "entries_stream__old"))
+    got = sorted(
+        tuple(r)
+        for r in AI.query_lsh_index(spark, root2, queries, k=5).collect()
+    )
+    assert got == want
+
+    # (3) identical replayed rows tolerated
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    dup_seq = spark.createDataFrame(
+        [(1, "x", "update", 5), (1, "x", "update", 5)],
+        "k long, v string, op string, seq long",
+    )
+    got_cdc = {r["k"]: r["v"]
+               for r in apply_cdc(base, dup_seq, "k", seq_col="seq").collect()}
+    assert got_cdc == {1: "x"}
+    dup_plain = spark.createDataFrame(
+        [(1, "y", "update"), (1, "y", "update")], "k long, v string, op string"
+    )
+    got_cdc2 = {r["k"]: r["v"]
+                for r in apply_cdc(base, dup_plain, "k").collect()}
+    assert got_cdc2 == {1: "y"}
+
+    # (4) string ids through MMR
+    rows = [("q", [1.0, 0.0, 0.0]), ("a", [1.0, 0.1, 0.0]),
+            ("b", [1.0, 0.11, 0.0]), ("c", [0.9, 0.0, 0.44])]
+    sdf = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    picked = SIM.mmr_rerank(
+        sdf, sdf.where("vec_id = 'q'"), k=2, pool=3, lam=0.5
+    ).collect()
+    assert [r["neighbor_id"] for r in picked] == ["a", "c"]
+
+    # (5) text + winnowing replay-after-absorb
+    troot = str(tmp_path / "t_replay")
+    docs = spark.createDataFrame(
+        [(1, "spark engine catalyst"), (2, "unrelated words entirely")],
+        "doc_id long, text string",
+    )
+    newdoc = spark.createDataFrame(
+        [(7, "spark spark streaming arrival")], "doc_id long, text string"
+    )
+    TI.build_text_index(docs, troot)
+    TI.text_ingest_apply_batch(newdoc, 0, troot)
+    t_want = sorted(
+        tuple(r)
+        for r in TI.query_text_index(spark, troot, ("spark",), k=5).collect()
+    )
+    TI.optimize_text_index(spark, troot)          # absorb
+    TI.text_ingest_apply_batch(newdoc, 0, troot)  # replay
+    t_got = sorted(
+        tuple(r)
+        for r in TI.query_text_index(spark, troot, ("spark",), k=5).collect()
+    )
+    assert t_got == t_want
+
+    wroot = str(tmp_path / "w_replay")
+    wdocs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg hh"), (2, "zz yy xx ww vv uu tt ss")],
+        "doc_id long, text string",
+    )
+    wnew = spark.createDataFrame(
+        [(9, "aa bb cc dd qq rr pp oo")], "doc_id long, text string"
+    )
+    DD.build_winnowing_index(wdocs, wroot, k=4, w=4, max_fp_df=10)
+    DD.winnowing_ingest_apply_batch(wnew, 0, wroot)
+    n_want = DD.load_winnowing_index(spark, wroot)[0].count()
+    DD.optimize_winnowing_index(spark, wroot)     # absorb
+    DD.winnowing_ingest_apply_batch(wnew, 0, wroot)  # replay
+    assert DD.load_winnowing_index(spark, wroot)[0].count() == n_want

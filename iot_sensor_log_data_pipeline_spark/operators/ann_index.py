@@ -257,6 +257,36 @@ def _folded_ids(seg_dir: str) -> list[int]:
         return [int(i) for i in json.load(fh)]
 
 
+def _write_absorb_manifest(path: str, tree_names) -> None:
+    """Atomically extend the absorb manifest with every stream batch
+    id now living in the main tables: per present tree, the directory
+    ids on disk PLUS the fold sidecar's destroyed ids, unioned with
+    the FULL prior manifest (keys for absent trees must survive --
+    dropping one reopens the replay double-count).  One writer for
+    all three families (ann / text / winnowing) so the contract can
+    never drift per copy."""
+    import json
+
+    prior = _absorbed_batches(path)
+    new_ids = {k: sorted(set(int(i) for i in v)) for k, v in prior.items()}
+    for tree in tree_names:
+        tdir = _sub(path, tree)
+        if not os.path.exists(tdir):
+            continue
+        ids = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(tdir)
+            if d.startswith("batch=") and int(d.split("=", 1)[1]) >= 0
+        }
+        new_ids[tree] = sorted(
+            ids | set(_folded_ids(tdir)) | set(new_ids.get(tree, []))
+        )
+    mf_tmp = _sub(path, _ABSORB_MANIFEST + ".tmp")
+    with open(mf_tmp, "w") as fh:
+        json.dump(new_ids, fh)
+    os.replace(mf_tmp, _sub(path, _ABSORB_MANIFEST))
+
+
 def _recover_swap(path: str, main_name: str) -> None:
     """Re-run recovery for ``_swap_dir``'s crash window: a missing
     main table with its ``__old`` twin present is restored (the
@@ -477,11 +507,9 @@ def absorb_stream_segments(spark: SparkSession, path: str) -> None:
     destroyed its directory id).  ``batch=-1`` itself is absorbed but
     never listed -- the fold, not the stream, writes that id, so a
     post-absorb fold of new batches must stay readable."""
-    import json
     import shutil
 
     marker = _sub(path, _ABSORB_MARKER)
-    absorbed = _absorbed_batches(path)
     all_names = ("entries_stream", "vectors_stream", "codes_stream")
     # Re-run recovery first: restore any main table OR segment tree
     # caught mid-swap and clear stale staging dirs -- BEFORE anything
@@ -500,26 +528,8 @@ def absorb_stream_segments(spark: SparkSession, path: str) -> None:
     with open(marker, "w") as fh:
         fh.write("absorb in progress; probes dedup segment unions\n")
 
-    # Seed from the FULL prior manifest: a tree absent right now (its
-    # removal already happened, or only some trees were replayed) must
-    # keep its recorded ids -- rewriting from only the trees on disk
-    # would drop keys and reopen the replay double-count.
-    new_ids: dict[str, list[int]] = {
-        k: sorted(set(int(i) for i in v)) for k, v in absorbed.items()
-    }
     for seg_name in seg_names:
         main_name = seg_name[: -len("_stream")]
-        seg_dir = _sub(path, seg_name)
-        ids = [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(seg_dir)
-            if d.startswith("batch=")
-        ]
-        new_ids[seg_name] = sorted(
-            set(i for i in ids if i >= 0)
-            | set(_folded_ids(seg_dir))
-            | set(absorbed.get(seg_name, []))
-        )
         # _read_with_segments gives main ∪ (segments minus already-
         # absorbed/folded) minus tombstones, deduped under the marker
         # we just wrote; materialize before the swap reads from it.
@@ -530,10 +540,9 @@ def absorb_stream_segments(spark: SparkSession, path: str) -> None:
         merged.write.mode("overwrite").parquet(tmp)
         _swap_dir(_sub(path, main_name), tmp)
 
-    mf_tmp = _sub(path, _ABSORB_MANIFEST + ".tmp")
-    with open(mf_tmp, "w") as fh:
-        json.dump(new_ids, fh)
-    os.replace(mf_tmp, _sub(path, _ABSORB_MANIFEST))
+    # Shared manifest writer: dir ids + fold-sidecar ids, unioned with
+    # the FULL prior manifest (absent trees keep their keys).
+    _write_absorb_manifest(path, seg_names)
 
     for seg_name in seg_names:
         shutil.rmtree(_sub(path, seg_name))

@@ -1566,6 +1566,8 @@ def winnowing_ingest_apply_batch(
             F.col(id_col).alias("doc_id"), "fp"
         )
     )
+    from .ann_index import _ABSORB_MARKER, _absorbed_batches, _folded_ids
+
     stored = spark.read.parquet(os.path.join(path, "postings"))
     seg_dir = os.path.join(path, "postings_stream")
     if os.path.exists(seg_dir):
@@ -1573,9 +1575,20 @@ def winnowing_ingest_apply_batch(
             spark.read.option("basePath", seg_dir)
             .parquet(seg_dir)
             .where(F.col("batch") != int(batch_id))
-            .select(*stored.columns)
         )
-        stored = stored.unionByName(prior)
+        # Same replay exclusions as every probe read: a directory
+        # whose id was folded (sidecar) or absorbed (manifest) already
+        # flows through batch=-1 / the main postings -- counting it
+        # again here would inflate stored df and wrongly cap-skip
+        # healthy fingerprints.
+        gone = set(_absorbed_batches(path).get("postings_stream", []))
+        gone |= set(_folded_ids(seg_dir))
+        if gone:
+            prior = prior.where(~F.col("batch").isin(sorted(gone)))
+        stored = stored.unionByName(prior.select(*stored.columns))
+        if os.path.exists(os.path.join(path, _ABSORB_MARKER)):
+            # crashed-absorb window: rows exist in main AND segments
+            stored = stored.distinct()
     stored_df = (
         stored.join(new_fp.select("fp").distinct(), "fp")
         .groupBy("fp")
@@ -1713,12 +1726,12 @@ def optimize_winnowing_index(spark, path: str) -> None:
     import shutil
 
     from .ann_index import (
-        _ABSORB_MANIFEST,
         _ABSORB_MARKER,
         _absorbed_batches,
         _folded_ids,
         _recover_swap,
         _swap_dir,
+        _write_absorb_manifest,
     )
 
     for name in ("postings", "postings_stream"):
@@ -1786,36 +1799,10 @@ def optimize_winnowing_index(spark, path: str) -> None:
     pruned.write.mode("overwrite").parquet(tmp)
     _swap_dir(os.path.join(path, "postings"), tmp)
     if have_segments or have_seg_ledger:
-        # Absorb manifest (the ann_index contract): a batch replayed
-        # after its tree is removed recreates its directory but stays
-        # excluded from every read forever.
-        import json as _json
-
-        new_ids = {
-            k: sorted(set(int(i) for i in v))
-            for k, v in prior_absorbed.items()
-        }
-        for tree, present in (
-            ("postings_stream", have_segments),
-            ("overflow_stream", have_seg_ledger),
-        ):
-            tdir = os.path.join(path, tree)
-            if not present:
-                continue
-            ids = {
-                int(d.split("=", 1)[1])
-                for d in os.listdir(tdir)
-                if d.startswith("batch=") and int(d.split("=", 1)[1]) >= 0
-            }
-            new_ids[tree] = sorted(
-                ids
-                | set(_folded_ids(tdir))
-                | set(new_ids.get(tree, []))
-            )
-        mf_tmp = os.path.join(path, _ABSORB_MANIFEST + ".tmp")
-        with open(mf_tmp, "w") as fh:
-            _json.dump(new_ids, fh)
-        os.replace(mf_tmp, os.path.join(path, _ABSORB_MANIFEST))
+        # Absorb manifest (the shared ann_index writer): a batch
+        # replayed after its tree is removed recreates its directory
+        # but stays excluded from every read forever.
+        _write_absorb_manifest(path, ("postings_stream", "overflow_stream"))
     if have_segments:
         shutil.rmtree(seg_dir, ignore_errors=True)
     if have_ledger:

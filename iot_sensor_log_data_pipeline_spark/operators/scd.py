@@ -215,13 +215,17 @@ def apply_cdc(
       ValueError via one delta-sized count job rather than resolving
       delete-last silently.
     """
-    if seq_col is not None:
-        # Byte-identical duplicate rows are at-least-once replay
-        # artifacts (a connector retry), not conflicts -- collapse
-        # them BEFORE the ambiguity check so healthy replays never
-        # halt the pipeline; only genuinely different payloads at the
-        # same (pk, sequence) raise.
+    from pyspark.sql.types import MapType
+
+    # Byte-identical duplicate rows are at-least-once replay artifacts
+    # (a connector retry), not conflicts -- collapse them BEFORE the
+    # ambiguity checks so healthy replays never halt the pipeline.
+    # Spark forbids map columns in set operations, so a map-typed
+    # payload skips the collapse (its duplicates then hit the
+    # ambiguity checks -- strict, but never a new crash class).
+    if not any(isinstance(f.dataType, MapType) for f in cdc.schema.fields):
         cdc = cdc.dropDuplicates()
+    if seq_col is not None:
         is_upsert = F.when(F.col(op_col) == "delete", F.lit(0)).otherwise(
             F.lit(1)
         )
@@ -255,7 +259,6 @@ def apply_cdc(
             .drop("__cdc_rn", seq_col)
         )
     else:
-        cdc = cdc.dropDuplicates()  # same replay-artifact tolerance
         dup = (
             cdc.groupBy(pk)
             .count()

@@ -62,12 +62,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .ann_index import (
-    _ABSORB_MANIFEST,
     _absorbed_batches,
     _fold_tree,
     _folded_ids,
     _recover_swap,
     _swap_dir,
+    _write_absorb_manifest,
     _write_small,
 )
 from .text import token_count, tokens
@@ -404,6 +404,14 @@ def optimize_text_index(
     optimize jobs); single-writer -- do not probe concurrently."""
     import shutil
 
+    # Re-run recovery FIRST -- before the segment check and the eager
+    # reads below: a main table caught mid-swap must be restored
+    # before spark.read touches it, and a segment tree caught mid-swap
+    # must be back in place BEFORE the union decision, or the absorb
+    # would record its batch ids as absorbed without ever merging its
+    # rows (permanent data loss on replay-exclusion).
+    for _name in ("postings", "postings_stream", "doclens_stream"):
+        _recover_swap(path, _name)
     stats = spark.read.parquet(_sub(path, "stats")).head()
     segmented = _has_segments(path)
     postings = spark.read.parquet(_sub(path, "postings"))
@@ -426,8 +434,6 @@ def optimize_text_index(
         max_df = None if stats["max_df"] is None else int(stats["max_df"])
         max_df_frac = stats["max_df_frac"]
     capped = max_df is not None or max_df_frac is not None
-    for name in ("postings", "postings_stream", "doclens_stream"):
-        _recover_swap(path, name)
     if not segmented and os.path.exists(_sub(path, _ABSORB_MARKER)):
         # A crash between segment removal and marker removal in an
         # earlier run leaves the marker orphaned -- and every probe
@@ -479,8 +485,6 @@ def optimize_text_index(
     if merged_stop is not None:
         merged_stop.write.mode("overwrite").parquet(_sub(path, "stopterms"))
     if segmented:
-        import json as _json
-
         doclens.write.mode("overwrite").parquet(_sub(path, "doclens"))
         _write_small(
             spark,
@@ -488,30 +492,10 @@ def optimize_text_index(
             "n_docs double, avgdl double, max_df double, max_df_frac double",
             _sub(path, "stats"),
         )
-        # Absorb manifest (the ann_index contract): record every
-        # stream batch id now living in the main tables -- directory
-        # ids present at absorb time plus fold-destroyed sidecar ids
-        # plus any prior manifest -- so a batch replayed after the
-        # absorb recreates its directory but never double-counts
-        # tf/df against the merged postings.
-        prior = _absorbed_batches(path)
-        new_ids = {k: sorted(set(int(i) for i in v)) for k, v in prior.items()}
-        for name in ("postings_stream", "doclens_stream"):
-            seg_dir = _sub(path, name)
-            if not os.path.exists(seg_dir):
-                continue
-            ids = {
-                int(d.split("=", 1)[1])
-                for d in os.listdir(seg_dir)
-                if d.startswith("batch=") and int(d.split("=", 1)[1]) >= 0
-            }
-            new_ids[name] = sorted(
-                ids | set(_folded_ids(seg_dir)) | set(new_ids.get(name, []))
-            )
-        mf_tmp = _sub(path, _ABSORB_MANIFEST + ".tmp")
-        with open(mf_tmp, "w") as fh:
-            _json.dump(new_ids, fh)
-        os.replace(mf_tmp, _sub(path, _ABSORB_MANIFEST))
+        # Absorb manifest (the shared ann_index writer): a batch
+        # replayed after the absorb recreates its directory but never
+        # double-counts tf/df against the merged postings.
+        _write_absorb_manifest(path, ("postings_stream", "doclens_stream"))
         for name in ("postings_stream", "doclens_stream"):
             seg_dir = _sub(path, name)
             if os.path.exists(seg_dir):

@@ -7462,3 +7462,89 @@ def test_second_review_fix_battery(spark, tmp_path):
     DD.optimize_winnowing_index(spark, wroot)     # absorb
     DD.winnowing_ingest_apply_batch(wnew, 0, wroot)  # replay
     assert DD.load_winnowing_index(spark, wroot)[0].count() == n_want
+
+
+def test_third_review_fix_battery(spark, tmp_path):
+    """Third review pass, regression battery: (1) optimize_text_index
+    recovers a mid-swap main table or segment tree BEFORE reading or
+    deciding segment presence (no data loss, no unreachable
+    recovery); (2) the winnowing ingest's df-cap measurement excludes
+    folded/absorbed replay directories like every other read;
+    (3) apply_cdc still works on map-typed payload columns (the
+    replay-dedup skips them instead of crashing)."""
+    import os as _os
+
+    from iot_sensor_log_data_pipeline_spark.operators import dedup as DD
+    from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
+    from iot_sensor_log_data_pipeline_spark.operators.scd import apply_cdc
+
+    # (1a) main table mid-swap: re-run IS the recovery
+    troot = str(tmp_path / "t_rec")
+    docs = spark.createDataFrame(
+        [(1, "spark engine catalyst"), (2, "unrelated words entirely")],
+        "doc_id long, text string",
+    )
+    TI.build_text_index(docs, troot)
+    newdoc = spark.createDataFrame(
+        [(7, "spark spark streaming arrival")], "doc_id long, text string"
+    )
+    TI.text_ingest_apply_batch(newdoc, 0, troot)
+    want = sorted(
+        tuple(r)
+        for r in TI.query_text_index(spark, troot, ("spark",), k=5).collect()
+    )
+    _os.rename(_os.path.join(troot, "postings"),
+               _os.path.join(troot, "postings") + "__old")
+    TI.optimize_text_index(spark, troot)
+    got = sorted(
+        tuple(r)
+        for r in TI.query_text_index(spark, troot, ("spark",), k=5).collect()
+    )
+    assert got == want
+
+    # (1b) segment tree mid-swap: the restored tree must be MERGED,
+    # not recorded-as-absorbed-and-deleted
+    troot2 = str(tmp_path / "t_rec2")
+    TI.build_text_index(docs, troot2)
+    TI.text_ingest_apply_batch(newdoc, 0, troot2)
+    want2 = sorted(
+        tuple(r)
+        for r in TI.query_text_index(spark, troot2, ("spark",), k=5).collect()
+    )
+    _os.rename(_os.path.join(troot2, "postings_stream"),
+               _os.path.join(troot2, "postings_stream") + "__old")
+    TI.optimize_text_index(spark, troot2)
+    got2 = sorted(
+        tuple(r)
+        for r in TI.query_text_index(spark, troot2, ("spark",), k=5).collect()
+    )
+    assert got2 == want2  # doc 7's postings survived the absorb
+
+    # (2) winnowing df-cap measurement ignores replay directories
+    wroot = str(tmp_path / "w_cap")
+    hot = "aa bb cc dd ee ff gg hh"
+    DD.build_winnowing_index(
+        spark.createDataFrame([(1, hot)], "doc_id long, text string"),
+        wroot, k=4, w=4, max_fp_df=3,
+    )
+    b0 = spark.createDataFrame([(2, hot)], "doc_id long, text string")
+    DD.winnowing_ingest_apply_batch(b0, 0, wroot)
+    DD.optimize_winnowing_stream_segments(spark, wroot)  # fold (sidecar)
+    DD.winnowing_ingest_apply_batch(b0, 0, wroot)        # replay dir
+    b1 = spark.createDataFrame([(3, hot)], "doc_id long, text string")
+    DD.winnowing_ingest_apply_batch(b1, 1, wroot)
+    postings, _, _ = DD.load_winnowing_index(spark, wroot)
+    # true df = 3 <= cap 3: doc 3 must be indexed (pre-fix the
+    # replayed dir double-counted doc 2 and cap-skipped doc 3)
+    assert postings.where("doc_id = 3").count() > 0
+
+    # (3) map-typed payloads flow through apply_cdc
+    base = spark.createDataFrame(
+        [(1, {"a": "1"})], "k long, tags map<string,string>"
+    )
+    cdc = spark.createDataFrame(
+        [(2, {"b": "2"}, "insert")],
+        "k long, tags map<string,string>, op string",
+    )
+    got_map = apply_cdc(base, cdc, "k").count()
+    assert got_map == 2

@@ -304,6 +304,28 @@ def _recover_swap(path: str, main_name: str) -> None:
             shutil.rmtree(stale)
 
 
+def _heal_swap_for_read(path: str, name: str) -> None:
+    """The restore-from-``__old`` half of ``_recover_swap``, safe to
+    run on EVERY probe: a crash between ``_swap_dir``'s two renames
+    leaves the table absent with its aside copy present, and before
+    round 12 probes failed loudly on the missing path until the next
+    maintenance job ran recovery -- an availability window with a
+    one-rename fix.  Unlike full ``_recover_swap`` this never deletes
+    staging directories, so a read racing a healthy in-flight
+    maintenance job can complete the crashed-swap rename (idempotent)
+    but cannot clobber that job's ``__next`` work."""
+    final = _sub(path, name)
+    old = final + "__old"
+    if not os.path.exists(final) and os.path.exists(old):
+        try:
+            os.rename(old, final)
+        except OSError:
+            # Lost the race with recovery/maintenance doing the same
+            # rename -- the table exists now, which is all reads need.
+            if not os.path.exists(final):
+                raise
+
+
 def _swap_dir(final: str, tmp: str) -> None:
     """Replace ``final`` with ``tmp`` via rename-aside (never
     rmtree-then-rename: deleting a large parquet dir first leaves a
@@ -383,7 +405,11 @@ def _read_with_segments(spark: SparkSession, path: str, name: str) -> DataFrame:
     name.  Batches listed in the absorb manifest are excluded (their
     rows live in the main table now), and a crashed absorb's marker
     makes the union full-row-distinct until the re-run finishes the
-    job -- the healthy path pays neither."""
+    job -- the healthy path pays neither.  Probes self-heal a crashed
+    swap first (``_heal_swap_for_read`` on the table and its stream
+    tree): availability never waits for the next maintenance run."""
+    _heal_swap_for_read(path, name)
+    _heal_swap_for_read(path, f"{name}_stream")
     main = spark.read.parquet(_sub(path, name))
     seg_dir = _sub(path, f"{name}_stream")
     if os.path.exists(seg_dir):

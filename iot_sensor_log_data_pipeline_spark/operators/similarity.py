@@ -527,7 +527,10 @@ def filtered_ivf_topk(
       flips to inequality, which is HARD-NEGATIVE MINING (the
       embedding-training shape: the most similar vectors that are NOT
       the query's class make the most informative contrastive
-      negatives);
+      negatives).  The comparison is null-SAFE (SQL ``IS [NOT]
+      DISTINCT FROM``): two NULL labels match each other, and under
+      ``negate=True`` a NULL-label neighbor counts as a different
+      class from any labeled query -- NULLs never silently drop rows;
     - ``allowed``: a 1-column (``id_col``) allow-list DataFrame; the
       neighbor side is LEFT SEMI joined on it before scoring (the
       vector-DB "filtered by ids from a metadata query" form; Spark
@@ -588,11 +591,14 @@ def filtered_ivf_topk(
         F.col("neighbor_id") != F.col("query_id")
     )
     if match_col is not None:
-        cand = cand.where(
-            F.col("nb_attr") != F.col("q_attr")
-            if negate
-            else F.col("nb_attr") == F.col("q_attr")
-        )
+        # Null-SAFE comparison (explicit semantics, not 3VL row drops):
+        # equality treats two NULL labels as the same class (a
+        # NULL-label query retrieves NULL-label neighbors); negation
+        # treats a NULL-label neighbor as a DIFFERENT class from any
+        # labeled query (it is a valid hard negative -- under plain
+        # `!=` it silently never surfaced).
+        eq = F.col("nb_attr").eqNullSafe(F.col("q_attr"))
+        cand = cand.where(~eq if negate else eq)
     scored = cand.select(
         "query_id",
         "neighbor_id",
@@ -728,6 +734,7 @@ def mmr_rerank(
     lam: float = 0.75,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal-marginal-relevance diversification (Carbonell &
     Goldstein, SIGIR'98) -- the post-retrieval step RAG serving stacks
@@ -741,17 +748,33 @@ def mmr_rerank(
     the first pick's penalty term is 0).  Ties break on lower
     neighbor id, fully deterministic.
 
+    ``candidates`` (optional, columns (query_id, neighbor_id)): the
+    serving composition -- restrict the pool to a candidate set an
+    ANN index probe already produced (``query_pq_index`` /
+    ``query_ivfpq_index`` shortlists) instead of the brute-force
+    broadcast scoring pass; relevance is still the exact cosine
+    between the query vector and each candidate's vector (both looked
+    up from ``queries`` / ``vectors`` by id), so the greedy arithmetic
+    is identical either way.  ``pool`` still caps the per-query
+    candidate count (by rel, then id) so a generous probe shortlist
+    can't quadratically inflate the pair table.
+
     Scale shape: relevance and the pairwise candidate similarities
     are JVM cosine folds (one broadcast-queries scoring pass + one
     pool^2-per-query self-join -- pool is a serving constant, never
     the corpus), and only the greedy selection itself -- a
     sequentially dependent argmax over <= pool rows per query, not
     SQL-expressible without unrolling -- runs in an Arrow
-    ``applyInPandas`` over the per-query pair table.  All arithmetic
-    the Python side performs on the JVM-computed doubles is
+    ``applyInPandas`` over the per-query candidate table.  All
+    arithmetic the Python side performs on the JVM-computed doubles is
     order-fixed (multiply, subtract, running max), so results replay
     bit-identically in SQL; keep ``lam`` dyadic (0.75 default) so
     ``1 - lam`` is exact in both engines.
+
+    A query with a single candidate emits that candidate at rank 1
+    with a zero penalty term (the pairwise self-join has no row for
+    it, so the pair similarities LEFT-join onto the candidate set --
+    a query is never silently dropped for having too few neighbors).
     """
     if not 0.0 <= lam <= 1.0:
         raise ValueError("lam must be in [0, 1] (1 = pure relevance)")
@@ -768,14 +791,38 @@ def mmr_rerank(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
-    scored = vectors.join(
-        F.broadcast(q), F.col(id_col) != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        cosine(F.col("query_vec"), F.col(vec_col)).alias("rel"),
-        F.col(vec_col).alias("vec"),
-    )
+    if candidates is None:
+        scored = vectors.join(
+            F.broadcast(q), F.col(id_col) != F.col("query_id")
+        ).select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("query_vec"), F.col(vec_col)).alias("rel"),
+            F.col(vec_col).alias("vec"),
+        )
+    else:
+        # Index-probe candidates: re-score the (query, neighbor) pairs
+        # exactly -- the shortlist is bounded, so both lookups join
+        # against a broadcastable side and the corpus is never
+        # re-scanned.
+        scored = (
+            candidates.select("query_id", "neighbor_id")
+            .join(F.broadcast(q), "query_id")
+            .join(
+                vectors.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("vec"),
+                ),
+                "neighbor_id",
+            )
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine(F.col("query_vec"), F.col("vec")).alias("rel"),
+                "vec",
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("neighbor_id"))
     cand = (
         scored.withColumn("__r", F.row_number().over(w))
@@ -791,16 +838,21 @@ def mmr_rerank(
     b = cand.select(
         "query_id", F.col("neighbor_id").alias("b"), F.col("vec").alias("vb")
     )
-    pairs = (
+    sims_tbl = (
         a.join(b, "query_id")
         .where(F.col("a") != F.col("b"))
         .select(
             "query_id",
             "a",
-            "rel_a",
             "b",
             cosine(F.col("va"), F.col("vb")).alias("sim"),
         )
+    )
+    # LEFT join: a query whose pool holds exactly one candidate has no
+    # pair row, but must still reach the greedy stage (null b / sim
+    # rows carry the relevance and contribute no penalty entry).
+    pairs = a.select("query_id", "a", "rel_a").join(
+        sims_tbl, ["query_id", "a"], "left"
     )
     lam_f = float(lam)
 
@@ -810,7 +862,8 @@ def mmr_rerank(
         sims = {}
         for row in pdf.itertuples(index=False):
             rels[row.a] = float(row.rel_a)
-            sims[(row.a, row.b)] = float(row.sim)
+            if row.b is not None and not pd.isna(row.b):
+                sims[(row.a, row.b)] = float(row.sim)
         selected: list = []
         out = []
         remaining = set(rels)

@@ -634,6 +634,14 @@ def bm25_prf_rank(
     """
     if not query_terms:
         raise ValueError("bm25_prf_rank needs at least one query term")
+    if len(set(query_terms)) != len(query_terms):
+        # A duplicated term would fan out twice in the qmodel join and
+        # silently double-count its tf in the re-score -- reject, same
+        # contract as the other round-11 entry guards.
+        raise ValueError(
+            "bm25_prf_rank: query_terms contains duplicates -- each term "
+            "must appear once (weights already spread alpha evenly)"
+        )
     if not 0.0 <= alpha <= 1.0:
         raise ValueError("alpha must be in [0, 1] (1 = no expansion)")
     if fb_k < 1 or n_expand < 1:

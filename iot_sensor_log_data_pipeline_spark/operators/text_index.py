@@ -65,6 +65,7 @@ from .ann_index import (
     _absorbed_batches,
     _fold_tree,
     _folded_ids,
+    _heal_swap_for_read,
     _recover_swap,
     _swap_dir,
     _write_absorb_manifest,
@@ -95,7 +96,11 @@ def _read_with_segments(spark: SparkSession, path: str, name: str) -> DataFrame:
     stays at the call sites, applied to the union).  If a crashed
     absorb left its ``_absorbing`` marker behind, the union is
     full-row-deduped (see ``_ABSORB_MARKER``) -- the healthy path
-    pays nothing."""
+    pays nothing.  Probes self-heal a crashed swap first
+    (``ann_index._heal_swap_for_read``), instead of failing on the
+    missing table until the next maintenance run."""
+    _heal_swap_for_read(path, name)
+    _heal_swap_for_read(path, f"{name}_stream")
     main = spark.read.parquet(_sub(path, name))
     seg_dir = _sub(path, f"{name}_stream")
     if os.path.exists(seg_dir):

@@ -308,7 +308,7 @@ def similarity_ivf_seed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cand
       JOIN embeddings qe ON qe.vec_id = cand.query_id
       JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
-      WHERE ne.label = qe.label
+      WHERE ne.label IS NOT DISTINCT FROM qe.label
     )
     SELECT query_id, neighbor_id, round(cos_sim, 6) + 0.0 AS cos_sim, rank
     FROM (
@@ -487,7 +487,7 @@ def similarity_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cand
       JOIN embeddings qe ON qe.vec_id = cand.query_id
       JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
-      WHERE ne.label <> qe.label
+      WHERE ne.label IS DISTINCT FROM qe.label
     )
     SELECT query_id, neighbor_id, round(cos_sim, 6) + 0.0 AS cos_sim, rank
     FROM (

@@ -7548,3 +7548,95 @@ def test_third_review_fix_battery(spark, tmp_path):
     )
     got_map = apply_cdc(base, cdc, "k").count()
     assert got_map == 2
+
+
+def test_round12_advice_fix_battery(spark, tmp_path):
+    """Regression pytests for the four round-11 ADVICE findings:
+    (1) a query whose candidate pool holds exactly ONE neighbor still
+    emits that neighbor at rank 1 (pre-fix the pairs self-join had no
+    row for it and the query vanished); (2) duplicate query_terms in
+    bm25_prf_rank raise instead of silently double-counting tf in the
+    re-score; (3) filtered_ivf_topk's match predicate is null-safe --
+    NULL-label neighbors surface as hard negatives and NULL-label
+    queries match NULL-label neighbors; (4) probe paths self-heal a
+    crashed _swap_dir (main table missing, __old present) instead of
+    failing until the next maintenance run."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as ANN
+    from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
+    from iot_sensor_log_data_pipeline_spark.operators.text import bm25_prf_rank
+
+    # (1) single-candidate query: 1 query + 1 corpus neighbor
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.8, 0.6, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = SIM.mmr_rerank(df, df.where("vec_id = 0"), k=3, pool=2, lam=0.75).collect()
+    assert [(r["query_id"], r["neighbor_id"], r["rank"]) for r in got] == [(0, 1, 1)]
+    assert abs(got[0]["mmr"] - round(0.75 * 0.8, 6)) < 1e-9
+    # ... and via an explicit candidates table (the serving shape)
+    cand = spark.createDataFrame([(0, 1)], "query_id long, neighbor_id long")
+    got_c = SIM.mmr_rerank(
+        df, df.where("vec_id = 0"), k=3, pool=2, lam=0.75, candidates=cand
+    ).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in got_c] == [(1, 1)]
+
+    # (2) duplicate query terms rejected
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a c d e")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="duplicates"):
+        bm25_prf_rank(docs, ("a", "a"))
+
+    # (3) null-safe match semantics
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], "x"),      # query (labeled)
+            (1, [0.9, 0.1], None),     # NULL-label: valid hard negative
+            (2, [0.8, 0.2], "x"),      # same label: excluded under negate
+            (3, [0.7, 0.3], "y"),      # different label
+            (10, [0.0, 1.0], None),    # NULL-label query
+            (11, [0.1, 1.0], None),    # NULL-label neighbor: matches q10
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    cents = SIM.seed_centroids(emb, 2)
+    neg = SIM.filtered_ivf_topk(
+        emb, emb.where("vec_id = 0"), k=5, match_col="label", negate=True,
+        n_cells=2, n_probe=2, n_assign=2, centroids=cents,
+    ).collect()
+    neg_ids = {r["neighbor_id"] for r in neg}
+    assert 1 in neg_ids and 3 in neg_ids and 2 not in neg_ids
+    eqm = SIM.filtered_ivf_topk(
+        emb, emb.where("vec_id = 10"), k=5, match_col="label",
+        n_cells=2, n_probe=2, n_assign=2, centroids=cents,
+    ).collect()
+    eq_ids = {r["neighbor_id"] for r in eqm}
+    assert 1 in eq_ids and 11 in eq_ids and 2 not in eq_ids
+
+    # (4) probe-side swap self-heal: ANN index + text index
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    root = str(tmp_path / "lsh_heal")
+    ANN.build_lsh_index(
+        vecs, root, bands=4, rows_per_band=2,
+        planes=SIM.hash_hyperplanes(8, dim=2),
+    )
+    _os.rename(_os.path.join(root, "entries"), _os.path.join(root, "entries__old"))
+    q = vecs.where("vec_id = 0")
+    assert ANN.query_lsh_index(spark, root, q, k=3).count() >= 0
+    assert _os.path.exists(_os.path.join(root, "entries"))
+
+    troot = str(tmp_path / "text_heal")
+    TI.build_text_index(docs, troot)
+    _os.rename(
+        _os.path.join(troot, "postings"), _os.path.join(troot, "postings__old")
+    )
+    got_t = TI.query_text_index(spark, troot, ("a", "d"), k=5).collect()
+    assert len(got_t) == 2
+    assert _os.path.exists(_os.path.join(troot, "postings"))

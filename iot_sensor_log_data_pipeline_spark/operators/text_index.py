@@ -307,6 +307,146 @@ def query_text_index(
     )
 
 
+def query_text_index_prf(
+    spark: SparkSession,
+    path: str,
+    query_terms: tuple[str, ...],
+    *,
+    fb_k: int = 5,
+    n_expand: int = 5,
+    alpha: float = 0.5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 + RM3 pseudo-relevance feedback served entirely from the
+    PERSISTED index -- the production shape of
+    ``text.bm25_prf_rank``, where no stage re-tokenizes the corpus:
+
+    1. stage 1 is ``query_text_index`` (term-pruned postings probe)
+       for the top-``fb_k`` pseudo-relevant docs;
+    2. the relevance model P(w|R) = sum_d w_d * tf(w,d)/|d| reads the
+       feedback docs' postings rows (an fb_k-id semi-join -- postings
+       ARE the tokenization, so tf and dl come straight off the
+       index);
+    3. the interpolated (<= len(query_terms) + n_expand)-term query
+       model is assembled DRIVER-side (every table it derives from is
+       fb_k- or n_expand-bounded by construction) and re-scores via
+       one more term-pruned postings scan + doclens join.
+
+    Result-identical to the ad-hoc ``bm25_prf_rank`` on the same
+    corpus when no stop-term cap dropped a model term's postings
+    (asserted in pytest), with the same rounding discipline: P(w|R)
+    and model weights round to 9 decimals before selection, the final
+    score to 6.  Index-resident cost: two postings probes + one
+    fb_k-row posting pull -- no corpus-wide token explode anywhere.
+    """
+    if not query_terms:
+        raise ValueError("query_text_index_prf needs at least one query term")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError(
+            "query_text_index_prf: query_terms contains duplicates -- "
+            "each term must appear once"
+        )
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1] (1 = no expansion)")
+    if fb_k < 1 or n_expand < 1:
+        raise ValueError("fb_k and n_expand must be >= 1")
+
+    fb_rows = sorted(
+        query_text_index(spark, path, query_terms, k=fb_k, k1=k1, b=b).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    id_type = (
+        spark.read.parquet(_sub(path, "doclens")).schema["id"].dataType.simpleString()
+    )
+    if not fb_rows:
+        # No term matched anything: same empty result plain BM25 returns.
+        return spark.createDataFrame([], f"doc_id {id_type}, prf_score double")
+    fb = spark.createDataFrame(
+        [(r["doc_id"], float(r["bm25"])) for r in fb_rows],
+        f"id {id_type}, bm25 double",
+    )
+    ws = sum(float(r["bm25"]) for r in fb_rows)
+
+    postings = _read_with_segments(spark, path, "postings")
+    doclens = _read_with_segments(spark, path, "doclens")
+    tomb_dir = _sub(path, "tombstones")
+    if os.path.exists(tomb_dir):
+        tombs = spark.read.parquet(tomb_dir).select("id").distinct()
+        postings = postings.join(tombs, "id", "left_anti")
+        doclens = doclens.join(tombs, "id", "left_anti")
+
+    # Relevance model over the feedback docs' postings: tf/dl ride the
+    # index (postings carry tf; doclens carries |d|), both pruned to
+    # the fb_k ids by broadcast semi-joins before anything explodes.
+    fb_post = (
+        postings.join(F.broadcast(fb), "id")
+        .join(F.broadcast(doclens.join(F.broadcast(fb.select("id")), "id", "left_semi")), "id")
+        .select("term", (F.col("bm25") * F.col("tf") / F.col("dl")).alias("c"))
+    )
+    pr = fb_post.groupBy("term").agg(
+        F.round(F.sum("c") / F.lit(ws), 9).alias("p_rm")
+    )
+    expansion = sorted(
+        pr.where(~F.col("term").isin(*query_terms))
+        .orderBy(F.desc("p_rm"), F.asc("term"))
+        .limit(n_expand)
+        .collect(),
+        key=lambda r: r["term"],
+    )
+    z = sum(float(r["p_rm"]) for r in expansion)
+    model = [(t, float(alpha) / len(query_terms)) for t in query_terms]
+    if z > 0:
+        # Degenerate feedback (no non-query vocabulary) degrades to the
+        # alpha-weighted original query, same as the ad-hoc operator.
+        model += [
+            (r["term"], round((1.0 - alpha) * float(r["p_rm"]) / z, 9))
+            for r in expansion
+        ]
+    qmodel = spark.createDataFrame(model, "term string, w double")
+    model_terms = [t for t, _ in model]
+
+    # Re-score: one term-pruned postings scan.  Per-term df and the
+    # corpus stats are the query_text_index conventions (df live from
+    # the filtered postings; N/avgdl persisted unless stream segments
+    # exist).
+    tf2 = postings.where(F.col("term").isin(*model_terms))
+    df_rows = tf2.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
+    dfs = {r["term"]: float(r["df"]) for r in df_rows}
+    if _has_segments(path):
+        agg = doclens.agg(
+            F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
+        n, avgdl = float(agg["n"]), float(agg["avgdl"] or 0.0)
+    else:
+        stats = spark.read.parquet(_sub(path, "stats")).collect()[0]
+        n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    df_tbl = spark.createDataFrame(
+        [(t, dfs.get(t, 0.0)) for t in model_terms], "term string, df double"
+    )
+    idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf = F.col("tf").cast("double")
+    sat = (
+        tf * (k1 + 1.0)
+        / (tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    scored = (
+        tf2.join(F.broadcast(qmodel), "term")
+        .join(F.broadcast(df_tbl), "term")
+        .join(doclens, "id")
+        .select("id", (F.col("w") * idf * sat).alias("s"))
+        .groupBy("id")
+        .agg(F.round(F.sum("s"), 6).alias("prf_score"))
+    )
+    return (
+        scored.select(F.col("id").alias("doc_id"), "prf_score")
+        .where(F.col("prf_score") > 0)
+        .orderBy(F.desc("prf_score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def append_text_index(
     new_docs: DataFrame,
     path: str,

@@ -526,6 +526,22 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+#: Pairwise candidate-similarity CTE over a ``cand(query_id,
+#: neighbor_id, rel)`` table -- shared by both MMR oracles.
+_MMR_SIMS = f"""
+    sims AS (
+      SELECT ca.query_id, ca.neighbor_id AS a, cb.neighbor_id AS b,
+             {_DOT.format(d=64, a='ea.embedding', b='eb.embedding')}
+               / ({_NORM.format(d=64, a='ea.embedding')}
+                  * {_NORM.format(d=64, a='eb.embedding')}) AS sim
+      FROM cand ca
+      JOIN cand cb ON cb.query_id = ca.query_id
+                  AND cb.neighbor_id <> ca.neighbor_id
+      JOIN embeddings ea ON ea.vec_id = ca.neighbor_id
+      JOIN embeddings eb ON eb.vec_id = cb.neighbor_id
+    )
+    """
+
 #: Candidate relevance + pairwise-similarity CTEs shared by the MMR
 #: oracle's three unrolled greedy steps.
 _MMR_BASE = f"""
@@ -546,24 +562,14 @@ _MMR_BASE = f"""
         WHERE q.vec_id < 5
       ) WHERE rn <= 10
     ),
-    sims AS (
-      SELECT ca.query_id, ca.neighbor_id AS a, cb.neighbor_id AS b,
-             {_DOT.format(d=64, a='ea.embedding', b='eb.embedding')}
-               / ({_NORM.format(d=64, a='ea.embedding')}
-                  * {_NORM.format(d=64, a='eb.embedding')}) AS sim
-      FROM cand ca
-      JOIN cand cb ON cb.query_id = ca.query_id
-                  AND cb.neighbor_id <> ca.neighbor_id
-      JOIN embeddings ea ON ea.vec_id = ca.neighbor_id
-      JOIN embeddings eb ON eb.vec_id = cb.neighbor_id
-    )
+    {_MMR_SIMS}
     """
 
-
-@register(
-    "similarity_mmr_rerank",
-    oracle=f"""
-    WITH {_MMR_BASE},
+#: The three unrolled greedy selection steps + final projection,
+#: over ``cand``/``sims`` CTEs -- shared by both MMR oracles (the
+#: hop-unrolled beam-search precedent: each step is one
+#: window-ranked argmax).
+_MMR_STEPS = """
     s1 AS (
       SELECT query_id, neighbor_id, mmr FROM (
         SELECT query_id, neighbor_id, 0.75 * rel - 0.25 * 0.0 AS mmr,
@@ -613,6 +619,14 @@ _MMR_BASE = f"""
       UNION ALL SELECT query_id, neighbor_id, mmr, 3 FROM s3
     )
     ORDER BY query_id, rank
+    """
+
+
+@register(
+    "similarity_mmr_rerank",
+    oracle=f"""
+    WITH {_MMR_BASE},
+    {_MMR_STEPS}
     """,
     tags=("similarity", "north-star", "retrieval", "mmr", "diversity"),
 )
@@ -653,11 +667,12 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, queries, k=10).orderBy("query_id", "rank")
 
 
-#: Shared by ``similarity_pq_adc_ann`` and its persisted-index twin
-#: (same pinned seed codebooks, same encode/ADC/re-rank semantics --
-#: probing the on-disk codes is result-identical, asserted in pytest).
-_PQ_ADC_ORACLE = """
-    WITH cent AS (
+#: The seed-codebook PQ probe replay (encode, ADC shortlist, exact
+#: re-rank distances) as a WITH-body ending at the ``exact`` CTE --
+#: shared by the ad-hoc/persisted PQ rows AND the persisted-MMR
+#: composition (which reads the probe's top-10 as its candidate set).
+_PQ_ADC_CTES = """
+    cent AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                AS code,
              embedding AS cv
@@ -708,6 +723,13 @@ _PQ_ADC_ORACLE = """
       JOIN embeddings qe ON qe.vec_id = sl.query_id
       JOIN embeddings ne ON ne.vec_id = sl.neighbor_id
     )
+    """
+
+#: Shared by ``similarity_pq_adc_ann`` and its persisted-index twin
+#: (same pinned seed codebooks, same encode/ADC/re-rank semantics --
+#: probing the on-disk codes is result-identical, asserted in pytest).
+_PQ_ADC_ORACLE = f"""
+    WITH {_PQ_ADC_CTES}
     SELECT query_id, neighbor_id, round(l2_dist, 6) AS l2_dist, rank
     FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
@@ -772,6 +794,59 @@ def similarity_persisted_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5)
     return ANN.query_pq_index(spark, root, queries, k=10, rerank=50).orderBy(
         "query_id", "rank"
+    )
+
+
+@register(
+    "similarity_mmr_persisted",
+    oracle=f"""
+    WITH {_PQ_ADC_CTES},
+    pqtop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY l2_dist, neighbor_id) AS rank
+        FROM exact)
+      WHERE rank <= 10
+    ),
+    cand AS (
+      SELECT p.query_id, p.neighbor_id,
+             {_DOT.format(d=64, a='qe.embedding', b='ne.embedding')}
+               / ({_NORM.format(d=64, a='qe.embedding')}
+                  * {_NORM.format(d=64, a='ne.embedding')}) AS rel
+      FROM pqtop p
+      JOIN embeddings qe ON qe.vec_id = p.query_id
+      JOIN embeddings ne ON ne.vec_id = p.neighbor_id
+    ),
+    {_MMR_SIMS},
+    {_MMR_STEPS}
+    """,
+    tags=("similarity", "north-star", "retrieval", "mmr", "diversity",
+          "persisted-index"),
+)
+def similarity_mmr_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification served from the PERSISTED PQ index -- the
+    production serving shape (candidates-from-index -> re-rank) the
+    round-11 ad-hoc ``similarity_mmr_rerank`` row left open: the
+    top-10 shortlist per query comes from ``query_pq_index`` (ADC
+    probe over the on-disk compressed codes + exact re-rank), and
+    ``mmr_rerank(candidates=...)`` re-scores exactly those pairs with
+    exact cosine relevance before the bounded Arrow greedy.  No stage
+    re-scans the corpus: the probe touches codes + the 50-row
+    shortlist, the re-rank touches <= pool rows per query (the
+    vectors passed for relevance lookup are the same rows the index's
+    re-rank table stores).  The oracle replays probe AND greedy
+    stage-for-stage: the seed-codebook PQ CTEs produce the candidate
+    set, the shared unrolled-greedy steps pick the 3 ranks."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    root = _index_root(sf_dir, "pq")
+    ANN.build_pq_index(
+        emb, root, m=8, n_codes=64,
+        codebooks=SIM.pq_seed_codebooks(emb, m=8, k=64),
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    cand = ANN.query_pq_index(spark, root, queries, k=10, rerank=50)
+    return SIM.mmr_rerank(
+        emb, queries, k=3, pool=10, lam=0.75, candidates=cand
     )
 
 

@@ -347,9 +347,12 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bm25_rank(docs, _BM25_TERMS, k=15, k1=_BM25_K1, b=_BM25_B)
 
 
-@register(
-    "text_bm25_prf_search",
-    oracle=f"""
+#: Shared by ``text_bm25_prf_search`` and its persisted-index twin:
+#: the index-resident probe reproduces every stage (feedback ranking,
+#: relevance model, interpolated re-score) number-for-number from the
+#: postings/doclens tables (identity asserted in pytest), so both rows
+#: replay the same SQL -- the ``_BM25_ORACLE`` convention.
+_BM25_PRF_ORACLE = f"""
     WITH base AS (
       SELECT doc_id,
              {_NTOK} AS dl,
@@ -427,7 +430,12 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE prf_score > 0
     ORDER BY prf_score DESC, doc_id
     LIMIT 10
-    """,
+    """
+
+
+@register(
+    "text_bm25_prf_search",
+    oracle=_BM25_PRF_ORACLE,
     tags=("text", "north-star", "retrieval", "prf", "rm3"),
 )
 def text_bm25_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,6 +452,39 @@ def text_bm25_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelize_small(load(spark, sf_dir, "documents"))
     return TX.bm25_prf_rank(
         docs, _BM25_TERMS, fb_k=5, n_expand=5, alpha=0.5, k=10,
+        k1=_BM25_K1, b=_BM25_B,
+    )
+
+
+@register(
+    "text_bm25_prf_persisted",
+    oracle=_BM25_PRF_ORACLE,
+    tags=("text", "north-star", "retrieval", "prf", "rm3",
+          "persisted-index"),
+)
+def text_bm25_prf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RM3 feedback loop served from the PERSISTED inverted index
+    (``operators/text_index.py:query_text_index_prf``) -- the last
+    ad-hoc-only text serving operator composed onto its index (the
+    ``text_hybrid_rrf_persisted`` pattern): stage-1 BM25 is the
+    term-pruned postings probe, the relevance model P(w|R) reads the
+    fb_k feedback docs' postings rows (postings ARE the
+    tokenization), and the interpolated 8-term query model re-scores
+    via a second term-pruned postings scan + doclens join -- no stage
+    re-tokenizes the corpus.  Result-identical to
+    ``text_bm25_prf_search`` (probe==ad-hoc parity pytest), so both
+    rows share one oracle."""
+    import os as _os
+
+    from ..io_utils import scratch_dir
+    from ..operators import text_index as TI
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    sf_name = _os.path.basename(sf_dir.rstrip("/")) or "corpus"
+    troot = scratch_dir("text_index", sf_name)
+    TI.build_text_index(docs, troot)
+    return TI.query_text_index_prf(
+        spark, troot, _BM25_TERMS, fb_k=5, n_expand=5, alpha=0.5, k=10,
         k1=_BM25_K1, b=_BM25_B,
     )
 

@@ -7640,3 +7640,45 @@ def test_round12_advice_fix_battery(spark, tmp_path):
     got_t = TI.query_text_index(spark, troot, ("a", "d"), k=5).collect()
     assert len(got_t) == 2
     assert _os.path.exists(_os.path.join(troot, "postings"))
+
+
+def test_serving_compositions_match_adhoc(spark, tmp_path):
+    """The round-12 serving compositions are result-identical to their
+    ad-hoc twins (the text_hybrid_rrf_persisted precedent): (a) MMR
+    over query_pq_index candidates == MMR over pq_adc_topk candidates
+    at the same seed codebooks/budgets; (b) the index-resident RM3
+    probe == bm25_prf_rank on the same corpus."""
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as ANN
+    from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
+    from iot_sensor_log_data_pipeline_spark.operators.text import bm25_prf_rank
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where(
+        "vec_id < 120"
+    )
+    queries = emb.where("vec_id < 3")
+    cbs = SIM.pq_seed_codebooks(emb, m=8, k=16)
+    root = str(tmp_path / "pq")
+    ANN.build_pq_index(emb, root, m=8, n_codes=16, codebooks=cbs)
+    cand_idx = ANN.query_pq_index(spark, root, queries, k=8, rerank=30)
+    cand_adhoc = SIM.pq_adc_topk(
+        emb, queries, k=8, n_codes=16, codebooks=cbs, rerank=30
+    )
+    got = SIM.mmr_rerank(
+        emb, queries, k=3, pool=8, lam=0.75, candidates=cand_idx
+    ).collect()
+    want = SIM.mmr_rerank(
+        emb, queries, k=3, pool=8, lam=0.75, candidates=cand_adhoc
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 9  # 3 queries x 3 ranks
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    troot = str(tmp_path / "ti")
+    TI.build_text_index(docs, troot)
+    q = ("spark", "join")
+    got_t = TI.query_text_index_prf(
+        spark, troot, q, fb_k=3, n_expand=3, alpha=0.5, k=10
+    ).collect()
+    want_t = bm25_prf_rank(docs, q, fb_k=3, n_expand=3, alpha=0.5, k=10).collect()
+    assert [tuple(r) for r in got_t] == [tuple(r) for r in want_t]
+    assert len(got_t) > 0

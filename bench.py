@@ -11,6 +11,7 @@ distributed execution cost, and how a 100 TB run would be driven).
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -132,7 +133,26 @@ HEADLINE: tuple[str, ...] = (
     "text_kneser_ney_logprob",
     # round 11: zero-shuffle token blocklist gate (array-literal scan)
     "text_blocklist_filter",
+    # round 12: MMR served from the persisted PQ index (probe -> greedy)
+    "similarity_mmr_persisted",
+    # round 12: RM3 served from the inverted index (no corpus re-tokenize)
+    "text_bm25_prf_persisted",
 )
+
+#: Canary queries: plans pinned since <= round 9 whose code is
+#: deliberately never touched -- their round-over-round timing ratio
+#: measures HOST drift, not code.  Every artifact reports
+#: ``canary_factor`` = geometric mean of (current / reference) over
+#: these, so a uniform ambient shift (round-11 postmortem: every
+#: untouched query read ~1.34x slower purely from host throughput) is
+#: machine-visible instead of a judgement call.  References pinned
+#: from the round-12 quiet-machine run; re-pin ONLY when the host
+#: demonstrably changes (record it in SCALE.md).
+CANARIES: dict[str, float] = {
+    "q1_pricing_summary": 0.58,
+    "text_quality_score": 0.869,
+    "corpus_content_sample": 0.341,
+}
 
 
 def wait_for_quiet_machine(
@@ -197,6 +217,9 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 50) -> dict[str
         ("lsh", lambda: SIM.lsh_topk(
             emb, queries, k=k, bands=16,
             planes=SIM.hash_hyperplanes(64, dim=64))),
+        # round 12: geometry derives from N (ivf_geometry -- the
+        # ivf_topk defaults; previously a fixed Lloyd-64/probe-12 that
+        # ceilinged at 0.80 as the corpus outgrew it).
         ("ivf", lambda: SIM.ivf_topk(emb, queries, k=k)),
         # production PQ path: Lloyd codebooks, 256 codes per subspace
         # (vs 64 in rounds <= 3 -- finer cells cut quantization error,
@@ -252,13 +275,14 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 50) -> dict[str
             (r["query_id"], r["neighbor_id"]) for r in fn().collect()
         }
         out[label] = round(len(exact & approx) / len(exact), 4)
-    # Cogrouped large-by-large join (round 8), at the SAME quantizer
-    # geometry as the "ivf" line (Lloyd-64, 12 probes) so the two
-    # recalls compare the join strategy, not the cell quality.
-    # Disjoint batch/corpus split (the join has no self-exclusion --
-    # its contract is two tables), so its exact reference is over the
-    # same split.
+    # Cogrouped large-by-large join (round 8), at the SAME derived
+    # quantizer geometry as the "ivf" line (round 12: ivf_geometry --
+    # previously pinned Lloyd-64/probe-12) so the two recalls compare
+    # the join strategy, not the cell quality.  Disjoint batch/corpus
+    # split (the join has no self-exclusion -- its contract is two
+    # tables), so its exact reference is over the same split.
     corpus = emb.where(F.col("vec_id") >= n_queries)
+    _IVF_GEO = SIM.ivf_geometry(corpus.count())
     exact_cg = {
         (r["query_id"], r["neighbor_id"])
         for r in SIM.brute_force_topk(corpus, queries, k=k).collect()
@@ -268,9 +292,12 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 50) -> dict[str
         for r in SIM.ivf_cogroup_join(
             queries.select("vec_id", "embedding"),
             corpus,
-            SIM.kmeans_centroids(corpus, 64),
+            SIM.kmeans_centroids(
+                corpus, _IVF_GEO["n_cells"],
+                sample_size=_IVF_GEO["sample_size"],
+            ),
             k=k,
-            n_probe=12,
+            n_probe=_IVF_GEO["n_probe"],
             n_assign=2,
         ).collect()
     }
@@ -517,23 +544,77 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+
+    # Host-drift canary (round 12): geometric mean of the canary
+    # queries' ratios to their pinned quiet-host references.  A factor
+    # far from 1.0 with unchanged plans = ambient shift; divide raw
+    # timings by it to compare code across artifacts.
+    ratios = [
+        timings[name] / ref
+        for name, ref in CANARIES.items()
+        if name in timings and timings[name] > 0
+    ]
+    canary_factor = (
+        round(math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 4)
+        if ratios
+        else None
+    )
+    detail = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_canary_normalized": (
+            {k: round(v / canary_factor, 3) for k, v in timings.items()}
+            if canary_factor
+            else None
+        ),
+        "sf": sf_val,
+        "cpus": cpus,
+        "ann_recall_at_10": recall,
+        "persisted_index_sec": index_breakdown,
+        "streaming_rows_per_sec": stream_rps,
+        "load_avg_1m": {
+            "start": round(load_start, 2),
+            "end": round(os.getloadavg()[0], 2),
+        },
+        "load_gate": load_gate,
+        "timing_passes": n_passes,
+        "canary_refs": CANARIES,
+        "canary_factor": canary_factor,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    # The driver captures only the TAIL of stdout (observed: 2000
+    # chars), so the full per-query dict -- 95+ keys -- overflowed it
+    # and every round's artifact read "parsed": null.  The single
+    # stdout line is therefore COMPACT: totals, recalls, canary
+    # factor, the canary + 5 slowest query timings (contract shape
+    # preserved), with the complete breakdown in BENCH_DETAIL.json.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    compact_queries = {
+        **{k: timings[k] for k in CANARIES if k in timings},
+        **slowest,
+    }
     payload = json.dumps(
         {
             "metric": "headline_queries_total_sec",
             "value": total,
             "unit": "sec",
-            "queries": timings,
+            "queries": compact_queries,
+            "n_queries": len(timings),
             "sf": sf_val,
             "cpus": cpus,
             "ann_recall_at_10": recall,
-            "persisted_index_sec": index_breakdown,
             "streaming_rows_per_sec": stream_rps,
-            "load_avg_1m": {
-                "start": round(load_start, 2),
-                "end": round(os.getloadavg()[0], 2),
-            },
-            "load_gate": load_gate,
+            "canary_factor": canary_factor,
+            "load_gate_passed": load_gate["gate_passed"],
             "timing_passes": n_passes,
+            "detail_file": "BENCH_DETAIL.json",
         }
     )
     os.write(real_stdout, (payload + "\n").encode())

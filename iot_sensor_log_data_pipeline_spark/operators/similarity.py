@@ -414,16 +414,56 @@ def seed_centroids(
     return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
 
 
+def ivf_geometry(
+    n_vectors: int,
+    scan_fraction: float = 0.375,
+    n_assign: int = 2,
+) -> dict[str, int]:
+    """Corpus-scaled IVF-flat probe geometry -- the ``ivfpq_geometry``
+    derivation applied to the uncompressed index (round-12; the
+    round-11 bench still ran plain IVF at a fixed 64 cells, which
+    stops tracking local structure as N grows and ceilinged recall at
+    0.80 where the derived plan's finer cells track it):
+
+    * ``n_cells``: ~4 * sqrt(N) rounded up to a power of two, clamped
+      to [16, 65536] -- cell population ~sqrt(N)/4 keeps the
+      assignment matmul and per-cell exact scans balanced;
+    * ``n_probe``: the largest count keeping the expected scanned
+      fraction (n_assign * n_probe / n_cells) within
+      ``scan_fraction`` (default 0.375 = the candidate budget of the
+      historical 64/12/2 defaults, so deriving the geometry never
+      silently shrinks the scan), floor 4;
+    * ``sample_size``: the Lloyd's training sample grows with the
+      cell count (16 rows/cell, clamped [2048, 65536]) so fine
+      quantizers aren't trained on 8 samples per cell.
+
+    IVF-flat re-ranks exactly inside probed cells, so recall equals
+    candidate coverage -- the scan fraction IS the recall/cost knob
+    (``ivf_probe_sweep`` measures the curve on a sample).
+    """
+    import math as _math
+
+    root = max(16, int(4 * _math.sqrt(max(n_vectors, 1))))
+    n_cells = 1 << (root - 1).bit_length()  # next power of two
+    n_cells = max(16, min(65536, n_cells))
+    return {
+        "n_cells": n_cells,
+        "n_probe": max(4, int(n_cells * scan_fraction / max(n_assign, 1))),
+        "n_assign": n_assign,
+        "sample_size": max(2048, min(65536, 16 * n_cells)),
+    }
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 64,
-    n_probe: int = 12,
+    n_cells: int | None = None,
+    n_probe: int | None = None,
     n_assign: int = 2,
-    sample_size: int = 2048,
+    sample_size: int | None = None,
     kmeans_iter: int = 10,
     seed: int = 42,
     centroids: list[tuple[int, list[float]]] | None = None,
@@ -453,7 +493,23 @@ def ivf_topk(
 
     Pass ``centroids`` explicitly (e.g. from ``seed_centroids``) to
     pin the quantizer; otherwise the sampled Lloyd's quantizer runs.
+
+    Geometry: leave ``n_cells`` / ``n_probe`` / ``sample_size`` as
+    None and they derive from the corpus size via ``ivf_geometry``
+    (one metadata-cheap count; round-12 -- a fixed 64-cell default
+    stops tracking local structure as N grows).  Explicit values pin
+    the layout (oracle queries, tests, persisted-index parity).
     """
+    if n_cells is None:
+        n_cells = (
+            len(centroids)
+            if centroids is not None
+            else ivf_geometry(vectors.count(), n_assign=n_assign)["n_cells"]
+        )
+    if n_probe is None:
+        n_probe = max(4, int(n_cells * 0.375 / max(n_assign, 1)))
+    if sample_size is None:
+        sample_size = max(2048, min(65536, 16 * n_cells))
     if centroids is None:
         centroids = kmeans_centroids(
             vectors,

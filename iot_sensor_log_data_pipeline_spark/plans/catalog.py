@@ -59,110 +59,108 @@ _QUERY_MODULES = (
 #: (``agg_approx_sketches``, ``similarity_ivf_ann``,
 #: ``similarity_graph_ann``, ``similarity_opq_adc_ann``) stay out once
 #: they hold an external `no_oracle` row -- another adds no
-#: information.  Unknown names fail loudly in tests
+#: information -- UNLESS the row is 6+ rounds stale or the query's
+#: code changed (round-11 verdict item 6: a rows-only re-row is cheap
+#: re-evidence against code drift).  Unknown names fail loudly in tests
 #: (``tests/test_catalog_oracle.py``), and
 #: ``test_verify_window_covers_unverified`` fails if any oracle-backed
 #: query without an external row is not in the first 50 of this tuple
 #: -- the guard that keeps this rotation from silently slipping a
 #: round.
 _VERIFY_PRIORITY: tuple[str, ...] = (
-    # Round-11 window, per the pre-planned rotation (round-10 comment
-    # in git history).  (a) new in round 11 -- first external
-    # evidence: the persisted hybrid RRF serving path, the pinned
-    # Walsh-Hadamard OPQ twin (closes the last rows-only gap in the
-    # OPQ family), and the end-to-end corpus-assembly macro.
-    "text_hybrid_rrf_persisted",
-    "similarity_opq_seed_ann",
-    "corpus_assemble_end_to_end",
-    # -- added mid-round: metadata-filtered vector search, interpolated
-    # Kneser-Ney LM scoring, and the C4-style token blocklist gate all
-    # ship with full oracles and no external row yet, so they must be
-    # inside the window (three more r5-battery rows defer to round 12
-    # to make room -- see the tail comment).
-    "similarity_filtered_seed_ann",
-    "text_kneser_ney_logprob",
-    "text_blocklist_filter",
-    "similarity_probe_sweep",
+    # Round-12 window, per the pre-planned rotation (round-11 comment
+    # in git history).  (a) new in round 12 -- first external
+    # evidence: the two serving compositions over the persisted
+    # indexes (MMR from the PQ probe shortlist, RM3 from the inverted
+    # index), closing the last ad-hoc-only serving operators.
+    "similarity_mmr_persisted",
+    "text_bm25_prf_persisted",
+    # (b) round-12-edited code paths re-enter: mmr_rerank's pair table
+    # became a left join (single-candidate fix) + candidates= param;
+    # bm25_prf_rank gained the duplicate-terms guard;
+    # filtered_ivf_topk's match predicate went null-safe (oracles
+    # updated to IS [NOT] DISTINCT FROM); query_*_index probes now
+    # self-heal crashed swaps (_read_with_segments change --
+    # persisted_pq_ann is the family representative); ivf_topk derives
+    # its geometry from corpus size when not pinned (ivf_seed_ann
+    # passes pinned values through the changed derivation block).
     "similarity_mmr_rerank",
-    "similarity_hard_negatives",
     "text_bm25_prf_search",
-    # (b) round-11-edited code paths re-enter: ivfpq_topk gained
-    # multi-assignment (per-cell ADC min restructure) + the quantizer
-    # guards; _read_with_segments gained the absorb manifest/marker
-    # (ann_index family + text index); apply_cdc gained the per-pk
-    # ordering contract (incremental_join_cdc_delta calls it).
-    "similarity_ivfpq_ann",
-    "similarity_persisted_ivfpq_ann",
-    "similarity_persisted_lsh_ann",
-    "text_bm25_persisted_index",
-    "incremental_join_cdc_refresh",
-    # (c) the eight rows deferred from the round-10 window: stalest
-    # external evidence (r4), seven rounds of engine evolution since.
-    "similarity_label_centroids",
-    "text_top_tokens",
-    "text_token_stats",
-    "sketch_hll_by_source",
-    "text_vocab_coverage",
-    "events_path_trigrams",
-    "quality_referential_checks",
-    "corpus_mixture_weights",
-    # (d) the round-5 battery -- now the stalest evidence class (37
-    # rows, six rounds of engine evolution since).  34 of 37 fit this
-    # window; the three deferred to round 12 (hourly_avg_by_type,
-    # histogram_max_value, json_serialize) are trivial
-    # reference-module queries whose siblings in the same module went
-    # green r7-r10 (hourly_avg_value r10, sensor_wire_roundtrip /
-    # compaction_roundtrip r7).
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority_check",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q12_late_shipments",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q18_large_volume",
-    "q19_disjunctive_predicates",
-    "agg_full_set",
-    "agg_percentiles",
-    "compaction_projection",
-    "corpus_semantic_decontamination",
-    "cube_lineitem_flags",
-    "dedup_at_least_once",
-    "grouping_sets_part",
-    "hourly_corr",
-    "join_broadcast_dims",
-    "join_full_outer_nations",
-    "join_left_order_counts",
-    "join_semi_anti_balance",
-    "join_theta_size_bands",
-    "monotonic_sequence",
-    "pivot_daily_event_values",
-    # rollup_order_status_priority / row_transform_flatten /
-    # sessionize_events / setops_user_cohorts / topk_orders_global /
-    # unpivot_order_measures / value_props_corr deferred to round 12:
-    # the seven mid-round additions above took their window slots, and
-    # all seven hold green r5 rows on single-operator plans (rollup,
-    # struct flatten, sessionization, set ops, global top-k, unpivot,
-    # corr) untouched since.
+    "similarity_filtered_seed_ann",
+    "similarity_hard_negatives",
+    "similarity_persisted_pq_ann",
+    "similarity_ivf_seed_ann",
+    # (c) the ten rows deferred from the round-11 window -- the last
+    # of the r5 evidence class (seven rounds of engine evolution
+    # since their rows).
+    "hourly_avg_by_type",
+    "histogram_max_value",
+    "json_serialize",
+    "rollup_order_status_priority",
+    "row_transform_flatten",
+    "sessionize_events",
+    "setops_user_cohorts",
+    "topk_orders_global",
+    "unpivot_order_measures",
+    "value_props_corr",
+    # (d) stale rows-only refresh (round-11 verdict item 6): these two
+    # by-design no-oracle rows hold r1/r3 external evidence -- 9+
+    # rounds of code drift, and similarity_ivf_ann's code DID change
+    # this round (derived geometry).  A rows-only re-row is cheap
+    # re-evidence; the graph/opq rows-only twins (r9) stay out under
+    # the standing rule.
+    "similarity_ivf_ann",
+    "agg_approx_sketches",
+    # (e) the r7 battery -- now the oldest oracle-backed evidence
+    # class (48 rows; five rounds of engine evolution since).  The
+    # first 30 in registration order fit this window; the remaining
+    # 18 (window-function battery tail, scan roundtrips) lead the
+    # round-13 rotation.
+    "funnel_conversion",
+    "cohort_weekly_retention",
+    "gapfill_10min_interpolated",
+    "anomaly_rolling_zscore",
+    "dedup_semantic_pairs",
+    "dedup_semantic_survivors",
+    "dedup_semantic_text_survivors",
+    "dedup_verbatim_runs",
+    "dedup_verbatim_clean",
+    "dedup_winnowing_pairs",
+    "similarity_persisted_ivf_ann",
+    "similarity_random_projection",
+    "similarity_rp_ann",
+    "similarity_sq8_report",
+    "text_ccnet_quality_buckets",
+    "text_ngram_novelty",
+    "text_nb_quality_scores",
+    "corpus_train_val_split",
+    "text_repetition_filters",
+    "corpus_curation_pipeline",
+    "corpus_decontamination",
+    "corpus_stratified_sample",
+    "corpus_pack_sequences",
+    "corpus_source_cap",
+    "corpus_dsir_weights",
+    "corpus_dsir_resample",
+    "corpus_mixture_temperature",
+    "corpus_token_budget_sample",
+    "corpus_curation_funnel",
+    "corpus_length_buckets",
 )
 
-#: Round-12 rotation plan: (a) anything new in round 12 plus
-#: re-entries for round-12-edited code paths; (b) the ten rows
-#: deferred from this window (hourly_avg_by_type, histogram_max_value,
-#: json_serialize -- trivial reference-module queries, siblings green
-#: r7-r10 -- plus rollup_order_status_priority, row_transform_flatten,
-#: sessionize_events, setops_user_cohorts, topk_orders_global,
-#: unpivot_order_measures, value_props_corr, displaced by the seven
-#: mid-round additions, which lead this window as first-evidence
-#: rows);
-#: (c) then the oldest remaining evidence is the r7 battery
-#: (50 rows: scan roundtrips, window functions, winnowing/semantic
-#: dedup, curation family) -- refresh in registration order as slots
-#: allow; (d) if any round-11 row comes back red, its fix re-enters at
-#: the head, same as covariance did in round 10.
+#: Round-13 rotation plan: (a) anything new in round 13 plus
+#: re-entries for round-13-edited code paths; (b) the 18 r7-battery
+#: rows this window could not fit, in registration order:
+#: multimodal_meta, multimodal_frame_sample, multimodal_resize,
+#: scan_json_roundtrip, scan_csv_roundtrip, compaction_roundtrip,
+#: sensor_hourly_golden, sensor_wire_roundtrip,
+#: maintenance_compaction_roundtrip, profile_embedding_drift,
+#: recursive_order_chain, window_top_orders_per_customer,
+#: window_rank_functions, window_lag_lead, window_moving_avg,
+#: window_cumulative, window_range_trailing_hour, window_first_last;
+#: (c) then the r8 battery (45 rows) opens as the next-oldest class;
+#: (d) if any round-12 row comes back red, its fix re-enters at the
+#: head, same as covariance did in round 10.
 
 
 @dataclass(frozen=True)

@@ -7682,3 +7682,64 @@ def test_serving_compositions_match_adhoc(spark, tmp_path):
     want_t = bm25_prf_rank(docs, q, fb_k=3, n_expand=3, alpha=0.5, k=10).collect()
     assert [tuple(r) for r in got_t] == [tuple(r) for r in want_t]
     assert len(got_t) > 0
+
+
+def test_ivf_geometry_hits_target_on_clustered_data(spark):
+    """The derived plain-IVF plan (ivf_geometry: ~4*sqrt(N) cells,
+    2-way assignment, probes filling a 25% scan budget) reaches
+    recall@10 >= 0.9 on CLUSTERED vectors for BOTH probe shapes: the
+    broadcast-queries ivf_topk and the large-by-large
+    ivf_cogroup_join -- the round-12 twin of
+    test_ivfpq_geometry_hits_target_on_clustered_data (the bench
+    corpus is near-isotropic, which caps its coarse ceiling; this
+    pins that the geometry, not the operator, is corpus-bound
+    there)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    n_clusters, per = 40, 50
+    centers = rng.normal(0, 10.0, size=(n_clusters, 64))
+    X = np.vstack([
+        centers[c] + rng.normal(0, 0.8, size=(per, 64))
+        for c in range(n_clusters)
+    ])
+    n = len(X)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    queries = df.where("vec_id < 20")
+
+    geo = SIM.ivf_geometry(n, scan_fraction=0.25)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(df, queries, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivf_topk(
+            df, queries, k=10, n_cells=geo["n_cells"],
+            n_probe=geo["n_probe"], n_assign=geo["n_assign"],
+            sample_size=geo["sample_size"],
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"ivf clustered recall {recall} < 0.9"
+
+    corpus = df.where("vec_id >= 20")
+    cents = SIM.kmeans_centroids(
+        corpus, geo["n_cells"], sample_size=geo["sample_size"]
+    )
+    exact_cg = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(corpus, queries, k=10).collect()
+    }
+    cg = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivf_cogroup_join(
+            queries.select("vec_id", "embedding"), corpus, cents,
+            k=10, n_probe=geo["n_probe"], n_assign=2,
+        ).collect()
+    }
+    recall_cg = len(exact_cg & cg) / len(exact_cg)
+    assert recall_cg >= 0.9, f"cogroup clustered recall {recall_cg} < 0.9"

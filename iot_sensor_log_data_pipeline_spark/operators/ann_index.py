@@ -775,6 +775,9 @@ def query_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     allowed: DataFrame | None = None,
+    match_col: str | None = None,
+    attrs: DataFrame | None = None,
+    negate: bool = False,
 ) -> DataFrame:
     """Probe a persisted IVF index: nearest-``n_probe`` cells per query
     (centroids loaded driver-side, KBs), postings equi-join on the cell
@@ -786,7 +789,24 @@ def query_ivf_index(
     on the allow-list before the re-rank, so all k results satisfy the
     filter and the re-rank cost shrinks with the selectivity (raise
     ``n_probe`` ~ 1/selectivity to hold recall; see
-    ``similarity.filtered_ivf_topk`` for the cost model)."""
+    ``similarity.filtered_ivf_topk`` for the cost model).
+
+    ``match_col`` + ``attrs`` (optional): the PER-QUERY attribute
+    constraint (``filtered_ivf_topk``'s other shape, served from the
+    index).  The index stores only (id, cell, vec) -- attributes live
+    in a caller-supplied side table ``attrs`` with columns (``id_col``,
+    ``match_col``), the vector-DB metadata-table convention; queries
+    must carry ``match_col`` too.  The (null-safe, IS [NOT] DISTINCT
+    FROM) predicate applies to the candidate set BEFORE the re-rank;
+    ``negate=True`` flips it -- HARD-NEGATIVE MINING from the
+    persisted index.  Cost: one id-keyed equi join of the candidate
+    postings against ``attrs`` (candidates, not corpus, when the
+    probe is selective)."""
+    if negate and match_col is None:
+        raise ValueError("negate=True needs match_col")
+    if (match_col is None) != (attrs is None):
+        raise ValueError("match_col and attrs must be passed together "
+                         "(attrs is the (id, attribute) side table)")
     cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
     if cfg["kind"] != "ivf":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not ivf")
@@ -794,20 +814,33 @@ def query_ivf_index(
     centroids = [(int(r["cell"]), list(r["cv"])) for r in cent_rows]
     probe_cells = _top_cells_udf(centroids, n_probe)
 
-    probes = queries.select(
+    q_cols = [
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
-    )
+    ]
+    if match_col is not None:
+        q_cols.append(F.col(match_col).alias("q_attr"))
+    probes = queries.select(*q_cols)
     entries = _read_with_segments(spark, path, "entries")
     if allowed is not None:
         entries = entries.join(
             allowed.select(F.col(id_col).alias("id")), "id", "left_semi"
         )
+    cand = entries.join(F.broadcast(probes), "cell").where(
+        F.col("id") != F.col("query_id")
+    )
+    if match_col is not None:
+        cand = cand.join(
+            attrs.select(
+                F.col(id_col).alias("id"), F.col(match_col).alias("nb_attr")
+            ),
+            "id",
+        )
+        eq = F.col("nb_attr").eqNullSafe(F.col("q_attr"))
+        cand = cand.where(~eq if negate else eq)
     cand = (
-        entries.join(F.broadcast(probes), "cell")
-        .where(F.col("id") != F.col("query_id"))
-        .groupBy("query_id", "id")
+        cand.groupBy("query_id", "id")
         .agg(F.first("query_vec").alias("query_vec"))
         .select("query_id", F.col("id").alias("neighbor_id"), "query_vec")
     )

@@ -75,6 +75,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     # index), closing the last ad-hoc-only serving operators.
     "similarity_mmr_persisted",
     "text_bm25_prf_persisted",
+    "similarity_hard_negatives_persisted",
     # (b) round-12-edited code paths re-enter: mmr_rerank's pair table
     # became a left join (single-candidate fix) + candidates= param;
     # bm25_prf_rank gained the duplicate-terms guard;
@@ -145,13 +146,14 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "corpus_mixture_temperature",
     "corpus_token_budget_sample",
     "corpus_curation_funnel",
-    "corpus_length_buckets",
+    # corpus_length_buckets displaced to round 13 by the third new
+    # serving row (persisted hard negatives).
 )
 
 #: Round-13 rotation plan: (a) anything new in round 13 plus
-#: re-entries for round-13-edited code paths; (b) the 18 r7-battery
+#: re-entries for round-13-edited code paths; (b) the 19 r7-battery
 #: rows this window could not fit, in registration order:
-#: multimodal_meta, multimodal_frame_sample, multimodal_resize,
+#: corpus_length_buckets, multimodal_meta, multimodal_frame_sample, multimodal_resize,
 #: scan_json_roundtrip, scan_csv_roundtrip, compaction_roundtrip,
 #: sensor_hourly_golden, sensor_wire_roundtrip,
 #: maintenance_compaction_roundtrip, profile_embedding_drift,

@@ -444,9 +444,11 @@ def similarity_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "similarity_hard_negatives",
-    oracle=f"""
+#: Shared by the ad-hoc hard-negative row and its persisted-index twin
+#: (same pinned 16-cell seed quantizer, 2-way assignment, 4 probes --
+#: the persisted probe at match_col/negate over the on-disk inverted
+#: lists is result-identical, asserted in pytest).
+_HARD_NEG_ORACLE = f"""
     WITH cent AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                AS cell,
@@ -497,7 +499,12 @@ def similarity_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE rank <= 10
     ORDER BY query_id, rank
-    """,
+    """
+
+
+@register(
+    "similarity_hard_negatives",
+    oracle=_HARD_NEG_ORACLE,
     tags=("similarity", "north-star", "ivf", "ann", "hard-negatives"),
 )
 def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,6 +530,40 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=4,
         n_assign=2,
         centroids=SIM.seed_centroids(emb, 16),
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "similarity_hard_negatives_persisted",
+    oracle=_HARD_NEG_ORACLE,
+    tags=("similarity", "north-star", "ivf", "ann", "hard-negatives",
+          "persisted-index"),
+)
+def similarity_hard_negatives_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hard-negative mining served from the PERSISTED IVF index
+    (``operators/ann_index.py:query_ivf_index(match_col=...,
+    negate=True)``): the per-query attribute constraint joins the
+    candidate postings against an (id, label) metadata side table --
+    the vector-DB convention, since the index stores only
+    (id, cell, vec) -- and the null-safe inequality applies BEFORE
+    the exact re-rank, so all k negatives are guaranteed
+    different-label.  Result-identical to the ad-hoc
+    ``similarity_hard_negatives`` at the same pinned quantizer
+    (parity pytest), so both rows share one oracle; the amortized
+    corpus assignment lives in the index build."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    root = _index_root(sf_dir, "ivf_hardneg")
+    ANN.build_ivf_index(
+        emb, root, n_cells=16, n_assign=2,
+        centroids=SIM.seed_centroids(emb, 16),
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return ANN.query_ivf_index(
+        spark, root, queries, k=10, n_probe=4,
+        match_col="label", attrs=emb.select("vec_id", "label"),
+        negate=True,
     ).orderBy("query_id", "rank")
 
 

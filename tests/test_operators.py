@@ -7743,3 +7743,36 @@ def test_ivf_geometry_hits_target_on_clustered_data(spark):
     }
     recall_cg = len(exact_cg & cg) / len(exact_cg)
     assert recall_cg >= 0.9, f"cogroup clustered recall {recall_cg} < 0.9"
+
+
+def test_query_ivf_index_match_col_parity_and_guards(spark, tmp_path):
+    """query_ivf_index(match_col=, attrs=, negate=) == the ad-hoc
+    filtered_ivf_topk at the same pinned quantizer -- both polarities
+    -- and the parameter contract fails loudly (negate without
+    match_col; match_col without the attrs side table)."""
+    import pytest as _pytest
+
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as ANN
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where(
+        "vec_id < 100"
+    )
+    queries = emb.where("vec_id < 3")
+    cents = SIM.seed_centroids(emb, 8)
+    root = str(tmp_path / "ivf_attr")
+    ANN.build_ivf_index(emb, root, n_cells=8, n_assign=2, centroids=cents)
+    attrs = emb.select("vec_id", "label")
+    for neg in (False, True):
+        got = ANN.query_ivf_index(
+            spark, root, queries, k=5, n_probe=4,
+            match_col="label", attrs=attrs, negate=neg,
+        ).collect()
+        want = SIM.filtered_ivf_topk(
+            emb, queries, k=5, match_col="label", negate=neg,
+            n_cells=8, n_probe=4, n_assign=2, centroids=cents,
+        ).collect()
+        assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in want)
+    with _pytest.raises(ValueError, match="negate=True needs match_col"):
+        ANN.query_ivf_index(spark, root, queries, negate=True)
+    with _pytest.raises(ValueError, match="passed together"):
+        ANN.query_ivf_index(spark, root, queries, match_col="label")

@@ -151,6 +151,42 @@ def append_lsh_index(
     base.write.mode("append").parquet(_sub(path, "vectors"))
 
 
+def _check_match_args(match_col, attrs, negate) -> None:
+    """Shared parameter contract for the per-query attribute constraint
+    (``match_col``/``attrs``/``negate``) on persisted-index probes."""
+    if negate and match_col is None:
+        raise ValueError("negate=True needs match_col")
+    if (match_col is None) != (attrs is None):
+        raise ValueError("match_col and attrs must be passed together "
+                         "(attrs is the (id, attribute) side table)")
+
+
+def _apply_match_filter(
+    cand: DataFrame,
+    attrs: DataFrame,
+    id_col: str,
+    match_col: str,
+    negate: bool,
+    nb_col: str = "id",
+) -> DataFrame:
+    """Apply the null-safe per-query attribute constraint to a
+    candidate table that carries ``q_attr`` (the query's value) and
+    ``nb_col`` (the neighbor id): join the (id, attribute) metadata
+    side table and keep rows where the attributes match (or differ,
+    ``negate=True`` -- hard-negative mining).  IS [NOT] DISTINCT FROM
+    semantics throughout, the ``similarity.filtered_ivf_topk``
+    contract.  The join is candidate-sized, not corpus-sized, when
+    the probe is selective."""
+    cand = cand.join(
+        attrs.select(
+            F.col(id_col).alias(nb_col), F.col(match_col).alias("nb_attr")
+        ),
+        nb_col,
+    )
+    eq = F.col("nb_attr").eqNullSafe(F.col("q_attr"))
+    return cand.where(~eq if negate else eq).drop("nb_attr", "q_attr")
+
+
 def query_lsh_index(
     spark: SparkSession,
     path: str,
@@ -159,6 +195,9 @@ def query_lsh_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     allowed: DataFrame | None = None,
+    match_col: str | None = None,
+    attrs: DataFrame | None = None,
+    negate: bool = False,
 ) -> DataFrame:
     """Probe a persisted SRP-LSH index: band-bucket candidates from the
     postings scan, exact cosine re-rank against the stored vectors.
@@ -169,7 +208,13 @@ def query_lsh_index(
     search -- postings LEFT SEMI joined on the allow-list BEFORE the
     re-rank, the family-wide contract documented at
     ``similarity.filtered_ivf_topk`` (for LSH the recall lever under
-    selectivity is more bands, not more probes)."""
+    selectivity is more bands, not more probes).
+
+    ``match_col`` + ``attrs`` (+ ``negate``): the per-query attribute
+    constraint from an (``id_col``, ``match_col``) metadata side
+    table, applied null-safely to the candidate set BEFORE the
+    re-rank -- the ``query_ivf_index`` contract, family-wide."""
+    _check_match_args(match_col, attrs, negate)
     cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
     if cfg["kind"] != "lsh":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not lsh")
@@ -177,20 +222,26 @@ def query_lsh_index(
     planes = [list(r["w"]) for r in plane_rows]
     bands_udf = _srp_bands_udf(planes, cfg["bands"], cfg["rows_per_band"])
 
-    qb = queries.select(
+    q_cols = [
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
         F.posexplode(bands_udf(F.col(vec_col))).alias("band_id", "bucket"),
-    )
+    ]
+    if match_col is not None:
+        q_cols.append(F.col(match_col).alias("q_attr"))
+    qb = queries.select(*q_cols)
     entries = _read_with_segments(spark, path, "entries")
     if allowed is not None:
         entries = entries.join(
             allowed.select(F.col(id_col).alias("id")), "id", "left_semi"
         )
+    cand = entries.join(F.broadcast(qb), ["band_id", "bucket"]).where(
+        F.col("id") != F.col("query_id")
+    )
+    if match_col is not None:
+        cand = _apply_match_filter(cand, attrs, id_col, match_col, negate)
     cand = (
-        entries.join(F.broadcast(qb), ["band_id", "bucket"])
-        .where(F.col("id") != F.col("query_id"))
-        .groupBy("query_id", "id")
+        cand.groupBy("query_id", "id")
         .agg(F.first("query_vec").alias("query_vec"))
         .select("query_id", F.col("id").alias("neighbor_id"), "query_vec")
     )
@@ -802,11 +853,7 @@ def query_ivf_index(
     persisted index.  Cost: one id-keyed equi join of the candidate
     postings against ``attrs`` (candidates, not corpus, when the
     probe is selective)."""
-    if negate and match_col is None:
-        raise ValueError("negate=True needs match_col")
-    if (match_col is None) != (attrs is None):
-        raise ValueError("match_col and attrs must be passed together "
-                         "(attrs is the (id, attribute) side table)")
+    _check_match_args(match_col, attrs, negate)
     cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
     if cfg["kind"] != "ivf":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not ivf")
@@ -831,14 +878,7 @@ def query_ivf_index(
         F.col("id") != F.col("query_id")
     )
     if match_col is not None:
-        cand = cand.join(
-            attrs.select(
-                F.col(id_col).alias("id"), F.col(match_col).alias("nb_attr")
-            ),
-            "id",
-        )
-        eq = F.col("nb_attr").eqNullSafe(F.col("q_attr"))
-        cand = cand.where(~eq if negate else eq)
+        cand = _apply_match_filter(cand, attrs, id_col, match_col, negate)
     cand = (
         cand.groupBy("query_id", "id")
         .agg(F.first("query_vec").alias("query_vec"))
@@ -1159,6 +1199,9 @@ def query_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     allowed: DataFrame | None = None,
+    match_col: str | None = None,
+    attrs: DataFrame | None = None,
+    negate: bool = False,
 ) -> DataFrame:
     """Probe a persisted IVF-PQ index: per query, LUTs for its
     ``n_probe`` best cells (each cell gets its own table -- the
@@ -1175,9 +1218,16 @@ def query_ivfpq_index(
     BEFORE the ADC join, so both the shortlist and the final k satisfy
     the filter and the ADC/re-rank cost shrinks with selectivity
     (family contract: ``similarity.filtered_ivf_topk``; keep the
-    ``rerank`` budget sized to the FILTERED shortlist)."""
+    ``rerank`` budget sized to the FILTERED shortlist).
+
+    ``match_col`` + ``attrs`` (+ ``negate``): the per-query attribute
+    constraint from an (``id_col``, ``match_col``) metadata side
+    table -- the ``query_ivf_index`` contract, family-wide; applied
+    to the ADC-scored candidates BEFORE the shortlist cut, so all k
+    results satisfy it."""
     from .similarity import _dbl, _pq_query_dists_udf
 
+    _check_match_args(match_col, attrs, negate)
     cfg, centroids, codebooks = _load_ivfpq_meta(spark, path)
     n_codes = int(cfg["n_codes"])
     probe_cells = _top_cells_udf(centroids, n_probe)
@@ -1226,6 +1276,14 @@ def query_ivfpq_index(
     scored = per_cell.groupBy("query_id", "neighbor_id").agg(
         F.min("cell_dist").alias("adc_dist")
     )
+    if match_col is not None:
+        q_attrs = queries.select(
+            F.col(id_col).alias("query_id"), F.col(match_col).alias("q_attr")
+        )
+        scored = _apply_match_filter(
+            scored.join(F.broadcast(q_attrs), "query_id"),
+            attrs, id_col, match_col, negate, nb_col="neighbor_id",
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
     )
@@ -1341,6 +1399,9 @@ def query_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     allowed: DataFrame | None = None,
+    match_col: str | None = None,
+    attrs: DataFrame | None = None,
+    negate: bool = False,
 ) -> DataFrame:
     """Probe a persisted PQ index with asymmetric distances: per-query
     lookup tables broadcast against the stored packed codes
@@ -1353,11 +1414,19 @@ def query_pq_index(
     ``allowed`` (optional, 1 column named ``id_col``): metadata-filtered
     search -- the codes scan is LEFT SEMI joined on the allow-list
     BEFORE the ADC join (family contract:
-    ``similarity.filtered_ivf_topk``)."""
+    ``similarity.filtered_ivf_topk``).
+
+    ``match_col`` + ``attrs`` (+ ``negate``): the per-query attribute
+    constraint from an (``id_col``, ``match_col``) metadata side
+    table -- the ``query_ivf_index`` contract, family-wide.  Applied
+    to the ADC-scored candidate table (one row per (query, neighbor))
+    BEFORE the shortlist cut and re-rank, so all k results satisfy
+    the constraint and the attrs join is candidate-sized."""
     from pyspark.sql.window import Window as W
 
     from .similarity import _apply_projection, _dbl, _pq_query_dists_udf
 
+    _check_match_args(match_col, attrs, negate)
     cfg, codebooks, rotation = _load_pq_meta(spark, path)
     n_codes = int(cfg["n_codes"])
     q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
@@ -1390,6 +1459,14 @@ def query_pq_index(
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d2").alias("adc_dist"))
     )
+    if match_col is not None:
+        q_attrs = queries.select(
+            F.col(id_col).alias("query_id"), F.col(match_col).alias("q_attr")
+        )
+        scored = _apply_match_filter(
+            scored.join(F.broadcast(q_attrs), "query_id"),
+            attrs, id_col, match_col, negate, nb_col="neighbor_id",
+        )
     w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     if rerank is None:
         return (

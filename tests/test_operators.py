@@ -7776,3 +7776,54 @@ def test_query_ivf_index_match_col_parity_and_guards(spark, tmp_path):
         ANN.query_ivf_index(spark, root, queries, negate=True)
     with _pytest.raises(ValueError, match="passed together"):
         ANN.query_ivf_index(spark, root, queries, match_col="label")
+
+
+def test_query_index_match_col_family_parity(spark, tmp_path):
+    """match_col/attrs/negate on the lsh / pq / ivfpq probes: for a
+    single-label query, the equality constraint must equal the
+    already-pinned allowed= path with the allow-list set to that
+    label's ids, and negate=True must equal allowed= set to the
+    complement -- per index kind (the family identity the allowed=
+    rows established in round 11)."""
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as ANN
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where(
+        "vec_id < 100"
+    )
+    q = emb.where("vec_id = 1")
+    (qlabel,) = [r["label"] for r in q.collect()]
+    same = emb.where(F.col("label").eqNullSafe(F.lit(qlabel))).select("vec_id")
+    diff = emb.where(~F.col("label").eqNullSafe(F.lit(qlabel))).select("vec_id")
+    attrs = emb.select("vec_id", "label")
+
+    lroot = str(tmp_path / "lsh")
+    ANN.build_lsh_index(
+        emb, lroot, bands=8, rows_per_band=4,
+        planes=SIM.hash_hyperplanes(32, dim=64),
+    )
+    proot = str(tmp_path / "pq")
+    ANN.build_pq_index(
+        emb, proot, m=8, n_codes=16,
+        codebooks=SIM.pq_seed_codebooks(emb, m=8, k=16),
+    )
+    iroot = str(tmp_path / "ivfpq")
+    cents, cbs = SIM.ivfpq_seed_quantizers(emb, n_cells=4, m=8, n_codes=16)
+    ANN.build_ivfpq_index(
+        emb, iroot, n_cells=4, m=8, n_codes=16, centroids=cents, codebooks=cbs
+    )
+
+    probes = {
+        "lsh": lambda **kw: ANN.query_lsh_index(spark, lroot, q, k=5, **kw),
+        "pq": lambda **kw: ANN.query_pq_index(spark, proot, q, k=5, rerank=20, **kw),
+        "ivfpq": lambda **kw: ANN.query_ivfpq_index(
+            spark, iroot, q, k=5, n_probe=4, rerank=20, **kw
+        ),
+    }
+    for kind, probe in probes.items():
+        for neg, ref_list in ((False, same), (True, diff)):
+            got = probe(match_col="label", attrs=attrs, negate=neg).collect()
+            want = probe(allowed=ref_list).collect()
+            assert sorted(tuple(r) for r in got) == sorted(
+                tuple(r) for r in want
+            ), f"{kind} negate={neg} mismatch"
+            assert len(got) > 0, f"{kind} negate={neg} returned nothing"

@@ -610,13 +610,11 @@ def text_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.rrf_fuse([sparse, dense], k=10)
 
 
-def _hybrid_rrf_persisted_oracle() -> str:
-    """Stage-for-stage replay of the PERSISTED hybrid serving path:
-    the sparse/dvec/qvec CTEs are those of ``_hybrid_rrf_oracle``;
-    the dense retriever replays the SRP-LSH probe (md5-derived plane
-    matrix, sign bits, 16x4 band buckets, bucket-join candidates,
-    exact cosine re-rank -- the ``_LSH_ANN_ORACLE`` machinery) over
-    the hash-embedded documents instead of brute force."""
+def _hybrid_rrf_persisted_ctes() -> str:
+    """WITH-body (through the ``contrib`` CTE) of the persisted
+    hybrid serving replay -- shared by ``text_hybrid_rrf_persisted``
+    and the end-to-end RAG context macro, which extends it with the
+    MMR diversification stage."""
     from .similarity_queries import _DOT, _NORM
 
     cos = (
@@ -629,7 +627,7 @@ def _hybrid_rrf_persisted_oracle() -> str:
     )
     q_values = ", ".join(f"('{t}')" for t in _BM25_TERMS)
     return f"""
-    WITH base AS (
+    base AS (
       SELECT doc_id,
              {_NTOK} AS dl,
              {", ".join(f"{sql} AS tf{i}" for i, sql in _BM25_TF.items())}
@@ -700,20 +698,32 @@ def _hybrid_rrf_persisted_oracle() -> str:
       SELECT j // 4 AS band_id, string_agg(bit, '' ORDER BY j) AS bucket
       FROM qsig GROUP BY j // 4
     ),
-    cand AS (
+    lcand AS (
       SELECT DISTINCT c.doc_id
       FROM dbands c JOIN qbands q USING (band_id, bucket)
     ),
     dense AS (
       SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r
       FROM (SELECT d.doc_id, {cos} AS cos
-            FROM cand JOIN dvec d USING (doc_id) CROSS JOIN qvec q)
+            FROM lcand JOIN dvec d USING (doc_id) CROSS JOIN qvec q)
     ),
     contrib AS (
       SELECT doc_id, 1.0 / (60 + r) AS c FROM sparse WHERE r <= 15
       UNION ALL
       SELECT doc_id, 1.0 / (60 + r) AS c FROM dense WHERE r <= 15
     )
+    """
+
+
+def _hybrid_rrf_persisted_oracle() -> str:
+    """Stage-for-stage replay of the PERSISTED hybrid serving path:
+    the sparse/dvec/qvec CTEs are those of ``_hybrid_rrf_oracle``;
+    the dense retriever replays the SRP-LSH probe (md5-derived plane
+    matrix, sign bits, 16x4 band buckets, bucket-join candidates,
+    exact cosine re-rank -- the ``_LSH_ANN_ORACLE`` machinery) over
+    the hash-embedded documents instead of brute force."""
+    return f"""
+    WITH {_hybrid_rrf_persisted_ctes()}
     SELECT doc_id, round(sum(c), 6) AS rrf_score,
            CAST(count(*) AS BIGINT) AS n_sources
     FROM contrib GROUP BY doc_id
@@ -787,6 +797,120 @@ def text_hybrid_rrf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, lroot, qemb, k=15, id_col="doc_id"
     ).select(F.col("neighbor_id").alias("doc_id"), "rank")
     return TX.rrf_fuse([sparse, dense], k=10)
+
+
+def _rag_context_oracle() -> str:
+    """The full serving read path in one SQL statement: the hybrid
+    CTEs (persisted BM25 probe + SRP-LSH dense probe + RRF fusion)
+    select the candidate pool, then the shared unrolled-MMR steps
+    replay the diversification greedy over the candidates' hash
+    embeddings (relevance = cosine to the query embedding, the same
+    scale as the pairwise penalties)."""
+    from .similarity_queries import _DOT, _MMR_STEPS, _NORM
+
+    def cos(a: str, b: str) -> str:
+        return (
+            _DOT.format(d=64, a=a, b=b)
+            + " / ("
+            + _NORM.format(d=64, a=a)
+            + " * "
+            + _NORM.format(d=64, a=b)
+            + ")"
+        )
+
+    return f"""
+    WITH {_hybrid_rrf_persisted_ctes()},
+    rrf AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, round(sum(c), 6) AS rrf_score
+        FROM contrib GROUP BY doc_id
+        ORDER BY rrf_score DESC, doc_id LIMIT 10)
+    ),
+    cand AS (
+      SELECT CAST(-1 AS BIGINT) AS query_id, d.doc_id AS neighbor_id,
+             {cos('q.qv', 'd.v')} AS rel
+      FROM rrf r JOIN dvec d ON d.doc_id = r.doc_id CROSS JOIN qvec q
+    ),
+    sims AS (
+      SELECT ca.query_id, ca.neighbor_id AS a, cb.neighbor_id AS b,
+             {cos('da.v', 'db.v')} AS sim
+      FROM cand ca
+      JOIN cand cb ON cb.query_id = ca.query_id
+                  AND cb.neighbor_id <> ca.neighbor_id
+      JOIN dvec da ON da.doc_id = ca.neighbor_id
+      JOIN dvec db ON db.doc_id = cb.neighbor_id
+    ),
+    {_MMR_STEPS}
+    """
+
+
+@register(
+    "text_rag_context_persisted",
+    oracle=_rag_context_oracle(),
+    tags=("text", "north-star", "retrieval", "rag", "similarity", "mmr",
+          "persisted-index", "macro"),
+)
+def text_rag_context_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE RAG serving read path as one composition -- the
+    serving twin of ``corpus_assemble_end_to_end``: hybrid retrieval
+    from the persisted indexes (BM25 top-15 from the inverted index +
+    dense top-15 from the SRP-LSH index, RRF-fused to a 10-candidate
+    pool) followed by MMR diversification (exact-cosine relevance to
+    the query's hash embedding, 0.75/0.25 trade-off) picking the 3
+    context passages actually handed to the model.  Every stage is
+    separately green (`text_hybrid_rrf_persisted`,
+    `similarity_mmr_persisted`); this row proves they COMPOSE: the
+    candidates flow probe -> fuse -> greedy without any corpus
+    re-scan (retrieval touches postings + band buckets; MMR touches
+    <= pool rows), and the oracle replays retrieval + fusion + the
+    unrolled greedy in one statement."""
+    import os as _os
+
+    from pyspark.sql.window import Window
+
+    from ..io_utils import scratch_dir
+    from ..operators import ann_index as ANN
+    from ..operators import text_index as TI
+    from ..operators.similarity import hash_hyperplanes, mmr_rerank
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    sf_name = _os.path.basename(sf_dir.rstrip("/")) or "corpus"
+
+    troot = scratch_dir("text_index", sf_name)
+    TI.build_text_index(docs, troot)
+    sparse = TI.query_text_index(
+        spark, troot, _BM25_TERMS, k=15, k1=_BM25_K1, b=_BM25_B
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("bm25"), F.asc("doc_id"))
+    sparse = sparse.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "rank"
+    )
+
+    demb = TX.hash_embedding(docs, dim=64)
+    lroot = scratch_dir("ann_index", sf_name, "lsh_docs")
+    ANN.build_lsh_index(
+        demb, lroot, id_col="doc_id", bands=16, rows_per_band=4,
+        planes=hash_hyperplanes(64, dim=64),
+    )
+    qemb = TX.hash_embedding(
+        spark.createDataFrame(
+            [(-1, _RRF_QUERY_TEXT)], "doc_id long, text string"
+        ),
+        dim=64,
+    )
+    dense = ANN.query_lsh_index(
+        spark, lroot, qemb, k=15, id_col="doc_id"
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+
+    fused = TX.rrf_fuse([sparse, dense], k=10)
+    cand = fused.select(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.col("doc_id").alias("neighbor_id"),
+    )
+    return mmr_rerank(
+        demb, qemb, k=3, pool=10, lam=0.75,
+        id_col="doc_id", vec_col="embedding", candidates=cand,
+    )
 
 
 @register(

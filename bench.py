@@ -137,6 +137,10 @@ HEADLINE: tuple[str, ...] = (
     "similarity_mmr_persisted",
     # round 12: RM3 served from the inverted index (no corpus re-tokenize)
     "text_bm25_prf_persisted",
+    # round 12: hard negatives via the persisted probe's attribute constraint
+    "similarity_hard_negatives_persisted",
+    # round 12: the one-plan RAG read path (retrieve -> fuse -> diversify)
+    "text_rag_context_persisted",
 )
 
 #: Canary queries: plans pinned since <= round 9 whose code is
@@ -381,6 +385,17 @@ def persisted_index_breakdown(spark, sf_dir: str) -> dict[str, float]:
         ).write.format("noop").mode("overwrite").save(),
         passes=2,
     )
+    # RM3 serving probe (round 12): the full feedback loop off the
+    # SAME persisted text index -- the query-time cost of
+    # text_bm25_prf_persisted with the build amortized away.
+    timed(
+        "text_prf_probe",
+        lambda: TI.query_text_index_prf(
+            spark, text_root, _BM25_TERMS, fb_k=5, n_expand=5, alpha=0.5,
+            k=10, k1=_BM25_K1, b=_BM25_B,
+        ).write.format("noop").mode("overwrite").save(),
+        passes=2,
+    )
 
     from iot_sensor_log_data_pipeline_spark.operators import graph_ann as GA
 
@@ -407,6 +422,17 @@ def persisted_index_breakdown(spark, sf_dir: str) -> dict[str, float]:
         "pq_probe",
         lambda: ANN.query_pq_index(spark, pq_root, queries, k=10, rerank=50)
         .write.format("noop").mode("overwrite").save(),
+        passes=2,
+    )
+    # MMR serving probe (round 12): probe shortlist -> exact-cosine
+    # greedy off the SAME persisted PQ index -- the query-time cost of
+    # similarity_mmr_persisted with the build amortized away.
+    timed(
+        "pq_mmr_probe",
+        lambda: SIM.mmr_rerank(
+            emb, queries, k=3, pool=10, lam=0.75,
+            candidates=ANN.query_pq_index(spark, pq_root, queries, k=10, rerank=50),
+        ).write.format("noop").mode("overwrite").save(),
         passes=2,
     )
 

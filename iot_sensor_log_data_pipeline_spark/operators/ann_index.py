@@ -631,10 +631,10 @@ def build_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 64,
+    n_cells: int | None = None,
     n_assign: int = 2,
     centroids: list[tuple[int, list[float]]] | None = None,
-    sample_size: int = 2048,
+    sample_size: int | None = None,
     kmeans_iter: int = 10,
     seed: int = 42,
     dim: int = DIM,
@@ -643,8 +643,17 @@ def build_ivf_index(
     plus the corpus-to-cell multi-assignment (the inverted lists).
     Pass ``centroids`` (e.g. ``seed_centroids``) to pin the quantizer;
     otherwise the sampled Lloyd's quantizer (``kmeans_centroids``)
-    trains on build."""
+    trains on build -- with cells/sample derived from the corpus size
+    (``similarity.ivf_geometry``) when not given, so a growing corpus
+    gets a growing quantizer instead of a frozen 64-cell default."""
     if centroids is None:
+        from .similarity import ivf_geometry
+
+        if n_cells is None or sample_size is None:
+            geo = ivf_geometry(vectors.count(), n_assign=n_assign)
+            n_cells = geo["n_cells"] if n_cells is None else n_cells
+            if sample_size is None:
+                sample_size = max(2048, min(65536, 16 * n_cells))
         centroids = kmeans_centroids(
             vectors,
             n_cells,

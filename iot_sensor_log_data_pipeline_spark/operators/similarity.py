@@ -557,10 +557,10 @@ def filtered_ivf_topk(
     vec_col: str = "embedding",
     match_col: str | None = None,
     allowed: DataFrame | None = None,
-    n_cells: int = 64,
-    n_probe: int = 12,
+    n_cells: int | None = None,
+    n_probe: int | None = None,
     n_assign: int = 2,
-    sample_size: int = 2048,
+    sample_size: int | None = None,
     kmeans_iter: int = 10,
     seed: int = 42,
     centroids: list[tuple[int, list[float]]] | None = None,
@@ -602,13 +602,26 @@ def filtered_ivf_topk(
     documented, not automated.
 
     Same quantizer contract as ``ivf_topk``: pass ``centroids`` to pin
-    (SQL-replayable), else the sampled Lloyd's quantizer trains here.
+    (SQL-replayable), else the sampled Lloyd's quantizer trains here
+    (geometry derived from corpus size via ``ivf_geometry`` when the
+    caller doesn't pin it, the ``ivf_topk`` convention; remember the
+    selectivity rule above when choosing ``n_probe``).
     """
     if match_col is None and allowed is None:
         raise ValueError("filtered_ivf_topk needs match_col and/or allowed; "
                          "use ivf_topk for the unfiltered search")
     if negate and match_col is None:
         raise ValueError("negate=True needs match_col")
+    if n_cells is None:
+        n_cells = (
+            len(centroids)
+            if centroids is not None
+            else ivf_geometry(vectors.count(), n_assign=n_assign)["n_cells"]
+        )
+    if n_probe is None:
+        n_probe = max(4, int(n_cells * 0.375 / max(n_assign, 1)))
+    if sample_size is None:
+        sample_size = max(2048, min(65536, 16 * n_cells))
     if centroids is None:
         centroids = kmeans_centroids(
             vectors,

@@ -147,6 +147,12 @@ BNLJ_ALLOWED = {
     # query-embedding theta join (brute_force_topk's shape) -- both
     # bounded build sides; plans/text_queries.py:text_hybrid_rrf_search
     "text_hybrid_rrf_search",
+    # the RAG macro's MMR stage joins the candidate pool against the
+    # SINGLE query-embedding row on a constant query id -- Catalyst
+    # constant-folds the equi key back to BNLJ with a 1-row build side
+    # (the scalar-subquery shape, per the header note) --
+    # plans/text_queries.py:text_rag_context_persisted
+    "text_rag_context_persisted",
 }
 
 #: Queries whose construction has side effects (scratch-dir writes) --

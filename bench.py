@@ -153,9 +153,9 @@ HEADLINE: tuple[str, ...] = (
 #: from the round-12 quiet-machine run; re-pin ONLY when the host
 #: demonstrably changes (record it in SCALE.md).
 CANARIES: dict[str, float] = {
-    "q1_pricing_summary": 0.58,
-    "text_quality_score": 0.869,
-    "corpus_content_sample": 0.341,
+    "q1_pricing_summary": 1.236,
+    "text_quality_score": 0.848,
+    "corpus_content_sample": 0.254,
 }
 
 

@@ -907,8 +907,15 @@ def text_rag_context_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("query_id"),
         F.col("doc_id").alias("neighbor_id"),
     )
+    # MMR relevance/penalty vectors come off the LSH index's stored
+    # vector table (tombstone-aware), not a second hash-embedding
+    # corpus pass -- the index already materialized exactly these rows
+    # at build time.
+    stored = ANN._read_with_segments(spark, lroot, "vectors").select(
+        F.col("id").alias("doc_id"), F.col("vec").alias("embedding")
+    )
     return mmr_rerank(
-        demb, qemb, k=3, pool=10, lam=0.75,
+        stored, qemb, k=3, pool=10, lam=0.75,
         id_col="doc_id", vec_col="embedding", candidates=cand,
     )
 

@@ -886,8 +886,13 @@ def similarity_mmr_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.where(F.col("vec_id") < 5)
     cand = ANN.query_pq_index(spark, root, queries, k=10, rerank=50)
+    # Relevance/penalty vectors come off the index's own re-rank table
+    # (tombstone-aware) -- the serving store IS the vector source.
+    stored = ANN._read_with_segments(spark, root, "vectors").select(
+        F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
+    )
     return SIM.mmr_rerank(
-        emb, queries, k=3, pool=10, lam=0.75, candidates=cand
+        stored, queries, k=3, pool=10, lam=0.75, candidates=cand
     )
 
 

@@ -211,20 +211,31 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 50) -> dict[str
     # Corpus-scaled IVF-PQ geometry (round 11, similarity.py:
     # ivfpq_geometry): cells/probes/assignment derived from N at a 25%
     # scan budget instead of a hard-coded 64/16.
-    _IVFPQ_GEO = SIM.ivfpq_geometry(emb.count(), scan_fraction=0.25, k=k)
+    n_emb = emb.count()
+    _IVFPQ_GEO = SIM.ivfpq_geometry(n_emb, scan_fraction=0.25, k=k)
     _IVFPQ_TRAINED = SIM.ivfpq_trained_quantizers(
         emb, n_cells=_IVFPQ_GEO["n_cells"], m=8, n_codes=64
     )
+    # ONE derived IVF-flat geometry for BOTH the broadcast "ivf" line
+    # and the cogroup line, from the same N -- deriving each from its
+    # own side's count can straddle a power-of-two cell boundary and
+    # make the two recalls compare cell quality instead of join
+    # strategy.
+    _IVF_GEO = SIM.ivf_geometry(n_emb)
     out = {}
     approx_runs = (
         # same md5-derived planes as the catalog's similarity_lsh_ann
         ("lsh", lambda: SIM.lsh_topk(
             emb, queries, k=k, bands=16,
             planes=SIM.hash_hyperplanes(64, dim=64))),
-        # round 12: geometry derives from N (ivf_geometry -- the
-        # ivf_topk defaults; previously a fixed Lloyd-64/probe-12 that
-        # ceilinged at 0.80 as the corpus outgrew it).
-        ("ivf", lambda: SIM.ivf_topk(emb, queries, k=k)),
+        # round 12: geometry derives from N (ivf_geometry; previously
+        # a fixed Lloyd-64/probe-12 that ceilinged at 0.80 as the
+        # corpus outgrew it) -- passed explicitly so this line and the
+        # cogroup line below provably share one quantizer plan.
+        ("ivf", lambda: SIM.ivf_topk(
+            emb, queries, k=k, n_cells=_IVF_GEO["n_cells"],
+            n_probe=_IVF_GEO["n_probe"], n_assign=_IVF_GEO["n_assign"],
+            sample_size=_IVF_GEO["sample_size"])),
         # production PQ path: Lloyd codebooks, 256 codes per subspace
         # (vs 64 in rounds <= 3 -- finer cells cut quantization error,
         # the round-3 verdict's recall ask), exact re-rank of the ADC
@@ -286,7 +297,6 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 50) -> dict[str
     # split (the join has no self-exclusion -- its contract is two
     # tables), so its exact reference is over the same split.
     corpus = emb.where(F.col("vec_id") >= n_queries)
-    _IVF_GEO = SIM.ivf_geometry(corpus.count())
     exact_cg = {
         (r["query_id"], r["neighbor_id"])
         for r in SIM.brute_force_topk(corpus, queries, k=k).collect()

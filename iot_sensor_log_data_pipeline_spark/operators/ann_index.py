@@ -363,8 +363,12 @@ def _heal_swap_for_read(path: str, name: str) -> None:
     maintenance job ran recovery -- an availability window with a
     one-rename fix.  Unlike full ``_recover_swap`` this never deletes
     staging directories, so a read racing a healthy in-flight
-    maintenance job can complete the crashed-swap rename (idempotent)
-    but cannot clobber that job's ``__next`` work."""
+    maintenance job cannot destroy that job's ``__next`` work; if the
+    heal fires inside a healthy swap's two-rename window (on-disk
+    state is indistinguishable from a crash), ``_swap_dir``'s retry
+    loop takes the restored copy aside again and completes -- the
+    race costs the maintenance job one extra rename, never the staged
+    data."""
     final = _sub(path, name)
     old = final + "__old"
     if not os.path.exists(final) and os.path.exists(old):
@@ -382,14 +386,36 @@ def _swap_dir(final: str, tmp: str) -> None:
     rmtree-then-rename: deleting a large parquet dir first leaves a
     long window with NO main table if the process dies).  The only
     vulnerable window is between the two renames -- two metadata ops
-    -- and ``_recover_swap`` restores the aside copy on re-run."""
+    -- and ``_recover_swap`` restores the aside copy on re-run.
+
+    A probe's ``_heal_swap_for_read`` can fire INSIDE that window (it
+    cannot tell a crashed swap from an in-flight one -- the on-disk
+    state is identical) and rename the aside copy back, making the
+    second rename fail on an existing target.  The swap therefore
+    RETRIES: take the restored copy aside again and land ``tmp``;
+    heals are rare (one rename per probe start, only while ``final``
+    is missing), so the loop converges immediately in practice and a
+    bounded attempt cap turns a pathological livelock into a loud
+    error instead of a silent half-swap."""
     import shutil
 
     old = final + "__old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(final, old)
-    os.rename(tmp, final)
+    for _attempt in range(8):
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(final, old)
+        try:
+            os.rename(tmp, final)
+            break
+        except OSError:
+            if not os.path.exists(final):
+                raise  # not the heal race -- surface it
+            continue  # a probe healed the window shut; re-take aside
+    else:
+        raise OSError(
+            f"_swap_dir could not land {tmp!r} on {final!r}: concurrent "
+            "probes kept restoring the aside copy (heal race)"
+        )
     shutil.rmtree(old)
 
 
@@ -647,13 +673,14 @@ def build_ivf_index(
     (``similarity.ivf_geometry``) when not given, so a growing corpus
     gets a growing quantizer instead of a frozen 64-cell default."""
     if centroids is None:
-        from .similarity import ivf_geometry
+        from .similarity import _derived_sample_size, ivf_geometry
 
-        if n_cells is None or sample_size is None:
-            geo = ivf_geometry(vectors.count(), n_assign=n_assign)
-            n_cells = geo["n_cells"] if n_cells is None else n_cells
-            if sample_size is None:
-                sample_size = max(2048, min(65536, 16 * n_cells))
+        if n_cells is None:
+            # Only the cell count needs the corpus size -- a pinned
+            # n_cells must not pay a corpus count job.
+            n_cells = ivf_geometry(vectors.count(), n_assign=n_assign)["n_cells"]
+        if sample_size is None:
+            sample_size = _derived_sample_size(n_cells)
         centroids = kmeans_centroids(
             vectors,
             n_cells,

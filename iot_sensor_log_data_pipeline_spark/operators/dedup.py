@@ -1502,11 +1502,19 @@ def load_winnowing_index(spark, path: str) -> tuple[DataFrame, int, int]:
     (``postings_stream/batch=<id>``, written by
     ``streaming.pipeline.winnowing_ingest_apply_batch``) union in
     automatically, so a streamed document matches probes the
-    micro-batch after it arrives."""
+    micro-batch after it arrives.  Probes self-heal a crashed swap
+    first (``ann_index._heal_swap_for_read``), the family contract."""
     import os
 
-    from .ann_index import _ABSORB_MARKER, _absorbed_batches, _folded_ids
+    from .ann_index import (
+        _ABSORB_MARKER,
+        _absorbed_batches,
+        _folded_ids,
+        _heal_swap_for_read,
+    )
 
+    _heal_swap_for_read(path, "postings")
+    _heal_swap_for_read(path, "postings_stream")
     cfg = spark.read.parquet(os.path.join(path, "config")).head()
     postings = spark.read.parquet(os.path.join(path, "postings"))
     seg_dir = os.path.join(path, "postings_stream")

@@ -414,9 +414,33 @@ def seed_centroids(
     return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
 
 
+#: Default scan budget for IVF-flat derivations -- the candidate
+#: budget of the historical 64/12/2 defaults, so deriving geometry
+#: never silently shrinks the scan.  ONE constant shared by
+#: ``ivf_geometry`` and every call-site derivation below (a second
+#: copy of the literal is exactly the drift this constant prevents).
+IVF_DEFAULT_SCAN_FRACTION = 0.375
+
+
+def _derived_n_probe(
+    n_cells: int, scan_fraction: float, n_assign: int
+) -> int:
+    """Probe count filling ``scan_fraction`` of the corpus at the
+    given multi-assignment width (expected scanned fraction =
+    n_assign * n_probe / n_cells), floor 4."""
+    return max(4, int(n_cells * scan_fraction / max(n_assign, 1)))
+
+
+def _derived_sample_size(n_cells: int) -> int:
+    """Lloyd's training-sample size proportional to the cell count
+    (16 rows/cell, clamped [2048, 65536]) -- fine quantizers must not
+    train on a handful of samples per cell."""
+    return max(2048, min(65536, 16 * n_cells))
+
+
 def ivf_geometry(
     n_vectors: int,
-    scan_fraction: float = 0.375,
+    scan_fraction: float = IVF_DEFAULT_SCAN_FRACTION,
     n_assign: int = 2,
 ) -> dict[str, int]:
     """Corpus-scaled IVF-flat probe geometry -- the ``ivfpq_geometry``
@@ -448,9 +472,9 @@ def ivf_geometry(
     n_cells = max(16, min(65536, n_cells))
     return {
         "n_cells": n_cells,
-        "n_probe": max(4, int(n_cells * scan_fraction / max(n_assign, 1))),
+        "n_probe": _derived_n_probe(n_cells, scan_fraction, n_assign),
         "n_assign": n_assign,
-        "sample_size": max(2048, min(65536, 16 * n_cells)),
+        "sample_size": _derived_sample_size(n_cells),
     }
 
 
@@ -507,9 +531,9 @@ def ivf_topk(
             else ivf_geometry(vectors.count(), n_assign=n_assign)["n_cells"]
         )
     if n_probe is None:
-        n_probe = max(4, int(n_cells * 0.375 / max(n_assign, 1)))
+        n_probe = _derived_n_probe(n_cells, IVF_DEFAULT_SCAN_FRACTION, n_assign)
     if sample_size is None:
-        sample_size = max(2048, min(65536, 16 * n_cells))
+        sample_size = _derived_sample_size(n_cells)
     if centroids is None:
         centroids = kmeans_centroids(
             vectors,
@@ -619,9 +643,9 @@ def filtered_ivf_topk(
             else ivf_geometry(vectors.count(), n_assign=n_assign)["n_cells"]
         )
     if n_probe is None:
-        n_probe = max(4, int(n_cells * 0.375 / max(n_assign, 1)))
+        n_probe = _derived_n_probe(n_cells, IVF_DEFAULT_SCAN_FRACTION, n_assign)
     if sample_size is None:
-        sample_size = max(2048, min(65536, 16 * n_cells))
+        sample_size = _derived_sample_size(n_cells)
     if centroids is None:
         centroids = kmeans_centroids(
             vectors,

@@ -700,9 +700,11 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-10 for the same 5 queries with the
-    sampled spherical-k-means quantizer (64 cells, 12 probes, 2-way
-    assignment) -- the cluster-pruned alternative to the SRP-LSH path
-    (candidates ~ n_assign * n_probe / n_cells of the corpus)."""
+    sampled spherical-k-means quantizer at the CORPUS-DERIVED geometry
+    (``ivf_geometry``, round 12: ~4*sqrt(N) cells, probes filling the
+    0.375 default scan budget, 2-way assignment, cell-proportional
+    Lloyd sample) -- the cluster-pruned alternative to the SRP-LSH
+    path (candidates ~ n_assign * n_probe / n_cells of the corpus)."""
     emb = parallelize_small(load(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 5)
     return SIM.ivf_topk(emb, queries, k=10).orderBy("query_id", "rank")

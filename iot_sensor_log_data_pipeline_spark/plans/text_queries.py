@@ -753,6 +753,18 @@ def text_hybrid_rrf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Probe==ad-hoc identities exist per retriever (pytest), so the
     oracle replays BM25 + SRP banding + cosine re-rank + fusion
     stage-for-stage in one SQL statement."""
+    sparse, dense, _lroot, _qemb = _hybrid_persisted_probes(spark, sf_dir)
+    return TX.rrf_fuse([sparse, dense], k=10)
+
+
+def _hybrid_persisted_probes(spark: SparkSession, sf_dir: str):
+    """Build-and-probe recipe shared by the persisted hybrid row and
+    the RAG context macro (ONE copy, so the retrieval geometry cannot
+    drift between the stage row and its composition): persisted text
+    index -> BM25 top-15 (globally ranked over the bounded result),
+    hash embeddings -> persisted SRP-LSH index -> dense top-15 for
+    the standing query text.  Returns (sparse_ranked, dense_ranked,
+    lsh_index_root, query_embedding)."""
     import os as _os
 
     from pyspark.sql.window import Window
@@ -796,7 +808,7 @@ def text_hybrid_rrf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = ANN.query_lsh_index(
         spark, lroot, qemb, k=15, id_col="doc_id"
     ).select(F.col("neighbor_id").alias("doc_id"), "rank")
-    return TX.rrf_fuse([sparse, dense], k=10)
+    return sparse, dense, lroot, qemb
 
 
 def _rag_context_oracle() -> str:
@@ -864,44 +876,10 @@ def text_rag_context_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scan (retrieval touches postings + band buckets; MMR touches
     <= pool rows), and the oracle replays retrieval + fusion + the
     unrolled greedy in one statement."""
-    import os as _os
-
-    from pyspark.sql.window import Window
-
-    from ..io_utils import scratch_dir
     from ..operators import ann_index as ANN
-    from ..operators import text_index as TI
-    from ..operators.similarity import hash_hyperplanes, mmr_rerank
+    from ..operators.similarity import mmr_rerank
 
-    docs = parallelize_small(load(spark, sf_dir, "documents"))
-    sf_name = _os.path.basename(sf_dir.rstrip("/")) or "corpus"
-
-    troot = scratch_dir("text_index", sf_name)
-    TI.build_text_index(docs, troot)
-    sparse = TI.query_text_index(
-        spark, troot, _BM25_TERMS, k=15, k1=_BM25_K1, b=_BM25_B
-    )
-    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("bm25"), F.asc("doc_id"))
-    sparse = sparse.withColumn("rank", F.row_number().over(w)).select(
-        "doc_id", "rank"
-    )
-
-    demb = TX.hash_embedding(docs, dim=64)
-    lroot = scratch_dir("ann_index", sf_name, "lsh_docs")
-    ANN.build_lsh_index(
-        demb, lroot, id_col="doc_id", bands=16, rows_per_band=4,
-        planes=hash_hyperplanes(64, dim=64),
-    )
-    qemb = TX.hash_embedding(
-        spark.createDataFrame(
-            [(-1, _RRF_QUERY_TEXT)], "doc_id long, text string"
-        ),
-        dim=64,
-    )
-    dense = ANN.query_lsh_index(
-        spark, lroot, qemb, k=15, id_col="doc_id"
-    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
-
+    sparse, dense, lroot, qemb = _hybrid_persisted_probes(spark, sf_dir)
     fused = TX.rrf_fuse([sparse, dense], k=10)
     cand = fused.select(
         F.lit(-1).cast("long").alias("query_id"),

@@ -7827,3 +7827,54 @@ def test_query_index_match_col_family_parity(spark, tmp_path):
                 tuple(r) for r in want
             ), f"{kind} negate={neg} mismatch"
             assert len(got) > 0, f"{kind} negate={neg} returned nothing"
+
+
+def test_round12_review_fix_battery(spark, tmp_path, monkeypatch):
+    """Round-12 self-review findings: (1) _swap_dir survives a probe's
+    _heal_swap_for_read firing inside its two-rename window (the heal
+    cannot distinguish a crash from an in-flight swap; the swap must
+    retry, not die and strand the staged tree); (2) the winnowing
+    probe path self-heals a crashed swap like the ann/text families."""
+    import os as _os
+
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as AI
+
+    # (1) simulated heal race: the first rename(tmp -> final) finds
+    # the target restored by a concurrent probe and must retry.
+    final = tmp_path / "t"
+    tmp = tmp_path / "t__next"
+    final.mkdir()
+    (final / "old.txt").write_text("old")
+    tmp.mkdir()
+    (tmp / "new.txt").write_text("new")
+    real_rename = _os.rename
+    fired = {"done": False}
+
+    def racy_rename(src, dst):
+        if not fired["done"] and str(src) == str(tmp):
+            fired["done"] = True
+            real_rename(str(final) + "__old", str(final))  # the "heal"
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(AI.os, "rename", racy_rename)
+    AI._swap_dir(str(final), str(tmp))
+    monkeypatch.setattr(AI.os, "rename", real_rename)
+    assert (final / "new.txt").exists()
+    assert not (final / "old.txt").exists()
+    assert not _os.path.exists(str(final) + "__old")
+    assert not tmp.exists()
+
+    # (2) winnowing probe self-heal
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs")],
+        "doc_id long, text string",
+    )
+    wroot = str(tmp_path / "winnow")
+    DD.build_winnowing_index(docs, wroot)
+    _os.rename(
+        _os.path.join(wroot, "postings"), _os.path.join(wroot, "postings__old")
+    )
+    postings, k, w = DD.load_winnowing_index(spark, wroot)
+    assert postings.count() > 0
+    assert _os.path.exists(_os.path.join(wroot, "postings"))

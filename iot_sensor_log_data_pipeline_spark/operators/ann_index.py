@@ -990,6 +990,63 @@ def ivf_index_cogroup_join(
     )
 
 
+def ivf_index_probe_sweep(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    probes: tuple[int, ...] = (1, 2, 4, 8),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall/cost sweep measured ON THE PERSISTED STORE -- the
+    deployment-tuning twin of ``similarity.ivf_probe_sweep``: the
+    inverted lists come straight off the index's ``entries`` table
+    (stream segments and tombstones included, so the curve describes
+    the index as probes actually see it TODAY -- appends and deletes
+    shift it), the query fan-out uses the persisted centroids, and the
+    exact ground truth is one brute-force pass over the index's own
+    vector table with the bounded query sample broadcast.  Returns
+    (n_probe, recall_at_k, scan_frac), the curve a serving team reads
+    before changing a deployed index's probe width.  Result-identical
+    to the ad-hoc sweep at the same quantizer (pytest), so the
+    catalog's persisted row reuses the ad-hoc oracle."""
+    from .similarity import _probe_sweep_from_parts, brute_force_topk
+
+    if not probes or any(int(p) < 1 for p in probes):
+        raise ValueError("probes must be a non-empty tuple of levels >= 1")
+    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    if cfg["kind"] != "ivf":
+        raise ValueError(f"index at {path} is {cfg['kind']!r}, not ivf")
+    cent_rows = spark.read.parquet(_sub(path, "centroids")).orderBy("cell").collect()
+    centroids = [(int(r["cell"]), list(r["cv"])) for r in cent_rows]
+    probe_cells = _top_cells_udf(centroids, max(probes))
+
+    vectors = _read_with_segments(spark, path, "vectors").select(
+        F.col("id").alias(id_col), F.col("vec").alias(vec_col)
+    )
+    n_corpus = vectors.count()
+    n_q = queries.count()
+    if n_q == 0 or n_corpus < 2:
+        raise ValueError(
+            "ivf_index_probe_sweep needs a non-empty query sample and "
+            ">= 2 indexed vectors"
+        )
+    exact = brute_force_topk(
+        vectors, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    probe_ranked = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(probe_cells(F.col(vec_col))).alias("cell_pos", "cell"),
+    ).select("query_id", (F.col("cell_pos") + 1).alias("cell_rank"), "cell")
+    assigned = _read_with_segments(spark, path, "entries").select(
+        F.col("id").alias("neighbor_id"), "cell"
+    )
+    return _probe_sweep_from_parts(
+        spark, exact, probe_ranked, assigned, probes, n_corpus, n_q
+    )
+
+
 def build_pq_index(
     vectors: DataFrame,
     path: str,

@@ -770,12 +770,6 @@ def ivf_probe_sweep(
         F.col(id_col).alias("neighbor_id"),
         F.explode(assign_cells(F.col(vec_col))).alias("cell"),
     )
-    minr = (
-        assigned.join(F.broadcast(probe_ranked), "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.min("cell_rank").alias("first_probe"))
-    )
     n_corpus = vectors.count()
     n_q = queries.count()
     if n_q == 0 or n_corpus < 2:
@@ -784,6 +778,34 @@ def ivf_probe_sweep(
             "corpus vectors (the recall denominator is the exact "
             "top-k over queries x (corpus - self))"
         )
+    return _probe_sweep_from_parts(
+        spark, exact, probe_ranked, assigned, probes, n_corpus, n_q
+    )
+
+
+def _probe_sweep_from_parts(
+    spark: SparkSession,
+    exact: DataFrame,
+    probe_ranked: DataFrame,
+    assigned: DataFrame,
+    probes: tuple[int, ...],
+    n_corpus: int,
+    n_q: int,
+) -> DataFrame:
+    """The sweep's pricing core, shared by the ad-hoc
+    ``ivf_probe_sweep`` and the persisted-index twin
+    (``ann_index.ivf_index_probe_sweep``, which reads ``assigned``
+    straight off the inverted lists instead of re-assigning):
+    ``exact`` = ground-truth (query_id, neighbor_id) pairs,
+    ``probe_ranked`` = (query_id, cell_rank, cell) fan-out at
+    max(probes) width, ``assigned`` = (neighbor_id, cell) inverted
+    lists.  One first-probe-level table prices every level at once."""
+    minr = (
+        assigned.join(F.broadcast(probe_ranked), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("cell_rank").alias("first_probe"))
+    )
     levels = spark.createDataFrame([(int(p),) for p in probes], "n_probe int")
 
     per_pair = exact.join(minr, ["query_id", "neighbor_id"], "left")

@@ -77,6 +77,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "text_bm25_prf_persisted",
     "similarity_hard_negatives_persisted",
     "text_rag_context_persisted",
+    "similarity_probe_sweep_persisted",
     # (b) round-12-edited code paths re-enter: mmr_rerank's pair table
     # became a left join (single-candidate fix) + candidates= param;
     # bm25_prf_rank gained the duplicate-terms guard;
@@ -145,16 +146,17 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "corpus_dsir_weights",
     "corpus_dsir_resample",
     "corpus_mixture_temperature",
-    "corpus_token_budget_sample",
-    # corpus_curation_funnel / corpus_length_buckets displaced to
-    # round 13 by the third and fourth new serving rows (persisted
-    # hard negatives, end-to-end RAG context macro).
+    # corpus_token_budget_sample / corpus_curation_funnel /
+    # corpus_length_buckets displaced to round 13 by the third,
+    # fourth, and fifth new serving rows (persisted hard negatives,
+    # end-to-end RAG context macro, persisted probe sweep).
 )
 
 #: Round-13 rotation plan: (a) anything new in round 13 plus
-#: re-entries for round-13-edited code paths; (b) the 20 r7-battery
+#: re-entries for round-13-edited code paths; (b) the 21 r7-battery
 #: rows this window could not fit, in registration order:
-#: corpus_curation_funnel, corpus_length_buckets, multimodal_meta, multimodal_frame_sample, multimodal_resize,
+#: corpus_token_budget_sample, corpus_curation_funnel,
+#: corpus_length_buckets, multimodal_meta, multimodal_frame_sample, multimodal_resize,
 #: scan_json_roundtrip, scan_csv_roundtrip, compaction_roundtrip,
 #: sensor_hourly_golden, sensor_wire_roundtrip,
 #: maintenance_compaction_roundtrip, profile_embedding_drift,

@@ -347,9 +347,11 @@ def similarity_filtered_seed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@register(
-    "similarity_probe_sweep",
-    oracle=f"""
+#: Shared by the ad-hoc probe sweep and its persisted-index twin
+#: (same pinned 16-cell seed quantizer, 2-way assignment -- reading
+#: the stored inverted lists is result-identical to re-assigning,
+#: asserted in pytest).
+_PROBE_SWEEP_ORACLE = f"""
     WITH cent AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                AS cell,
@@ -418,7 +420,12 @@ def similarity_filtered_seed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(scan.scan, 6) + 0.0 AS scan_frac
     FROM lv JOIN rec USING (n_probe) JOIN scan USING (n_probe)
     ORDER BY n_probe
-    """,
+    """
+
+
+@register(
+    "similarity_probe_sweep",
+    oracle=_PROBE_SWEEP_ORACLE,
     tags=("similarity", "north-star", "ivf", "recall", "tuning"),
 )
 def similarity_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,6 +448,36 @@ def similarity_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         n_assign=2,
         centroids=SIM.seed_centroids(emb, 16),
+    )
+
+
+@register(
+    "similarity_probe_sweep_persisted",
+    oracle=_PROBE_SWEEP_ORACLE,
+    tags=("similarity", "north-star", "ivf", "recall", "tuning",
+          "persisted-index"),
+)
+def similarity_probe_sweep_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The probe-width recall/cost curve measured ON THE PERSISTED
+    STORE (``operators/ann_index.py:ivf_index_probe_sweep``): the
+    inverted lists come straight off the index's entries table
+    (stream segments and tombstones included), so the curve describes
+    the deployed index as probes actually see it -- appends and
+    takedowns shift it, and a serving team re-runs this before
+    changing probe width on a live store.  Result-identical to the
+    ad-hoc sweep at the same pinned quantizer (parity pytest), so
+    both rows share one oracle."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    root = _index_root(sf_dir, "ivf_sweep")
+    ANN.build_ivf_index(
+        emb, root, n_cells=16, n_assign=2,
+        centroids=SIM.seed_centroids(emb, 16),
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return ANN.ivf_index_probe_sweep(
+        spark, root, queries, probes=(1, 2, 4, 8), k=10
     )
 
 

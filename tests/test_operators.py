@@ -7878,3 +7878,33 @@ def test_round12_review_fix_battery(spark, tmp_path, monkeypatch):
     postings, k, w = DD.load_winnowing_index(spark, wroot)
     assert postings.count() > 0
     assert _os.path.exists(_os.path.join(wroot, "postings"))
+
+
+def test_ivf_index_probe_sweep_matches_adhoc(spark, tmp_path):
+    """The persisted-store sweep == the ad-hoc sweep at the same
+    pinned quantizer (stored inverted lists replace re-assignment),
+    and the persisted variant rejects empty query samples."""
+    import pytest as _pytest
+
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as ANN
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where(
+        "vec_id < 80"
+    )
+    queries = emb.where("vec_id < 3")
+    cents = SIM.seed_centroids(emb, 8)
+    root = str(tmp_path / "ivf_sweep")
+    ANN.build_ivf_index(emb, root, n_cells=8, n_assign=2, centroids=cents)
+    got = ANN.ivf_index_probe_sweep(
+        spark, root, queries, probes=(1, 2, 4), k=5
+    ).collect()
+    want = SIM.ivf_probe_sweep(
+        emb, queries, probes=(1, 2, 4), k=5, n_assign=2, centroids=cents
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    recalls = [r["recall_at_k"] for r in got]
+    assert recalls == sorted(recalls)  # wider probes never lose recall
+    with _pytest.raises(ValueError, match="non-empty"):
+        ANN.ivf_index_probe_sweep(
+            spark, root, emb.where("vec_id < 0"), probes=(1,)
+        )

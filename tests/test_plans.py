@@ -71,6 +71,9 @@ BNLJ_ALLOWED = {
     # 4-row literal probe-level cross joins onto query-sample-bounded
     # pair tables -- operators/similarity.py:ivf_probe_sweep
     "similarity_probe_sweep",
+    # the same bounded shapes with the inverted lists read from the
+    # persisted index -- ann_index.py:ivf_index_probe_sweep
+    "similarity_probe_sweep_persisted",
     # the same exact-baseline theta join feeding the pool-bounded MMR
     # pair table -- operators/similarity.py:mmr_rerank
     "similarity_mmr_rerank",

@@ -152,10 +152,18 @@ HEADLINE: tuple[str, ...] = (
 #: machine-visible instead of a judgement call.  References pinned
 #: from the round-12 quiet-machine run; re-pin ONLY when the host
 #: demonstrably changes (record it in SCALE.md).
-CANARIES: dict[str, float] = {
-    "q1_pricing_summary": 1.236,
-    "text_quality_score": 0.848,
-    "corpus_content_sample": 0.254,
+#:
+#: Keyed by SCALE FACTOR (round-13 advice fix): the references are
+#: absolute seconds from the sf0.1 quiet-host run, so applying them at
+#: any other ``SPARK_GRAFT_SF_DIR`` would conflate corpus size with
+#: host drift.  At an unpinned sf, ``canary_factor`` is None and raw
+#: timings stand alone (honest, if less comparable).
+CANARIES_BY_SF: dict[str, dict[str, float]] = {
+    "0.1": {
+        "q1_pricing_summary": 1.236,
+        "text_quality_score": 0.848,
+        "corpus_content_sample": 0.254,
+    },
 }
 
 
@@ -214,6 +222,9 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 50) -> dict[str
     n_emb = emb.count()
     _IVFPQ_GEO = SIM.ivfpq_geometry(n_emb, scan_fraction=0.25, k=k)
     _IVFPQ_TRAINED = SIM.ivfpq_trained_quantizers(
+        emb, n_cells=_IVFPQ_GEO["n_cells"], m=8, n_codes=64
+    )
+    _IVFPQ_OPQ = SIM.ivfpq_opq_quantizers(
         emb, n_cells=_IVFPQ_GEO["n_cells"], m=8, n_codes=64
     )
     # ONE derived IVF-flat geometry for BOTH the broadcast "ivf" line
@@ -284,6 +295,22 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 50) -> dict[str
             n_codes=64, rerank=_IVFPQ_GEO["rerank"],
             n_assign=_IVFPQ_GEO["n_assign"],
             centroids=_IVFPQ_TRAINED[0], codebooks=_IVFPQ_TRAINED[1])),
+        # OPQ-rotated IVF-PQ (round 13, Ge et al. 2013 §5): the
+        # residual-PCA rotation + Lloyd codebooks trained in the
+        # rotated residual space, at the SAME geometry/scan budget as
+        # "ivfpq" -- the delta between the two lines is the rotation's
+        # recall effect.  Expectation on THIS corpus: ~flat at the deep
+        # rerank the geometry prescribes (the ADC shortlist is already
+        # lossless inside probed cells, so both sit at the coarse
+        # ceiling); the rotation's win case -- shallow rerank ~ k on
+        # anisotropic vectors -- is pinned in
+        # test_ivfpq_opq_rotation_beats_raw_at_shallow_rerank.
+        ("ivfpq_opq", lambda: SIM.ivfpq_topk(
+            emb, queries, k=k,
+            n_cells=_IVFPQ_GEO["n_cells"], n_probe=_IVFPQ_GEO["n_probe"],
+            rerank=_IVFPQ_GEO["rerank"], n_assign=_IVFPQ_GEO["n_assign"],
+            centroids=_IVFPQ_OPQ[0], codebooks=_IVFPQ_OPQ[2],
+            rotation=_IVFPQ_OPQ[1])),
     )
     for label, fn in approx_runs:
         approx = {
@@ -345,7 +372,23 @@ def persisted_index_breakdown(spark, sf_dir: str) -> dict[str, float]:
     emb = parallelize_small(load(spark, sf_dir, "embeddings"))
     docs = parallelize_small(load(spark, sf_dir, "documents"))
     queries = emb.where(F.col("vec_id") < 5)
+    # Batched serving probe (round 13, verdict item 6): a 5-query probe
+    # is dominated by Spark job-launch overhead (~1.5-3 s/call at
+    # sf0.1), the wrong denominator for a per-query serving claim.  The
+    # *_probe_batch50 lines push 50 queries through ONE query_*_index
+    # call and record the AMORTIZED per-query seconds -- the honest
+    # serving number for a store that batches its request stream.
+    queries50 = emb.where(F.col("vec_id") < 50)
     out: dict[str, float] = {}
+
+    def timed_batch50(key: str, fn) -> None:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        out[key] = round(best / 50, 4)
 
     def timed(key: str, fn, passes: int = 1) -> None:
         best = None
@@ -370,6 +413,11 @@ def persisted_index_breakdown(spark, sf_dir: str) -> dict[str, float]:
         .write.format("noop").mode("overwrite").save(),
         passes=2,
     )
+    timed_batch50(
+        "lsh_probe_batch50",
+        lambda: ANN.query_lsh_index(spark, lsh_root, queries50, k=10)
+        .write.format("noop").mode("overwrite").save(),
+    )
 
     ivf_root = scratch_dir("bench_index", "ivf")
     timed(
@@ -385,6 +433,11 @@ def persisted_index_breakdown(spark, sf_dir: str) -> dict[str, float]:
         .write.format("noop").mode("overwrite").save(),
         passes=2,
     )
+    timed_batch50(
+        "ivf_probe_batch50",
+        lambda: ANN.query_ivf_index(spark, ivf_root, queries50, k=10, n_probe=4)
+        .write.format("noop").mode("overwrite").save(),
+    )
 
     text_root = scratch_dir("bench_index", "text")
     timed("text_build", lambda: TI.build_text_index(docs, text_root))
@@ -394,6 +447,31 @@ def persisted_index_breakdown(spark, sf_dir: str) -> dict[str, float]:
             spark, text_root, _BM25_TERMS, k=15, k1=_BM25_K1, b=_BM25_B
         ).write.format("noop").mode("overwrite").save(),
         passes=2,
+    )
+    # Batched text probe (round 13): 50 deterministic 3-term queries
+    # (top-df vocabulary, df-then-term ordered) through ONE
+    # query_text_index_batch plan; prep is collected OUTSIDE the timed
+    # region so the line measures the probe, not query construction.
+    from iot_sensor_log_data_pipeline_spark.operators import text as TX
+
+    vocab = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("term"), "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(150)
+        .collect()
+    )
+    qbatch = spark.createDataFrame(
+        [(i // 3, r["term"]) for i, r in enumerate(vocab)],
+        "query_id long, term string",
+    )
+    timed_batch50(
+        "text_probe_batch50",
+        lambda: TI.query_text_index_batch(
+            spark, text_root, qbatch, k=10, k1=_BM25_K1, b=_BM25_B
+        ).write.format("noop").mode("overwrite").save(),
     )
     # RM3 serving probe (round 12): the full feedback loop off the
     # SAME persisted text index -- the query-time cost of
@@ -434,6 +512,11 @@ def persisted_index_breakdown(spark, sf_dir: str) -> dict[str, float]:
         .write.format("noop").mode("overwrite").save(),
         passes=2,
     )
+    timed_batch50(
+        "pq_probe_batch50",
+        lambda: ANN.query_pq_index(spark, pq_root, queries50, k=10, rerank=50)
+        .write.format("noop").mode("overwrite").save(),
+    )
     # MMR serving probe (round 12): probe shortlist -> exact-cosine
     # greedy off the SAME persisted PQ index -- the query-time cost of
     # similarity_mmr_persisted with the build amortized away.
@@ -466,6 +549,13 @@ def persisted_index_breakdown(spark, sf_dir: str) -> dict[str, float]:
             n_probe=ivfpq_geo["n_probe"], rerank=ivfpq_geo["rerank"],
         ).write.format("noop").mode("overwrite").save(),
         passes=2,
+    )
+    timed_batch50(
+        "ivfpq_probe_batch50",
+        lambda: ANN.query_ivfpq_index(
+            spark, ivfpq_root, queries50, k=10,
+            n_probe=ivfpq_geo["n_probe"], rerank=ivfpq_geo["rerank"],
+        ).write.format("noop").mode("overwrite").save(),
     )
     return out
 
@@ -532,17 +622,64 @@ def main() -> None:
 
     entries = catalog.all_entries()
     names = [n for n in HEADLINE if n in entries]
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    # Canary references are absolute quiet-host seconds pinned at ONE
+    # sf; at any other scale factor normalization would conflate corpus
+    # size with host drift, so it is skipped (factor None).
+    canaries = CANARIES_BY_SF.get(sf)
 
     # JVM/codegen warmup on the smallest corpus so per-query numbers
     # measure the plan, not first-run JIT.
     warm = entries[names[0]].fn(spark, "/root/testdata/sf0.001")
     warm.write.format("noop").mode("overwrite").save()
 
+    def timed_min2(name: str) -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            entries[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return best
+
     # Streaming throughput is measured FIRST (round-10 protocol): it
     # historically ran last, after the index builds, on a hot machine
     # -- the metric's round-over-round drift tracked end-of-run load,
     # not code (64k-115k band across identical code).
+    #
+    # Round-13 (r12 postmortem: the start-of-run gate passed at 2.91
+    # but load ended at 8.01 and streaming collapsed 74k->20k rows/s on
+    # bit-unchanged code): the streaming measurement now (a) re-checks
+    # the load gate immediately before it runs, (b) retries once if the
+    # 1-minute load rose past the gate while it ran, and (c) is
+    # normalized by its own ADJACENT canary pass (min-of-2
+    # q1_pricing_summary at sf_dir against the pinned quiet-host ref)
+    # -- the same host-drift correction the headline queries get.
+    stream_gate = wait_for_quiet_machine(timeout_s=120)
     stream_rps = streaming_throughput(spark)
+    stream_retried = False
+    if os.getloadavg()[0] > stream_gate["threshold"]:
+        # The host got busy DURING the measurement; best-of the retry
+        # after re-gating, so one noisy window can't sink the metric.
+        stream_retried = True
+        stream_gate = wait_for_quiet_machine(timeout_s=120)
+        stream_rps = max(stream_rps, streaming_throughput(spark))
+    stream_canary_name = "q1_pricing_summary"
+    if canaries and stream_canary_name in canaries:
+        stream_canary_ratio = round(
+            timed_min2(stream_canary_name) / canaries[stream_canary_name], 4
+        )
+        # Throughput scales INVERSELY with host slowdown: multiply.
+        stream_rps_normalized = round(stream_rps * stream_canary_ratio, 1)
+    else:
+        stream_canary_ratio = None
+        stream_rps_normalized = None
 
     # Two full passes in fixed order, min-of-2 per query: the second
     # pass reuses JIT-compiled codegen and OS page cache, so the min is
@@ -575,11 +712,6 @@ def main() -> None:
     timings["similarity_persisted_lsh_ann_probe"] = index_breakdown["lsh_probe"]
     timings["text_bm25_persisted_index_probe"] = index_breakdown["text_probe"]
     total = round(sum(timings.values()), 3)
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    try:
-        sf_val: float | str = float(sf)
-    except ValueError:
-        sf_val = sf
 
     # Host-drift canary (round 12): geometric mean of the canary
     # queries' ratios to their pinned quiet-host references.  A factor
@@ -587,7 +719,7 @@ def main() -> None:
     # timings by it to compare code across artifacts.
     ratios = [
         timings[name] / ref
-        for name, ref in CANARIES.items()
+        for name, ref in (canaries or {}).items()
         if name in timings and timings[name] > 0
     ]
     canary_factor = (
@@ -610,13 +742,17 @@ def main() -> None:
         "ann_recall_at_10": recall,
         "persisted_index_sec": index_breakdown,
         "streaming_rows_per_sec": stream_rps,
+        "streaming_rows_per_sec_normalized": stream_rps_normalized,
+        "streaming_canary_ratio": stream_canary_ratio,
+        "streaming_load_gate": stream_gate,
+        "streaming_retried": stream_retried,
         "load_avg_1m": {
             "start": round(load_start, 2),
             "end": round(os.getloadavg()[0], 2),
         },
         "load_gate": load_gate,
         "timing_passes": n_passes,
-        "canary_refs": CANARIES,
+        "canary_refs": canaries,
         "canary_factor": canary_factor,
     }
     detail_path = os.path.join(
@@ -633,7 +769,7 @@ def main() -> None:
     # preserved), with the complete breakdown in BENCH_DETAIL.json.
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     compact_queries = {
-        **{k: timings[k] for k in CANARIES if k in timings},
+        **{k: timings[k] for k in (canaries or {}) if k in timings},
         **slowest,
     }
     payload = json.dumps(
@@ -647,6 +783,7 @@ def main() -> None:
             "cpus": cpus,
             "ann_recall_at_10": recall,
             "streaming_rows_per_sec": stream_rps,
+            "streaming_rows_per_sec_normalized": stream_rps_normalized,
             "canary_factor": canary_factor,
             "load_gate_passed": load_gate["gate_passed"],
             "timing_passes": n_passes,

@@ -176,12 +176,21 @@ def _apply_match_filter(
     ``negate=True`` -- hard-negative mining).  IS [NOT] DISTINCT FROM
     semantics throughout, the ``similarity.filtered_ivf_topk``
     contract.  The join is candidate-sized, not corpus-sized, when
-    the probe is selective."""
+    the probe is selective.
+
+    The attrs join is LEFT so a candidate whose id has no attrs row
+    keeps ``nb_attr = NULL`` and the null-safe predicate decides --
+    exactly the ad-hoc contract, where ``match_col`` is a column of
+    the vectors table and a missing attribute is a NULL, never a
+    dropped row.  (An inner join here silently removed metadata-less
+    neighbors under BOTH polarities, contradicting the advertised
+    "NULLs never silently drop rows" semantics for ``negate=True``.)"""
     cand = cand.join(
         attrs.select(
             F.col(id_col).alias(nb_col), F.col(match_col).alias("nb_attr")
         ),
         nb_col,
+        "left",
     )
     eq = F.col("nb_attr").eqNullSafe(F.col("q_attr"))
     return cand.where(~eq if negate else eq).drop("nb_attr", "q_attr")
@@ -409,7 +418,15 @@ def _swap_dir(final: str, tmp: str) -> None:
             break
         except OSError:
             if not os.path.exists(final):
-                raise  # not the heal race -- surface it
+                # Not the heal race -- a real rename failure with the
+                # main table parked at __old.  Best-effort restore so
+                # availability does not hinge on a later probe's
+                # _heal_swap_for_read, then surface the error.
+                try:
+                    os.rename(old, final)
+                except OSError:
+                    pass  # restore failed too; recovery path still applies
+                raise
             continue  # a probe healed the window shut; re-take aside
     else:
         raise OSError(
@@ -512,6 +529,26 @@ def _read_with_segments(spark: SparkSession, path: str, name: str) -> DataFrame:
         tombs = spark.read.parquet(tomb_dir).select("id")
         main = main.join(tombs, "id", "left_anti")
     return main
+
+
+def read_index_vectors(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """PUBLIC read of an index's stored re-rank vector table --
+    ``(id_col, vec_col)`` with the full read-path semantics a probe
+    sees (streaming segments unioned, absorbed/folded batches
+    excluded, tombstoned ids anti-joined, crashed swaps healed).  The
+    supported way for serving compositions (MMR re-rank pools, RAG
+    context assembly) to source vectors from the deployed store
+    instead of re-embedding the corpus, without coupling to segment
+    layout or absorb markers (round-12 advice: plans were reaching
+    into ``_read_with_segments``)."""
+    return _read_with_segments(spark, path, "vectors").select(
+        F.col("id").alias(id_col), F.col("vec").alias(vec_col)
+    )
 
 
 def _top_cells_udf_from_path(spark: SparkSession, path: str):

@@ -1375,6 +1375,7 @@ def ivfpq_topk(
     codebooks: list[list[list[float]]] | None = None,
     dim: int = DIM,
     n_assign: int = 1,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-PQ: the classic billion-scale composite index (Jegou et
     al. 2011's IVFADC) -- an IVF coarse quantizer prunes the corpus to
@@ -1408,11 +1409,34 @@ def ivfpq_topk(
     the LUT flattens by the codebooks' actual size, so a stale param
     would mis-decode (subspace, code) without any error.  Returns
     (query_id, neighbor_id, l2_dist, rank), ascending exact distance,
-    self-matches excluded."""
+    self-matches excluded.
+
+    ``rotation`` (optional, dim x dim orthogonal): OPQ applied to the
+    IVFADC RESIDUALS (Ge, He, Ke & Sun 2013 §5 extends OPQ to IVFADC
+    exactly this way): residuals -- corpus and query alike -- are
+    rotated BEFORE encode / lookup tables, decorrelating and
+    variance-balancing the PQ subspaces where the coding error
+    actually lives.  No mean-centering: k-means codebooks are
+    translation-invariant, and skipping the shift keeps the rotated
+    residual an exact left-to-right fold (``_rotate_expr``) that a
+    SQL oracle replays bit-for-bit when the rotation's entries are
+    exact (the signed-Hadamard ``opq_seed_rotation``).  Distances are
+    unchanged by orthogonality, so the exact re-rank still runs in
+    the ORIGINAL space.  Requires ``centroids`` + ``codebooks``
+    trained in that rotated residual space
+    (``ivfpq_opq_quantizers`` / ``ivfpq_opq_seed_quantizers``) --
+    rotating at probe time against unrotated codebooks would silently
+    mis-code."""
     if (centroids is None) != (codebooks is None):
         raise ValueError(
             "pass centroids and codebooks together (codebooks live in "
             "the residual space the centroids define) or neither"
+        )
+    if rotation is not None and codebooks is None:
+        raise ValueError(
+            "rotation needs centroids + codebooks trained in the rotated "
+            "residual space (ivfpq_opq_quantizers / "
+            "ivfpq_opq_seed_quantizers)"
         )
     if codebooks is not None:
         n_codes = len(codebooks[0])
@@ -1451,6 +1475,10 @@ def ivfpq_topk(
         .join(cent_df, "cell")
         .select("neighbor_id", "cell", residual.alias("rv"))
     )
+    if rotation is not None:
+        corpus = corpus.select(
+            "neighbor_id", "cell", _rotate_expr("rv", rotation).alias("rv")
+        )
     if codebooks is None:
         # Residual-space seed codebooks: the md5-smallest corpus rows'
         # RESIDUALS, sub-sliced -- the same deterministic sample rule
@@ -1504,6 +1532,10 @@ def ivfpq_topk(
         .join(cent_df, "cell")
         .select("query_id", "cell", residual.alias("q_rv"))
     )
+    if rotation is not None:
+        probes = probes.select(
+            "query_id", "cell", _rotate_expr("q_rv", rotation).alias("q_rv")
+        )
     qd = probes.select(
         "query_id",
         "cell",
@@ -1694,6 +1726,82 @@ def ivfpq_trained_quantizers(
         residuals, m=m, k=n_codes, dim=dim, id_col=id_col, vec_col=vec_col
     )
     return centroids, codebooks
+
+
+def ivfpq_opq_quantizers(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> tuple[
+    list[tuple[int, list[float]]], list[list[float]], list[list[list[float]]]
+]:
+    """The PRODUCTION quantizer triple for OPQ-rotated IVF-PQ
+    (``ivfpq_topk(rotation=...)``): Lloyd coarse centroids, an OPQ
+    rotation derived from the RESIDUAL covariance (PCA + eigenvalue
+    allocation -- ``opq_rotation`` on the residual frame, which is
+    where the coding error lives; Ge, He, Ke & Sun 2013 §5 applies
+    OPQ to IVFADC residuals exactly this way), and Lloyd codebooks
+    trained on residuals rotated BY THAT ROTATION via the same
+    left-to-right fold the probe applies (``_rotate_expr``), so
+    training and serving see bit-identical rotated values.  The
+    rotation's mean component is discarded: k-means codebooks are
+    translation-invariant, and the uncentered rotation keeps the
+    probe-side transform a pure orthogonal fold.  Returns
+    (centroids, R, codebooks); pass all three to ``ivfpq_topk``.
+
+    When this lifts recall -- and when it can't: at a deep re-rank
+    budget the ADC shortlist inside probed cells is already lossless
+    (round-11 measurement: recall == the coarse ceiling), so no
+    residual-coding improvement moves recall there; the rotation pays
+    off when the shortlist is SHALLOW (rerank ~ k, the
+    memory-constrained serving shape) or codes are coarse -- pinned
+    on anisotropic data in pytest."""
+    centroids = kmeans_centroids(vectors, n_cells, id_col=id_col, vec_col=vec_col)
+    residuals = _ivfpq_residual_frame(vectors, centroids, id_col, vec_col)
+    mu, R_np = opq_rotation(residuals, m=m, vec_col=vec_col, dim=dim)
+    R = [[float(R_np[i][j]) for j in range(dim)] for i in range(dim)]
+    rotated = residuals.select(
+        F.col(id_col), _rotate_expr(vec_col, R).alias(vec_col)
+    )
+    codebooks = pq_codebooks(
+        rotated, m=m, k=n_codes, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    return centroids, R, codebooks
+
+
+def ivfpq_opq_seed_quantizers(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> tuple[
+    list[tuple[int, list[float]]], list[list[float]], list[list[list[float]]]
+]:
+    """The md5-pinned, SQL-replayable quantizer triple for OPQ-rotated
+    IVF-PQ -- ``ivfpq_seed_quantizers`` with the signed-Hadamard
+    ``opq_seed_rotation`` (entries +-1/8, exactly orthogonal, products
+    exact in float64) applied to the residuals before the codebook
+    sample: the whole pipeline -- assignment, residual, rotation,
+    codebook sample, encode, per-cell LUTs, ADC, re-rank -- replays as
+    one SQL statement (``similarity_ivfpq_opq_ann``'s oracle), the
+    ``opq_seed_adc_topk`` precedent composed into IVFADC."""
+    centroids = seed_centroids(vectors, n_cells, id_col, vec_col)
+    R = opq_seed_rotation(dim)
+    residuals = _ivfpq_residual_frame(vectors, centroids, id_col, vec_col)
+    rotated = residuals.select(
+        F.col(id_col), _rotate_expr(vec_col, R).alias(vec_col)
+    )
+    codebooks = pq_seed_codebooks(
+        rotated, m=m, k=n_codes, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    return centroids, R, codebooks
 
 
 def projection_planes(

@@ -307,6 +307,105 @@ def query_text_index(
     )
 
 
+def query_text_index_batch(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """BM25 top-``k`` for a whole BATCH of queries from the persisted
+    index in ONE distributed plan -- the amortized serving shape
+    (round-13 verdict item 6): per-probe latency at small batch sizes
+    is dominated by Spark job-launch overhead, so a store that batches
+    its request stream pushes N queries through one postings scan and
+    pays ~1/N of the per-call cost.
+
+    ``queries`` is the exploded (``query_id_col``, ``term_col``) term
+    BAG -- a term listed twice for a query contributes twice, matching
+    the ad-hoc ``text.bm25_rank`` tuple semantics.  Unlike the
+    single-query probe, NOTHING is collected to the driver: per-term
+    document frequencies are a distributed aggregate over the pruned
+    postings and join back broadcast, so the plan works unchanged when
+    a batch carries 10k distinct terms.
+
+    Scoring matches ``query_text_index`` value-for-value (same
+    +1-smoothed idf, same length normalization, same live-stats rule
+    under stream segments, same tombstone semantics); only the
+    summation ORDER differs (SUM aggregation vs fixed term-order
+    fold), which is below the shared round-6 contract for the tiny
+    per-(query, doc) addend counts involved.  Returns (query_id,
+    doc_id, bm25, rank), rank <= k, score-descending with doc-id
+    tiebreak.
+    """
+    from pyspark.sql import Window
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(term_col).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("q_weight"))
+    )
+    # Term-pruned postings: LEFT SEMI on the batch's distinct terms
+    # (broadcast -- |terms| tiny next to postings), so row-group
+    # min/max statistics still prune the scan like the single-query
+    # isin() path.
+    terms = qterms.select("term").distinct()
+    postings = _read_with_segments(spark, path, "postings").join(
+        F.broadcast(terms), "term", "left_semi"
+    )
+    doclens = _read_with_segments(spark, path, "doclens")
+    tomb_dir = _sub(path, "tombstones")
+    if os.path.exists(tomb_dir):
+        tombs = spark.read.parquet(tomb_dir).select("id").distinct()
+        postings = postings.join(tombs, "id", "left_anti")
+        doclens = doclens.join(tombs, "id", "left_anti")
+    if _has_segments(path):
+        agg = doclens.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("dl").alias("avgdl"),
+        ).collect()[0]
+        n, avgdl = float(agg["n"]), float(agg["avgdl"] or 0.0)
+    else:
+        stats = spark.read.parquet(_sub(path, "stats")).collect()[0]
+        n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    # Distributed df (vs the single-query bounded collect): one count
+    # per matched term, joined back broadcast.
+    dfs = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    tf = F.col("tf").cast("double")
+    idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = (
+        F.col("q_weight")
+        * idf
+        * (
+            tf
+            * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(dfs), "term")
+        .join(F.broadcast(qterms), "term")
+        .join(doclens, "id")
+        .groupBy("query_id", "id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .where(F.col("bm25") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("doc_id"), "bm25", "rank")
+    )
+
+
 def query_text_index_prf(
     spark: SparkSession,
     path: str,

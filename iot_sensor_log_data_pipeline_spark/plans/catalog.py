@@ -68,105 +68,97 @@ _QUERY_MODULES = (
 #: -- the guard that keeps this rotation from silently slipping a
 #: round.
 _VERIFY_PRIORITY: tuple[str, ...] = (
-    # Round-12 window, per the pre-planned rotation (round-11 comment
-    # in git history).  (a) new in round 12 -- first external
-    # evidence: the two serving compositions over the persisted
-    # indexes (MMR from the PQ probe shortlist, RM3 from the inverted
-    # index), closing the last ad-hoc-only serving operators.
-    "similarity_mmr_persisted",
-    "text_bm25_prf_persisted",
+    # Round-13 window, per the pre-planned rotation (round-12 comment
+    # in git history).  (a) new in round 13 -- first external
+    # evidence: the batched BM25 serving probe (N queries through one
+    # postings scan, the amortized per-query cost shape) and the
+    # OPQ-rotated IVF-PQ composition (Ge et al. 2013 SS5: residuals
+    # rotated by the pinned signed-Hadamard matrix before codebook
+    # sample/encode/LUT -- the whole pipeline replays as one SQL
+    # statement).
+    "text_bm25_batch_persisted",
+    "similarity_ivfpq_opq_ann",
+    # (b) round-13-edited code paths re-enter: _apply_match_filter's
+    # attrs join became LEFT (metadata-less neighbors keep nb_attr =
+    # NULL and the null-safe predicate decides -- the round-12 advice
+    # fix; hard_negatives_persisted exercises both polarities);
+    # text_rag_context_persisted / similarity_mmr_persisted now read
+    # their MMR vectors via the public read_index_vectors accessor;
+    # ivfpq_topk gained the rotation parameter (similarity_ivfpq_ann
+    # passes through the changed residual-construction block with
+    # rotation=None).
     "similarity_hard_negatives_persisted",
     "text_rag_context_persisted",
-    "similarity_probe_sweep_persisted",
-    # (b) round-12-edited code paths re-enter: mmr_rerank's pair table
-    # became a left join (single-candidate fix) + candidates= param;
-    # bm25_prf_rank gained the duplicate-terms guard;
-    # filtered_ivf_topk's match predicate went null-safe (oracles
-    # updated to IS [NOT] DISTINCT FROM); query_*_index probes now
-    # self-heal crashed swaps (_read_with_segments change --
-    # persisted_pq_ann is the family representative); ivf_topk derives
-    # its geometry from corpus size when not pinned (ivf_seed_ann
-    # passes pinned values through the changed derivation block).
-    "similarity_mmr_rerank",
-    "text_bm25_prf_search",
-    "similarity_filtered_seed_ann",
-    "similarity_hard_negatives",
-    "similarity_persisted_pq_ann",
-    "similarity_ivf_seed_ann",
-    # (c) the ten rows deferred from the round-11 window -- the last
-    # of the r5 evidence class (seven rounds of engine evolution
-    # since their rows).
-    "hourly_avg_by_type",
-    "histogram_max_value",
-    "json_serialize",
-    "rollup_order_status_priority",
-    "row_transform_flatten",
-    "sessionize_events",
-    "setops_user_cohorts",
-    "topk_orders_global",
-    "unpivot_order_measures",
-    "value_props_corr",
-    # (d) stale rows-only refresh (round-11 verdict item 6): these two
-    # by-design no-oracle rows hold r1/r3 external evidence -- 9+
-    # rounds of code drift, and similarity_ivf_ann's code DID change
-    # this round (derived geometry).  A rows-only re-row is cheap
-    # re-evidence; the graph/opq rows-only twins (r9) stay out under
-    # the standing rule.
-    "similarity_ivf_ann",
-    "agg_approx_sketches",
-    # (e) the r7 battery -- now the oldest oracle-backed evidence
-    # class (48 rows; five rounds of engine evolution since).  The
-    # first 30 in registration order fit this window; the remaining
-    # 18 (window-function battery tail, scan roundtrips) lead the
-    # round-13 rotation.
-    "funnel_conversion",
-    "cohort_weekly_retention",
-    "gapfill_10min_interpolated",
-    "anomaly_rolling_zscore",
-    "dedup_semantic_pairs",
-    "dedup_semantic_survivors",
-    "dedup_semantic_text_survivors",
-    "dedup_verbatim_runs",
-    "dedup_verbatim_clean",
-    "dedup_winnowing_pairs",
-    "similarity_persisted_ivf_ann",
-    "similarity_random_projection",
-    "similarity_rp_ann",
-    "similarity_sq8_report",
-    "text_ccnet_quality_buckets",
-    "text_ngram_novelty",
-    "text_nb_quality_scores",
-    "corpus_train_val_split",
-    "text_repetition_filters",
-    "corpus_curation_pipeline",
-    "corpus_decontamination",
-    "corpus_stratified_sample",
-    "corpus_pack_sequences",
-    "corpus_source_cap",
-    "corpus_dsir_weights",
-    "corpus_dsir_resample",
-    "corpus_mixture_temperature",
-    # corpus_token_budget_sample / corpus_curation_funnel /
-    # corpus_length_buckets displaced to round 13 by the third,
-    # fourth, and fifth new serving rows (persisted hard negatives,
-    # end-to-end RAG context macro, persisted probe sweep).
+    "similarity_mmr_persisted",
+    "similarity_ivfpq_ann",
+    # (c) the 21 r7-battery rows deferred from the round-12 window --
+    # the oldest oracle-backed evidence class (six rounds of engine
+    # evolution since their rows), in registration order.
+    "corpus_token_budget_sample",
+    "corpus_curation_funnel",
+    "corpus_length_buckets",
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "scan_json_roundtrip",
+    "scan_csv_roundtrip",
+    "compaction_roundtrip",
+    "sensor_hourly_golden",
+    "sensor_wire_roundtrip",
+    "maintenance_compaction_roundtrip",
+    "profile_embedding_drift",
+    "recursive_order_chain",
+    "window_top_orders_per_customer",
+    "window_rank_functions",
+    "window_lag_lead",
+    "window_moving_avg",
+    "window_cumulative",
+    "window_range_trailing_hour",
+    "window_first_last",
+    # (d) the r8 battery opens (45 rows; five rounds of engine
+    # evolution since) -- the first 23 in registration order fit this
+    # window; the remaining 22 lead the round-14 rotation.
+    "timeseries_ewma_smooth",
+    "timeseries_time_weighted_avg",
+    "anomaly_robust_zscore",
+    "copurchase_triangles",
+    "anomaly_cusum_shifts",
+    "dedup_ngram_jaccard",
+    "dedup_prefix_filter_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_weighted_simhash",
+    "dedup_clusters",
+    "dedup_survivor_selection",
+    "corpus_leakage_safe_split",
+    "dedup_lsh_tuning_report",
+    "dedup_source_audit",
+    "profile_embedding_outliers",
+    "similarity_ivf_cogroup_join",
+    "similarity_knn_label_transfer",
+    "similarity_pair_histogram",
+    "text_gopher_quality_gate",
+    "text_tokenizer_fertility",
+    "corpus_contamination_scores",
+    "corpus_source_overlap",
+    "corpus_decontaminate_spans",
 )
 
-#: Round-13 rotation plan: (a) anything new in round 13 plus
-#: re-entries for round-13-edited code paths; (b) the 21 r7-battery
-#: rows this window could not fit, in registration order:
-#: corpus_token_budget_sample, corpus_curation_funnel,
-#: corpus_length_buckets, multimodal_meta, multimodal_frame_sample, multimodal_resize,
-#: scan_json_roundtrip, scan_csv_roundtrip, compaction_roundtrip,
-#: sensor_hourly_golden, sensor_wire_roundtrip,
-#: maintenance_compaction_roundtrip, profile_embedding_drift,
-#: recursive_order_chain, window_top_orders_per_customer,
-#: window_rank_functions, window_lag_lead, window_moving_avg,
-#: window_cumulative, window_range_trailing_hour, window_first_last;
-#: (c) then the r8 battery (45 rows) opens as the next-oldest class;
-#: (d) if any round-12 row comes back red, its fix re-enters at the
-#: head, same as covariance did in round 10.
-
+#: Round-14 rotation plan: (a) anything new in round 14 plus
+#: re-entries for round-14-edited code paths; (b) the remaining 22
+#: r8-battery rows in registration order: corpus_shard_assignment,
+#: corpus_quality_threshold_sweep, corpus_epoch_upsample,
+#: multimodal_byte_entropy, multimodal_type_sniff,
+#: maintenance_zorder_roundtrip, udf_arrow_map_batches,
+#: cdc_snapshot_diff, profile_numeric_correlation, profile_join_skew,
+#: sketch_dd_quantiles, incremental_join_refresh,
+#: sketch_dd_quantiles_grouped, quality_winsorize_values,
+#: profile_key_candidates, profile_mutual_information,
+#: string_functions, events_rolling_actives,
+#: events_last_touch_attribution, customer_rfm_segments,
+#: events_session_overlap, join_hot_key_split; (c) then the r9
+#: battery opens as the next-oldest class; (d) if any round-13 row
+#: comes back red, its fix re-enters at the head, same as covariance
+#: did in round 10.
 
 @dataclass(frozen=True)
 class CatalogEntry:

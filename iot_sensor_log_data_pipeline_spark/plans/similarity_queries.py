@@ -927,9 +927,7 @@ def similarity_mmr_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = ANN.query_pq_index(spark, root, queries, k=10, rerank=50)
     # Relevance/penalty vectors come off the index's own re-rank table
     # (tombstone-aware) -- the serving store IS the vector source.
-    stored = ANN._read_with_segments(spark, root, "vectors").select(
-        F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
-    )
+    stored = ANN.read_index_vectors(spark, root, "vec_id", "embedding")
     return SIM.mmr_rerank(
         stored, queries, k=3, pool=10, lam=0.75, candidates=cand
     )
@@ -1110,6 +1108,201 @@ def similarity_persisted_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy("query_id", "rank")
 
 
+#: Sign factor of the signed-Hadamard seed rotation, replayed in SQL:
+#: s(tag, x) = +1 iff the first 8 hex chars of md5('tag:x') are even
+#: (the ``hash_hyperplanes`` idiom).
+_ROT_SGN = (
+    "(CASE WHEN CAST(('0x' || substr(md5('{tag}:' || {x}), 1, 8)) AS BIGINT)"
+    " % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+)
+
+
+#: OPQ-rotated IVF-PQ oracle: ``_IVFPQ_ORACLE`` with the pinned
+#: signed-Hadamard rotation (the ``similarity_opq_seed_ann`` rmat CTE)
+#: applied to the RESIDUALS before codebook sample / encode / LUTs --
+#: coarse assignment, probes, and the exact re-rank stay in the
+#: original space (the rotation is orthogonal, so distances agree).
+_IVFPQ_OPQ_ORACLE = f"""
+    WITH rmat AS (
+      SELECT i, j,
+             {{sgn1}}
+             * {{sgn2}}
+             * (CASE WHEN bit_count(CAST(i AS BIGINT) & CAST(j AS BIGINT))
+                          % 2 = 0
+                     THEN 1.0 ELSE -1.0 END) / 8.0 AS r
+      FROM range(64) a(i) CROSS JOIN range(64) b(j)
+    ),
+    rcols AS (SELECT j, list(r ORDER BY i) AS col FROM rmat GROUP BY j),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cell,
+             embedding AS cv
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ),
+    adist AS (
+      SELECT e.vec_id, c.cell,
+             {{dot}} AS dp
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dp DESC, cell) AS rn
+        FROM adist)
+      WHERE rn = 1
+    ),
+    resid0 AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(range(64),
+               i -> CAST(e.embedding[i+1] AS DOUBLE)
+                    - CAST(c.cv[i+1] AS DOUBLE)) AS rv0
+      FROM assign a
+      JOIN embeddings e USING (vec_id)
+      JOIN cent c USING (cell)
+    ),
+    rrot AS (
+      SELECT r.vec_id, r.cell, rc.j,
+             list_sum(list_transform(range(64),
+               i -> r.rv0[i+1] * rc.col[i+1])) AS val
+      FROM resid0 r CROSS JOIN rcols rc
+    ),
+    resid AS (
+      SELECT vec_id, any_value(cell) AS cell, list(val ORDER BY j) AS rv
+      FROM rrot GROUP BY vec_id
+    ),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS code,
+             rv AS cbv
+      FROM resid
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 64
+    ),
+    cdists AS (
+      SELECT r.vec_id, s.s, cb.code,
+             list_sum(list_transform(range(8),
+               i -> (r.rv[s.s * 8 + i + 1] - cb.cbv[s.s * 8 + i + 1])
+                    * (r.rv[s.s * 8 + i + 1] - cb.cbv[s.s * 8 + i + 1]))) AS d2
+      FROM resid r CROSS JOIN range(8) s(s) CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2, code) AS rn
+        FROM cdists)
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dp DESC, cell) AS rn
+        FROM adist WHERE vec_id < 5)
+      WHERE rn <= 8
+    ),
+    qres0 AS (
+      SELECT p.query_id, p.cell,
+             list_transform(range(64),
+               i -> CAST(e.embedding[i+1] AS DOUBLE)
+                    - CAST(c.cv[i+1] AS DOUBLE)) AS rv0
+      FROM probes p
+      JOIN embeddings e ON e.vec_id = p.query_id
+      JOIN cent c USING (cell)
+    ),
+    qrot AS (
+      SELECT q.query_id, q.cell, rc.j,
+             list_sum(list_transform(range(64),
+               i -> q.rv0[i+1] * rc.col[i+1])) AS val
+      FROM qres0 q CROSS JOIN rcols rc
+    ),
+    qres AS (
+      SELECT query_id, cell, list(val ORDER BY j) AS rv
+      FROM qrot GROUP BY query_id, cell
+    ),
+    qd AS (
+      SELECT q.query_id, q.cell, s.s, cb.code,
+             list_sum(list_transform(range(8),
+               i -> (q.rv[s.s * 8 + i + 1] - cb.cbv[s.s * 8 + i + 1])
+                    * (q.rv[s.s * 8 + i + 1] - cb.cbv[s.s * 8 + i + 1]))) AS d2
+      FROM qres q CROSS JOIN range(8) s(s) CROSS JOIN cb
+    ),
+    adc AS (
+      SELECT qd.query_id, codes.vec_id AS neighbor_id, sum(qd.d2) AS adc_dist
+      FROM codes
+      JOIN assign ON assign.vec_id = codes.vec_id
+      JOIN qd ON qd.cell = assign.cell
+             AND qd.s = codes.s AND qd.code = codes.code
+      WHERE codes.vec_id <> qd.query_id
+      GROUP BY qd.query_id, codes.vec_id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, neighbor_id) AS adc_rank
+        FROM adc)
+      WHERE adc_rank <= 100
+    ),
+    exact AS (
+      SELECT sl.query_id, sl.neighbor_id,
+             list_sum(list_transform(range(64),
+               i -> (CAST(qe.embedding[i+1] AS DOUBLE)
+                     - CAST(ne.embedding[i+1] AS DOUBLE))
+                    * (CAST(qe.embedding[i+1] AS DOUBLE)
+                       - CAST(ne.embedding[i+1] AS DOUBLE)))) AS l2_dist
+      FROM shortlist sl
+      JOIN embeddings qe ON qe.vec_id = sl.query_id
+      JOIN embeddings ne ON ne.vec_id = sl.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(l2_dist, 6) AS l2_dist, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY l2_dist, neighbor_id) AS rank
+      FROM exact
+    )
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """.format(
+    sgn1=_ROT_SGN.format(tag="rot1", x="i"),
+    sgn2=_ROT_SGN.format(tag="rot2", x="j"),
+    dot=_DOT.format(d=64, a="e.embedding", b="c.cv"),
+)
+
+
+@register(
+    "similarity_ivfpq_opq_ann",
+    oracle=_IVFPQ_OPQ_ORACLE,
+    tags=("similarity", "north-star", "ivf", "pq", "opq", "ann"),
+)
+def similarity_ivfpq_opq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-rotated IVF-PQ (Ge, He, Ke & Sun 2013 §5: OPQ composed
+    into IVFADC; ``operators/similarity.py:ivfpq_topk(rotation=...)``)
+    at the pinned quantizer triple
+    (``ivfpq_opq_seed_quantizers``): the coarse stage is unchanged
+    (16 md5-seed cells, 8 probes), but every RESIDUAL -- corpus and
+    query -- is rotated by the exactly-orthogonal signed-Hadamard
+    matrix before codebook sampling / encoding / lookup tables, so
+    the PQ subspaces carry balanced, decorrelated variance where the
+    coding error lives.  The exact re-rank stays in the original
+    space (orthogonality preserves L2).  The production variant
+    (``ivfpq_opq_quantizers``: Lloyd + residual-PCA rotation) is
+    measured in the bench recall block; its win case is the SHALLOW
+    re-rank regime (rerank ~ k), pinned on anisotropic data in
+    pytest -- at deep re-rank the ADC shortlist is already lossless
+    inside probed cells, so recall sits at the coarse ceiling with or
+    without rotation (round-11 measurement, re-confirmed round 13)."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5)
+    cents, R, cbs = SIM.ivfpq_opq_seed_quantizers(emb, n_cells=16, m=8, n_codes=64)
+    return SIM.ivfpq_topk(
+        emb, queries, k=10, n_cells=16, n_probe=8, rerank=100,
+        centroids=cents, codebooks=cbs, rotation=R,
+    ).orderBy("query_id", "rank")
+
+
 @register(
     "similarity_opq_adc_ann",
     # Rows-only BY DESIGN: the OPQ rotation is a driver-side
@@ -1138,15 +1331,6 @@ def similarity_opq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.opq_adc_topk(
         emb, queries, k=10, m=8, n_codes=64, rerank=50
     ).orderBy("query_id", "rank")
-
-
-#: Sign factor of the signed-Hadamard seed rotation, replayed in SQL:
-#: s(tag, x) = +1 iff the first 8 hex chars of md5('tag:x') are even
-#: (the ``hash_hyperplanes`` idiom).
-_ROT_SGN = (
-    "(CASE WHEN CAST(('0x' || substr(md5('{tag}:' || {x}), 1, 8)) AS BIGINT)"
-    " % 2 = 0 THEN 1.0 ELSE -1.0 END)"
-)
 
 
 @register(

@@ -489,6 +489,98 @@ def text_bm25_prf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed 3-query batch for the batched-probe row: distinct common
+#: corpus terms per query, no duplicates (term-bag multiplicity is
+#: pinned separately in pytest).
+_BM25_BATCH_QUERIES: tuple[tuple[str, ...], ...] = (
+    ("spark", "join", "window"),
+    ("hash", "merge", "sort"),
+    ("filter", "scan", "batch"),
+)
+
+_BM25_BATCH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_NTOK} AS dl, unnest({_TOKS}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+             any_value(dl) AS dl
+      FROM toks GROUP BY doc_id, term
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg({_NTOK}) AS avgdl
+      FROM documents
+    ),
+    dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    q(query_id, term) AS (VALUES {", ".join(
+        f"(CAST({qid} AS BIGINT), '{t}')"
+        for qid, terms in enumerate(_BM25_BATCH_QUERIES)
+        for t in terms
+    )}),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             round(sum(
+               1.0
+               * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * {_BM25_K1 + 1.0!r}
+                  / (tf.tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r}
+                     + {_BM25_B!r} * tf.dl / s.avgdl)))
+             ), 6) AS bm25
+      FROM q
+      JOIN tf USING (term)
+      JOIN dfs d USING (term)
+      CROSS JOIN stats s
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    pos AS (SELECT * FROM scored WHERE bm25 > 0)
+    SELECT query_id, doc_id, bm25, rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+          FROM pos)
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """
+
+
+@register(
+    "text_bm25_batch_persisted",
+    oracle=_BM25_BATCH_ORACLE,
+    tags=("text", "north-star", "retrieval", "persisted-index", "batch"),
+)
+def text_bm25_batch_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 for a BATCH of queries served from the persisted inverted
+    index in ONE distributed plan
+    (``operators/text_index.py:query_text_index_batch``) -- the
+    amortized serving shape: N queries share one term-pruned postings
+    scan, document frequencies are a distributed aggregate joined back
+    broadcast (nothing per-query reaches the driver), and per-query
+    top-k is one partitioned window.  At 100 TB this is how a search
+    tier actually runs: batching the request stream divides Spark's
+    per-job overhead by the batch size (measured as
+    ``text_probe_batch50`` in the bench's persisted_index_sec)."""
+    import os as _os
+
+    from ..io_utils import scratch_dir
+    from ..operators import text_index as TI
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    sf_name = _os.path.basename(sf_dir.rstrip("/")) or "corpus"
+    troot = scratch_dir("text_index", sf_name)
+    TI.build_text_index(docs, troot)
+    qdf = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, terms in enumerate(_BM25_BATCH_QUERIES)
+            for t in terms
+        ],
+        "query_id long, term string",
+    )
+    return TI.query_text_index_batch(
+        spark, troot, qdf, k=10, k1=_BM25_K1, b=_BM25_B
+    ).orderBy("query_id", "rank")
+
+
 _RRF_QUERY_TEXT = " ".join(_BM25_TERMS)
 _HASH_CELLS = """
       SELECT {key} CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS idx,
@@ -889,9 +981,7 @@ def text_rag_context_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector table (tombstone-aware), not a second hash-embedding
     # corpus pass -- the index already materialized exactly these rows
     # at build time.
-    stored = ANN._read_with_segments(spark, lroot, "vectors").select(
-        F.col("id").alias("doc_id"), F.col("vec").alias("embedding")
-    )
+    stored = ANN.read_index_vectors(spark, lroot, "doc_id", "embedding")
     return mmr_rerank(
         stored, qemb, k=3, pool=10, lam=0.75,
         id_col="doc_id", vec_col="embedding", candidates=cand,

@@ -3935,6 +3935,65 @@ def test_opq_rotation_beats_raw_pq_on_anisotropic_data(spark):
     assert opq >= 0.9, opq
 
 
+def test_ivfpq_opq_rotation_beats_raw_at_shallow_rerank(spark):
+    """The OPQ+IVFPQ composition's value proposition (Ge et al. 2013
+    §5: OPQ on IVFADC residuals), pinned where it can actually show:
+    ALL cells probed (coarse stage lossless, so the delta isolates
+    residual coding quality) and a SHALLOW re-rank (rerank == k --
+    the memory-constrained serving shape where ADC ordering decides),
+    on correlated anisotropic vectors (100:1 spectrum under a random
+    rotation).  At the deep re-rank the derived geometry prescribes,
+    the ADC shortlist is already lossless inside probed cells and
+    both variants sit at the coarse ceiling (round-11 measurement,
+    bench lines ivfpq / ivfpq_opq) -- this test pins the regime where
+    the rotation pays.  Also asserts the rotated pipeline's contract:
+    rotation without its co-trained codebooks is rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    rng = np.random.default_rng(13)
+    dim, m, n = 16, 4, 1500
+    Q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+    X = rng.standard_normal((n, dim)) @ np.diag(np.geomspace(10.0, 0.1, dim)) @ Q.T
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.where(F.col("vec_id") < 5)
+    truth = {}
+    for q in range(5):
+        ex = ((X - X[q]) ** 2).sum(-1)
+        ex[q] = np.inf
+        truth[q] = {int(i) for i in np.argsort(ex)[:10]}
+
+    def recall(out):
+        return sum(
+            1 for r in out.collect() if r["neighbor_id"] in truth[r["query_id"]]
+        ) / 50
+
+    geo = dict(n_cells=8, n_probe=8, rerank=10, k=10, dim=dim)
+    cents_raw, cbs_raw = SIM.ivfpq_trained_quantizers(
+        df, n_cells=8, m=m, n_codes=16, dim=dim
+    )
+    raw = recall(SIM.ivfpq_topk(
+        df, queries, centroids=cents_raw, codebooks=cbs_raw, **geo
+    ))
+    cents_opq, R, cbs_opq = SIM.ivfpq_opq_quantizers(
+        df, n_cells=8, m=m, n_codes=16, dim=dim
+    )
+    opq = recall(SIM.ivfpq_topk(
+        df, queries, centroids=cents_opq, codebooks=cbs_opq, rotation=R, **geo
+    ))
+    # Measured: raw 0.50 -> opq 0.70 at 16 codes/subspace, rerank 10.
+    # The pin is the DELTA (the rotation's effect at fixed budget);
+    # the absolute is bounded by the deliberately coarse code budget.
+    assert opq >= raw + 0.1, (opq, raw)
+    assert opq >= 0.65, opq
+
+    with _pytest.raises(ValueError, match="rotation needs"):
+        SIM.ivfpq_topk(df, queries, rotation=R, **geo)
+
+
 def test_embedding_covariance_survives_large_means(spark):
     """Catastrophic-cancellation regression: large-magnitude (1e4)
     near-zero-covariance columns are exactly the data where the
@@ -7640,6 +7699,143 @@ def test_round12_advice_fix_battery(spark, tmp_path):
     got_t = TI.query_text_index(spark, troot, ("a", "d"), k=5).collect()
     assert len(got_t) == 2
     assert _os.path.exists(_os.path.join(troot, "postings"))
+
+
+def test_round13_advice_fix_battery(spark, tmp_path, monkeypatch):
+    """Regression pytests for the four round-12 ADVICE findings:
+    (1) _apply_match_filter LEFT-joins the attrs side table, so a
+    candidate with no attrs row keeps nb_attr = NULL and the null-safe
+    predicate decides (pre-fix the inner join silently dropped
+    metadata-less neighbors under BOTH polarities); (2) a non-heal
+    rename failure inside _swap_dir best-effort restores the main
+    table from its __old aside before re-raising (pre-fix availability
+    depended on a later probe's heal); (3) read_index_vectors is the
+    public tombstone-aware accessor for an index's stored vectors
+    (plans no longer reach into _read_with_segments); (4) bench canary
+    references are keyed by scale factor, so normalization never
+    conflates corpus size with host drift at a non-pinned sf.
+
+    Plus the round-13 batched probe: query_text_index_batch matches
+    the single-query probe value-for-value per query, and term-bag
+    multiplicity doubles a duplicated term's contribution."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as ANN
+    from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
+
+    # (1) metadata-less neighbor: attrs covers ids {2, 3} only; under
+    # negate=True the attr-less neighbor 1 must surface as a hard
+    # negative, and under equality a NULL-attr query matches it.
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], "x"),
+            (1, [0.9, 0.1], None),   # NO attrs row at all
+            (2, [0.8, 0.2], "x"),
+            (3, [0.7, 0.3], "y"),
+            (10, [0.6, 0.4], None),  # NULL-attr query
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    attrs = emb.where("vec_id in (0, 2, 3, 10)").select("vec_id", "label")
+    root = str(tmp_path / "ivf_attr")
+    cents = SIM.seed_centroids(emb, 2)
+    ANN.build_ivf_index(emb, root, n_cells=2, n_assign=2, centroids=cents)
+    neg = ANN.query_ivf_index(
+        spark, root, emb.where("vec_id = 0"), k=5, n_probe=2,
+        match_col="label", attrs=attrs, negate=True,
+    ).collect()
+    neg_ids = {r["neighbor_id"] for r in neg}
+    assert 1 in neg_ids, "attr-less neighbor must surface as hard negative"
+    assert 3 in neg_ids and 2 not in neg_ids
+    eqm = ANN.query_ivf_index(
+        spark, root, emb.where("vec_id = 10"), k=5, n_probe=2,
+        match_col="label", attrs=attrs,
+    ).collect()
+    eq_ids = {r["neighbor_id"] for r in eqm}
+    assert 1 in eq_ids, "missing attrs row == NULL attr (IS NOT DISTINCT FROM)"
+    assert 2 not in eq_ids and 3 not in eq_ids
+
+    # (2) non-heal _swap_dir failure restores the main table
+    final = str(tmp_path / "swapt" / "tbl")
+    tmp_stage = str(tmp_path / "swapt" / "tbl__next")
+    _os.makedirs(final)
+    _os.makedirs(tmp_stage)
+    with open(_os.path.join(final, "live"), "w") as fh:
+        fh.write("x")
+    real_rename = _os.rename
+
+    def failing_rename(src, dst):
+        if src == tmp_stage:
+            raise OSError("simulated non-heal rename failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(
+        "iot_sensor_log_data_pipeline_spark.operators.ann_index.os.rename",
+        failing_rename,
+    )
+    with _pytest.raises(OSError, match="simulated"):
+        ANN._swap_dir(final, tmp_stage)
+    monkeypatch.undo()
+    assert _os.path.exists(_os.path.join(final, "live")), (
+        "main table must be restored from __old on the failure path"
+    )
+    assert not _os.path.exists(final + "__old")
+
+    # (3) public vector accessor: renamed columns + tombstone-aware
+    ANN.delete_from_index(spark.createDataFrame([(2,)], "vec_id long"), root)
+    acc = ANN.read_index_vectors(spark, root, "vec_id", "embedding")
+    assert acc.columns == ["vec_id", "embedding"]
+    assert {r["vec_id"] for r in acc.collect()} == {0, 1, 3, 10}
+
+    # (4) canary refs keyed by sf
+    import bench as B
+
+    assert set(B.CANARIES_BY_SF) == {"0.1"}
+    assert "q1_pricing_summary" in B.CANARIES_BY_SF["0.1"]
+
+    # (5) batched probe == per-query probe, value-for-value
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, "a c d e"), (3, "b d e e"), (4, "c c d")],
+        "doc_id long, text string",
+    )
+    troot = str(tmp_path / "ti_batch")
+    TI.build_text_index(docs, troot)
+    batch_queries = {0: ("a", "b"), 1: ("c", "e"), 2: ("d",)}
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in batch_queries.items() for t in ts],
+        "query_id long, term string",
+    )
+    got = TI.query_text_index_batch(spark, troot, qdf, k=3)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["bm25"], r["rank"]))
+    for qid, terms in batch_queries.items():
+        want = [
+            (r["doc_id"], r["bm25"], i + 1)
+            for i, r in enumerate(
+                TI.query_text_index(spark, troot, terms, k=3).collect()
+            )
+        ]
+        assert sorted(by_q.get(qid, [])) == sorted(want), f"query {qid}"
+
+    # (5b) term-bag multiplicity: 'a' twice doubles its contribution
+    qdup = spark.createDataFrame(
+        [(9, "a"), (9, "a")], "query_id long, term string"
+    )
+    qone = spark.createDataFrame([(8, "a")], "query_id long, term string")
+    dup_scores = {
+        r["doc_id"]: r["bm25"]
+        for r in TI.query_text_index_batch(spark, troot, qdup, k=5).collect()
+    }
+    one_scores = {
+        r["doc_id"]: r["bm25"]
+        for r in TI.query_text_index_batch(spark, troot, qone, k=5).collect()
+    }
+    assert set(dup_scores) == set(one_scores)
+    for d, s in one_scores.items():
+        assert abs(dup_scores[d] - round(2 * s, 6)) < 2e-6
 
 
 def test_serving_compositions_match_adhoc(spark, tmp_path):

@@ -1191,6 +1191,7 @@ def _ivfpq_encode(
     id_col: str,
     vec_col: str,
     n_assign: int = 1,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """(id, cell, codes) for ``df`` under the IVF-PQ quantizer pair:
     ``n_assign``-cell dot-product assignment (one codes row per
@@ -1198,8 +1199,12 @@ def _ivfpq_encode(
     ``similarity.ivfpq_geometry``), element-wise residual against
     each cell centroid, PQ encode of the residual -- the shared
     encode of the build pass and the streaming ingest (one Arrow pass
-    each for assignment and coding, one broadcast centroid join)."""
-    from .similarity import _dbl, _pq_codes_udf
+    each for assignment and coding, one broadcast centroid join).
+    ``rotation`` (optional): the OPQ coding rotation applied to the
+    residual BEFORE encoding via the same left-to-right fold the
+    ad-hoc ``ivfpq_topk(rotation=...)`` uses -- codes come out
+    bit-identical to the ad-hoc path."""
+    from .similarity import _dbl, _pq_codes_udf, _rotate_expr
 
     spark = df.sparkSession
     assign = _top_cells_udf(centroids, n_assign)
@@ -1207,6 +1212,8 @@ def _ivfpq_encode(
     residual = F.zip_with(
         F.col("vec"), F.col("cv"), lambda x, y: _dbl(x) - _dbl(y)
     )
+    if rotation is not None:
+        residual = _rotate_expr(residual, rotation)
     return (
         df.select(
             F.col(id_col).alias("id"),
@@ -1230,6 +1237,7 @@ def build_ivfpq_index(
     codebooks=None,
     dim: int = DIM,
     n_assign: int = 1,
+    rotation: list[list[float]] | None = None,
 ) -> None:
     """Materialize an IVF-PQ index (IVFADC) -- the billion-scale
     serving composite: coarse centroid table, residual-space codebook
@@ -1243,10 +1251,19 @@ def build_ivfpq_index(
     ``seed_centroids`` + residual ``pq_seed_codebooks`` for the
     oracle-checkable twin.
 
+    ``rotation`` (optional, dim x dim orthogonal): OPQ-rotated
+    residual coding (``similarity.ivfpq_topk(rotation=...)``).  The
+    rotation persists to ``<root>/rotation/`` so probes and streaming
+    ingest encode against it forever after; requires ``centroids`` +
+    ``codebooks`` trained in the rotated residual space
+    (``ivfpq_opq_quantizers`` / ``ivfpq_opq_seed_quantizers``).
+
     Layout (plain parquet, the family contract):
-        <root>/config/     (kind='ivfpq', m, n_codes, n_cells, dim)
+        <root>/config/     (kind='ivfpq', m, n_codes, n_cells, dim,
+                            n_assign, rotated)
         <root>/centroids/  (cell, cv array<double>)
         <root>/codebooks/  (subspace, code, cv array<double>)
+        <root>/rotation/   (i, r array<double>) -- rotated builds only
         <root>/codes/      (id, cell, codes array<int>)
         <root>/vectors/    (id, vec)
     """
@@ -1257,6 +1274,12 @@ def build_ivfpq_index(
             "pass centroids and codebooks together (codebooks live in "
             "the residual space the centroids define) or neither"
         )
+    if rotation is not None and codebooks is None:
+        raise ValueError(
+            "rotation needs centroids + codebooks trained in the rotated "
+            "residual space (ivfpq_opq_quantizers / "
+            "ivfpq_opq_seed_quantizers)"
+        )
     if centroids is None:
         centroids, codebooks = ivfpq_trained_quantizers(
             vectors, n_cells=n_cells, m=m, n_codes=n_codes,
@@ -1264,7 +1287,8 @@ def build_ivfpq_index(
         )
     spark = vectors.sparkSession
     _ivfpq_encode(
-        vectors, centroids, codebooks, id_col, vec_col, n_assign=n_assign
+        vectors, centroids, codebooks, id_col, vec_col, n_assign=n_assign,
+        rotation=rotation,
     ).write.mode("overwrite").parquet(_sub(path, "codes"))
     vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).write.mode(
         "overwrite"
@@ -1285,6 +1309,13 @@ def build_ivfpq_index(
         "subspace int, code int, cv array<double>",
         _sub(path, "codebooks"),
     )
+    if rotation is not None:
+        _write_small(
+            spark,
+            [(int(i), [float(x) for x in row]) for i, row in enumerate(rotation)],
+            "i int, r array<double>",
+            _sub(path, "rotation"),
+        )
     _write_small(
         spark,
         [
@@ -1295,16 +1326,20 @@ def build_ivfpq_index(
                 int(len(centroids)),
                 int(dim),
                 int(n_assign),
+                rotation is not None,
             )
         ],
-        "kind string, m int, n_codes int, n_cells int, dim int, n_assign int",
+        "kind string, m int, n_codes int, n_cells int, dim int, "
+        "n_assign int, rotated boolean",
         _sub(path, "config"),
     )
 
 
 def _load_ivfpq_meta(spark: SparkSession, path: str):
-    """(cfg row, centroids list, codebooks nested list) from a
-    persisted IVF-PQ index -- KB-scale driver pulls."""
+    """(cfg row, centroids list, codebooks nested list,
+    rotation-or-None) from a persisted IVF-PQ index -- KB-scale driver
+    pulls.  Pre-round-13 indexes have no ``rotated`` config field;
+    they load with ``rotation=None`` (back-compat)."""
     cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
     if cfg["kind"] != "ivfpq":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not ivfpq")
@@ -1316,7 +1351,14 @@ def _load_ivfpq_meta(spark: SparkSession, path: str):
     ]
     for r in cb_rows:
         codebooks[int(r["subspace"])][int(r["code"])] = list(r["cv"])
-    return cfg, centroids, codebooks
+    rotation = None
+    if "rotated" in cfg.__fields__ and cfg["rotated"]:
+        rot_rows = spark.read.parquet(_sub(path, "rotation")).collect()
+        dim = int(cfg["dim"])
+        rotation = [[0.0] * dim for _ in range(dim)]
+        for r in rot_rows:
+            rotation[int(r["i"])] = list(r["r"])
+    return cfg, centroids, codebooks, rotation
 
 
 def query_ivfpq_index(
@@ -1355,16 +1397,21 @@ def query_ivfpq_index(
     table -- the ``query_ivf_index`` contract, family-wide; applied
     to the ADC-scored candidates BEFORE the shortlist cut, so all k
     results satisfy it."""
-    from .similarity import _dbl, _pq_query_dists_udf
+    from .similarity import _dbl, _pq_query_dists_udf, _rotate_expr
 
     _check_match_args(match_col, attrs, negate)
-    cfg, centroids, codebooks = _load_ivfpq_meta(spark, path)
+    cfg, centroids, codebooks, rotation = _load_ivfpq_meta(spark, path)
     n_codes = int(cfg["n_codes"])
     probe_cells = _top_cells_udf(centroids, n_probe)
     qdists_udf = _pq_query_dists_udf(codebooks)
     residual = F.zip_with(
         F.col(vec_col), F.col("cv"), lambda x, y: _dbl(x) - _dbl(y)
     )
+    if rotation is not None:
+        # OPQ-rotated index: query residuals rotate by the persisted
+        # coding rotation before the LUTs -- same fold as the build's
+        # encode, so ADC distances match the ad-hoc rotated query.
+        residual = _rotate_expr(residual, rotation)
     probes = (
         queries.select(
             F.col(id_col).alias("query_id"),

@@ -2363,20 +2363,22 @@ def opq_seed_rotation(dim: int = DIM) -> list[list[float]]:
     ]
 
 
-def _rotate_expr(vec_col: str, R: list[list[float]]) -> Column:
+def _rotate_expr(vec_col: str | Column, R: list[list[float]]) -> Column:
     """Rotated vector as a pure column expression: out[j] =
     fold_i(x[i] * R[i][j]), left-to-right -- the summation order
     DuckDB's ``list_sum`` replays bit-for-bit (no numpy matmul, whose
     pairwise blocking would re-order the additions).  dim^2 literals
     ride in the plan (64 KB at dim 64); JVM-side whole-stage codegen,
-    no Python."""
+    no Python.  Accepts a column name or a Column expression (the
+    IVF-PQ residual path rotates a ``zip_with`` expression in place)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     dim = len(R)
     cols = []
     for j in range(dim):
         col_j = F.array(*[F.lit(float(R[i][j])) for i in range(dim)])
         cols.append(
             F.aggregate(
-                F.zip_with(F.col(vec_col), col_j, lambda x, r: _dbl(x) * r),
+                F.zip_with(v, col_j, lambda x, r: _dbl(x) * r),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )

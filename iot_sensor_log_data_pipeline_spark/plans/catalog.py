@@ -75,9 +75,11 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     # OPQ-rotated IVF-PQ composition (Ge et al. 2013 SS5: residuals
     # rotated by the pinned signed-Hadamard matrix before codebook
     # sample/encode/LUT -- the whole pipeline replays as one SQL
-    # statement).
+    # statement); the persisted OPQ-IVFPQ twin (rotation stored as
+    # quantizer state, probes and stream ingest encode through it).
     "text_bm25_batch_persisted",
     "similarity_ivfpq_opq_ann",
+    "similarity_persisted_ivfpq_opq_ann",
     # (b) round-13-edited code paths re-enter: _apply_match_filter's
     # attrs join became LEFT (metadata-less neighbors keep nb_attr =
     # NULL and the null-safe predicate decides -- the round-12 advice
@@ -116,8 +118,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "window_range_trailing_hour",
     "window_first_last",
     # (d) the r8 battery opens (45 rows; five rounds of engine
-    # evolution since) -- the first 23 in registration order fit this
-    # window; the remaining 22 lead the round-14 rotation.
+    # evolution since) -- the first 22 in registration order fit this
+    # window; the remaining 23 lead the round-14 rotation.
     "timeseries_ewma_smooth",
     "timeseries_time_weighted_avg",
     "anomaly_robust_zscore",
@@ -140,12 +142,12 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "text_tokenizer_fertility",
     "corpus_contamination_scores",
     "corpus_source_overlap",
-    "corpus_decontaminate_spans",
 )
 
 #: Round-14 rotation plan: (a) anything new in round 14 plus
-#: re-entries for round-14-edited code paths; (b) the remaining 22
-#: r8-battery rows in registration order: corpus_shard_assignment,
+#: re-entries for round-14-edited code paths; (b) the remaining 23
+#: r8-battery rows in registration order: corpus_decontaminate_spans,
+#: corpus_shard_assignment,
 #: corpus_quality_threshold_sweep, corpus_epoch_upsample,
 #: multimodal_byte_entropy, multimodal_type_sniff,
 #: maintenance_zorder_roundtrip, udf_arrow_map_batches,

@@ -1304,6 +1304,40 @@ def similarity_ivfpq_opq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_persisted_ivfpq_opq_ann",
+    oracle=_IVFPQ_OPQ_ORACLE,
+    tags=("similarity", "north-star", "ivf", "pq", "opq", "ann",
+          "persisted-index"),
+)
+def similarity_persisted_ivfpq_opq_ann(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Build-once / probe-many OPQ-rotated IVF-PQ
+    (``operators/ann_index.py:build_ivfpq_index(rotation=...)``): the
+    coding rotation persists to ``<root>/rotation/`` alongside the
+    coarse centroids and rotated-residual codebooks, corpus residuals
+    encode THROUGH it at build time, and every probe -- and every
+    streaming-ingest batch -- rotates its residuals by the stored
+    matrix before the lookup tables, so the on-disk index serves
+    results identical to the ad-hoc ``similarity_ivfpq_opq_ann`` at
+    the same quantizer triple (shared oracle + parity pytest).  The
+    rotation rides with the index because it IS quantizer state:
+    encoding a later batch without it would silently mis-code (the
+    centroids/codebooks pairing contract, extended)."""
+    emb = parallelize_small(load(spark, sf_dir, "embeddings"))
+    root = _index_root(sf_dir, "ivfpq_opq")
+    cents, R, cbs = SIM.ivfpq_opq_seed_quantizers(emb, n_cells=16, m=8, n_codes=64)
+    ANN.build_ivfpq_index(
+        emb, root, n_cells=16, m=8, n_codes=64,
+        centroids=cents, codebooks=cbs, rotation=R,
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return ANN.query_ivfpq_index(
+        spark, root, queries, k=10, n_probe=8, rerank=100
+    ).orderBy("query_id", "rank")
+
+
+@register(
     "similarity_opq_adc_ann",
     # Rows-only BY DESIGN: the OPQ rotation is a driver-side
     # eigendecomposition of the (oracle-checked) covariance matrix --

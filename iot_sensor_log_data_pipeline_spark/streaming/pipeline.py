@@ -1906,10 +1906,13 @@ def index_ingest_apply_batch(
         ).parquet(seg("codes"))
         base.write.mode("overwrite").parquet(seg("vectors"))
     elif kind == "ivfpq":
-        cfg, centroids, codebooks = AI._load_ivfpq_meta(spark, index_path)
+        cfg, centroids, codebooks, rotation = AI._load_ivfpq_meta(
+            spark, index_path
+        )
         AI._ivfpq_encode(
             base, centroids, codebooks, id_col="id", vec_col="vec",
             n_assign=int(cfg.asDict().get("n_assign", 1) or 1),
+            rotation=rotation,
         ).write.mode("overwrite").parquet(seg("codes"))
         base.write.mode("overwrite").parquet(seg("vectors"))
     else:

@@ -7838,6 +7838,63 @@ def test_round13_advice_fix_battery(spark, tmp_path, monkeypatch):
         assert abs(dup_scores[d] - round(2 * s, 6)) < 2e-6
 
 
+def test_persisted_ivfpq_opq_parity_and_rotated_ingest(spark, tmp_path):
+    """The OPQ-rotated IVF-PQ persisted index (round 13) serves results
+    identical to the ad-hoc ``ivfpq_topk(rotation=...)`` at the same
+    quantizer triple, and a streaming-ingested batch encodes THROUGH
+    the persisted rotation (the rotation is quantizer state: findable
+    post-ingest at the same ADC path)."""
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as AI
+    from iot_sensor_log_data_pipeline_spark.streaming.pipeline import (
+        index_ingest_apply_batch,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where(
+        "vec_id < 150"
+    )
+    queries = emb.where("vec_id < 3")
+    cents, R, cbs = SIM.ivfpq_opq_seed_quantizers(emb, n_cells=8, m=8, n_codes=16)
+    root = str(tmp_path / "ivfpq_opq")
+    AI.build_ivfpq_index(
+        emb, root, n_cells=8, m=8, n_codes=16,
+        centroids=cents, codebooks=cbs, rotation=R,
+    )
+    got = AI.query_ivfpq_index(
+        spark, root, queries, k=5, n_probe=4, rerank=30
+    ).collect()
+    want = SIM.ivfpq_topk(
+        emb, queries, k=5, n_probe=4, rerank=30,
+        centroids=cents, codebooks=cbs, rotation=R,
+    ).collect()
+    assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in want)
+    assert len(got) == 15
+
+    # Rotated ingest: a new vector near query 0 must be findable, and
+    # its segment codes must equal a rotated re-encode (not a raw one).
+    q0 = [float(x) for x in queries.where("vec_id = 0").collect()[0]["embedding"]]
+    newv = spark.createDataFrame(
+        [(900, [v + 0.001 for v in q0])], "vec_id long, embedding array<double>"
+    )
+    index_ingest_apply_batch(newv, 0, root)
+    post = AI.query_ivfpq_index(spark, root, queries, k=5, n_probe=8, rerank=60)
+    assert 900 in {
+        r["neighbor_id"] for r in post.where("query_id = 0").collect()
+    }
+    seg_codes = sorted(
+        tuple(r["codes"])
+        for r in spark.read.parquet(
+            str(tmp_path / "ivfpq_opq" / "codes_stream")
+        ).where("id = 900").collect()
+    )
+    want_codes = sorted(
+        tuple(r["codes"])
+        for r in AI._ivfpq_encode(
+            newv, cents, cbs, "vec_id", "embedding", rotation=R
+        ).collect()
+    )
+    assert seg_codes == want_codes
+
+
 def test_serving_compositions_match_adhoc(spark, tmp_path):
     """The round-12 serving compositions are result-identical to their
     ad-hoc twins (the text_hybrid_rrf_persisted precedent): (a) MMR

@@ -864,9 +864,18 @@ def dedup_semantic_text_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
     cell cosine >= 0.9 pairs -> connected components -> min-id
     exemplar).  Every stage is md5-derived, so the oracle replays
     hashing, quantizer, assignment, pairs, and components
-    stage-for-stage in SQL.  Scale shape: one token explode +
-    (doc, dim) hash agg for the vectors, then the cell-keyed SemDeDup
-    machinery -- nothing corpus-quadratic."""
+    stage-for-stage in SQL.
+
+    Scale shape -- pinned vs production (round-13 sf1 measurement):
+    this row PINS a 16-cell quantizer with the cap off so the oracle
+    replays in one statement, which makes within-cell pairs quadratic
+    in corpus/16 -- measured 45x wall at 10x docs (6.5 s -> 296 s,
+    SCALE.md).  The production call (``semantic_dedup`` with no
+    pinned centroids) derives ``n_cells ~ N / target_cell_size`` and
+    recursively splits any cell past ``4 * target_cell_size``
+    members, which measured 2.16x at the same 10x (18.7 s -> 40.4 s
+    -- pairs stay cell-bounded).  The pinned shape is the ORACLE
+    GATE, not the deployment recipe."""
     from ..operators import semdedup as SD
     from ..operators import similarity as SIM
     from ..operators import text as TX

@@ -76,6 +76,7 @@ def main() -> None:
 
     families = {}
     for name in FAMILIES:
+        print(f"[sf1-measure] {name}", file=sys.stderr, flush=True)
         t01 = timed(
             lambda: entries[name].fn(spark, "/root/testdata/sf0.1")
             .write.format("noop").mode("overwrite").save()
@@ -89,6 +90,9 @@ def main() -> None:
             "sf1_sec": t1,
             "ratio": round(t1 / t01, 2),
         }
+
+    print("[sf1-measure] families done:", json.dumps(families),
+          file=sys.stderr, flush=True)
 
     # --- derived IVF geometry at 200k vectors -------------------------
     emb = load(spark, os.path.join(repo, "scaledata", "vec200k"), "embeddings")

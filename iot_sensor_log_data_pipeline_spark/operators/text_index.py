@@ -316,6 +316,7 @@ def query_text_index_batch(
     b: float = 0.75,
     query_id_col: str = "query_id",
     term_col: str = "term",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-``k`` for a whole BATCH of queries from the persisted
     index in ONE distributed plan -- the amortized serving shape
@@ -340,6 +341,14 @@ def query_text_index_batch(
     per-(query, doc) addend counts involved.  Returns (query_id,
     doc_id, bm25, rank), rank <= k, score-descending with doc-id
     tiebreak.
+
+    ``allowed`` (optional, 1 column named ``doc_id``): metadata-
+    filtered retrieval for the WHOLE batch -- the matched postings are
+    LEFT SEMI joined on the allow-list before scoring, while df / N /
+    avgdl stay corpus-global (the ``query_text_index`` Lucene
+    filtered-query convention: a filter narrows the result set, it
+    does not re-weight term rarity), so a doc's score is identical
+    filtered and unfiltered.
     """
     from pyspark.sql import Window
 
@@ -375,10 +384,16 @@ def query_text_index_batch(
         stats = spark.read.parquet(_sub(path, "stats")).collect()[0]
         n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
     # Distributed df (vs the single-query bounded collect): one count
-    # per matched term, joined back broadcast.
+    # per matched term, joined back broadcast.  Computed BEFORE the
+    # allow-list narrows the scored set -- term rarity stays
+    # corpus-global under filtering.
     dfs = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )
+    if allowed is not None:
+        postings = postings.join(
+            allowed.select(F.col("doc_id").alias("id")), "id", "left_semi"
+        )
     tf = F.col("tf").cast("double")
     idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     contrib = (
@@ -543,6 +558,166 @@ def query_text_index_prf(
         .where(F.col("prf_score") > 0)
         .orderBy(F.desc("prf_score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def query_text_index_prf_batch(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    *,
+    fb_k: int = 5,
+    n_expand: int = 5,
+    alpha: float = 0.5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """BM25 + RM3 pseudo-relevance feedback for a BATCH of queries,
+    entirely from the persisted index, with NOTHING per-query on the
+    driver -- the fully distributed form of ``query_text_index_prf``
+    (whose relevance model and query model are assembled driver-side,
+    fine for one query, a serialization point for a request stream):
+
+    1. stage 1 is ``query_text_index_batch`` at ``k=fb_k`` -- one
+       term-pruned postings scan ranks every query's pseudo-relevant
+       docs;
+    2. the per-query relevance model P(w|R_q) = sum_d w_d tf(w,d)/|d|
+       is a (query_id, term) aggregate over the feedback docs'
+       postings rows (an fb-doc-bounded id join -- postings ARE the
+       tokenization);
+    3. per-query expansion terms are one partitioned window (original
+       terms excluded per query by an anti-join), the interpolated
+       query model is a union of two weight tables, and the re-score
+       is a second term-pruned postings scan + doclens join with
+       per-query top-k as one more window.
+
+    ``queries`` is exploded (``query_id_col``, ``term_col``); duplicate
+    terms within a query are collapsed (RM3 spreads alpha over UNIQUE
+    originals -- the single-query API rejects duplicates outright; the
+    batch form cannot raise row-locally, so it normalizes).  A query
+    whose terms match nothing ranks no feedback docs, builds no model,
+    and returns no rows -- the single-query degenerate contract.
+    Queries whose expansion pool is empty (feedback docs contain only
+    query terms) degrade to the alpha-weighted original query.
+
+    Same rounding discipline as the single-query probe (P(w|R) and
+    expansion weights round to 9 before selection/arithmetic, final
+    scores to 6; every cross-engine sum is fb_k- / n_expand- /
+    model-size-bounded), so a DuckDB oracle replays the whole batch.
+    Returns (query_id, doc_id, prf_score, rank), rank <= k.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1] (1 = no expansion)")
+    if fb_k < 1 or n_expand < 1:
+        raise ValueError("fb_k and n_expand must be >= 1")
+    from pyspark.sql import Window
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(term_col).alias("term"),
+        )
+        .distinct()
+    )
+    # Stage 1 feeds two consumers (the weight normalizer and the
+    # feedback postings pull); checkpoint so the ranking plan runs
+    # once (<= fb_k rows per query -- bounded).
+    fb = query_text_index_batch(
+        spark, path, qterms, k=fb_k, k1=k1, b=b
+    ).localCheckpoint(eager=False)
+    ws = fb.groupBy("query_id").agg(F.sum("bm25").alias("ws"))
+
+    postings = _read_with_segments(spark, path, "postings")
+    doclens = _read_with_segments(spark, path, "doclens")
+    tomb_dir = _sub(path, "tombstones")
+    if os.path.exists(tomb_dir):
+        tombs = spark.read.parquet(tomb_dir).select("id").distinct()
+        postings = postings.join(tombs, "id", "left_anti")
+        doclens = doclens.join(tombs, "id", "left_anti")
+
+    fb_ids = fb.select("query_id", F.col("doc_id").alias("id"), "bm25")
+    fb_post = (
+        postings.join(F.broadcast(fb_ids), "id")
+        .join(doclens, "id")
+        .select(
+            "query_id", "term",
+            (F.col("bm25") * F.col("tf") / F.col("dl")).alias("c"),
+        )
+    )
+    pr = (
+        fb_post.groupBy("query_id", "term")
+        .agg(F.sum("c").alias("num"))
+        .join(ws, "query_id")
+        .select(
+            "query_id", "term",
+            F.round(F.col("num") / F.col("ws"), 9).alias("p_rm"),
+        )
+    )
+    w_exp = Window.partitionBy("query_id").orderBy(
+        F.desc("p_rm"), F.asc("term")
+    )
+    expansion = (
+        pr.join(qterms, ["query_id", "term"], "left_anti")
+        .withColumn("__rn", F.row_number().over(w_exp))
+        .where(F.col("__rn") <= n_expand)
+        .drop("__rn")
+        .localCheckpoint(eager=False)
+    )
+    z = expansion.groupBy("query_id").agg(F.sum("p_rm").alias("z"))
+    exp_w = (
+        expansion.join(z, "query_id")
+        .where(F.col("z") > 0)
+        .select(
+            "query_id", "term",
+            F.round(
+                F.lit(1.0 - alpha) * F.col("p_rm") / F.col("z"), 9
+            ).alias("w"),
+        )
+    )
+    qsize = qterms.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("double").alias("nq")
+    )
+    orig_w = qterms.join(qsize, "query_id").select(
+        "query_id", "term", (F.lit(float(alpha)) / F.col("nq")).alias("w")
+    )
+    qmodel = orig_w.unionByName(exp_w)
+
+    model_terms = qmodel.select("term").distinct()
+    tf2 = postings.join(F.broadcast(model_terms), "term", "left_semi")
+    dfs = tf2.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    if _has_segments(path):
+        agg = doclens.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("dl").alias("avgdl"),
+        ).collect()[0]
+        n, avgdl = float(agg["n"]), float(agg["avgdl"] or 0.0)
+    else:
+        stats = spark.read.parquet(_sub(path, "stats")).collect()[0]
+        n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf = F.col("tf").cast("double")
+    sat = (
+        tf * (k1 + 1.0)
+        / (tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    scored = (
+        tf2.join(F.broadcast(dfs), "term")
+        .join(F.broadcast(qmodel), "term")
+        .join(doclens, "id")
+        .groupBy("query_id", "id")
+        .agg(F.round(F.sum(F.col("w") * idf * sat), 6).alias("prf_score"))
+        .where(F.col("prf_score") > 0)
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.desc("prf_score"), F.asc("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_k).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("doc_id"), "prf_score", "rank")
     )
 
 

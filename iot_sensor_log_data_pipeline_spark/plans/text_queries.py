@@ -581,6 +581,153 @@ def text_bm25_batch_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+#: Batched RM3 oracle: the ``_BM25_BATCH_ORACLE`` stage-1 machinery,
+#: then per-query relevance models / expansion windows / interpolated
+#: re-score -- the ``_BM25_PRF_ORACLE`` pipeline generalized over a
+#: (query_id, term) VALUES table.  Constants: fb_k=5, n_expand=5,
+#: alpha=0.5, k=10, k1/b shared.
+_BM25_PRF_BATCH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_NTOK} AS dl, unnest({_TOKS}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+             any_value(dl) AS dl
+      FROM toks GROUP BY doc_id, term
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg({_NTOK}) AS avgdl
+      FROM documents
+    ),
+    q(query_id, term) AS (VALUES {", ".join(
+        f"(CAST({qid} AS BIGINT), '{t}')"
+        for qid, terms in enumerate(_BM25_BATCH_QUERIES)
+        for t in terms
+    )}),
+    qsize AS (
+      SELECT query_id, CAST(count(*) AS DOUBLE) AS nq FROM q GROUP BY query_id
+    ),
+    dfs1 AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+      WHERE term IN (SELECT term FROM q) GROUP BY term
+    ),
+    s1 AS (
+      SELECT q.query_id, tf.doc_id,
+             round(sum(
+               1.0
+               * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * {_BM25_K1 + 1.0!r}
+                  / (tf.tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r}
+                     + {_BM25_B!r} * tf.dl / s.avgdl)))
+             ), 6) AS bm25
+      FROM q JOIN tf USING (term) JOIN dfs1 d USING (term)
+      CROSS JOIN stats s
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    fb AS (
+      SELECT query_id, doc_id, bm25 FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY bm25 DESC, doc_id) AS rn
+        FROM s1 WHERE bm25 > 0)
+      WHERE rn <= 5
+    ),
+    ws AS (SELECT query_id, sum(bm25) AS ws FROM fb GROUP BY query_id),
+    pr AS (
+      SELECT fb.query_id, tf.term,
+             round(sum(fb.bm25 * tf.tf / tf.dl) / any_value(w.ws), 9) AS p_rm
+      FROM fb
+      JOIN tf ON tf.doc_id = fb.doc_id
+      JOIN ws w ON w.query_id = fb.query_id
+      GROUP BY fb.query_id, tf.term
+    ),
+    exp AS (
+      SELECT query_id, term, p_rm FROM (
+        SELECT pr.*, row_number() OVER (PARTITION BY pr.query_id
+                                        ORDER BY pr.p_rm DESC, pr.term) AS rn
+        FROM pr
+        WHERE NOT EXISTS (SELECT 1 FROM q
+                          WHERE q.query_id = pr.query_id
+                            AND q.term = pr.term))
+      WHERE rn <= 5
+    ),
+    z AS (SELECT query_id, sum(p_rm) AS z FROM exp GROUP BY query_id),
+    model AS (
+      SELECT q.query_id, q.term, 0.5 / qs.nq AS w
+      FROM q JOIN qsize qs USING (query_id)
+      UNION ALL
+      SELECT e.query_id, e.term, round(0.5 * e.p_rm / z.z, 9) AS w
+      FROM exp e JOIN z USING (query_id) WHERE z.z > 0
+    ),
+    dfs2 AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+      WHERE term IN (SELECT DISTINCT term FROM model) GROUP BY term
+    ),
+    scored AS (
+      SELECT m.query_id, tf.doc_id,
+             round(sum(
+               m.w
+               * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * {_BM25_K1 + 1.0!r}
+                  / (tf.tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r}
+                     + {_BM25_B!r} * tf.dl / s.avgdl)))
+             ), 6) AS prf_score
+      FROM model m JOIN tf USING (term) JOIN dfs2 d USING (term)
+      CROSS JOIN stats s
+      GROUP BY m.query_id, tf.doc_id
+    ),
+    pos AS (SELECT * FROM scored WHERE prf_score > 0)
+    SELECT query_id, doc_id, prf_score, rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY prf_score DESC, doc_id) AS rank
+          FROM pos)
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """
+
+
+@register(
+    "text_bm25_prf_batch_persisted",
+    oracle=_BM25_PRF_BATCH_ORACLE,
+    tags=("text", "north-star", "retrieval", "prf", "rm3",
+          "persisted-index", "batch"),
+)
+def text_bm25_prf_batch_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RM3 feedback loop for a BATCH of queries in one distributed
+    plan off the persisted index
+    (``operators/text_index.py:query_text_index_prf_batch``): stage-1
+    BM25 ranks every query's feedback docs through one postings scan,
+    per-query relevance models are a (query_id, term) aggregate over
+    the feedback docs' postings rows, expansion selection and final
+    top-k are partitioned windows, and the interpolated re-score is a
+    second term-pruned scan -- NOTHING per-query touches the driver,
+    unlike the single-query probe whose model assembly is a driver
+    round-trip per request.  At 100 TB this is the difference between
+    a serving tier that scales with executors and one that serializes
+    on the driver."""
+    import os as _os
+
+    from ..io_utils import scratch_dir
+    from ..operators import text_index as TI
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    sf_name = _os.path.basename(sf_dir.rstrip("/")) or "corpus"
+    troot = scratch_dir("text_index", sf_name)
+    TI.build_text_index(docs, troot)
+    qdf = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, terms in enumerate(_BM25_BATCH_QUERIES)
+            for t in terms
+        ],
+        "query_id long, term string",
+    )
+    return TI.query_text_index_prf_batch(
+        spark, troot, qdf, fb_k=5, n_expand=5, alpha=0.5, k=10,
+        k1=_BM25_K1, b=_BM25_B,
+    ).orderBy("query_id", "rank")
+
+
 _RRF_QUERY_TEXT = " ".join(_BM25_TERMS)
 _HASH_CELLS = """
       SELECT {key} CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS idx,

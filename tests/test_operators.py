@@ -7837,6 +7837,77 @@ def test_round13_advice_fix_battery(spark, tmp_path, monkeypatch):
     for d, s in one_scores.items():
         assert abs(dup_scores[d] - round(2 * s, 6)) < 2e-6
 
+    # (5c) allow-list narrows the batch result without re-weighting:
+    # filtered scores equal unfiltered scores on the surviving docs
+    # (df/N/avgdl stay corpus-global -- the Lucene convention).
+    allow = spark.createDataFrame([(1,), (3,)], "doc_id long")
+    unfiltered = {
+        (r["query_id"], r["doc_id"]): r["bm25"]
+        for r in TI.query_text_index_batch(spark, troot, qdf, k=5).collect()
+    }
+    filtered = TI.query_text_index_batch(
+        spark, troot, qdf, k=5, allowed=allow
+    ).collect()
+    assert {r["doc_id"] for r in filtered} <= {1, 3}
+    for r in filtered:
+        assert unfiltered[(r["query_id"], r["doc_id"])] == r["bm25"]
+
+
+def test_text_prf_batch_matches_per_query(spark, tmp_path):
+    """The batched RM3 probe (round 13) is result-identical, per
+    query, to the single-query ``query_text_index_prf`` at the same
+    fb_k/n_expand/alpha budgets; its allow-list narrows stage-1 like
+    the family contract; duplicate terms in a query's bag collapse to
+    the unique set (the single-query API rejects them outright)."""
+    from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    troot = str(tmp_path / "ti")
+    TI.build_text_index(docs, troot)
+    batch = {0: ("spark", "join"), 1: ("hash", "merge"), 2: ("scan",)}
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in batch.items() for t in ts],
+        "query_id long, term string",
+    )
+    got = {}
+    for r in TI.query_text_index_prf_batch(
+        spark, troot, qdf, fb_k=3, n_expand=3, alpha=0.5, k=8
+    ).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["prf_score"], r["rank"])
+        )
+    for qid, terms in batch.items():
+        want = [
+            (r["doc_id"], r["prf_score"], i + 1)
+            for i, r in enumerate(
+                TI.query_text_index_prf(
+                    spark, troot, terms, fb_k=3, n_expand=3, alpha=0.5, k=8
+                ).collect()
+            )
+        ]
+        assert sorted(got.get(qid, [])) == sorted(want), f"query {qid}"
+
+    # duplicate bag rows collapse: same result as the unique set
+    qdup = spark.createDataFrame(
+        [(7, "spark"), (7, "join"), (7, "spark")], "query_id long, term string"
+    )
+    quniq = spark.createDataFrame(
+        [(8, "spark"), (8, "join")], "query_id long, term string"
+    )
+    gd = sorted(
+        (r["doc_id"], r["prf_score"], r["rank"])
+        for r in TI.query_text_index_prf_batch(
+            spark, troot, qdup, fb_k=3, n_expand=3, alpha=0.5, k=8
+        ).collect()
+    )
+    gu = sorted(
+        (r["doc_id"], r["prf_score"], r["rank"])
+        for r in TI.query_text_index_prf_batch(
+            spark, troot, quniq, fb_k=3, n_expand=3, alpha=0.5, k=8
+        ).collect()
+    )
+    assert gd == gu
+
 
 def test_persisted_ivfpq_opq_parity_and_rotated_ingest(spark, tmp_path):
     """The OPQ-rotated IVF-PQ persisted index (round 13) serves results

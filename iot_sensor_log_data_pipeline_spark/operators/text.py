@@ -785,6 +785,56 @@ def rrf_fuse(
     )
 
 
+def rrf_fuse_batch(
+    ranked: list[DataFrame],
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query reciprocal-rank fusion for a BATCH of queries -- the
+    ``rrf_fuse`` combiner keyed by (``query_id_col``, ``id_col``):
+    each input carries per-query ranked lists (the batched probes'
+    output contract), contributions 1/(k0 + rank) union across
+    retrievers, and the fused top-``k`` per query is one partitioned
+    window.  Same union semantics (a doc missing from one list
+    contributes nothing), same ``n_sources`` agreement column, same
+    round-6 score contract; inputs are per-query top-k lists by
+    construction, so the fuse stays bounded however many queries the
+    batch carries.  Returns (query_id, id_col, rrf_score, n_sources,
+    rank), rank <= k per query."""
+    from pyspark.sql import Window
+
+    if not ranked:
+        raise ValueError(
+            "rrf_fuse_batch needs at least one ranked list -- a retriever "
+            "pipeline that produced no lists has nothing to fuse"
+        )
+    contrib = None
+    for df in ranked:
+        c = df.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(id_col),
+            (
+                F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col).cast("double"))
+            ).alias("__c"),
+        )
+        contrib = c if contrib is None else contrib.unionByName(c)
+    fused = contrib.groupBy("query_id", id_col).agg(
+        F.round(F.sum("__c"), 6).alias("rrf_score"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "rrf_score", "n_sources", "rank")
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     *,

@@ -79,6 +79,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     # quantizer state, probes and stream ingest encode through it).
     "text_bm25_batch_persisted",
     "text_bm25_prf_batch_persisted",
+    "text_hybrid_rrf_batch_persisted",
     "similarity_ivfpq_opq_ann",
     "similarity_persisted_ivfpq_opq_ann",
     # (b) round-13-edited code paths re-enter: _apply_match_filter's
@@ -119,8 +120,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "window_range_trailing_hour",
     "window_first_last",
     # (d) the r8 battery opens (45 rows; five rounds of engine
-    # evolution since) -- the first 21 in registration order fit this
-    # window; the remaining 24 lead the round-14 rotation.
+    # evolution since) -- the first 20 in registration order fit this
+    # window; the remaining 25 lead the round-14 rotation.
     "timeseries_ewma_smooth",
     "timeseries_time_weighted_avg",
     "anomaly_robust_zscore",
@@ -141,12 +142,12 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_pair_histogram",
     "text_gopher_quality_gate",
     "text_tokenizer_fertility",
-    "corpus_contamination_scores",
 )
 
 #: Round-14 rotation plan: (a) anything new in round 14 plus
-#: re-entries for round-14-edited code paths; (b) the remaining 24
-#: r8-battery rows in registration order: corpus_source_overlap,
+#: re-entries for round-14-edited code paths; (b) the remaining 25
+#: r8-battery rows in registration order: corpus_contamination_scores,
+#: corpus_source_overlap,
 #: corpus_decontaminate_spans,
 #: corpus_shard_assignment,
 #: corpus_quality_threshold_sweep, corpus_epoch_upsample,

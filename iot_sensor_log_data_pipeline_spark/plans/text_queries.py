@@ -996,6 +996,225 @@ def text_hybrid_rrf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.rrf_fuse([sparse, dense], k=10)
 
 
+def _hybrid_rrf_batch_persisted_oracle() -> str:
+    """The persisted hybrid replay generalized over a (query_id, term)
+    VALUES table: batch BM25 ranks (the ``_BM25_BATCH_ORACLE``
+    machinery at k=15), per-query hash embeddings + SRP-LSH banding +
+    bucket-join candidates + exact cosine re-rank (the
+    ``_hybrid_rrf_persisted_ctes`` machinery keyed by query_id), and
+    per-query reciprocal-rank fusion with one partitioned window."""
+    from .similarity_queries import _DOT, _NORM
+
+    cos = (
+        _DOT.format(d=64, a="qv2.qv", b="d.v")
+        + " / ("
+        + _NORM.format(d=64, a="qv2.qv")
+        + " * "
+        + _NORM.format(d=64, a="d.v")
+        + ")"
+    )
+    q_values = ", ".join(
+        f"(CAST({qid} AS BIGINT), '{t}')"
+        for qid, terms in enumerate(_BM25_BATCH_QUERIES)
+        for t in terms
+    )
+    return f"""
+    WITH q(query_id, term) AS (VALUES {q_values}),
+    toksb AS (
+      SELECT doc_id, {_NTOK} AS dl, unnest({_TOKS}) AS term
+      FROM documents
+    ),
+    tfb AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+             any_value(dl) AS dl
+      FROM toksb GROUP BY doc_id, term
+    ),
+    statsb AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg({_NTOK}) AS avgdl
+      FROM documents
+    ),
+    dfsb AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfb
+      WHERE term IN (SELECT term FROM q) GROUP BY term
+    ),
+    s1 AS (
+      SELECT q.query_id, tfb.doc_id,
+             round(sum(
+               1.0
+               * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (tfb.tf * {_BM25_K1 + 1.0!r}
+                  / (tfb.tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r}
+                     + {_BM25_B!r} * tfb.dl / s.avgdl)))
+             ), 6) AS bm25
+      FROM q JOIN tfb USING (term) JOIN dfsb d USING (term)
+      CROSS JOIN statsb s
+      GROUP BY q.query_id, tfb.doc_id
+    ),
+    sparse AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, doc_id) AS r
+      FROM s1 WHERE bm25 > 0
+    ),
+    tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    cells0 AS ({_HASH_CELLS.format(key="doc_id,", src="tok")}),
+    cells AS (SELECT doc_id, idx, sum(s) AS val FROM cells0
+              GROUP BY doc_id, idx),
+    docs_with AS (
+      SELECT doc_id FROM cells GROUP BY doc_id
+      HAVING sum(CASE WHEN val <> 0 THEN 1 ELSE 0 END) > 0
+    ),
+    dvec AS (
+      SELECT g.doc_id, list(coalesce(c.val, 0.0) ORDER BY g.d) AS v
+      FROM (SELECT doc_id, d FROM docs_with CROSS JOIN range(64) t(d)) g
+      LEFT JOIN cells c ON c.doc_id = g.doc_id AND c.idx = g.d
+      GROUP BY g.doc_id
+    ),
+    qtok AS (SELECT query_id, term AS t FROM q),
+    qcells0 AS ({_HASH_CELLS.format(key="query_id,", src="qtok")}),
+    qcells AS (SELECT query_id, idx, sum(s) AS val FROM qcells0
+               GROUP BY query_id, idx),
+    qvec AS (
+      SELECT g.query_id, list(coalesce(qc.val, 0.0) ORDER BY g.d) AS qv
+      FROM (SELECT DISTINCT query_id, d
+            FROM q CROSS JOIN range(64) r(d)) g
+      LEFT JOIN qcells qc ON qc.query_id = g.query_id AND qc.idx = g.d
+      GROUP BY g.query_id
+    ),
+    plane_vals AS (
+      SELECT j, d,
+             CAST(('0x' || substr(md5('plane:' || j || ':' || d), 1, 8)) AS BIGINT)
+               / 2147483648.0 - 1.0 AS w
+      FROM range(64) t1(j) CROSS JOIN range(64) t2(d)
+    ),
+    planes AS (
+      SELECT j, list(w ORDER BY d) AS wv FROM plane_vals GROUP BY j
+    ),
+    dsig AS (
+      SELECT d.doc_id, p.j,
+             CASE WHEN list_sum(list_transform(range(64),
+                 i -> CAST(d.v[i+1] AS DOUBLE) * p.wv[i+1])) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM dvec d CROSS JOIN planes p
+    ),
+    dbands AS (
+      SELECT doc_id, j // 4 AS band_id,
+             string_agg(bit, '' ORDER BY j) AS bucket
+      FROM dsig GROUP BY doc_id, j // 4
+    ),
+    qsig AS (
+      SELECT qv2.query_id, p.j,
+             CASE WHEN list_sum(list_transform(range(64),
+                 i -> CAST(qv2.qv[i+1] AS DOUBLE) * p.wv[i+1])) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM qvec qv2 CROSS JOIN planes p
+    ),
+    qbands AS (
+      SELECT query_id, j // 4 AS band_id,
+             string_agg(bit, '' ORDER BY j) AS bucket
+      FROM qsig GROUP BY query_id, j // 4
+    ),
+    lcand AS (
+      SELECT DISTINCT qb.query_id, c.doc_id
+      FROM dbands c JOIN qbands qb USING (band_id, bucket)
+    ),
+    dense AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, doc_id) AS r
+      FROM (SELECT l.query_id, d.doc_id, {cos} AS cos
+            FROM lcand l
+            JOIN dvec d USING (doc_id)
+            JOIN qvec qv2 ON qv2.query_id = l.query_id)
+    ),
+    contrib AS (
+      SELECT query_id, doc_id, 1.0 / (60 + r) AS c FROM sparse WHERE r <= 15
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / (60 + r) AS c FROM dense WHERE r <= 15
+    ),
+    fused AS (
+      SELECT query_id, doc_id, round(sum(c), 6) AS rrf_score,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, n_sources, rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+          FROM fused)
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """
+
+
+@register(
+    "text_hybrid_rrf_batch_persisted",
+    oracle=_hybrid_rrf_batch_persisted_oracle(),
+    tags=("text", "north-star", "retrieval", "rag", "similarity",
+          "persisted-index", "batch"),
+)
+def text_hybrid_rrf_batch_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid serving read path for a BATCH of queries, both
+    retrievers probed from their persisted indexes in one distributed
+    plan each: batched BM25 top-15 per query
+    (``query_text_index_batch``), dense top-15 per query from the
+    SRP-LSH index over the documents' hash embeddings (one
+    ``query_lsh_index`` call carries all query embeddings), fused per
+    query by ``operators/text.py:rrf_fuse_batch`` -- the
+    calibration-free combiner keyed by (query_id, doc_id) with one
+    partitioned window for the fused top-10.  This is
+    ``text_hybrid_rrf_persisted`` generalized to the request-stream
+    shape: N queries cost two index probes TOTAL, not 2N driver
+    round-trips.  Query embeddings carry negative ids so the LSH
+    probe's self-exclusion can never collide with a document id."""
+    import os as _os
+
+    from ..io_utils import scratch_dir
+    from ..operators import ann_index as ANN
+    from ..operators import text_index as TI
+    from ..operators.similarity import hash_hyperplanes
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    sf_name = _os.path.basename(sf_dir.rstrip("/")) or "corpus"
+    troot = scratch_dir("text_index", sf_name)
+    TI.build_text_index(docs, troot)
+    qdf = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, terms in enumerate(_BM25_BATCH_QUERIES)
+            for t in terms
+        ],
+        "query_id long, term string",
+    )
+    sparse = TI.query_text_index_batch(
+        spark, troot, qdf, k=15, k1=_BM25_K1, b=_BM25_B
+    ).select("query_id", "doc_id", "rank")
+
+    demb = TX.hash_embedding(docs, dim=64)
+    lroot = scratch_dir("ann_index", sf_name, "lsh_docs")
+    ANN.build_lsh_index(
+        demb, lroot, id_col="doc_id", bands=16, rows_per_band=4,
+        planes=hash_hyperplanes(64, dim=64),
+    )
+    qtexts = spark.createDataFrame(
+        [
+            (-(qid + 1), " ".join(terms))
+            for qid, terms in enumerate(_BM25_BATCH_QUERIES)
+        ],
+        "doc_id long, text string",
+    )
+    qemb = TX.hash_embedding(qtexts, dim=64)
+    dense = ANN.query_lsh_index(
+        spark, lroot, qemb, k=15, id_col="doc_id"
+    ).select(
+        (-F.col("query_id") - 1).alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return TX.rrf_fuse_batch([sparse, dense], k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
 def _hybrid_persisted_probes(spark: SparkSession, sf_dir: str):
     """Build-and-probe recipe shared by the persisted hybrid row and
     the RAG context macro (ONE copy, so the retrieval geometry cannot

@@ -167,6 +167,43 @@ CANARIES_BY_SF: dict[str, dict[str, float]] = {
 }
 
 
+def timed_over_batch(fn, n_queries: int, passes: int = 2) -> float:
+    """Amortized per-query seconds for a batched probe: min-of-passes
+    wall time divided by the ACTUAL distinct-query count -- never an
+    assumed batch size (round-13 advice: the text probe's vocab is
+    limit(150) grouped i//3 and the vector batch assumes dense vec_id
+    < 50; a short batch must not silently understate the per-query
+    cost).  Raises on an empty batch instead of recording a lie."""
+    if n_queries <= 0:
+        raise ValueError(f"empty query batch (n_queries={n_queries})")
+    best = None
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return round(best / n_queries, 4)
+
+
+def warm_canary_ratio(run_fn, ref: float, passes: int = 2) -> float:
+    """Host-drift ratio of a canary plan against its pinned quiet-host
+    reference, measured WARM: one untimed pass first, then
+    min-of-``passes`` timed.  The pinned refs come from the bench's
+    fully-warm two-pass protocol, so an adjacent probe that is the
+    session's first execution of the plan conflates JIT warmup with
+    host drift (round-13 advice: the streaming ratio read 1.26 vs the
+    same session's full-protocol 1.06, inflating the normalized
+    throughput ~16%)."""
+    run_fn()  # untimed: compile/JIT/page-cache warmup
+    best = None
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        run_fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return round(best / ref, 4)
+
+
 def wait_for_quiet_machine(
     threshold: float = 3.0, timeout_s: int = 180, poll_s: int = 5
 ) -> dict:
@@ -379,16 +416,16 @@ def persisted_index_breakdown(spark, sf_dir: str) -> dict[str, float]:
     # call and record the AMORTIZED per-query seconds -- the honest
     # serving number for a store that batches its request stream.
     queries50 = emb.where(F.col("vec_id") < 50)
+    n_q50 = queries50.select("vec_id").distinct().count()
     out: dict[str, float] = {}
 
-    def timed_batch50(key: str, fn) -> None:
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        out[key] = round(best / 50, 4)
+    def timed_batch50(key: str, fn, n_queries: int) -> None:
+        # timed_over_batch divides by the ACTUAL distinct-query count,
+        # not an assumed 50 (round-13 advice) -- record the count next
+        # to the line whenever it differs so the artifact reads true.
+        out[key] = timed_over_batch(fn, n_queries)
+        if n_queries != 50:
+            out[f"{key}_n_queries"] = n_queries
 
     def timed(key: str, fn, passes: int = 1) -> None:
         best = None
@@ -417,6 +454,7 @@ def persisted_index_breakdown(spark, sf_dir: str) -> dict[str, float]:
         "lsh_probe_batch50",
         lambda: ANN.query_lsh_index(spark, lsh_root, queries50, k=10)
         .write.format("noop").mode("overwrite").save(),
+        n_q50,
     )
 
     ivf_root = scratch_dir("bench_index", "ivf")
@@ -437,6 +475,7 @@ def persisted_index_breakdown(spark, sf_dir: str) -> dict[str, float]:
         "ivf_probe_batch50",
         lambda: ANN.query_ivf_index(spark, ivf_root, queries50, k=10, n_probe=4)
         .write.format("noop").mode("overwrite").save(),
+        n_q50,
     )
 
     text_root = scratch_dir("bench_index", "text")
@@ -448,30 +487,47 @@ def persisted_index_breakdown(spark, sf_dir: str) -> dict[str, float]:
         ).write.format("noop").mode("overwrite").save(),
         passes=2,
     )
-    # Batched text probe (round 13): 50 deterministic 3-term queries
-    # (top-df vocabulary, df-then-term ordered) through ONE
+    # Batched text probe: 50 deterministic 3-term queries through ONE
     # query_text_index_batch plan; prep is collected OUTSIDE the timed
     # region so the line measures the probe, not query construction.
+    # Round-14 protocol change (r13 advice follow-through): the corpus
+    # vocabulary is only 31 distinct terms at EVERY sf, so the round-13
+    # construction (i // 3 over the vocab) built an 11-query batch that
+    # was divided by 50 -- the recorded text amortization was ~4.5x
+    # optimistic.  Queries now CYCLE term combinations (i, i+7, i+13
+    # mod |vocab|) so the batch is genuinely 50 distinct 3-term
+    # queries; r<=13 text_probe_batch50 numbers are not comparable.
     from iot_sensor_log_data_pipeline_spark.operators import text as TX
 
-    vocab = (
-        docs.select(F.explode(TX.tokens(F.col("text"))).alias("term"), "doc_id")
+    vocab = [
+        r["term"]
+        for r in docs.select(
+            F.explode(TX.tokens(F.col("text"))).alias("term"), "doc_id"
+        )
         .distinct()
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.desc("df"), "term")
         .limit(150)
         .collect()
-    )
+    ]
+    nv = len(vocab)
     qbatch = spark.createDataFrame(
-        [(i // 3, r["term"]) for i, r in enumerate(vocab)],
+        [
+            (q, vocab[(q + off) % nv])
+            for q in range(50)
+            for off in (0, 7, 13)
+            if nv >= 3
+        ],
         "query_id long, term string",
     )
+    n_qtext = 50 if nv >= 3 else 0
     timed_batch50(
         "text_probe_batch50",
         lambda: TI.query_text_index_batch(
             spark, text_root, qbatch, k=10, k1=_BM25_K1, b=_BM25_B
         ).write.format("noop").mode("overwrite").save(),
+        n_qtext,
     )
     # RM3 serving probe (round 12): the full feedback loop off the
     # SAME persisted text index -- the query-time cost of
@@ -495,6 +551,17 @@ def persisted_index_breakdown(spark, sf_dir: str) -> dict[str, float]:
         .write.format("noop").mode("overwrite").save(),
         passes=2,
     )
+    # Batched graph probe (round 14, verdict item 3): the beam search
+    # is ALREADY a batched frontier join by construction -- every hop
+    # expands all queries' beams in one adjacency join -- so the batch
+    # line needs no new operator, just the honest 50-query denominator
+    # the other five index families got in round 13.
+    timed_batch50(
+        "graph_probe_batch50",
+        lambda: GA.query_graph_index(spark, graph_root, queries50, k=10)
+        .write.format("noop").mode("overwrite").save(),
+        n_q50,
+    )
 
     # PQ (round 9): the encode pass is the build; the probe is the
     # broadcast lookup-table join over the compressed codes + re-rank.
@@ -516,6 +583,7 @@ def persisted_index_breakdown(spark, sf_dir: str) -> dict[str, float]:
         "pq_probe_batch50",
         lambda: ANN.query_pq_index(spark, pq_root, queries50, k=10, rerank=50)
         .write.format("noop").mode("overwrite").save(),
+        n_q50,
     )
     # MMR serving probe (round 12): probe shortlist -> exact-cosine
     # greedy off the SAME persisted PQ index -- the query-time cost of
@@ -556,6 +624,7 @@ def persisted_index_breakdown(spark, sf_dir: str) -> dict[str, float]:
             spark, ivfpq_root, queries50, k=10,
             n_probe=ivfpq_geo["n_probe"], rerank=ivfpq_geo["rerank"],
         ).write.format("noop").mode("overwrite").save(),
+        n_q50,
     )
     return out
 
@@ -637,17 +706,6 @@ def main() -> None:
     warm = entries[names[0]].fn(spark, "/root/testdata/sf0.001")
     warm.write.format("noop").mode("overwrite").save()
 
-    def timed_min2(name: str) -> float:
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            entries[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        return best
-
     # Streaming throughput is measured FIRST (round-10 protocol): it
     # historically ran last, after the index builds, on a hot machine
     # -- the metric's round-over-round drift tracked end-of-run load,
@@ -672,8 +730,17 @@ def main() -> None:
         stream_rps = max(stream_rps, streaming_throughput(spark))
     stream_canary_name = "q1_pricing_summary"
     if canaries and stream_canary_name in canaries:
-        stream_canary_ratio = round(
-            timed_min2(stream_canary_name) / canaries[stream_canary_name], 4
+        # warm_canary_ratio runs one untimed pass first (round-13
+        # advice: this adjacent probe used to be the session's FIRST
+        # execution of the q1 plan, inflating the ratio ~16% with JIT
+        # warmup the pinned fully-warm ref never carries).
+        stream_canary_ratio = warm_canary_ratio(
+            lambda: entries[stream_canary_name]
+            .fn(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            canaries[stream_canary_name],
         )
         # Throughput scales INVERSELY with host slowdown: multiply.
         stream_rps_normalized = round(stream_rps * stream_canary_ratio, 1)

@@ -432,6 +432,7 @@ def query_text_index_prf(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 + RM3 pseudo-relevance feedback served entirely from the
     PERSISTED index -- the production shape of
@@ -454,6 +455,14 @@ def query_text_index_prf(
     and model weights round to 9 decimals before selection, the final
     score to 6.  Index-resident cost: two postings probes + one
     fb_k-row posting pull -- no corpus-wide token explode anywhere.
+
+    ``allowed`` (optional, 1 column named ``doc_id``): metadata-
+    filtered retrieval, the ``query_text_index`` family contract --
+    stage 1 ranks feedback docs from the FILTERED corpus (pseudo-
+    relevance must come from docs the caller may see) and the re-score
+    is LEFT SEMI joined on the allow-list, while df / N / avgdl stay
+    corpus-global (Lucene filtered-query convention: a filter narrows
+    the result set, it does not re-weight term rarity).
     """
     if not query_terms:
         raise ValueError("query_text_index_prf needs at least one query term")
@@ -468,7 +477,9 @@ def query_text_index_prf(
         raise ValueError("fb_k and n_expand must be >= 1")
 
     fb_rows = sorted(
-        query_text_index(spark, path, query_terms, k=fb_k, k1=k1, b=b).collect(),
+        query_text_index(
+            spark, path, query_terms, k=fb_k, k1=k1, b=b, allowed=allowed
+        ).collect(),
         key=lambda r: r["doc_id"],
     )
     id_type = (
@@ -528,6 +539,11 @@ def query_text_index_prf(
     tf2 = postings.where(F.col("term").isin(*model_terms))
     df_rows = tf2.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
     dfs = {r["term"]: float(r["df"]) for r in df_rows}
+    if allowed is not None:
+        # After df: term rarity stays corpus-global under filtering.
+        tf2 = tf2.join(
+            allowed.select(F.col("doc_id").alias("id")), "id", "left_semi"
+        )
     if _has_segments(path):
         agg = doclens.agg(
             F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
@@ -574,6 +590,7 @@ def query_text_index_prf_batch(
     b: float = 0.75,
     query_id_col: str = "query_id",
     term_col: str = "term",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 + RM3 pseudo-relevance feedback for a BATCH of queries,
     entirely from the persisted index, with NOTHING per-query on the
@@ -608,6 +625,16 @@ def query_text_index_prf_batch(
     scores to 6; every cross-engine sum is fb_k- / n_expand- /
     model-size-bounded), so a DuckDB oracle replays the whole batch.
     Returns (query_id, doc_id, prf_score, rank), rank <= k.
+
+    ``allowed`` (optional, 1 column named ``doc_id``): metadata-
+    filtered retrieval for the whole batch, the family contract --
+    stage 1 ranks feedback docs from the FILTERED corpus (via
+    ``query_text_index_batch``'s own allow-list) and the re-score
+    postings are LEFT SEMI joined on the allow-list AFTER df is
+    aggregated, keeping df / N / avgdl corpus-global (a filter narrows
+    the result set, it does not re-weight term rarity).  Per-query
+    results match ``query_text_index_prf`` under the same allow-list
+    (pytest).
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError("alpha must be in [0, 1] (1 = no expansion)")
@@ -626,7 +653,7 @@ def query_text_index_prf_batch(
     # feedback postings pull); checkpoint so the ranking plan runs
     # once (<= fb_k rows per query -- bounded).
     fb = query_text_index_batch(
-        spark, path, qterms, k=fb_k, k1=k1, b=b
+        spark, path, qterms, k=fb_k, k1=k1, b=b, allowed=allowed
     ).localCheckpoint(eager=False)
     ws = fb.groupBy("query_id").agg(F.sum("bm25").alias("ws"))
 
@@ -688,6 +715,11 @@ def query_text_index_prf_batch(
     model_terms = qmodel.select("term").distinct()
     tf2 = postings.join(F.broadcast(model_terms), "term", "left_semi")
     dfs = tf2.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    if allowed is not None:
+        # After df: term rarity stays corpus-global under filtering.
+        tf2 = tf2.join(
+            allowed.select(F.col("doc_id").alias("id")), "id", "left_semi"
+        )
     if _has_segments(path):
         agg = doclens.agg(
             F.count(F.lit(1)).cast("double").alias("n"),

@@ -68,99 +68,93 @@ _QUERY_MODULES = (
 #: -- the guard that keeps this rotation from silently slipping a
 #: round.
 _VERIFY_PRIORITY: tuple[str, ...] = (
-    # Round-13 window, per the pre-planned rotation (round-12 comment
-    # in git history).  (a) new in round 13 -- first external
-    # evidence: the batched BM25 serving probe (N queries through one
-    # postings scan, the amortized per-query cost shape) and the
-    # OPQ-rotated IVF-PQ composition (Ge et al. 2013 SS5: residuals
-    # rotated by the pinned signed-Hadamard matrix before codebook
-    # sample/encode/LUT -- the whole pipeline replays as one SQL
-    # statement); the persisted OPQ-IVFPQ twin (rotation stored as
-    # quantizer state, probes and stream ingest encode through it).
-    "text_bm25_batch_persisted",
+    # Round-14 window, per the pre-planned rotation (round-13 comment
+    # in git history).  (a) new in round 14 -- first external
+    # evidence: the metadata-FILTERED batched RM3 probe
+    # (query_text_index_prf_batch(allowed=...), the r13-advice family
+    # gap closed: the allow-list narrows stage 1 AND the re-score
+    # while df/N/avgdl stay corpus-global).
+    "text_bm25_prf_batch_filtered",
+    # (b) round-14-edited code paths re-enter: the SemDeDup gate row
+    # re-pinned its oracle quantizer 16 -> 128 md5-seeded cells (the
+    # r13 weak item: within-cell pairs shrink 8x, same one-statement
+    # SQL replay); query_text_index_prf / query_text_index_prf_batch
+    # gained the allowed parameter (both rows pass through the edited
+    # stage-1 call and re-score block with allowed=None).
+    "dedup_semantic_text_survivors",
     "text_bm25_prf_batch_persisted",
-    "text_hybrid_rrf_batch_persisted",
-    "similarity_ivfpq_opq_ann",
-    "similarity_persisted_ivfpq_opq_ann",
-    # (b) round-13-edited code paths re-enter: _apply_match_filter's
-    # attrs join became LEFT (metadata-less neighbors keep nb_attr =
-    # NULL and the null-safe predicate decides -- the round-12 advice
-    # fix; hard_negatives_persisted exercises both polarities);
-    # text_rag_context_persisted / similarity_mmr_persisted now read
-    # their MMR vectors via the public read_index_vectors accessor;
-    # ivfpq_topk gained the rotation parameter (similarity_ivfpq_ann
-    # passes through the changed residual-construction block with
-    # rotation=None).
-    "similarity_hard_negatives_persisted",
-    "text_rag_context_persisted",
-    "similarity_mmr_persisted",
-    "similarity_ivfpq_ann",
-    # (c) the 21 r7-battery rows deferred from the round-12 window --
-    # the oldest oracle-backed evidence class (six rounds of engine
+    "text_bm25_prf_persisted",
+    # (c) the 25 remaining r8-battery rows (six rounds of engine
     # evolution since their rows), in registration order.
-    "corpus_token_budget_sample",
-    "corpus_curation_funnel",
-    "corpus_length_buckets",
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "scan_json_roundtrip",
-    "scan_csv_roundtrip",
-    "compaction_roundtrip",
-    "sensor_hourly_golden",
-    "sensor_wire_roundtrip",
-    "maintenance_compaction_roundtrip",
-    "profile_embedding_drift",
-    "recursive_order_chain",
-    "window_top_orders_per_customer",
-    "window_rank_functions",
-    "window_lag_lead",
-    "window_moving_avg",
-    "window_cumulative",
-    "window_range_trailing_hour",
-    "window_first_last",
-    # (d) the r8 battery opens (45 rows; five rounds of engine
-    # evolution since) -- the first 20 in registration order fit this
-    # window; the remaining 25 lead the round-14 rotation.
-    "timeseries_ewma_smooth",
-    "timeseries_time_weighted_avg",
-    "anomaly_robust_zscore",
-    "copurchase_triangles",
-    "anomaly_cusum_shifts",
-    "dedup_ngram_jaccard",
-    "dedup_prefix_filter_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_weighted_simhash",
-    "dedup_clusters",
-    "dedup_survivor_selection",
-    "corpus_leakage_safe_split",
-    "dedup_lsh_tuning_report",
-    "dedup_source_audit",
-    "profile_embedding_outliers",
-    "similarity_ivf_cogroup_join",
-    "similarity_knn_label_transfer",
-    "similarity_pair_histogram",
-    "text_gopher_quality_gate",
-    "text_tokenizer_fertility",
+    "corpus_contamination_scores",
+    "corpus_source_overlap",
+    "corpus_decontaminate_spans",
+    "corpus_shard_assignment",
+    "corpus_quality_threshold_sweep",
+    "corpus_epoch_upsample",
+    "multimodal_byte_entropy",
+    "multimodal_type_sniff",
+    "maintenance_zorder_roundtrip",
+    "udf_arrow_map_batches",
+    "cdc_snapshot_diff",
+    "profile_numeric_correlation",
+    "profile_join_skew",
+    "sketch_dd_quantiles",
+    "incremental_join_refresh",
+    "sketch_dd_quantiles_grouped",
+    "quality_winsorize_values",
+    "profile_key_candidates",
+    "profile_mutual_information",
+    "string_functions",
+    "events_rolling_actives",
+    "events_last_touch_attribution",
+    "customer_rfm_segments",
+    "events_session_overlap",
+    "join_hot_key_split",
+    # (d) the two by-design rows-only entries whose external no_oracle
+    # rows date to r9 -- 6+ rounds stale in round 15, so their cheap
+    # re-rows land now per the standing rule above (round-13 verdict
+    # item 7).
+    "similarity_graph_ann",
+    "similarity_opq_adc_ann",
+    # (e) the r9 battery opens (46 rows; five rounds of engine
+    # evolution since) -- the first 19 in registration order fit this
+    # window; the remaining 27 lead the round-15 rotation.
+    "logs_clf_parse_roundtrip",
+    "anomaly_seasonal_residual",
+    "funnel_time_bound",
+    "similarity_graph_seed_ann",
+    "similarity_dim_truncation",
+    "sketch_heavy_hitters",
+    "text_bigram_pmi",
+    "sketch_hll_source_overlap",
+    "text_chunk_windows",
+    "corpus_weighted_sample",
+    "corpus_content_sample",
+    "multimodal_byte_histogram",
+    "scan_orc_roundtrip",
+    "scan_xml_roundtrip",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
+    "q22_dormant_accounts",
+    "subquery_scalar_avg",
 )
 
-#: Round-14 rotation plan: (a) anything new in round 14 plus
-#: re-entries for round-14-edited code paths; (b) the remaining 25
-#: r8-battery rows in registration order: corpus_contamination_scores,
-#: corpus_source_overlap,
-#: corpus_decontaminate_spans,
-#: corpus_shard_assignment,
-#: corpus_quality_threshold_sweep, corpus_epoch_upsample,
-#: multimodal_byte_entropy, multimodal_type_sniff,
-#: maintenance_zorder_roundtrip, udf_arrow_map_batches,
-#: cdc_snapshot_diff, profile_numeric_correlation, profile_join_skew,
-#: sketch_dd_quantiles, incremental_join_refresh,
-#: sketch_dd_quantiles_grouped, quality_winsorize_values,
-#: profile_key_candidates, profile_mutual_information,
-#: string_functions, events_rolling_actives,
-#: events_last_touch_attribution, customer_rfm_segments,
-#: events_session_overlap, join_hot_key_split; (c) then the r9
-#: battery opens as the next-oldest class; (d) if any round-13 row
+#: Round-15 rotation plan: (a) anything new in round 15 plus
+#: re-entries for round-15-edited code paths; (b) the remaining 25
+#: r9-battery rows in registration order: subquery_exists_bigorder,
+#: subquery_correlated_q17, udf_pandas_scalar_bucket,
+#: udf_grouped_map_zscore, udf_grouped_agg_weighted,
+#: udtf_tokenize_lateral, cdc_merge_upsert, scd2_customer_history,
+#: string_functions_extended, profile_events_table,
+#: incremental_rollup_merge, profile_dataset_fingerprint,
+#: profile_salt_advisor, sketch_cms_join_size, date_functions,
+#: array_functions, json_functions, map_functions, variant_functions,
+#: join_asof_purchase_click, agg_histogram_quantiles,
+#: join_asof_forward_click, join_asof_nearest_click,
+#: downsample_ohlc_10min, downsample_lttb_value -- then (c) the r10
+#: battery opens as the next-oldest class; (d) if any round-14 row
 #: comes back red, its fix re-enters at the head, same as covariance
 #: did in round 10.
 

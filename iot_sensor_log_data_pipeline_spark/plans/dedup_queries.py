@@ -808,7 +808,7 @@ def dedup_entity_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
              e AS cv
       FROM emb
       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-      LIMIT 16
+      LIMIT 128
     ),
     dots AS (
       SELECT emb.doc_id, cent.cell,
@@ -860,19 +860,22 @@ def dedup_semantic_text_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
     """END-TO-END text semantic dedup -- the composition a curation
     user actually runs: documents -> feature-hashing embeddings
     (``operators/text.py:hash_embedding``, no trained model) -> full
-    SemDeDup (1-NN cells on the pinned 16-seed quantizer -> within-
+    SemDeDup (1-NN cells on the pinned 128-seed quantizer -> within-
     cell cosine >= 0.9 pairs -> connected components -> min-id
     exemplar).  Every stage is md5-derived, so the oracle replays
     hashing, quantizer, assignment, pairs, and components
     stage-for-stage in SQL.
 
-    Scale shape -- pinned vs production (round-13 sf1 measurement):
-    this row PINS a 16-cell quantizer with the cap off so the oracle
-    replays in one statement, which makes within-cell pairs quadratic
-    in corpus/16 -- measured 45x wall at 10x docs (6.5 s -> 296 s,
-    SCALE.md).  The production call (``semantic_dedup`` with no
-    pinned centroids) derives ``n_cells ~ N / target_cell_size`` and
-    recursively splits any cell past ``4 * target_cell_size``
+    Scale shape -- pinned vs production: this row PINS an md5-seeded
+    quantizer with the cap off so the oracle replays in one statement,
+    which makes within-cell pairs quadratic in corpus/n_cells.  The
+    round-13 16-cell pin measured 45x wall at 10x docs (6.5 s ->
+    296 s, SCALE.md); round 14 re-pinned at 128 cells (the verdict
+    fix: md5-seeded centroids replay identically in SQL at ANY pinned
+    count), shrinking the within-cell pair stage 8x while keeping the
+    oracle gate honest.  The production call (``semantic_dedup`` with
+    no pinned centroids) derives ``n_cells ~ N / target_cell_size``
+    and recursively splits any cell past ``4 * target_cell_size``
     members, which measured 2.16x at the same 10x (18.7 s -> 40.4 s
     -- pairs stay cell-bounded).  The pinned shape is the ORACLE
     GATE, not the deployment recipe."""
@@ -891,7 +894,7 @@ def dedup_semantic_text_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = parallelize_small(
         TX.hash_embedding(docs, dim=64).localCheckpoint(eager=False)
     )
-    cents = SIM.seed_centroids(emb, 16, id_col="doc_id", vec_col="embedding")
+    cents = SIM.seed_centroids(emb, 128, id_col="doc_id", vec_col="embedding")
     surv = SD.semantic_dedup(
         emb, 0.9, centroids=cents, id_col="doc_id", vec_col="embedding"
     )

@@ -581,12 +581,28 @@ def text_bm25_batch_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-#: Batched RM3 oracle: the ``_BM25_BATCH_ORACLE`` stage-1 machinery,
-#: then per-query relevance models / expansion windows / interpolated
-#: re-score -- the ``_BM25_PRF_ORACLE`` pipeline generalized over a
-#: (query_id, term) VALUES table.  Constants: fb_k=5, n_expand=5,
-#: alpha=0.5, k=10, k1/b shared.
-_BM25_PRF_BATCH_ORACLE = f"""
+def _bm25_prf_batch_oracle(allow_pred: str | None = None) -> str:
+    """Batched RM3 oracle builder: the ``_BM25_BATCH_ORACLE`` stage-1
+    machinery, then per-query relevance models / expansion windows /
+    interpolated re-score -- the ``_BM25_PRF_ORACLE`` pipeline
+    generalized over a (query_id, term) VALUES table.  Constants:
+    fb_k=5, n_expand=5, alpha=0.5, k=10, k1/b shared.
+
+    ``allow_pred`` (round 14): optional SQL predicate over
+    ``documents`` defining the retrieval allow-list.  It narrows the
+    stage-1 scored set AND the re-score exactly where the engine's
+    ``query_text_index_prf_batch(allowed=...)`` semi-joins, while
+    dfs1/dfs2/stats stay corpus-global -- the family's Lucene
+    filtered-query convention replayed in SQL."""
+    allow_cte = (
+        f"allow AS (SELECT doc_id FROM documents WHERE {allow_pred}),"
+        if allow_pred
+        else ""
+    )
+    allow_join = (
+        " JOIN allow USING (doc_id)" if allow_pred else ""
+    )
+    return f"""
     WITH toks AS (
       SELECT doc_id, {_NTOK} AS dl, unnest({_TOKS}) AS term
       FROM documents
@@ -600,6 +616,7 @@ _BM25_PRF_BATCH_ORACLE = f"""
       SELECT CAST(count(*) AS DOUBLE) AS n, avg({_NTOK}) AS avgdl
       FROM documents
     ),
+    {allow_cte}
     q(query_id, term) AS (VALUES {", ".join(
         f"(CAST({qid} AS BIGINT), '{t}')"
         for qid, terms in enumerate(_BM25_BATCH_QUERIES)
@@ -621,7 +638,7 @@ _BM25_PRF_BATCH_ORACLE = f"""
                   / (tf.tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r}
                      + {_BM25_B!r} * tf.dl / s.avgdl)))
              ), 6) AS bm25
-      FROM q JOIN tf USING (term) JOIN dfs1 d USING (term)
+      FROM q JOIN tf USING (term) JOIN dfs1 d USING (term){allow_join}
       CROSS JOIN stats s
       GROUP BY q.query_id, tf.doc_id
     ),
@@ -672,7 +689,7 @@ _BM25_PRF_BATCH_ORACLE = f"""
                   / (tf.tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r}
                      + {_BM25_B!r} * tf.dl / s.avgdl)))
              ), 6) AS prf_score
-      FROM model m JOIN tf USING (term) JOIN dfs2 d USING (term)
+      FROM model m JOIN tf USING (term) JOIN dfs2 d USING (term){allow_join}
       CROSS JOIN stats s
       GROUP BY m.query_id, tf.doc_id
     ),
@@ -684,6 +701,9 @@ _BM25_PRF_BATCH_ORACLE = f"""
     WHERE rank <= 10
     ORDER BY query_id, rank
     """
+
+
+_BM25_PRF_BATCH_ORACLE = _bm25_prf_batch_oracle()
 
 
 @register(
@@ -725,6 +745,50 @@ def text_bm25_prf_batch_persisted(spark: SparkSession, sf_dir: str) -> DataFrame
     return TI.query_text_index_prf_batch(
         spark, troot, qdf, fb_k=5, n_expand=5, alpha=0.5, k=10,
         k1=_BM25_K1, b=_BM25_B,
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "text_bm25_prf_batch_filtered",
+    oracle=_bm25_prf_batch_oracle("lang = 'en'"),
+    tags=("text", "north-star", "retrieval", "prf", "rm3",
+          "persisted-index", "batch", "filtered"),
+)
+def text_bm25_prf_batch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED batched RM3 off the persisted index (round
+    14): ``query_text_index_prf_batch(allowed=...)`` with the
+    allow-list = English documents -- the retrieval shape a curation
+    pipeline actually serves ("expand and re-rank, but only within
+    this language/source/license slice").  Family contract
+    (``operators/text_index.py``): the allow-list narrows stage-1
+    feedback ranking AND the re-score by broadcast LEFT SEMI joins
+    while df / N / avgdl stay corpus-global (Lucene filtered-query
+    convention), so a doc scores identically filtered and unfiltered
+    and the filter is a candidate-set restriction, not a re-weight.
+    At 100 TB the allow-list rides broadcast when it is a slice key
+    (here: a 1-column projection of the corpus), and the probe's cost
+    model is unchanged -- one term-pruned postings scan either way."""
+    import os as _os
+
+    from ..io_utils import scratch_dir
+    from ..operators import text_index as TI
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    sf_name = _os.path.basename(sf_dir.rstrip("/")) or "corpus"
+    troot = scratch_dir("text_index", sf_name)
+    TI.build_text_index(docs, troot)
+    qdf = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, terms in enumerate(_BM25_BATCH_QUERIES)
+            for t in terms
+        ],
+        "query_id long, term string",
+    )
+    allowed = docs.where(F.col("lang") == "en").select("doc_id")
+    return TI.query_text_index_prf_batch(
+        spark, troot, qdf, fb_k=5, n_expand=5, alpha=0.5, k=10,
+        k1=_BM25_K1, b=_BM25_B, allowed=allowed,
     ).orderBy("query_id", "rank")
 
 

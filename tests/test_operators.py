@@ -7856,9 +7856,12 @@ def test_round13_advice_fix_battery(spark, tmp_path, monkeypatch):
 def test_text_prf_batch_matches_per_query(spark, tmp_path):
     """The batched RM3 probe (round 13) is result-identical, per
     query, to the single-query ``query_text_index_prf`` at the same
-    fb_k/n_expand/alpha budgets; its allow-list narrows stage-1 like
-    the family contract; duplicate terms in a query's bag collapse to
-    the unique set (the single-query API rejects them outright)."""
+    fb_k/n_expand/alpha budgets; its allow-list (round 14, the r13
+    advice gap: the claim predated the parameter) narrows stage 1 AND
+    the re-score like the family contract while df/N/avgdl stay
+    corpus-global, matching the single-query probe under the same
+    allow-list; duplicate terms in a query's bag collapse to the
+    unique set (the single-query API rejects them outright)."""
     from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -7907,6 +7910,38 @@ def test_text_prf_batch_matches_per_query(spark, tmp_path):
         ).collect()
     )
     assert gd == gu
+
+    # Allow-list parity: the batch under an allow-list matches the
+    # single-query probe under the SAME allow-list, per query.  The
+    # allow-list excludes at least one doc each query ranked
+    # unfiltered, so the filter demonstrably bites (feedback docs AND
+    # re-scored docs both come from the allowed set).
+    unfiltered_ids = {doc for rows in got.values() for (doc, _, _) in rows}
+    all_ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    allow_ids = [d for i, d in enumerate(all_ids) if i % 2 == 0]
+    assert set(allow_ids) & unfiltered_ids and (
+        unfiltered_ids - set(allow_ids)
+    ), "allow-list must both keep and drop some unfiltered results"
+    allow = spark.createDataFrame([(d,) for d in allow_ids], "doc_id long")
+    got_f = {}
+    for r in TI.query_text_index_prf_batch(
+        spark, troot, qdf, fb_k=3, n_expand=3, alpha=0.5, k=8, allowed=allow
+    ).collect():
+        got_f.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["prf_score"], r["rank"])
+        )
+    for qid, terms in batch.items():
+        want_f = [
+            (r["doc_id"], r["prf_score"], i + 1)
+            for i, r in enumerate(
+                TI.query_text_index_prf(
+                    spark, troot, terms, fb_k=3, n_expand=3, alpha=0.5, k=8,
+                    allowed=allow,
+                ).collect()
+            )
+        ]
+        assert sorted(got_f.get(qid, [])) == sorted(want_f), f"filtered {qid}"
+        assert {d for (d, _, _) in got_f.get(qid, [])} <= set(allow_ids)
 
 
 def test_persisted_ivfpq_opq_parity_and_rotated_ingest(spark, tmp_path):
@@ -8232,3 +8267,89 @@ def test_ivf_index_probe_sweep_matches_adhoc(spark, tmp_path):
         ANN.ivf_index_probe_sweep(
             spark, root, emb.where("vec_id < 0"), probes=(1,)
         )
+
+
+def test_round14_advice_fix_battery(monkeypatch):
+    """Regression pytests for the three round-13 ADVICE findings:
+    (1) ``bench.warm_canary_ratio`` runs one UNTIMED pass before the
+    timed min-of-passes, so the adjacent streaming canary is measured
+    warm like the pinned fully-warm reference (pre-fix the streaming
+    ratio carried first-plan JIT, inflating normalized throughput
+    ~16%); (2) ``bench.timed_over_batch`` divides by the ACTUAL
+    distinct-query count, never an assumed 50, and raises on an empty
+    batch (pre-fix a short text vocab or sparse vec_id range silently
+    understated the amortized per-query cost); (3)
+    ``query_text_index_prf_batch`` has the family's ``allowed=``
+    parameter (the docstring claim in
+    test_text_prf_batch_matches_per_query predated the parameter --
+    the behavioral parity pin lives there)."""
+    import inspect
+    import time
+
+    import pytest as _pytest
+
+    import bench as B
+    from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
+
+    # (1) one untimed warm pass + `passes` timed passes, ratio from
+    # the timed min only: with a ref of 1.0 the ratio equals the
+    # fastest TIMED run, and the call count proves the warm pass ran.
+    calls = {"n": 0}
+
+    def run():
+        calls["n"] += 1
+
+    ratio = B.warm_canary_ratio(run, ref=1.0, passes=2)
+    assert calls["n"] == 3, "1 untimed warm + 2 timed passes"
+    assert 0.0 <= ratio < 1.0  # a no-op body measures ~0 s against ref 1.0
+
+    # (2) amortized cost divides by the actual batch size
+    per_q = B.timed_over_batch(lambda: None, n_queries=10, passes=1)
+    assert per_q >= 0.0
+    slow = B.timed_over_batch(lambda: time.sleep(0.05), n_queries=5, passes=1)
+    assert 0.05 / 5 * 0.5 <= slow <= 0.05  # ~wall/5, not wall/50
+    with _pytest.raises(ValueError, match="empty query batch"):
+        B.timed_over_batch(lambda: None, n_queries=0)
+
+    # (3) family parity: the batched RM3 probe accepts allowed=
+    assert "allowed" in inspect.signature(TI.query_text_index_prf_batch).parameters
+    assert "allowed" in inspect.signature(TI.query_text_index_prf).parameters
+
+
+def test_graph_probe_batch_matches_per_query(spark, tmp_path):
+    """The graph beam search is batch-invariant (round-14 verdict item
+    3): probing N queries in one ``query_graph_index`` call returns,
+    per query, exactly the rows that probing each query alone returns.
+    This is the property that makes the bench's ``graph_probe_batch50``
+    amortized line honest -- the beam search is already a batched
+    frontier join by construction (every hop expands ALL queries'
+    beams through one adjacency join; no cross-query state), so
+    batching divides job-launch overhead without changing results."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import graph_ann as GA
+
+    rng = np.random.default_rng(14)
+    centers = rng.standard_normal((4, 16)) * 4.0
+    rows = [
+        (int(c * 100 + j), [float(x) for x in centers[c] + rng.standard_normal(16)])
+        for c in range(4)
+        for j in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "graph_batch")
+    GA.build_graph_index(emb, path)
+
+    queries = emb.where(F.col("vec_id") % 100 < 2)  # 8 queries
+    batch = {
+        (r["query_id"], r["neighbor_id"], round(r["cos_sim"], 9))
+        for r in GA.query_graph_index(spark, path, queries, k=5).collect()
+    }
+    solo = set()
+    for qrow in queries.select("vec_id").collect():
+        one = queries.where(F.col("vec_id") == qrow["vec_id"])
+        solo |= {
+            (r["query_id"], r["neighbor_id"], round(r["cos_sim"], 9))
+            for r in GA.query_graph_index(spark, path, one, k=5).collect()
+        }
+    assert batch == solo

@@ -17,6 +17,13 @@ Generates, under ``/root/repo/scaledata/``:
   pushes ``ivf_geometry`` across a power-of-two cell boundary
   (4*sqrt(200k) ~ 1789 -> 2048 cells) so the derived plan is priced,
   not extrapolated.
+- ``vec200k_aniso/``: ``embeddings.parquet`` (200k rows) -- the
+  round-14 OPQ scale corpus: correlated ANISOTROPIC vectors (100:1
+  geometric spectrum under a fixed random rotation, the
+  ``test_ivfpq_opq_rotation_beats_raw_at_shallow_rerank`` fixture
+  shape at 64 dims).  The isotropic ``vec200k`` corpus cannot show an
+  OPQ win by construction (every rotation of white noise is white
+  noise), so the composition's at-scale recall point needs this one.
 
 Everything is seeded (numpy ``default_rng``); re-running overwrites
 with identical bytes-equivalent content.  NOT driver testdata -- the
@@ -83,6 +90,32 @@ def make_embeddings(n: int, seed: int = 43, dim: int = 64) -> pa.Table:
     )
 
 
+def make_embeddings_anisotropic(
+    n: int, seed: int = 53, dim: int = 64
+) -> pa.Table:
+    """Correlated anisotropic embeddings: a 100:1 geometric variance
+    spectrum rotated by a seeded orthogonal matrix -- per-axis
+    variances are deliberately NOT aligned to the m=8 subspace grid,
+    which is exactly the imbalance OPQ's eigenvalue-allocation
+    rotation corrects (Ge et al. 2013 §4).  Unit-normalized like the
+    production corpus so cosine == dot."""
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+    M = (
+        rng.standard_normal((n, dim))
+        @ np.diag(np.geomspace(10.0, 0.1, dim))
+        @ Q.T
+    ).astype("float32")
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype="int64")),
+            "embedding": pa.array(list(M), type=pa.list_(pa.float32())),
+            "label": pa.array(rng.integers(0, 10, size=n).astype("int32")),
+        }
+    )
+
+
 def main() -> None:
     sf1 = os.path.join(ROOT, "sf1")
     os.makedirs(sf1, exist_ok=True)
@@ -92,6 +125,12 @@ def main() -> None:
     os.makedirs(v200, exist_ok=True)
     pq.write_table(
         make_embeddings(200_000, seed=47), os.path.join(v200, "embeddings.parquet")
+    )
+    v200a = os.path.join(ROOT, "vec200k_aniso")
+    os.makedirs(v200a, exist_ok=True)
+    pq.write_table(
+        make_embeddings_anisotropic(200_000),
+        os.path.join(v200a, "embeddings.parquet"),
     )
     print("scaledata written under", ROOT)
 

@@ -1717,13 +1717,29 @@ def ivfpq_trained_quantizers(
     the two-stage training IVFADC prescribes (codebooks trained on raw
     vectors would model the coarse structure the cells already
     removed).  Both trainers are the existing md5-sample driver
-    routines (KB-scale, corpus-size-invariant); measured at sf0.01:
+    routines (KB-scale, cell-count-scaled); measured at sf0.01:
     L2-recall@10 0.64 (seed) -> 0.84 (trained) at identical probe/
-    rerank budgets."""
-    centroids = kmeans_centroids(vectors, n_cells, id_col=id_col, vec_col=vec_col)
+    rerank budgets.
+
+    Sample sizing (round-14 fix): the Lloyd sample follows
+    ``_derived_sample_size(n_cells)`` (16 rows/cell, clamped
+    [2048, 65536]) exactly as ``ivf_geometry`` prescribes -- the old
+    fixed 2048-row default DEGENERATED at n_cells >= 2048: one sample
+    point per cluster makes the coarse quantizer memorize the sample,
+    and because ``pq_codebooks`` draws the SAME md5-smallest ids, its
+    training residuals were all exactly zero -> all-zero codebooks ->
+    ADC ordering blind (measured at 200k vectors / 2048 derived
+    cells: every code was 0 and a streamed-in exact duplicate was
+    unfindable).  The codebook sample shares the derived size so each
+    of the ``n_codes`` codewords trains on >= dozens of residuals."""
+    sample = _derived_sample_size(n_cells)
+    centroids = kmeans_centroids(
+        vectors, n_cells, id_col=id_col, vec_col=vec_col, sample_size=sample
+    )
     residuals = _ivfpq_residual_frame(vectors, centroids, id_col, vec_col)
     codebooks = pq_codebooks(
-        residuals, m=m, k=n_codes, dim=dim, id_col=id_col, vec_col=vec_col
+        residuals, m=m, k=n_codes, dim=dim, id_col=id_col, vec_col=vec_col,
+        sample_size=sample,
     )
     return centroids, codebooks
 
@@ -1759,8 +1775,16 @@ def ivfpq_opq_quantizers(
     residual-coding improvement moves recall there; the rotation pays
     off when the shortlist is SHALLOW (rerank ~ k, the
     memory-constrained serving shape) or codes are coarse -- pinned
-    on anisotropic data in pytest."""
-    centroids = kmeans_centroids(vectors, n_cells, id_col=id_col, vec_col=vec_col)
+    on anisotropic data in pytest.
+
+    Sample sizing follows ``_derived_sample_size(n_cells)``, the
+    round-14 ``ivfpq_trained_quantizers`` fix: the fixed 2048-row
+    default degenerated at n_cells >= 2048 (sample-memorizing coarse
+    quantizer -> all-zero codebook training residuals)."""
+    sample = _derived_sample_size(n_cells)
+    centroids = kmeans_centroids(
+        vectors, n_cells, id_col=id_col, vec_col=vec_col, sample_size=sample
+    )
     residuals = _ivfpq_residual_frame(vectors, centroids, id_col, vec_col)
     mu, R_np = opq_rotation(residuals, m=m, vec_col=vec_col, dim=dim)
     R = [[float(R_np[i][j]) for j in range(dim)] for i in range(dim)]
@@ -1768,7 +1792,8 @@ def ivfpq_opq_quantizers(
         F.col(id_col), _rotate_expr(vec_col, R).alias(vec_col)
     )
     codebooks = pq_codebooks(
-        rotated, m=m, k=n_codes, dim=dim, id_col=id_col, vec_col=vec_col
+        rotated, m=m, k=n_codes, dim=dim, id_col=id_col, vec_col=vec_col,
+        sample_size=sample,
     )
     return centroids, R, codebooks
 

@@ -73,8 +73,11 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     # evidence: the metadata-FILTERED batched RM3 probe
     # (query_text_index_prf_batch(allowed=...), the r13-advice family
     # gap closed: the allow-list narrows stage 1 AND the re-score
-    # while df/N/avgdl stay corpus-global).
+    # while df/N/avgdl stay corpus-global) and the filtered batched
+    # hybrid (the allow-list pushed into BOTH persisted probes; ranks
+    # assigned within the slice, never post-hoc).
     "text_bm25_prf_batch_filtered",
+    "text_hybrid_rrf_batch_filtered",
     # (b) round-14-edited code paths re-enter: the SemDeDup gate row
     # re-pinned its oracle quantizer 16 -> 128 md5-seeded cells (the
     # r13 weak item: within-cell pairs shrink 8x, same one-statement
@@ -118,8 +121,9 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "similarity_graph_ann",
     "similarity_opq_adc_ann",
     # (e) the r9 battery opens (46 rows; five rounds of engine
-    # evolution since) -- the first 19 in registration order fit this
-    # window; the remaining 27 lead the round-15 rotation.
+    # evolution since) -- the first 18 in registration order fit this
+    # window (subquery_scalar_avg, listed last, slides to round 15);
+    # the remaining rows lead the round-15 rotation.
     "logs_clf_parse_roundtrip",
     "anomaly_seasonal_residual",
     "funnel_time_bound",
@@ -138,12 +142,12 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "q13_customer_distribution",
     "q21_waiting_suppliers",
     "q22_dormant_accounts",
-    "subquery_scalar_avg",
 )
 
 #: Round-15 rotation plan: (a) anything new in round 15 plus
-#: re-entries for round-15-edited code paths; (b) the remaining 25
-#: r9-battery rows in registration order: subquery_exists_bigorder,
+#: re-entries for round-15-edited code paths; (b) the remaining 26
+#: r9-battery rows in registration order: subquery_scalar_avg (slid
+#: out of the round-14 window's tail), subquery_exists_bigorder,
 #: subquery_correlated_q17, udf_pandas_scalar_bucket,
 #: udf_grouped_map_zscore, udf_grouped_agg_weighted,
 #: udtf_tokenize_lateral, cdc_merge_upsert, scd2_customer_history,

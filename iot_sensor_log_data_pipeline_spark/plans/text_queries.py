@@ -1060,14 +1060,29 @@ def text_hybrid_rrf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.rrf_fuse([sparse, dense], k=10)
 
 
-def _hybrid_rrf_batch_persisted_oracle() -> str:
+def _hybrid_rrf_batch_persisted_oracle(allow_pred: str | None = None) -> str:
     """The persisted hybrid replay generalized over a (query_id, term)
     VALUES table: batch BM25 ranks (the ``_BM25_BATCH_ORACLE``
     machinery at k=15), per-query hash embeddings + SRP-LSH banding +
     bucket-join candidates + exact cosine re-rank (the
     ``_hybrid_rrf_persisted_ctes`` machinery keyed by query_id), and
-    per-query reciprocal-rank fusion with one partitioned window."""
+    per-query reciprocal-rank fusion with one partitioned window.
+
+    ``allow_pred`` (round 14): optional SQL predicate over
+    ``documents`` defining the retrieval allow-list, applied exactly
+    where the engine's filtered probes semi-join -- the sparse
+    stage-1 scored set (df/N/avgdl stay corpus-global, the
+    ``query_text_index_batch`` contract) and the dense band-bucket
+    candidate set BEFORE the cosine re-rank (the ``query_lsh_index``
+    contract: ranks are computed over the filtered candidates)."""
     from .similarity_queries import _DOT, _NORM
+
+    allow_cte = (
+        f"allow AS (SELECT doc_id FROM documents WHERE {allow_pred}),"
+        if allow_pred
+        else ""
+    )
+    allow_join = " JOIN allow USING (doc_id)" if allow_pred else ""
 
     cos = (
         _DOT.format(d=64, a="qv2.qv", b="d.v")
@@ -1084,6 +1099,7 @@ def _hybrid_rrf_batch_persisted_oracle() -> str:
     )
     return f"""
     WITH q(query_id, term) AS (VALUES {q_values}),
+    {allow_cte}
     toksb AS (
       SELECT doc_id, {_NTOK} AS dl, unnest({_TOKS}) AS term
       FROM documents
@@ -1110,7 +1126,7 @@ def _hybrid_rrf_batch_persisted_oracle() -> str:
                   / (tfb.tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r}
                      + {_BM25_B!r} * tfb.dl / s.avgdl)))
              ), 6) AS bm25
-      FROM q JOIN tfb USING (term) JOIN dfsb d USING (term)
+      FROM q JOIN tfb USING (term) JOIN dfsb d USING (term){allow_join}
       CROSS JOIN statsb s
       GROUP BY q.query_id, tfb.doc_id
     ),
@@ -1180,7 +1196,7 @@ def _hybrid_rrf_batch_persisted_oracle() -> str:
     ),
     lcand AS (
       SELECT DISTINCT qb.query_id, c.doc_id
-      FROM dbands c JOIN qbands qb USING (band_id, bucket)
+      FROM dbands c JOIN qbands qb USING (band_id, bucket){allow_join}
     ),
     dense AS (
       SELECT query_id, doc_id,
@@ -1269,6 +1285,77 @@ def text_hybrid_rrf_batch_persisted(spark: SparkSession, sf_dir: str) -> DataFra
     qemb = TX.hash_embedding(qtexts, dim=64)
     dense = ANN.query_lsh_index(
         spark, lroot, qemb, k=15, id_col="doc_id"
+    ).select(
+        (-F.col("query_id") - 1).alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return TX.rrf_fuse_batch([sparse, dense], k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "text_hybrid_rrf_batch_filtered",
+    oracle=_hybrid_rrf_batch_persisted_oracle("lang = 'en'"),
+    tags=("text", "north-star", "retrieval", "rag", "similarity",
+          "persisted-index", "batch", "filtered"),
+)
+def text_hybrid_rrf_batch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED batched hybrid retrieval (round 14): the
+    batch hybrid read path with the allow-list (English documents)
+    pushed into BOTH persisted probes -- sparse
+    ``query_text_index_batch(allowed=...)`` (scored set narrowed
+    AFTER the df aggregate; term rarity stays corpus-global) and
+    dense ``query_lsh_index(allowed=...)`` (band-bucket candidates
+    semi-joined BEFORE the cosine re-rank, so dense ranks are
+    computed over the filtered candidate set) -- then per-query RRF
+    exactly as the unfiltered row.  This is the RAG serving shape
+    under a license/language/source slice: the filter rides each
+    probe as a broadcast semi-join on a 1-column allow-list, the
+    fusion is unchanged, and nothing re-ranks post-hoc (post-hoc
+    filtering would silently shorten result lists and skew RRF mass
+    -- ranks must be assigned WITHIN the slice)."""
+    import os as _os
+
+    from ..io_utils import scratch_dir
+    from ..operators import ann_index as ANN
+    from ..operators import text_index as TI
+    from ..operators.similarity import hash_hyperplanes
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    sf_name = _os.path.basename(sf_dir.rstrip("/")) or "corpus"
+    troot = scratch_dir("text_index", sf_name)
+    TI.build_text_index(docs, troot)
+    allowed = docs.where(F.col("lang") == "en").select("doc_id")
+    qdf = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, terms in enumerate(_BM25_BATCH_QUERIES)
+            for t in terms
+        ],
+        "query_id long, term string",
+    )
+    sparse = TI.query_text_index_batch(
+        spark, troot, qdf, k=15, k1=_BM25_K1, b=_BM25_B, allowed=allowed
+    ).select("query_id", "doc_id", "rank")
+
+    demb = TX.hash_embedding(docs, dim=64)
+    lroot = scratch_dir("ann_index", sf_name, "lsh_docs")
+    ANN.build_lsh_index(
+        demb, lroot, id_col="doc_id", bands=16, rows_per_band=4,
+        planes=hash_hyperplanes(64, dim=64),
+    )
+    qtexts = spark.createDataFrame(
+        [
+            (-(qid + 1), " ".join(terms))
+            for qid, terms in enumerate(_BM25_BATCH_QUERIES)
+        ],
+        "doc_id long, text string",
+    )
+    qemb = TX.hash_embedding(qtexts, dim=64)
+    dense = ANN.query_lsh_index(
+        spark, lroot, qemb, k=15, id_col="doc_id", allowed=allowed
     ).select(
         (-F.col("query_id") - 1).alias("query_id"),
         F.col("neighbor_id").alias("doc_id"),

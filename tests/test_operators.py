@@ -8353,3 +8353,52 @@ def test_graph_probe_batch_matches_per_query(spark, tmp_path):
             for r in GA.query_graph_index(spark, path, one, k=5).collect()
         }
     assert batch == solo
+
+
+def test_ivfpq_trainers_derive_lloyd_sample_from_cell_count(spark, monkeypatch):
+    """Round-14 scale-bug pin: both IVF-PQ production trainers size
+    their Lloyd samples by ``_derived_sample_size(n_cells)`` (16
+    rows/cell, clamped) instead of the 2048-row default.  The old
+    default DEGENERATED at n_cells >= 2048: one sample point per
+    cluster made the coarse quantizer memorize the md5-smallest-2048
+    sample, and ``pq_codebooks`` -- drawing the SAME md5-smallest ids
+    -- then trained on residuals that were all exactly zero, yielding
+    64 identical all-zero codewords per subspace and an ADC stage
+    blind to everything (measured at 200k vectors / 2048 derived
+    cells: a streamed-in exact duplicate was unfindable because the
+    shortlist collapsed to an id-order scan).  End-to-end repro needs
+    a 200k corpus, so this pins the sample-size plumbing both
+    trainers now share."""
+    captured = {}
+    real_kmeans = SIM.kmeans_centroids
+    real_pq = SIM.pq_codebooks
+
+    def spy_kmeans(vectors, n_cells, **kw):
+        captured["kmeans_sample"] = kw.get("sample_size")
+        return real_kmeans(vectors, n_cells, **kw)
+
+    def spy_pq(vectors, **kw):
+        captured["pq_sample"] = kw.get("sample_size")
+        return real_pq(vectors, **kw)
+
+    monkeypatch.setattr(SIM, "kmeans_centroids", spy_kmeans)
+    monkeypatch.setattr(SIM, "pq_codebooks", spy_pq)
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(16)]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    for trainer in (
+        lambda: SIM.ivfpq_trained_quantizers(
+            emb, n_cells=4096, m=4, n_codes=8, dim=16
+        ),
+        lambda: SIM.ivfpq_opq_quantizers(
+            emb, n_cells=4096, m=4, n_codes=8, dim=16
+        ),
+    ):
+        captured.clear()
+        trainer()
+        want = SIM._derived_sample_size(4096)  # 65536-clamped, >> 4096
+        assert captured["kmeans_sample"] == want, captured
+        assert captured["pq_sample"] == want, captured
+        assert want > 4096, "sample must exceed the cell count"

@@ -97,8 +97,15 @@ def make_embeddings_anisotropic(
     spectrum rotated by a seeded orthogonal matrix -- per-axis
     variances are deliberately NOT aligned to the m=8 subspace grid,
     which is exactly the imbalance OPQ's eigenvalue-allocation
-    rotation corrects (Ge et al. 2013 §4).  Unit-normalized like the
-    production corpus so cosine == dot."""
+    rotation corrects (Ge et al. 2013 §4).  Deliberately NOT
+    unit-normalized, matching the pytest win-regime fixture
+    (``test_ivfpq_opq_rotation_beats_raw_at_shallow_rerank``): the
+    first cut of this corpus normalized onto the sphere, which packed
+    200k points so densely that 10-NN margins fell below the 8x64
+    ADC's resolution and BOTH raw and rotated recall collapsed to
+    noise at every rerank budget -- an honest density effect, but one
+    that hides the rotation delta this corpus exists to measure.
+    Ground truth for it is L2 (the ivfpq_topk metric)."""
     rng = np.random.default_rng(seed)
     Q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
     M = (
@@ -106,7 +113,6 @@ def make_embeddings_anisotropic(
         @ np.diag(np.geomspace(10.0, 0.1, dim))
         @ Q.T
     ).astype("float32")
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
     return pa.table(
         {
             "vec_id": pa.array(np.arange(n, dtype="int64")),

@@ -626,6 +626,64 @@ def persisted_index_breakdown(spark, sf_dir: str) -> dict[str, float]:
         ).write.format("noop").mode("overwrite").save(),
         n_q50,
     )
+
+    # Batched RAG read path (round 14): the top of the batched-serving
+    # stack priced end-to-end -- 50 questions through ONE
+    # hybrid-retrieve (batched BM25 off text_root + batched dense off a
+    # persisted SRP-LSH index over the documents' hash embeddings) ->
+    # per-query RRF -> multi-query MMR plan.  The single-call
+    # comparator is the text_rag_context_persisted headline line; this
+    # is the amortized per-question cost when the request stream
+    # batches.  Question terms reuse the cycled text-batch
+    # construction, so the sparse probe sees the same 50 queries as
+    # text_probe_batch50.
+    dlsh_root = scratch_dir("bench_index", "doc_lsh")
+    demb = TX.hash_embedding(docs, dim=64)
+    timed(
+        "doc_lsh_build",
+        lambda: ANN.build_lsh_index(
+            demb, dlsh_root, id_col="doc_id", bands=16, rows_per_band=4,
+            planes=SIM.hash_hyperplanes(64, dim=64),
+        ),
+    )
+    if n_qtext:
+        stored = ANN.read_index_vectors(spark, dlsh_root, "doc_id", "embedding")
+        qtexts50 = spark.createDataFrame(
+            [
+                (
+                    -(q + 1),
+                    " ".join(vocab[(q + off) % nv] for off in (0, 7, 13)),
+                )
+                for q in range(50)
+            ],
+            "doc_id long, text string",
+        )
+        qemb50 = TX.hash_embedding(qtexts50, dim=64)
+        qvecs50 = qemb50.select(
+            (-F.col("doc_id") - 1).alias("doc_id"), "embedding"
+        )
+
+        def rag_batch() -> None:
+            sparse = TI.query_text_index_batch(
+                spark, text_root, qbatch, k=15, k1=_BM25_K1, b=_BM25_B
+            ).select("query_id", "doc_id", "rank")
+            dense = ANN.query_lsh_index(
+                spark, dlsh_root, qemb50, k=15, id_col="doc_id"
+            ).select(
+                (-F.col("query_id") - 1).alias("query_id"),
+                F.col("neighbor_id").alias("doc_id"),
+                "rank",
+            )
+            fused = TX.rrf_fuse_batch([sparse, dense], k=10)
+            SIM.mmr_rerank(
+                stored, qvecs50, k=3, pool=10, lam=0.75,
+                id_col="doc_id", vec_col="embedding",
+                candidates=fused.select(
+                    "query_id", F.col("doc_id").alias("neighbor_id")
+                ),
+            ).write.format("noop").mode("overwrite").save()
+
+        timed_batch50("rag_batch50", rag_batch, n_qtext)
     return out
 
 

@@ -78,6 +78,15 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     # assigned within the slice, never post-hoc).
     "text_bm25_prf_batch_filtered",
     "text_hybrid_rrf_batch_filtered",
+    # (a') added mid-round-14: the batched RAG context macro -- the
+    # batched-serving family closed at the top of the stack (batched
+    # hybrid retrieval -> per-query RRF -> multi-query MMR in one
+    # grouped pass) -- and its metadata-filtered twin (the allow-list
+    # through both probes, ranks assigned within the slice);
+    # q21_waiting_suppliers and q22_dormant_accounts slide from this
+    # window's tail to the round-15 head to keep the window at 50.
+    "text_rag_context_batch_persisted",
+    "text_rag_context_batch_filtered",
     # (b) round-14-edited code paths re-enter: the SemDeDup gate row
     # re-pinned its oracle quantizer 16 -> 128 md5-seeded cells (the
     # r13 weak item: within-cell pairs shrink 8x, same one-statement
@@ -140,14 +149,14 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "scan_xml_roundtrip",
     "q8_market_share",
     "q13_customer_distribution",
-    "q21_waiting_suppliers",
-    "q22_dormant_accounts",
 )
 
 #: Round-15 rotation plan: (a) anything new in round 15 plus
-#: re-entries for round-15-edited code paths; (b) the remaining 26
-#: r9-battery rows in registration order: subquery_scalar_avg (slid
-#: out of the round-14 window's tail), subquery_exists_bigorder,
+#: re-entries for round-15-edited code paths; (b) the remaining 28
+#: r9-battery rows in registration order: q21_waiting_suppliers,
+#: q22_dormant_accounts and
+#: subquery_scalar_avg (slid out of the round-14 window's tail),
+#: subquery_exists_bigorder,
 #: subquery_correlated_q17, udf_pandas_scalar_bucket,
 #: udf_grouped_map_zscore, udf_grouped_agg_weighted,
 #: udtf_tokenize_lateral, cdc_merge_upsert, scd2_customer_history,

@@ -1060,13 +1060,18 @@ def text_hybrid_rrf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.rrf_fuse([sparse, dense], k=10)
 
 
-def _hybrid_rrf_batch_persisted_oracle(allow_pred: str | None = None) -> str:
-    """The persisted hybrid replay generalized over a (query_id, term)
-    VALUES table: batch BM25 ranks (the ``_BM25_BATCH_ORACLE``
-    machinery at k=15), per-query hash embeddings + SRP-LSH banding +
-    bucket-join candidates + exact cosine re-rank (the
+def _hybrid_rrf_batch_persisted_ctes(allow_pred: str | None = None) -> str:
+    """WITH-body (through the ``fused`` CTE) of the BATCHED persisted
+    hybrid replay, generalized over a (query_id, term) VALUES table:
+    batch BM25 ranks (the ``_BM25_BATCH_ORACLE`` machinery at k=15),
+    per-query hash embeddings + SRP-LSH banding + bucket-join
+    candidates + exact cosine re-rank (the
     ``_hybrid_rrf_persisted_ctes`` machinery keyed by query_id), and
-    per-query reciprocal-rank fusion with one partitioned window.
+    per-query reciprocal-rank contributions.  Shared by the batched
+    hybrid rows and the batched RAG context macro, which extends it
+    with the per-query MMR diversification stage (the same
+    single-query -> batch factoring as ``_hybrid_rrf_persisted_ctes``
+    vs ``_rag_context_oracle``).
 
     ``allow_pred`` (round 14): optional SQL predicate over
     ``documents`` defining the retrieval allow-list, applied exactly
@@ -1097,8 +1102,7 @@ def _hybrid_rrf_batch_persisted_oracle(allow_pred: str | None = None) -> str:
         for qid, terms in enumerate(_BM25_BATCH_QUERIES)
         for t in terms
     )
-    return f"""
-    WITH q(query_id, term) AS (VALUES {q_values}),
+    return f"""q(query_id, term) AS (VALUES {q_values}),
     {allow_cte}
     toksb AS (
       SELECT doc_id, {_NTOK} AS dl, unnest({_TOKS}) AS term
@@ -1117,7 +1121,7 @@ def _hybrid_rrf_batch_persisted_oracle(allow_pred: str | None = None) -> str:
       SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfb
       WHERE term IN (SELECT term FROM q) GROUP BY term
     ),
-    s1 AS (
+    sb1 AS (
       SELECT q.query_id, tfb.doc_id,
              round(sum(
                1.0
@@ -1134,7 +1138,7 @@ def _hybrid_rrf_batch_persisted_oracle(allow_pred: str | None = None) -> str:
       SELECT query_id, doc_id,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY bm25 DESC, doc_id) AS r
-      FROM s1 WHERE bm25 > 0
+      FROM sb1 WHERE bm25 > 0
     ),
     tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
     cells0 AS ({_HASH_CELLS.format(key="doc_id,", src="tok")}),
@@ -1216,7 +1220,14 @@ def _hybrid_rrf_batch_persisted_oracle(allow_pred: str | None = None) -> str:
       SELECT query_id, doc_id, round(sum(c), 6) AS rrf_score,
              CAST(count(*) AS BIGINT) AS n_sources
       FROM contrib GROUP BY query_id, doc_id
-    )
+    )"""
+
+
+def _hybrid_rrf_batch_persisted_oracle(allow_pred: str | None = None) -> str:
+    """Final SELECT over ``_hybrid_rrf_batch_persisted_ctes``: the
+    fused per-query top-10 with one partitioned window."""
+    return f"""
+    WITH {_hybrid_rrf_batch_persisted_ctes(allow_pred)}
     SELECT query_id, doc_id, rrf_score, n_sources, rank
     FROM (SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
@@ -1501,6 +1512,181 @@ def text_rag_context_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored = ANN.read_index_vectors(spark, lroot, "doc_id", "embedding")
     return mmr_rerank(
         stored, qemb, k=3, pool=10, lam=0.75,
+        id_col="doc_id", vec_col="embedding", candidates=cand,
+    )
+
+
+def _rag_context_batch_oracle(allow_pred: str | None = None) -> str:
+    """The batched serving read path in one SQL statement: the
+    BATCHED hybrid CTEs (per-query BM25 probe + per-query SRP-LSH
+    probe + per-query RRF fusion, ``_hybrid_rrf_batch_persisted_ctes``)
+    select each query's 10-candidate pool, then the shared unrolled
+    MMR steps -- already PARTITION BY query_id, so they generalize
+    from the single-query RAG oracle unchanged -- replay the greedy
+    per query over the candidates' hash embeddings.  ``allow_pred``
+    threads the retrieval allow-list into both probe CTEs (the
+    filtered-family convention); the MMR stages need no extra filter
+    because every fused candidate is already inside the slice."""
+    from .similarity_queries import _DOT, _MMR_STEPS, _NORM
+
+    def cos(a: str, b: str) -> str:
+        return (
+            _DOT.format(d=64, a=a, b=b)
+            + " / ("
+            + _NORM.format(d=64, a=a)
+            + " * "
+            + _NORM.format(d=64, a=b)
+            + ")"
+        )
+
+    return f"""
+    WITH {_hybrid_rrf_batch_persisted_ctes(allow_pred)},
+    rrf AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rrf_score DESC, doc_id) AS rank
+        FROM fused) WHERE rank <= 10
+    ),
+    cand AS (
+      SELECT r.query_id, d.doc_id AS neighbor_id,
+             {cos('qq.qv', 'd.v')} AS rel
+      FROM rrf r
+      JOIN dvec d ON d.doc_id = r.doc_id
+      JOIN qvec qq ON qq.query_id = r.query_id
+    ),
+    sims AS (
+      SELECT ca.query_id, ca.neighbor_id AS a, cb.neighbor_id AS b,
+             {cos('da.v', 'db.v')} AS sim
+      FROM cand ca
+      JOIN cand cb ON cb.query_id = ca.query_id
+                  AND cb.neighbor_id <> ca.neighbor_id
+      JOIN dvec da ON da.doc_id = ca.neighbor_id
+      JOIN dvec db ON db.doc_id = cb.neighbor_id
+    ),
+    {_MMR_STEPS}
+    """
+
+
+@register(
+    "text_rag_context_batch_persisted",
+    oracle=_rag_context_batch_oracle(),
+    tags=("text", "north-star", "retrieval", "rag", "similarity", "mmr",
+          "persisted-index", "macro", "batch"),
+)
+def text_rag_context_batch_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE RAG serving read path for a BATCH of queries --
+    the top of the batched-serving family: N standing queries ride
+    ONE distributed plan through hybrid retrieval from the persisted
+    indexes (batched BM25 top-15 via ``query_text_index_batch``,
+    dense top-15 per query from the SRP-LSH index in one probe),
+    per-query RRF fusion to 10-candidate pools
+    (``rrf_fuse_batch``), and per-query MMR diversification --
+    ``mmr_rerank`` is already multi-query (one Arrow
+    ``applyInPandas`` group per query over <= pool rows), so the
+    greedy diversification of every query in the batch is a single
+    grouped pass, not N driver-side calls.  This is the serving
+    amortization story end-to-end: the single-call row
+    (``text_rag_context_persisted``) prices one question; this row
+    prices a request stream, where index-probe scans, fusion
+    windows, and the MMR pair tables all share one job each.  MMR
+    relevance/penalty vectors come off the LSH index's stored vector
+    table, exactly as the single-call row."""
+    return _rag_context_batch(spark, sf_dir)
+
+
+@register(
+    "text_rag_context_batch_filtered",
+    oracle=_rag_context_batch_oracle("lang = 'en'"),
+    tags=("text", "north-star", "retrieval", "rag", "similarity", "mmr",
+          "persisted-index", "macro", "batch", "filtered"),
+)
+def text_rag_context_batch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batched RAG read path under a metadata slice (English
+    documents) -- the family matrix closed at the top of the stack:
+    the allow-list rides BOTH persisted probes exactly as in
+    ``text_hybrid_rrf_batch_filtered`` (sparse scored set narrowed
+    after the df aggregate, term rarity corpus-global; dense
+    band-bucket candidates semi-joined before the cosine re-rank, so
+    ranks are assigned WITHIN the slice), the per-query RRF fusion is
+    unchanged, and MMR diversifies each query's fused pool with no
+    extra filter -- every candidate is already inside the slice, so
+    post-retrieval filtering (which would shorten context lists and
+    skew the greedy) never happens."""
+    return _rag_context_batch(
+        spark, sf_dir,
+        allowed=lambda docs: docs.where(F.col("lang") == "en").select("doc_id"),
+    )
+
+
+def _rag_context_batch(
+    spark: SparkSession, sf_dir: str, allowed=None
+) -> DataFrame:
+    """Shared body of the batched RAG rows: build-once persisted text
+    + SRP-LSH indexes, batched hybrid probes (optionally allow-list
+    filtered, the family contract), per-query RRF fusion, multi-query
+    MMR off the index's stored vector table.  ``allowed`` is a
+    callable docs -> 1-column (doc_id) DataFrame so the filtered row
+    derives its slice from the same corpus scan."""
+    import os as _os
+
+    from ..io_utils import scratch_dir
+    from ..operators import ann_index as ANN
+    from ..operators import text_index as TI
+    from ..operators.similarity import hash_hyperplanes, mmr_rerank
+
+    docs = parallelize_small(load(spark, sf_dir, "documents"))
+    sf_name = _os.path.basename(sf_dir.rstrip("/")) or "corpus"
+    allow_df = allowed(docs) if allowed is not None else None
+
+    troot = scratch_dir("text_index", sf_name)
+    TI.build_text_index(docs, troot)
+    qdf = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, terms in enumerate(_BM25_BATCH_QUERIES)
+            for t in terms
+        ],
+        "query_id long, term string",
+    )
+    sparse = TI.query_text_index_batch(
+        spark, troot, qdf, k=15, k1=_BM25_K1, b=_BM25_B, allowed=allow_df
+    ).select("query_id", "doc_id", "rank")
+
+    demb = TX.hash_embedding(docs, dim=64)
+    lroot = scratch_dir("ann_index", sf_name, "lsh_docs")
+    ANN.build_lsh_index(
+        demb, lroot, id_col="doc_id", bands=16, rows_per_band=4,
+        planes=hash_hyperplanes(64, dim=64),
+    )
+    # Query embeddings ride the probe under negative ids (the batch
+    # hybrid convention -- they can never collide with corpus doc
+    # ids), then map back to query_id for fusion and MMR.
+    qtexts = spark.createDataFrame(
+        [
+            (-(qid + 1), " ".join(terms))
+            for qid, terms in enumerate(_BM25_BATCH_QUERIES)
+        ],
+        "doc_id long, text string",
+    )
+    qemb = TX.hash_embedding(qtexts, dim=64)
+    dense = ANN.query_lsh_index(
+        spark, lroot, qemb, k=15, id_col="doc_id", allowed=allow_df
+    ).select(
+        (-F.col("query_id") - 1).alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    fused = TX.rrf_fuse_batch([sparse, dense], k=10)
+    cand = fused.select(
+        "query_id", F.col("doc_id").alias("neighbor_id")
+    )
+    stored = ANN.read_index_vectors(spark, lroot, "doc_id", "embedding")
+    qvecs = qemb.select(
+        (-F.col("doc_id") - 1).alias("doc_id"), "embedding"
+    )
+    return mmr_rerank(
+        stored, qvecs, k=3, pool=10, lam=0.75,
         id_col="doc_id", vec_col="embedding", candidates=cand,
     )
 

@@ -7944,6 +7944,127 @@ def test_text_prf_batch_matches_per_query(spark, tmp_path):
         assert {d for (d, _, _) in got_f.get(qid, [])} <= set(allow_ids)
 
 
+def test_text_rag_batch_matches_per_query(spark, tmp_path):
+    """The batched RAG context composition (round 14: batched hybrid
+    retrieval -> per-query RRF -> multi-query MMR) is result-identical,
+    per query, to the single-query composition (single BM25 probe +
+    single LSH probe -> rrf_fuse -> mmr_rerank) at the same
+    k/pool/lam budgets -- the same batch==per-query contract the
+    probe families carry, proven at the top of the serving stack."""
+    from pyspark.sql.window import Window
+
+    from iot_sensor_log_data_pipeline_spark.operators import ann_index as AI
+    from iot_sensor_log_data_pipeline_spark.operators import text_index as TI
+    from iot_sensor_log_data_pipeline_spark.operators.similarity import (
+        hash_hyperplanes,
+        mmr_rerank,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    troot = str(tmp_path / "ti")
+    TI.build_text_index(docs, troot)
+    demb = TX.hash_embedding(docs, dim=64)
+    lroot = str(tmp_path / "lsh")
+    AI.build_lsh_index(
+        demb, lroot, id_col="doc_id", bands=16, rows_per_band=4,
+        planes=hash_hyperplanes(64, dim=64),
+    )
+    stored = AI.read_index_vectors(spark, lroot, "doc_id", "embedding")
+
+    batch = {0: ("spark", "join"), 1: ("hash", "merge"), 2: ("scan", "filter")}
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in batch.items() for t in ts],
+        "query_id long, term string",
+    )
+    sparse_b = TI.query_text_index_batch(spark, troot, qdf, k=15).select(
+        "query_id", "doc_id", "rank"
+    )
+    qtexts = spark.createDataFrame(
+        [(-(qid + 1), " ".join(ts)) for qid, ts in batch.items()],
+        "doc_id long, text string",
+    )
+    qemb = TX.hash_embedding(qtexts, dim=64)
+    dense_b = AI.query_lsh_index(spark, lroot, qemb, k=15, id_col="doc_id").select(
+        (-F.col("query_id") - 1).alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    fused_b = TX.rrf_fuse_batch([sparse_b, dense_b], k=10)
+    cand_b = fused_b.select("query_id", F.col("doc_id").alias("neighbor_id"))
+    qvecs = qemb.select((-F.col("doc_id") - 1).alias("doc_id"), "embedding")
+    got = {}
+    for r in mmr_rerank(
+        stored, qvecs, k=3, pool=10, lam=0.75,
+        id_col="doc_id", vec_col="embedding", candidates=cand_b,
+    ).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], round(r["mmr"], 9), r["rank"])
+        )
+
+    for qid, terms in batch.items():
+        sparse_1 = TI.query_text_index(spark, troot, list(terms), k=15)
+        w = Window.partitionBy(F.lit(1)).orderBy(
+            F.desc("bm25"), F.asc("doc_id")
+        )
+        sparse_1 = sparse_1.withColumn(
+            "rank", F.row_number().over(w)
+        ).select("doc_id", "rank")
+        qemb_1 = qemb.where(F.col("doc_id") == -(qid + 1))
+        dense_1 = AI.query_lsh_index(
+            spark, lroot, qemb_1, k=15, id_col="doc_id"
+        ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+        fused_1 = TX.rrf_fuse([sparse_1, dense_1], k=10)
+        cand_1 = fused_1.select(
+            F.lit(-(qid + 1)).cast("long").alias("query_id"),
+            F.col("doc_id").alias("neighbor_id"),
+        )
+        want = [
+            (r["neighbor_id"], round(r["mmr"], 9), r["rank"])
+            for r in mmr_rerank(
+                stored, qemb_1, k=3, pool=10, lam=0.75,
+                id_col="doc_id", vec_col="embedding", candidates=cand_1,
+            ).collect()
+        ]
+        assert sorted(got.get(qid, [])) == sorted(want), f"query {qid}"
+        assert len(got.get(qid, [])) == 3, f"query {qid} context size"
+
+    # Filtered batch (round 14): the allow-list through BOTH probes
+    # must (a) keep every context passage inside the slice and (b)
+    # match the per-query filtered composition.  The slice (every
+    # other doc id) demonstrably drops some unfiltered contexts.
+    unfiltered_ids = {doc for rows in got.values() for (doc, _, _) in rows}
+    all_ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    allow_ids = [d for i, d in enumerate(all_ids) if i % 2 == 0]
+    assert unfiltered_ids - set(allow_ids), "slice must drop some contexts"
+    allow = spark.createDataFrame([(d,) for d in allow_ids], "doc_id long")
+    sparse_f = TI.query_text_index_batch(
+        spark, troot, qdf, k=15, allowed=allow
+    ).select("query_id", "doc_id", "rank")
+    dense_f = AI.query_lsh_index(
+        spark, lroot, qemb, k=15, id_col="doc_id", allowed=allow
+    ).select(
+        (-F.col("query_id") - 1).alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    fused_f = TX.rrf_fuse_batch([sparse_f, dense_f], k=10)
+    got_f = {}
+    for r in mmr_rerank(
+        stored, qvecs, k=3, pool=10, lam=0.75,
+        id_col="doc_id", vec_col="embedding",
+        candidates=fused_f.select(
+            "query_id", F.col("doc_id").alias("neighbor_id")
+        ),
+    ).collect():
+        got_f.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], round(r["mmr"], 9), r["rank"])
+        )
+    for qid in batch:
+        ids_f = {d for (d, _, _) in got_f.get(qid, [])}
+        assert ids_f <= set(allow_ids), f"filtered {qid} leaked {ids_f}"
+        assert got_f.get(qid), f"filtered {qid} lost its context"
+
+
 def test_persisted_ivfpq_opq_parity_and_rotated_ingest(spark, tmp_path):
     """The OPQ-rotated IVF-PQ persisted index (round 13) serves results
     identical to the ad-hoc ``ivfpq_topk(rotation=...)`` at the same

@@ -9,8 +9,9 @@ same reason LTTB runs in ``applyInPandas``: order-dependent state).
 The scalable-relational restatement of "navigable neighborhood graph +
 greedy search" is:
 
-- BUILD: NN-descent (Dong, Moses & Li, WWW 2011, "Efficient K-Nearest
-  Neighbor Graph Construction for Generic Similarity Measures"): seed
+- BUILD, small corpora (``seed="lsh"``): NN-descent (Dong, Moses &
+  Li, WWW 2011, "Efficient K-Nearest Neighbor Graph Construction for
+  Generic Similarity Measures"): seed
   each node's neighbor list from SRP-LSH band buckets (the engine's
   existing banding machinery), then iterate "my neighbors' neighbors
   are candidate neighbors" -- per round one self-join of the
@@ -23,11 +24,25 @@ greedy search" is:
   capped at the working width), so cost is ~N * 16k^2 cosines,
   never N^2 -- even when m near-identical vectors share every band
   bucket.
+- BUILD, at scale (``seed="ivf"``, the derived default above
+  ``IVF_SEED_MIN_N`` -- round 14): the IVF cogroup EXACT join at the
+  derived ``ivf_geometry`` -- every node's exact top-``build_k``
+  within its probed coarse cells, computed as vectorized per-cell
+  matmuls with a deterministic hot-cell cap.  NN-descent's
+  convergence collapses once LSH ring seeds are a vanishing corpus
+  fraction (edge recall 0.23 at 50k after one round); the cell-exact
+  seed measures 0.88 there at ~1/10 the wall-clock, with ``n_iter``
+  refinement rounds kept as optional polish.  See
+  ``graph_geometry`` for the measured derivation.
 - PROBE: batched best-first beam search over the persisted adjacency
   lists: all queries advance together, one frontier-to-adjacency
   equi-join per hop, exact cosine against the touched vectors only,
   top-``beam`` per query between hops.  ``hops`` is fixed (like
   ``graph.pagerank_fixed``), so the plan is a bounded join chain.
+  ``beam``/``hops`` derive from the build-time corpus size by
+  default: short-range-only edges mean the walk budget must grow
+  ~log N (``graph_geometry``), the navigability cost HNSW pays with
+  layers.
 
 Determinism: hyperplanes are md5-derived, NN-descent rounds are fixed
 count, ties break on node id -- identical output across runs and
@@ -79,6 +94,63 @@ DEFAULT_K = 10
 #: stalling behind hubs.
 DEFAULT_SEED_CAP = 16
 
+#: Corpus size above which ``build_graph_index`` seeds the graph from
+#: the IVF cogroup exact join instead of LSH rings + NN-descent (see
+#: ``graph_geometry``).  Below it the two builds measure equal (and
+#: every small-scale invariant pytest predates the threshold); above
+#: it NN-descent's convergence collapses -- measured round 14.
+IVF_SEED_MIN_N = 20_000
+
+
+def graph_geometry(n_vectors: int, k: int = DEFAULT_K) -> dict:
+    """Corpus-scaled graph build + probe geometry -- the knn_graph
+    member of the derived-geometry family (``similarity.ivf_geometry``
+    / ``ivfpq_geometry``): the round-8 fixed defaults (LSH-ring
+    NN-descent build; beam 32 x 5 hops) were tuned at the ~6k-vector
+    bench corpus and COLLAPSE quietly at scale -- measured round 14 at
+    the defaults: probe recall@10 0.998 at 6k, 0.286 at 50k, 0.064 at
+    200k.  Two independent failures, each with its own derived knob:
+
+    - BUILD: one NN-descent round from 4-bit SRP ring seeds stops
+      converging once the seeds are a vanishing fraction of the corpus
+      (edge recall 0.23 at 50k; +~0.1/round at ~100 s/round there, so
+      round count cannot close the gap).  Above ``IVF_SEED_MIN_N`` the
+      build seeds from the IVF cogroup EXACT join instead
+      (``similarity.ivf_cogroup_join`` at the derived
+      ``ivf_geometry``): cell-local exact top-k gives edge recall
+      0.88 at 50k in ~1/10 the NN-descent wall-clock, with no
+      refinement rounds needed (they stay available as
+      ``n_iter`` polish).
+    - PROBE: a pure k-NN graph has only short-range edges, so the
+      beam budget must grow with the entry-to-neighborhood distance,
+      ~log N (the navigability cost HNSW pays with layers).  Measured
+      at 50k over the 0.88-edge-recall graph: beam 32 x 5 hops 0.664,
+      beam 64 x 10 hops 0.946.
+
+    Derivation (log2 steps above the ~3k-vector regime where the old
+    defaults were correct; each step widens the beam by 24 and adds 2
+    hops):
+
+        steps  = max(1, ceil(log2(n / 3000)))
+        beam   = max(32, 24 * steps),  hops = max(5, 2 * steps)
+        seed   = "ivf" if n >= IVF_SEED_MIN_N else "lsh"
+        n_iter = 0 for ivf (cell-exact seeds), 1 for lsh
+
+    At 6k this reproduces the round-8 defaults exactly (lsh, 1 round,
+    beam 32, hops 5) -- bench-scale behavior is unchanged; at 200k it
+    derives ivf / beam 168 / hops 14."""
+    import math
+
+    n = max(int(n_vectors), 1)
+    steps = max(1, math.ceil(math.log2(max(n, 2) / 3000.0)))
+    seed = "ivf" if n >= IVF_SEED_MIN_N else "lsh"
+    return {
+        "seed": seed,
+        "n_iter": 0 if seed == "ivf" else 1,
+        "beam": max(32, 24 * steps),
+        "hops": max(5, 2 * steps),
+    }
+
 
 def _build_geometry(cfg) -> dict[str, int]:
     """Build geometry from a persisted index config row, with the
@@ -94,6 +166,12 @@ def _build_geometry(cfg) -> dict[str, int]:
         "rows_per_band": int(d.get("rows_per_band") or 4),
         "seed_cap": int(d.get("seed_cap") or DEFAULT_SEED_CAP),
         "build_k": int(d.get("build_k") or 2 * k),
+        # Round-14 columns: seed strategy + build-time corpus size
+        # (probe-budget derivation).  Pre-round-14 configs were all
+        # LSH-seeded and predate the derived probe budget (0 keeps the
+        # fixed round-8 beam/hops for them).
+        "seed": str(d.get("seed") or "lsh"),
+        "n_vectors": int(d.get("n_vectors") or 0),
     }
 
 
@@ -230,7 +308,7 @@ def _einsum_scores(
 def knn_graph(
     vectors: DataFrame,
     k: int = DEFAULT_K,
-    n_iter: int = 1,
+    n_iter: int | None = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bands: int = 16,
@@ -238,6 +316,7 @@ def knn_graph(
     planes: list[list[float]] | None = None,
     seed_cap: int = DEFAULT_SEED_CAP,
     build_k: int | None = None,
+    seed: str = "lsh",
 ) -> DataFrame:
     """Directed k-NN graph (src, dst, score) by LSH-seeded NN-descent:
     ``k`` best-cosine neighbors per node after ``n_iter`` refinement
@@ -258,32 +337,87 @@ def knn_graph(
     build's wall-clock -- per-node candidate work is similar
     ((2*3k)^2 * 1 vs (2*2k)^2 * 2) but each round also pays a fixed
     barrier (localCheckpoint materialization + window prune), so fewer,
-    wider rounds win.  Both measurements in SCALE.md."""
+    wider rounds win.  Both measurements in SCALE.md.
+
+    ``seed`` selects the initial edge source (round 14):
+
+    - ``"lsh"`` (default): SRP ring seeds + NN-descent, as above.
+      Converges at bench scale; edge recall COLLAPSES once the seeds
+      are a vanishing corpus fraction (0.23 at 50k -- the
+      ``graph_geometry`` story).
+    - ``"ivf"``: the IVF cogroup EXACT join at the derived
+      ``ivf_geometry`` (Lloyd centroids at the derived sample size,
+      every node's exact top-``build_k`` within its probed cells,
+      neighbor-side hot-cell cap) -- edge recall 0.88 at 50k in ~1/10
+      the NN-descent wall-clock, because cell-local exact scoring is
+      a vectorized cogroup matmul instead of per-pair candidate
+      generations.  ``n_iter`` refinement rounds remain available as
+      polish; the derived default is 0 (``n_iter=None``) because the
+      seed is already cell-exact.
+
+    ``n_iter=None`` resolves per seed strategy (lsh -> 1, ivf -> 0)."""
     if build_k is None:
         build_k = 3 * k
     if build_k < k:
         raise ValueError(f"build_k ({build_k}) must be >= k ({k})")
-    if planes is None:
-        # Plane dimensionality comes from the data (one head() row --
-        # bounded driver pull), not a hardcoded corpus assumption: a
-        # 32- or 768-dim embedding column must band correctly too.
-        sample = vectors.select(vec_col).head()
-        dim = len(sample[0]) if sample is not None else 1
-        planes = hash_hyperplanes(bands * rows_per_band, dim=dim)
+    if seed not in ("lsh", "ivf"):
+        raise ValueError(f"unknown graph seed strategy {seed!r}")
+    if n_iter is None:
+        n_iter = 0 if seed == "ivf" else 1
     base = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         l2_norm(F.col(vec_col)).alias("nrm"),
     ).localCheckpoint(eager=True)
 
-    bands_udf = _srp_bands_udf(planes, bands, rows_per_band)
-    banded = base.select(
-        "id", F.posexplode(bands_udf(F.col("vec"))).alias("band_id", "bucket")
-    )
-    seeds = lsh_seed_pairs(banded, seed_cap=seed_cap)
-    graph = _top_n(
-        _score_pairs(base, seeds), build_k
-    ).localCheckpoint(eager=True)
+    if seed == "ivf":
+        from .similarity import ivf_cogroup_join, ivf_geometry, kmeans_centroids
+
+        n = base.count()
+        geo = ivf_geometry(n)
+        cents = kmeans_centroids(
+            vectors, geo["n_cells"], id_col=id_col, vec_col=vec_col,
+            sample_size=geo["sample_size"],
+        )
+        # Exact top-(build_k) within the probed cells; +1 covers the
+        # self-match the self-join surfaces at rank 1.  The hot-cell
+        # cap bounds each cell's neighbor table (near-identical blobs
+        # quantize to ONE cell -- any cap's worth of them are
+        # interchangeable neighbors, so blob recall is unaffected
+        # while the per-task matmul bound becomes real).
+        cap = max(64 * (n // max(geo["n_cells"], 1) + 1), 4 * (build_k + 1))
+        joined = ivf_cogroup_join(
+            vectors, vectors, cents, k=build_k + 1,
+            n_probe=geo["n_probe"], n_assign=geo["n_assign"],
+            id_col=id_col, vec_col=vec_col, max_cell_rows=cap,
+        )
+        graph = (
+            joined.where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                F.col("query_id").alias("src"),
+                F.col("neighbor_id").alias("dst"),
+                F.col("cos_sim").alias("score"),
+            )
+        )
+        graph = _top_n(graph, build_k).localCheckpoint(eager=True)
+    else:
+        if planes is None:
+            # Plane dimensionality comes from the data (one head() row
+            # -- bounded driver pull), not a hardcoded corpus
+            # assumption: a 32- or 768-dim embedding column must band
+            # correctly too.
+            sample = vectors.select(vec_col).head()
+            dim = len(sample[0]) if sample is not None else 1
+            planes = hash_hyperplanes(bands * rows_per_band, dim=dim)
+        bands_udf = _srp_bands_udf(planes, bands, rows_per_band)
+        banded = base.select(
+            "id",
+            F.posexplode(bands_udf(F.col("vec"))).alias("band_id", "bucket"),
+        )
+        seeds = lsh_seed_pairs(banded, seed_cap=seed_cap)
+        graph = _top_n(
+            _score_pairs(base, seeds), build_k
+        ).localCheckpoint(eager=True)
     graph = _refine(base, graph, build_k, n_iter)
     return _top_n(graph, k)
 
@@ -363,7 +497,7 @@ def build_graph_index(
     vectors: DataFrame,
     path: str,
     k: int = DEFAULT_K,
-    n_iter: int = 1,
+    n_iter: int | None = None,
     n_entry: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -371,11 +505,26 @@ def build_graph_index(
     rows_per_band: int = 4,
     seed_cap: int = DEFAULT_SEED_CAP,
     build_k: int | None = None,
+    seed: str | None = None,
 ) -> None:
-    """Materialize the NN-descent k-NN graph, scoring vectors, and
-    deterministic entry points at ``path`` (build once, probe many --
-    the graph twin of ``build_lsh_index``/``build_ivf_index``)."""
+    """Materialize the k-NN graph, scoring vectors, and deterministic
+    entry points at ``path`` (build once, probe many -- the graph twin
+    of ``build_lsh_index``/``build_ivf_index``).
+
+    ``seed``/``n_iter`` default to the corpus-derived
+    ``graph_geometry`` (round 14): LSH-ring NN-descent below
+    ``IVF_SEED_MIN_N`` -- bit-identical to the round-8 behavior at
+    bench scale -- and the IVF cogroup exact-join seed above it, where
+    NN-descent stops converging.  The corpus size and resolved seed
+    strategy are persisted in the config so probes can derive their
+    beam/hop budget and maintenance jobs reproduce the build."""
     spark = vectors.sparkSession
+    n_vectors = vectors.count()
+    geo = graph_geometry(n_vectors, k=k)
+    if seed is None:
+        seed = geo["seed"]
+    if n_iter is None:
+        n_iter = 0 if seed == "ivf" else 1
     graph = knn_graph(
         vectors,
         k=k,
@@ -386,6 +535,7 @@ def build_graph_index(
         rows_per_band=rows_per_band,
         seed_cap=seed_cap,
         build_k=build_k,
+        seed=seed,
     )
     graph.write.mode("overwrite").parquet(_sub(path, "graph"))
     base = vectors.select(
@@ -416,10 +566,13 @@ def build_graph_index(
                 int(rows_per_band),
                 int(seed_cap),
                 int(build_k if build_k is not None else 3 * k),
+                str(seed),
+                int(n_vectors),
             )
         ],
         "kind string, k int, n_iter int, n_entry int,"
-        " bands int, rows_per_band int, seed_cap int, build_k int",
+        " bands int, rows_per_band int, seed_cap int, build_k int,"
+        " seed string, n_vectors bigint",
         _sub(path, "config"),
     )
 
@@ -512,8 +665,8 @@ def query_graph_index(
     path: str,
     queries: DataFrame,
     k: int = 10,
-    beam: int = 32,
-    hops: int = 5,
+    beam: int | None = None,
+    hops: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     allowed: DataFrame | None = None,
@@ -522,6 +675,14 @@ def query_graph_index(
     """Batched greedy beam search over a persisted k-NN graph:
     (query_id, neighbor_id, cos_sim, rank), descending cosine,
     neighbor-id tiebreak, self-matches excluded.
+
+    ``beam``/``hops`` default (None) to the corpus-derived budget
+    recorded at build time (``graph_geometry`` over the config's
+    ``n_vectors``): a pure k-NN graph has only short-range edges, so
+    the walk budget must grow ~log N or recall collapses quietly at
+    scale (round 14: 0.998 at 6k -> 0.064 at 200k at the old fixed
+    32 x 5).  Explicit values always win; indexes whose config
+    predates the ``n_vectors`` column keep the fixed round-8 budget.
 
     All queries advance together: per hop one frontier-to-adjacency
     equi-join expands each query's ``beam`` best nodes by their stored
@@ -549,6 +710,15 @@ def query_graph_index(
     cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
     if cfg["kind"] != "knn_graph":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not knn_graph")
+    if beam is None or hops is None:
+        n_vectors = _build_geometry(cfg)["n_vectors"]
+        derived = (
+            graph_geometry(n_vectors)
+            if n_vectors
+            else {"beam": 32, "hops": 5}
+        )
+        beam = derived["beam"] if beam is None else beam
+        hops = derived["hops"] if hops is None else hops
     adj = _read_graph_table(spark, path, "graph", _exclude_batch).select(
         "src", "dst"
     )
@@ -701,8 +871,8 @@ def graph_topk(
 def append_graph_index(
     vectors: DataFrame,
     path: str,
-    beam: int = 32,
-    hops: int = 5,
+    beam: int | None = None,
+    hops: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
@@ -923,6 +1093,32 @@ def optimize_graph_index(
         .limit(int(cfg["n_entry"]))
         .write.mode("overwrite")
         .parquet(_sub(path, "entries"))
+    )
+    # Refresh the config's corpus size over the absorbed union: the
+    # probe derives its beam/hop budget from it (graph_geometry), and
+    # an append-grown index probing at its build-time budget would
+    # under-search exactly as it outgrows it.
+    g = _build_geometry(cfg)
+    _write_small(
+        spark,
+        [
+            (
+                "knn_graph",
+                k,
+                int(cfg["n_iter"]),
+                int(cfg["n_entry"]),
+                g["bands"],
+                g["rows_per_band"],
+                g["seed_cap"],
+                g["build_k"],
+                g["seed"],
+                int(base.count()),
+            )
+        ],
+        "kind string, k int, n_iter int, n_entry int,"
+        " bands int, rows_per_band int, seed_cap int, build_k int,"
+        " seed string, n_vectors bigint",
+        _sub(path, "config"),
     )
     for name in ("graph_stream", "vectors_stream"):
         seg_dir = _sub(path, name)

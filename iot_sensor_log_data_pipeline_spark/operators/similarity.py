@@ -1014,6 +1014,7 @@ def ivf_cogroup_join(
     n_assign: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """Large-by-large ANN join: the top-``k`` cosine neighbors in ``b``
     for EVERY row of ``a`` -- (query_id, neighbor_id, cos_sim, rank).
@@ -1047,7 +1048,20 @@ def ivf_cogroup_join(
     SemDeDup's ``_cell_pairs_arrow``); window input is <= n_probe * k
     rows per query.  Tie-break inside the cell matches the final
     ranking (cosine desc, neighbor id asc), so cell-level truncation
-    can never cut a candidate the global window would have kept."""
+    can never cut a candidate the global window would have kept.
+
+    ``max_cell_rows`` (optional): per-cell cap on the NEIGHBOR side,
+    taken in deterministic md5(neighbor_id) order.  Cell populations
+    are data-dependent, and a hot cell -- m near-identical corpus
+    vectors quantizing to one centroid -- makes that cell's cogroup
+    matmul m x |Q_c|, the same quadratic bomb the graph build's LSH
+    ring cap (``graph_ann.lsh_seed_pairs``) and the dedup anchors cap
+    guard against.  The cap bounds every cell's neighbor table; for a
+    genuinely near-duplicate blob any ``max_cell_rows`` members are
+    interchangeable as neighbors, so recall inside the blob is
+    unaffected while the task-size bound becomes real.  Default None
+    preserves the exact-within-probed-cells contract (the oracle
+    shape)."""
     probe_cells = _top_cells_udf(centroids, n_probe)
     assign_cells = _top_cells_udf(centroids, n_assign)
     id_type = a.schema[id_col].dataType.simpleString()
@@ -1064,6 +1078,21 @@ def ivf_cogroup_join(
         l2_norm(F.col(vec_col)).alias("nn"),
         F.explode(assign_cells(F.col(vec_col))).alias("cell"),
     )
+    if max_cell_rows is not None:
+        if max_cell_rows < k:
+            raise ValueError(
+                f"max_cell_rows ({max_cell_rows}) must be >= k ({k}) -- a "
+                "cap below k silently shortens every result list in "
+                "capped cells"
+            )
+        w_cap = Window.partitionBy("cell").orderBy(
+            F.md5(F.col("neighbor_id").cast("string")), F.col("neighbor_id")
+        )
+        nb = (
+            nb.withColumn("__cr", F.row_number().over(w_cap))
+            .where(F.col("__cr") <= max_cell_rows)
+            .drop("__cr")
+        )
     return _cogroup_cell_topk(qa, nb, k, id_type, dedup=n_assign > 1)
 
 

@@ -2066,6 +2066,157 @@ def test_knn_graph_edges_are_true_neighbors(spark):
         assert lst == sorted(lst, key=lambda t: (-t[0], t[1]))
 
 
+def test_graph_geometry_derivation():
+    """``graph_geometry`` (round 14): bench-scale behavior is pinned
+    to the round-8 fixed defaults (the small-scale recall suite and
+    the bench recall line must not move), the derived budget grows
+    monotonically with N, and the measured round-14 operating points
+    derive as documented."""
+    from iot_sensor_log_data_pipeline_spark.operators import graph_ann as GA
+
+    g6k = GA.graph_geometry(6000)
+    assert g6k == {"seed": "lsh", "n_iter": 1, "beam": 32, "hops": 5}
+    g50k = GA.graph_geometry(50_000)
+    assert g50k["seed"] == "ivf" and g50k["n_iter"] == 0
+    assert g50k["beam"] >= 64 and g50k["hops"] >= 10  # the measured-good point
+    g200k = GA.graph_geometry(200_000)
+    assert g200k == {"seed": "ivf", "n_iter": 0, "beam": 168, "hops": 14}
+    prev_beam, prev_hops = 0, 0
+    for n in (100, 3000, 20_000, 100_000, 1_000_000, 10_000_000):
+        g = GA.graph_geometry(n)
+        assert g["beam"] >= prev_beam and g["hops"] >= prev_hops, n
+        prev_beam, prev_hops = g["beam"], g["hops"]
+    # the threshold is exact: below it lsh, at it ivf
+    assert GA.graph_geometry(GA.IVF_SEED_MIN_N - 1)["seed"] == "lsh"
+    assert GA.graph_geometry(GA.IVF_SEED_MIN_N)["seed"] == "ivf"
+
+
+def test_knn_graph_ivf_seed_invariants(spark):
+    """The IVF-cogroup-seeded build (round 14) honors the same
+    structural contract as the NN-descent build: deterministic across
+    runs, exact-cosine edge scores (6 dp -- the cogroup join's
+    contract), per-node lists bounded at k and sorted (score desc, id
+    tiebreak), and edge recall >= 0.9 on a clustered fixture where
+    cell-local exact scoring should be near-perfect."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import graph_ann as GA
+
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((8, 64)) * 4.0
+    rows = [
+        (int(c * 100 + j), [float(x) for x in centers[c] + rng.standard_normal(64)])
+        for c in range(8)
+        for j in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    g1 = GA.knn_graph(emb, k=5, seed="ivf").collect()
+    g2 = GA.knn_graph(emb, k=5, seed="ivf").collect()
+    assert sorted(map(tuple, g1)) == sorted(map(tuple, g2))
+
+    vecs = {i: np.asarray(v, dtype="float32").astype("float64") for i, v in rows}
+    per_src = {}
+    for r in g1:
+        a, b = vecs[r["src"]], vecs[r["dst"]]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["score"] - want) < 5e-7  # round-6 cogroup contract
+        assert r["src"] != r["dst"]
+        per_src.setdefault(r["src"], []).append((r["score"], r["dst"]))
+    for src, lst in per_src.items():
+        assert len(lst) <= 5
+        assert lst == sorted(lst, key=lambda t: (-t[0], t[1]))
+
+    sample = emb.where(F.col("vec_id") % 100 < 10)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(emb, sample, k=5).collect()
+    }
+    got = {
+        (r["src"], r["dst"])
+        for r in g1
+        if r["src"] % 100 < 10
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"ivf-seeded edge recall {recall}"
+
+
+def test_ivf_cogroup_join_max_cell_rows_caps_hot_cell(spark):
+    """``ivf_cogroup_join(max_cell_rows=...)`` (round 14): a planted
+    near-duplicate blob quantizes to ONE cell and would make that
+    cell's cogroup matmul quadratic in the blob; the neighbor-side cap
+    bounds it deterministically while every query still gets its k
+    results (any cap's worth of blob members are interchangeable
+    neighbors).  A cap below k refuses loudly."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    hot = rng.standard_normal(64) * 5.0
+    m = 300
+    rows = [
+        (i, [float(x) for x in hot + rng.standard_normal(64) * 1e-4])
+        for i in range(m)
+    ] + [
+        (m + i, [float(x) for x in rng.standard_normal(64)])
+        for i in range(100)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = SIM.kmeans_centroids(emb, 8)
+    capped = SIM.ivf_cogroup_join(
+        emb, emb, cents, k=5, n_probe=2, n_assign=1, max_cell_rows=32
+    )
+    counts = {
+        r["query_id"]: r["n"]
+        for r in capped.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(counts) == m + 100, "a capped cell must not strand queries"
+    assert all(n == 5 for n in counts.values())
+    # blob queries' neighbors all come from the deterministic capped
+    # sample: <= 32 distinct blob members serve as neighbors in a cell
+    blob_neighbors = {
+        r["neighbor_id"]
+        for r in capped.where(F.col("query_id") < m).collect()
+        if r["neighbor_id"] < m
+    }
+    assert len(blob_neighbors) <= 33  # cap per cell (+1: blob spans 2 cells at most here)
+
+    with pytest.raises(ValueError, match="max_cell_rows"):
+        SIM.ivf_cogroup_join(
+            emb, emb, cents, k=5, max_cell_rows=3
+        )
+
+
+def test_graph_index_config_persists_seed_and_corpus_size(spark, tmp_path):
+    """Round-14 config columns: the build persists the resolved seed
+    strategy and corpus size; the probe derives its beam/hop budget
+    from them (bench-scale: unchanged round-8 budget), and
+    ``optimize_graph_index`` refreshes the corpus size over an
+    append-grown index so the derived budget tracks growth."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import graph_ann as GA
+    from iot_sensor_log_data_pipeline_spark.operators.ann_index import _sub
+
+    rng = np.random.default_rng(29)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(64)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "g_seedcfg")
+    GA.build_graph_index(emb.where(F.col("vec_id") < 40), path, k=4)
+    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    assert cfg["seed"] == "lsh" and cfg["n_vectors"] == 40
+
+    GA.append_graph_index(emb.where(F.col("vec_id") >= 40), path)
+    GA.optimize_graph_index(spark, path)
+    cfg2 = spark.read.parquet(_sub(path, "config")).collect()[0]
+    assert cfg2["n_vectors"] == 60, "optimize must refresh the corpus size"
+    assert cfg2["seed"] == "lsh"
+    # derived-budget probe still serves (None beam/hops -> derived)
+    assert GA.query_graph_index(spark, path, emb.limit(3), k=4).count() > 0
+
+
 def test_lsh_seed_pairs_hot_bucket_is_linear_not_quadratic(spark):
     """A planted hot bucket (m near-identical vectors collide in every
     band) must seed <= bands * m * seed_cap pairs -- linear in the

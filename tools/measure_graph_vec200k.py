@@ -53,9 +53,17 @@ def main() -> None:
 
     cpus = B.default_parallelism()
     gate = B.wait_for_quiet_machine()
+    # The NN-descent candidate-scoring shuffle carries two 64-dim
+    # vectors per pair (~N * (2k)^2 rows at 200k nodes); at the bench
+    # default (8g heap shared by 32 local executor threads, cpus
+    # shuffle partitions) a single partition exceeds task memory.  On
+    # a cluster this is executor sizing; locally, give the one JVM a
+    # scale-appropriate heap and 4x the shuffle partitions so each
+    # scoring partition stays task-sized.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     spark = get_spark(
         app_name="r14-graph-200k", master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
+        shuffle_partitions=4 * cpus,
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -60,15 +60,129 @@ def _sub(path: str, name: str) -> str:
     return os.path.join(path, name)
 
 
+def _local_fs_path(path: str) -> str | None:
+    """Local-filesystem form of ``path`` for the KB-scale metadata fast
+    paths, or None when the path needs the distributed reader/writer (a
+    non-file URI).  The index layout already leans on a locally visible
+    filesystem for existence checks (tombstones, stream segments,
+    ``_heal_swap_for_read``), so bare paths are local by contract."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if "://" in path:
+        return None
+    return path
+
+
+#: DDL -> Arrow types for the metadata tables (flat schemas only).
+#: int maps to int32 / long to int64 exactly as Spark's parquet writer
+#: emits them, so a table written here reads back with the identical
+#: Spark schema the ``createDataFrame`` path produced.
+_DDL_ARROW_TYPES = {
+    "boolean": "bool_",
+    "int": "int32",
+    "integer": "int32",
+    "long": "int64",
+    "bigint": "int64",
+    "float": "float32",
+    "double": "float64",
+    "string": "string",
+}
+
+
+def _arrow_schema_from_ddl(schema: str):
+    """pyarrow schema for a flat DDL string ("name type, ..."), or None
+    when a type falls outside the metadata vocabulary (caller falls
+    back to the Spark writer)."""
+    import pyarrow as pa
+
+    fields = []
+    for part in schema.split(","):
+        toks = part.strip().split(None, 1)
+        if len(toks) != 2:
+            return None
+        name, typ = toks[0], toks[1].strip().lower()
+        if typ.startswith("array<") and typ.endswith(">"):
+            inner = typ[len("array<"):-1].strip()
+            if inner not in _DDL_ARROW_TYPES:
+                return None
+            fields.append(
+                pa.field(name, pa.list_(getattr(pa, _DDL_ARROW_TYPES[inner])()))
+            )
+        elif typ in _DDL_ARROW_TYPES:
+            fields.append(pa.field(name, getattr(pa, _DDL_ARROW_TYPES[typ])()))
+        else:
+            return None
+    return pa.schema(fields)
+
+
 def _write_small(spark: SparkSession, data: list, schema: str, path: str) -> None:
-    """Write a KB-scale metadata table as ONE parquet file.  Built via
-    ``parallelize(data, 1)``: ``createDataFrame(...).coalesce(1)``
-    would put the default-parallelism local partitions into a single
-    task that deserializes them sequentially (measured ~5 s per tiny
-    table on local[32]; this path is ~0.4 s)."""
+    """Write a KB-scale metadata table as ONE parquet file.
+
+    Local paths are written DRIVER-SIDE via pyarrow (guide §5: KB-scale
+    metadata is driver work -- launching a distributed job for a config
+    row costs ~0.4 s of pure scheduling per call, and the persisted
+    composites pay it 2-4x per build).  The non-local fallback is the
+    original ``parallelize(data, 1)`` single-task write
+    (``createDataFrame(...).coalesce(1)`` would put the
+    default-parallelism local partitions into a single task that
+    deserializes them sequentially -- measured ~5 s per tiny table on
+    local[32])."""
+    lp = _local_fs_path(path)
+    asch = _arrow_schema_from_ddl(schema) if lp is not None else None
+    if asch is not None:
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        names = asch.names
+        table = pa.Table.from_pylist(
+            [dict(zip(names, row)) for row in data], schema=asch
+        )
+        shutil.rmtree(lp, ignore_errors=True)
+        os.makedirs(lp, exist_ok=True)
+        pq.write_table(
+            table, os.path.join(lp, "part-00000.parquet"), compression="zstd"
+        )
+        # Spark-writer layout parity for any reader that looks for it.
+        open(os.path.join(lp, "_SUCCESS"), "w").close()
+        return
     spark.createDataFrame(
         spark.sparkContext.parallelize(data, 1), schema
     ).write.mode("overwrite").parquet(path)
+
+
+def _read_small(spark: SparkSession, path: str) -> list[dict]:
+    """Rows of a KB-scale metadata table as dicts.  Local paths read
+    driver-side via pyarrow -- a config/stats/quantizer pull is a
+    scalar driver read, not a distributed job (each saved Spark job is
+    ~0.15-0.3 s of scheduling on the probe path); non-local paths fall
+    back to the distributed reader."""
+    lp = _local_fs_path(path)
+    if lp is not None and os.path.isdir(lp):
+        import pyarrow.parquet as pq
+
+        return pq.read_table(lp).to_pylist()
+    return [r.asDict() for r in spark.read.parquet(path).collect()]
+
+
+def _run_overlapped(*thunks) -> None:
+    """Run independent Spark write jobs concurrently from a small
+    driver thread pool (guide §2.6: actions are only sequential because
+    driver code calls them sequentially).  Spark schedules concurrent
+    jobs FIFO, so the later job's tasks back-fill executors freed by
+    the earlier job's straggler tail instead of waiting at a full
+    barrier.  Callers pass writes to DIFFERENT output directories with
+    no shared mutable state; any thunk's exception propagates after all
+    have finished (no partial-silence)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        errs = [f.exception() for f in futures]
+    for e in errs:
+        if e is not None:
+            raise e
 
 
 def build_lsh_index(
@@ -100,8 +214,14 @@ def build_lsh_index(
     entries = base.select(
         "id", F.posexplode(bands_udf(F.col("vec"))).alias("band_id", "bucket")
     )
-    entries.write.mode("overwrite").parquet(_sub(path, "entries"))
-    base.write.mode("overwrite").parquet(_sub(path, "vectors"))
+    # The two corpus-pass writes are independent (different output
+    # dirs, shared read-only lineage) -- overlapped so the signature
+    # pass and the vector copy share the executor pool instead of
+    # running back to back (guide §2.6).
+    _run_overlapped(
+        lambda: entries.write.mode("overwrite").parquet(_sub(path, "entries")),
+        lambda: base.write.mode("overwrite").parquet(_sub(path, "vectors")),
+    )
     _write_small(
         spark,
         [(j, [float(x) for x in plane]) for j, plane in enumerate(planes)],
@@ -130,10 +250,12 @@ def append_lsh_index(
     Caller contract: ids must be disjoint from ids already indexed
     (append never dedups)."""
     spark = vectors.sparkSession
-    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    cfg = _read_small(spark, _sub(path, "config"))[0]
     if cfg["kind"] != "lsh":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not lsh")
-    plane_rows = spark.read.parquet(_sub(path, "planes")).orderBy("plane_id").collect()
+    plane_rows = sorted(
+        _read_small(spark, _sub(path, "planes")), key=lambda r: r["plane_id"]
+    )
     planes = [list(r["w"]) for r in plane_rows]
     bands_udf = _srp_bands_udf(planes, cfg["bands"], cfg["rows_per_band"])
 
@@ -224,10 +346,12 @@ def query_lsh_index(
     table, applied null-safely to the candidate set BEFORE the
     re-rank -- the ``query_ivf_index`` contract, family-wide."""
     _check_match_args(match_col, attrs, negate)
-    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    cfg = _read_small(spark, _sub(path, "config"))[0]
     if cfg["kind"] != "lsh":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not lsh")
-    plane_rows = spark.read.parquet(_sub(path, "planes")).orderBy("plane_id").collect()
+    plane_rows = sorted(
+        _read_small(spark, _sub(path, "planes")), key=lambda r: r["plane_id"]
+    )
     planes = [list(r["w"]) for r in plane_rows]
     bands_udf = _srp_bands_udf(planes, cfg["bands"], cfg["rows_per_band"])
 
@@ -555,10 +679,12 @@ def _top_cells_udf_from_path(spark: SparkSession, path: str):
     """(assignment UDF over the persisted centroids, stored vector
     element type) -- the frozen-quantizer encode state a streaming
     ingest batch needs, all KB-scale driver pulls."""
-    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    cfg = _read_small(spark, _sub(path, "config"))[0]
     if cfg["kind"] != "ivf":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not ivf")
-    cent_rows = spark.read.parquet(_sub(path, "centroids")).orderBy("cell").collect()
+    cent_rows = sorted(
+        _read_small(spark, _sub(path, "centroids")), key=lambda r: r["cell"]
+    )
     centroids = [(int(r["cell"]), list(r["cv"])) for r in cent_rows]
     stored_t = spark.read.parquet(_sub(path, "vectors")).schema["vec"].dataType
     return _top_cells_udf(centroids, int(cfg["n_assign"])), stored_t
@@ -732,8 +858,12 @@ def build_ivf_index(
 
     base = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     entries = base.select("id", F.explode(assign_cells(F.col("vec"))).alias("cell"))
-    entries.write.mode("overwrite").parquet(_sub(path, "entries"))
-    base.write.mode("overwrite").parquet(_sub(path, "vectors"))
+    # Independent writes (different dirs, read-only shared lineage):
+    # overlap the assignment pass and the vector copy (guide §2.6).
+    _run_overlapped(
+        lambda: entries.write.mode("overwrite").parquet(_sub(path, "entries")),
+        lambda: base.write.mode("overwrite").parquet(_sub(path, "vectors")),
+    )
     _write_small(
         spark,
         [(int(c), [float(x) for x in v]) for c, v in centroids],
@@ -759,10 +889,12 @@ def append_ivf_index(
     and append).  Same caller contract as ``append_lsh_index``: new
     ids must be disjoint from those already indexed."""
     spark = vectors.sparkSession
-    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    cfg = _read_small(spark, _sub(path, "config"))[0]
     if cfg["kind"] != "ivf":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not ivf")
-    cent_rows = spark.read.parquet(_sub(path, "centroids")).orderBy("cell").collect()
+    cent_rows = sorted(
+        _read_small(spark, _sub(path, "centroids")), key=lambda r: r["cell"]
+    )
     centroids = [(int(r["cell"]), list(r["cv"])) for r in cent_rows]
     assign_cells = _top_cells_udf(centroids, cfg["n_assign"])
 
@@ -816,7 +948,7 @@ def optimize_ivf_index(
     from .semdedup import split_oversized_cells
     from .similarity import l2_norm
 
-    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    cfg = _read_small(spark, _sub(path, "config"))[0]
     if cfg["kind"] != "ivf":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not ivf")
     if os.path.exists(_sub(path, "entries_stream")):
@@ -853,7 +985,7 @@ def optimize_ivf_index(
     # left half; right halves got fresh ids > the old maximum).
     old_cent = {
         int(r["cell"]): list(r["cv"])
-        for r in spark.read.parquet(_sub(path, "centroids")).collect()
+        for r in _read_small(spark, _sub(path, "centroids"))
     }
     touched = re_assigned.where(
         F.col("cell").isin(oversized) | ~F.col("cell").isin(list(old_cent))
@@ -927,10 +1059,12 @@ def query_ivf_index(
     postings against ``attrs`` (candidates, not corpus, when the
     probe is selective)."""
     _check_match_args(match_col, attrs, negate)
-    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    cfg = _read_small(spark, _sub(path, "config"))[0]
     if cfg["kind"] != "ivf":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not ivf")
-    cent_rows = spark.read.parquet(_sub(path, "centroids")).orderBy("cell").collect()
+    cent_rows = sorted(
+        _read_small(spark, _sub(path, "centroids")), key=lambda r: r["cell"]
+    )
     centroids = [(int(r["cell"]), list(r["cv"])) for r in cent_rows]
     probe_cells = _top_cells_udf(centroids, n_probe)
 
@@ -997,10 +1131,12 @@ def ivf_index_cogroup_join(
     pytest).  Appends/optimize keep the entries table current, and
     the amortized corpus pass is exactly what the ad-hoc form pays
     per call."""
-    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    cfg = _read_small(spark, _sub(path, "config"))[0]
     if cfg["kind"] != "ivf":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not ivf")
-    cent_rows = spark.read.parquet(_sub(path, "centroids")).orderBy("cell").collect()
+    cent_rows = sorted(
+        _read_small(spark, _sub(path, "centroids")), key=lambda r: r["cell"]
+    )
     centroids = [(int(r["cell"]), list(r["cv"])) for r in cent_rows]
     probe_cells = _top_cells_udf(centroids, n_probe)
 
@@ -1052,10 +1188,12 @@ def ivf_index_probe_sweep(
 
     if not probes or any(int(p) < 1 for p in probes):
         raise ValueError("probes must be a non-empty tuple of levels >= 1")
-    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    cfg = _read_small(spark, _sub(path, "config"))[0]
     if cfg["kind"] != "ivf":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not ivf")
-    cent_rows = spark.read.parquet(_sub(path, "centroids")).orderBy("cell").collect()
+    cent_rows = sorted(
+        _read_small(spark, _sub(path, "centroids")), key=lambda r: r["cell"]
+    )
     centroids = [(int(r["cell"]), list(r["cv"])) for r in cent_rows]
     probe_cells = _top_cells_udf(centroids, max(probes))
 
@@ -1139,13 +1277,16 @@ def build_pq_index(
             enc_src, m=m, k=n_codes, dim=dim, id_col="id", vec_col="vec"
         )
     codes_udf = _pq_codes_udf(codebooks)
-    enc_src.select("id", codes_udf(F.col("vec")).alias("codes")).write.mode(
-        "overwrite"
-    ).parquet(_sub(path, "codes"))
     # Vectors are stored UNROTATED: rotation is orthogonal, so exact
     # re-rank distances are identical either way, and the raw table
-    # stays reusable by every other index family.
-    src.write.mode("overwrite").parquet(_sub(path, "vectors"))
+    # stays reusable by every other index family.  The encode pass and
+    # the vector copy are independent writes -- overlapped (guide §2.6).
+    _run_overlapped(
+        lambda: enc_src.select(
+            "id", codes_udf(F.col("vec")).alias("codes")
+        ).write.mode("overwrite").parquet(_sub(path, "codes")),
+        lambda: src.write.mode("overwrite").parquet(_sub(path, "vectors")),
+    )
     _write_small(
         spark,
         [
@@ -1286,13 +1427,17 @@ def build_ivfpq_index(
             id_col=id_col, vec_col=vec_col, dim=dim,
         )
     spark = vectors.sparkSession
-    _ivfpq_encode(
-        vectors, centroids, codebooks, id_col, vec_col, n_assign=n_assign,
-        rotation=rotation,
-    ).write.mode("overwrite").parquet(_sub(path, "codes"))
-    vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).write.mode(
-        "overwrite"
-    ).parquet(_sub(path, "vectors"))
+    # Encode pass and vector copy are independent writes -- overlapped
+    # (guide §2.6).
+    _run_overlapped(
+        lambda: _ivfpq_encode(
+            vectors, centroids, codebooks, id_col, vec_col,
+            n_assign=n_assign, rotation=rotation,
+        ).write.mode("overwrite").parquet(_sub(path, "codes")),
+        lambda: vectors.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ).write.mode("overwrite").parquet(_sub(path, "vectors")),
+    )
     _write_small(
         spark,
         [(int(c), [float(x) for x in v]) for c, v in centroids],
@@ -1340,20 +1485,22 @@ def _load_ivfpq_meta(spark: SparkSession, path: str):
     rotation-or-None) from a persisted IVF-PQ index -- KB-scale driver
     pulls.  Pre-round-13 indexes have no ``rotated`` config field;
     they load with ``rotation=None`` (back-compat)."""
-    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    cfg = _read_small(spark, _sub(path, "config"))[0]
     if cfg["kind"] != "ivfpq":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not ivfpq")
-    cent_rows = spark.read.parquet(_sub(path, "centroids")).orderBy("cell").collect()
+    cent_rows = sorted(
+        _read_small(spark, _sub(path, "centroids")), key=lambda r: r["cell"]
+    )
     centroids = [(int(r["cell"]), list(r["cv"])) for r in cent_rows]
-    cb_rows = spark.read.parquet(_sub(path, "codebooks")).collect()
+    cb_rows = _read_small(spark, _sub(path, "codebooks"))
     codebooks: list[list[list[float]]] = [
         [None] * int(cfg["n_codes"]) for _ in range(int(cfg["m"]))
     ]
     for r in cb_rows:
         codebooks[int(r["subspace"])][int(r["code"])] = list(r["cv"])
     rotation = None
-    if "rotated" in cfg.__fields__ and cfg["rotated"]:
-        rot_rows = spark.read.parquet(_sub(path, "rotation")).collect()
+    if cfg.get("rotated"):
+        rot_rows = _read_small(spark, _sub(path, "rotation"))
         dim = int(cfg["dim"])
         rotation = [[0.0] * dim for _ in range(dim)]
         for r in rot_rows:
@@ -1506,20 +1653,20 @@ def _load_pq_meta(spark: SparkSession, path: str):
     """(cfg row, codebooks nested list, rotation-or-None) from a
     persisted PQ index -- KB-scale driver pulls, the
     sketch-to-closure pattern."""
-    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    cfg = _read_small(spark, _sub(path, "config"))[0]
     if cfg["kind"] != "pq":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not pq")
-    cb_rows = spark.read.parquet(_sub(path, "codebooks")).collect()
+    cb_rows = _read_small(spark, _sub(path, "codebooks"))
     codebooks: list[list[list[float]]] = [
         [None] * int(cfg["n_codes"]) for _ in range(int(cfg["m"]))
     ]
     for r in cb_rows:
         codebooks[int(r["subspace"])][int(r["code"])] = list(r["cv"])
     rotation = None
-    if cfg["rotated"]:
+    if cfg.get("rotated"):
         import numpy as np
 
-        rot_rows = spark.read.parquet(_sub(path, "rotation")).collect()
+        rot_rows = _read_small(spark, _sub(path, "rotation"))
         dim = int(cfg["dim"])
         R = np.zeros((dim, dim), dtype="float64")
         mu = np.zeros(dim, dtype="float64")

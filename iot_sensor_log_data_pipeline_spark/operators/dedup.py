@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ._scratch_cache import ScratchCaches
+from .ann_index import _read_small
 from .text import tokens
 
 #: MinHash configuration: 16 permutations grouped into 4 bands of 4.
@@ -593,10 +594,16 @@ def minhash_lsh_pairs(
     bounds candidate volume.  The shingle table is computed once and
     cached: it feeds signatures, sizes, AND verification."""
     sh = _cache_scratch(shingle_table(docs, id_col, text_col, n))
-    bands = minhash_bands(
-        minhash_signatures_wide(sh, id_col, hash_mode=hash_mode),
-        id_col,
-        hash_mode=hash_mode,
+    # Cached: the band table is BOTH sides of the candidate self-join,
+    # and uncached each side re-ran the full 16-perm signature
+    # aggregation over the shingle table (the self-join's build side
+    # gets no ReusedExchange).  One row per (doc, band) -- tiny.
+    bands = _SCRATCH.cache_more(
+        minhash_bands(
+            minhash_signatures_wide(sh, id_col, hash_mode=hash_mode),
+            id_col,
+            hash_mode=hash_mode,
+        )
     )
     cand = (
         bands.alias("x")
@@ -1515,7 +1522,7 @@ def load_winnowing_index(spark, path: str) -> tuple[DataFrame, int, int]:
 
     _heal_swap_for_read(path, "postings")
     _heal_swap_for_read(path, "postings_stream")
-    cfg = spark.read.parquet(os.path.join(path, "config")).head()
+    cfg = _read_small(spark, os.path.join(path, "config"))[0]
     postings = spark.read.parquet(os.path.join(path, "postings"))
     seg_dir = os.path.join(path, "postings_stream")
     if os.path.exists(seg_dir):
@@ -1566,7 +1573,7 @@ def winnowing_ingest_apply_batch(
     if not batch.take(1):
         return
     spark = batch.sparkSession
-    cfg = spark.read.parquet(os.path.join(path, "config")).head()
+    cfg = _read_small(spark, os.path.join(path, "config"))[0]
     k, w, cap = int(cfg["k"]), int(cfg["w"]), int(cfg["max_fp_df"])
 
     new_fp = _cache_scratch(
@@ -1670,7 +1677,7 @@ def append_winnowing_index(
     import os
 
     spark = new_docs.sparkSession
-    cfg = spark.read.parquet(os.path.join(path, "config")).head()
+    cfg = _read_small(spark, os.path.join(path, "config"))[0]
     k, w, cap = int(cfg["k"]), int(cfg["w"]), int(cfg["max_fp_df"])
 
     new_fp = _cache_scratch(
@@ -1744,7 +1751,7 @@ def optimize_winnowing_index(spark, path: str) -> None:
 
     for name in ("postings", "postings_stream"):
         _recover_swap(path, name)
-    cfg = spark.read.parquet(os.path.join(path, "config")).head()
+    cfg = _read_small(spark, os.path.join(path, "config"))[0]
     cap = int(cfg["max_fp_df"])
     postings = spark.read.parquet(os.path.join(path, "postings"))
     # Absorb streaming segments into the rewrite.  Replay directories

@@ -67,7 +67,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .ann_index import _sub, _write_small
+from .ann_index import _read_small, _run_overlapped, _sub, _write_small
 from .similarity import _srp_bands_udf, dot, hash_hyperplanes, l2_norm
 
 #: Default NN-descent neighbor-list width; also the per-node fan-out
@@ -159,7 +159,7 @@ def _build_geometry(cfg) -> dict[str, int]:
     persisted before the geometry columns existed -- an older
     4-column config must keep appending/optimizing with the widths its
     edges were actually built at, not die on a missing field."""
-    d = cfg.asDict()
+    d = cfg.asDict() if hasattr(cfg, "asDict") else dict(cfg)
     k = int(d["k"])
     return {
         "bands": int(d.get("bands") or 16),
@@ -642,14 +642,18 @@ def build_seed_hub_index(
         .select(F.col("dst").alias("src"), F.col("src").alias("dst"), "score")
     )
     graph = out_e.unionByName(rev_e).dropDuplicates(["src", "dst"])
-    graph.write.mode("overwrite").parquet(_sub(path, "graph"))
-    base.write.mode("overwrite").parquet(_sub(path, "vectors"))
-    (
-        base.select("id")
-        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
-        .limit(n_entry)
-        .write.mode("overwrite")
-        .parquet(_sub(path, "entries"))
+    # All three tables derive from eager checkpoints (base / scored),
+    # so the writes are independent -- overlapped (guide §2.6).
+    _run_overlapped(
+        lambda: graph.write.mode("overwrite").parquet(_sub(path, "graph")),
+        lambda: base.write.mode("overwrite").parquet(_sub(path, "vectors")),
+        lambda: (
+            base.select("id")
+            .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+            .limit(n_entry)
+            .write.mode("overwrite")
+            .parquet(_sub(path, "entries"))
+        ),
     )
     _write_small(
         spark,
@@ -707,7 +711,7 @@ def query_graph_index(
     index by the attribute (`similarity.filtered_ivf_topk` cost
     model).
     """
-    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    cfg = _read_small(spark, _sub(path, "config"))[0]
     if cfg["kind"] != "knn_graph":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not knn_graph")
     if beam is None or hops is None:
@@ -919,7 +923,7 @@ def _link_batch(
     NN-descent links intra-batch mutual neighbors.  With
     ``exclude_batch`` set, every index read skips that segment id
     (the ingest replay contract)."""
-    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    cfg = _read_small(spark, _sub(path, "config"))[0]
     if cfg["kind"] != "knn_graph":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not knn_graph")
 
@@ -1066,7 +1070,7 @@ def optimize_graph_index(
     import os as _os
     import shutil
 
-    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    cfg = _read_small(spark, _sub(path, "config"))[0]
     if cfg["kind"] != "knn_graph":
         raise ValueError(f"index at {path} is {cfg['kind']!r}, not knn_graph")
     k = int(cfg["k"])
@@ -1169,7 +1173,7 @@ def apply_graph_deletes(
     if tombs is None:
         return
     tombs = tombs.localCheckpoint(eager=True)
-    cfg = spark.read.parquet(_sub(path, "config")).collect()[0]
+    cfg = _read_small(spark, _sub(path, "config"))[0]
     base = (
         _read_graph_table(spark, path, "vectors")
         .dropDuplicates(["id"])

@@ -313,6 +313,15 @@ def incremental_join_cdc_delta(
     sets are their multiset differences.  Cost tracks |K|-matching
     rows, never |base|; the full re-join never runs."""
     keys = [on] if isinstance(on, str) else list(on)
+    # CDC batches are delta-sized by contract but REFERENCED many times
+    # (affected-key derivation + apply_cdc per side); un-materialized,
+    # every reference re-expands the caller's cdc subtree into the plan
+    # -- this query planned 85 parquet scans / 62 exchanges before the
+    # checkpoints, ~8 scans after (the branch fan-out class recorded in
+    # SCALE.md).  Same for the affected-key set K: bounded by the cdc
+    # size and read by all four restrict() calls.
+    cdc_a = cdc_a.localCheckpoint(eager=False)
+    cdc_b = cdc_b.localCheckpoint(eager=False)
 
     def affected_keys(base: DataFrame, cdc: DataFrame, pk: str) -> DataFrame:
         old_images = base.join(
@@ -327,6 +336,7 @@ def incremental_join_cdc_delta(
         affected_keys(a_old, cdc_a, pk_a)
         .unionByName(affected_keys(b_old, cdc_b, pk_b))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     a_new = apply_cdc(a_old, cdc_a, pk_a, op_col)
     b_new = apply_cdc(b_old, cdc_b, pk_b, op_col)
@@ -336,10 +346,30 @@ def incremental_join_cdc_delta(
 
     old_view = restrict(a_old).join(restrict(b_old), keys)
     new_view = restrict(a_new).join(restrict(b_new), keys)
-    retract = old_view.exceptAll(new_view).select(
-        F.lit("retract").alias("action"), "*"
+    # Both multiset differences in ONE signed-count aggregation: the
+    # naive ``old.exceptAll(new)`` + ``new.exceptAll(old)`` pair plans
+    # each restricted view TWICE (each exceptAll re-derives both
+    # inputs) and shuffles the full row set twice.  A +1/-1 weighted
+    # union grouped on the row computes the same multisets -- rows with
+    # surplus old copies retract that many times, surplus new copies
+    # insert -- with each view derived once and one exchange
+    # (guide §2.4: remove shuffles outright).  NULL-equality and
+    # duplicate-multiplicity semantics match exceptAll's exactly
+    # (pinned in pytest as the apply(V, delta) == full-re-join
+    # identity, including join-key moves and delete-then-reinsert).
+    cols = old_view.columns
+    signed = old_view.select(F.lit(1).alias("__w"), "*").unionByName(
+        new_view.select(F.lit(-1).alias("__w"), "*")
     )
-    insert = new_view.exceptAll(old_view).select(
-        F.lit("insert").alias("action"), "*"
+    diff = (
+        signed.groupBy(*cols)
+        .agg(F.sum("__w").alias("__d"))
+        .where(F.col("__d") != 0)
     )
-    return retract.unionByName(insert)
+    return diff.select(
+        F.when(F.col("__d") > 0, F.lit("retract"))
+        .otherwise(F.lit("insert"))
+        .alias("action"),
+        *cols,
+        F.explode(F.sequence(F.lit(1), F.abs(F.col("__d")))).alias("__i"),
+    ).drop("__i")

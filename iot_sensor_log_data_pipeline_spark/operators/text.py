@@ -551,6 +551,25 @@ def bm25_rank(
     one scalar agg + one scan-side score projection, independent of
     vocabulary size.
     """
+    base, stats = _bm25_base_stats(
+        docs, query_terms, id_col=id_col, text_col=text_col
+    )
+    return _bm25_rank_tail(
+        base, stats, len(query_terms), k=k, k1=k1, b=b, id_col=id_col
+    )
+
+
+def _bm25_base_stats(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    *,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(per-doc tf/dl projection, 1-row corpus stats) -- the two halves
+    of ``bm25_rank``'s single-scan plan, split out so ``bm25_prf_rank``
+    can CACHE the stats row and reuse N/avgdl for the re-score instead
+    of paying a third corpus tokenize pass for the same two numbers."""
     t = F.col(text_col)
     base = docs.select(
         id_col,
@@ -565,11 +584,27 @@ def bm25_rank(
             for i in range(len(query_terms))
         ],
     )
+    return base, stats
+
+
+def _bm25_rank_tail(
+    base: DataFrame,
+    stats: DataFrame,
+    n_terms: int,
+    *,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """The scoring tail of ``bm25_rank`` over a prepared (base, stats)
+    pair: 1-row stats broadcast, term-order score fold, positive
+    filter, TakeOrdered top-k."""
     # Plans as BroadcastNestedLoopJoin with a 1-row build side -- the
     # scalar-subquery shape, allowlisted in tests/test_plans.py.
     scored = base.crossJoin(F.broadcast(stats))
     score = F.lit(0.0)
-    for i in range(len(query_terms)):
+    for i in range(n_terms):
         tf = F.col(f"__tf_{i}").cast("double")
         idf = F.log(
             1.0
@@ -654,8 +689,16 @@ def bm25_prf_rank(
     # re-expands the stage-1 corpus scan into the plan (the macro-query
     # branch fan-out class recorded in SCALE.md) -- measured at 132
     # exchanges vs ~20 cached.
-    fb = _SCRATCH.cache(bm25_rank(
-        docs, query_terms, k=fb_k, k1=k1, b=b, id_col=id_col, text_col=text_col
+    # Stage-1 stats are CACHED (1 row) and reused as the re-score's
+    # N/avgdl: they are the same two aggregates over the same corpus,
+    # so recomputing them cost a whole extra tokenize pass (guide §1.2:
+    # don't compute things twice before tuning anything else).
+    base1, stats1 = _bm25_base_stats(
+        docs, query_terms, id_col=id_col, text_col=text_col
+    )
+    stats1 = _SCRATCH.cache(stats1)
+    fb = _SCRATCH.cache_more(_bm25_rank_tail(
+        base1, stats1, len(query_terms), k=fb_k, k1=k1, b=b, id_col=id_col
     ))
     fb_docs = docs.join(fb, id_col).select(
         F.col(id_col), F.col("bm25"), tokens(text_col).alias("l")
@@ -696,7 +739,7 @@ def bm25_prf_rank(
         F.col(id_col), token_count(F.col(text_col)).alias("dl"),
         F.explode(tokens(text_col)).alias("term"),
     )
-    tf2 = (
+    tf2 = _SCRATCH.cache_more(
         tok2.join(F.broadcast(qmodel), "term")
         .groupBy(id_col, "term")
         .agg(
@@ -705,9 +748,15 @@ def bm25_prf_rank(
             F.first("w").alias("w"),
         )
     )
-    stats2 = docs.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.avg(token_count(F.col(text_col))).alias("avgdl"),
+    # tf2 is cached because BOTH the df aggregate and the score probe
+    # read it: uncached, the df2 branch re-expanded the whole
+    # scan-pruned tokenize subtree (the branch fan-out class recorded
+    # in SCALE.md) -- a second full corpus pass for a <= model-size
+    # count.  The cached table is the model-pruned (doc, term) set:
+    # narrow rows, spills gracefully, always cheaper to re-read than
+    # to re-tokenize the text column.
+    stats2 = stats1.select(
+        F.col("__n").alias("n"), F.col("__avgdl").alias("avgdl")
     )
     # Per-term document frequency as a map-combined aggregate + tiny
     # broadcast join.  NOT a count-over-Window.partitionBy(term): the

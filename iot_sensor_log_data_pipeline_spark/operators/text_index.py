@@ -66,7 +66,9 @@ from .ann_index import (
     _fold_tree,
     _folded_ids,
     _heal_swap_for_read,
+    _read_small,
     _recover_swap,
+    _run_overlapped,
     _swap_dir,
     _write_absorb_manifest,
     _write_small,
@@ -143,34 +145,67 @@ def build_text_index(
     doclens = docs.select(
         F.col(id_col).alias("id"), token_count(F.col(text_col)).alias("dl")
     )
-    doclens.write.mode("overwrite").parquet(_sub(path, "doclens"))
-    n_docs, avgdl = doclens.agg(
-        F.count(F.lit(1)).cast("double"), F.avg("dl")
-    ).collect()[0]
-    # The stop-term POLICY is persisted alongside the corpus stats so
-    # ``optimize_text_index`` can re-evaluate the cap against the
-    # grown corpus without the caller re-supplying it.
-    _write_small(
-        spark,
-        [
-            (
-                float(n_docs),
-                float(avgdl),
-                None if max_df is None else float(max_df),
-                None if max_df_frac is None else float(max_df_frac),
-            )
-        ],
-        "n_docs double, avgdl double, max_df double, max_df_frac double",
-        _sub(path, "stats"),
-    )
+
+    def _doclens_branch() -> None:
+        doclens.write.mode("overwrite").parquet(_sub(path, "doclens"))
+        # N/avgdl aggregate off the WRITTEN doclens table (two narrow
+        # columns) instead of re-running the corpus tokenize pass a
+        # second time (guide §2.3: don't recompute what a cheaper
+        # proxy already holds).
+        n_docs, avgdl = (
+            spark.read.parquet(_sub(path, "doclens"))
+            .agg(F.count(F.lit(1)).cast("double"), F.avg("dl"))
+            .collect()[0]
+        )
+        # The stop-term POLICY is persisted alongside the corpus stats
+        # so ``optimize_text_index`` can re-evaluate the cap against
+        # the grown corpus without the caller re-supplying it.
+        _write_small(
+            spark,
+            [
+                (
+                    float(n_docs),
+                    float(avgdl),
+                    None if max_df is None else float(max_df),
+                    None if max_df_frac is None else float(max_df_frac),
+                )
+            ],
+            "n_docs double, avgdl double, max_df double, max_df_frac double",
+            _sub(path, "stats"),
+        )
 
     tok = docs.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
     postings = tok.groupBy("term", "id").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
 
+    def _write_postings(postings: DataFrame) -> None:
+        # Range partitioning on (term, id): keeps term locality for
+        # row-group min/max pruning while the id sub-key splits a heavy
+        # term across range boundaries.  With ``n_partitions=None`` AQE
+        # sizes the shuffle to its advisory byte target, so at corpus
+        # scale a df ~ n_docs term spans ceil(list_bytes / advisory)
+        # partitions instead of one straggler; pass an explicit count to
+        # pin the layout (tests, file-count contracts).  The range
+        # partitioner's boundary-sampling job costs a fixed extra ~0.6 s
+        # at sf0.1 (bench-measured; checkpointing the postings first does
+        # NOT recoup it) -- the deliberate price of the Zipf-skew safety,
+        # amortized to noise at corpus scale where the shuffle dominates.
+        ranged = (
+            postings.repartitionByRange(n_partitions, "term", "id")
+            if n_partitions
+            else postings.repartitionByRange("term", "id")
+        )
+        ranged.sortWithinPartitions("term", "id").write.mode("overwrite").parquet(
+            _sub(path, "postings")
+        )
+
     if max_df is not None or max_df_frac is not None:
-        cap = max(max_df or 0, math.ceil((max_df_frac or 0.0) * n_docs))
+        # The df cap derives from n_docs, so the doclens/stats branch
+        # must complete first -- sequential by data dependency.
+        _doclens_branch()
+        stats = _read_small(spark, _sub(path, "stats"))[0]
+        cap = max(max_df or 0, math.ceil((max_df_frac or 0.0) * stats["n_docs"]))
         # Stop-term list: tiny by construction (only the Zipf head
         # exceeds a corpus-relative cap), so the anti-join broadcasts.
         stop = (
@@ -180,31 +215,15 @@ def build_text_index(
         )
         stop.write.mode("overwrite").parquet(_sub(path, "stopterms"))
         stop_terms = spark.read.parquet(_sub(path, "stopterms")).select("term")
-        postings = postings.join(F.broadcast(stop_terms), "term", "left_anti")
+        _write_postings(
+            postings.join(F.broadcast(stop_terms), "term", "left_anti")
+        )
     else:
-        spark.createDataFrame([], "term string, df long").write.mode(
-            "overwrite"
-        ).parquet(_sub(path, "stopterms"))
-
-    # Range partitioning on (term, id): keeps term locality for
-    # row-group min/max pruning while the id sub-key splits a heavy
-    # term across range boundaries.  With ``n_partitions=None`` AQE
-    # sizes the shuffle to its advisory byte target, so at corpus
-    # scale a df ~ n_docs term spans ceil(list_bytes / advisory)
-    # partitions instead of one straggler; pass an explicit count to
-    # pin the layout (tests, file-count contracts).  The range
-    # partitioner's boundary-sampling job costs a fixed extra ~0.6 s
-    # at sf0.1 (bench-measured; checkpointing the postings first does
-    # NOT recoup it) -- the deliberate price of the Zipf-skew safety,
-    # amortized to noise at corpus scale where the shuffle dominates.
-    ranged = (
-        postings.repartitionByRange(n_partitions, "term", "id")
-        if n_partitions
-        else postings.repartitionByRange("term", "id")
-    )
-    ranged.sortWithinPartitions("term", "id").write.mode("overwrite").parquet(
-        _sub(path, "postings")
-    )
+        # No cap: the doclens/stats branch and the postings pass are
+        # independent -- overlapped so the two corpus passes share the
+        # executor pool instead of running back to back (guide §2.6).
+        _write_small(spark, [], "term string, df long", _sub(path, "stopterms"))
+        _run_overlapped(_doclens_branch, lambda: _write_postings(postings))
 
 
 def query_text_index(
@@ -229,11 +248,11 @@ def query_text_index(
     CORPUS-GLOBAL (the Lucene filtered-query convention: a filter
     narrows the result set, it does not re-weight term rarity), so a
     doc's score is identical filtered and unfiltered."""
+    qset = set(query_terms)
     stopped = {
         r["term"]
-        for r in spark.read.parquet(_sub(path, "stopterms"))
-        .where(F.col("term").isin(*query_terms))
-        .collect()
+        for r in _read_small(spark, _sub(path, "stopterms"))
+        if r["term"] in qset
     }
     active_terms = tuple(t for t in query_terms if t not in stopped)
     if not active_terms:
@@ -266,7 +285,7 @@ def query_text_index(
         ).collect()[0]
         n, avgdl = float(agg["n"]), float(agg["avgdl"] or 0.0)
     else:
-        stats = spark.read.parquet(_sub(path, "stats")).collect()[0]
+        stats = _read_small(spark, _sub(path, "stats"))[0]
         n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
     # Per-term document frequency: <= |query_terms| rows to the driver
     # (each (term, id) posting is one matching doc).
@@ -381,7 +400,7 @@ def query_text_index_batch(
         ).collect()[0]
         n, avgdl = float(agg["n"]), float(agg["avgdl"] or 0.0)
     else:
-        stats = spark.read.parquet(_sub(path, "stats")).collect()[0]
+        stats = _read_small(spark, _sub(path, "stats"))[0]
         n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
     # Distributed df (vs the single-query bounded collect): one count
     # per matched term, joined back broadcast.  Computed BEFORE the
@@ -550,7 +569,7 @@ def query_text_index_prf(
         ).collect()[0]
         n, avgdl = float(agg["n"]), float(agg["avgdl"] or 0.0)
     else:
-        stats = spark.read.parquet(_sub(path, "stats")).collect()[0]
+        stats = _read_small(spark, _sub(path, "stats"))[0]
         n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
     df_tbl = spark.createDataFrame(
         [(t, dfs.get(t, 0.0)) for t in model_terms], "term string, df double"
@@ -727,7 +746,7 @@ def query_text_index_prf_batch(
         ).collect()[0]
         n, avgdl = float(agg["n"]), float(agg["avgdl"] or 0.0)
     else:
-        stats = spark.read.parquet(_sub(path, "stats")).collect()[0]
+        stats = _read_small(spark, _sub(path, "stats"))[0]
         n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
     idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf = F.col("tf").cast("double")
@@ -785,7 +804,7 @@ def append_text_index(
     n_docs, avgdl = merged.agg(
         F.count(F.lit(1)).cast("double"), F.avg("dl")
     ).collect()[0]
-    old_stats = spark.read.parquet(_sub(path, "stats")).head()
+    old_stats = _read_small(spark, _sub(path, "stats"))[0]
     _write_small(
         spark,
         [
@@ -863,7 +882,7 @@ def optimize_text_index(
     # rows (permanent data loss on replay-exclusion).
     for _name in ("postings", "postings_stream", "doclens_stream"):
         _recover_swap(path, _name)
-    stats = spark.read.parquet(_sub(path, "stats")).head()
+    stats = _read_small(spark, _sub(path, "stats"))[0]
     segmented = _has_segments(path)
     postings = spark.read.parquet(_sub(path, "postings"))
     doclens = spark.read.parquet(_sub(path, "doclens"))
@@ -1086,7 +1105,7 @@ def apply_text_deletes(
     agg = doclens.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
-    old_stats = spark.read.parquet(_sub(path, "stats")).head()
+    old_stats = _read_small(spark, _sub(path, "stats"))[0]
     _write_small(
         spark,
         [

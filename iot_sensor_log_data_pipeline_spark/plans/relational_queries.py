@@ -1519,6 +1519,14 @@ def events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "ts", F.sum("new_session").over(cum).alias("sid"))
         .groupBy("user_id", "sid")
         .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+        # Materialized once: BOTH sides of the overlap self-join read
+        # the session table, and without the checkpoint each side
+        # re-ran the whole sessionize subtree (events scan + exchange
+        # + two windows + aggregate -- plan-audited as a doubled
+        # subtree).  Sessions are one row per (user, session): far
+        # smaller than events, so the checkpoint is the cheap side of
+        # the trade at any scale (guide §2.4 / §5).
+        .localCheckpoint(eager=False)
     )
     a = iv.select(
         F.col("user_id").alias("user_a"), F.col("s").alias("s_a"), F.col("e").alias("e_a")

@@ -1398,7 +1398,23 @@ def _hybrid_persisted_probes(spark: SparkSession, sf_dir: str):
     sf_name = _os.path.basename(sf_dir.rstrip("/")) or "corpus"
 
     troot = scratch_dir("text_index", sf_name)
-    TI.build_text_index(docs, troot)
+    demb = TX.hash_embedding(docs, dim=64)
+    lroot = scratch_dir("ann_index", sf_name, "lsh_docs")
+    # The two index builds are independent (different roots, read-only
+    # shared input) -- overlapped so the postings shuffle and the
+    # signature pass share the executor pool instead of running back
+    # to back (guide §2.6); probes run after both complete.
+    ANN._run_overlapped(
+        lambda: TI.build_text_index(docs, troot),
+        lambda: ANN.build_lsh_index(
+            demb,
+            lroot,
+            id_col="doc_id",
+            bands=16,
+            rows_per_band=4,
+            planes=hash_hyperplanes(64, dim=64),
+        ),
+    )
     sparse = TI.query_text_index(
         spark, troot, _BM25_TERMS, k=15, k1=_BM25_K1, b=_BM25_B
     )
@@ -1407,17 +1423,6 @@ def _hybrid_persisted_probes(spark: SparkSession, sf_dir: str):
     w = Window.partitionBy(F.lit(1)).orderBy(F.desc("bm25"), F.asc("doc_id"))
     sparse = sparse.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "rank"
-    )
-
-    demb = TX.hash_embedding(docs, dim=64)
-    lroot = scratch_dir("ann_index", sf_name, "lsh_docs")
-    ANN.build_lsh_index(
-        demb,
-        lroot,
-        id_col="doc_id",
-        bands=16,
-        rows_per_band=4,
-        planes=hash_hyperplanes(64, dim=64),
     )
     qemb = TX.hash_embedding(
         spark.createDataFrame(
@@ -2676,8 +2681,20 @@ def text_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qemb = TX.hash_embedding(docs.where(F.col("doc_id") < 2), dim=64).select(
         F.col("doc_id").alias("query_doc"), F.col("embedding").alias("qv")
     )
+    # chunk_doc / chunk_id are RECOVERED arithmetically from the
+    # composite key (ck = doc_id * 10^6 + chunk_id is invertible while
+    # chunk_id < 10^6, asserted by the streaming twin) instead of
+    # joined back from the chunk table: the join re-ran the whole
+    # chunk_documents window subtree a second time as its build side
+    # (plan-audited: 2x Scan+Window -> 1x, one join removed --
+    # guide §2.4).
     scored = (
-        cemb.join(chunks.select("ck", "chunk_doc", "chunk_id"), "ck")
+        cemb.select(
+            "ck",
+            F.floor(F.col("ck") / 1_000_000).cast("long").alias("chunk_doc"),
+            (F.col("ck") % 1_000_000).cast("long").alias("chunk_id"),
+            "embedding",
+        )
         .join(F.broadcast(qemb), F.col("chunk_doc") != F.col("query_doc"))
         .select(
             "query_doc",

@@ -1911,7 +1911,7 @@ def index_ingest_apply_batch(
         )
         AI._ivfpq_encode(
             base, centroids, codebooks, id_col="id", vec_col="vec",
-            n_assign=int(cfg.asDict().get("n_assign", 1) or 1),
+            n_assign=int(cfg.get("n_assign", 1) or 1),
             rotation=rotation,
         ).write.mode("overwrite").parquet(seg("codes"))
         base.write.mode("overwrite").parquet(seg("vectors"))

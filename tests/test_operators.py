@@ -8674,3 +8674,65 @@ def test_ivfpq_trainers_derive_lloyd_sample_from_cell_count(spark, monkeypatch):
         assert captured["kmeans_sample"] == want, captured
         assert captured["pq_sample"] == want, captured
         assert want > 4096, "sample must exceed the cell count"
+
+
+def test_round14_metadata_io_fast_path(spark, tmp_path):
+    """Round-14 optimization battery: the driver-side KB-metadata I/O
+    (_write_small / _read_small pyarrow fast path) is value- and
+    schema-identical to the Spark writer/reader it replaced, including
+    NULL cells, empty tables, and the non-local fallback trigger."""
+    from iot_sensor_log_data_pipeline_spark.operators.ann_index import (
+        _arrow_schema_from_ddl,
+        _read_small,
+        _run_overlapped,
+        _write_small,
+    )
+
+    p = str(tmp_path / "meta")
+    rows = [("lsh", 16, None, [1.0, -0.5]), ("ivf", None, 2.5, [])]
+    _write_small(spark, rows, "kind string, n int, x double, w array<double>", p)
+    # Spark reads the pyarrow-written table back with the exact schema
+    # the createDataFrame path produced.
+    df = spark.read.parquet(p)
+    assert dict(df.dtypes) == {
+        "kind": "string", "n": "int", "x": "double", "w": "array<double>"
+    }
+    got = sorted(_read_small(spark, p), key=lambda r: r["kind"])
+    assert got == [
+        {"kind": "ivf", "n": None, "x": 2.5, "w": []},
+        {"kind": "lsh", "n": 16, "x": None, "w": [1.0, -0.5]},
+    ]
+    assert sorted(
+        (r.asDict() for r in df.collect()), key=lambda r: r["kind"]
+    ) == got
+
+    # Empty table round-trips (the no-cap stopterms write).
+    pe = str(tmp_path / "empty")
+    _write_small(spark, [], "term string, df long", pe)
+    assert _read_small(spark, pe) == []
+    assert spark.read.parquet(pe).count() == 0
+
+    # Overwrite semantics: a second write replaces, never appends.
+    _write_small(spark, [("x", 1, None, [])],
+                 "kind string, n int, x double, w array<double>", p)
+    assert len(_read_small(spark, p)) == 1
+
+    # A type outside the metadata vocabulary falls back to the Spark
+    # writer (still correct, just distributed).
+    assert _arrow_schema_from_ddl("d decimal(10,2)") is None
+    from decimal import Decimal
+
+    pd_ = str(tmp_path / "dec")
+    _write_small(spark, [(Decimal("1.25"),)], "v decimal(10,2)", pd_)
+    assert spark.read.parquet(pd_).count() == 1
+
+    # _run_overlapped propagates a thunk's exception after all finish.
+    import pytest as _pytest
+
+    seen = []
+    with _pytest.raises(RuntimeError, match="boom"):
+        _run_overlapped(
+            lambda: seen.append(1),
+            lambda: (_ for _ in ()).throw(RuntimeError("boom")),
+        )
+    assert seen == [1]

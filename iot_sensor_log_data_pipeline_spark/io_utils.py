@@ -66,7 +66,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; have {sorted(TABLE_SCHEMAS)}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    df = spark.read.parquet(path)
     expected = TABLE_SCHEMAS[name]
     read_types = dict(df.dtypes)
     for field in expected.fields:
@@ -81,7 +82,39 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 # type change (no instant shift) and matches the
                 # oracle's naive-UTC timestamps.
                 df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    # Source-size hint for ``parallelize_small``'s file-size fast path
+    # (local paths only; attribute, so transformations built ON TOP of
+    # the returned frame naturally drop it).
+    sizes = _local_parquet_sizes(path)
+    if sizes is not None:
+        df._engine_scan_sizes = sizes
     return df
+
+
+def _local_parquet_sizes(path: str) -> tuple[int, int] | None:
+    """(total_bytes, n_files) of a LOCAL parquet file/directory, or None
+    when the path is a non-local URI (caller falls back to asking
+    Spark)."""
+    p = path
+    if p.startswith("file://"):
+        p = p[len("file://"):]
+    if "://" in p:
+        return None
+    if os.path.isfile(p):
+        return os.path.getsize(p), 1
+    if not os.path.isdir(p):
+        return None
+    total = n = 0
+    for root, _dirs, files in os.walk(p):
+        for f in files:
+            if f.startswith((".", "_")):
+                continue
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                return None
+            n += 1
+    return total, n
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
@@ -101,9 +134,50 @@ def parallelize_small(df: DataFrame, min_partitions: int | None = None) -> DataF
     from .session import default_parallelism
 
     target = min_partitions or default_parallelism()
-    if df.rdd.getNumPartitions() < target:
+    n = _estimated_scan_partitions(df, target)
+    if n is None:
+        # No size hint (derived frame, non-local source): ask Spark.
+        # This converts the frame to an RDD -- a full QueryExecution
+        # (analyze/optimize/plan) per call, ~tens of ms of driver time.
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
+
+
+def _estimated_scan_partitions(df: DataFrame, target: int) -> int | None:
+    """Scan-split estimate from the ``load()`` size hint, replaying
+    Spark's file-packing arithmetic (``FilePartition.maxSplitBytes``:
+    ``min(maxPartitionBytes, max(openCostInBytes, bytesPerCore))`` over
+    the open-cost-padded total) -- so the repartition decision no
+    longer spends one QueryExecution per call site (~150 calls/bench,
+    round-14 verdict item).  The estimate only has to be right about
+    WHICH SIDE of ``target`` the split count lands on: tiny corpus
+    tables land orders of magnitude below it, production tables orders
+    of magnitude above; near the boundary a one-split misestimate costs
+    at most one cheap extra repartition of a ~target-splits table."""
+    from .session import default_parallelism
+
+    sizes = getattr(df, "_engine_scan_sizes", None)
+    if sizes is None:
+        return None
+    total_bytes, n_files = sizes
+    # Spark's own minPartitionNum is the leaf-node default parallelism,
+    # not the caller's floor -- replay that.
+    target = default_parallelism()
+    conf = df.sparkSession.conf
+    try:
+        max_part = int(conf.get("spark.sql.files.maxPartitionBytes"))
+    except Exception:
+        max_part = 128 * 1024 * 1024
+    try:
+        open_cost = int(conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    except Exception:
+        open_cost = 4 * 1024 * 1024
+    padded = total_bytes + n_files * open_cost
+    bytes_per_core = padded // max(target, 1)
+    max_split = min(max_part, max(open_cost, bytes_per_core))
+    return max(1, -(-padded // max(max_split, 1)))
 
 
 def register_temp_views(spark: SparkSession, sf_dir: str, *names: str) -> None:

@@ -34,6 +34,16 @@ Scale design:
   results to the ad-hoc operator with the same hyperparameters
   (asserted in pytest), so the catalog's persisted-index queries
   reuse the ad-hoc queries' DuckDB oracles unchanged.
+
+Path contract (every public ``build_*`` / ``query_*`` / maintenance
+entry point): a SCHEME-LESS index root is driver-local filesystem by
+contract -- the layout's existence checks (tombstones, stream
+segments, swap healing) and the KB-metadata fast paths
+(``_write_small`` / ``_read_small``) all resolve bare paths locally.
+On a deployment whose Hadoop default FS is not the local filesystem,
+pass an explicit URI (``hdfs://...``, ``s3a://...``): those take the
+distributed reader/writer for every table, metadata included, so the
+index never splits across filesystems.
 """
 
 from __future__ import annotations
@@ -136,6 +146,15 @@ def _write_small(spark: SparkSession, data: list, schema: str, path: str) -> Non
         import pyarrow.parquet as pq
 
         names = asch.names
+        for row in data:
+            # dict(zip(...)) would silently NULL-fill or drop on arity
+            # mismatch where the Spark createDataFrame path raised --
+            # keep caller bugs loud (round-14 advice).
+            if len(row) != len(names):
+                raise ValueError(
+                    f"metadata row arity {len(row)} != schema arity "
+                    f"{len(names)} for {path}"
+                )
         table = pa.Table.from_pylist(
             [dict(zip(names, row)) for row in data], schema=asch
         )

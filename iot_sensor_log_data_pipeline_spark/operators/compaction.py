@@ -203,20 +203,20 @@ def optimize_parquet_table(
     ``sinks/table_format.py`` for the gated Delta path.
     """
     parts = _partition_dirs(table_dir)
-    files_before = files_after = compacted = 0
-    for part_dir in parts:
+
+    def compact_one(part_dir: str) -> tuple[int, int, bool]:
+        """(files_before, files_after, compacted) for one partition --
+        unchanged per-partition logic, run concurrently below."""
         files = [
             os.path.join(part_dir, f)
             for f in os.listdir(part_dir)
             if not f.startswith((".", "_"))
             and os.path.isfile(os.path.join(part_dir, f))
         ]
-        files_before += len(files)
         total_bytes = sum(os.path.getsize(f) for f in files)
         n_out = max(1, -(-total_bytes // target_file_bytes))
         if len(files) < min_files or n_out >= len(files):
-            files_after += len(files)
-            continue
+            return len(files), len(files), False
 
         # Rewrite the exact listed snapshot (files arriving mid-run are
         # untouched), then commit by delete+rename.
@@ -243,8 +243,28 @@ def optimize_parquet_table(
                 os.path.join(part_dir, f"compacted-{stamp}-{i:05d}.parquet"),
             )
         shutil.rmtree(tmp)
-        compacted += 1
-        files_after += len(new_files)
+        return len(files), len(new_files), True
+
+    # Partition rewrites are independent narrow jobs on disjoint
+    # directories (each commit is local to its partition dir), so they
+    # run from a small driver thread pool (guide §2.6): a streaming-sink
+    # table has MANY tiny partitions (720 log_hours in the bench
+    # corpus), and one sequential ~0.2 s Spark job per partition made
+    # the driver the bottleneck -- measured 166 s for the
+    # maintenance_compaction_roundtrip row at sf0.01, job-launch bound.
+    # Crash-consistency is unchanged: every partition still commits
+    # independently via delete+rename, and re-running compacts whatever
+    # a crash left behind, exactly as the sequential loop did.
+    files_before = files_after = compacted = 0
+    if parts:
+        from concurrent.futures import ThreadPoolExecutor
+
+        n_workers = min(32, max(1, os.cpu_count() or 8), len(parts))
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            for before, after, did in pool.map(compact_one, parts):
+                files_before += before
+                files_after += after
+                compacted += 1 if did else 0
     return MaintenanceResult(
         partitions_seen=len(parts),
         partitions_compacted=compacted,

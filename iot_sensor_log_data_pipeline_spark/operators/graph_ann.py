@@ -63,11 +63,20 @@ On-disk layout (``build_graph_index``), matching ``ann_index.py``:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from .ann_index import _read_small, _run_overlapped, _sub, _write_small
+from .ann_index import (
+    _local_fs_path,
+    _read_small,
+    _run_overlapped,
+    _sub,
+    _write_small,
+)
 from .similarity import _srp_bands_udf, dot, hash_hyperplanes, l2_norm
 
 #: Default NN-descent neighbor-list width; also the per-node fan-out
@@ -208,6 +217,269 @@ def _read_graph_table(
     return main
 
 
+#: Size gate for the driver-local beam search (round 15): when the
+#: whole persisted graph index (adjacency + vectors + live segments)
+#: is at most this many bytes on a LOCAL filesystem, the probe walks
+#: it driver-side instead of scheduling ~3 Spark jobs per hop.  The
+#: round-14 profile showed the distributed probe is job-scheduling
+#: bound at this scale (similarity_graph_seed_ann: 52 jobs, 2.5 s of
+#: its 3.8 s wall in inter-job gaps) -- the same diagnosis that moved
+#: KB-scale metadata I/O driver-side (``ann_index._write_small``),
+#: applied to a MB-scale read-only walk.  The default matches the
+#: session's broadcast threshold (64 MB): an index the engine would
+#: happily broadcast to every executor is also safe to hold once on
+#: the driver.  Above the gate (or on non-local URIs, or with an
+#: ``allowed`` filter) the distributed beam search runs unchanged.
+_DRIVER_PROBE_MAX_BYTES = int(
+    os.environ.get("ENGINE_GRAPH_DRIVER_PROBE_MAX_BYTES", str(64 * 1024 * 1024))
+)
+
+
+def _local_dir_bytes(path: str) -> int | None:
+    """Total bytes of files under ``path`` (recursive), or None when the
+    directory does not exist."""
+    if not os.path.isdir(path):
+        return None
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                return None
+    return total
+
+
+def _read_graph_table_local(
+    lp: str, name: str, exclude_batch: int | None, columns: list[str]
+):
+    """pyarrow table of a graph-index table unioned with its live
+    streaming segments -- the driver-side twin of ``_read_graph_table``
+    (same union and ``exclude_batch`` semantics, no Spark jobs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    parts = [pq.read_table(_sub(lp, name), columns=columns)]
+    seg_dir = _sub(lp, f"{name}_stream")
+    if os.path.isdir(seg_dir):
+        for entry in sorted(os.listdir(seg_dir)):
+            if not entry.startswith("batch="):
+                continue
+            if exclude_batch is not None and entry == f"batch={int(exclude_batch)}":
+                continue
+            sub = os.path.join(seg_dir, entry)
+            if os.path.isdir(sub):
+                parts.append(pq.read_table(sub, columns=columns))
+    return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+
+
+def _fold_dot_cols(A, B):
+    """Row-wise dot of two float64 (n, d) matrices with the EXACT
+    left-to-right add order of ``similarity.dot``'s JVM fold: one
+    vectorized float64 multiply + add per dimension, sequential across
+    dimensions.  Elementwise IEEE ops are identical scalar-vs-vector,
+    so the result is bit-identical to the distributed scorer."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0], dtype="float64")
+    for d in range(A.shape[1]):
+        acc = acc + A[:, d] * B[:, d]
+    return acc
+
+
+def _round6_like_spark(x: float) -> float:
+    """``F.round(x, 6)`` replayed exactly: Spark rounds DoubleType via
+    BigDecimal(Double.toString(x)).setScale(6, HALF_UP), and BigDecimal
+    has no negative zero (so -1e-9 rounds to +0.0)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if math.isnan(x) or math.isinf(x):
+        return x
+    v = float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+    return 0.0 if v == 0.0 else v
+
+
+_PA_TO_SPARK_ID_TYPES = {
+    "int64": T.LongType(),
+    "int32": T.IntegerType(),
+    "string": T.StringType(),
+    "large_string": T.StringType(),
+}
+
+
+def _driver_beam_search(
+    spark: SparkSession,
+    lp: str,
+    queries: DataFrame,
+    k: int,
+    beam: int,
+    hops: int,
+    id_col: str,
+    vec_col: str,
+    exclude_batch: int | None,
+) -> DataFrame | None:
+    """Driver-local replay of the batched beam search for indexes small
+    enough to hold in driver memory (gated by the caller): identical
+    dataflow -- entry scoring, per-hop frontier-to-adjacency expansion
+    minus the current frontier, exact cosine on the touched set, beam
+    truncation on (score desc, node asc) -- with every float op
+    replayed bit-identically (``_fold_dot_cols``, ``_round6_like_spark``,
+    NaN-first descending order).  Returns None on any shape this replay
+    does not cover (the caller falls back to the distributed walk):
+    exotic id types, duplicate query ids, NULL/ragged vectors.
+    """
+    import math
+
+    import numpy as np
+
+    # --- corpus tables (driver-side reads, no Spark jobs) ---
+    vec_tbl = _read_graph_table_local(
+        lp, "vectors", exclude_batch, ["id", "vec", "nrm"]
+    )
+    id_t = str(vec_tbl.schema.field("id").type)
+    if id_t not in _PA_TO_SPARK_ID_TYPES:
+        return None
+    ids = vec_tbl.column("id").to_pylist()
+    vec_lists = vec_tbl.column("vec").to_pylist()
+    nrms = vec_tbl.column("nrm").to_pylist()
+    if any(v is None for v in vec_lists) or any(n is None for n in nrms):
+        return None
+    dims = {len(v) for v in vec_lists}
+    if len(dims) > 1:
+        return None
+    dim = dims.pop() if dims else 0
+
+    tomb: set = set()
+    tomb_dir = _sub(lp, "tombstones")
+    if os.path.isdir(tomb_dir):
+        import pyarrow.parquet as pq
+
+        tomb = set(pq.read_table(tomb_dir, columns=["id"]).column("id").to_pylist())
+
+    import pyarrow.parquet as pq
+
+    entries = [
+        e
+        for e in pq.read_table(_sub(lp, "entries"), columns=["id"])
+        .column("id")
+        .to_pylist()
+        if e not in tomb
+    ]
+
+    adj_tbl = _read_graph_table_local(lp, "graph", exclude_batch, ["src", "dst"])
+    srcs = adj_tbl.column("src").to_pylist()
+    dsts = adj_tbl.column("dst").to_pylist()
+    adj: dict = {}
+    if tomb:
+        for s, d in zip(srcs, dsts):
+            if s in tomb or d in tomb:
+                continue
+            adj.setdefault(s, []).append(d)
+    else:
+        for s, d in zip(srcs, dsts):
+            adj.setdefault(s, []).append(d)
+
+    # id -> dense row index over the TOMBSTONE-FILTERED vector set
+    # (the distributed path anti-joins tombstones out of ``vecs``).
+    idmap: dict = {}
+    keep_rows = []
+    for row, i in enumerate(ids):
+        if i in tomb or i in idmap:
+            if i in idmap:
+                return None  # duplicate id: contract violation, replay ambiguous
+            continue
+        idmap[i] = len(keep_rows)
+        keep_rows.append(row)
+    try:
+        V = np.array([vec_lists[r] for r in keep_rows], dtype="float64")
+    except (TypeError, ValueError):
+        return None
+    N = np.array([nrms[r] for r in keep_rows], dtype="float64")
+
+    # --- query batch (same driver pull the distributed path's
+    # ``F.broadcast(q)`` already performs) ---
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qid_type = queries.schema[id_col].dataType
+    if not isinstance(qid_type, (T.LongType, T.IntegerType, T.StringType)):
+        return None
+    qids = [r[0] for r in q_rows]
+    if len(set(qids)) != len(qids):
+        return None
+    qvec_lists = [r[1] for r in q_rows]
+    if any(v is None or len(v) != dim for v in qvec_lists):
+        if q_rows:  # empty query batch is fine; ragged vectors are not
+            return None
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_type, True),
+            T.StructField("neighbor_id", _PA_TO_SPARK_ID_TYPES[id_t], True),
+            T.StructField("cos_sim", T.DoubleType(), True),
+            T.StructField("rank", T.LongType(), True),
+        ]
+    )
+    if not q_rows:
+        return spark.createDataFrame([], out_schema)
+    Q = np.array([[float(x) for x in v] for v in qvec_lists], dtype="float64")
+    QN = np.sqrt(_fold_dot_cols(Q, Q))  # l2_norm's fold, then IEEE sqrt
+
+    def rank_key(item):
+        node, score = item
+        # Spark's descending double order places NaN first (NaN sorts as
+        # the largest double, and NaN == NaN so ties break on node);
+        # -0.0 == 0.0 ties also break on node.
+        if math.isnan(score):
+            return (0, 0.0, node)
+        return (1, -score, node)
+
+    def score_pairs(pairs):
+        """(qi, node) pairs -> list of (qi, node, score), skipping nodes
+        absent from the vector table (the distributed inner join)."""
+        kept = [(qi, n) for qi, n in pairs if n in idmap]
+        if not kept:
+            return []
+        qi_arr = np.array([p[0] for p in kept], dtype="int64")
+        rows = np.array([idmap[p[1]] for p in kept], dtype="int64")
+        dots = _fold_dot_cols(Q[qi_arr], V[rows])
+        scores = dots / (QN[qi_arr] * N[rows])
+        return [
+            (kept[j][0], kept[j][1], float(scores[j])) for j in range(len(kept))
+        ]
+
+    # entry scoring: every query x every (live) entry point
+    frontiers: list[list] = [[] for _ in q_rows]
+    for qi, node, score in score_pairs(
+        [(qi, e) for qi in range(len(q_rows)) for e in entries]
+    ):
+        frontiers[qi].append((node, score))
+    frontiers = [sorted(fr, key=rank_key)[:beam] for fr in frontiers]
+
+    for _ in range(hops):
+        pairs = []
+        for qi, fr in enumerate(frontiers):
+            fnodes = {n for n, _ in fr}
+            nbrs: set = set()
+            for n, _ in fr:
+                nbrs.update(adj.get(n, ()))
+            nbrs -= fnodes
+            pairs.extend((qi, n) for n in nbrs)
+        if not pairs:
+            break
+        scored = score_pairs(pairs)
+        for qi, node, score in scored:
+            frontiers[qi].append((node, score))
+        frontiers = [sorted(fr, key=rank_key)[:beam] for fr in frontiers]
+
+    out = []
+    for qi, fr in enumerate(frontiers):
+        hits = sorted(
+            ((n, s) for n, s in fr if n != qids[qi]), key=rank_key
+        )[:k]
+        for rank, (n, s) in enumerate(hits, start=1):
+            out.append((qids[qi], n, _round6_like_spark(s), rank))
+    return spark.createDataFrame(out, out_schema)
+
+
 def lsh_seed_pairs(
     banded: DataFrame, seed_cap: int = DEFAULT_SEED_CAP
 ) -> DataFrame:
@@ -317,6 +589,7 @@ def knn_graph(
     seed_cap: int = DEFAULT_SEED_CAP,
     build_k: int | None = None,
     seed: str = "lsh",
+    _n_vectors: int | None = None,
 ) -> DataFrame:
     """Directed k-NN graph (src, dst, score) by LSH-seeded NN-descent:
     ``k`` best-cosine neighbors per node after ``n_iter`` refinement
@@ -364,16 +637,27 @@ def knn_graph(
         raise ValueError(f"unknown graph seed strategy {seed!r}")
     if n_iter is None:
         n_iter = 0 if seed == "ivf" else 1
-    base = vectors.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
-    ).localCheckpoint(eager=True)
 
+    def _base() -> DataFrame:
+        # Eager: narrow lineage (scan + norm) referenced several times
+        # (banding, both scoring sides, refinement) -- without
+        # materialized blocks each reference would re-scan the corpus.
+        return vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            l2_norm(F.col(vec_col)).alias("nrm"),
+        ).localCheckpoint(eager=True)
+
+    base: DataFrame | None = None
     if seed == "ivf":
         from .similarity import ivf_cogroup_join, ivf_geometry, kmeans_centroids
 
-        n = base.count()
+        # The ivf seed works off ``vectors`` directly (the cogroup join
+        # computes its own norms), so the (id, vec, nrm) base table is
+        # only materialized when refinement rounds actually need it --
+        # one full-corpus checkpoint job saved on the default
+        # n_iter=0 path (round 15).
+        n = _n_vectors if _n_vectors is not None else vectors.count()
         geo = ivf_geometry(n)
         cents = kmeans_centroids(
             vectors, geo["n_cells"], id_col=id_col, vec_col=vec_col,
@@ -399,8 +683,13 @@ def knn_graph(
                 F.col("cos_sim").alias("score"),
             )
         )
-        graph = _top_n(graph, build_k).localCheckpoint(eager=True)
+        # Lazy: the graph's plan tail is a ranking window (an
+        # exchange), so downstream multi-references share the shuffle
+        # inside whichever single job consumes the build -- no eager
+        # count-job barrier needed (round 15).
+        graph = _top_n(graph, build_k).localCheckpoint(eager=False)
     else:
+        base = _base()
         if planes is None:
             # Plane dimensionality comes from the data (one head() row
             # -- bounded driver pull), not a hardcoded corpus
@@ -417,8 +706,11 @@ def knn_graph(
         seeds = lsh_seed_pairs(banded, seed_cap=seed_cap)
         graph = _top_n(
             _score_pairs(base, seeds), build_k
-        ).localCheckpoint(eager=True)
-    graph = _refine(base, graph, build_k, n_iter)
+        ).localCheckpoint(eager=False)
+    if n_iter:
+        if base is None:
+            base = _base()
+        graph = _refine(base, graph, build_k, n_iter)
     return _top_n(graph, k)
 
 
@@ -487,9 +779,11 @@ def _refine(
             .distinct()
             .join(graph.select("src", "dst"), ["src", "dst"], "left_anti")
         )
+        # Lazy: bounds the next round's plan at a window-tail RDD; the
+        # consuming action shares the tail exchange between references.
         graph = _top_n(
             graph.unionByName(_score_pairs(base, cand)), build_k
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return graph
 
 
@@ -536,20 +830,26 @@ def build_graph_index(
         seed_cap=seed_cap,
         build_k=build_k,
         seed=seed,
+        _n_vectors=n_vectors,  # already counted for the geometry
     )
-    graph.write.mode("overwrite").parquet(_sub(path, "graph"))
     base = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         l2_norm(F.col(vec_col)).alias("nrm"),
     )
-    base.write.mode("overwrite").parquet(_sub(path, "vectors"))
     entries = (
         base.select("id")
         .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
         .limit(n_entry)
     )
-    entries.write.mode("overwrite").parquet(_sub(path, "entries"))
+    # Three independent output directories; the vector copy and the
+    # tiny entries TakeOrdered back-fill the graph job's straggler tail
+    # (guide §2.6), exactly as the lsh/ivf/pq builds already overlap.
+    _run_overlapped(
+        lambda: graph.write.mode("overwrite").parquet(_sub(path, "graph")),
+        lambda: base.write.mode("overwrite").parquet(_sub(path, "vectors")),
+        lambda: entries.write.mode("overwrite").parquet(_sub(path, "entries")),
+    )
     # The FULL build geometry is persisted, not just the serving
     # parameters: append_graph_index runs an intra-batch NN-descent
     # and must reproduce the build-time seeding/refinement widths or
@@ -723,6 +1023,37 @@ def query_graph_index(
         )
         beam = derived["beam"] if beam is None else beam
         hops = derived["hops"] if hops is None else hops
+    # Driver-local fast path (round 15): an index small enough to
+    # broadcast is walked once on the driver instead of ~3 Spark jobs
+    # per hop -- the probe was measured job-scheduling-bound at this
+    # scale (52 jobs, 2.5 s of 3.8 s wall in inter-job gaps for the
+    # seed-ann row).  Bit-identical replay (exact fold order, HALF_UP
+    # rounding, NaN-first descending ties) pinned by the
+    # driver-vs-distributed parity pytest; any unsupported shape falls
+    # back to the distributed walk below, as do non-local URIs,
+    # over-gate index sizes, and ``allowed``-filtered searches.
+    lp = _local_fs_path(path)
+    if lp is not None and allowed is None:
+        size = _local_dir_bytes(_sub(lp, "graph"))
+        vsize = _local_dir_bytes(_sub(lp, "vectors"))
+        for extra in ("graph_stream", "vectors_stream"):
+            s = _local_dir_bytes(_sub(lp, extra))
+            if s:
+                size = (size or 0) + s
+        if (
+            size is not None
+            and vsize is not None
+            and size + vsize <= _DRIVER_PROBE_MAX_BYTES
+        ):
+            try:
+                out = _driver_beam_search(
+                    spark, lp, queries, k, beam, hops, id_col, vec_col,
+                    _exclude_batch,
+                )
+            except Exception:
+                out = None  # resilient fast path: fall back, never fail
+            if out is not None:
+                return out
     adj = _read_graph_table(spark, path, "graph", _exclude_batch).select(
         "src", "dst"
     )
@@ -801,6 +1132,14 @@ def query_graph_index(
         else scored_entries.join(allow, "node", "left_semi")
         .localCheckpoint(eager=True)
     )
+    # Per-hop driver jobs trimmed (round 15): the old loop spent one
+    # eager-checkpoint job on ``nbrs`` plus one ``isEmpty`` probe job
+    # per hop.  ``nbrs`` is consumed exactly once when no allow-list is
+    # set, so it needs no materialization (the frontier checkpoint
+    # still bounds plan growth), and the early-exit probe cost a full
+    # job per hop to save no-op hops that cost near-zero stages: a
+    # converged walk makes every later hop an empty union re-ranked to
+    # the identical frontier (bit-identical output).
     for _ in range(hops):
         nbrs = (
             frontier.select("query_id", F.col("node").alias("src"))
@@ -808,10 +1147,10 @@ def query_graph_index(
             .select("query_id", F.col("dst").alias("node"))
             .distinct()
             .join(frontier.select("query_id", "node"), ["query_id", "node"], "left_anti")
-            .localCheckpoint(eager=True)
         )
-        if nbrs.isEmpty():
-            break  # every query's neighborhood is already in the beam
+        if allow is not None:
+            # Read twice below (hit-set semi-join + scoring): pin once.
+            nbrs = nbrs.localCheckpoint(eager=True)
         scored_nbrs = score_nodes(nbrs)
         if hits is not None:
             hits = (
@@ -902,8 +1241,12 @@ def append_graph_index(
     edges, base = _link_batch(
         spark, path, vectors, beam, hops, id_col, vec_col
     )
-    edges.write.mode("append").parquet(_sub(path, "graph"))
-    base.write.mode("append").parquet(_sub(path, "vectors"))
+    # Independent output directories (edges derive from an eager
+    # checkpoint, base from the input batch) -- overlapped (guide §2.6).
+    _run_overlapped(
+        lambda: edges.write.mode("append").parquet(_sub(path, "graph")),
+        lambda: base.write.mode("append").parquet(_sub(path, "vectors")),
+    )
 
 
 def _link_batch(
@@ -1023,11 +1366,17 @@ def graph_ingest_apply_batch(
         spark, path, batch, beam, hops, id_col, vec_col,
         exclude_batch=int(batch_id),
     )
-    edges.write.mode("overwrite").parquet(
-        _os.path.join(_sub(path, "graph_stream"), f"batch={int(batch_id)}")
-    )
-    base.write.mode("overwrite").parquet(
-        _os.path.join(_sub(path, "vectors_stream"), f"batch={int(batch_id)}")
+    # Two independent segment directories per micro-batch -- overlapped
+    # so the tiny vector-segment write back-fills the edge write's tail
+    # (guide §2.6; this loop runs once per trigger, so the per-batch
+    # constant is the streaming ingest throughput).
+    _run_overlapped(
+        lambda: edges.write.mode("overwrite").parquet(
+            _os.path.join(_sub(path, "graph_stream"), f"batch={int(batch_id)}")
+        ),
+        lambda: base.write.mode("overwrite").parquet(
+            _os.path.join(_sub(path, "vectors_stream"), f"batch={int(batch_id)}")
+        ),
     )
 
 

@@ -357,12 +357,21 @@ def incremental_join_cdc_delta(
     # duplicate-multiplicity semantics match exceptAll's exactly
     # (pinned in pytest as the apply(V, delta) == full-re-join
     # identity, including join-key moves and delete-then-reinsert).
+    # POSITIONAL aliases for the aggregation working columns: the
+    # signed-count rewrite resolves rows by name, but exceptAll (the
+    # semantics being replayed) was positional -- a joined view with
+    # duplicate non-key output names, or a column literally named
+    # __w/__d, must keep working.  toDF() renames by position, the
+    # final select restores the original names (duplicates included).
     cols = old_view.columns
-    signed = old_view.select(F.lit(1).alias("__w"), "*").unionByName(
-        new_view.select(F.lit(-1).alias("__w"), "*")
+    tmp = [f"__c{i}" for i in range(len(cols))]
+    old_t = old_view.toDF(*tmp)
+    new_t = new_view.toDF(*tmp)
+    signed = old_t.select(F.lit(1).alias("__w"), "*").unionByName(
+        new_t.select(F.lit(-1).alias("__w"), "*")
     )
     diff = (
-        signed.groupBy(*cols)
+        signed.groupBy(*tmp)
         .agg(F.sum("__w").alias("__d"))
         .where(F.col("__d") != 0)
     )
@@ -370,6 +379,6 @@ def incremental_join_cdc_delta(
         F.when(F.col("__d") > 0, F.lit("retract"))
         .otherwise(F.lit("insert"))
         .alias("action"),
-        *cols,
+        *[F.col(t).alias(c) for t, c in zip(tmp, cols)],
         F.explode(F.sequence(F.lit(1), F.abs(F.col("__d")))).alias("__i"),
     ).drop("__i")

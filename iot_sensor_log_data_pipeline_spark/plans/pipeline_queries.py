@@ -277,11 +277,29 @@ def maintenance_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     corpus, proving the rewrite is row-lossless."""
     from ..operators.compaction import optimize_parquet_table
 
+    from ..session import default_parallelism
+
     path = _scratch("maintenance_roundtrip")
     events = load(spark, sf_dir, "events")
     (
         events.withColumn("log_hour", F.date_format("ts", "yyyy-MM-dd-HH"))
-        .repartition(8)  # 8 small files per hour partition
+        # Up to 8 small files per hour partition (the micro-batch-sink
+        # layout), produced by a (log_hour, deterministic salt 0-7)
+        # hash repartition: every task holds a few WHOLE (hour, salt)
+        # groups, so the sorted dynamic-partition writer emits its
+        # files from all cores at once.  The old ``repartition(8)``
+        # gave 8 round-robin tasks that each wrote EVERY hour's file
+        # sequentially -- measured 56 s of this row's 77 s at sf0.01,
+        # pure writer serialization (round 15; guide §2.5 on synthetic
+        # partition keys: the salt is derived from event_id, never
+        # rand()).  The partition count is pinned (AQE would coalesce
+        # the tiny exchange back to one task), scale-adaptive via the
+        # core count.
+        .repartition(
+            default_parallelism(),
+            F.col("log_hour"),
+            F.pmod(F.xxhash64("event_id"), F.lit(8)),
+        )
         .write.partitionBy("log_hour")
         .mode("overwrite")
         .parquet(path)

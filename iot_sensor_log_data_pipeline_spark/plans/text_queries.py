@@ -2691,7 +2691,11 @@ def text_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cemb.select(
             "ck",
-            F.floor(F.col("ck") / 1_000_000).cast("long").alias("chunk_doc"),
+            # Integer division (not floor of a double quotient): exact
+            # for every long, where double division is exact only below
+            # 2^53.  doc_id >= 0 by corpus contract, so % keeps the
+            # dividend sign and recovers chunk_id exactly.
+            F.expr("ck div 1000000").alias("chunk_doc"),
             (F.col("ck") % 1_000_000).cast("long").alias("chunk_id"),
             "embedding",
         )

@@ -8736,3 +8736,67 @@ def test_round14_metadata_io_fast_path(spark, tmp_path):
             lambda: (_ for _ in ()).throw(RuntimeError("boom")),
         )
     assert seen == [1]
+
+
+def test_graph_probe_driver_path_matches_distributed(spark, tmp_path):
+    """Round-15 driver-local beam search: for an index under the size
+    gate the probe walks the graph on the driver with bit-identical
+    float semantics (exact fold order, HALF_UP rounding, NaN-first
+    descending ties).  Parity is pinned EXACTLY (tuple equality of
+    every column, doubles included) against the distributed walk,
+    across tombstones, streaming segments, and the exclude-batch
+    replay hook -- the branches the fast path re-implements."""
+    import numpy as np
+
+    from iot_sensor_log_data_pipeline_spark.operators import graph_ann as GA
+
+    rng = np.random.default_rng(15)
+    rows = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id") < 6)
+
+    path = str(tmp_path / "graph_parity_idx")
+    GA.build_graph_index(emb, path)
+    # streaming segment + tombstones so the fast path's union /
+    # exclusion logic is exercised, not just the happy path
+    seg = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in rng.standard_normal(64)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    GA.graph_ingest_apply_batch(seg, 7, path)
+    GA.delete_from_graph_index(
+        spark.createDataFrame([(3,), (1003,)], "vec_id long"), path
+    )
+
+    def probe(**kw):
+        return sorted(
+            map(
+                tuple,
+                GA.query_graph_index(
+                    spark, path, queries, k=10, beam=16, hops=4, **kw
+                ).collect(),
+            )
+        )
+
+    assert GA._local_dir_bytes(str(tmp_path / "graph_parity_idx/graph")) > 0
+    driver_rows = probe()
+    old_gate = GA._DRIVER_PROBE_MAX_BYTES
+    GA._DRIVER_PROBE_MAX_BYTES = 0  # force the distributed walk
+    try:
+        dist_rows = probe()
+    finally:
+        GA._DRIVER_PROBE_MAX_BYTES = old_gate
+    assert driver_rows == dist_rows
+    assert len(driver_rows) > 0
+    assert not any(r[1] in (3, 1003) for r in driver_rows)  # tombstones out
+
+    # the ingest replay hook: excluding the segment's own batch must
+    # match on both paths too
+    drv_excl = probe(_exclude_batch=7)
+    GA._DRIVER_PROBE_MAX_BYTES = 0
+    try:
+        dist_excl = probe(_exclude_batch=7)
+    finally:
+        GA._DRIVER_PROBE_MAX_BYTES = old_gate
+    assert drv_excl == dist_excl
+    assert not any(1000 <= r[1] < 1008 for r in drv_excl)  # segment excluded

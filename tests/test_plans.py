@@ -191,13 +191,25 @@ def plan_of(df) -> str:
 
 
 @pytest.fixture(scope="module")
-def plans(spark):
-    out = {}
+def _all_plans(spark):
+    """ONE construction sweep over the catalog capturing BOTH plan
+    renderings per query: the formatted physical plan and the optimized
+    logical plan.  The window audit used to re-construct every query
+    (persisted-index builds included) for its optimizedPlan pass --
+    two full catalog sweeps, ~320 s of the suite (round 15)."""
+    phys, opt = {}, {}
     for name, entry in catalog.all_entries().items():
         if name in SIDE_EFFECT:
             continue
-        out[name] = plan_of(entry.fn(spark, SF))
-    return out
+        df = entry.fn(spark, SF)
+        phys[name] = plan_of(df)
+        opt[name] = df._jdf.queryExecution().optimizedPlan().toString()
+    return phys, opt
+
+
+@pytest.fixture(scope="module")
+def plans(_all_plans):
+    return _all_plans[0]
 
 
 def test_no_cartesian_products_anywhere(plans):
@@ -205,7 +217,7 @@ def test_no_cartesian_products_anywhere(plans):
     assert not offenders, f"cartesian products in: {offenders}"
 
 
-def test_no_unpartitioned_windows(spark):
+def test_no_unpartitioned_windows(_all_plans):
     """No catalog query may contain a Window with an EMPTY partition
     spec: Spark funnels the whole input through ONE task for such a
     window ('No Partition Defined' warning) -- a corpus-through-one-
@@ -216,12 +228,7 @@ def test_no_unpartitioned_windows(spark):
     import re
 
     offenders = []
-    for name, entry in catalog.all_entries().items():
-        if name in SIDE_EFFECT:
-            continue
-        plan = (
-            entry.fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
-        )
+    for name, plan in _all_plans[1].items():
         if re.search(r"Window \[[^\n]*\], \[\], \[", plan):
             offenders.append(name)
     assert not offenders, f"unpartitioned windows in: {offenders}"

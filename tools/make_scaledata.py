@@ -122,11 +122,41 @@ def make_embeddings_anisotropic(
     )
 
 
+def make_events(n: int, seed: int = 61) -> pa.Table:
+    """10x-shape events table (round-15: the cusum / ks-drift / events
+    families were never measured above sf0.1).  Matches the driver
+    corpus's measured shape: 30 days of timestamps, ~67 events/user,
+    5 event types, per-user value level + noise (so per-user stats are
+    non-degenerate), small JSON props."""
+    rng = np.random.default_rng(seed)
+    n_users = max(n // 67, 1)
+    user = rng.integers(0, n_users, size=n).astype("int64")
+    base = rng.standard_normal(n_users) * 10.0
+    value = base[user] + rng.standard_normal(n) * 2.0
+    ts_us = np.sort(
+        rng.integers(0, 30 * 24 * 3600 * 1_000_000, size=n, dtype="int64")
+    ) + 1_704_067_200_000_000  # 2024-01-01 UTC
+    etypes = np.array(["signup", "click", "view", "purchase", "error"])
+    et = etypes[rng.integers(0, 5, size=n)]
+    props = [f'{{"k":{int(v)}}}' for v in rng.integers(0, 100, size=n)]
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype="int64")),
+            "ts": pa.array(ts_us, type=pa.timestamp("us")),
+            "user_id": pa.array(user),
+            "event_type": pa.array(et),
+            "value": pa.array(value.astype("float64")),
+            "props": pa.array(props),
+        }
+    )
+
+
 def main() -> None:
     sf1 = os.path.join(ROOT, "sf1")
     os.makedirs(sf1, exist_ok=True)
     pq.write_table(make_documents(50_000), os.path.join(sf1, "documents.parquet"))
     pq.write_table(make_embeddings(20_000), os.path.join(sf1, "embeddings.parquet"))
+    pq.write_table(make_events(1_000_000), os.path.join(sf1, "events.parquet"))
     v200 = os.path.join(ROOT, "vec200k")
     os.makedirs(v200, exist_ok=True)
     pq.write_table(

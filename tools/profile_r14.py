@@ -90,12 +90,15 @@ def main() -> None:
     w = entries[targets[0]].fn(spark, "/root/testdata/sf0.001")
     w.write.format("noop").mode("overwrite").save()
 
+    # PROFILE_PASSES=1 skips the warm pass: cold-ish walls are fine for
+    # RANKING at sf1 where some families run minutes (round 15).
+    warm = os.environ.get("PROFILE_PASSES", "2") != "1"
     walls: dict[str, float] = {}
     for name in targets:
         fn = entries[name].fn
-        # warm pass
-        spark.sparkContext.setJobDescription(f"warm:{name}")
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        if warm:
+            spark.sparkContext.setJobDescription(f"warm:{name}")
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         # timed pass
         spark.sparkContext.setJobDescription(f"timed:{name}")
         t0 = time.perf_counter()
